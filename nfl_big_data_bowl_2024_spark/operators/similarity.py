@@ -1,0 +1,122 @@
+"""Similarity search over an embedding column (array<float>).
+
+Dot products and norms run JVM-side via zip_with/aggregate in DOUBLE precision
+(arrays are cast up front so results are bit-identical to a double-precision
+oracle accumulating in the same element order).
+
+  brute_force_topk    exact baseline: broadcast the query vector, score every
+                      row, global top-k with deterministic tie-break.
+  lsh_bucketed_pairs  scale path: sign-random-projection signatures bucket the
+                      vectors; the candidate join is per-bucket instead of the
+                      quadratic cross join; exact cosine re-ranks candidates.
+
+At 100 TB the brute-force path is only for one-off queries (single broadcast +
+one pass + a tree-reduced top-k); the LSH path is the ANN-index equivalent
+(signatures are precomputable and bucketed joins co-locate candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_col(a, b) -> Column:
+    """Sequential left-to-right double dot product of two array columns."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine_col(a, b) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return dot_col(a, b) / (F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b)))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every vector against the vector with id
+    ``query_vec_id``. Cosine is rounded to 4dp BEFORE ranking so the ordering
+    (and thus the returned set) is stable across engines; ties break on id."""
+    v = df.select(
+        id_col, "label", F.col(vec_col).cast("array<double>").alias("emb")
+    )
+    q = v.filter(F.col(id_col) == query_vec_id).select(F.col("emb").alias("qv"))
+    scored = (
+        v.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(q))
+        .select(
+            id_col,
+            "label",
+            F.round(cosine_col("emb", "qv"), 4).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "label", "cosine")
+    )
+
+
+def _deterministic_plane(bit: int, dim: int) -> list[float]:
+    """Pseudo-random hyperplane components from a fixed LCG — reproducible
+    across sessions with no RNG state (Date/random are banned in this repo's
+    workflow scripts and unnecessary here)."""
+    vals = []
+    x = bit * 2654435761 % (2**32)
+    for _ in range(dim):
+        x = (1103515245 * x + 12345) % (2**31)
+        vals.append(x / float(2**30) - 1.0)
+    return vals
+
+
+def lsh_bucketed_pairs(
+    df: DataFrame,
+    n_bits: int = 12,
+    min_cosine: float = 0.7,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection LSH near-neighbor pairs.
+
+    Signature bit j = sign(<emb, plane_j>) with deterministic planes; vectors
+    sharing the full n_bits signature land in one bucket; pairs within a
+    bucket are re-ranked by exact cosine and filtered at ``min_cosine``.
+    """
+    v = df.select(id_col, F.col(vec_col).cast("array<double>").alias("emb"))
+    sig = F.lit(0).cast("long")
+    for j in range(n_bits):
+        plane = F.array(*[F.lit(c) for c in _deterministic_plane(j, dim)])
+        bit = F.when(dot_col("emb", plane) > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + bit
+    bucketed = v.withColumn("bucket", sig)
+    a = bucketed.select(
+        F.col(id_col).alias("vid_a"), F.col("emb").alias("emb_a"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("vid_b"), F.col("emb").alias("emb_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .select(
+            "vid_a",
+            "vid_b",
+            "bucket",
+            F.round(cosine_col("emb_a", "emb_b"), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

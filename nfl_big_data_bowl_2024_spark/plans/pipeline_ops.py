@@ -1,0 +1,300 @@
+"""Training-data pipeline queries over ``documents`` / ``embeddings``.
+
+These extend the engine beyond the reference's own operators with the
+operations a 100 TB training-data pipeline needs: dedup (exact, n-gram
+Jaccard, MinHash+LSH, SimHash), similarity search (brute-force cosine top-k
+baseline + LSH-bucketed scale path), and text analysis (language ID, quality
+scoring, token counting, fingerprinting).
+
+SQL-expressible ops carry a DuckDB oracle; the hash-seeded ones (MinHash /
+SimHash / random-hyperplane LSH) are Spark-only and registered with
+``oracle=None`` (driver records a rows-only check) but are cross-validated in
+tests/ against exact Jaccard / exact cosine instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from ..operators.similarity import brute_force_topk, cosine_col
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txt_token_quality",
+    """
+    SELECT doc_id, lang,
+           length(text) AS n_chars_actual,
+           length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+           round((length(text) - length(replace(text, ' ', '')) + 1) * 1.0
+                 / (length(text) + 1), 4) AS token_density,
+           CAST(length(text) - length(replace(text, 'the', ''))
+                AS BIGINT) / 3 AS stopword_hits,
+           CASE WHEN length(text) BETWEEN 100 AND 5000
+                 AND length(text) - length(replace(text, ' ', '')) + 1 >= 10
+                THEN 'keep' ELSE 'drop' END AS quality_gate
+    FROM documents
+    """,
+    doc="Token counting + quality scoring (length/stopword heuristics) — pure JVM "
+    "string expressions, no UDF; the keep/drop gate is the standard corpus filter shape.",
+)
+def txt_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = n_chars - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    stop_hits = (
+        (n_chars - F.length(F.replace(F.col("text"), F.lit("the"), F.lit("")))) / 3
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_chars.alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_tokens * 1.0 / (n_chars + 1), 4).alias("token_density"),
+        stop_hits.alias("stopword_hits"),
+        F.when(n_chars.between(100, 5000) & (n_tokens >= 10), "keep")
+        .otherwise("drop")
+        .alias("quality_gate"),
+    )
+
+
+@register(
+    "txt_lang_id",
+    """
+    WITH scores AS (
+        SELECT doc_id, lang,
+               (length(text) - length(replace(text, ' the ', ''))) / 5 AS en_score,
+               (length(text) - length(replace(text, ' data ', ''))) / 6 AS data_score,
+               (length(text) - length(replace(text, ' spark ', ''))) / 7 AS spark_score
+        FROM documents
+    )
+    SELECT doc_id, lang, en_score, data_score, spark_score,
+           CASE WHEN en_score >= data_score AND en_score >= spark_score THEN 'marker_the'
+                WHEN data_score >= spark_score THEN 'marker_data'
+                ELSE 'marker_spark' END AS dominant_marker
+    FROM scores
+    """,
+    doc="Language-ID-style n-gram marker scoring with argmax classification "
+    "(deterministic tie-break) — the distributed lang-ID shape; real marker tables "
+    "drop in as a broadcast dim.",
+)
+def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+
+    def marker(m: str):
+        return (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(m), F.lit(""))))
+            / len(m)
+        ).cast("long")
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        marker(" the ").alias("en_score"),
+        marker(" data ").alias("data_score"),
+        marker(" spark ").alias("spark_score"),
+    )
+    dominant = (
+        F.when(
+            (F.col("en_score") >= F.col("data_score"))
+            & (F.col("en_score") >= F.col("spark_score")),
+            "marker_the",
+        )
+        .when(F.col("data_score") >= F.col("spark_score"), "marker_data")
+        .otherwise("marker_spark")
+    )
+    return scored.withColumn("dominant_marker", dominant)
+
+
+@register(
+    "txt_fingerprint_exact_dedup",
+    """
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+    doc="Document fingerprinting + exact dedup: hash-groupBy keeping the smallest id "
+    "as canonical. At 100 TB this is one shuffle on the fingerprint.",
+)
+def txt_fingerprint_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("fingerprint")
+    ).agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup: n-gram Jaccard (oracle-checked), MinHash+LSH / SimHash (rows-only)
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH shingles AS (
+    SELECT doc_id, unnest(list_distinct([substr(text, g, 8)
+           FOR g IN range(1, greatest(length(text) - 6, 2))])) AS sh
+    FROM documents
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+pair_overlap AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4) AS jaccard
+FROM pair_overlap
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.2
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _JACCARD_ORACLE,
+    doc="Near-dup detection via exact character-8-gram Jaccard: shingle -> explode -> "
+    "self-join on shingle -> overlap counts. The explode+join is the standard "
+    "distributed candidate generation; the >= threshold bounds the pair blowup.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=8, threshold=0.2)
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,
+    doc="MinHash (32 perms) + banded LSH (8 bands x 4 rows) candidate pairs with exact "
+    "Jaccard verification. Hash-seeded, so Spark-only; tests cross-check the surviving "
+    "pairs against dedup_ngram_jaccard's exact answer.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        d, "doc_id", "text", n=8, num_perm=32, bands=8, verify_threshold=0.2
+    )
+
+
+@register(
+    "dedup_simhash",
+    None,
+    doc="64-bit SimHash signatures + banded near-dup buckets (4 x 16-bit bands). "
+    "Spark-only (xxhash64-seeded).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return simhash_signatures(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT e.vec_id, e.label,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+)
+SELECT vec_id, label, cosine
+FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+WHERE rk <= 25
+"""
+
+
+@register(
+    "sim_topk_bruteforce",
+    _TOPK_ORACLE,
+    doc="Brute-force cosine top-k against a query vector (vec_id=0). Dot products run "
+    "JVM-side via zip_with/aggregate in double precision; ties broken on vec_id. "
+    "Scale path is sim_lsh_bucketed.",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, query_vec_id=0, k=25)
+
+
+@register(
+    "sim_label_cohesion",
+    """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+               WHERE vec_id < 200),
+    pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT CASE WHEN label_a = label_b THEN 'same_label' ELSE 'cross_label' END AS bucket,
+           count(*) AS n_pairs,
+           round(avg(cosine), 4) AS mean_cosine
+    FROM pairs GROUP BY 1
+    """,
+    doc="Embedding-space sanity metric: same-label vs cross-label mean cosine over all "
+    "pairs of the first 200 vectors. Validates the vector column plumbing end-to-end.",
+)
+def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("vid_a"), F.col("label").alias("label_a"), F.col("emb").alias("emb_a")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vid_b"), F.col("label").alias("label_b"), F.col("emb").alias("emb_b")
+    )
+    pairs = a.join(b, F.col("vid_a") < F.col("vid_b")).select(
+        "label_a", "label_b", cosine_col("emb_a", "emb_b").alias("cosine")
+    )
+    return (
+        pairs.withColumn(
+            "bucket",
+            F.when(F.col("label_a") == F.col("label_b"), "same_label").otherwise(
+                "cross_label"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("cosine"), 4).alias("mean_cosine"),
+        )
+    )
+
+
+@register(
+    "sim_lsh_bucketed",
+    None,
+    doc="Random-hyperplane (sign) LSH ANN: 16-bit bucket signatures from deterministic "
+    "seeded planes, candidates join within bucket, exact cosine re-rank. The 100 TB "
+    "path: bucket join replaces the quadratic cross join.",
+)
+def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_bucketed_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_pairs(e, n_bits=12, min_cosine=0.7)

@@ -1,0 +1,718 @@
+"""Relational operator queries (SURVEY §2.1-2.7) over the driver testdata.
+
+Each query is the Spark-first expression of an operator family the reference
+implements in pandas; citations point at the reference site it re-expresses.
+The flagship (``flagship_bounded_max``) is the E1 pipeline shape — event
+window -> first crossing -> bounded grouped max -> dim join -> having -> sort
+(reference calculate_max_params.py driving optimal_pursuit.py:193-259) — run
+set-at-a-time over every group in one pass instead of a ~12k-iteration loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.windows import bounded_group_max, event_window, first_crossing
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: E1 shape on the events table
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = """
+WITH win AS (
+    SELECT user_id,
+           coalesce(min(ts) FILTER (WHERE event_type = 'signup'),
+                    min(ts) FILTER (WHERE event_type = 'view'))    AS start_ts,
+           min(ts) FILTER (WHERE event_type = 'purchase')          AS stop_ts
+    FROM events GROUP BY user_id
+),
+crossing AS (
+    SELECT e.user_id, min(e.ts) AS crossing_ts
+    FROM events e JOIN win w ON e.user_id = w.user_id
+    WHERE e.value > 25.0 AND e.ts > w.start_ts
+    GROUP BY e.user_id
+),
+bounded AS (
+    SELECT e.user_id, max(e.value) AS max_val, count(*) AS n_window
+    FROM events e
+    JOIN win w ON e.user_id = w.user_id
+    JOIN crossing c ON e.user_id = c.user_id
+    WHERE e.ts >= w.start_ts AND e.ts < c.crossing_ts
+    GROUP BY e.user_id
+)
+SELECT b.user_id,
+       cu.c_name                AS user_name,
+       b.max_val                AS max_val,
+       b.n_window               AS n_window,
+       epoch_us(w.start_ts)     AS start_us,
+       epoch_us(c.crossing_ts)  AS crossing_us,
+       epoch_us(w.stop_ts)      AS stop_us
+FROM bounded b
+JOIN win w      ON b.user_id = w.user_id
+JOIN crossing c ON b.user_id = c.user_id
+LEFT JOIN customer cu ON cu.c_custkey = b.user_id
+WHERE b.n_window >= 2
+"""
+
+
+@register(
+    "flagship_bounded_max",
+    _FLAGSHIP_ORACLE,
+    doc="E1 pipeline shape: W1 event window + W2 first crossing + A1 bounded max "
+    "+ J2 broadcast dim join + O2 having (reference optimal_pursuit.py:193-259).",
+)
+def flagship_bounded_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+
+    win = event_window(
+        events,
+        ["user_id"],
+        "ts",
+        "event_type",
+        start_events=["signup"],
+        stop_events=["purchase"],
+        fallback_start_event="view",
+    ).withColumnsRenamed({"start_ord": "start_ts", "stop_ord": "stop_ts"})
+
+    ev_w = events.join(win, "user_id")
+    crossing = first_crossing(
+        ev_w, ["user_id"], "ts", F.col("value") > 25.0, F.col("start_ts")
+    ).withColumnRenamed("crossing_ord", "crossing_ts")
+
+    ev_wc = ev_w.join(crossing, "user_id")
+    bounded = bounded_group_max(
+        ev_wc, ["user_id"], "ts", "start_ts", "crossing_ts", {"value": "max_val"}
+    ).join(
+        ev_wc.filter((F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("crossing_ts")))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_window")),
+        "user_id",
+    )
+
+    return (
+        bounded.join(win, "user_id")
+        .join(crossing, "user_id")
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("user_id"), "left")
+        .filter(F.col("n_window") >= 2)
+        .select(
+            "user_id",
+            F.col("c_name").alias("user_name"),
+            "max_val",
+            "n_window",
+            F.unix_micros("start_ts").alias("start_us"),
+            F.unix_micros("crossing_ts").alias("crossing_us"),
+            F.unix_micros("stop_ts").alias("stop_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation suite (A1-A6) — TPC-H-style headliners
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A2/A3 full-scan aggregate; partial+final hash agg, 6 groups (TPC-H Q1 shape).",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           epoch_us(o_orderdate)                             AS orderdate_us,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > 1000.0
+    """,
+    doc="J1/J2 broadcast dim join + A3 grouped sum + HAVING (TPC-H Q3 shape).",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .filter(F.col("revenue") > 1000.0)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros("o_orderdate").alias("orderdate_us"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="Multi-way star join (region->nation->customer->orders->lineitem), all dims broadcast.",
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "summary_stats",
+    """
+    SELECT c_mktsegment,
+           count(*)                               AS n,
+           round(avg(c_acctbal), 4)               AS mean_bal,
+           round(stddev(c_acctbal), 4)            AS std_bal,
+           min(c_acctbal)                         AS min_bal,
+           round(quantile_cont(c_acctbal, 0.25), 4) AS p25_bal,
+           round(quantile_cont(c_acctbal, 0.5), 4)  AS p50_bal,
+           round(quantile_cont(c_acctbal, 0.75), 4) AS p75_bal,
+           max(c_acctbal)                         AS max_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc="A2 describe(): count/mean/std/min/quartiles/max per group "
+    "(reference plot_YAP.py:23,66-69). Exact interpolated percentiles.",
+)
+def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("c_acctbal"), 4).alias("mean_bal"),
+        F.round(F.stddev("c_acctbal"), 4).alias("std_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.25)"), 4).alias("p25_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.75)"), 4).alias("p75_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+@register(
+    "grouped_having_sort",
+    """
+    SELECT user_id, count(*) AS n_events, round(avg(value), 4) AS mean_value,
+           max(value) AS max_value
+    FROM events GROUP BY user_id HAVING count(*) >= 20
+    """,
+    doc="A3 per-key stats + O2 having-threshold + O1 sort (reference plot_YAP.py:72-75). "
+    "Replaces the reference's concat-accumulator loop with one hash aggregate.",
+)
+def grouped_having_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+            F.max("value").alias("max_value"),
+        )
+        .filter(F.col("n_events") >= 20)
+        .orderBy(F.col("mean_value").desc())
+    )
+
+
+@register(
+    "corr_per_group",
+    """
+    SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="A4 Pearson correlation per group (reference plot_max_parameters.py:37-40).",
+)
+def corr_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "histogram_bins",
+    """
+    SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS n
+    FROM events GROUP BY event_type, CAST(floor(value / 5.0) AS BIGINT)
+    """,
+    doc="A5 histogram binning per group (reference sns.histplot, plot_YAP.py:50).",
+)
+def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.floor(F.col("value") / 5.0).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "distinct_keys",
+    """
+    SELECT user_id, event_type FROM events GROUP BY user_id, event_type
+    """,
+    doc="A6/O3 work-unit enumeration via distinct keys (reference calculate_YAP.py:20-21).",
+)
+def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections / scalar functions (P1-P6, F1-F9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_project_pushdown",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_quantity BETWEEN 10 AND 40
+      AND l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+    """,
+    doc="P1 projection + P4 disjunctive membership + P5 range filter; predicates and "
+    "column pruning reach the parquet scan (verified via explain in tests).",
+)
+def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            F.col("l_returnflag").isin("A", "R")
+            & F.col("l_quantity").between(10, 40)
+            & (F.col("l_shipdate") >= F.lit("1996-06-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "net_price"
+            ),
+        )
+    )
+
+
+@register(
+    "point_lookup",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders)
+    """,
+    doc="P6 scalar point extraction kept as a join instead of .iloc scalarization "
+    "(reference optimal_pursuit.py:143-144,156-163).",
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    max_price = o.agg(F.max("o_totalprice").alias("m"))
+    return (
+        o.join(F.broadcast(max_price), F.col("o_totalprice") == F.col("m"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority", "c_name", "c_mktsegment"
+        )
+    )
+
+
+@register(
+    "trig_heading_wrap",
+    """
+    SELECT event_id,
+           round(degrees(atan2(sin(radians(value * 7.3)), cos(radians(value * 7.3)))), 4)
+               AS wrapped_deg,
+           round(value * sin(radians(value * 7.3)), 4) AS u,
+           round(value * cos(radians(value * 7.3)), 4) AS v
+    FROM events WHERE event_type = 'click'
+    """,
+    doc="F2 trig + angle wrap + velocity decomposition "
+    "(reference optimal_pursuit.py:274-277,319-322).",
+)
+def trig_heading_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    deg = F.col("value") * 7.3
+    rad = F.radians(deg)
+    wrapped = F.degrees(F.atan2(F.sin(rad), F.cos(rad)))
+    return e.select(
+        "event_id",
+        F.round(wrapped, 4).alias("wrapped_deg"),
+        F.round(F.col("value") * F.sin(rad), 4).alias("u"),
+        F.round(F.col("value") * F.cos(rad), 4).alias("v"),
+    )
+
+
+@register(
+    "conditional_recode_clip",
+    """
+    SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+                WHEN event_type IN ('signup', 'purchase') THEN 'conversion'
+                ELSE 'other' END AS event_class,
+           count(*) AS n,
+           round(sum(greatest(value - 20.0, 0.0)), 2) AS clipped_sum
+    FROM events
+    GROUP BY CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+                  WHEN event_type IN ('signup', 'purchase') THEN 'conversion'
+                  ELSE 'other' END
+    """,
+    doc="F7/W5 conditional recode + clip (reference plot_YAP.py:42,44-46 position "
+    "coarsening and YAP clip).",
+)
+def conditional_recode_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    event_class = (
+        F.when(F.col("event_type").isin("click", "view"), "engagement")
+        .when(F.col("event_type").isin("signup", "purchase"), "conversion")
+        .otherwise("other")
+    )
+    return (
+        e.withColumn("event_class", event_class)
+        .groupBy("event_class")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.greatest(F.col("value") - 20.0, F.lit(0.0))), 2).alias(
+                "clipped_sum"
+            ),
+        )
+    )
+
+
+@register(
+    "case_lookup_dim_join",
+    """
+    WITH prio AS (
+        SELECT * FROM (VALUES ('1-URGENT', 5.0), ('2-HIGH', 4.0), ('3-MEDIUM', 3.0))
+            AS t(priority, weight)
+    )
+    SELECT o_orderpriority,
+           CASE WHEN weight IS NULL THEN 'error' ELSE 'ok' END AS status,
+           count(*) AS n,
+           round(sum(o_totalprice * coalesce(weight, 0.0)), 2) AS weighted_price
+    FROM orders LEFT JOIN prio ON o_orderpriority = priority
+    GROUP BY o_orderpriority, CASE WHEN weight IS NULL THEN 'error' ELSE 'ok' END
+    """,
+    doc="F8 lookup table as broadcast dim join; unknown keys become error-status rows "
+    "instead of raising (reference optimal_pursuit.py:458-477 missing-else semantics, S4).",
+)
+def case_lookup_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    prio = o.sparkSession.createDataFrame(
+        [("1-URGENT", 5.0), ("2-HIGH", 4.0), ("3-MEDIUM", 3.0)], "priority string, weight double"
+    )
+    return (
+        o.join(F.broadcast(prio), F.col("o_orderpriority") == F.col("priority"), "left")
+        .withColumn("status", F.when(F.col("weight").isNull(), "error").otherwise("ok"))
+        .groupBy("o_orderpriority", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice") * F.coalesce("weight", F.lit(0.0))), 2).alias(
+                "weighted_price"
+            ),
+        )
+    )
+
+
+@register(
+    "timestamp_parts",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="F5 timestamp decomposition + calendar aggregation.",
+)
+def timestamp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J4) and set ops (O3-O5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_multi_key",
+    """
+    WITH a AS (SELECT user_id, event_type, count(*) AS n
+               FROM events GROUP BY user_id, event_type),
+         b AS (SELECT user_id, event_type, round(avg(value), 4) AS mean_value
+               FROM events WHERE value > 10 GROUP BY user_id, event_type)
+    SELECT a.user_id, a.event_type, a.n, b.mean_value
+    FROM a LEFT JOIN b ON a.user_id = b.user_id AND a.event_type = b.event_type
+    """,
+    doc="J3 multi-column left equi-join (reference plot_YAP.py:36,41).",
+)
+def join_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    a = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    b = (
+        e.filter(F.col("value") > 10)
+        .groupBy("user_id", "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("mean_value"))
+    )
+    return a.join(b, ["user_id", "event_type"], "left").select(
+        "user_id", "event_type", "n", "mean_value"
+    )
+
+
+@register(
+    "temporal_self_join",
+    """
+    SELECT c.user_id,
+           epoch_us(date_trunc('hour', c.ts)) AS hour_bucket_us,
+           count(*) AS n_pairs,
+           round(avg(p.value - c.value), 4) AS mean_value_lift
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND date_trunc('hour', c.ts) = date_trunc('hour', p.ts)
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+    GROUP BY c.user_id, date_trunc('hour', c.ts)
+    """,
+    doc="J4 temporal self-join / frame alignment (reference optimal_pursuit.py:217-219 "
+    "carrier-vs-tackler positional subtraction, made an explicit equi-join).",
+)
+def temporal_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.date_trunc("hour", "ts").alias("hb"), F.col("value").alias("c_value")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.date_trunc("hour", "ts").alias("p_hb"),
+        F.col("value").alias("p_value"),
+    )
+    joined = c.join(p, (F.col("user_id") == F.col("p_user")) & (F.col("hb") == F.col("p_hb")))
+    out = joined.groupBy("user_id", "hb").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(F.col("p_value") - F.col("c_value")), 4).alias("mean_value_lift"),
+    )
+    return out.select(
+        "user_id", F.unix_micros("hb").alias("hour_bucket_us"), "n_pairs", "mean_value_lift"
+    )
+
+
+@register(
+    "semi_anti_join",
+    """
+    SELECT 'with_orders' AS bucket, count(*) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS bucket, count(*) AS n FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Semi/anti joins (free Spark built-ins the reference lacks, SURVEY §2.3).",
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("with_orders").alias("bucket"), "n")
+    )
+    without_orders = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("without_orders").alias("bucket"), "n")
+    )
+    return with_orders.unionByName(without_orders)
+
+
+@register(
+    "union_dedup_sorted",
+    """
+    SELECT nationkey, n_name FROM (
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    ) JOIN nation ON nationkey = n_nationkey
+    """,
+    doc="O4 union + O3 dedup + J1 dim join (reference pd.concat accumulator, plot_YAP.py:25).",
+)
+def union_dedup_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.unionByName(s)
+        .distinct()
+        .join(F.broadcast(n), F.col("nationkey") == F.col("n_nationkey"))
+        .select("nationkey", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window / ordered-sequence queries (W1-W4 standalone)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "offset_from_first",
+    """
+    SELECT event_id, user_id,
+           epoch_us(ts) - first_value(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS elapsed_us
+    FROM events
+    """,
+    doc="W3 offset-from-first normalization (reference time-time[0], "
+    "optimal_pursuit.py:290-291,446-447; nondeterministic now() origin dropped).",
+)
+def offset_from_first_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    us = F.unix_micros("ts")
+    return e.select(
+        "event_id", "user_id", (us - F.first(us).over(w)).alias("elapsed_us")
+    )
+
+
+@register(
+    "first_crossing_after_start",
+    """
+    WITH starts AS (
+        SELECT user_id, min(ts) AS start_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT e.user_id, min(e.event_id) AS crossing_event_id
+    FROM events e JOIN starts s ON e.user_id = s.user_id
+    WHERE e.value > 40.0 AND e.ts > s.start_ts
+    GROUP BY e.user_id
+    """,
+    doc="W2 first-crossing detection (reference optimal_pursuit.py:222-226).",
+)
+def first_crossing_after_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    starts = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("start_ts"))
+    )
+    joined = e.join(starts, "user_id")
+    return (
+        joined.filter((F.col("value") > 40.0) & (F.col("ts") > F.col("start_ts")))
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("crossing_event_id"))
+    )
+
+
+@register(
+    "ordered_rank_lag",
+    """
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+               AS value_delta
+    FROM events WHERE event_type = 'purchase'
+    """,
+    doc="Ordered ranking + lag deltas (SURVEY §2.5 'not present — free via Window'); "
+    "the per-frame diff pattern of the tracking table.",
+)
+def ordered_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+    )

@@ -1,0 +1,60 @@
+"""Sources (SURVEY §2.1 S1/S2).
+
+The reference re-reads every CSV from scratch on each of ~12k play iterations
+(reference optimal_pursuit.py:132-135,149 inside the loops of
+calculate_max_params.py:28 / calculate_YAP.py:28) and hand-picks the weekly
+tracking file as manual partition pruning. Here every table is read ONCE with
+an explicit schema; tracking is a Hive-partitioned dataset (``week=N/``) so
+Catalyst prunes partitions from ``WHERE week = N`` automatically, and gameId/
+playId predicates push down to parquet row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .. import schemas
+
+_CSV_SCHEMAS = {
+    "games": schemas.GAMES,
+    "players": schemas.PLAYERS,
+    "plays": schemas.PLAYS,
+    "tackles": schemas.TACKLES,
+    "tracking": schemas.TRACKING,
+}
+
+
+def read_csv_table(spark: SparkSession, name: str, path: str) -> DataFrame:
+    """CSV scan with a declared schema (S1). Never infers: inference is an
+    extra full scan and silently drifts types at scale."""
+    schema = _CSV_SCHEMAS[name]
+    return spark.read.schema(schema).csv(path, header=True)
+
+
+def read_parquet_table(spark: SparkSession, name: str, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_tracking(spark: SparkSession, path: str, weeks: list[int] | None = None) -> DataFrame:
+    """Partitioned tracking scan (S2).
+
+    ``path`` is a directory laid out ``tracking/week=N/*.parquet``. Week
+    filtering is expressed as a normal predicate so Catalyst does the
+    partition pruning the reference hand-rolled via filename selection
+    (reference optimal_pursuit.py:149).
+    """
+    df = spark.read.schema(
+        T.StructType(schemas.TRACKING.fields + [T.StructField("week", T.IntegerType(), True)])
+    ).parquet(path)
+    if weeks is not None:
+        df = df.filter(df["week"].isin(weeks))
+    return df
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver's star-schema testdata (TESTDATA.md) as DataFrames."""
+    return {
+        name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for name in schemas.TESTDATA_TABLES
+    }

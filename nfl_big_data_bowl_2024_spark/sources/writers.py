@@ -1,0 +1,30 @@
+"""Sinks (SURVEY §2.1 S3/S4).
+
+The reference appends one CSV row per tackler per play with a header-on-create
+dance (reference optimal_pursuit.py:256-259,568-571) and a separate error CSV
+fed by a blanket try/except (calculate_YAP.py:42-49). Spark-first: results are
+written once per job, and failures travel WITH the data as a ``status`` column
+so one pass feeds two sinks — no driver-side exception bookkeeping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_result(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """Parquet sink (S3). Spark writers are job-idempotent; no header dance."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_with_error_sink(df: DataFrame, ok_path: str, error_path: str, status_col: str = "status") -> None:
+    """Two-sink split (S4): rows with status=='ok' -> result table, the rest ->
+    error ledger. ``df`` should be cached by the caller if recomputing it is
+    expensive; at scale prefer persist(DISK_ONLY) over recompute for kernels.
+    """
+    df.filter(F.col(status_col) == "ok").drop(status_col).write.mode("overwrite").parquet(ok_path)
+    df.filter(F.col(status_col) != "ok").write.mode("overwrite").parquet(error_path)
