@@ -24,11 +24,8 @@ from ..operators.dedup import (
     simhash_signatures,
 )
 from ..operators.similarity import brute_force_topk, cosine_col
+from ..sources.readers import read_testdata_table as _t
 from .registry import register
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -45,7 +42,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            round((length(text) - length(replace(text, ' ', '')) + 1) * 1.0
                  / (length(text) + 1), 4) AS token_density,
            CAST(length(text) - length(replace(text, 'the', ''))
-                AS BIGINT) / 3 AS stopword_hits,
+                AS BIGINT) // 3 AS stopword_hits,
            CASE WHEN length(text) BETWEEN 100 AND 5000
                  AND length(text) - length(replace(text, ' ', '')) + 1 >= 10
                 THEN 'keep' ELSE 'drop' END AS quality_gate
@@ -64,8 +61,8 @@ def txt_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         "lang",
-        n_chars.alias("n_chars_actual"),
-        n_tokens.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars_actual"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(n_tokens * 1.0 / (n_chars + 1), 4).alias("token_density"),
         stop_hits.alias("stopword_hits"),
         F.when(n_chars.between(100, 5000) & (n_tokens >= 10), "keep")
@@ -79,9 +76,9 @@ def txt_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH scores AS (
         SELECT doc_id, lang,
-               (length(text) - length(replace(text, ' the ', ''))) / 5 AS en_score,
-               (length(text) - length(replace(text, ' data ', ''))) / 6 AS data_score,
-               (length(text) - length(replace(text, ' spark ', ''))) / 7 AS spark_score
+               (length(text) - length(replace(text, ' the ', ''))) // 5 AS en_score,
+               (length(text) - length(replace(text, ' data ', ''))) // 6 AS data_score,
+               (length(text) - length(replace(text, ' spark ', ''))) // 7 AS spark_score
         FROM documents
     )
     SELECT doc_id, lang, en_score, data_score, spark_score,

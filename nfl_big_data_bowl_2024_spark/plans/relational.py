@@ -15,11 +15,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.windows import bounded_group_max, event_window, first_crossing
+from ..sources.readers import read_testdata_table as _t
 from .registry import register
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -161,7 +158,8 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,10)))
+                      AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
            epoch_us(o_orderdate)                             AS orderdate_us,
            o_orderpriority
     FROM customer, orders, lineitem
@@ -171,7 +169,8 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > 1000.0
+    HAVING floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,10)))
+                      AS DOUBLE) * 100 + 0.5) / 100 > 1000.0
     """,
     doc="J1/J2 broadcast dim join + A3 grouped sum + HAVING (TPC-H Q3 shape).",
 )
@@ -183,14 +182,19 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
     )
+    # The per-group sum runs over exact decimals so partial-aggregation order
+    # (Spark) vs sequential order (DuckDB oracle) cannot move the value, and
+    # the final rounding is floor(x*100+0.5)/100 — pure IEEE ops that both
+    # engines evaluate bit-identically (Spark's round() rounds the shortest
+    # decimal repr while C engines round the binary value; on exact .xx5
+    # boundaries the two disagree, so neither is used here).
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,10)")
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            (F.floor(F.sum(disc_price).cast("double") * 100 + 0.5) / 100).alias("revenue"),
         )
         .filter(F.col("revenue") > 1000.0)
         .select(
@@ -530,7 +534,9 @@ def timestamp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH a AS (SELECT user_id, event_type, count(*) AS n
                FROM events GROUP BY user_id, event_type),
-         b AS (SELECT user_id, event_type, round(avg(value), 4) AS mean_value
+         b AS (SELECT user_id, event_type,
+                      floor(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                            / count(*) * 10000 + 0.5) / 10000 AS mean_value
                FROM events WHERE value > 10 GROUP BY user_id, event_type)
     SELECT a.user_id, a.event_type, a.n, b.mean_value
     FROM a LEFT JOIN b ON a.user_id = b.user_id AND a.event_type = b.event_type
@@ -543,7 +549,17 @@ def join_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         e.filter(F.col("value") > 10)
         .groupBy("user_id", "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("mean_value"))
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("value").cast("decimal(24,10)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("mean_value")
+        )
     )
     return a.join(b, ["user_id", "event_type"], "left").select(
         "user_id", "event_type", "n", "mean_value"

@@ -12,6 +12,7 @@ playId predicates push down to parquet row groups.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import schemas
@@ -36,6 +37,34 @@ def read_parquet_table(spark: SparkSession, name: str, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_testdata_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-testdata parquet table, normalizing timestamp physics.
+
+    Two parquet encodings in the testdata need session-independent handling
+    (the driver runs queries on its OWN SparkSession, so this cannot live in
+    session.py):
+
+    - ``events.ts`` is TIMESTAMP(NANOS), which Spark 4 refuses by default
+      (PARQUET_TYPE_ILLEGAL). We read it as a long via
+      ``spark.sql.legacy.parquet.nanosAsLong`` and convert exactly with
+      integer ``div 1000`` (the generated values are µs-aligned; DuckDB's view
+      of the same file is a µs TIMESTAMP, so the two engines agree bit-for-bit
+      on epoch_us).
+    - ms-precision columns (e.g. ``orders.o_orderdate``) load as
+      TIMESTAMP_NTZ, on which ``unix_micros`` raises DATATYPE_MISMATCH; the
+      session timezone is pinned UTC everywhere, so casting NTZ -> TIMESTAMP
+      is instant-preserving and makes epoch arithmetic legal.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for fld in df.schema.fields:
+        if isinstance(fld.dataType, T.TimestampNTZType):
+            df = df.withColumn(fld.name, F.col(fld.name).cast("timestamp"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def read_tracking(spark: SparkSession, path: str, weeks: list[int] | None = None) -> DataFrame:
     """Partitioned tracking scan (S2).
 
@@ -55,6 +84,6 @@ def read_tracking(spark: SparkSession, path: str, weeks: list[int] | None = None
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the driver's star-schema testdata (TESTDATA.md) as DataFrames."""
     return {
-        name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        name: read_testdata_table(spark, sf_dir, name)
         for name in schemas.TESTDATA_TABLES
     }
