@@ -1,0 +1,277 @@
+"""Deterministic NFL-domain fixtures (FIXTURES.md §A scenarios).
+
+The driver testdata has no tracking-shaped tables, so the domain pipelines
+(E1 max-params, E2 YAP, E3 reporting) run over these fixtures. Every value is
+generated from closed-form arithmetic (no RNG, no clock) so that:
+
+  - the Spark query builds the input via ``createDataFrame`` and
+  - the DuckDB oracle builds the IDENTICAL input via a VALUES CTE
+
+and the two engines are compared on equal footing by the driver gate.
+
+Scenario coverage (FIXTURES.md §A5):
+  play 101  straight-line pursuit, playDirection=right, CB crosses R_t at
+            frame 14 (gap 12 - 0.9*(f-1) yd), window = handoff@5 .. tackle@30
+  play 102  never-in-vicinity (DE stays 5 yd away)          -> NULL maxima
+  play 103  vicinity only BEFORE the start event            -> NULL maxima
+  play 104  ball_snap fallback start (no handoff-class event)
+  play 201  playDirection=left mirror of 101 (MLB)          -> same YAP
+  play 202  multi-tackler play; one tackler has an unknown position (QB)
+            -> per reference semantics the WHOLE play errors in E2
+            (optimal_pursuit.py:458-477 if/elif has no else -> NameError ->
+            calculate_YAP.py:42-49 error row)
+  play 203  no stop event -> identify_events raises -> error row (E1+E2)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+N_FRAMES = 35
+
+PLAYERS = [
+    (1001, "Carrier One", "RB"),
+    (1002, "Carrier Two", "WR"),
+    (2001, "Tackler Alpha", "CB"),
+    (2002, "Tackler Bravo", "DE"),
+    (2003, "Tackler Charlie", "MLB"),
+    (2004, "Tackler Delta", "NT"),
+    (2005, "Tackler Echo", "QB"),  # outside the limits table on purpose
+]
+
+# (gameId, playId, ballCarrierId, playDirection)
+PLAYS = [
+    (1, 101, 1001, "right"),
+    (1, 102, 1001, "right"),
+    (1, 103, 1001, "right"),
+    (1, 104, 1001, "right"),
+    (2, 201, 1002, "left"),
+    (2, 202, 1001, "right"),
+    (2, 203, 1001, "right"),
+]
+
+TACKLES = [
+    (1, 101, 2001),
+    (1, 102, 2002),
+    (1, 103, 2001),
+    (1, 104, 2003),
+    (2, 201, 2003),
+    (2, 202, 2004),
+    (2, 202, 2005),
+    (2, 203, 2001),
+]
+
+
+def _carrier_row(game, play, nfl, f, direction, events):
+    if direction == "right":
+        x = 30.0 + 0.8 * (f - 1)
+        dir_deg = 90.0
+    else:
+        x = 90.0 - 0.8 * (f - 1)
+        dir_deg = 270.0
+    return (
+        game, play, nfl, f, round(0.1 * (f - 1), 1), events.get(f),
+        round(x, 4), 26.65, 8.0, 0.5, dir_deg, direction,
+    )
+
+
+def _tackler_row(game, play, nfl, f, direction, gap_fn, s_fn, a_fn):
+    if direction == "right":
+        cx = 30.0 + 0.8 * (f - 1)
+        x = cx + gap_fn(f)
+        dir_deg = 270.0
+    else:
+        cx = 90.0 - 0.8 * (f - 1)
+        x = cx - gap_fn(f)
+        dir_deg = 90.0
+    return (
+        game, play, nfl, f, round(0.1 * (f - 1), 1), None,
+        round(x, 4), 26.65, round(s_fn(f), 4), round(a_fn(f), 4), dir_deg, direction,
+    )
+
+
+def tracking_rows() -> list[tuple]:
+    """Tracking fixture: (gameId, playId, nflId, frameId, t, event, x, y, s,
+    a, dir, playDirection). 10 Hz; all participants share each play's frame
+    set (the reference's positional-alignment assumption, SURVEY J4)."""
+    rows: list[tuple] = []
+    std_events = {5: "handoff", 30: "tackle"}
+
+    def closing(f):  # crosses |gap| < 1.0 first at f=14 (gap 12-0.9*13 = 0.3)
+        return 12.0 - 0.9 * (f - 1)
+
+    def far(f):
+        return 5.0
+
+    def early_only(f):  # inside R_t only at frames 1-3, i.e. before start@5
+        return 0.5 if f <= 3 else 6.0 + 0.2 * (f - 4)
+
+    def s_ramp(f):  # max over window [5,14) is at f=13 -> 6.3
+        return 5.0 + 0.1 * f if f <= 20 else 7.0 - 0.05 * (f - 20)
+
+    def a_decay(f):  # max over window [5,14) is at f=5 -> 2.75
+        return 3.0 - 0.05 * f
+
+    for game, play, carrier, direction in PLAYS:
+        if play == 104:
+            events = {3: "ball_snap", 30: "out_of_bounds"}
+        elif play == 203:
+            events = {5: "handoff"}  # no stop event -> error row
+        else:
+            events = std_events
+        for f in range(1, N_FRAMES + 1):
+            rows.append(_carrier_row(game, play, carrier, f, direction, events))
+        for tg, tp, tackler in TACKLES:
+            if (tg, tp) != (game, play):
+                continue
+            if play == 102:
+                gap = far
+            elif play == 103:
+                gap = early_only
+            else:
+                gap = closing
+            for f in range(1, N_FRAMES + 1):
+                rows.append(
+                    _tackler_row(game, play, tackler, f, direction, gap, s_ramp, a_decay)
+                )
+    return rows
+
+
+TRACKING_FIXTURE_SCHEMA = T.StructType(
+    [
+        T.StructField("gameId", T.LongType(), False),
+        T.StructField("playId", T.LongType(), False),
+        T.StructField("nflId", T.LongType(), False),
+        T.StructField("frameId", T.IntegerType(), False),
+        T.StructField("t", T.DoubleType(), False),
+        T.StructField("event", T.StringType(), True),
+        T.StructField("x", T.DoubleType(), False),
+        T.StructField("y", T.DoubleType(), False),
+        T.StructField("s", T.DoubleType(), False),
+        T.StructField("a", T.DoubleType(), False),
+        T.StructField("dir", T.DoubleType(), False),
+        T.StructField("playDirection", T.StringType(), False),
+    ]
+)
+
+PLAYERS_FIXTURE_SCHEMA = "nflId long, displayName string, position string"
+PLAYS_FIXTURE_SCHEMA = "gameId long, playId long, ballCarrierId long, playDirection string"
+TACKLES_FIXTURE_SCHEMA = "gameId long, playId long, nflId long"
+
+
+def tracking_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(tracking_rows(), TRACKING_FIXTURE_SCHEMA)
+
+
+def players_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(PLAYERS, PLAYERS_FIXTURE_SCHEMA)
+
+
+def plays_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(PLAYS, PLAYS_FIXTURE_SCHEMA)
+
+
+def tackles_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(TACKLES, TACKLES_FIXTURE_SCHEMA)
+
+
+def _sql_lit(v) -> str:
+    # Explicit casts: DuckDB types bare VALUES literals as DECIMAL/INT32,
+    # which would leak into aggregates (max of DECIMAL renders '6.30') and
+    # diverge from Spark's DOUBLE/BIGINT fixture schema.
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float):
+        return f"CAST({v!r} AS DOUBLE)"
+    return f"CAST({v} AS BIGINT)"
+
+
+def values_cte(rows: list[tuple], cols: list[str]) -> str:
+    """Render rows as a DuckDB VALUES relation body: (...), (...) AS t(cols)."""
+    body = ",\n".join("(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
+    return f"(VALUES\n{body}\n) AS fx({', '.join(cols)})"
+
+
+TRACKING_COLS = [
+    "gameId", "playId", "nflId", "frameId", "t", "event",
+    "x", "y", "s", "a", "dir", "playDirection",
+]
+
+
+def tracking_values_cte() -> str:
+    return values_cte(tracking_rows(), TRACKING_COLS)
+
+
+def players_values_cte() -> str:
+    return values_cte(PLAYERS, ["nflId", "displayName", "position"])
+
+
+def plays_values_cte() -> str:
+    return values_cte(PLAYS, ["gameId", "playId", "ballCarrierId", "playDirection"])
+
+
+def tackles_values_cte() -> str:
+    return values_cte(TACKLES, ["gameId", "playId", "nflId"])
+
+
+# ---------------------------------------------------------------------------
+# Stage-2 result fixture (FIXTURES.md §A6) for the E3 reporting chain:
+# deterministic pseudo-results spanning all positions, repeated NFL_IDs,
+# negative YAPs (clip test) and NULLs (never-in-vicinity analog).
+# ---------------------------------------------------------------------------
+
+_POSITIONS = ["CB", "FS", "SS", "DB", "DE", "MLB", "OLB", "ILB", "DT", "NT"]
+
+
+def stage2_rows() -> list[tuple]:
+    """(game_ID, play_ID, NFL_ID, name, position, YAP, max_vel, max_accel,
+    max_vel_opt, max_accel_opt) — 120 rows, closed-form pseudo-values."""
+    rows = []
+    for i in range(120):
+        nfl = 3000 + (i % 12)  # 12 players, 10 rows each
+        pos = _POSITIONS[nfl % len(_POSITIONS)]
+        game = 100 + i // 30
+        play = 1000 + i
+        # triangle-wave pseudo-values; a few negatives and NULLs
+        yap = round(((i * 7) % 23) - 3.0, 2)  # range [-3, 19]
+        if i % 17 == 0:
+            yap = None  # NaN-analog: never feasible
+        mv = round(4.0 + (i % 9) * 0.5, 2)
+        ma = round(2.0 + (i % 7) * 0.4, 2)
+        rows.append(
+            (game, play, nfl, f"Player {nfl}", pos, yap, mv, ma,
+             round(mv + 0.3, 2), round(ma + 0.2, 2))
+        )
+    return rows
+
+
+STAGE2_COLS = [
+    "game_ID", "play_ID", "NFL_ID", "name", "position",
+    "YAP", "max_vel", "max_accel", "max_vel_opt", "max_accel_opt",
+]
+
+STAGE2_SCHEMA = T.StructType(
+    [
+        T.StructField("game_ID", T.LongType(), False),
+        T.StructField("play_ID", T.LongType(), False),
+        T.StructField("NFL_ID", T.LongType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("position", T.StringType(), False),
+        T.StructField("YAP", T.DoubleType(), True),
+        T.StructField("max_vel", T.DoubleType(), False),
+        T.StructField("max_accel", T.DoubleType(), False),
+        T.StructField("max_vel_opt", T.DoubleType(), False),
+        T.StructField("max_accel_opt", T.DoubleType(), False),
+    ]
+)
+
+
+def stage2_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(stage2_rows(), STAGE2_SCHEMA)
+
+
+def stage2_values_cte() -> str:
+    return values_cte(stage2_rows(), STAGE2_COLS)

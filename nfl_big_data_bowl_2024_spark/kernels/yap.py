@@ -1,0 +1,212 @@
+"""U1 — per-play YAP search kernel (reference optimal_pursuit.py:431-571).
+
+The reference runs this as a ~12k-iteration driver loop, one play at a time,
+re-reading every CSV per iteration. Here the SAME per-play algorithm runs as
+an Arrow-batched ``applyInPandas`` grouped-map over (gameId, playId) groups —
+data-parallel across plays, numpy-vectorized within a play, with failures
+emitted as status rows (S4) instead of a driver-side try/except ledger
+(reference calculate_YAP.py:37-49).
+
+Semantics reproduced (citations into /root/reference):
+  - event window + fallback: optimal_pursuit.py:112-121
+  - vicinity crossing (dist < R_t strictly after start): :495-499
+  - frozen tackler state at the start frame: :503-506
+  - candidate-frame search with first feasible (R_f<=R_t, V<=V_max_max,
+    A<=A_max_max) winning: :508-522
+  - YAP = +/- (x_carrier[vicinity] - x_carrier[j]) signed by playDirection,
+    rounded 2dp: :554-557,560
+  - optimal-trajectory overwrite + NaN tail, then max-params re-run over the
+    overwritten frames (U3 optimal_path variant): :524-552, :193-259
+  - unknown position kills the WHOLE play (if/elif with no else -> NameError
+    -> error row; tacklers already processed keep their rows): :458-477,
+    calculate_YAP.py:37-49
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import types as T
+
+from .lqr import solve_optimal_path
+
+R_T = 1.0  # vicinity radius (reference optimal_pursuit.py:126 default R_t=1.0)
+
+START_EVENTS = ("handoff", "pass_outcome_caught", "run", "snap_direct")
+FALLBACK_START = "ball_snap"
+STOP_EVENTS = (
+    "tackle", "out_of_bounds", "fumble", "qb_slide",
+    "touchdown", "safety", "fumble_defense_recovered",
+)
+
+YAP_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("game_ID", T.LongType(), False),
+        T.StructField("play_ID", T.LongType(), False),
+        T.StructField("NFL_ID", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("position", T.StringType(), True),
+        T.StructField("YAP", T.DoubleType(), True),
+        T.StructField("max_vel_opt", T.DoubleType(), True),
+        T.StructField("max_accel_opt", T.DoubleType(), True),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+
+def _identify_events(events: np.ndarray) -> tuple[int | None, int | None]:
+    """Positional (start, stop) indices; None where the reference raises."""
+    start = None
+    for s in (START_EVENTS, (FALLBACK_START,)):
+        hits = np.nonzero(np.isin(events, s))[0]
+        if hits.size:
+            start = int(hits[0])
+            break
+    stops = np.nonzero(np.isin(events, STOP_EVENTS))[0]
+    stop = int(stops[0]) if stops.size else None
+    return start, stop
+
+
+def _first_crossing(dist: np.ndarray, idx_start: int) -> int | None:
+    """First positional index with dist < R_T strictly after idx_start
+    (reference optimal_pursuit.py:495-499 two-stage nonzero)."""
+    close = np.nonzero(dist < R_T)[0]
+    if close.size == 0:
+        return None
+    after = close[close > idx_start]
+    return int(after[0]) if after.size else None
+
+
+def _uv(speed: np.ndarray, dir_deg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """dir (compass deg) -> (u, v) = (V sin th, V cos th) after atan2 wrap
+    (reference optimal_pursuit.py:442-445; the wrap is a no-op for sin/cos
+    but reproduced for bit-parity of intermediate values)."""
+    th = dir_deg * (np.pi / 180.0)
+    th = np.arctan2(np.sin(th), np.cos(th))
+    return speed * np.sin(th), speed * np.cos(th)
+
+
+def _max_params_over(
+    v: np.ndarray, a: np.ndarray, dist: np.ndarray, idx_start: int
+) -> tuple[float, float]:
+    """A1 over [idx_start, crossing) with NaN when never in vicinity
+    (reference optimal_pursuit.py:222-236)."""
+    idx_stop = _first_crossing(dist, idx_start)
+    if idx_stop is None or idx_stop <= idx_start:
+        return float("nan"), float("nan")
+    return float(np.max(v[idx_start:idx_stop])), float(np.max(a[idx_start:idx_stop]))
+
+
+def yap_play_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: one (gameId, playId) group in, one result row per
+    tackler out. Input columns: frameId, t, event, x, y, s, a, dir,
+    playDirection, nflId, ballCarrierId, is_tackler, displayName, position,
+    V_max_med, V_max_max, A_max_med, A_max_max (NULL limits = unknown pos).
+    """
+    game_id = int(pdf["gameId"].iloc[0])
+    play_id = int(pdf["playId"].iloc[0])
+    carrier_id = int(pdf["ballCarrierId"].iloc[0])
+    play_direction = str(pdf["playDirection"].iloc[0])
+
+    out: list[dict] = []
+
+    def emit(nfl, name, pos, yap, mvo, mao, status):
+        out.append(
+            {
+                "game_ID": game_id, "play_ID": play_id, "NFL_ID": int(nfl),
+                "name": name, "position": pos,
+                "YAP": None if yap is None or (isinstance(yap, float) and np.isnan(yap)) else float(yap),
+                "max_vel_opt": None if mvo is None or (isinstance(mvo, float) and np.isnan(mvo)) else float(mvo),
+                "max_accel_opt": None if mao is None or (isinstance(mao, float) and np.isnan(mao)) else float(mao),
+                "status": status,
+            }
+        )
+
+    carrier = pdf[pdf["nflId"] == carrier_id].sort_values("frameId")
+    tacklers = (
+        pdf[pdf["is_tackler"]][["nflId", "displayName", "position",
+                                "V_max_med", "V_max_max", "A_max_med", "A_max_max"]]
+        .drop_duplicates("nflId")
+        .sort_values("nflId")
+    )
+    frames = {
+        int(nfl): pdf[pdf["nflId"] == nfl].sort_values("frameId")
+        for nfl in tacklers["nflId"]
+    }
+
+    x_c = carrier["x"].to_numpy()
+    y_c = carrier["y"].to_numpy()
+    t = carrier["t"].to_numpy(dtype=float)
+    t = t - t[0]
+
+    idx_start, idx_stop = _identify_events(carrier["event"].to_numpy(dtype=object))
+    if idx_start is None or idx_stop is None:
+        for _, tk in tacklers.iterrows():
+            emit(tk["nflId"], tk["displayName"], tk["position"],
+                 None, None, None, "error_no_window")
+        return pd.DataFrame(out, columns=[f.name for f in YAP_RESULT_SCHEMA.fields])
+    time_0 = t[idx_start]
+
+    for _, tk in tacklers.iterrows():
+        if pd.isna(tk["V_max_med"]):
+            # Reference NameError aborts the play here; earlier tacklers'
+            # rows were already appended (save inside the loop).
+            emit(tk["nflId"], tk["displayName"], tk["position"],
+                 None, None, None, "error_unknown_position")
+            break
+
+        g = frames[int(tk["nflId"])]
+        x_t, y_t = g["x"].to_numpy(), g["y"].to_numpy()
+        v_t, a_t = g["s"].to_numpy(), g["a"].to_numpy()
+        u_t, w_t = _uv(v_t, g["dir"].to_numpy())
+        dist = np.sqrt((x_c - x_t) ** 2 + (y_c - y_t) ** 2)
+
+        yap = float("nan")
+        mvo = mao = float("nan")
+        idx_v = _first_crossing(dist, idx_start)
+        if idx_v is not None:
+            x_cv = x_c[idx_v]
+            x0, y0 = x_t[idx_start], y_t[idx_start]
+            u0, v0 = u_t[idx_start], w_t[idx_start]
+            v_med, v_max = float(tk["V_max_med"]), float(tk["V_max_max"])
+            a_med, a_max = float(tk["A_max_med"]), float(tk["A_max_max"])
+
+            for idx_j in range(idx_start + 1, len(t) - 1):
+                time_j = t[idx_start : idx_j + 1] - time_0
+                dx0 = x0 - x_c[idx_j]
+                dy0 = y0 - y_c[idx_j]
+                xp, yp, up, vp, axp, ayp = solve_optimal_path(
+                    dx0, dy0, u0, v0, time_j, v_med, a_med, R_T
+                )
+                r_f = float(np.sqrt(xp[-1] ** 2 + yp[-1] ** 2))
+                v_pk = float(np.max(np.sqrt(up**2 + vp**2)))
+                a_pk = float(np.max(np.sqrt(axp**2 + ayp**2)))
+                if r_f <= R_T and v_pk <= v_max and a_pk <= a_max:
+                    if play_direction == "left":
+                        yap = round(x_c[idx_j] - x_cv, 2)
+                    else:
+                        yap = round(x_cv - x_c[idx_j], 2)
+                    # U3 optimal_path variant: overwrite [idx_start, idx_j],
+                    # NaN the tail, re-run max-params over the new arrays
+                    # (reference optimal_pursuit.py:524-552 then :193-259).
+                    n = len(x_c)
+                    k = len(xp)
+                    x_o = x_t.astype(float).copy()
+                    y_o = y_t.astype(float).copy()
+                    v_o = v_t.astype(float).copy()
+                    a_o = a_t.astype(float).copy()
+                    x_o[idx_start : idx_start + k] = xp + x_c[idx_j]
+                    y_o[idx_start : idx_start + k] = yp + y_c[idx_j]
+                    v_o[idx_start : idx_start + k] = np.sqrt(up**2 + vp**2)
+                    a_o[idx_start : idx_start + k] = np.sqrt(axp**2 + ayp**2)
+                    for arr in (x_o, y_o, v_o, a_o):
+                        arr[idx_start + k :] = np.nan
+                    dist_o = np.sqrt((x_c - x_o) ** 2 + (y_c - y_o) ** 2)
+                    mv, ma = _max_params_over(v_o, a_o, dist_o, idx_start)
+                    mvo, mao = round(mv, 2), round(ma, 2)
+                    break
+
+        emit(tk["nflId"], tk["displayName"], tk["position"],
+             yap, mvo, mao, "ok")
+
+    return pd.DataFrame(out, columns=[f.name for f in YAP_RESULT_SCHEMA.fields])

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def dot_col(a, b) -> Column:
@@ -60,12 +59,10 @@ def brute_force_topk(
             F.round(cosine_col("emb", "qv"), 4).alias("cosine"),
         )
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(id_col, "label", "cosine")
-    )
+    # orderBy+limit plans as TakeOrderedAndProject: each partition keeps its
+    # local top-k, the driver merges k*partitions rows — no single-partition
+    # global window, so this survives a 100x scale-up.
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
 def _deterministic_plane(bit: int, dim: int) -> list[float]:
@@ -82,40 +79,65 @@ def _deterministic_plane(bit: int, dim: int) -> list[float]:
 
 def lsh_bucketed_pairs(
     df: DataFrame,
-    n_bits: int = 12,
+    bands: int = 8,
+    bits_per_band: int = 4,
     min_cosine: float = 0.7,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Sign-random-projection LSH near-neighbor pairs.
+    """Sign-random-projection LSH near-neighbor pairs with OR-amplification.
 
-    Signature bit j = sign(<emb, plane_j>) with deterministic planes; vectors
-    sharing the full n_bits signature land in one bucket; pairs within a
-    bucket are re-ranked by exact cosine and filtered at ``min_cosine``.
+    Each band packs ``bits_per_band`` sign bits (bit = sign(<emb, plane>))
+    into one small signature; two vectors are CANDIDATES if ANY band matches
+    (OR over bands, AND within a band — same banding scheme as the MinHash
+    path, operators/dedup.py:77-119). Candidates are de-duplicated, re-ranked
+    by exact cosine, and filtered at ``min_cosine``.
+
+    Recall at cosine c: with p = 1 - arccos(c)/pi per bit,
+    1 - (1 - p^r)^b -> ~0.95 at c=0.7 for (b=8, r=4), vs ~3% for the old
+    single 12-bit all-match signature. At 100 TB the per-band bucket join
+    replaces the quadratic cross join; hot buckets split via AQE skew-join.
     """
     v = df.select(id_col, F.col(vec_col).cast("array<double>").alias("emb"))
-    sig = F.lit(0).cast("long")
-    for j in range(n_bits):
-        plane = F.array(*[F.lit(c) for c in _deterministic_plane(j, dim)])
-        bit = F.when(dot_col("emb", plane) > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-            F.lit(0).cast("long")
+    band_structs = []
+    for b in range(bands):
+        sig = F.lit(0)
+        for r in range(bits_per_band):
+            plane = F.array(
+                *[F.lit(c) for c in _deterministic_plane(b * bits_per_band + r, dim)]
+            )
+            sig = sig + F.when(
+                dot_col("emb", plane) > 0, F.shiftleft(F.lit(1), r)
+            ).otherwise(F.lit(0))
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_id"), sig.alias("band_sig"))
         )
-        sig = sig + bit
-    bucketed = v.withColumn("bucket", sig)
-    a = bucketed.select(
-        F.col(id_col).alias("vid_a"), F.col("emb").alias("emb_a"), "bucket"
+    banded = v.select(
+        id_col, "emb", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        id_col, "emb",
+        F.col("bb.band_id").alias("band_id"),
+        F.col("bb.band_sig").alias("band_sig"),
     )
-    b = bucketed.select(
-        F.col(id_col).alias("vid_b"), F.col("emb").alias("emb_b"), "bucket"
+    a = banded.select(
+        F.col(id_col).alias("vid_a"), F.col("emb").alias("emb_a"),
+        "band_id", "band_sig",
+    )
+    b = banded.select(
+        F.col(id_col).alias("vid_b"), F.col("emb").alias("emb_b"),
+        "band_id", "band_sig",
+    )
+    candidates = (
+        a.join(b, ["band_id", "band_sig"])
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .select("vid_a", "vid_b", "emb_a", "emb_b")
+        .dropDuplicates(["vid_a", "vid_b"])
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("vid_a") < F.col("vid_b"))
-        .select(
+        candidates.select(
             "vid_a",
             "vid_b",
-            "bucket",
             F.round(cosine_col("emb_a", "emb_b"), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= min_cosine)

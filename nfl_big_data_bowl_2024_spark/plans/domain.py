@@ -1,0 +1,237 @@
+"""Domain pipelines E1/E2 (reference calculate_max_params.py / calculate_YAP.py).
+
+E1 (max-params) is the reference's stage-1 batch driver re-expressed as ONE
+declarative plan — scan once, window/crossing/bounded-max as conditional
+aggregates, dimension joins broadcast — instead of ~12k per-play loop
+iterations each re-reading the full weekly CSV (reference
+optimal_pursuit.py:149 inside calculate_max_params.py:28). E2 (YAP) wraps the
+U1 kernel (kernels/yap.py) in applyInPandas over (gameId, playId) groups.
+
+Both run over the deterministic NFL fixtures (fixtures.py) because the driver
+testdata has no tracking-shaped table; E1's oracle rebuilds the identical
+fixture via VALUES CTEs so the DuckDB gate still applies. E2 is iterative
+LQR search — not SQL-expressible — so it registers rows-only; its numerics
+are covered by golden tests (tests/test_yap_kernel.py).
+
+At 100 TB: tracking is week-partitioned (sources.read_tracking), play groups
+are the shuffle key everywhere (one shuffle, reused), dims broadcast, and the
+kernel cost is embarrassingly parallel across plays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import fixtures, schemas
+from ..kernels.yap import YAP_RESULT_SCHEMA, yap_play_kernel
+from ..operators.windows import event_window, first_crossing
+from .registry import register
+
+_PLAY_KEY = ["gameId", "playId"]
+
+
+def max_params_plan(
+    tracking: DataFrame,
+    players: DataFrame,
+    plays: DataFrame,
+    tackles: DataFrame,
+    r_t: float = 1.0,
+) -> DataFrame:
+    """E1/U3 as pure DataFrame ops (reference optimal_pursuit.py:193-259).
+
+    Output: one row per (play, tackler): game_ID, play_ID, NFL_ID, name,
+    position, max_vel, max_accel, status. NULL maxima = never-in-vicinity
+    (the reference's NaN branch, :232-236); status='error_no_window' when the
+    start/stop event is missing (the reference raises there ->
+    run_errors row, calculate_max_params.py:39-46).
+    """
+    carrier = tracking.join(
+        F.broadcast(plays.select(*_PLAY_KEY, "ballCarrierId")), _PLAY_KEY
+    ).filter(F.col("nflId") == F.col("ballCarrierId"))
+
+    win = event_window(
+        carrier,
+        _PLAY_KEY,
+        "frameId",
+        "event",
+        start_events=schemas.START_EVENTS,
+        stop_events=schemas.STOP_EVENTS,
+        fallback_start_event=schemas.FALLBACK_START_EVENT,
+    )
+
+    carrier_xy = carrier.select(
+        *_PLAY_KEY, "frameId", F.col("x").alias("cx"), F.col("y").alias("cy")
+    )
+    # Tackler frames: inner join against the (small) tackles fact prunes the
+    # scan to defender rows; the frame alignment with the carrier is the J4
+    # equi-join on (game, play, frame).
+    dx = F.col("cx") - F.col("x")
+    dy = F.col("cy") - F.col("y")
+    pairs = (
+        tracking.join(F.broadcast(tackles), _PLAY_KEY + ["nflId"])
+        .join(carrier_xy, _PLAY_KEY + ["frameId"])
+        .withColumn("dist", F.sqrt(dx * dx + dy * dy))
+    )
+
+    pairs_w = pairs.join(win, _PLAY_KEY)
+    tackler_key = _PLAY_KEY + ["nflId"]
+    crossing = first_crossing(
+        pairs_w, tackler_key, "frameId", F.col("dist") < r_t, F.col("start_ord")
+    )
+    bounded = (
+        pairs_w.join(crossing, tackler_key)
+        .filter(
+            (F.col("frameId") >= F.col("start_ord"))
+            & (F.col("frameId") < F.col("crossing_ord"))
+        )
+        .groupBy(*tackler_key)
+        .agg(F.max("s").alias("max_vel"), F.max("a").alias("max_accel"))
+    )
+
+    err = F.col("start_ord").isNull() | F.col("stop_ord").isNull()
+    return (
+        tackles.join(F.broadcast(players), "nflId")
+        .join(win, _PLAY_KEY, "left")
+        .join(crossing, tackler_key, "left")
+        .join(bounded, tackler_key, "left")
+        .select(
+            F.col("gameId").alias("game_ID"),
+            F.col("playId").alias("play_ID"),
+            F.col("nflId").alias("NFL_ID"),
+            F.col("displayName").alias("name"),
+            F.col("position"),
+            F.when(err, F.lit(None).cast("double")).otherwise(F.col("max_vel")).alias("max_vel"),
+            F.when(err, F.lit(None).cast("double")).otherwise(F.col("max_accel")).alias("max_accel"),
+            F.when(err, "error_no_window").otherwise("ok").alias("status"),
+        )
+    )
+
+
+_E1_ORACLE = f"""
+WITH tracking AS (SELECT * FROM {fixtures.tracking_values_cte().replace('fx(', 'fx0(')}),
+players AS (SELECT * FROM {fixtures.players_values_cte().replace('fx(', 'fx1(')}),
+plays AS (SELECT * FROM {fixtures.plays_values_cte().replace('fx(', 'fx2(')}),
+tackles AS (SELECT * FROM {fixtures.tackles_values_cte().replace('fx(', 'fx3(')}),
+carrier AS (
+    SELECT t.* FROM tracking t
+    JOIN plays p ON t.gameId = p.gameId AND t.playId = p.playId
+                AND t.nflId = p.ballCarrierId
+),
+win AS (
+    SELECT gameId, playId,
+           coalesce(
+               min(CASE WHEN event IN ('handoff','pass_outcome_caught','run','snap_direct')
+                        THEN frameId END),
+               min(CASE WHEN event = 'ball_snap' THEN frameId END)) AS start_ord,
+           min(CASE WHEN event IN ('tackle','out_of_bounds','fumble','qb_slide',
+                                   'touchdown','safety','fumble_defense_recovered')
+                    THEN frameId END) AS stop_ord
+    FROM carrier GROUP BY gameId, playId
+),
+pairs AS (
+    SELECT tk.gameId, tk.playId, tk.nflId, tk.frameId, tk.s, tk.a,
+           sqrt((c.x - tk.x) * (c.x - tk.x) + (c.y - tk.y) * (c.y - tk.y)) AS dist
+    FROM tracking tk
+    JOIN tackles kk ON tk.gameId = kk.gameId AND tk.playId = kk.playId
+                   AND tk.nflId = kk.nflId
+    JOIN carrier c ON tk.gameId = c.gameId AND tk.playId = c.playId
+                  AND tk.frameId = c.frameId
+),
+crossing AS (
+    SELECT p.gameId, p.playId, p.nflId, min(p.frameId) AS crossing_ord
+    FROM pairs p JOIN win w ON p.gameId = w.gameId AND p.playId = w.playId
+    WHERE p.dist < 1.0 AND p.frameId > w.start_ord
+    GROUP BY p.gameId, p.playId, p.nflId
+),
+bounded AS (
+    SELECT p.gameId, p.playId, p.nflId,
+           max(p.s) AS max_vel, max(p.a) AS max_accel
+    FROM pairs p
+    JOIN win w ON p.gameId = w.gameId AND p.playId = w.playId
+    JOIN crossing x ON p.gameId = x.gameId AND p.playId = x.playId
+                   AND p.nflId = x.nflId
+    WHERE p.frameId >= w.start_ord AND p.frameId < x.crossing_ord
+    GROUP BY p.gameId, p.playId, p.nflId
+)
+SELECT k.gameId AS game_ID, k.playId AS play_ID, k.nflId AS NFL_ID,
+       pl.displayName AS name, pl.position AS position,
+       CASE WHEN w.start_ord IS NULL OR w.stop_ord IS NULL THEN NULL
+            ELSE b.max_vel END AS max_vel,
+       CASE WHEN w.start_ord IS NULL OR w.stop_ord IS NULL THEN NULL
+            ELSE b.max_accel END AS max_accel,
+       CASE WHEN w.start_ord IS NULL OR w.stop_ord IS NULL THEN 'error_no_window'
+            ELSE 'ok' END AS status
+FROM tackles k
+JOIN players pl ON k.nflId = pl.nflId
+LEFT JOIN win w ON k.gameId = w.gameId AND k.playId = w.playId
+LEFT JOIN crossing c ON k.gameId = c.gameId AND k.playId = c.playId
+                    AND k.nflId = c.nflId
+LEFT JOIN bounded b ON k.gameId = b.gameId AND k.playId = b.playId
+                   AND k.nflId = b.nflId
+"""
+
+
+@register(
+    "e1_max_params",
+    _E1_ORACLE,
+    doc="E1/U3 max-params pipeline, DataFrame-native over the FIXTURES.md §A "
+    "tracking scenarios (reference calculate_max_params.py + "
+    "optimal_pursuit.py:193-259); oracle rebuilds the identical fixture via "
+    "VALUES CTEs.",
+)
+def e1_max_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return max_params_plan(
+        fixtures.tracking_df(spark),
+        fixtures.players_df(spark),
+        fixtures.plays_df(spark),
+        fixtures.tackles_df(spark),
+    )
+
+
+def yap_plan(
+    tracking: DataFrame,
+    players: DataFrame,
+    plays: DataFrame,
+    tackles: DataFrame,
+) -> DataFrame:
+    """E2 — the U1 kernel over every play in one applyInPandas pass
+    (reference calculate_YAP.py). Limits arrive as broadcast-joined columns
+    so unknown positions become data (NULL limits -> error-status row), not
+    exceptions."""
+    spark = tracking.sparkSession
+    limits = spark.createDataFrame(
+        schemas.POSITION_LIMITS, schemas.POSITION_LIMITS_SCHEMA
+    )
+    marked = (
+        tracking.join(F.broadcast(plays.select(*_PLAY_KEY, "ballCarrierId")), _PLAY_KEY)
+        .join(
+            F.broadcast(tackles.withColumn("is_tackler", F.lit(True))),
+            _PLAY_KEY + ["nflId"],
+            "left",
+        )
+        .withColumn("is_tackler", F.coalesce("is_tackler", F.lit(False)))
+        .filter(F.col("is_tackler") | (F.col("nflId") == F.col("ballCarrierId")))
+        .join(F.broadcast(players), "nflId", "left")
+        .join(F.broadcast(limits), "position", "left")
+    )
+    return marked.groupBy(*_PLAY_KEY).applyInPandas(
+        yap_play_kernel, schema=YAP_RESULT_SCHEMA
+    )
+
+
+@register(
+    "e2_yap",
+    None,
+    doc="E2/U1 YAP pipeline: applyInPandas per (gameId, playId) running the "
+    "LQR intercept search (reference calculate_YAP.py + "
+    "optimal_pursuit.py:431-571). Iterative optimal control — no SQL oracle; "
+    "golden/property tests in tests/test_yap_kernel.py.",
+)
+def e2_yap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return yap_plan(
+        fixtures.tracking_df(spark),
+        fixtures.players_df(spark),
+        fixtures.plays_df(spark),
+        fixtures.tackles_df(spark),
+    )

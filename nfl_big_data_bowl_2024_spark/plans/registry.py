@@ -45,5 +45,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules that populate the registry.
     from . import relational  # noqa: F401
     from . import pipeline_ops  # noqa: F401
+    from . import domain  # noqa: F401
+    from . import reporting  # noqa: F401
 
     return dict(_REGISTRY)

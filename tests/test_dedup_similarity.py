@@ -1,0 +1,106 @@
+"""Cross-validation tests the dedup/similarity docstrings promise:
+MinHash-LSH vs exact Jaccard, SimHash determinism, brute-force top-k vs a
+numpy oracle, and LSH ANN recall vs brute force on planted near-duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from nfl_big_data_bowl_2024_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from nfl_big_data_bowl_2024_spark.operators.similarity import brute_force_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_minhash_lsh_pairs_subset_of_exact(spark, documents):
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(documents, "doc_id", "text", 8, 0.2).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_candidates(
+            documents, "doc_id", "text", 8, 32, 8, 0.2
+        ).collect()
+    }
+    # Verified LSH pairs are a subset of the exact answer with equal jaccard…
+    for k, j in lsh.items():
+        assert k in exact
+        assert j == pytest.approx(exact[k])
+    # …and recall on real near-dups (>=0.5) must be total at these settings.
+    strong = {k for k, j in exact.items() if j >= 0.5}
+    assert strong <= set(lsh)
+
+
+def test_simhash_deterministic_and_near_dup_bands(spark, documents):
+    a = {r["doc_id"]: r["simhash"] for r in simhash_signatures(documents, "doc_id", "text").collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash_signatures(documents, "doc_id", "text").collect()}
+    assert a == b  # hash-seeded but fully deterministic
+    # identical texts -> identical simhash
+    dup = documents.limit(1).union(documents.limit(1))
+    sigs = [r["simhash"] for r in simhash_signatures(dup, "doc_id", "text").collect()]
+    assert len(set(sigs)) == 1
+
+
+def _np_topk(emb_rows, qid, k):
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb_rows}
+    q = vecs[qid]
+    scored = []
+    for vid, v in vecs.items():
+        if vid == qid:
+            continue
+        c = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        scored.append((round(c, 4), vid))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [vid for _, vid in scored[:k]]
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    rows = embeddings.collect()
+    expect = _np_topk(rows, 0, 10)
+    got = [r["vec_id"] for r in brute_force_topk(embeddings, 0, k=10).collect()]
+    assert sorted(got) == sorted(expect)
+
+
+def test_brute_force_topk_plan_is_distributed(spark, embeddings):
+    plan = brute_force_topk(embeddings, 0, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan  # no single-partition global window
+
+
+def test_lsh_ann_recall_on_planted_neighbors(spark):
+    # 40 base vectors + a near-duplicate of each (small deterministic
+    # perturbation) -> 40 planted pairs with cosine ~0.999.
+    dim = 64
+    rows = []
+    for i in range(40):
+        base = [float(((i * 37 + j * 11) % 19) - 9) for j in range(dim)]
+        pert = [v + 0.05 * ((j + i) % 3 - 1) for j, v in enumerate(base)]
+        rows.append((i, base))
+        rows.append((1000 + i, pert))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from nfl_big_data_bowl_2024_spark.operators.similarity import lsh_bucketed_pairs
+
+    got = {
+        (r["vid_a"], r["vid_b"])
+        for r in lsh_bucketed_pairs(df, min_cosine=0.99, dim=dim).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(40)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9
