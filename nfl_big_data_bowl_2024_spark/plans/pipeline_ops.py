@@ -201,6 +201,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal binary columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_binary_stats",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5,
+           upper(substring(hex(encode(text)), 1, 8)) AS magic_hex
+    FROM documents
+    """,
+    doc="Multimodal binary-column stats (size / content hash / magic prefix) — "
+    "all JVM-side; payload is the UTF-8 byte view of the text column (the "
+    "plumbing is identical for real media bytes).",
+)
+def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import binary_stats, with_binary_payload
+
+    d = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return binary_stats(d, "doc_id")
+
+
+@register(
+    "mm_byte_features",
+    None,
+    doc="mapInPandas feature extraction over binary payloads (Arrow-batched, "
+    "zero-copy numpy byte views): mean byte, histogram entropy, 8-bucket "
+    "byte-class feature vector. Stand-in for a real media featurizer; "
+    "cross-checked against a pure-Python oracle in tests/test_multimodal.py.",
+)
+def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_byte_features, with_binary_payload
+
+    d = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return extract_byte_features(d, "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,149 @@
+"""Structured Streaming ingest of the 10 Hz tracking feed (SURVEY §2.9).
+
+The reference is strictly batch, but its tracking table is stream-shaped:
+event-time frames at 10 Hz, sessions bounded per play. This module is the
+natural Spark extension: file (or Kafka, same API) source with an explicit
+schema -> watermark on event time -> per-play windowed/sessionized
+aggregation; late frames beyond the watermark are dropped.
+
+Scale notes: the state store is keyed by (gameId, playId[, nflId]) — the same
+keys the batch plans shuffle on; watermarks bound state size so a
+1000-executor cluster ingesting every stadium feed holds state only for
+in-flight plays, not the season.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_tracking_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S2-as-stream: file-source scan with a declared schema (streaming never
+    infers). ``max_files_per_trigger`` throttles micro-batch size."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_play_stats(
+    stream: DataFrame,
+    time_col: str = "event_time",
+    watermark: str = "10 seconds",
+    window_len: str = "1 second",
+) -> DataFrame:
+    """Per-(play, window) running stats: tumbling event-time windows with a
+    watermark for late-frame drop. Append-mode compatible (emits only closed
+    windows)."""
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window_len).alias("win"), "gameId", "playId")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("s").alias("max_speed"),
+            F.max("a").alias("max_accel"),
+        )
+        .select(
+            "gameId", "playId",
+            F.col("win.start").alias("win_start"),
+            "n_frames", "max_speed", "max_accel",
+        )
+    )
+
+
+def sessionized_play_stats(
+    stream: DataFrame,
+    time_col: str = "event_time",
+    watermark: str = "10 seconds",
+    gap: str = "5 seconds",
+) -> DataFrame:
+    """Session-per-play via session_window: a play's frames (0.1 s apart)
+    fuse into one session; a ``gap`` of silence closes it. The streaming
+    analog of the batch per-play groupBy."""
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(time_col, gap).alias("sess"), "gameId", "playId")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.min("frameId").alias("first_frame"),
+            F.max("frameId").alias("last_frame"),
+            F.max("s").alias("max_speed"),
+        )
+        .select(
+            "gameId", "playId",
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_frames", "first_frame", "last_frame", "max_speed",
+        )
+    )
+
+
+RUNNING_MAX_SCHEMA = T.StructType(
+    [
+        T.StructField("gameId", T.LongType(), False),
+        T.StructField("playId", T.LongType(), False),
+        T.StructField("nflId", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("max_speed", T.DoubleType(), True),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType(), True),
+        T.StructField("mx", T.DoubleType(), True),
+    ]
+)
+
+
+def running_player_max(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per (game, play,
+    player) running frame-count + max speed, carried across micro-batches in
+    the state store — the streaming form of the A1 bounded max."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            m = pdf["s"].max()
+            if pd.notna(m):
+                mx = float(m) if mx is None else max(mx, float(m))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            [
+                {
+                    "gameId": key[0], "playId": key[1], "nflId": key[2],
+                    "n_frames": n, "max_speed": mx,
+                }
+            ]
+        )
+
+    return stream.groupBy("gameId", "playId", "nflId").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_MAX_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame, query_name: str, output_mode: str = "append"
+):
+    """Drain all available input into an in-memory table (tests/demos):
+    trigger(availableNow) processes every pending file then stops."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,63 @@
+"""Sink tests: S3 parquet, S4 error split, S5 figure shim."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_big_data_bowl_2024_spark.sources.report_sink import save_figure
+from nfl_big_data_bowl_2024_spark.sources.writers import (
+    write_result,
+    write_with_error_sink,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="sinks_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_write_result_partitioned(spark, tmpdir):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)], "id long, k string, v double"
+    )
+    write_result(df, f"{tmpdir}/out", partition_by=["k"])
+    assert os.path.isdir(f"{tmpdir}/out/k=a")
+    back = spark.read.parquet(f"{tmpdir}/out")
+    assert back.count() == 3
+
+
+def test_error_sink_split(spark, tmpdir):
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, "error_no_window"), (3, "ok"), (4, "error_unknown_position")],
+        "id long, status string",
+    )
+    write_with_error_sink(df, f"{tmpdir}/ok", f"{tmpdir}/err")
+    ok = spark.read.parquet(f"{tmpdir}/ok")
+    err = spark.read.parquet(f"{tmpdir}/err")
+    assert sorted(r["id"] for r in ok.collect()) == [1, 3]
+    assert "status" not in ok.columns  # ok sink drops the routing column
+    assert sorted(r["id"] for r in err.collect()) == [2, 4]
+    assert "status" in err.columns  # error ledger keeps the reason
+
+
+def test_figure_sink_small_aggregate(spark, tmpdir):
+    df = spark.createDataFrame(
+        [("LB", 4.2), ("DB", 3.1), ("T", 1.9)], "position string, yap_mean double"
+    )
+    out = save_figure(df, f"{tmpdir}/fig/yap_by_pos", kind="bar", x="position", y="yap_mean")
+    assert os.path.exists(out)
+    assert glob.glob(f"{tmpdir}/fig/yap_by_pos.*")
+
+
+def test_figure_sink_rejects_unaggregated(spark, tmpdir):
+    big = spark.range(20_000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    with pytest.raises(ValueError, match="aggregate before plotting"):
+        save_figure(big, f"{tmpdir}/fig/too_big", x="id", y="v")

@@ -1,0 +1,117 @@
+"""Structured Streaming tests: file source -> watermark/session/stateful ops
+-> memory sink, cross-checked against the equivalent batch aggregation."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nfl_big_data_bowl_2024_spark import streaming as st
+
+STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("gameId", T.LongType(), False),
+        T.StructField("playId", T.LongType(), False),
+        T.StructField("nflId", T.LongType(), False),
+        T.StructField("frameId", T.IntegerType(), False),
+        T.StructField("event_time", T.TimestampType(), False),
+        T.StructField("s", T.DoubleType(), True),
+        T.StructField("a", T.DoubleType(), True),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark):
+    """Two parquet files (= two micro-batch candidates) of 10 Hz frames for
+    two plays, event-times anchored at a fixed epoch."""
+    d = tempfile.mkdtemp(prefix="trkstream_")
+    base = 1_700_000_000
+
+    def rows(play, frames, nfl, t0):
+        return [
+            (1, play, nfl, f, base + t0 + f * 0.1, 3.0 + 0.1 * f * (nfl % 3), 1.0)
+            for f in frames
+        ]
+
+    batch1 = rows(1, range(1, 16), 11, 0) + rows(1, range(1, 16), 12, 0)
+    batch2 = rows(1, range(16, 31), 11, 0) + rows(2, range(1, 21), 13, 60)
+    for i, rws in enumerate([batch1, batch2]):
+        spark.createDataFrame(
+            [(g, p, n, f, float(t), s, a) for g, p, n, f, t, s, a in rws],
+            "gameId long, playId long, nflId long, frameId int, ts double, s double, a double",
+        ).withColumn("event_time", F.timestamp_seconds("ts")).drop("ts").select(
+            "gameId", "playId", "nflId", "frameId", "event_time", "s", "a"
+        ).coalesce(1).write.mode("append").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _drain(q):
+    q.awaitTermination(120)
+
+
+def test_windowed_play_stats_matches_batch(spark, stream_dir):
+    stream = st.read_tracking_stream(spark, stream_dir, STREAM_SCHEMA)
+    assert stream.isStreaming
+    q = st.run_to_memory_sink(
+        st.windowed_play_stats(stream, window_len="1 second"),
+        "win_stats", "append",
+    )
+    _drain(q)
+    got = spark.table("win_stats")
+    batch = (
+        spark.read.schema(STREAM_SCHEMA).parquet(stream_dir)
+        .groupBy(F.window("event_time", "1 second").alias("win"), "gameId", "playId")
+        .agg(F.count(F.lit(1)).alias("n_frames"), F.max("s").alias("max_speed"),
+             F.max("a").alias("max_accel"))
+        .select("gameId", "playId", F.col("win.start").alias("win_start"),
+                "n_frames", "max_speed", "max_accel")
+    )
+    # Append mode emits only watermark-closed windows -> subset of batch rows.
+    got_rows = {tuple(r) for r in got.collect()}
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert got_rows <= batch_rows
+    assert len(got_rows) > 0
+
+
+def test_sessionized_play_stats(spark, stream_dir):
+    stream = st.read_tracking_stream(spark, stream_dir, STREAM_SCHEMA)
+    q = st.run_to_memory_sink(
+        st.sessionized_play_stats(stream), "sess_stats", "append"
+    )
+    _drain(q)
+    rows = {
+        (r["gameId"], r["playId"], r["n_frames"], r["first_frame"], r["last_frame"])
+        for r in spark.table("sess_stats").collect()
+    }
+    # Play 1: 45 frames (two players, frames 1-30/1-15 merged into one session);
+    # play 2 is 60 s later so it can close play 1's session. Only sessions the
+    # watermark has passed are emitted; play 1 must be among them.
+    assert (1, 1, 45, 1, 30) in rows
+
+
+def test_running_player_max_state_across_batches(spark, stream_dir):
+    stream = st.read_tracking_stream(
+        spark, stream_dir, STREAM_SCHEMA, max_files_per_trigger=1
+    )
+    q = st.run_to_memory_sink(st.running_player_max(stream), "run_max", "update")
+    _drain(q)
+    out = spark.table("run_max").toPandas()
+    # update mode re-emits per batch; the LAST row per key is the final state.
+    final = out.groupby(["gameId", "playId", "nflId"]).last()
+    batch = (
+        spark.read.schema(STREAM_SCHEMA).parquet(stream_dir)
+        .groupBy("gameId", "playId", "nflId")
+        .agg(F.count(F.lit(1)).alias("n_frames"), F.max("s").alias("max_speed"))
+        .toPandas().set_index(["gameId", "playId", "nflId"])
+    )
+    for key, row in batch.iterrows():
+        assert final.loc[key, "n_frames"] == row["n_frames"]
+        assert final.loc[key, "max_speed"] == pytest.approx(row["max_speed"])
+    # player 11 spans both files: state really carried across micro-batches.
+    assert final.loc[(1, 1, 11), "n_frames"] == 30
