@@ -22,17 +22,37 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFrame:
-    """Distinct character n-gram shingles, exploded to (id, sh) rows.
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition on the id before CPU-heavy shingling/hashing.
 
-    Positions are generated JVM-side with sequence/transform; short texts
-    (< n chars) contribute their whole text as a single shingle.
+    Parquet splits are SIZE-based (maxPartitionBytes), which wildly
+    underestimates the compute cost of text: a few MB of compressed documents
+    arrive as one partition and the per-shingle hashing runs on one core.
+    The partition count is pinned to the cluster's core count because AQE's
+    size-based coalescing would otherwise merge the (byte-tiny, CPU-huge)
+    shuffle straight back to one partition. The shuffle itself is raw text —
+    cheap — and buys full-cluster parallelism for the expensive stage.
     """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, F.col(id_col))
+
+
+def shingle_array(text_col: str, n: int = 8) -> "Column":
+    """Distinct character n-gram shingles as an ARRAY column (map-only, no
+    explode). Short texts (< n chars) contribute their whole text as a single
+    shingle."""
     upper = F.greatest(F.length(text_col) - (n - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), upper), lambda g: F.col(text_col).substr(g, F.lit(n))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), upper), lambda g: F.col(text_col).substr(g, F.lit(n))
+        )
     )
-    return df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("sh"))
+
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFrame:
+    """Distinct character n-gram shingles, exploded to (id, sh) rows — the
+    join-friendly form used by the exact-Jaccard verify stage."""
+    return df.select(F.col(id_col), F.explode(shingle_array(text_col, n)).alias("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -42,7 +62,7 @@ def ngram_jaccard_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
     """
-    sh = char_shingles(df, id_col, text_col, n)
+    sh = char_shingles(_spread(df, id_col), id_col, text_col, n)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")
@@ -66,12 +86,28 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 8, num_perm: int = 32
 ) -> DataFrame:
-    """MinHash signature per document: num_perm seeded murmur3 min-hashes over
-    the shingle set, computed in ONE hash aggregate (num_perm conditional mins,
-    map-side partial agg collapses before the shuffle)."""
-    sh = char_shingles(df, id_col, text_col, n)
-    mins = [F.min(F.hash("sh", F.lit(p))).alias(f"mh{p}") for p in range(num_perm)]
-    return sh.groupBy(id_col).agg(*mins)
+    """MinHash signature per document as ONE array column ``mh`` of length
+    ``num_perm`` (seeded murmur3 min-hashes over the shingle set).
+
+    Computed entirely MAP-SIDE in a single ``aggregate`` fold over the
+    shingle array: acc = zip_with(acc, [hash(s, p) for p], least). Zero
+    shuffles and zero row blowup — the previous explode+groupBy shape
+    shuffled ~text_len rows per document — and the shingle array is
+    referenced exactly ONCE (Spark does not de-duplicate subexpressions
+    inside lambda-bearing higher-order functions, so an expression per
+    permutation would recompute the shingling num_perm times). At 100 TB
+    signatures stream straight out of the scan.
+    """
+    init = F.array_repeat(F.lit(2147483647), num_perm)
+
+    def step(acc, s):
+        hashes = F.array(*[F.hash(s, F.lit(p)) for p in range(num_perm)])
+        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+
+    return _spread(df, id_col).select(
+        F.col(id_col),
+        F.aggregate(shingle_array(text_col, n), init, step).alias("mh"),
+    )
 
 
 def minhash_lsh_candidates(
@@ -93,20 +129,31 @@ def minhash_lsh_candidates(
     Returns (doc_a, doc_b, est_jaccard, jaccard).
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    # Signatures feed three consumers (banding + both sides of the est join);
+    # persist the materialized form — 32 ints per doc, orders of magnitude
+    # smaller than the text — instead of recomputing the shingle hashing 3x.
+    # At 100 TB this is the "signature index" a production pipeline would
+    # write to a table; MEMORY_AND_DISK spills gracefully.
+    from pyspark.storagelevel import StorageLevel
 
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.hash(
-                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+
+    # Band hashes from array slices — the signature array is referenced once
+    # inside the generator expression, so it is computed once per row.
+    band_gen = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band_id"),
+                F.hash(F.slice("mh", b * rows_per_band + 1, rows_per_band)).alias(
+                    "band_hash"
+                ),
+            ),
+        )
+    )
+    banded = sig.select(F.col(id_col), band_gen.alias("bb")).select(
         id_col, F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
     )
     left = banded.select(F.col(id_col).alias("doc_a"), "band_id", "band_hash")
@@ -119,10 +166,10 @@ def minhash_lsh_candidates(
     )
 
     # Estimated Jaccard = fraction of agreeing permutations.
-    sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(f"mh{p}").alias(f"a{p}") for p in range(num_perm)])
-    sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(f"mh{p}").alias(f"b{p}") for p in range(num_perm)])
-    agree = sum(
-        F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0) for p in range(num_perm)
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("mh").alias("mh_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("mh").alias("mh_b"))
+    agree = F.size(
+        F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
     )
     est = candidates.join(sa, "doc_a").join(sb, "doc_b").select(
         "doc_a", "doc_b", (agree / F.lit(float(num_perm))).alias("est_jaccard")

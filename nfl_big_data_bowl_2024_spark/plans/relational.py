@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.windows import bounded_group_max, event_window, first_crossing
+from ..operators.windows import event_window, first_crossing
 from ..sources.readers import read_testdata_table as _t
 from .registry import register
 
@@ -85,21 +85,25 @@ def flagship_bounded_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev_w, ["user_id"], "ts", F.col("value") > 25.0, F.col("start_ts")
     ).withColumnRenamed("crossing_ord", "crossing_ts")
 
+    # One aggregation produces max AND count, with the window bounds carried
+    # as (functionally dependent) grouping keys — no join back onto the
+    # win/crossing spines. Every shuffle in this plan is on user_id, so
+    # Catalyst reuses the exchange across the join and both aggregates.
     ev_wc = ev_w.join(crossing, "user_id")
-    bounded = bounded_group_max(
-        ev_wc, ["user_id"], "ts", "start_ts", "crossing_ts", {"value": "max_val"}
-    ).join(
-        ev_wc.filter((F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("crossing_ts")))
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_window")),
-        "user_id",
+    bounded = (
+        ev_wc.filter(
+            (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("crossing_ts"))
+        )
+        .groupBy("user_id", "start_ts", "crossing_ts", "stop_ts")
+        .agg(
+            F.max("value").alias("max_val"),
+            F.count(F.lit(1)).alias("n_window"),
+        )
     )
 
     return (
-        bounded.join(win, "user_id")
-        .join(crossing, "user_id")
+        bounded.filter(F.col("n_window") >= 2)
         .join(F.broadcast(customer), F.col("c_custkey") == F.col("user_id"), "left")
-        .filter(F.col("n_window") >= 2)
         .select(
             "user_id",
             F.col("c_name").alias("user_name"),
