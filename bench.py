@@ -20,6 +20,8 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
     "grouped_having_sort",
     "temporal_self_join",
     "offset_from_first",
@@ -27,6 +29,9 @@ HEADLINE = [
     "txt_fingerprint_exact_dedup",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
+    "sim_lsh_bucketed",
+    "mm_binary_stats",
+    "e2_yap",
 ]
 
 

@@ -56,13 +56,34 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> Data
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 8, threshold: float = 0.2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    threshold: float = 0.2,
+    max_df: int | None = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
+
+    ``max_df`` is the hot-shingle guard: the per-shingle self-join is
+    O(doc_frequency^2), so one stopword-like shingle shared by millions of
+    documents turns the join cartesian. Shingles whose document frequency
+    exceeds ``max_df`` are dropped from BOTH the overlap and the per-doc
+    counts (jaccard is then computed over the filtered shingle space — a
+    documented approximation that only activates on corpus-scale data; any
+    oracle must apply the identical filter). None disables the guard.
     """
     sh = char_shingles(_spread(df, id_col), id_col, text_col, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_sh"))
+            .filter(F.col("df_sh") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh", "left_semi")
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")

@@ -99,43 +99,62 @@ def lsh_bucketed_pairs(
     single 12-bit all-match signature. At 100 TB the per-band bucket join
     replaces the quadratic cross join; hot buckets split via AQE skew-join.
     """
-    v = df.select(id_col, F.col(vec_col).cast("array<double>").alias("emb"))
-    band_structs = []
-    for b in range(bands):
-        sig = F.lit(0)
-        for r in range(bits_per_band):
-            plane = F.array(
-                *[F.lit(c) for c in _deterministic_plane(b * bits_per_band + r, dim)]
-            )
-            sig = sig + F.when(
-                dot_col("emb", plane) > 0, F.shiftleft(F.lit(1), r)
-            ).otherwise(F.lit(0))
-        band_structs.append(
-            F.struct(F.lit(b).alias("band_id"), sig.alias("band_sig"))
-        )
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # All bands*bits_per_band plane projections happen in ONE BLAS matmul per
+    # Arrow batch: (batch x dim) @ (dim x n_planes) -> sign bits -> packed
+    # band signatures. The JVM-expression alternative (aggregate/zip_with per
+    # plane) is interpreted per array element — ~dim * n_planes lambda
+    # evaluations per row — and measured ~50x slower; this is the documented
+    # "vectorized Pandas UDF over mapInPandas when built-ins genuinely can't
+    # express it efficiently" case.
+    n_planes = bands * bits_per_band
+    planes = np.array(
+        [_deterministic_plane(j, dim) for j in range(n_planes)], dtype=np.float64
+    ).T  # (dim, n_planes)
+
+    @pandas_udf("array<int>")
+    def band_sigs(embs):  # scalar pandas UDF; no hints (PEP 563 strings break pyspark's parser)
+        m = np.stack(embs.to_numpy())  # (n, dim)
+        bits = (m @ planes) > 0  # (n, n_planes)
+        sigs = np.zeros((m.shape[0], bands), dtype=np.int32)
+        for b in range(bands):
+            for r in range(bits_per_band):
+                sigs[:, b] |= bits[:, b * bits_per_band + r].astype(np.int32) << r
+        return pd.Series(list(sigs))
+
+    sc = df.sparkSession.sparkContext
+    v = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("emb"))
+        .repartition(sc.defaultParallelism, F.col(id_col))
+    )
+    # Candidate generation runs over (id, band) rows ONLY — embeddings are
+    # attached after the distinct, so the (potentially large) candidate-pair
+    # shuffle moves two longs per row, not two dim-sized arrays.
     banded = v.select(
-        id_col, "emb", F.explode(F.array(*band_structs)).alias("bb")
-    ).select(
-        id_col, "emb",
-        F.col("bb.band_id").alias("band_id"),
-        F.col("bb.band_sig").alias("band_sig"),
+        id_col, F.posexplode(band_sigs("emb")).alias("band_id", "band_sig")
     )
-    a = banded.select(
-        F.col(id_col).alias("vid_a"), F.col("emb").alias("emb_a"),
-        "band_id", "band_sig",
-    )
-    b = banded.select(
-        F.col(id_col).alias("vid_b"), F.col("emb").alias("emb_b"),
-        "band_id", "band_sig",
-    )
+    a = banded.select(F.col(id_col).alias("vid_a"), "band_id", "band_sig")
+    b = banded.select(F.col(id_col).alias("vid_b"), "band_id", "band_sig")
+    # Explicit-count repartition on the dedup keys: candidate pairs are
+    # byte-tiny but CPU-heavy downstream, and AQE's size-based coalescing
+    # would funnel millions of pairs into 1-2 partitions. distinct() then
+    # reuses this partitioning (no extra exchange).
     candidates = (
         a.join(b, ["band_id", "band_sig"])
         .filter(F.col("vid_a") < F.col("vid_b"))
-        .select("vid_a", "vid_b", "emb_a", "emb_b")
-        .dropDuplicates(["vid_a", "vid_b"])
+        .select("vid_a", "vid_b")
+        .repartition(sc.defaultParallelism, "vid_a", "vid_b")
+        .distinct()
     )
+    ea = v.select(F.col(id_col).alias("vid_a"), F.col("emb").alias("emb_a"))
+    eb = v.select(F.col(id_col).alias("vid_b"), F.col("emb").alias("emb_b"))
     return (
-        candidates.select(
+        candidates.join(ea, "vid_a")
+        .join(eb, "vid_b")
+        .select(
             "vid_a",
             "vid_b",
             F.round(cosine_col("emb_a", "emb_b"), 4).alias("cosine"),

@@ -326,15 +326,18 @@ def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_lsh_bucketed",
     None,
-    doc="Random-hyperplane (sign) LSH ANN with OR-amplification (12 bands x 3 "
-    "bits): any-band bucket join generates candidates, exact cosine re-ranks. "
-    "The 100 TB path: per-band bucket join replaces the quadratic cross join. "
-    "Threshold 0.45 sits inside the testdata's cosine range (max ~0.51 at "
-    "sf0.01) so the query is non-vacuous; recall vs brute force is asserted "
-    "in tests/test_dedup_similarity.py on planted near-duplicates.",
+    doc="Random-hyperplane (sign) LSH ANN with OR-amplification (12 bands x 6 "
+    "bits): any-band bucket join generates candidates (ids only; embeddings "
+    "re-attached post-distinct), exact cosine re-ranks. The 100 TB path: "
+    "per-band bucket join replaces the quadratic cross join; 6-bit bands cap "
+    "per-bucket fan-out (64 buckets/band). Threshold 0.45 sits inside the "
+    "testdata's cosine range (max ~0.51 at sf0.01) so the query is "
+    "non-vacuous; at this LOW threshold sign-LSH recall is ~0.6 by design "
+    "(ANN tradeoff; near-dup thresholds >=0.9 recall ~1.0 — asserted on "
+    "planted near-duplicates in tests/test_dedup_similarity.py).",
 )
 def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lsh_bucketed_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_bucketed_pairs(e, bands=12, bits_per_band=3, min_cosine=0.45)
+    return lsh_bucketed_pairs(e, bands=12, bits_per_band=6, min_cosine=0.45)

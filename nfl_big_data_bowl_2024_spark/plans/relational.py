@@ -254,6 +254,185 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="Semi-join (EXISTS) + grouped count (TPC-H Q4 shape); the correlated "
+    "subquery becomes a left_semi hash join.",
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT floor(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,10)))
+                 AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="Pure scan-filter-aggregate (TPC-H Q6 shape): every predicate pushes "
+    "to the parquet scan, one partial+final agg, no shuffle of data rows.",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(24,10)")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.floor(F.sum(rev).cast("double") * 100 + 0.5) / 100).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+    WITH agg AS (
+        SELECT c_custkey, c_name, n_name,
+               floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,10)))
+                     AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+        FROM customer
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+    )
+    SELECT c_custkey, c_name, n_name, revenue
+    FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rk FROM agg)
+    WHERE rk <= 20
+    """,
+    doc="Returned-item revenue top-20 (TPC-H Q10 shape): star join + grouped "
+    "sum + distributed top-k (TakeOrderedAndProject, tie-broken on key).",
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,10)")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.floor(F.sum(rev).cast("double") * 100 + 0.5) / 100).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q12_shipmode_priority",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+    doc="Conditional pivot counts inside one aggregate (TPC-H Q12 shape).",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT floor(
+             100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN CAST(l_extendedprice * (1 - l_discount)
+                                             AS DECIMAL(24,10))
+                                   ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,10)))
+                    AS DOUBLE) * 10000 + 0.5) / 10000 AS promo_revenue_pct,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    doc="Promo revenue share (TPC-H Q14 shape): fact-to-dim broadcast join + "
+    "conditional ratio aggregate over exact decimal sums.",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,10)")
+    promo = F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))).cast(
+        "double"
+    )
+    total = F.sum(rev).cast("double")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.floor(100.0 * promo / total * 10000 + 0.5) / 10000).alias(
+                "promo_revenue_pct"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
     "summary_stats",
     """
     SELECT c_mktsegment,
@@ -712,6 +891,36 @@ def first_crossing_after_start(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.filter((F.col("value") > 40.0) & (F.col("ts") > F.col("start_ts")))
         .groupBy("user_id")
         .agg(F.min("event_id").alias("crossing_event_id"))
+    )
+
+
+@register(
+    "argmax_per_group",
+    """
+    SELECT n_nationkey, n_name, s_suppkey AS top_suppkey, s_acctbal AS top_acctbal
+    FROM (
+        SELECT n_nationkey, n_name, s_suppkey, s_acctbal,
+               row_number() OVER (PARTITION BY n_nationkey
+                                  ORDER BY s_acctbal DESC, s_suppkey) AS rk
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ) WHERE rk = 1
+    """,
+    doc="Argmax-per-group via ranked window (the TPC-H Q2 min-cost-supplier "
+    "shape): partitioned window, deterministic tie-break, rank filter.",
+)
+def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_nationkey").orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "n_nationkey", "n_name",
+            F.col("s_suppkey").alias("top_suppkey"),
+            F.col("s_acctbal").alias("top_acctbal"),
+        )
     )
 
 

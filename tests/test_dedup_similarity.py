@@ -104,3 +104,24 @@ def test_lsh_ann_recall_on_planted_neighbors(spark):
     planted = {(i, 1000 + i) for i in range(40)}
     recall = len(got & planted) / len(planted)
     assert recall >= 0.9
+
+
+def test_hot_shingle_guard_filters(spark):
+    # Docs 1/2/3 share the stopword-like shingle 'AAAAAAAA' (df=3); docs 1
+    # and 3 are identical (their other shingles have df=2). With max_df=2 the
+    # hot shingle is dropped, so the 1-2 pair (connected ONLY through it)
+    # disappears while the true duplicate pair 1-3 survives.
+    df = spark.createDataFrame(
+        [(1, "AAAAAAAAxxxxxxxx"), (2, "AAAAAAAAyyyyyyyy"), (3, "AAAAAAAAxxxxxxxx")],
+        "doc_id long, text string",
+    )
+    unguarded = ngram_jaccard_pairs(df, "doc_id", "text", n=8, threshold=0.01, max_df=None)
+    guarded = ngram_jaccard_pairs(df, "doc_id", "text", n=8, threshold=0.01, max_df=2)
+    upairs = {(r["doc_a"], r["doc_b"]) for r in unguarded.collect()}
+    gpairs = {(r["doc_a"], r["doc_b"]) for r in guarded.collect()}
+    assert (1, 2) in upairs          # shared hot shingle creates the pair
+    assert (1, 2) not in gpairs      # guard drops it
+    assert (1, 3) in gpairs          # true duplicates still found
+    # jaccard of the surviving duplicate pair is 1.0 over the filtered space
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in guarded.collect()}
+    assert jac[(1, 3)] == 1.0

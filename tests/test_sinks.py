@@ -61,3 +61,21 @@ def test_figure_sink_rejects_unaggregated(spark, tmpdir):
     big = spark.range(20_000).select(F.col("id"), (F.col("id") * 2).alias("v"))
     with pytest.raises(ValueError, match="aggregate before plotting"):
         save_figure(big, f"{tmpdir}/fig/too_big", x="id", y="v")
+
+
+def test_bucketed_write_shuffle_free_join(spark, tmpdir):
+    from nfl_big_data_bowl_2024_spark.sources.writers import write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS bt_a")
+    spark.sql("DROP TABLE IF EXISTS bt_b")
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bt_a", ["k"], n_buckets=4, sort_cols=["k"], path=f"{tmpdir}/bt_a")
+    write_bucketed(b, "bt_b", ["k"], n_buckets=4, sort_cols=["k"], path=f"{tmpdir}/bt_b")
+    joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-located buckets: the join plans with NO shuffle exchange
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == 1000
+    spark.sql("DROP TABLE IF EXISTS bt_a")
+    spark.sql("DROP TABLE IF EXISTS bt_b")
