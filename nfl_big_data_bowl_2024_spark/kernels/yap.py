@@ -97,6 +97,61 @@ def _max_params_over(
     return float(np.max(v[idx_start:idx_stop])), float(np.max(a[idx_start:idx_stop]))
 
 
+MAX_PARAMS_SCHEMA = T.StructType(
+    [
+        T.StructField("game_ID", T.LongType(), False),
+        T.StructField("play_ID", T.LongType(), False),
+        T.StructField("NFL_ID", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("position", T.StringType(), True),
+        T.StructField("max_vel", T.DoubleType(), True),
+        T.StructField("max_accel", T.DoubleType(), True),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+
+def max_params_play_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """U3 UDF variant of the E1 max-params pipeline — the reference's
+    per-play loop body verbatim as a grouped-map kernel
+    (optimal_pursuit.py:193-259), kept ONLY for bit-parity testing against
+    the DataFrame-native plan (plans.domain.max_params_plan); the DF plan is
+    the production path (no Python in the hot loop).
+    Input columns match yap_play_kernel's."""
+    game_id = int(pdf["gameId"].iloc[0])
+    play_id = int(pdf["playId"].iloc[0])
+    carrier_id = int(pdf["ballCarrierId"].iloc[0])
+
+    carrier = pdf[pdf["nflId"] == carrier_id].sort_values("frameId")
+    x_c, y_c = carrier["x"].to_numpy(), carrier["y"].to_numpy()
+    idx_start, idx_stop = _identify_events(carrier["event"].to_numpy(dtype=object))
+
+    tacklers = (
+        pdf[pdf["is_tackler"]][["nflId", "displayName", "position"]]
+        .drop_duplicates("nflId")
+        .sort_values("nflId")
+    )
+    out = []
+    for _, tk in tacklers.iterrows():
+        if idx_start is None or idx_stop is None:
+            out.append((game_id, play_id, int(tk["nflId"]), tk["displayName"],
+                        tk["position"], None, None, "error_no_window"))
+            continue
+        g = pdf[pdf["nflId"] == tk["nflId"]].sort_values("frameId")
+        dist = np.sqrt((x_c - g["x"].to_numpy()) ** 2 + (y_c - g["y"].to_numpy()) ** 2)
+        mv, ma = _max_params_over(
+            g["s"].to_numpy(), g["a"].to_numpy(), dist, idx_start
+        )
+        out.append((game_id, play_id, int(tk["nflId"]), tk["displayName"],
+                    tk["position"],
+                    None if np.isnan(mv) else mv,
+                    None if np.isnan(ma) else ma,
+                    "ok"))
+    return pd.DataFrame(
+        out, columns=[f.name for f in MAX_PARAMS_SCHEMA.fields]
+    )
+
+
 def yap_play_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     """Grouped-map kernel: one (gameId, playId) group in, one result row per
     tackler out. Input columns: frameId, t, event, x, y, s, a, dir,

@@ -65,6 +65,104 @@ def brute_force_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 16,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: deterministic seeding + Lloyd refinement.
+
+    Returns (centroids ndarray (n_centroids, dim), assigned DataFrame with a
+    ``cluster`` column). Seeds are the ``n_centroids`` smallest-id vectors
+    (deterministic — a production index would k-means++ on a sample);
+    each refinement pass is one distributed assign (vectorized Arrow UDF,
+    one matmul per batch) + one per-cluster mean (applyInPandas over at most
+    n_centroids groups). The index is tiny by construction and lives on the
+    driver / in closures — the 100 TB shape, where only assignments scale.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    v = df.select(id_col, F.col(vec_col).cast("array<double>").alias("emb"))
+    sc = df.sparkSession.sparkContext
+    v = v.repartition(sc.defaultParallelism, F.col(id_col))
+
+    seeds = v.orderBy(id_col).limit(n_centroids).collect()
+    centroids = np.stack([np.array(r["emb"]) for r in seeds])
+    centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def _assigner(cents):
+        @pandas_udf("int")
+        def assign(embs):
+            m = np.stack(embs.to_numpy())
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            return pd.Series(np.argmax(m @ cents.T, axis=1).astype(np.int32))
+
+        return assign
+
+    assigned = v.withColumn("cluster", _assigner(centroids)("emb"))
+    for _ in range(refine_iters):
+        means = (
+            assigned.groupBy("cluster")
+            .applyInPandas(
+                lambda pdf: pd.DataFrame(
+                    {
+                        "cluster": [int(pdf["cluster"].iloc[0])],
+                        "centroid": [np.mean(np.stack(pdf["emb"].to_numpy()), axis=0).tolist()],
+                    }
+                ),
+                schema="cluster int, centroid array<double>",
+            )
+            .collect()
+        )
+        for r in means:
+            c = np.array(r["centroid"])
+            centroids[r["cluster"]] = c / np.linalg.norm(c)
+        assigned = v.withColumn("cluster", _assigner(centroids)("emb"))
+    return centroids, assigned
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 25,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the query's ``nprobe`` nearest centroids,
+    brute-force only within those inverted lists. With nprobe=n_centroids the
+    result is EXACTLY brute_force_topk (asserted in tests); smaller nprobe
+    trades recall for a 1/(n_centroids/nprobe) scan fraction — the standard
+    ANN knob. Same output schema as brute_force_topk."""
+    import numpy as np
+
+    centroids, assigned = ivf_assign(df, n_centroids, 1, id_col, vec_col)
+    q_emb = np.array(
+        df.filter(F.col(id_col) == query_vec_id).select(vec_col).first()[0],
+        dtype=np.float64,
+    )
+    qn = q_emb / np.linalg.norm(q_emb)
+    probes = np.argsort(-(centroids @ qn))[:nprobe].tolist()
+
+    labels = df.select(id_col, "label")
+    cand = (
+        assigned.filter(F.col("cluster").isin(probes))
+        .filter(F.col(id_col) != query_vec_id)
+        .join(labels, id_col)
+    )
+    q_arr = F.array(*[F.lit(float(x)) for x in q_emb])
+    scored = cand.select(
+        id_col, "label",
+        F.round(cosine_col("emb", q_arr), 4).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
 def _deterministic_plane(bit: int, dim: int) -> list[float]:
     """Pseudo-random hyperplane components from a fixed LCG — reproducible
     across sessions with no RNG state (Date/random are banned in this repo's

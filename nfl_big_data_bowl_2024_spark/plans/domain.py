@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import fixtures, schemas
-from ..kernels.yap import YAP_RESULT_SCHEMA, yap_play_kernel
+from ..kernels.yap import (
+    MAX_PARAMS_SCHEMA,
+    YAP_RESULT_SCHEMA,
+    max_params_play_kernel,
+    yap_play_kernel,
+)
 from ..operators.windows import event_window, first_crossing
 from .registry import register
 
@@ -189,21 +194,19 @@ def e1_max_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def yap_plan(
+def _kernel_input(
     tracking: DataFrame,
     players: DataFrame,
     plays: DataFrame,
     tackles: DataFrame,
 ) -> DataFrame:
-    """E2 — the U1 kernel over every play in one applyInPandas pass
-    (reference calculate_YAP.py). Limits arrive as broadcast-joined columns
-    so unknown positions become data (NULL limits -> error-status row), not
-    exceptions."""
+    """Shared grouped-map input: carrier + tackler frames with role flags,
+    player dims and (broadcast-joined) position limits as columns."""
     spark = tracking.sparkSession
     limits = spark.createDataFrame(
         schemas.POSITION_LIMITS, schemas.POSITION_LIMITS_SCHEMA
     )
-    marked = (
+    return (
         tracking.join(F.broadcast(plays.select(*_PLAY_KEY, "ballCarrierId")), _PLAY_KEY)
         .join(
             F.broadcast(tackles.withColumn("is_tackler", F.lit(True))),
@@ -215,7 +218,32 @@ def yap_plan(
         .join(F.broadcast(players), "nflId", "left")
         .join(F.broadcast(limits), "position", "left")
     )
-    return marked.groupBy(*_PLAY_KEY).applyInPandas(
+
+
+def max_params_kernel_plan(
+    tracking: DataFrame,
+    players: DataFrame,
+    plays: DataFrame,
+    tackles: DataFrame,
+) -> DataFrame:
+    """U3 UDF variant — parity twin of max_params_plan, used by tests to
+    prove the DataFrame-native plan reproduces the reference loop exactly."""
+    return _kernel_input(tracking, players, plays, tackles).groupBy(*_PLAY_KEY).applyInPandas(
+        max_params_play_kernel, schema=MAX_PARAMS_SCHEMA
+    )
+
+
+def yap_plan(
+    tracking: DataFrame,
+    players: DataFrame,
+    plays: DataFrame,
+    tackles: DataFrame,
+) -> DataFrame:
+    """E2 — the U1 kernel over every play in one applyInPandas pass
+    (reference calculate_YAP.py). Limits arrive as broadcast-joined columns
+    so unknown positions become data (NULL limits -> error-status row), not
+    exceptions."""
+    return _kernel_input(tracking, players, plays, tackles).groupBy(*_PLAY_KEY).applyInPandas(
         yap_play_kernel, schema=YAP_RESULT_SCHEMA
     )
 

@@ -274,6 +274,21 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_topk",
+    None,
+    doc="IVF approximate top-k: deterministic-seed coarse quantizer + one "
+    "Lloyd refinement, probe the query's 4/16 nearest centroids, exact "
+    "cosine within the probed inverted lists. Probe-all equals brute force "
+    "exactly (asserted in tests); recall-vs-scan-fraction is the ANN knob.",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, query_vec_id=0, k=25, n_centroids=16, nprobe=4)
+
+
+@register(
     "sim_label_cohesion",
     """
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
@@ -320,6 +335,41 @@ def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_pairs"),
             F.round(F.avg("cosine"), 4).alias("mean_cosine"),
         )
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings WHERE vec_id < 2000)
+    SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+           round(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb))
+             * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
+    """,
+    doc="Embedding-cosine near-dup pairs, EXACT all-pairs baseline (capped to "
+    "vec_id<2000 — the quadratic join is the oracle/verify path only; "
+    "sim_lsh_bucketed is the scale path). JVM-side sequential double "
+    "accumulation matches DuckDB's list_dot_product element order exactly.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 2000)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    a = e.select(F.col("vec_id").alias("vid_a"), F.col("emb").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vid_b"), F.col("emb").alias("emb_b"))
+    cos = cosine_col("emb_a", "emb_b")
+    return (
+        a.join(b, F.col("vid_a") < F.col("vid_b"))
+        .filter(cos >= 0.4)
+        .select("vid_a", "vid_b", F.round(cos, 4).alias("cosine"))
     )
 
 

@@ -125,3 +125,23 @@ def test_hot_shingle_guard_filters(spark):
     # jaccard of the surviving duplicate pair is 1.0 over the filtered space
     jac = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in guarded.collect()}
     assert jac[(1, 3)] == 1.0
+
+
+def test_ivf_probe_all_equals_brute_force(spark, embeddings):
+    from nfl_big_data_bowl_2024_spark.operators.similarity import ivf_topk
+
+    bf = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(embeddings, 0, k=10).collect()]
+    ivf_all = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk(embeddings, 0, k=10, n_centroids=8, nprobe=8).collect()
+    ]
+    assert sorted(ivf_all) == sorted(bf)
+
+
+def test_ivf_partial_probe_recall(spark, embeddings):
+    from nfl_big_data_bowl_2024_spark.operators.similarity import ivf_topk
+
+    bf = {r["vec_id"] for r in brute_force_topk(embeddings, 0, k=10).collect()}
+    part = {r["vec_id"] for r in ivf_topk(embeddings, 0, k=10, n_centroids=8, nprobe=4).collect()}
+    # half the lists probed -> meaningful but imperfect recall
+    assert len(part & bf) / len(bf) >= 0.3

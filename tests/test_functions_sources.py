@@ -1,0 +1,102 @@
+"""Tests for scalar functions (F1-F3) and the CSV/partitioned sources (S1/S2)."""
+
+from __future__ import annotations
+
+import math
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_big_data_bowl_2024_spark.functions.spatial import (
+    euclidean_dist,
+    heading_wrap_deg,
+    velocity_components,
+)
+from nfl_big_data_bowl_2024_spark.sources.readers import read_csv_table, read_tracking
+
+
+def test_euclidean_dist_hypot(spark):
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 3.0, 4.0), (1.0, 1.0, 1.0, 1.0)], "x1 double, y1 double, x2 double, y2 double"
+    )
+    got = [r["d"] for r in df.select(
+        euclidean_dist(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")).alias("d")
+    ).collect()]
+    assert got == [5.0, 0.0]
+
+
+def test_heading_wrap(spark):
+    df = spark.createDataFrame([(0.0,), (90.0,), (270.0,), (359.0,), (540.0,)], "deg double")
+    got = [r["w"] for r in df.select(heading_wrap_deg(F.col("deg")).alias("w")).collect()]
+    assert got[0] == pytest.approx(0.0, abs=1e-9)
+    assert got[1] == pytest.approx(90.0)
+    assert got[2] == pytest.approx(-90.0)   # 270 wraps to -90
+    assert got[3] == pytest.approx(-1.0)
+    assert got[4] == pytest.approx(180.0)   # 540 -> 180
+
+
+def test_velocity_components(spark):
+    df = spark.createDataFrame([(10.0, 90.0), (8.0, 0.0)], "s double, dir double")
+    u, v = velocity_components(F.col("s"), F.col("dir"))
+    rows = df.select(u.alias("u"), v.alias("v")).collect()
+    # dir=90 (east): all speed in u; dir=0 (north): all in v
+    assert rows[0]["u"] == pytest.approx(10.0)
+    assert rows[0]["v"] == pytest.approx(0.0, abs=1e-9)
+    assert rows[1]["u"] == pytest.approx(0.0, abs=1e-9)
+    assert rows[1]["v"] == pytest.approx(8.0)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="src_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_csv_scan_explicit_schema_roundtrip(spark, tmpdir):
+    """S1: CSV written then re-read with the declared PLAYERS schema — no
+    inference, types preserved, NULLs survive."""
+    import csv
+    import os
+
+    os.makedirs(f"{tmpdir}/players")
+    with open(f"{tmpdir}/players/part.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["nflId", "displayName", "position"])
+        w.writerow([1001, "Carrier One", "RB"])
+        w.writerow([2001, "Tackler Alpha", "CB"])
+        w.writerow([2005, "Tackler Echo", ""])  # empty -> NULL
+    df = read_csv_table(spark, "players", f"{tmpdir}/players")
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["bigint", "string", "string"]
+    rows = {r["nflId"]: (r["displayName"], r["position"]) for r in df.collect()}
+    assert rows[1001] == ("Carrier One", "RB")
+    assert rows[2005][1] is None
+
+
+def test_partitioned_tracking_scan_prunes(spark, tmpdir):
+    """S2: week=N layout + week predicate -> Catalyst partition pruning
+    (PartitionFilters in the scan, only matching files read)."""
+    from nfl_big_data_bowl_2024_spark import fixtures
+
+    tr = fixtures.tracking_df(spark).withColumnRenamed("t", "time_s")
+    # write two week partitions
+    for week, game in [(1, 1), (2, 2)]:
+        (
+            tr.filter(F.col("gameId") == game)
+            .withColumn("week", F.lit(week))
+            .write.mode("append")
+            .partitionBy("week")
+            .parquet(f"{tmpdir}/tracking")
+        )
+    got = read_tracking_weeks(spark, f"{tmpdir}/tracking", [2])
+    assert got.select("gameId").distinct().collect()[0]["gameId"] == 2
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def read_tracking_weeks(spark, path, weeks):
+    """Schema-light variant of read_tracking for the fixture layout."""
+    df = spark.read.parquet(path)
+    return df.filter(df["week"].isin(weeks))

@@ -126,3 +126,26 @@ def test_e2_spark_matches_pandas_kernel(spark):
         [yap_play_kernel(_group(g, p)) for g, p, _, _ in fixtures.PLAYS]
     ).sort_values(["game_ID", "play_ID", "NFL_ID"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out, expect, check_dtype=False)
+
+
+def test_u3_kernel_parity_with_dataframe_plan(spark):
+    """The DataFrame-native E1 plan and the reference-loop UDF kernel must
+    produce IDENTICAL rows on every fixture scenario (SURVEY §2.8 U3: 'keep
+    a UDF variant only for bit-exact parity testing')."""
+    from nfl_big_data_bowl_2024_spark.plans.domain import (
+        max_params_kernel_plan,
+        max_params_plan,
+    )
+
+    args = (
+        fixtures.tracking_df(spark),
+        fixtures.players_df(spark),
+        fixtures.plays_df(spark),
+        fixtures.tackles_df(spark),
+    )
+    keys = ["game_ID", "play_ID", "NFL_ID"]
+    df_native = max_params_plan(*args).toPandas().sort_values(keys).reset_index(drop=True)
+    kernel = (
+        max_params_kernel_plan(*args).toPandas().sort_values(keys).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(df_native, kernel, check_dtype=False)
