@@ -51,11 +51,16 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # min of two runs per query: steady-state timing (first run pays Python
+    # worker spin-up and JIT; run-to-run variance on the shared box is high).
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -196,22 +196,32 @@ def minhash_lsh_candidates(
         "doc_a", "doc_b", (agree / F.lit(float(num_perm))).alias("est_jaccard")
     )
 
-    # Exact verification restricted to candidate docs only.
+    # Exact verification on the candidate PAIRS via array_intersect — LSH has
+    # already pruned to ~O(n x dup-rate) pairs, so attaching each side's
+    # shingle array and intersecting JVM-side beats re-running the
+    # explode/self-join machinery (measured 6.4s -> sub-second at sf0.1; the
+    # standalone exact path in ngram_jaccard_pairs keeps the join shape for
+    # corpus-wide use where no candidate pruning exists).
     cand_docs = (
         candidates.select(F.col("doc_a").alias(id_col))
         .union(candidates.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    verified = ngram_jaccard_pairs(
-        df.join(F.broadcast(cand_docs), id_col, "left_semi"),
-        id_col,
-        text_col,
-        n,
-        threshold=verify_threshold,
+    sh_arr = df.join(F.broadcast(cand_docs), id_col, "left_semi").select(
+        F.col(id_col), shingle_array(text_col, n).alias("sh")
     )
+    pa = sh_arr.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    pb = sh_arr.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common * 1.0 / (F.size("sh_a") + F.size("sh_b") - n_common)
     return (
-        est.join(verified, ["doc_a", "doc_b"])
-        .select("doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard"), "jaccard")
+        est.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .filter(jac >= verify_threshold)  # threshold on the unrounded value,
+        .withColumn("jaccard", F.round(jac, 4))  # as in ngram_jaccard_pairs
+        .select(
+            "doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard"), "jaccard"
+        )
     )
 
 

@@ -132,6 +132,9 @@ def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as canonical. At 100 TB this is one shuffle on the fingerprint.",
 )
 def txt_fingerprint_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No pre-repartition here: md5 is cheaper than a shuffle of the raw text,
+    # and the testdata parquet is single-row-group (serial scan either way).
+    # At 100 TB the scan itself arrives in thousands of splits.
     d = _t(spark, sf_dir, "documents")
     return d.groupBy(
         F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("fingerprint")
