@@ -1,0 +1,75 @@
+"""Physical-plan audits: the properties that make these queries survive a
+100x scale-up must be visible in the executed plan, not just intended."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+
+    return all_queries()
+
+
+def test_filter_and_column_pushdown_reach_scan(spark, queries):
+    df = queries["filter_project_pushdown"].fn(spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    # at least one concrete predicate pushed into the parquet scan
+    assert "GreaterThanOrEqual" in plan or "In(l_returnflag" in plan
+    # column pruning: ReadSchema must NOT include unused wide columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_suppkey" not in read_schema
+    assert "l_tax" not in read_schema
+
+
+def test_q6_is_scan_plus_agg_only(spark, queries):
+    df = queries["tpch_q6_forecast_revenue"].fn(spark, SF)
+    df.collect()  # finalize the adaptive plan so codegen stages are visible
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "PushedFilters: [" in plan
+    assert "*(" in plan  # whole-stage codegen stage markers
+
+
+def test_dim_joins_broadcast_not_sortmerge(spark, queries):
+    plan = _plan(queries["tpch_q5_local_supplier_volume"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all dims broadcast at this scale
+
+
+def test_topk_queries_avoid_global_window(spark, queries):
+    for name in ["sim_topk_bruteforce", "tpch_q10_returned_items"]:
+        plan = _plan(queries[name].fn(spark, SF))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Window" not in plan, name
+
+
+def test_flagship_shuffles_only_on_group_key(spark, queries):
+    plan = _plan(queries["flagship_bounded_max"].fn(spark, SF))
+    # every hash exchange in the plan keys on user_id (exchange reuse across
+    # the window/crossing/bounded spine)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "user_id" in ln, ln
+
+
+def test_no_python_udfs_in_relational_paths(spark, queries):
+    # Every oracle-backed query must stay JVM-side (no BatchEvalPython /
+    # ArrowEvalPython nodes); kernels (rows-only entries) are exempt.
+    for name, spec in queries.items():
+        if spec.oracle is None:
+            continue
+        plan = _plan(spec.fn(spark, SF))
+        assert "EvalPython" not in plan, f"{name} has a Python UDF in the hot path"
