@@ -218,6 +218,70 @@ def tackles_values_cte() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Parameterized synthetic play generator: the 7-scenario fixture above checks
+# SEMANTICS; this generates n plays of plausible pursuit geometry so the E2
+# kernel can be load-tested / benched at any scale (plays are the unit of
+# parallelism at 100 TB — ~12k in the reference season).
+# ---------------------------------------------------------------------------
+
+
+def synthetic_plays(n_plays: int) -> tuple[list, list, list, list]:
+    """(tracking_rows, players, plays, tackles) for n_plays closed-form
+    pursuit plays, one carrier + two tacklers each, varying speeds/gaps
+    (deterministic trig-free arithmetic, no RNG)."""
+    players: list[tuple] = []
+    plays: list[tuple] = []
+    tackles: list[tuple] = []
+    rows: list[tuple] = []
+    positions = ["CB", "DE", "MLB", "NT", "FS", "OLB"]
+    for p in range(n_plays):
+        game = 100 + p // 50
+        play = 10_000 + p
+        carrier = 50_000 + p
+        t1, t2 = 60_000 + 2 * p, 60_001 + 2 * p
+        players.append((carrier, f"Carrier {p}", "RB"))
+        players.append((t1, f"Tackler {2*p}", positions[p % len(positions)]))
+        players.append((t2, f"Tackler {2*p+1}", positions[(p + 3) % len(positions)]))
+        direction = "right" if p % 2 == 0 else "left"
+        plays.append((game, play, carrier, direction))
+        tackles.append((game, play, t1))
+        tackles.append((game, play, t2))
+        events = {5: "handoff", 32: "tackle"}
+        speed = 6.0 + (p % 5) * 0.5          # carrier speed varies per play
+        gap0 = 8.0 + (p % 7)                 # initial separation varies
+        close = 0.7 + 0.05 * (p % 4)         # closing rate per frame
+        for f in range(1, N_FRAMES + 1):
+            step = speed * 0.1
+            if direction == "right":
+                cx = 25.0 + step * (f - 1)
+                cdir = 90.0
+            else:
+                cx = 95.0 - step * (f - 1)
+                cdir = 270.0
+            rows.append((game, play, carrier, f, round(0.1 * (f - 1), 1),
+                         events.get(f), round(cx, 4), 26.65, speed, 0.5,
+                         cdir, direction))
+            for k, tackler in enumerate((t1, t2)):
+                gap = gap0 + 2.0 * k - close * (f - 1)
+                tx = cx + gap if direction == "right" else cx - gap
+                tdir = 270.0 if direction == "right" else 90.0
+                rows.append((game, play, tackler, f, round(0.1 * (f - 1), 1),
+                             None, round(tx, 4), 26.65,
+                             round(4.0 + 0.08 * f, 4), round(2.5 - 0.03 * f, 4),
+                             tdir, direction))
+    return rows, players, plays, tackles
+
+
+def synthetic_play_count(sf_dir: str) -> int:
+    """Scale the synthetic E2 workload with the harness scale factor."""
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.01
+    return max(8, min(256, int(sf * 2560)))
+
+
+# ---------------------------------------------------------------------------
 # Stage-2 result fixture (FIXTURES.md §A6) for the E3 reporting chain:
 # deterministic pseudo-results spanning all positions, repeated NFL_IDs,
 # negative YAPs (clip test) and NULLs (never-in-vicinity analog).

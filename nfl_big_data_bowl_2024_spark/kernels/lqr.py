@@ -85,6 +85,57 @@ def _riccati_S0(S_f: np.ndarray, A: np.ndarray, B_inv: np.ndarray, t_f: float) -
     return 0.5 * (S + S.T)
 
 
+def _weights(V_max: float, A_max: float, R_t: float):
+    c_R = 2.0 / R_t**2
+    alpha_V = 2.0 / V_max**2
+    beta_A = 2.0 / A_max**2
+    S_f = np.diag([c_R, c_R, 0.0, 0.0])
+    A = np.diag([0.0, 0.0, alpha_V, alpha_V])
+    B_inv = np.diag([1.0 / beta_A, 1.0 / beta_A])
+    return S_f, A, B_inv
+
+
+class RiccatiSweep:
+    """Incremental Riccati integration in time-to-go, shared across horizons.
+
+    The U1 search solves the SAME pursuit problem over ~30 increasing
+    horizons t_f per tackler; S(0) for horizon t_f is simply the Riccati
+    solution at tau = t_f, so ONE fixed-step sweep (extended lazily, states
+    cached on the tau-grid) replaces a full re-integration per candidate —
+    ~25x less Riccati work with identical step-h numerics. Horizons must be
+    multiples of ``h``'s grid (frame times are 0.1 s-aligned; h=0.005).
+    """
+
+    def __init__(self, V_max: float, A_max: float, R_t: float, h: float = 0.005):
+        S_f, A, B_inv = _weights(V_max, A_max, R_t)
+        self.h = h
+        self.A = A
+        self.B_inv = B_inv
+        self.GBG = _G @ B_inv @ _G.T
+        self._grid = [S_f.copy()]
+        # Propagator cache shared across calls: M is fixed per (V,A,R_t), so
+        # expm(M dt) for the uniform 0.1 s frame spacing is computed once.
+        self.expm_cache: dict[float, np.ndarray] = {}
+
+    def _f(self, S: np.ndarray) -> np.ndarray:
+        S = 0.5 * (S + S.T)
+        SF = S @ _F
+        return SF + SF.T + self.A - S @ self.GBG @ S
+
+    def S0(self, t_f: float) -> np.ndarray:
+        n = int(round(t_f / self.h))
+        h = self.h
+        while len(self._grid) <= n:
+            S = self._grid[-1]
+            k1 = self._f(S)
+            k2 = self._f(S + 0.5 * h * k1)
+            k3 = self._f(S + 0.5 * h * k2)
+            k4 = self._f(S + h * k3)
+            self._grid.append(S + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4))
+        S = self._grid[n]
+        return 0.5 * (S + S.T)
+
+
 def solve_optimal_path(
     x_0: float,
     y_0: float,
@@ -94,23 +145,23 @@ def solve_optimal_path(
     V_max: float,
     A_max: float,
     R_t: float,
+    sweep: RiccatiSweep | None = None,
 ):
     """Optimal pursuit trajectory sampled at times ``t`` (t[0] == 0).
 
     Returns (x, y, u, v, acc_x, acc_y) arrays of len(t), matching the
     reference solver's contract (reference optimal_pursuit.py:55-110).
+    Pass a ``RiccatiSweep`` to amortize the backward sweep across repeated
+    calls with growing horizons (the U1 search pattern).
     """
     t = np.asarray(t, dtype=float)
     t_f = float(t[-1])
-    c_R = 2.0 / R_t**2
-    alpha_V = 2.0 / V_max**2
-    beta_A = 2.0 / A_max**2
+    S_f, A, B_inv = _weights(V_max, A_max, R_t)
 
-    S_f = np.diag([c_R, c_R, 0.0, 0.0])
-    A = np.diag([0.0, 0.0, alpha_V, alpha_V])
-    B_inv = np.diag([1.0 / beta_A, 1.0 / beta_A])
-
-    S_0 = _riccati_S0(S_f, A, B_inv, t_f)
+    if sweep is not None:
+        S_0 = sweep.S0(t_f)
+    else:
+        S_0 = _riccati_S0(S_f, A, B_inv, t_f)
     z_0 = np.array([x_0, y_0, u_0, v_0])
     lam_0 = S_0 @ z_0
 
@@ -121,7 +172,7 @@ def solve_optimal_path(
     out[:, 0] = state
     # Advance exactly with expm over each (possibly non-uniform) interval;
     # cache the propagator since tracking frames are uniformly 0.1 s apart.
-    cache: dict[float, np.ndarray] = {}
+    cache: dict[float, np.ndarray] = sweep.expm_cache if sweep is not None else {}
     for k in range(1, len(t)):
         dt = round(float(t[k] - t[k - 1]), 9)
         E = cache.get(dt)

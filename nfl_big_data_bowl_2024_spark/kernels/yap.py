@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import types as T
 
-from .lqr import solve_optimal_path
+from .lqr import RiccatiSweep, solve_optimal_path
 
 R_T = 1.0  # vicinity radius (reference optimal_pursuit.py:126 default R_t=1.0)
 
@@ -225,13 +225,15 @@ def yap_play_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             u0, v0 = u_t[idx_start], w_t[idx_start]
             v_med, v_max = float(tk["V_max_med"]), float(tk["V_max_max"])
             a_med, a_max = float(tk["A_max_med"]), float(tk["A_max_max"])
+            # One shared Riccati sweep serves every candidate horizon.
+            sweep = RiccatiSweep(v_med, a_med, R_T)
 
             for idx_j in range(idx_start + 1, len(t) - 1):
                 time_j = t[idx_start : idx_j + 1] - time_0
                 dx0 = x0 - x_c[idx_j]
                 dy0 = y0 - y_c[idx_j]
                 xp, yp, up, vp, axp, ayp = solve_optimal_path(
-                    dx0, dy0, u0, v0, time_j, v_med, a_med, R_T
+                    dx0, dy0, u0, v0, time_j, v_med, a_med, R_T, sweep=sweep
                 )
                 r_f = float(np.sqrt(xp[-1] ** 2 + yp[-1] ** 2))
                 v_pk = float(np.max(np.sqrt(up**2 + vp**2)))

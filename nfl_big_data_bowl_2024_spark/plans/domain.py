@@ -206,7 +206,7 @@ def _kernel_input(
     limits = spark.createDataFrame(
         schemas.POSITION_LIMITS, schemas.POSITION_LIMITS_SCHEMA
     )
-    return (
+    marked = (
         tracking.join(F.broadcast(plays.select(*_PLAY_KEY, "ballCarrierId")), _PLAY_KEY)
         .join(
             F.broadcast(tackles.withColumn("is_tackler", F.lit(True))),
@@ -218,6 +218,12 @@ def _kernel_input(
         .join(F.broadcast(players), "nflId", "left")
         .join(F.broadcast(limits), "position", "left")
     )
+    # Explicit-count repartition on the play key: the kernel is CPU-bound
+    # (up to ~30 LQR solves per tackler) while a play's frames are only a
+    # few KB, so AQE's size-based coalescing would funnel every play into
+    # one task. groupBy reuses this exact partitioning — no extra exchange.
+    sc = tracking.sparkSession.sparkContext
+    return marked.repartition(sc.defaultParallelism, *_PLAY_KEY)
 
 
 def max_params_kernel_plan(
@@ -262,4 +268,23 @@ def e2_yap(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixtures.players_df(spark),
         fixtures.plays_df(spark),
         fixtures.tackles_df(spark),
+    )
+
+
+@register(
+    "e2_yap_scale",
+    None,
+    doc="E2 kernel at load: the same applyInPandas YAP pipeline over a "
+    "synthetic season whose play count scales with the harness sf "
+    "(sf0.01 -> 25 plays, sf0.1 -> 256). Plays are the parallelism unit — "
+    "this measures kernel throughput, not fixture overhead.",
+)
+def e2_yap_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = fixtures.synthetic_play_count(sf_dir)
+    rows, players, plays, tackles = fixtures.synthetic_plays(n)
+    return yap_plan(
+        spark.createDataFrame(rows, fixtures.TRACKING_FIXTURE_SCHEMA),
+        spark.createDataFrame(players, fixtures.PLAYERS_FIXTURE_SCHEMA),
+        spark.createDataFrame(plays, fixtures.PLAYS_FIXTURE_SCHEMA),
+        spark.createDataFrame(tackles, fixtures.TACKLES_FIXTURE_SCHEMA),
     )

@@ -84,3 +84,24 @@ def test_tighter_accel_limit_uses_less_accel():
     peak_hi = np.max(np.hypot(ax_hi, ay_hi))
     peak_lo = np.max(np.hypot(ax_lo, ay_lo))
     assert peak_lo < peak_hi  # heavier accel penalty -> gentler control
+
+
+def test_riccati_sweep_matches_per_call_integration():
+    from nfl_big_data_bowl_2024_spark.kernels.lqr import RiccatiSweep, _weights
+
+    S_f, A, B_inv = _weights(5.6, 4.2, 1.0)
+    sweep = RiccatiSweep(5.6, 4.2, 1.0)
+    for t_f in (1.0, 1.5, 2.5):  # >= 1 s so per-call h is also 0.005
+        direct = _riccati_S0(S_f, A, B_inv, t_f)
+        assert np.allclose(sweep.S0(t_f), direct, atol=1e-9), t_f
+
+
+def test_sweep_path_matches_fresh_path():
+    from nfl_big_data_bowl_2024_spark.kernels.lqr import RiccatiSweep
+
+    t = np.arange(0, 2.01, 0.1)
+    sweep = RiccatiSweep(5.6, 4.2, 1.0)
+    a = solve_optimal_path(-5.0, 0.0, 4.0, 0.0, t, 5.6, 4.2, 1.0, sweep=sweep)
+    b = solve_optimal_path(-5.0, 0.0, 4.0, 0.0, t, 5.6, 4.2, 1.0)
+    for ax, bx in zip(a, b):
+        assert np.allclose(ax, bx, atol=1e-9)
