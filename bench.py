@@ -32,6 +32,8 @@ HEADLINE = [
     "sim_lsh_bucketed",
     "mm_binary_stats",
     "e2_yap",
+    "e2_yap_scale",
+    "skew_salted_agg",
 ]
 
 

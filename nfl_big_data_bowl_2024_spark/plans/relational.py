@@ -895,6 +895,66 @@ def first_crossing_after_start(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_salted_agg",
+    """
+    SELECT event_type, count(*) AS n,
+           floor(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE) * 100 + 0.5) / 100
+               AS total_value,
+           max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Salted two-phase aggregation on a LOW-cardinality (5 groups = "
+    "maximally skewed reducer load) key: partials over (key, salt) spread "
+    "the hot keys across reducers, then combine. Result identical to the "
+    "direct groupBy (operators/skew.py).",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(24,10)")
+    )
+    out = salted_agg(
+        e,
+        ["event_type"],
+        {"n": ("count", "*"), "total_dec": ("sum", "value_dec"), "max_value": ("max", "value")},
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        (F.floor(F.col("total_dec").cast("double") * 100 + 0.5) / 100).alias("total_value"),
+        "max_value",
+    )
+
+
+@register(
+    "sql_interface",
+    """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(24,10))) AS DOUBLE) * 100 + 0.5)
+               / 100 AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Same engine through the SQL API: temp views + spark.sql — the "
+    "DataFrame and SQL surfaces compile to the same Catalyst plan.",
+)
+def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               floor(CAST(sum(CAST(o_totalprice AS DECIMAL(24,10))) AS DOUBLE)
+                     * 100 + 0.5) / 100 AS total_price
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
     "argmax_per_group",
     """
     SELECT n_nationkey, n_name, s_suppkey AS top_suppkey, s_acctbal AS top_acctbal
