@@ -272,6 +272,41 @@ def e2_yap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_stats",
+    None,
+    doc="Structured Streaming end-to-end (§2.9 extension): fixture tracking "
+    "frames written as two parquet files -> file-source readStream (1 file "
+    "per micro-batch) -> watermark + session_window per play -> memory sink "
+    "drained with trigger(availableNow). Returns the emitted sessions; "
+    "batch-equivalence is asserted in tests/test_streaming.py.",
+)
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .. import streaming as st
+
+    d = tempfile.mkdtemp(prefix="stream_q_")
+    try:
+        tr = fixtures.tracking_df(spark).withColumn(
+            "event_time",
+            F.timestamp_seconds(F.col("t") + 1_700_000_000 + F.col("playId") * 100),
+        )
+        tr.coalesce(2).write.mode("overwrite").parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream = st.read_tracking_stream(spark, d, schema, max_files_per_trigger=1)
+        q = st.run_to_memory_sink(
+            st.sessionized_play_stats(stream), "stream_session_stats_q", "append"
+        )
+        q.awaitTermination(300)
+        # Materialize off the memory sink so the temp dir can be removed.
+        rows = spark.table("stream_session_stats_q").collect()
+        return spark.createDataFrame(rows, spark.table("stream_session_stats_q").schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "e2_yap_scale",
     None,
     doc="E2 kernel at load: the same applyInPandas YAP pipeline over a "
