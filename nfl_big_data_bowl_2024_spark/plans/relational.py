@@ -895,6 +895,125 @@ def first_crossing_after_start(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_hierarchy",
+    """
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           count(*) AS n_suppliers,
+           floor(CAST(sum(CAST(s_acctbal AS DECIMAL(24,10))) AS DOUBLE) * 100 + 0.5)
+               / 100 AS total_bal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="Hierarchical ROLLUP totals (region -> nation -> grand total) in one "
+    "aggregate — grouping-sets support the reference lacks (SURVEY §2.4 "
+    "'not present; free in Spark').",
+)
+def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (
+                F.floor(F.sum(F.col("s_acctbal").cast("decimal(24,10)")).cast("double") * 100 + 0.5)
+                / 100
+            ).alias("total_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_suppliers",
+            "total_bal",
+        )
+    )
+
+
+@register(
+    "set_ops_intersect_except",
+    """
+    WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                    WHERE o_totalprice > 100000),
+         building AS (SELECT c_custkey AS custkey FROM customer
+                      WHERE c_mktsegment = 'BUILDING')
+    SELECT 'both' AS bucket, count(*) AS n
+    FROM (SELECT custkey FROM buyers INTERSECT SELECT custkey FROM building)
+    UNION ALL
+    SELECT 'buyers_only' AS bucket, count(*) AS n
+    FROM (SELECT custkey FROM buyers EXCEPT SELECT custkey FROM building)
+    """,
+    doc="INTERSECT / EXCEPT set operators (SURVEY §2.6 'not present; free in "
+    "Spark').",
+)
+def set_ops_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buyers = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    building = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    both = buyers.intersect(building).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("bucket"), "n"
+    )
+    only = buyers.exceptAll(building).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("buyers_only").alias("bucket"), "n"
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "window_rank_family",
+    """
+    SELECT user_id, event_id,
+           dense_rank() OVER w AS drk,
+           ntile(4) OVER w AS quartile,
+           round(cume_dist() OVER w, 4) AS cd
+    FROM events
+    WHERE event_type = 'signup'
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    doc="dense_rank / ntile / cume_dist window family (SURVEY §2.5 'not "
+    "present; free via pyspark.sql.Window').",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    )
+
+
+@register(
+    "approx_count_distinct",
+    None,
+    doc="HyperLogLog++ approximate distinct (rows-only: sketch internals are "
+    "engine-specific); the exact count rides along so the error bound is "
+    "observable — asserted <2% in tests/test_plan_audit.py.",
+)
+def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@register(
     "skew_salted_agg",
     """
     SELECT event_type, count(*) AS n,

@@ -73,3 +73,9 @@ def test_no_python_udfs_in_relational_paths(spark, queries):
             continue
         plan = _plan(spec.fn(spark, SF))
         assert "EvalPython" not in plan, f"{name} has a Python UDF in the hot path"
+
+
+def test_approx_distinct_error_bound(spark, queries):
+    row = queries["approx_count_distinct"].fn(spark, SF).collect()[0]
+    err = abs(row["approx_orders"] - row["exact_orders"]) / row["exact_orders"]
+    assert err < 0.02, f"HLL++ error {err:.4f} exceeds 2%"
