@@ -271,6 +271,55 @@ def e2_yap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRAJ_ORACLE = f"""
+WITH tracking AS (SELECT * FROM {fixtures.tracking_values_cte().replace('fx(', 'fxt(')}),
+carrier AS (SELECT frameId, t, event, x AS cx, y AS cy FROM tracking
+            WHERE gameId = 1 AND playId = 101 AND nflId = 1001),
+tackler AS (SELECT frameId, x AS tx, y AS ty, s, a FROM tracking
+            WHERE gameId = 1 AND playId = 101 AND nflId = 2001)
+SELECT c.frameId, c.t, c.event, c.cx, c.cy, k.tx, k.ty, k.s, k.a,
+       sqrt((c.cx - k.tx) * (c.cx - k.tx) + (c.cy - k.ty) * (c.cy - k.ty)) AS dist,
+       CASE WHEN sqrt((c.cx - k.tx) * (c.cx - k.tx)
+                      + (c.cy - k.ty) * (c.cy - k.ty)) < 1.0
+            THEN 1 ELSE 0 END AS in_vicinity
+FROM carrier c JOIN tackler k ON c.frameId = k.frameId
+"""
+
+
+@register(
+    "single_play_trajectory",
+    _TRAJ_ORACLE,
+    doc="Single-play interactive view (the reference's 4th entry point, "
+    "optimal_pursuit_example.py / animate_play): per-frame carrier+tackler "
+    "positions, separation and vicinity flag for one (gameId, playId) — the "
+    "exact data the animation renders, as a plan instead of a loop.",
+)
+def single_play_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = fixtures.tracking_df(spark).filter(
+        (F.col("gameId") == 1) & (F.col("playId") == 101)
+    )
+    carrier = tr.filter(F.col("nflId") == 1001).select(
+        "frameId", "t", "event", F.col("x").alias("cx"), F.col("y").alias("cy")
+    )
+    tackler = tr.filter(F.col("nflId") == 2001).select(
+        "frameId", F.col("x").alias("tx"), F.col("y").alias("ty"), "s", "a"
+    )
+    dx = F.col("cx") - F.col("tx")
+    dy = F.col("cy") - F.col("ty")
+    dist = F.sqrt(dx * dx + dy * dy)
+    return (
+        carrier.join(tackler, "frameId")
+        .withColumn("dist", dist)
+        .withColumn(
+            "in_vicinity", F.when(F.col("dist") < 1.0, 1).otherwise(0)
+        )
+        .select(
+            "frameId", "t", "event", "cx", "cy", "tx", "ty", "s", "a",
+            "dist", "in_vicinity",
+        )
+    )
+
+
 @register(
     "stream_session_stats",
     None,

@@ -203,6 +203,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(d, "doc_id", "text")
 
 
+@register(
+    "pipeline_corpus_clean",
+    """
+    WITH gated AS (
+        SELECT doc_id, lang, text,
+               length(text) AS n_chars,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+        FROM documents
+        WHERE length(text) BETWEEN 100 AND 5000
+          AND length(text) - length(replace(text, ' ', '')) + 1 >= 10
+    ),
+    canonical AS (
+        SELECT min(doc_id) AS doc_id FROM gated
+        GROUP BY md5(lower(trim(text)))
+    )
+    SELECT g.lang,
+           count(*) AS n_docs,
+           CAST(sum(g.n_tokens) AS BIGINT) AS total_tokens,
+           floor(avg(g.n_chars) * 100 + 0.5) / 100 AS mean_chars
+    FROM gated g JOIN canonical c ON g.doc_id = c.doc_id
+    GROUP BY g.lang
+    """,
+    doc="End-to-end corpus-cleaning pipeline as ONE plan: quality gate -> "
+    "exact dedup (canonical = min doc_id per fingerprint) -> per-language "
+    "stats of the surviving corpus. The full training-data-prep shape, no "
+    "materialization between stages.",
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = n_chars - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    gated = d.filter(n_chars.between(100, 5000) & (n_tokens >= 10)).select(
+        "doc_id", "lang", "text",
+        n_chars.alias("n_chars"), n_tokens.alias("n_tokens"),
+    )
+    canonical = (
+        gated.groupBy(F.md5(F.lower(F.trim(F.col("text"))).cast("binary")))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        gated.join(canonical, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (F.floor(F.avg("n_chars") * 100 + 0.5) / 100).alias("mean_chars"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary columns
 # ---------------------------------------------------------------------------
