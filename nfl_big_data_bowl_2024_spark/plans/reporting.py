@@ -114,6 +114,64 @@ HAVING count(YAP) >= 5
 """
 
 
+_E3B_ORACLE = f"""
+WITH stage2 AS (SELECT * FROM {fixtures.stage2_values_cte().replace('fx(', 'fxb(')}),
+recoded AS (
+    SELECT CASE WHEN position IN ('CB','SS','FS') THEN 'DB'
+                WHEN position IN ('MLB','OLB','ILB') THEN 'LB'
+                WHEN position IN ('DT','NT') THEN 'T'
+                ELSE position END AS position,
+           max_vel, max_accel
+    FROM stage2
+)
+SELECT position,
+       count(*) AS n,
+       floor(CAST(sum(CAST(max_vel AS DECIMAL(24,10))) AS DOUBLE)
+             / count(*) * 10000 + 0.5) / 10000 AS mean_vel,
+       floor(CAST(sum(CAST(max_accel AS DECIMAL(24,10))) AS DOUBLE)
+             / count(*) * 10000 + 0.5) / 10000 AS mean_accel,
+       round(corr(max_vel, max_accel), 4) AS vel_accel_corr,
+       min(max_vel) AS min_vel, max(max_vel) AS max_vel_obs
+FROM recoded
+GROUP BY position
+"""
+
+
+@register(
+    "e3_position_params",
+    _E3B_ORACLE,
+    doc="E3b reporting (reference plot_max_parameters.py:16-44): position "
+    "coarsening -> per-position distribution stats + Pearson correlation of "
+    "max velocity vs max acceleration, over the stage-2 fixture.",
+)
+def e3_position_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s2 = fixtures.stage2_df(spark)
+    recoded = s2.select(
+        F.when(F.col("position").isin("CB", "SS", "FS"), "DB")
+        .when(F.col("position").isin("MLB", "OLB", "ILB"), "LB")
+        .when(F.col("position").isin("DT", "NT"), "T")
+        .otherwise(F.col("position"))
+        .alias("position"),
+        "max_vel",
+        "max_accel",
+    )
+    n = F.count(F.lit(1))
+    return recoded.groupBy("position").agg(
+        n.alias("n"),
+        (
+            F.floor(F.sum(F.col("max_vel").cast("decimal(24,10)")).cast("double") / n * 10000 + 0.5)
+            / 10000
+        ).alias("mean_vel"),
+        (
+            F.floor(F.sum(F.col("max_accel").cast("decimal(24,10)")).cast("double") / n * 10000 + 0.5)
+            / 10000
+        ).alias("mean_accel"),
+        F.round(F.corr("max_vel", "max_accel"), 4).alias("vel_accel_corr"),
+        F.min("max_vel").alias("min_vel"),
+        F.max("max_vel").alias("max_vel_obs"),
+    )
+
+
 @register(
     "e3_player_stats",
     _E3_ORACLE,

@@ -56,9 +56,22 @@ def main() -> int:
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
-    from nfl_big_data_bowl_2024_spark.session import get_spark
 
-    spark = get_spark("verify-local")
+    if "--vanilla" in sys.argv:
+        # Driver-realistic: a plain session with none of our session.py
+        # configs (default 200 shuffle partitions, no Arrow tuning).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("verify-vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from nfl_big_data_bowl_2024_spark.session import get_spark
+
+        spark = get_spark("verify-local")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
