@@ -124,7 +124,10 @@ def max_params_play_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
 
     carrier = pdf[pdf["nflId"] == carrier_id].sort_values("frameId")
     x_c, y_c = carrier["x"].to_numpy(), carrier["y"].to_numpy()
-    idx_start, idx_stop = _identify_events(carrier["event"].to_numpy(dtype=object))
+    if len(carrier):
+        idx_start, idx_stop = _identify_events(carrier["event"].to_numpy(dtype=object))
+    else:
+        idx_start = idx_stop = None
 
     tacklers = (
         pdf[pdf["is_tackler"]][["nflId", "displayName", "position"]]
@@ -133,11 +136,18 @@ def max_params_play_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     )
     out = []
     for _, tk in tacklers.iterrows():
-        if idx_start is None or idx_stop is None:
-            out.append((game_id, play_id, int(tk["nflId"]), tk["displayName"],
-                        tk["position"], None, None, "error_no_window"))
-            continue
         g = pdf[pdf["nflId"] == tk["nflId"]].sort_values("frameId")
+        status = None
+        if len(carrier) == 0:
+            status = "error_no_carrier_frames"
+        elif len(g) != len(carrier):
+            status = "error_frame_misalignment"
+        elif idx_start is None or idx_stop is None:
+            status = "error_no_window"
+        if status is not None:
+            out.append((game_id, play_id, int(tk["nflId"]), tk["displayName"],
+                        tk["position"], None, None, status))
+            continue
         dist = np.sqrt((x_c - g["x"].to_numpy()) ** 2 + (y_c - g["y"].to_numpy()) ** 2)
         mv, ma = _max_params_over(
             g["s"].to_numpy(), g["a"].to_numpy(), dist, idx_start
@@ -189,6 +199,19 @@ def yap_play_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         for nfl in tacklers["nflId"]
     }
 
+    # Malformed plays become error ROWS, never job failures: at ~12k plays a
+    # single bad record must not kill the stage (the reference's blanket
+    # try/except -> run_errors.csv, calculate_YAP.py:37-49, as data).
+    bad = None
+    if len(carrier) == 0:
+        bad = "error_no_carrier_frames"
+    elif any(len(g) != len(carrier) for g in frames.values()):
+        bad = "error_frame_misalignment"  # J4 positional assumption violated
+    if bad is not None:
+        for _, tk in tacklers.iterrows():
+            emit(tk["nflId"], tk["displayName"], tk["position"], None, None, None, bad)
+        return pd.DataFrame(out, columns=[f.name for f in YAP_RESULT_SCHEMA.fields])
+
     x_c = carrier["x"].to_numpy()
     y_c = carrier["y"].to_numpy()
     t = carrier["t"].to_numpy(dtype=float)
@@ -210,60 +233,76 @@ def yap_play_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
                  None, None, None, "error_unknown_position")
             break
 
-        g = frames[int(tk["nflId"])]
-        x_t, y_t = g["x"].to_numpy(), g["y"].to_numpy()
-        v_t, a_t = g["s"].to_numpy(), g["a"].to_numpy()
-        u_t, w_t = _uv(v_t, g["dir"].to_numpy())
-        dist = np.sqrt((x_c - x_t) ** 2 + (y_c - y_t) ** 2)
-
-        yap = float("nan")
-        mvo = mao = float("nan")
-        idx_v = _first_crossing(dist, idx_start)
-        if idx_v is not None:
-            x_cv = x_c[idx_v]
-            x0, y0 = x_t[idx_start], y_t[idx_start]
-            u0, v0 = u_t[idx_start], w_t[idx_start]
-            v_med, v_max = float(tk["V_max_med"]), float(tk["V_max_max"])
-            a_med, a_max = float(tk["A_max_med"]), float(tk["A_max_max"])
-            # One shared Riccati sweep serves every candidate horizon.
-            sweep = RiccatiSweep(v_med, a_med, R_T)
-
-            for idx_j in range(idx_start + 1, len(t) - 1):
-                time_j = t[idx_start : idx_j + 1] - time_0
-                dx0 = x0 - x_c[idx_j]
-                dy0 = y0 - y_c[idx_j]
-                xp, yp, up, vp, axp, ayp = solve_optimal_path(
-                    dx0, dy0, u0, v0, time_j, v_med, a_med, R_T, sweep=sweep
-                )
-                r_f = float(np.sqrt(xp[-1] ** 2 + yp[-1] ** 2))
-                v_pk = float(np.max(np.sqrt(up**2 + vp**2)))
-                a_pk = float(np.max(np.sqrt(axp**2 + ayp**2)))
-                if r_f <= R_T and v_pk <= v_max and a_pk <= a_max:
-                    if play_direction == "left":
-                        yap = round(x_c[idx_j] - x_cv, 2)
-                    else:
-                        yap = round(x_cv - x_c[idx_j], 2)
-                    # U3 optimal_path variant: overwrite [idx_start, idx_j],
-                    # NaN the tail, re-run max-params over the new arrays
-                    # (reference optimal_pursuit.py:524-552 then :193-259).
-                    n = len(x_c)
-                    k = len(xp)
-                    x_o = x_t.astype(float).copy()
-                    y_o = y_t.astype(float).copy()
-                    v_o = v_t.astype(float).copy()
-                    a_o = a_t.astype(float).copy()
-                    x_o[idx_start : idx_start + k] = xp + x_c[idx_j]
-                    y_o[idx_start : idx_start + k] = yp + y_c[idx_j]
-                    v_o[idx_start : idx_start + k] = np.sqrt(up**2 + vp**2)
-                    a_o[idx_start : idx_start + k] = np.sqrt(axp**2 + ayp**2)
-                    for arr in (x_o, y_o, v_o, a_o):
-                        arr[idx_start + k :] = np.nan
-                    dist_o = np.sqrt((x_c - x_o) ** 2 + (y_c - y_o) ** 2)
-                    mv, ma = _max_params_over(v_o, a_o, dist_o, idx_start)
-                    mvo, mao = round(mv, 2), round(ma, 2)
-                    break
+        try:
+            yap, mvo, mao = _search_tackler(
+                tk, frames[int(tk["nflId"])], x_c, y_c, t, time_0,
+                idx_start, play_direction,
+            )
+        except Exception:
+            # Reference semantics: an exception aborts the PLAY (earlier
+            # tacklers' rows were already saved); surfaced as data here.
+            emit(tk["nflId"], tk["displayName"], tk["position"],
+                 None, None, None, "error_kernel")
+            break
 
         emit(tk["nflId"], tk["displayName"], tk["position"],
              yap, mvo, mao, "ok")
 
     return pd.DataFrame(out, columns=[f.name for f in YAP_RESULT_SCHEMA.fields])
+
+
+def _search_tackler(tk, g, x_c, y_c, t, time_0, idx_start, play_direction):
+    """The per-tackler candidate-frame search (reference
+    optimal_pursuit.py:479-561), split out so exceptions map to error rows."""
+    x_t, y_t = g["x"].to_numpy(), g["y"].to_numpy()
+    v_t, a_t = g["s"].to_numpy(), g["a"].to_numpy()
+    u_t, w_t = _uv(v_t, g["dir"].to_numpy())
+    dist = np.sqrt((x_c - x_t) ** 2 + (y_c - y_t) ** 2)
+
+    yap = float("nan")
+    mvo = mao = float("nan")
+    idx_v = _first_crossing(dist, idx_start)
+    if idx_v is not None:
+        x_cv = x_c[idx_v]
+        x0, y0 = x_t[idx_start], y_t[idx_start]
+        u0, v0 = u_t[idx_start], w_t[idx_start]
+        v_med, v_max = float(tk["V_max_med"]), float(tk["V_max_max"])
+        a_med, a_max = float(tk["A_max_med"]), float(tk["A_max_max"])
+        # One shared Riccati sweep serves every candidate horizon.
+        sweep = RiccatiSweep(v_med, a_med, R_T)
+
+        for idx_j in range(idx_start + 1, len(t) - 1):
+            time_j = t[idx_start : idx_j + 1] - time_0
+            dx0 = x0 - x_c[idx_j]
+            dy0 = y0 - y_c[idx_j]
+            xp, yp, up, vp, axp, ayp = solve_optimal_path(
+                dx0, dy0, u0, v0, time_j, v_med, a_med, R_T, sweep=sweep
+            )
+            r_f = float(np.sqrt(xp[-1] ** 2 + yp[-1] ** 2))
+            v_pk = float(np.max(np.sqrt(up**2 + vp**2)))
+            a_pk = float(np.max(np.sqrt(axp**2 + ayp**2)))
+            if r_f <= R_T and v_pk <= v_max and a_pk <= a_max:
+                if play_direction == "left":
+                    yap = round(x_c[idx_j] - x_cv, 2)
+                else:
+                    yap = round(x_cv - x_c[idx_j], 2)
+                # U3 optimal_path variant: overwrite [idx_start, idx_j],
+                # NaN the tail, re-run max-params over the new arrays
+                # (reference optimal_pursuit.py:524-552 then :193-259).
+                k = len(xp)
+                x_o = x_t.astype(float).copy()
+                y_o = y_t.astype(float).copy()
+                v_o = v_t.astype(float).copy()
+                a_o = a_t.astype(float).copy()
+                x_o[idx_start : idx_start + k] = xp + x_c[idx_j]
+                y_o[idx_start : idx_start + k] = yp + y_c[idx_j]
+                v_o[idx_start : idx_start + k] = np.sqrt(up**2 + vp**2)
+                a_o[idx_start : idx_start + k] = np.sqrt(axp**2 + ayp**2)
+                for arr in (x_o, y_o, v_o, a_o):
+                    arr[idx_start + k :] = np.nan
+                dist_o = np.sqrt((x_c - x_o) ** 2 + (y_c - y_o) ** 2)
+                mv, ma = _max_params_over(v_o, a_o, dist_o, idx_start)
+                mvo, mao = round(mv, 2), round(ma, 2)
+                break
+
+    return yap, mvo, mao

@@ -149,3 +149,32 @@ def test_u3_kernel_parity_with_dataframe_plan(spark):
         max_params_kernel_plan(*args).toPandas().sort_values(keys).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(df_native, kernel, check_dtype=False)
+
+
+def _mangle(g, drop_carrier=False, drop_tackler_frames=False):
+    if drop_carrier:
+        g = g[g["nflId"] != g["ballCarrierId"].iloc[0]]
+    if drop_tackler_frames:
+        tackler = g[g["is_tackler"]]["nflId"].iloc[0]
+        g = g[~((g["nflId"] == tackler) & (g["frameId"] > 10))]
+    return g
+
+
+def test_missing_carrier_is_error_row_not_crash():
+    out = yap_play_kernel(_mangle(_group(1, 101), drop_carrier=True))
+    assert (out["status"] == "error_no_carrier_frames").all()
+    assert len(out) == 1  # one row per tackler, play survives as data
+
+
+def test_frame_misalignment_is_error_row_not_crash():
+    out = yap_play_kernel(_mangle(_group(1, 101), drop_tackler_frames=True))
+    assert (out["status"] == "error_frame_misalignment").all()
+
+
+def test_max_params_kernel_guards_too():
+    from nfl_big_data_bowl_2024_spark.kernels.yap import max_params_play_kernel
+
+    out = max_params_play_kernel(_mangle(_group(1, 101), drop_carrier=True))
+    assert (out["status"] == "error_no_carrier_frames").all()
+    out2 = max_params_play_kernel(_mangle(_group(1, 101), drop_tackler_frames=True))
+    assert (out2["status"] == "error_frame_misalignment").all()
