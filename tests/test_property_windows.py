@@ -85,3 +85,43 @@ def test_window_stack_matches_python_model(spark, rows):
             assert got_max[g] == m, f"bounded max mismatch for group {g}"
         else:
             assert g not in got_max or got_max[g] is None
+
+
+# ---------------------------------------------------------------------------
+# Dedup property: exact n-gram Jaccard vs a pure-Python model
+# ---------------------------------------------------------------------------
+
+doc_st = st.text(alphabet="abcX ", min_size=0, max_size=30)
+corpus_st = st.lists(doc_st, min_size=2, max_size=8)
+
+
+def _py_shingles(text: str, n: int = 8) -> set:
+    upper = max(len(text) - (n - 1), 1)
+    return {text[i : i + n] for i in range(upper)}
+
+
+def _py_jaccard_pairs(docs, n=8, threshold=0.01):
+    out = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = _py_shingles(docs[i], n), _py_shingles(docs[j], n)
+            inter = len(a & b)
+            if inter == 0:
+                continue
+            jac = inter / (len(a) + len(b) - inter)
+            if jac >= threshold:
+                out[(i, j)] = round(jac, 4)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpus_st)
+def test_ngram_jaccard_matches_python_model(spark, docs):
+    from nfl_big_data_bowl_2024_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=8, threshold=0.01).collect()
+    }
+    assert got == _py_jaccard_pairs(docs)
