@@ -786,6 +786,72 @@ def temporal_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_last_purchase",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         purch AS (SELECT user_id, ts, max(value) AS pvalue FROM events
+                   WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+           p.pvalue AS last_purchase_value
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="AS-OF join (each click matched to the user's latest preceding "
+    "purchase) — an operator Spark lacks natively, built as union + ordered "
+    "window carry-forward (operators/temporal.py:asof_join): one shuffle + "
+    "one sort per key vs the O(left x right) inequality join. Oracle uses "
+    "DuckDB's native ASOF JOIN.",
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = asof_join(clicks, purch, by="user_id", value_cols=["pvalue"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("asof_pvalue").alias("last_purchase_value"),
+    )
+
+
+@register(
+    "range_join_near_events",
+    """
+    WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT s.user_id, epoch_us(s.ts) AS ts_us, s.event_id,
+           count(c.user_id) AS n_in_range
+    FROM s LEFT JOIN c
+      ON s.user_id = c.user_id
+     AND abs(epoch_us(c.ts) - epoch_us(s.ts)) <= 1800 * 1000000
+    GROUP BY s.user_id, epoch_us(s.ts), s.event_id
+    """,
+    doc="Range join (clicks within +/-30 min of each signup) via interval "
+    "bucketing (operators/temporal.py:range_join_count): probe rows explode "
+    "to <=3 fixed-width buckets and the join is a hash EQUI-join on "
+    "(key, bucket) — not the BroadcastNestedLoopJoin a raw inequality "
+    "condition would plan.",
+)
+def range_join_near_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import range_join_count
+
+    e = _t(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return range_join_count(
+        signups, clicks, by="user_id", probe_ts="ts", build_ts="ts", radius_sec=1800
+    ).select("user_id", "ts_us", "event_id", "n_in_range")
+
+
+@register(
     "semi_anti_join",
     """
     SELECT 'with_orders' AS bucket, count(*) AS n FROM customer c
