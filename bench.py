@@ -34,6 +34,8 @@ HEADLINE = [
     "e2_yap",
     "e2_yap_scale",
     "skew_salted_agg",
+    "asof_last_purchase",
+    "batch_sessionize",
 ]
 
 

@@ -786,6 +786,58 @@ def temporal_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "batch_sessionize",
+    """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 3600000000
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+           max(cnt) AS max_session_events
+    FROM (SELECT user_id, session_id, count(*) AS cnt
+          FROM sessions GROUP BY user_id, session_id)
+    GROUP BY user_id
+    """,
+    doc="Batch sessionization (gaps-and-islands): a >1h silence starts a new "
+    "session; new-session flags cumulative-sum into session ids, then two "
+    "aggregates. The batch twin of streaming.sessionized_play_stats.",
+)
+def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    new_session = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 3600 * 1_000_000), 1
+    ).otherwise(0)
+    sessions = e.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.max("cnt").alias("max_session_events"),
+    )
+
+
+@register(
     "asof_last_purchase",
     """
     WITH clicks AS (SELECT event_id, user_id, ts FROM events
