@@ -141,6 +141,55 @@ def txt_fingerprint_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
 
 
+@register(
+    "txt_winnow_fingerprint",
+    """
+    WITH h AS (
+        SELECT doc_id,
+               [md5(substr(text, i, 8))
+                FOR i IN range(1, greatest(length(text) - 6, 2))] AS hashes
+        FROM documents
+    ), w AS (
+        SELECT doc_id, hashes,
+               [list_min(hashes[j:j+3])
+                FOR j IN range(1, greatest(len(hashes) - 2, 2))] AS fps
+        FROM h
+    )
+    SELECT doc_id,
+           len(hashes) AS n_kgrams,
+           len(list_distinct(fps)) AS n_fingerprints,
+           list_min(fps) AS min_fp
+    FROM w
+    """,
+    doc="Document fingerprinting by winnowing (Schleimer et al. 2003): rolling "
+    "k-gram hashes (k=8), min-hash per sliding window (w=4), distinct minima are "
+    "the document's fingerprints. All JVM-side higher-order array functions — no "
+    "UDF, no shuffle; at 100 TB this is a map-only pass whose fingerprints feed "
+    "the same inverted-index bucket join as MinHash (operators/dedup.py). "
+    "Parity with the reference's content-hash role: optimal_pursuit.py has no "
+    "fingerprinting; this is a training-data-pipeline extension.",
+)
+def txt_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, W = 8, 4
+    d = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (K - 1), F.lit(1))),
+        lambda i: F.md5(F.substr(F.col("text"), i, F.lit(K)).cast("binary")),
+    )
+    with_h = d.select("doc_id", hashes.alias("hashes"))
+    fps = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("hashes") - (W - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(F.col("hashes"), j, W)),
+    )
+    return with_h.select(
+        "doc_id",
+        F.size("hashes").cast("long").alias("n_kgrams"),
+        F.size(F.array_distinct(fps)).cast("long").alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup: n-gram Jaccard (oracle-checked), MinHash+LSH / SimHash (rows-only)
 # ---------------------------------------------------------------------------

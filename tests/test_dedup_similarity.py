@@ -145,3 +145,41 @@ def test_ivf_partial_probe_recall(spark, embeddings):
     part = {r["vec_id"] for r in ivf_topk(embeddings, 0, k=10, n_centroids=8, nprobe=4).collect()}
     # half the lists probed -> meaningful but imperfect recall
     assert len(part & bf) / len(bf) >= 0.3
+
+
+def test_winnow_fingerprint_matches_python_model(spark):
+    """txt_winnow_fingerprint vs a from-scratch pure-Python winnowing model
+    (k=8 md5 k-grams, w=4 sliding min) on hand-built strings, including the
+    short-document (< k chars) edge case."""
+    import hashlib
+
+    from nfl_big_data_bowl_2024_spark.plans.pipeline_ops import txt_winnow_fingerprint
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "aaaaaaaaaaaaaaaaaaaa",  # degenerate: all k-grams identical
+        3: "tiny",  # shorter than k
+        4: "the quick brown fox jumps over the lazy dog " * 3,  # repeated content
+    }
+
+    def model(text, k=8, w=4):
+        m = max(len(text) - k + 1, 1)
+        hashes = [hashlib.md5(text[i : i + k].encode()).hexdigest() for i in range(m)]
+        nw = max(len(hashes) - w + 1, 1)
+        fps = [min(hashes[j : j + w]) for j in range(nw)]
+        return len(hashes), len(set(fps)), min(fps)
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df = spark.createDataFrame(
+            [(i, t, "en", "test", len(t)) for i, t in texts.items()],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r["doc_id"]: (r["n_kgrams"], r["n_fingerprints"], r["min_fp"])
+            for r in txt_winnow_fingerprint(spark, td).collect()
+        }
+    assert got == {i: model(t) for i, t in texts.items()}
