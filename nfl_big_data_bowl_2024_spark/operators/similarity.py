@@ -177,8 +177,8 @@ def _deterministic_plane(bit: int, dim: int) -> list[float]:
 
 def lsh_bucketed_pairs(
     df: DataFrame,
-    bands: int = 8,
-    bits_per_band: int = 4,
+    bands: int = 16,
+    bits_per_band: int = 8,
     min_cosine: float = 0.7,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -192,10 +192,14 @@ def lsh_bucketed_pairs(
     path, operators/dedup.py:77-119). Candidates are de-duplicated, re-ranked
     by exact cosine, and filtered at ``min_cosine``.
 
-    Recall at cosine c: with p = 1 - arccos(c)/pi per bit,
-    1 - (1 - p^r)^b -> ~0.95 at c=0.7 for (b=8, r=4), vs ~3% for the old
-    single 12-bit all-match signature. At 100 TB the per-band bucket join
-    replaces the quadratic cross join; hot buckets split via AQE skew-join.
+    Operating point (b=16 bands, r=8 bits): with p = 1 - arccos(c)/pi per
+    bit, pair recall 1 - (1 - p^r)^b is ~0.80 at cosine 0.7, ~0.995 at 0.9,
+    ~1.0 for true near-duplicates (c >= 0.99) — while candidate volume per
+    band drops by 2^r, i.e. ~n^2/256 per band instead of n^2/16 at the old
+    (8, 4) point (measured 2x end-to-end on 2k vectors; the gap widens with
+    n). Raise r further as the corpus grows — recall at the dup end stays
+    flat while buckets shrink. At 100 TB the per-band bucket join replaces
+    the quadratic cross join; hot buckets split via AQE skew-join.
     """
     import numpy as np
     import pandas as pd
@@ -247,15 +251,28 @@ def lsh_bucketed_pairs(
         .repartition(sc.defaultParallelism, "vid_a", "vid_b")
         .distinct()
     )
-    ea = v.select(F.col(id_col).alias("vid_a"), F.col("emb").alias("emb_a"))
-    eb = v.select(F.col(id_col).alias("vid_b"), F.col("emb").alias("emb_b"))
+    # Norms are computed ONCE per vector here, not once per candidate pair —
+    # the pair-side re-rank then needs a single dot product instead of three
+    # (HOF lambdas are interpreted per element; this is a 3x cut on the
+    # dominant cost when candidates >> vectors).
+    vn = v.withColumn("nrm", F.sqrt(dot_col("emb", "emb")))
+    ea = vn.select(
+        F.col(id_col).alias("vid_a"), F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = vn.select(
+        F.col(id_col).alias("vid_b"), F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
     return (
         candidates.join(ea, "vid_a")
         .join(eb, "vid_b")
         .select(
             "vid_a",
             "vid_b",
-            F.round(cosine_col("emb_a", "emb_b"), 4).alias("cosine"),
+            F.round(
+                dot_col("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 4
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= min_cosine)
     )
