@@ -504,6 +504,77 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_priority_by_nation",
+    """
+    SELECT n.n_name,
+           count(*) FILTER (WHERE o.o_orderpriority = '1-URGENT')        AS p_urgent,
+           count(*) FILTER (WHERE o.o_orderpriority = '2-HIGH')          AS p_high,
+           count(*) FILTER (WHERE o.o_orderpriority = '3-MEDIUM')        AS p_medium,
+           count(*) FILTER (WHERE o.o_orderpriority
+                            IN ('4-NOT SPECIFIED', '5-LOW'))             AS p_other
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="PIVOT: long-to-wide order counts per nation by priority class. "
+    "The EXPLICIT value list matters at scale: without it Spark runs a "
+    "distinct scan over the pivot column first — a full extra pass at "
+    "100 TB. The pivot itself plans as a two-level aggregate; the second "
+    "level runs over |groups| x |values| already-aggregated rows, "
+    "negligible at any scale (verified: 3 scans — one per table — and no "
+    "value-discovery job).",
+)
+def pivot_priority_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    prio = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", "p_urgent")
+        .when(F.col("o_orderpriority") == "2-HIGH", "p_high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "p_medium")
+        .otherwise("p_other")
+    )
+    wide = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("prio", prio)
+        .groupBy("n_name")
+        .pivot("prio", ["p_urgent", "p_high", "p_medium", "p_other"])
+        .count()
+    )
+    # Pivot leaves NULL where a (nation, class) combo has no rows; the
+    # FILTER-clause oracle counts 0 there.
+    return wide.select(
+        "n_name",
+        *[F.coalesce(F.col(p), F.lit(0)).alias(p)
+          for p in ("p_urgent", "p_high", "p_medium", "p_other")],
+    )
+
+
+@register(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, metric, value FROM (
+        SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+    )
+    WHERE p_partkey < 500
+    """,
+    doc="UNPIVOT/melt: wide-to-long over part metrics via DataFrame.unpivot "
+    "(Spark's Expand node — one pass emitting N rows per input row, no "
+    "self-union re-scan like the SQL oracle's UNION ALL formulation).",
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.withColumn("p_retailprice", F.col("p_retailprice").cast("double")).withColumn(
+        "p_size", F.col("p_size").cast("double")
+    ).unpivot("p_partkey", ["p_retailprice", "p_size"], "metric", "value")
+
+
+@register(
     "summary_stats",
     """
     SELECT c_mktsegment,
