@@ -225,51 +225,98 @@ def tackles_values_cte() -> str:
 # ---------------------------------------------------------------------------
 
 
+def _synthetic_play_meta(p: int) -> tuple[list, tuple, list]:
+    """(players, play, tackles) dimension rows for synthetic play ``p``."""
+    positions = ["CB", "DE", "MLB", "NT", "FS", "OLB"]
+    game = 100 + p // 50
+    play = 10_000 + p
+    carrier = 50_000 + p
+    t1, t2 = 60_000 + 2 * p, 60_001 + 2 * p
+    direction = "right" if p % 2 == 0 else "left"
+    players = [
+        (carrier, f"Carrier {p}", "RB"),
+        (t1, f"Tackler {2*p}", positions[p % len(positions)]),
+        (t2, f"Tackler {2*p+1}", positions[(p + 3) % len(positions)]),
+    ]
+    return players, (game, play, carrier, direction), [(game, play, t1), (game, play, t2)]
+
+
+def _synthetic_play_tracking(p: int) -> list[tuple]:
+    """Tracking rows for synthetic play ``p`` (closed-form pursuit geometry,
+    deterministic trig-free arithmetic, no RNG)."""
+    game = 100 + p // 50
+    play = 10_000 + p
+    carrier = 50_000 + p
+    t1, t2 = 60_000 + 2 * p, 60_001 + 2 * p
+    direction = "right" if p % 2 == 0 else "left"
+    events = {5: "handoff", 32: "tackle"}
+    speed = 6.0 + (p % 5) * 0.5          # carrier speed varies per play
+    gap0 = 8.0 + (p % 7)                 # initial separation varies
+    close = 0.7 + 0.05 * (p % 4)         # closing rate per frame
+    rows: list[tuple] = []
+    for f in range(1, N_FRAMES + 1):
+        step = speed * 0.1
+        if direction == "right":
+            cx = 25.0 + step * (f - 1)
+            cdir = 90.0
+        else:
+            cx = 95.0 - step * (f - 1)
+            cdir = 270.0
+        rows.append((game, play, carrier, f, round(0.1 * (f - 1), 1),
+                     events.get(f), round(cx, 4), 26.65, speed, 0.5,
+                     cdir, direction))
+        for k, tackler in enumerate((t1, t2)):
+            gap = gap0 + 2.0 * k - close * (f - 1)
+            tx = cx + gap if direction == "right" else cx - gap
+            tdir = 270.0 if direction == "right" else 90.0
+            rows.append((game, play, tackler, f, round(0.1 * (f - 1), 1),
+                         None, round(tx, 4), 26.65,
+                         round(4.0 + 0.08 * f, 4), round(2.5 - 0.03 * f, 4),
+                         tdir, direction))
+    return rows
+
+
 def synthetic_plays(n_plays: int) -> tuple[list, list, list, list]:
     """(tracking_rows, players, plays, tackles) for n_plays closed-form
-    pursuit plays, one carrier + two tacklers each, varying speeds/gaps
-    (deterministic trig-free arithmetic, no RNG)."""
+    pursuit plays, one carrier + two tacklers each, varying speeds/gaps."""
     players: list[tuple] = []
     plays: list[tuple] = []
     tackles: list[tuple] = []
     rows: list[tuple] = []
-    positions = ["CB", "DE", "MLB", "NT", "FS", "OLB"]
     for p in range(n_plays):
-        game = 100 + p // 50
-        play = 10_000 + p
-        carrier = 50_000 + p
-        t1, t2 = 60_000 + 2 * p, 60_001 + 2 * p
-        players.append((carrier, f"Carrier {p}", "RB"))
-        players.append((t1, f"Tackler {2*p}", positions[p % len(positions)]))
-        players.append((t2, f"Tackler {2*p+1}", positions[(p + 3) % len(positions)]))
-        direction = "right" if p % 2 == 0 else "left"
-        plays.append((game, play, carrier, direction))
-        tackles.append((game, play, t1))
-        tackles.append((game, play, t2))
-        events = {5: "handoff", 32: "tackle"}
-        speed = 6.0 + (p % 5) * 0.5          # carrier speed varies per play
-        gap0 = 8.0 + (p % 7)                 # initial separation varies
-        close = 0.7 + 0.05 * (p % 4)         # closing rate per frame
-        for f in range(1, N_FRAMES + 1):
-            step = speed * 0.1
-            if direction == "right":
-                cx = 25.0 + step * (f - 1)
-                cdir = 90.0
-            else:
-                cx = 95.0 - step * (f - 1)
-                cdir = 270.0
-            rows.append((game, play, carrier, f, round(0.1 * (f - 1), 1),
-                         events.get(f), round(cx, 4), 26.65, speed, 0.5,
-                         cdir, direction))
-            for k, tackler in enumerate((t1, t2)):
-                gap = gap0 + 2.0 * k - close * (f - 1)
-                tx = cx + gap if direction == "right" else cx - gap
-                tdir = 270.0 if direction == "right" else 90.0
-                rows.append((game, play, tackler, f, round(0.1 * (f - 1), 1),
-                             None, round(tx, 4), 26.65,
-                             round(4.0 + 0.08 * f, 4), round(2.5 - 0.03 * f, 4),
-                             tdir, direction))
+        pl, play, tk = _synthetic_play_meta(p)
+        players.extend(pl)
+        plays.append(play)
+        tackles.extend(tk)
+        rows.extend(_synthetic_play_tracking(p))
     return rows, players, plays, tackles
+
+
+def synthetic_tracking_df(spark, n_plays: int):
+    """Distributed twin of ``synthetic_plays``' tracking table: the frame
+    rows are generated INSIDE a ``mapInPandas`` over the play-id range
+    instead of being built and Arrow-serialized on the driver. Identical
+    rows (asserted in tests); at season scale (~12k plays, ~1.4M rows/week
+    in the reference) driver-side generation would be the bottleneck —
+    executors generating their own partitions is the 100 TB shape.
+    """
+    import pandas as pd
+
+    cols = TRACKING_COLS
+
+    def gen(it):
+        for pdf in it:
+            rows: list[tuple] = []
+            for p in pdf["id"]:
+                rows.extend(_synthetic_play_tracking(int(p)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    sc = spark.sparkContext
+    return (
+        spark.range(n_plays)
+        .repartition(sc.defaultParallelism)
+        .mapInPandas(gen, TRACKING_FIXTURE_SCHEMA)
+    )
 
 
 def synthetic_play_count(sf_dir: str) -> int:

@@ -365,9 +365,18 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e2_yap_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = fixtures.synthetic_play_count(sf_dir)
-    rows, players, plays, tackles = fixtures.synthetic_plays(n)
+    players: list = []
+    plays: list = []
+    tackles: list = []
+    for p in range(n):
+        pl, play, tk = fixtures._synthetic_play_meta(p)
+        players.extend(pl)
+        plays.append(play)
+        tackles.extend(tk)
+    # Tracking (the big table) is generated ON THE EXECUTORS; only the three
+    # broadcast-sized dims are built driver-side.
     return yap_plan(
-        spark.createDataFrame(rows, fixtures.TRACKING_FIXTURE_SCHEMA),
+        fixtures.synthetic_tracking_df(spark, n),
         spark.createDataFrame(players, fixtures.PLAYERS_FIXTURE_SCHEMA),
         spark.createDataFrame(plays, fixtures.PLAYS_FIXTURE_SCHEMA),
         spark.createDataFrame(tackles, fixtures.TACKLES_FIXTURE_SCHEMA),

@@ -142,6 +142,34 @@ def txt_fingerprint_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_dimension_stats",
+    """
+    SELECT i AS dim_idx,
+           round(avg(embedding[i]), 4)    AS mean_v,
+           round(stddev(embedding[i]), 4) AS std_v,
+           min(embedding[i])              AS min_v,
+           max(embedding[i])              AS max_v
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY i
+    """,
+    doc="Dimension-wise embedding statistics (posexplode -> per-dimension "
+    "mean/std/min/max): the feature-normalization pass of a training "
+    "pipeline. One Expand-style generate + one hash aggregate keyed on the "
+    "64 dimension indices — output is O(dim), so the final agg is a "
+    "broadcast-sized normalization table no matter the corpus size.",
+)
+def emb_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("pos", "v"))
+    return ex.groupBy((F.col("pos") + 1).cast("long").alias("dim_idx")).agg(
+        F.round(F.avg("v"), 4).alias("mean_v"),
+        F.round(F.stddev("v"), 4).alias("std_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+@register(
     "txt_winnow_fingerprint",
     """
     WITH h AS (

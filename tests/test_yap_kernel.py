@@ -178,3 +178,14 @@ def test_max_params_kernel_guards_too():
     assert (out["status"] == "error_no_carrier_frames").all()
     out2 = max_params_play_kernel(_mangle(_group(1, 101), drop_tackler_frames=True))
     assert (out2["status"] == "error_frame_misalignment").all()
+
+
+def test_synthetic_tracking_df_matches_driver_rows(spark):
+    """The distributed (mapInPandas) synthetic-tracking generator must emit
+    exactly the rows the driver-side generator builds."""
+    from nfl_big_data_bowl_2024_spark import fixtures
+
+    rows, _, _, _ = fixtures.synthetic_plays(6)
+    want = {tuple(r) for r in rows}
+    got = {tuple(r) for r in fixtures.synthetic_tracking_df(spark, 6).collect()}
+    assert got == want
