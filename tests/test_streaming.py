@@ -115,3 +115,61 @@ def test_running_player_max_state_across_batches(spark, stream_dir):
         assert final.loc[key, "max_speed"] == pytest.approx(row["max_speed"])
     # player 11 spans both files: state really carried across micro-batches.
     assert final.loc[(1, 1, 11), "n_frames"] == 30
+
+
+def test_watermark_drops_late_frames(spark):
+    """A frame arriving a micro-batch AFTER the watermark has passed its
+    event time must be dropped from the aggregation (the late-data
+    guarantee); the same data aggregated in batch DOES count it."""
+    import os
+    import time as _time
+
+    d = tempfile.mkdtemp(prefix="trklate_")
+    try:
+        base = 1_700_000_000
+
+        def write_file(rws, mtime):
+            before = set(os.listdir(d))
+            spark.createDataFrame(
+                rws,
+                "gameId long, playId long, nflId long, frameId int, ts double, s double, a double",
+            ).withColumn("event_time", F.timestamp_seconds("ts")).drop("ts").select(
+                "gameId", "playId", "nflId", "frameId", "event_time", "s", "a"
+            ).coalesce(1).write.mode("append").parquet(d)
+            for f in set(os.listdir(d)) - before:
+                os.utime(os.path.join(d, f), (mtime, mtime))
+
+        # Batch 1: play 1 frames at t=0.1..0.9 plus a play-2 row at t=60 that
+        # advances the watermark to 60-10=50 s.
+        b1 = [(1, 1, 11, f, base + f * 0.1, 3.0, 1.0) for f in range(1, 10)]
+        b1.append((1, 2, 13, 1, base + 60.0, 3.0, 1.0))
+        # Batch 2: a play-2 row. During THIS batch the watermark (now 50 s)
+        # evicts play 1's t=[0,1) window state and emits it (9 frames).
+        b2 = [(1, 2, 13, 2, base + 61.0, 3.0, 1.0)]
+        # Batch 3: one LATE play-1 frame at t=0.5. Its window was already
+        # emitted, so the watermark filter must DROP it — a row merged into
+        # live state is "late but accepted"; only post-eviction arrivals
+        # carry the drop guarantee.
+        b3 = [(1, 1, 11, 99, base + 0.5, 3.0, 1.0)]
+        now = _time.time()
+        write_file(b1, now - 60)
+        write_file(b2, now - 30)
+        write_file(b3, now)
+
+        stream = st.read_tracking_stream(spark, d, STREAM_SCHEMA, max_files_per_trigger=1)
+        agg = st.windowed_play_stats(
+            stream, time_col="event_time", watermark="10 seconds", window_len="1 second"
+        )
+        q = st.run_to_memory_sink(agg, "late_drop_q")
+        _drain(q)
+        play1 = [
+            (r["win_start"], r["n_frames"])
+            for r in spark.table("late_drop_q").collect()
+            if r["playId"] == 1
+        ]
+        # Exactly one emission for play 1's t=[0,1) window, with the 9
+        # pre-watermark frames; the late row neither re-opens the window nor
+        # appears as a new emission (batch aggregation would count 10).
+        assert play1 == [(play1[0][0], 9)], play1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
