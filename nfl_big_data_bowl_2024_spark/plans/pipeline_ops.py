@@ -142,6 +142,85 @@ def txt_fingerprint_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_regex_extract",
+    """
+    SELECT doc_id,
+           regexp_extract(text, 's[a-z]*k')                 AS first_sk_word,
+           len(regexp_extract_all(text, '\\bthe\\b'))       AS n_the,
+           len(regexp_extract_all(text, '[a-z]+'))          AS n_words,
+           CAST(regexp_matches(text, 'spark') AS INT)       AS has_spark
+    FROM documents
+    """,
+    doc="Regex extraction/counting over documents (first-match extract, "
+    "word-boundary count, token count, predicate) — JVM-side regexp_* "
+    "expressions; patterns stay in the RE2-compatible subset so the same "
+    "query text runs on either engine.",
+)
+def txt_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "s[a-z]*k", 0).alias("first_sk_word"),
+        F.regexp_count("text", F.lit(r"\bthe\b")).cast("long").alias("n_the"),
+        F.regexp_count("text", F.lit("[a-z]+")).cast("long").alias("n_words"),
+        F.regexp_like("text", F.lit("spark")).cast("int").alias("has_spark"),
+    )
+
+
+@register(
+    "json_build_extract",
+    """
+    SELECT doc_id,
+           json_extract_string(to_json(struct_pack(
+               doc_id := doc_id, lang := lang, n := n_chars)), '$.lang') AS j_lang,
+           CAST(json_extract(to_json(struct_pack(
+               doc_id := doc_id, n := n_chars)), '$.n') AS BIGINT)       AS j_n
+    FROM documents
+    """,
+    doc="JSON build + path extraction: serialize a struct column to JSON "
+    "(to_json) and pull typed values back out (get_json_object). Compared on "
+    "the EXTRACTED values — the serialized text itself differs across "
+    "engines (key order/whitespace) and is not a stable contract.",
+)
+def json_build_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    j3 = F.to_json(F.struct(F.col("doc_id"), F.col("lang"), F.col("n_chars").alias("n")))
+    j2 = F.to_json(F.struct(F.col("doc_id"), F.col("n_chars").alias("n")))
+    return d.select(
+        "doc_id",
+        F.get_json_object(j3, "$.lang").alias("j_lang"),
+        F.get_json_object(j2, "$.n").cast("long").alias("j_n"),
+    )
+
+
+@register(
+    "arr_top_components",
+    """
+    SELECT vec_id,
+           list_sort(CAST(embedding AS DOUBLE[]), 'DESC')[1] AS c1,
+           list_sort(CAST(embedding AS DOUBLE[]), 'DESC')[2] AS c2,
+           CAST(list_position(CAST(embedding AS DOUBLE[]),
+                list_max(CAST(embedding AS DOUBLE[]))) AS BIGINT) AS argmax_pos
+    FROM embeddings
+    """,
+    doc="Array algebra over the embedding column: per-vector top-2 "
+    "components (sort_array desc + element_at) and 1-based argmax position "
+    "(array_position of array_max) — pure JVM array expressions, no "
+    "explode/shuffle, exact float comparisons (no arithmetic).",
+)
+def arr_top_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    srt = F.sort_array(arr, asc=False)
+    return e.select(
+        "vec_id",
+        F.element_at(srt, 1).alias("c1"),
+        F.element_at(srt, 2).alias("c2"),
+        F.array_position(arr, F.array_max(arr)).cast("long").alias("argmax_pos"),
+    )
+
+
+@register(
     "emb_dimension_stats",
     """
     SELECT i AS dim_idx,
