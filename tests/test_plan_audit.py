@@ -79,3 +79,31 @@ def test_approx_distinct_error_bound(spark, queries):
     row = queries["approx_count_distinct"].fn(spark, SF).collect()[0]
     err = abs(row["approx_orders"] - row["exact_orders"]) / row["exact_orders"]
     assert err < 0.02, f"HLL++ error {err:.4f} exceeds 2%"
+
+
+def test_winnow_fingerprint_is_map_only(spark, queries):
+    """The rolling-hash fingerprint pass must not shuffle: fingerprints are
+    a map-side derivation feeding a later bucket join."""
+    plan = _plan(queries["txt_winnow_fingerprint"].fn(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_pivot_has_no_value_discovery_scan(spark, queries):
+    """Explicit pivot values -> exactly one scan per input table (an implicit
+    pivot would add a distinct-discovery job over orders)."""
+    plan = _plan(queries["pivot_priority_by_nation"].fn(spark, SF))
+    assert plan.count("Scan parquet") == 3
+
+
+def test_array_and_json_queries_do_not_shuffle(spark, queries):
+    for name in ("arr_top_components", "json_build_extract", "txt_regex_extract"):
+        plan = _plan(queries[name].fn(spark, SF))
+        assert "Exchange" not in plan, name
+
+
+def test_dimension_stats_output_is_bounded(spark, queries):
+    """emb_dimension_stats aggregates to O(dim) rows: the plan is
+    generate -> partial agg -> single exchange on the 64 dim keys."""
+    plan = _plan(queries["emb_dimension_stats"].fn(spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "Generate" in plan
