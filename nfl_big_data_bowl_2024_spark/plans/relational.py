@@ -504,6 +504,187 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q17_small_qty_revenue",
+    """
+    SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,10)))
+                 AS DOUBLE) / 7.0 * 100 + 0.5) / 100 AS avg_yearly,
+           count(*) AS n_small
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_size <= 10
+      AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    doc="Correlated aggregate subquery (TPC-H Q17 shape), decorrelated as a "
+    "per-part average join: the oracle's correlated subquery becomes "
+    "groupBy(l_partkey).avg + an equi-join back — the rewrite every engine's "
+    "decorrelator performs, written explicitly. l_quantity is integral so "
+    "the 0.2*avg threshold is cross-engine exact.",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    small_parts = p.filter(F.col("p_size") <= 10).select("p_partkey")
+    li = l.join(
+        F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    lim = li.groupBy(F.col("l_partkey").alias("lim_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_lim")
+    )
+    return (
+        li.join(lim, F.col("l_partkey") == F.col("lim_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("l_extendedprice").cast("decimal(24,10)"))
+                    .cast("double") / 7.0 * 100 + 0.5
+                ) / 100
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_join",
+    """
+    SELECT floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(24,10))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+           count(*) AS n_items
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND (
+          (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 25
+             AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35
+             AND l_quantity BETWEEN 20 AND 40))
+    """,
+    doc="Disjunctive multi-attribute join predicates (TPC-H Q19 shape): the "
+    "equi-key carries the hash join; the OR-of-conjunctions evaluates as a "
+    "post-join filter with each side's single-table conjuncts (p_brand/p_size, "
+    "l_quantity ranges) pushed below the join by Catalyst.",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40)
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,10)")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            (F.floor(F.sum(rev).cast("double") * 100 + 0.5) / 100).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1, supplier
+    WHERE s_suppkey = l1.l_suppkey AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+    doc="EXISTS + NOT EXISTS correlated self-joins (TPC-H Q21 shape): the "
+    "sole-R-supplier-on-multi-supplier-orders query. EXISTS plans as a "
+    "left_semi and NOT EXISTS as a left_anti self-join on l_orderkey — both "
+    "shuffle on the same key as the detail row, so the exchanges reuse.",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    l1 = l.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    others = l.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    others_r = l.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    waiting = (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        ).join(
+            others_r,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q22_dormant_accounts",
+    """
+    SELECT c_mktsegment, count(*) AS numcust,
+           floor(CAST(sum(CAST(c_acctbal AS DECIMAL(24,10)))
+                 AS DOUBLE) * 100 + 0.5) / 100 AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT floor(avg(c_acctbal) * 10000 + 0.5) / 10000
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    doc="Scalar aggregate subquery + NOT EXISTS (TPC-H Q22 shape): the "
+    "above-average-balance customers with no urgent orders. The scalar avg "
+    "is a broadcast single-row join; NOT EXISTS is a left_anti against the "
+    "filtered orders. The threshold is floor-rounded to 4dp on both sides "
+    "so the comparison is cross-engine deterministic.",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((F.floor(F.avg("c_acctbal") * 10000 + 0.5) / 10000).alias("bal_thr"))
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("bal_thr"))
+        .join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (
+                F.floor(
+                    F.sum(F.col("c_acctbal").cast("decimal(24,10)")).cast("double")
+                    * 100 + 0.5
+                ) / 100
+            ).alias("totacctbal"),
+        )
+    )
+
+
+@register(
     "pivot_priority_by_nation",
     """
     SELECT n.n_name,
