@@ -33,6 +33,33 @@ def read_csv_table(spark: SparkSession, name: str, path: str) -> DataFrame:
     return spark.read.schema(schema).csv(path, header=True)
 
 
+def read_csv_with_corrupt_capture(
+    spark: SparkSession, name: str, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """S1 + S4 at the read boundary: PERMISSIVE CSV parse where rows that
+    fail the declared schema land in a ``_corrupt_record`` column instead of
+    killing the scan (the reference's blanket try/except, as data, one stage
+    earlier). Returns (clean_rows, corrupt_rows) — two filters over ONE scan;
+    at 100 TB a handful of bad rows must never fail a 1000-executor job.
+    """
+    schema = T.StructType(
+        _CSV_SCHEMAS[name].fields
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    df = spark.read.schema(schema).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).csv(path, header=True)
+    # cache(): Spark refuses queries over a RAW scan whose referenced columns
+    # prune down to only the internal corrupt column
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN — e.g. corrupt.count()); caching the
+    # parsed scan is the documented fix and also means the clean/corrupt
+    # split reads the file once, not twice.
+    df = df.cache()
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    corrupt = df.filter(F.col("_corrupt_record").isNotNull())
+    return clean, corrupt
+
+
 def read_parquet_table(spark: SparkSession, name: str, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

@@ -100,3 +100,27 @@ def read_tracking_weeks(spark, path, weeks):
     """Schema-light variant of read_tracking for the fixture layout."""
     df = spark.read.parquet(path)
     return df.filter(df["week"].isin(weeks))
+
+
+def test_csv_corrupt_record_capture(spark, tmpdir):
+    """S1+S4 at the read boundary: malformed CSV rows land in the corrupt
+    side of the split instead of failing the scan; clean rows parse with the
+    declared types."""
+    import csv
+    import os
+
+    from nfl_big_data_bowl_2024_spark.sources.readers import (
+        read_csv_with_corrupt_capture,
+    )
+
+    os.makedirs(f"{tmpdir}/pcsv")
+    with open(f"{tmpdir}/pcsv/part.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["nflId", "displayName", "position"])
+        w.writerow([1001, "Carrier One", "RB"])
+        w.writerow(["not_a_number", "Broken Row", "CB"])  # fails bigint parse
+        w.writerow([2001, "Tackler Alpha", "CB"])
+    clean, corrupt = read_csv_with_corrupt_capture(spark, "players", f"{tmpdir}/pcsv")
+    assert {r["nflId"] for r in clean.collect()} == {1001, 2001}
+    bad = corrupt.collect()
+    assert len(bad) == 1 and "not_a_number" in bad[0]["_corrupt_record"]
