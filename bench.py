@@ -31,6 +31,8 @@ HEADLINE = [
     "emb_dimension_stats",
     "pivot_priority_by_nation",
     "tpch_q18_large_orders",
+    "tpch_q8_market_share",
+    "tpch_q21_waiting_supplier",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
     "sim_lsh_bucketed",

@@ -47,5 +47,6 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import pipeline_ops  # noqa: F401
     from . import domain  # noqa: F401
     from . import reporting  # noqa: F401
+    from . import tpch_suite  # noqa: F401
 
     return dict(_REGISTRY)
