@@ -614,3 +614,142 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return lsh_bucketed_pairs(e, bands=12, bits_per_band=6, min_cosine=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: dedup clustering, deterministic sampling, TF-IDF
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = """
+WITH RECURSIVE shingles AS (
+    SELECT doc_id, unnest(list_distinct([substr(text, g, 8)
+           FOR g IN range(1, greatest(length(text) - 6, 2))])) AS sh
+    FROM documents
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+pair_overlap AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM pair_overlap
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.2
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, lbl) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+"""
+
+
+@register(
+    "dedup_cluster_assign",
+    _CLUSTER_ORACLE,
+    doc="Duplicate-CLUSTER assignment: connected components over the exact "
+    "n-gram-Jaccard near-dup graph (threshold 0.2). Pair detection alone "
+    "can't answer 'keep one doc per duplicate set' — that needs the "
+    "transitive closure, which Spark computes as iterative min-label "
+    "propagation (operators/graph.py; one join + grouped min per round, "
+    "rounds = graph diameter, lineage truncated per round). The DuckDB "
+    "oracle is the equivalent recursive CTE — a genuinely "
+    "iterative/non-single-query operator cross-checked engine-to-engine.",
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=8, threshold=0.2)
+    return connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+
+
+@register(
+    "doc_stratified_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(text), 1, 8) <
+          CASE lang WHEN 'en' THEN '40000000' ELSE '80000000' END
+    """,
+    doc="Deterministic stratified sampling — the training-data downsampling "
+    "primitive (e.g. downweight overrepresented English). The sample "
+    "decision is a pure function of the CONTENT (md5 hex prefix under a "
+    "per-stratum threshold: en 25%, others 50%), so it is reproducible "
+    "across engines, runs, and partitionings — unlike TABLESAMPLE/rand(), "
+    "which are seed- and split-dependent. Map-only: filter evaluates at "
+    "the scan, no shuffle, trivially 100 TB-parallel; md5 hex compares "
+    "identically in Spark and DuckDB (portable-hash cookbook rule).",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    thr = F.when(F.col("lang") == "en", "40000000").otherwise("80000000")
+    return d.filter(
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 8) < thr
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "txt_tfidf_topterms",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS dfq FROM tf GROUP BY term),
+    scored AS (
+        SELECT t.doc_id, t.term,
+               t.tf * (SELECT count(*) FROM documents) * 1.0 / d.dfq AS score
+        FROM tf t JOIN dfreq d ON t.term = d.term
+    )
+    SELECT doc_id, term, floor(score * 10000 + 0.5) / 10000 AS score, rk
+    FROM (SELECT doc_id, term, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+    doc="TF-IDF characteristic terms: top-3 terms per document by "
+    "tf * N/df (ratio idf — ln() differs in last-ULP between libm "
+    "implementations, so the portable score keeps to exactly-rounded "
+    "IEEE ops: int multiply, one double divide). Tokenize -> per-doc "
+    "term counts (shuffle on doc_id+term) -> vocabulary doc-frequencies "
+    "(re-aggregate of the already-tiny tf relation) -> per-doc window "
+    "top-3 (partitioned by doc_id — no global window). N arrives as a "
+    "broadcast one-row join, not a collected literal.",
+)
+def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(ndocs))
+        .withColumn(
+            "score", F.col("tf") * F.col("n_docs") * F.lit(1.0) / F.col("dfq")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id", "term",
+            (F.floor(F.col("score") * 10000 + 0.5) / 10000).alias("score"),
+            "rk",
+        )
+    )

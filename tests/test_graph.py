@@ -1,0 +1,63 @@
+"""Connected-components operator: known topologies + pure-Python union-find
+cross-check on random graphs."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from nfl_big_data_bowl_2024_spark.operators.graph import connected_components
+
+
+def _components(spark, edge_list):
+    edges = spark.createDataFrame(edge_list, "src: long, dst: long")
+    rows = connected_components(edges).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_chain_cycle_and_isolated_pair(spark):
+    # chain 1-2-3-4 (diameter 3, needs multiple rounds), cycle 10-11-12-10,
+    # pair 20-21, self-loop 30.
+    got = _components(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21), (30, 30)],
+    )
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+        30: 30,
+    }
+
+
+def test_long_chain_converges(spark):
+    # Diameter 29: exercises the multi-round propagation + early stop.
+    got = _components(spark, [(i, i + 1) for i in range(30)])
+    assert set(got.values()) == {0}
+    assert len(got) == 31
+
+
+def test_matches_union_find_on_random_graph(spark):
+    rng = random.Random(7)
+    edge_list = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        parent[find(a)] = find(b)
+    nodes = {v for e in edge_list for v in e}
+    # Canonical label = min node id in the component.
+    roots = {}
+    for v in sorted(nodes):
+        roots.setdefault(find(v), v)
+    expect = {v: roots[find(v)] for v in nodes}
+
+    got = _components(spark, edge_list)
+    assert got == expect
