@@ -111,3 +111,37 @@ def test_dimension_stats_output_is_bounded(spark, queries):
     plan = _plan(queries["emb_dimension_stats"].fn(spark, SF))
     assert plan.count("Exchange") == 1
     assert "Generate" in plan
+
+
+def test_stratified_sample_is_map_only(spark, queries):
+    """The sampling decision is a scan-level filter: no exchange anywhere."""
+    plan = _plan(queries["doc_stratified_sample"].fn(spark, SF))
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_tfidf_has_no_global_window(spark, queries):
+    """Top-3 per doc must rank inside doc_id partitions; a global window
+    (empty partitionBy) would funnel the corpus through one task."""
+    plan = _plan(queries["txt_tfidf_topterms"].fn(spark, SF))
+    assert "Window" in plan
+    for ln in plan.splitlines():
+        if "Window" in ln and "partitionBy" not in ln:
+            # physical Window node prints its partition spec inline
+            assert "doc_id" in ln, ln
+
+
+def test_q21_single_fact_scan(spark, queries):
+    """The EXISTS/NOT-EXISTS collapse: one lineitem scan feeding stacked
+    aggregates, not three scans through two self-joins."""
+    plan = _plan(queries["tpch_q21_waiting_supplier"].fn(spark, SF))
+    assert plan.count("Scan parquet") == 2  # lineitem + supplier dim
+    assert "SortMergeJoin" not in plan
+
+
+def test_q7_q8_fact_never_shuffled_before_agg(spark, queries):
+    """All dims broadcast: the only exchanges are the final small groupBys."""
+    for name in ("tpch_q7_nation_volume", "tpch_q8_market_share"):
+        plan = _plan(queries[name].fn(spark, SF))
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
