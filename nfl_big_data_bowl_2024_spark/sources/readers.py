@@ -114,3 +114,12 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         name: read_testdata_table(spark, sf_dir, name)
         for name in schemas.TESTDATA_TABLES
     }
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-Lines scan with a declared schema — the LLM-corpus interchange
+    format. Never infers (inference is a full extra pass over 100 TB and
+    types drift per file); unlisted keys are simply not parsed, missing keys
+    are NULL, and hive-style partition directories (lang=en/...) surface as
+    partition columns that prune from WHERE clauses."""
+    return spark.read.schema(schema).json(path)

@@ -53,3 +53,23 @@ def write_with_error_sink(df: DataFrame, ok_path: str, error_path: str, status_c
     """
     df.filter(F.col(status_col) == "ok").drop(status_col).write.mode("overwrite").parquet(ok_path)
     df.filter(F.col(status_col) != "ok").write.mode("overwrite").parquet(error_path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-Lines sink — the interchange format of LLM training-data
+    pipelines (one JSON object per line, gzip-splittable at the file level).
+    Spark's json writer emits JSONL natively, one file per partition;
+    ``partition_by`` lays out hive-style directories (lang=en/...) so a
+    downstream scan prunes strata without listing the rest."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)

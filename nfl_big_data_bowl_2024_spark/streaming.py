@@ -147,3 +147,30 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enriched_frame_stream(
+    stream: DataFrame, dim: DataFrame, on: str = "nflId"
+) -> DataFrame:
+    """Stream-static join: enrich live frames with a slowly-changing
+    dimension (roster/position table). The static side re-resolves every
+    micro-batch — dimension updates land without restarting the query — and
+    the explicit broadcast keeps the join map-side: no stream-side shuffle,
+    no state store, unbounded-stream safe."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def dedup_frame_stream(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("gameId", "playId", "nflId", "frameId"),
+    time_col: str = "event_time",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """At-least-once feed dedup: ``dropDuplicatesWithinWatermark`` keys the
+    state store on frame identity and EXPIRES entries once the watermark
+    passes their event time — bounded state, unlike ``dropDuplicates`` whose
+    keys-seen store grows for the life of the query. The streaming form of
+    the batch O3 dedup."""
+    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -124,3 +124,46 @@ def test_csv_corrupt_record_capture(spark, tmpdir):
     assert {r["nflId"] for r in clean.collect()} == {1001, 2001}
     bad = corrupt.collect()
     assert len(bad) == 1 and "not_a_number" in bad[0]["_corrupt_record"]
+
+
+def test_jsonl_roundtrip_and_partition_pruning(spark):
+    """documents -> partitioned JSONL -> scan back: values survive, the lang
+    filter prunes to one partition directory, and unlisted JSON keys are
+    ignored by the declared schema."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nfl_big_data_bowl_2024_spark.sources.readers import read_jsonl
+    from nfl_big_data_bowl_2024_spark.sources.writers import write_jsonl
+
+    d = tempfile.mkdtemp(prefix="jsonl_")
+    try:
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        write_jsonl(docs, d, partition_by=["lang"])
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), True),
+                T.StructField("text", T.StringType(), True),
+                # n_chars/source intentionally unlisted: schema projection
+            ]
+        )
+        back = read_jsonl(spark, d, schema)
+        assert back.count() == docs.count()
+        assert set(back.columns) == {"doc_id", "text", "lang"}  # partition col
+        en = back.filter(F.col("lang") == "en")
+        plan = en._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "lang" in plan.split(
+            "PartitionFilters"
+        )[1].split("]")[0]
+        assert en.count() == docs.filter(F.col("lang") == "en").count()
+        a = {(r["doc_id"], r["text"]) for r in en.collect()}
+        b = {
+            (r["doc_id"], r["text"])
+            for r in docs.filter(F.col("lang") == "en").collect()
+        }
+        assert a == b
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -173,3 +173,52 @@ def test_watermark_drops_late_frames(spark):
         assert play1 == [(play1[0][0], 9)], play1
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_static_join_enriches_every_frame(spark, stream_dir):
+    roster = spark.createDataFrame(
+        [(11, "CB"), (12, "WR"), (13, "S")], "nflId long, position string"
+    )
+    stream = st.read_tracking_stream(spark, stream_dir, STREAM_SCHEMA)
+    q = st.run_to_memory_sink(
+        st.enriched_frame_stream(stream, roster), "enriched", "append"
+    )
+    _drain(q)
+    got = spark.table("enriched")
+    batch = spark.read.schema(STREAM_SCHEMA).parquet(stream_dir)
+    assert got.count() == batch.count()  # left join: no frame lost
+    assert got.filter(F.col("position").isNull()).count() == 0
+    assert {
+        (r["nflId"], r["position"])
+        for r in got.select("nflId", "position").distinct().collect()
+    } == {(11, "CB"), (12, "WR"), (13, "S")}
+
+
+def test_streaming_dedup_drops_replayed_frames(spark):
+    """An at-least-once source replays frames (within one file and across
+    micro-batches); dropDuplicatesWithinWatermark must emit each frame
+    identity exactly once."""
+    import shutil as _sh
+
+    d = tempfile.mkdtemp(prefix="trkdup_")
+    try:
+        base = 1_700_000_000
+        mk = lambda f: (1, 1, 11, f, base + f * 0.1, 3.0, 1.0)
+        # file 1: frames 1-10 with 3-5 duplicated; file 2 replays 8-10.
+        b1 = [mk(f) for f in range(1, 11)] + [mk(f) for f in (3, 4, 5)]
+        b2 = [mk(f) for f in (8, 9, 10)]
+        for rws in (b1, b2):
+            spark.createDataFrame(
+                rws,
+                "gameId long, playId long, nflId long, frameId int, ts double, s double, a double",
+            ).withColumn("event_time", F.timestamp_seconds("ts")).drop("ts").select(
+                "gameId", "playId", "nflId", "frameId", "event_time", "s", "a"
+            ).coalesce(1).write.mode("append").parquet(d)
+        stream = st.read_tracking_stream(spark, d, STREAM_SCHEMA, max_files_per_trigger=1)
+        q = st.run_to_memory_sink(st.dedup_frame_stream(stream), "deduped", "append")
+        _drain(q)
+        out = spark.table("deduped")
+        assert out.count() == 10
+        assert out.select("frameId").distinct().count() == 10
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
