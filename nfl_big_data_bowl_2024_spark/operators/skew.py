@@ -61,3 +61,34 @@ def salted_agg(
     return partial.groupBy(*group_cols).agg(
         *[_COMBINE[name](alias).alias(alias) for alias, (name, _) in aggs.items()]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salt-and-replicate equi-join for hot keys.
+
+    When BOTH sides are too large to broadcast and one key dominates (a
+    celebrity user, an empty-string URL), a plain shuffle join funnels the
+    hot key's rows through one task. Salting splits the big side's rows
+    across ``n_salts`` sub-partitions (salt derived from a row id, so the
+    SAME key spreads) and replicates each small-side row once per salt via
+    an exploded sequence; joining on (key, salt) then spreads the hot key
+    over ``n_salts`` tasks. Cost: the small side shuffles n_salts x its
+    size — choose the SMALLER input as ``dim``. Results are identical to
+    ``fact.join(dim, on, how)`` (oracle-checked); AQE's skew splitting
+    (session.py) is the runtime fallback, this is the explicit form for
+    when a pipeline KNOWS its skew.
+    """
+    keys = list(on)
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
+    replicated = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_fact.join(replicated, keys + ["_salt"], how).drop("_salt")

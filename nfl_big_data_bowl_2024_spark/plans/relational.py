@@ -1572,3 +1572,78 @@ def ordered_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
     )
+
+
+@register(
+    "skew_salted_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="Salt-and-replicate equi-join (operators/skew.py:salted_join): the "
+    "fact side salts on a row id, the smaller side replicates once per "
+    "salt, the join runs on (key, salt) — a hot key spreads over n_salts "
+    "tasks instead of one. Row-identical to the plain join (the oracle IS "
+    "the plain join); the explicit form of what AQE skew-splitting does "
+    "adaptively, for pipelines that know their skew up front.",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    return salted_join(e, c, ["user_id"], n_salts=8).select(
+        "event_id", "user_id", "c_name", "c_mktsegment", "value"
+    )
+
+
+@register(
+    "grouped_percentiles",
+    """
+    SELECT l_returnflag,
+           floor(quantile_cont(l_extendedprice, 0.25) * 10000 + 0.5) / 10000 AS p25,
+           floor(quantile_cont(l_extendedprice, 0.50) * 10000 + 0.5) / 10000 AS p50,
+           floor(quantile_cont(l_extendedprice, 0.75) * 10000 + 0.5) / 10000 AS p75,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile() == "
+    "DuckDB quantile_cont: both a + frac*(b-a) on the sorted group). Exact "
+    "percentile materializes each group's values — correct but "
+    "memory-bound at 100 TB; the approx_quantiles entry is the scale path "
+    "(fixed-size sketch, mergeable map-side).",
+)
+def grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+
+    def p(q, alias):
+        return (
+            F.floor(F.percentile("l_extendedprice", F.lit(q)) * 10000 + 0.5) / 10000
+        ).alias(alias)
+
+    return l.groupBy("l_returnflag").agg(
+        p(0.25, "p25"), p(0.50, "p50"), p(0.75, "p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "approx_quantiles",
+    None,
+    doc="Approximate percentiles via percentile_approx (Greenwald-Khanna "
+    "sketch, accuracy 10000): fixed-size state, mergeable map-side partials "
+    "— the 100 TB path where exact percentile's per-group sort/materialize "
+    "is not. Rows-only (sketch internals are engine-specific); the exact "
+    "values ride along and the gap is asserted <0.5% in tests.",
+)
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_p50"
+        ),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -37,3 +37,40 @@ def test_salted_agg_rejects_non_algebraic(spark):
     df = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
     with pytest.raises(ValueError, match="not an algebraic aggregate"):
         salted_agg(df, ["k"], {"m": ("median", "v")})
+
+
+def test_salted_join_matches_plain_join_on_skewed_keys(spark):
+    """90% of fact rows share one key; salted join must return exactly the
+    plain join's rows (inner and left), with the hot key spread across
+    salts."""
+    from nfl_big_data_bowl_2024_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else i, i, float(i)) for i in range(2000)],
+        "k long, row_id long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(0, 2000, 7)], "k long, name string"
+    )
+    for how in ("inner", "left"):
+        got = {
+            tuple(r)
+            for r in salted_join(fact, dim, ["k"], n_salts=8, how=how).collect()
+        }
+        want = {tuple(r) for r in fact.join(dim, ["k"], how).collect()}
+        assert got == want, how
+
+
+def test_approx_quantiles_error_bound(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+
+    rows = all_queries()["approx_quantiles"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        rel = abs(r["approx_p50"] - r["exact_p50"]) / r["exact_p50"]
+        assert rel < 0.005, f"{r['l_returnflag']}: {rel:.4f}"
