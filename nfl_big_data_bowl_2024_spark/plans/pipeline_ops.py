@@ -753,3 +753,84 @@ def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@register(
+    "doc_quota_per_source",
+    """
+    SELECT doc_id, source, lang
+    FROM (SELECT doc_id, source, lang,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY md5(text), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 40
+    """,
+    doc="Quota sampling: at most K docs per source, selected by content-hash "
+    "order — the domain-mixing primitive (cap any one crawl/source's "
+    "contribution to the training mix). Hash order makes the quota a "
+    "uniform-without-replacement draw that is reproducible across engines "
+    "and partitionings; the window partitions by source, so no global "
+    "ordering bottleneck.",
+)
+def doc_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("text").cast("binary")), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .select("doc_id", "source", "lang")
+    )
+
+
+@register(
+    "doc_pack_context_windows",
+    """
+    WITH sized AS (
+        SELECT doc_id, source,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+                           ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                           - n_tokens) / 256) AS BIGINT) AS bin_id
+        FROM sized
+    )
+    SELECT source, bin_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY source, bin_id
+    """,
+    doc="Sequence packing: assign docs to ~256-token context windows by "
+    "running token count within each source (bin = floor(prefix_sum/budget) "
+    "— the streaming-greedy approximation of bin packing used by training "
+    "pipelines). Deterministic doc order (doc_id) makes the layout "
+    "reproducible; the window partitions by source so packing parallelizes "
+    "per stratum, and the ROWS frame makes the running sum one pass.",
+)
+def doc_pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.select(
+        "doc_id", "source", n_tokens.alias("n_tokens")
+    ).withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 256).cast(
+            "long"
+        ),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
