@@ -834,3 +834,27 @@ def doc_pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("bin_tokens"),
     )
+
+
+@register(
+    "mm_frame_sample",
+    """
+    SELECT doc_id,
+           unnest(generate_series(0, greatest((n_chars % 100) - 1, 0), 10))
+               AS frame_idx
+    FROM documents
+    """,
+    doc="Video frame-sampling plan (operators/multimodal.py): every 10th "
+    "frame index per document as exploded (doc, frame_idx) rows, JVM-side "
+    "via sequence() — the decode of each sampled frame then crosses the "
+    "mapInPandas boundary once per SAMPLED frame, not per frame. Frame "
+    "counts derive deterministically from metadata (n_chars % 100 stands "
+    "in for the container's frame count). Map-only: generate, no shuffle.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import frame_sample_plan
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") % 100).alias("n_frames")
+    )
+    return frame_sample_plan(d, "doc_id", "n_frames", every_k=10)

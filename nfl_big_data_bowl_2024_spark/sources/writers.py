@@ -73,3 +73,34 @@ def write_jsonl(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.json(path)
+
+
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_mb: int = 256,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ceil(bytes / target_mb) files.
+
+    Streaming sinks and over-parallel writers leave thousands of KB-sized
+    files; at 100 TB the scan's task-scheduling and footer-reading overhead
+    then dominates. Sizing comes from the filesystem's content summary (the
+    Hadoop FS API, so it works on HDFS/S3/local alike) — metadata only, no
+    data pass. Returns the target file count. The repartition is a full
+    shuffle by design: it rebalances skewed input files; for
+    already-balanced input, coalesce() would avoid the shuffle but inherits
+    any skew.
+    """
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    n_bytes = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(n_bytes / (target_mb * 1024 * 1024)))
+    spark.read.parquet(in_path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(out_path)
+    return n_files

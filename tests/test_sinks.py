@@ -79,3 +79,27 @@ def test_bucketed_write_shuffle_free_join(spark, tmpdir):
     assert joined.count() == 1000
     spark.sql("DROP TABLE IF EXISTS bt_a")
     spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark):
+    import glob
+    import shutil
+    import tempfile
+
+    from nfl_big_data_bowl_2024_spark.sources.writers import compact_parquet
+
+    d_in = tempfile.mkdtemp(prefix="cmp_in_")
+    d_out = tempfile.mkdtemp(prefix="cmp_out_")
+    try:
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        docs.repartition(40).write.mode("overwrite").parquet(d_in)
+        assert len(glob.glob(f"{d_in}/part-*")) == 40
+        n = compact_parquet(spark, d_in, d_out, target_mb=256)
+        assert n == 1
+        assert len(glob.glob(f"{d_out}/part-*")) == 1
+        a = {tuple(r) for r in spark.read.parquet(d_out).collect()}
+        b = {tuple(r) for r in docs.collect()}
+        assert a == b
+    finally:
+        shutil.rmtree(d_in, ignore_errors=True)
+        shutil.rmtree(d_out, ignore_errors=True)
