@@ -104,3 +104,47 @@ def compact_parquet(
         "overwrite"
     ).parquet(out_path)
     return n_files
+
+
+def upsert_parquet(
+    spark,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+) -> None:
+    """SCD-1 latest-wins upsert on a plain parquet dataset (no table format).
+
+    Read target + union updates + keep the newest row per key
+    (row_number over ``order_cols`` DESC — include a unique tiebreaker for
+    determinism), then swap the dataset: Spark cannot safely overwrite a
+    path that the same job is reading, so the merged result writes to a
+    sibling temp dir and replaces the target via a filesystem rename (the
+    same commit pattern table formats wrap in a metadata transaction; this
+    is the honest non-transactional version — concurrent readers of ``path``
+    during the swap see either old or new, writers must be externally
+    serialized).
+
+    Scale note: this rewrites the whole dataset — correct for dimension/
+    metadata tables (the use case), wasteful for fact tables, where the fix
+    is partition-scoped overwrite (partitionOverwriteMode=dynamic) or a
+    transactional format.
+    """
+    tgt = spark.read.parquet(path)
+    merged = tgt.unionByName(updates)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_cols])
+    latest = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    tmp = path.rstrip("/") + ".__upsert_tmp__"
+    latest.write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    fs = hadoop_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hadoop_path(path), True)
+    if not fs.rename(hadoop_path(tmp), hadoop_path(path)):
+        raise IOError(f"rename {tmp} -> {path} failed")

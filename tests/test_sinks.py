@@ -103,3 +103,32 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark):
     finally:
         shutil.rmtree(d_in, ignore_errors=True)
         shutil.rmtree(d_out, ignore_errors=True)
+
+
+def test_upsert_parquet_latest_wins(spark):
+    import shutil
+    import tempfile
+
+    from nfl_big_data_bowl_2024_spark.sources.writers import upsert_parquet
+
+    d = tempfile.mkdtemp(prefix="upsert_")
+    path = f"{d}/state"
+    try:
+        base = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 10), (3, "c", 10)],
+            "k long, v string, ver long",
+        )
+        base.write.parquet(path)
+        updates = spark.createDataFrame(
+            [(2, "b2", 20), (4, "d", 20), (2, "b1", 15)],
+            "k long, v string, ver long",
+        )
+        upsert_parquet(spark, path, updates, keys=["k"], order_cols=["ver"])
+        got = {(r["k"], r["v"], r["ver"]) for r in spark.read.parquet(path).collect()}
+        assert got == {(1, "a", 10), (2, "b2", 20), (3, "c", 10), (4, "d", 20)}
+        # idempotent re-apply: same updates, same state
+        upsert_parquet(spark, path, updates, keys=["k"], order_cols=["ver"])
+        again = {(r["k"], r["v"], r["ver"]) for r in spark.read.parquet(path).collect()}
+        assert again == got
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
