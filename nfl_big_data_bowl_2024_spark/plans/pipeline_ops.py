@@ -861,3 +861,51 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("n_chars") % 100).alias("n_frames")
     )
     return frame_sample_plan(d, "doc_id", "n_frames", every_k=10)
+
+
+@register(
+    "txt_bpe_pretokenize",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')
+                   AS bpe_toks,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_ws_tokens
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           len(bpe_toks)                 AS n_bpe_tokens,
+           len(list_distinct(bpe_toks))  AS n_distinct_tokens,
+           n_ws_tokens,
+           floor(len(bpe_toks) * 1.0 / n_ws_tokens * 10000 + 0.5) / 10000
+               AS bpe_per_ws
+    FROM toks
+    """,
+    doc="BPE-style pre-tokenization (the GPT-2 pre-tokenizer shape: "
+    "space-prefixed letter runs | digit runs | punctuation runs) via "
+    "regexp_extract_all — the token-budget estimator that runs BEFORE a "
+    "real BPE merge table. Pure JVM regex (the pattern stays in the "
+    "RE2-and-Java-compatible subset so the DuckDB oracle matches "
+    "byte-for-byte); map-only, no shuffle. A real tokenizer's merge "
+    "step would consume these pre-tokens through a Pandas UDF.",
+)
+def txt_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(
+        F.col("text"), F.lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), F.lit(0)
+    )
+    n_ws = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).cast("long").alias("n_distinct_tokens"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        (
+            F.floor(F.size(bpe) * 1.0 / n_ws * 10000 + 0.5) / 10000
+        ).alias("bpe_per_ws"),
+    )
