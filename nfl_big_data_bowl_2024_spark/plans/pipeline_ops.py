@@ -909,3 +909,29 @@ def txt_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.size(bpe) * 1.0 / n_ws * 10000 + 0.5) / 10000
         ).alias("bpe_per_ws"),
     )
+
+
+@register(
+    "emb_label_centroids",
+    """
+    SELECT label, i AS dim_idx,
+           round(avg(embedding[i]), 4) AS centroid_v,
+           count(*)                    AS n_members
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY label, i
+    """,
+    doc="Per-label centroid vectors (the nearest-centroid classifier / "
+    "class-balance diagnostic for labeled embedding data): posexplode -> "
+    "one hash aggregate keyed on (label, dim). Output is O(labels x dim) "
+    "— a broadcast-sized model no matter the corpus size; map-side "
+    "partials do the heavy reduction.",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return ex.groupBy(
+        "label", (F.col("pos") + 1).cast("long").alias("dim_idx")
+    ).agg(
+        F.round(F.avg("v"), 4).alias("centroid_v"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
