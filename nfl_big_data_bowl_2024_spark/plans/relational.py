@@ -1657,3 +1657,32 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "json_props_rollup",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS total_k,
+           min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured fact column: JSON path extraction from the events "
+    "props payload straight into a typed aggregate — the "
+    "schema-on-read shape for event streams whose properties vary by "
+    "producer. get_json_object evaluates at the scan (map-side), so only "
+    "the extracted BIGINT shuffles, never the JSON text.",
+)
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("total_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
