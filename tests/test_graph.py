@@ -61,3 +61,42 @@ def test_matches_union_find_on_random_graph(spark):
 
     got = _components(spark, edge_list)
     assert got == expect
+
+
+def test_property_random_graphs_match_union_find(spark):
+    """Hypothesis: on arbitrary small graphs (self-loops, duplicate edges,
+    disconnected nodes) the distributed CC labels equal union-find's
+    min-id-per-component. Spark-session-bound, so examples are batched into
+    one deadline-free run."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    edge_st = st.tuples(
+        st.integers(min_value=0, max_value=25), st.integers(min_value=0, max_value=25)
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(edge_st, min_size=1, max_size=30))
+    def check(edge_list):
+        parent = list(range(26))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            parent[find(a)] = find(b)
+        nodes = {v for e in edge_list for v in e}
+        roots = {}
+        for v in sorted(nodes):
+            roots.setdefault(find(v), v)
+        expect = {v: roots[find(v)] for v in nodes}
+        assert _components(spark, edge_list) == expect
+
+    check()
