@@ -148,3 +148,30 @@ def upsert_parquet(
     fs.delete(hadoop_path(path), True)
     if not fs.rename(hadoop_path(tmp), hadoop_path(path)):
         raise IOError(f"rename {tmp} -> {path} failed")
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, sorted parquet layout for data skipping.
+
+    repartitionByRange gives files DISJOINT key ranges and
+    sortWithinPartitions orders rows inside each, so every parquet
+    row-group's min/max statistics become selective: a point or range
+    predicate on ``sort_cols`` skips whole files/row-groups at scan time
+    (the reader consults footer stats before reading pages). This is the
+    poor-man's clustering key — the same reason table formats Z-order.
+    Range partitioning samples the key distribution, so skewed keys still
+    yield balanced files (unlike hash bucketing, this also preserves
+    range-scan locality).
+    """
+    parted = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if n_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    parted.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)

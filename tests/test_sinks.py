@@ -132,3 +132,42 @@ def test_upsert_parquet_latest_wins(spark):
         assert again == got
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_range_sorted_write_has_disjoint_file_ranges(spark):
+    """Files written by write_range_sorted must carry disjoint min/max key
+    ranges in their parquet footers — the property row-group skipping needs."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from nfl_big_data_bowl_2024_spark.sources.writers import write_range_sorted
+
+    d = tempfile.mkdtemp(prefix="rsort_")
+    try:
+        from nfl_big_data_bowl_2024_spark.sources.readers import read_testdata_table
+
+        ev = read_testdata_table(spark, "/root/testdata/sf0.001", "events").select(
+            "event_id", "user_id", "value"
+        )
+        write_range_sorted(ev, d, ["user_id"], n_files=4)
+        ranges = []
+        for f in sorted(glob.glob(f"{d}/part-*.parquet")):
+            md = pq.read_metadata(f)
+            col_idx = md.schema.names.index("user_id")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            ranges.append((min(mins), max(maxs)))
+        assert len(ranges) == 4
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
+        back = spark.read.parquet(d)
+        assert back.count() == ev.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
