@@ -145,3 +145,24 @@ def test_q7_q8_fact_never_shuffled_before_agg(spark, queries):
         plan = _plan(queries[name].fn(spark, SF))
         assert "SortMergeJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_bpe_pretokenize_is_map_only(spark, queries):
+    plan = _plan(queries["txt_bpe_pretokenize"].fn(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_label_centroids_single_exchange(spark, queries):
+    """posexplode -> partial agg -> ONE exchange on (label, dim)."""
+    plan = _plan(queries["emb_label_centroids"].fn(spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "Generate" in plan
+
+
+def test_json_rollup_shuffles_extracted_value_not_json(spark, queries):
+    """The JSON text must not survive past the scan-side projection: the
+    exchange carries only event_type + typed partials."""
+    plan = _plan(queries["json_props_rollup"].fn(spark, SF))
+    assert plan.count("Exchange") == 1
+    ex_line = [ln for ln in plan.splitlines() if "Exchange" in ln][0]
+    assert "props" not in ex_line
