@@ -935,3 +935,153 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("v"), 4).alias("centroid_v"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/test hygiene, quantization, output sharding
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_leakage_safe_split",
+    """
+    SELECT doc_id, lang,
+           md5(lower(trim(text))) AS fingerprint,
+           CASE WHEN substr(md5(md5(lower(trim(text)))), 1, 8) < 'cc000000'
+                THEN 'train'
+                WHEN substr(md5(md5(lower(trim(text)))), 1, 8) < 'e6000000'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Leakage-safe train/val/test split: the split is a function of the "
+    "content FINGERPRINT, not the doc_id, so every exact duplicate of a "
+    "document lands in the same split — the standard guard against "
+    "train/test contamination. Entirely map-side (two md5 calls per row, "
+    "zero shuffles, zero joins): group identity is content-derived, so "
+    "no groupBy is needed to agree on a group's split. Thresholds on the "
+    "first 8 hex chars give ~80/10/10 (0xcc/0x100, 0xe6/0x100). At 100 TB "
+    "this is a pure scan->project — the cheapest possible shape.",
+)
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    bucket = F.substring(F.md5(fp.cast("binary")), 1, 8)
+    return d.select(
+        "doc_id",
+        "lang",
+        fp.alias("fingerprint"),
+        F.when(bucket < "cc000000", "train")
+        .when(bucket < "e6000000", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "emb_int8_quantize",
+    """
+    WITH scaled AS (
+        SELECT vec_id, label,
+               list_transform(embedding, y -> CAST(y AS DOUBLE)) AS xd,
+               127.0 / list_aggregate(
+                   list_transform(embedding, y -> abs(CAST(y AS DOUBLE))),
+                   'max') AS scale
+        FROM embeddings
+    )
+    SELECT vec_id, label,
+           floor(scale * 1000000 + 0.5) / 1000000 AS scale_r,
+           floor(list_aggregate(
+                     list_transform(
+                         xd, y -> abs(y - floor(y * scale + 0.5) / scale)),
+                     'max') * 1000000 + 0.5) / 1000000 AS max_err_r,
+           CAST(floor(xd[1] * scale + 0.5) AS BIGINT) AS q1,
+           CAST(floor(xd[2] * scale + 0.5) AS BIGINT) AS q2,
+           CAST(floor(xd[3] * scale + 0.5) AS BIGINT) AS q3,
+           CAST(floor(xd[4] * scale + 0.5) AS BIGINT) AS q4
+    FROM scaled
+    """,
+    doc="Symmetric per-vector int8 quantization (the storage/ANN-index "
+    "compression step for embedding corpora): scale = 127/max|x|, "
+    "q_i = floor(x_i*scale + 0.5) in [-127, 127], plus the max "
+    "reconstruction error per vector. All higher-order array functions "
+    "(transform/array_max) on the JVM — no UDF, no explode: one row in, "
+    "one row out, zero shuffles. Cross-engine determinism: float->double "
+    "casts are exact, floor(x+0.5) is the portable round, max (not mean) "
+    "keeps the reduction accumulation-order-free.",
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda y: y.cast("double"))
+    base = e.select(
+        "vec_id",
+        "label",
+        xd.alias("xd"),
+        (F.lit(127.0) / F.array_max(F.transform(xd, F.abs))).alias("scale"),
+    )
+    s = F.col("scale")
+
+    def q(i: int):
+        return F.floor(F.element_at("xd", i) * s + F.lit(0.5)).cast("long")
+
+    err = F.array_max(
+        F.transform(
+            F.col("xd"),
+            lambda y: F.abs(y - F.floor(y * s + F.lit(0.5)) / s),
+        )
+    )
+    return base.select(
+        "vec_id",
+        "label",
+        (F.floor(s * 1000000 + F.lit(0.5)) / 1000000).alias("scale_r"),
+        (F.floor(err * 1000000 + F.lit(0.5)) / 1000000).alias("max_err_r"),
+        q(1).alias("q1"),
+        q(2).alias("q2"),
+        q(3).alias("q3"),
+        q(4).alias("q4"),
+    )
+
+
+@register(
+    "doc_shard_manifest",
+    """
+    WITH sharded AS (
+        SELECT doc_id, n_chars,
+               strpos('0123456789abcdef',
+                      substr(md5(lower(trim(text))), 1, 1)) - 1 AS shard
+        FROM documents
+    )
+    SELECT CAST(shard AS BIGINT)        AS shard,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id)                  AS min_doc,
+           max(doc_id)                  AS max_doc
+    FROM sharded
+    GROUP BY shard
+    """,
+    doc="Deterministic 16-way shard manifest for training-data output: "
+    "shard = first hex nibble of the content fingerprint (engine-portable, "
+    "unlike hash()%16), manifest = per-shard doc count / byte volume / "
+    "doc_id range proving the shards are balanced. At scale this is the "
+    "audit table written next to repartition(shard).write: one scan, one "
+    "16-group hash aggregate with map-side partials, O(shards) output.",
+)
+def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    shard = (
+        F.expr(
+            "instr('0123456789abcdef', substring("
+            "md5(cast(lower(trim(text)) as binary)), 1, 1)) - 1"
+        )
+    ).cast("long")
+    return (
+        d.select(shard.alias("shard"), "doc_id", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -166,3 +166,22 @@ def test_json_rollup_shuffles_extracted_value_not_json(spark, queries):
     assert plan.count("Exchange") == 1
     ex_line = [ln for ln in plan.splitlines() if "Exchange" in ln][0]
     assert "props" not in ex_line
+
+
+def test_leakage_split_and_quantize_are_map_only(spark, queries):
+    # Split-by-fingerprint and per-vector quantization are pure
+    # scan->project: any Exchange would mean a needless shuffle of the
+    # full corpus at 100 TB.
+    for name in ["doc_leakage_safe_split", "emb_int8_quantize"]:
+        plan = _plan(queries[name].fn(spark, SF))
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_shard_manifest_single_partial_agg_exchange(spark, queries):
+    # One hash aggregate with map-side partials: exactly one shuffle,
+    # carrying only the 16-group partial rows, never the text column.
+    plan = _plan(queries["doc_shard_manifest"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    exch = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln][0]
+    assert "text" not in exch
