@@ -1384,6 +1384,49 @@ def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_order_profile",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(24,10))) AS DOUBLE) * 100 + 0.5)
+               / 100 AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over (status, priority): all four grouping sets in ONE "
+    "aggregate pass (SURVEY \u00a72.4 'cube not present; free in Spark'). "
+    "Spark expands the cube via a single Expand node feeding one hash "
+    "aggregate with map-side partials \u2014 the fact table is scanned once, "
+    "not once per grouping set. Decimal-cast sum keeps the hash "
+    "accumulation-order-free; both key columns are non-null in the data "
+    "so the coalesce 'ALL' sentinel is unambiguous.",
+)
+def cube_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.floor(
+                    F.sum(F.col("o_totalprice").cast("decimal(24,10)")).cast("double")
+                    * 100
+                    + 0.5
+                )
+                / 100
+            ).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
     "set_ops_intersect_except",
     """
     WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders
