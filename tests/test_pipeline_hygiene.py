@@ -1,0 +1,87 @@
+"""Semantic properties of the train/test-hygiene queries: the guarantees a
+training-data pipeline relies on, checked on the real testdata plus
+adversarial in-memory fixtures."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+
+    return all_queries()
+
+
+def test_leakage_split_duplicates_share_split(spark, queries):
+    # The whole point of fingerprint-keyed splitting: exact duplicates
+    # (even with different doc_ids / whitespace / case) must land in the
+    # same split. Build an adversarial corpus where every text appears
+    # 3x under different ids and normalization noise.
+    rows = []
+    for i in range(200):
+        body = f"document body number {i} with shared content"
+        rows.append((3 * i, body, "en", "web", len(body)))
+        rows.append((3 * i + 1, "  " + body + "  ", "en", "books", len(body)))
+        rows.append((3 * i + 2, body.upper(), "de", "cc", len(body)))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import nfl_big_data_bowl_2024_spark.plans.pipeline_ops as po
+
+    orig = po._t
+    po._t = lambda _s, _d, _t: d
+    try:
+        out = queries["doc_leakage_safe_split"].fn(spark, SF)
+        per_fp = (
+            out.groupBy("fingerprint")
+            .agg(F.countDistinct("split").alias("k"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    finally:
+        po._t = orig
+    assert all(r.k == 1 for r in per_fp)  # no group straddles splits
+    assert all(r.n == 3 for r in per_fp)  # normalization collapsed the 3 variants
+
+
+def test_leakage_split_fractions_on_testdata(spark, queries):
+    counts = dict(
+        queries["doc_leakage_safe_split"].fn(spark, SF)
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    total = sum(counts.values())
+    assert total == 500
+    # md5 is uniform; at n=500 allow generous tolerance around 80/10/10.
+    assert 0.70 <= counts["train"] / total <= 0.90
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+
+
+def test_int8_quantize_error_bound_and_range(spark, queries):
+    out = queries["emb_int8_quantize"].fn(spark, SF)
+    rows = out.collect()
+    assert len(rows) == 500
+    for r in rows:
+        for q in (r.q1, r.q2, r.q3, r.q4):
+            assert -127 <= q <= 127
+        # round-to-nearest: reconstruction error is at most half a step
+        # (plus float->double noise well below the rounding applied).
+        assert r.max_err_r <= 0.5 / r.scale_r + 1e-6, r
+
+
+def test_shard_manifest_partitions_the_corpus(spark, queries):
+    rows = queries["doc_shard_manifest"].fn(spark, SF).collect()
+    assert sorted(r.shard for r in rows) == list(range(16))
+    assert sum(r.n_docs for r in rows) == 500
+    # Balance: uniform hex nibble over 500 docs — no shard should be
+    # empty or hold a majority.
+    assert max(r.n_docs for r in rows) < 100
