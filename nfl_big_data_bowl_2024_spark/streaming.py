@@ -174,3 +174,38 @@ def dedup_frame_stream(
     return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def frame_event_interval_join(
+    frames: DataFrame,
+    events: DataFrame,
+    watermark: str = "10 seconds",
+    lookback: str = "5 seconds",
+) -> DataFrame:
+    """Stream-stream INNER join with an interval condition: attach to each
+    live frame the play-level events (snap/tackle/...) that happened within
+    ``lookback`` BEFORE that frame. Both sides carry a watermark and the
+    join predicate bounds event_time relative to frame time — exactly the
+    combination Spark needs to EXPIRE buffered rows from the join state
+    store. Without the interval bound, stream-stream join state grows for
+    the life of the query; with it, each side holds only
+    watermark + lookback worth of rows per key. Equi-keys (gameId, playId)
+    keep the state-store partitioning aligned with every other stateful op
+    in this module."""
+    f = frames.alias("f").withWatermark("event_time", watermark)
+    e = events.alias("e").withWatermark("evt_time", watermark)
+    cond = (
+        (F.col("f.gameId") == F.col("e.gameId"))
+        & (F.col("f.playId") == F.col("e.playId"))
+        & (F.col("e.evt_time") >= F.col("f.event_time") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("e.evt_time") <= F.col("f.event_time"))
+    )
+    return f.join(e, cond, "inner").select(
+        F.col("f.gameId").alias("gameId"),
+        F.col("f.playId").alias("playId"),
+        F.col("f.nflId").alias("nflId"),
+        F.col("f.frameId").alias("frameId"),
+        F.col("f.event_time").alias("event_time"),
+        F.col("e.event").alias("event"),
+        F.col("e.evt_time").alias("evt_time"),
+    )

@@ -222,3 +222,57 @@ def test_streaming_dedup_drops_replayed_frames(spark):
         assert out.select("frameId").distinct().count() == 10
     finally:
         _sh.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, stream_dir):
+    # Events stream: one 'snap' at each play's first frame time, one
+    # 'whistle' 2 s in; frames join events within a 5 s lookback.
+    import tempfile, shutil
+
+    base = 1_700_000_000
+    edir = tempfile.mkdtemp(prefix="evtstream_")
+    try:
+        spark.createDataFrame(
+            [
+                (1, 1, float(base + 0.1), "snap"),
+                (1, 1, float(base + 2.0), "whistle"),
+                (1, 2, float(base + 60.1), "snap"),
+            ],
+            "gameId long, playId long, ts double, event string",
+        ).withColumn("evt_time", F.timestamp_seconds("ts")).drop("ts").coalesce(
+            1
+        ).write.mode("append").parquet(edir)
+
+        EVT_SCHEMA = T.StructType(
+            [
+                T.StructField("gameId", T.LongType(), False),
+                T.StructField("playId", T.LongType(), False),
+                T.StructField("event", T.StringType(), False),
+                T.StructField("evt_time", T.TimestampType(), False),
+            ]
+        )
+        frames = st.read_tracking_stream(spark, stream_dir, STREAM_SCHEMA)
+        events = st.read_tracking_stream(spark, edir, EVT_SCHEMA)
+        joined = st.frame_event_interval_join(frames, events)
+        _drain(st.run_to_memory_sink(joined, "ssj", output_mode="append"))
+        got = spark.table("ssj").collect()
+
+        bf = spark.read.schema(STREAM_SCHEMA).parquet(stream_dir).alias("f")
+        be = spark.read.schema(EVT_SCHEMA).parquet(edir).alias("e")
+        cond = (
+            (F.col("f.gameId") == F.col("e.gameId"))
+            & (F.col("f.playId") == F.col("e.playId"))
+            & (F.col("e.evt_time") >= F.col("f.event_time") - F.expr("INTERVAL 5 seconds"))
+            & (F.col("e.evt_time") <= F.col("f.event_time"))
+        )
+        want = (
+            bf.join(be, cond)
+            .select("f.gameId", "f.playId", "f.nflId", "f.frameId", "f.event_time",
+                    "e.event", "e.evt_time")
+            .collect()
+        )
+        key = lambda r: (r.gameId, r.playId, r.nflId, r.frameId, r.event)
+        assert sorted(key(r) for r in got) == sorted(key(r) for r in want)
+        assert len(want) > 0  # the fixture actually exercises the join
+    finally:
+        shutil.rmtree(edir, ignore_errors=True)
