@@ -45,6 +45,10 @@ HEADLINE = [
     "txt_tfidf_topterms",
     "doc_pack_context_windows",
     "grouped_percentiles",
+    "doc_leakage_safe_split",
+    "emb_int8_quantize",
+    "cube_order_profile",
+    "txt_vocab_topk",
 ]
 
 

@@ -1085,3 +1085,38 @@ def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@register(
+    "txt_vocab_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    )
+    SELECT term, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM toks
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 50
+    """,
+    doc="Corpus vocabulary head: global top-50 terms by frequency (the "
+    "wordcount that seeds tokenizer training / stopword lists). "
+    "Explode -> one hash aggregate on term (map-side partials collapse "
+    "the per-partition duplicates before the shuffle) -> distributed "
+    "top-k via TakeOrderedAndProject: each partition keeps its local 50, "
+    "the driver merges O(partitions x 50) rows — no global sort, no "
+    "single-partition window, ties broken on the term itself so LIMIT "
+    "is deterministic.",
+)
+def txt_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n"), "term")
+        .limit(50)
+    )

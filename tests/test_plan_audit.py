@@ -50,7 +50,7 @@ def test_dim_joins_broadcast_not_sortmerge(spark, queries):
 
 
 def test_topk_queries_avoid_global_window(spark, queries):
-    for name in ["sim_topk_bruteforce", "tpch_q10_returned_items"]:
+    for name in ["sim_topk_bruteforce", "tpch_q10_returned_items", "txt_vocab_topk"]:
         plan = _plan(queries[name].fn(spark, SF))
         assert "TakeOrderedAndProject" in plan, name
         assert "Window" not in plan, name
