@@ -175,3 +175,60 @@ def write_range_sorted(
         else df.repartitionByRange(*sort_cols)
     )
     parted.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def _spread_bits16(c):
+    """Spread a 16-bit value's bits to even positions (0b...b1b0 ->
+    0b..0b1_0b0) with the classic magic-mask shifts — four shift/and
+    rounds, all JVM integer ops inside whole-stage codegen."""
+    c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x33333333))
+    c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x55555555))
+    return c
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) parquet layout: 2-D data skipping.
+
+    ``write_range_sorted`` clusters ONE key; predicates on a second column
+    still touch every file. Z-ordering interleaves the bits of two
+    rank-quantized keys so rows close in (x, y) space land in the same
+    file — per-file footer min/max stats become selective for BOTH
+    columns at once, which is why table formats offer Z-order clustering.
+
+    Mechanics: one tiny 4-number min/max aggregate (driver-held, same
+    order of cost as repartitionByRange's own sampling pass) rank-scales
+    each column to 16 bits; the Morton code is pure shift/mask integer
+    expressions (codegen, no UDF); repartitionByRange on the code gives
+    files disjoint curve segments and sortWithinPartitions orders rows
+    along the curve inside each.
+    """
+    xd, yd = F.col(col_x).cast("double"), F.col(col_y).cast("double")
+    mnx, mxx, mny, mxy = df.agg(
+        F.min(xd), F.max(xd), F.min(yd), F.max(yd)
+    ).first()
+    spanx = (mxx - mnx) or 1.0
+    spany = (mxy - mny) or 1.0
+
+    def quant(c, mn, span):
+        q = F.floor((c - F.lit(mn)) / F.lit(span) * 65535).cast("long")
+        return F.least(F.greatest(q, F.lit(0)), F.lit(65535))
+
+    z = _spread_bits16(quant(xd, mnx, spanx)).bitwiseOR(
+        F.shiftleft(_spread_bits16(quant(yd, mny, spany)), 1)
+    )
+    zdf = df.withColumn("__z", z)
+    parted = (
+        zdf.repartitionByRange(n_files, "__z")
+        if n_files
+        else zdf.repartitionByRange("__z")
+    )
+    parted.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)

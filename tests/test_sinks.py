@@ -171,3 +171,60 @@ def test_range_sorted_write_has_disjoint_file_ranges(spark):
         assert back.count() == ev.count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_zorder_write_localizes_both_dimensions(spark):
+    """Z-ordered files must narrow per-file footer ranges for BOTH columns
+    (the 2-D skipping property), where a 1-D sort only narrows its own key."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from nfl_big_data_bowl_2024_spark.sources.readers import read_testdata_table
+    from nfl_big_data_bowl_2024_spark.sources.writers import (
+        write_range_sorted,
+        write_zorder,
+    )
+
+    def span_frac(path, col):
+        files = sorted(glob.glob(f"{path}/part-*.parquet"))
+        spans, glo, ghi = [], None, None
+        for f in files:
+            md = pq.read_metadata(f)
+            ci = md.schema.names.index(col)
+            mins = [md.row_group(r).column(ci).statistics.min for r in range(md.num_row_groups)]
+            maxs = [md.row_group(r).column(ci).statistics.max for r in range(md.num_row_groups)]
+            lo, hi = min(mins), max(maxs)
+            spans.append(hi - lo)
+            glo = lo if glo is None else min(glo, lo)
+            ghi = hi if ghi is None else max(ghi, hi)
+        return sum(spans) / len(spans) / ((ghi - glo) or 1.0)
+
+    ev = read_testdata_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", "value"
+    )
+    dz = tempfile.mkdtemp(prefix="zord_")
+    d1 = tempfile.mkdtemp(prefix="rsort1d_")
+    try:
+        write_zorder(ev, dz, "user_id", "value", n_files=16)
+        write_range_sorted(ev, d1, ["user_id"], n_files=16)
+
+        # 1-D sort: its own key is tightly clustered; the other column is
+        # left wide (not fully ~1.0 here only because the skewed value
+        # distribution truncates subset maxima).
+        assert span_frac(d1, "user_id") < 0.2
+        v1 = span_frac(d1, "value")
+        assert v1 > 0.5, v1
+        # Z-order: BOTH columns clustered — and the second column far
+        # tighter than the 1-D layout leaves it.
+        zx, zy = span_frac(dz, "user_id"), span_frac(dz, "value")
+        assert zx < 0.4, zx
+        assert zy < 0.4, zy
+        assert zy < v1 / 2
+        back = spark.read.parquet(dz)
+        assert back.count() == ev.count()
+    finally:
+        shutil.rmtree(dz, ignore_errors=True)
+        shutil.rmtree(d1, ignore_errors=True)
