@@ -1120,3 +1120,113 @@ def txt_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "term")
         .limit(50)
     )
+
+
+@register(
+    "evt_funnel_conversion",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, count(*) AS n_users FROM v
+    UNION ALL SELECT '2_click', count(*) FROM c
+    UNION ALL SELECT '3_purchase', count(*) FROM p
+    """,
+    doc="Ordered funnel conversion (view -> click -> purchase, each stage "
+    "strictly AFTER the user's previous stage): the event-analytics "
+    "sequence query. Each stage is one per-user conditional-min aggregate "
+    "joined to the previous stage's firsts — every shuffle is keyed on "
+    "user_id, so at scale the three stages reuse one partitioning; stage "
+    "tables shrink monotonically (firsts per user, not events), so the "
+    "joins get cheaper down the funnel. No window over the full event "
+    "stream, no per-user sort.",
+)
+def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df, name):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "1_view").unionAll(stage(c, "2_click")).unionAll(stage(p, "3_purchase"))
+    )
+
+
+@register(
+    "evt_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cw
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+    )
+    SELECT epoch_us(f.cw) AS cohort_week_us,
+           (epoch_us(a.aw) - epoch_us(f.cw)) // 604800000000 AS week_offset,
+           count(*) AS n_active
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention triangle: cohort = week of a user's first "
+    "event, cell = distinct users from that cohort active k weeks later. "
+    "Two aggregates (per-user firsts; per-(user, week) distinct activity) "
+    "+ one user-keyed join + the tiny (cohort, offset) rollup — all "
+    "shuffles on user_id or coarser. Week arithmetic is integer epoch-us "
+    "division on week-truncated UTC timestamps, exact in both engines.",
+)
+def evt_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select("user_id", F.date_trunc("week", "first_ts").alias("cw"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("aw")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .select(
+            F.unix_micros("cw").alias("cohort_week_us"),
+            F.expr("(unix_micros(aw) - unix_micros(cw)) div 604800000000").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week_us", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
