@@ -185,3 +185,21 @@ def test_shard_manifest_single_partial_agg_exchange(spark, queries):
     assert plan.count("Exchange hashpartitioning") == 1
     exch = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln][0]
     assert "text" not in exch
+
+
+def test_event_analytics_avoid_windows_and_cartesians(spark, queries):
+    # Funnel and cohort are aggregate+join shapes on user_id — a global
+    # Window or nested-loop join here would be the 100 TB killer.
+    import re
+
+    for name in ["evt_funnel_conversion", "evt_cohort_retention"]:
+        plan = _plan(queries[name].fn(spark, SF))
+        assert "Window" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # Cohort: every repartitioning exchange is keyed on user_id or the
+    # final tiny (cohort_week, offset) rollup keys — never unkeyed.
+    plan = _plan(queries["evt_cohort_retention"].fn(spark, SF))
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert re.search(r"user_id|cohort_week_us", ln), ln
