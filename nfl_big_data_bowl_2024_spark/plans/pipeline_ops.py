@@ -1230,3 +1230,55 @@ def evt_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week_us", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "txt_bpe_pair_counts",
+    r"""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+               AS tok
+        FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+                                     i -> tok[i:i+1])) AS pair
+        FROM toks
+        WHERE length(tok) >= 2
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 50
+    """,
+    doc="The first BPE merge iteration at corpus scale: count every "
+    "adjacent symbol pair inside the pre-tokens (same GPT-2-style "
+    "pre-tokenizer as txt_bpe_pretokenize) and take the most frequent "
+    "pairs — the argmax of this table IS the next merge rule a BPE "
+    "trainer would add. Pre-tokenize and pair-expand are JVM regex + "
+    "higher-order functions (no UDF); the pair counts collapse map-side "
+    "before the single shuffle, and the top-k is the distributed "
+    "TakeOrdered merge with ties broken on the pair itself. Re-running "
+    "per merge round gives full distributed BPE training.",
+)
+def txt_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), F.lit(0)
+            )
+        ).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )
