@@ -1282,3 +1282,50 @@ def txt_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(50)
     )
+
+
+@register(
+    "dq_column_profile",
+    """
+    SELECT 'c_acctbal' AS col,
+           count(*) - count(c_acctbal) AS n_nulls,
+           count(DISTINCT c_acctbal)   AS n_distinct
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', count(*) - count(c_mktsegment),
+           count(DISTINCT c_mktsegment) FROM customer
+    UNION ALL
+    SELECT 'c_name', count(*) - count(c_name),
+           count(DISTINCT c_name) FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', count(*) - count(c_nationkey),
+           count(DISTINCT c_nationkey) FROM customer
+    """,
+    doc="Data-quality column profile (null counts + distinct cardinality "
+    "per column) — the audit that gates every ingest. The Spark plan "
+    "computes ALL columns' profiles in ONE scan + one aggregate (Spark "
+    "expands multi-distinct into one Expand pass), then unpivots the "
+    "single profile row with stack(); the 4-leg UNION in the oracle is "
+    "DuckDB-side only. At 100 TB: one pass over the fact table instead "
+    "of one scan per column.",
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    prof = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            x
+            for col in ("c_acctbal", "c_mktsegment", "c_name", "c_nationkey")
+            for x in (
+                F.count(col).alias(f"nn_{col}"),
+                F.countDistinct(col).alias(f"nd_{col}"),
+            )
+        ],
+    )
+    legs = ", ".join(
+        f"'{col}', n - nn_{col}, nd_{col}"
+        for col in ("c_acctbal", "c_mktsegment", "c_name", "c_nationkey")
+    )
+    return prof.selectExpr(
+        f"stack(4, {legs}) AS (col, n_nulls, n_distinct)"
+    )
