@@ -364,10 +364,10 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_shipmode_priority",
     """
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -386,8 +386,11 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_linestatus")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            # BIGINT on BOTH sides: DuckDB's sum(int) is HUGEINT while
+            # Spark's is BIGINT — the r2 driver hasher flagged the pair
+            # despite identical values, so both engines now emit bigint.
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
         )
     )
 
@@ -1491,16 +1494,30 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_count_distinct",
-    None,
-    doc="HyperLogLog++ approximate distinct (rows-only: sketch internals are "
-    "engine-specific); the exact count rides along so the error bound is "
-    "observable — asserted <2% in tests/test_plan_audit.py.",
+    """
+    SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS approx_within_2pct
+    FROM lineitem
+    """,
+    doc="HyperLogLog++ approximate distinct. The HLL sketch value itself is "
+    "engine-specific, so the deterministic output is the exact count plus a "
+    "boolean the Spark side computes from the sketch (|approx-exact| <= "
+    "2% * exact) and the oracle emits as literal TRUE — the hash matches "
+    "iff the sketch actually landed inside its bound. The sketch still "
+    "runs in the plan (fixed-size mergeable state, the 100 TB path where "
+    "exact countDistinct's shuffle-all-keys is not).",
 )
 def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     return l.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("exact_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey", rsd=0.01)
+                - F.countDistinct("l_orderkey")
+            )
+            <= 0.02 * F.countDistinct("l_orderkey")
+        ).alias("approx_within_2pct"),
     )
 
 
@@ -1684,20 +1701,30 @@ def grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_quantiles",
-    None,
+    """
+    SELECT l_returnflag,
+           floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000
+               AS exact_p50,
+           TRUE AS approx_within_halfpct,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     doc="Approximate percentiles via percentile_approx (Greenwald-Khanna "
     "sketch, accuracy 10000): fixed-size state, mergeable map-side partials "
     "— the 100 TB path where exact percentile's per-group sort/materialize "
-    "is not. Rows-only (sketch internals are engine-specific); the exact "
-    "values ride along and the gap is asserted <0.5% in tests.",
+    "is not. The sketch value is engine-specific, so the deterministic "
+    "output is the exact interpolated median (matches DuckDB quantile_cont) "
+    "plus a boolean the Spark side computes from the sketch "
+    "(|approx-exact| <= 0.5% * exact) and the oracle emits as literal TRUE.",
 )
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
+    approx = F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+    exact = F.percentile("l_extendedprice", F.lit(0.5))
     return l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
-            "approx_p50"
-        ),
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
+        (F.floor(exact * 10000 + 0.5) / 10000).alias("exact_p50"),
+        (F.abs(approx - exact) <= 0.005 * exact).alias("approx_within_halfpct"),
         F.count(F.lit(1)).alias("n"),
     )
 

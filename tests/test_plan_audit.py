@@ -76,9 +76,12 @@ def test_no_python_udfs_in_relational_paths(spark, queries):
 
 
 def test_approx_distinct_error_bound(spark, queries):
+    # The bound check is computed inside the plan (the oracle emits literal
+    # TRUE, so a sketch outside its 2% bound becomes a hash-fail AND a
+    # test-fail here).
     row = queries["approx_count_distinct"].fn(spark, SF).collect()[0]
-    err = abs(row["approx_orders"] - row["exact_orders"]) / row["exact_orders"]
-    assert err < 0.02, f"HLL++ error {err:.4f} exceeds 2%"
+    assert row["exact_orders"] > 0
+    assert row["approx_within_2pct"] is True, "HLL++ error exceeds 2%"
 
 
 def test_winnow_fingerprint_shuffles_only_raw_text(spark, queries):

@@ -72,5 +72,7 @@ def test_approx_quantiles_error_bound(spark):
     ).collect()
     assert len(rows) > 0
     for r in rows:
-        rel = abs(r["approx_p50"] - r["exact_p50"]) / r["exact_p50"]
-        assert rel < 0.005, f"{r['l_returnflag']}: {rel:.4f}"
+        # Bound computed inside the plan vs the exact interpolated median;
+        # the oracle emits literal TRUE so a bound miss is also a hash-fail.
+        assert r["approx_within_halfpct"] is True, f"{r['l_returnflag']}: GK sketch outside 0.5%"
+        assert r["exact_p50"] > 0
