@@ -16,11 +16,24 @@ Scenario coverage (FIXTURES.md §A5):
   play 103  vicinity only BEFORE the start event            -> NULL maxima
   play 104  ball_snap fallback start (no handoff-class event)
   play 201  playDirection=left mirror of 101 (MLB)          -> same YAP
-  play 202  multi-tackler play; one tackler has an unknown position (QB)
-            -> per reference semantics the WHOLE play errors in E2
-            (optimal_pursuit.py:458-477 if/elif has no else -> NameError ->
-            calculate_YAP.py:42-49 error row)
+  play 202  multi-tackler play; the SECOND tackler (QB, unknown position)
+            follows a known one (NT) -> the reference's method-scope limit
+            variables are STALE-REUSED, not NameError'd
+            (optimal_pursuit.py:458-477 if/elif has no else; vars persist
+            across the tackler loop) -> computed row flagged
+            'ok_stale_limits'
   play 203  no stop event -> identify_events raises -> error row (E1+E2)
+  play 204  unknown-position tackler FIRST (no prior assignment) that
+            enters the vicinity -> limits consumed while unset -> NameError
+            -> play aborts (calculate_YAP.py:42-49 error row)
+  play 205  unknown-position tackler first but NEVER in vicinity (NaN path
+            never touches the limit vars) -> NaN row, loop CONTINUES to the
+            known tackler behind it
+  play 206  vicinity crossing exactly at the LAST frame -> E1 window
+            [start, last) spans the whole run; YAP search unaffected by the
+            boundary
+  play 207  second playDirection=left geometry (slow closure, FS) -> sign
+            convention exercised away from the exact mirror of 101
 """
 
 from __future__ import annotations
@@ -38,6 +51,7 @@ PLAYERS = [
     (2003, "Tackler Charlie", "MLB"),
     (2004, "Tackler Delta", "NT"),
     (2005, "Tackler Echo", "QB"),  # outside the limits table on purpose
+    (2006, "Tackler Foxtrot", "FS"),
 ]
 
 # (gameId, playId, ballCarrierId, playDirection)
@@ -49,6 +63,10 @@ PLAYS = [
     (2, 201, 1002, "left"),
     (2, 202, 1001, "right"),
     (2, 203, 1001, "right"),
+    (3, 204, 1001, "right"),
+    (3, 205, 1001, "right"),
+    (3, 206, 1001, "right"),
+    (3, 207, 1002, "left"),
 ]
 
 TACKLES = [
@@ -60,6 +78,11 @@ TACKLES = [
     (2, 202, 2004),
     (2, 202, 2005),
     (2, 203, 2001),
+    (3, 204, 2005),
+    (3, 205, 2005),
+    (3, 205, 2006),
+    (3, 206, 2001),
+    (3, 207, 2006),
 ]
 
 
@@ -107,6 +130,12 @@ def tracking_rows() -> list[tuple]:
     def early_only(f):  # inside R_t only at frames 1-3, i.e. before start@5
         return 0.5 if f <= 3 else 6.0 + 0.2 * (f - 4)
 
+    def last_frame(f):  # first |gap| < 1.0 exactly at the LAST frame (35)
+        return 11.15 - 0.3 * (f - 1)
+
+    def slow(f):  # crosses < 1.0 first at f=20 (12 - 0.58*19 = 0.98)
+        return 12.0 - 0.58 * (f - 1)
+
     def s_ramp(f):  # max over window [5,14) is at f=13 -> 6.3
         return 5.0 + 0.1 * f if f <= 20 else 7.0 - 0.05 * (f - 20)
 
@@ -129,6 +158,12 @@ def tracking_rows() -> list[tuple]:
                 gap = far
             elif play == 103:
                 gap = early_only
+            elif play == 205 and tackler == 2005:
+                gap = far  # the unknown-position tackler stays clear
+            elif play == 206:
+                gap = last_frame
+            elif play == 207:
+                gap = slow
             else:
                 gap = closing
             for f in range(1, N_FRAMES + 1):

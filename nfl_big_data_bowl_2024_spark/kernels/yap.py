@@ -17,9 +17,12 @@ Semantics reproduced (citations into /root/reference):
     rounded 2dp: :554-557,560
   - optimal-trajectory overwrite + NaN tail, then max-params re-run over the
     overwritten frames (U3 optimal_path variant): :524-552, :193-259
-  - unknown position kills the WHOLE play (if/elif with no else -> NameError
-    -> error row; tacklers already processed keep their rows): :458-477,
-    calculate_YAP.py:37-49
+  - unknown-position limit variables (if/elif with no else, method-scope
+    vars persisting across the tackler loop): NameError kills the play ONLY
+    when an unknown-position tackler would consume never-assigned limits;
+    with a prior known tackler the STALE limits are silently reused
+    (flagged 'ok_stale_limits' here), and a no-vicinity unknown tackler
+    takes the NaN path untouched: :458-477,495-517, calculate_YAP.py:37-49
 """
 
 from __future__ import annotations
@@ -225,18 +228,52 @@ def yap_play_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(out, columns=[f.name for f in YAP_RESULT_SCHEMA.fields])
     time_0 = t[idx_start]
 
+    # The reference's position->limits if/elif has no else
+    # (optimal_pursuit.py:458-477), and the limit variables live in METHOD
+    # scope across loop iterations. Three distinct behaviors follow, all
+    # reproduced here:
+    #   1. unknown position, no prior known tackler, limits CONSUMED (the
+    #      tackler has a vicinity crossing after the start): NameError ->
+    #      per-play try/except (calculate_YAP.py:37-49) -> the play aborts;
+    #      earlier tacklers' rows were already appended (save is inside the
+    #      loop), later tacklers emit nothing. Surfaced as an
+    #      'error_unknown_position' row for the aborting tackler.
+    #   2. unknown position, no prior known tackler, limits NEVER consumed
+    #      (no vicinity crossing after start): the NaN path never touches
+    #      the variables -> YAP=NaN row, loop CONTINUES.
+    #   3. unknown position AFTER a known tackler: the previous tackler's
+    #      limits are silently reused (stale variables) -> a computed row
+    #      with the prior position's limits; flagged 'ok_stale_limits' so
+    #      the divergence-prone reference behavior is visible as data.
+    stale_limits: tuple | None = None
     for _, tk in tacklers.iterrows():
+        g = frames[int(tk["nflId"])]
         if pd.isna(tk["V_max_med"]):
-            # Reference NameError aborts the play here; earlier tacklers'
-            # rows were already appended (save inside the loop).
-            emit(tk["nflId"], tk["displayName"], tk["position"],
-                 None, None, None, "error_unknown_position")
-            break
+            if stale_limits is None:
+                x_t, y_t = g["x"].to_numpy(), g["y"].to_numpy()
+                dist = np.sqrt((x_c - x_t) ** 2 + (y_c - y_t) ** 2)
+                if _first_crossing(dist, idx_start) is not None:
+                    # Case 1: the optimizer would consume unset limits.
+                    emit(tk["nflId"], tk["displayName"], tk["position"],
+                         None, None, None, "error_unknown_position")
+                    break
+                # Case 2: NaN path, limits untouched.
+                emit(tk["nflId"], tk["displayName"], tk["position"],
+                     None, None, None, "ok")
+                continue
+            limits = stale_limits  # case 3
+            status = "ok_stale_limits"
+        else:
+            limits = (
+                float(tk["V_max_med"]), float(tk["V_max_max"]),
+                float(tk["A_max_med"]), float(tk["A_max_max"]),
+            )
+            stale_limits = limits
+            status = "ok"
 
         try:
             yap, mvo, mao = _search_tackler(
-                tk, frames[int(tk["nflId"])], x_c, y_c, t, time_0,
-                idx_start, play_direction,
+                limits, g, x_c, y_c, t, time_0, idx_start, play_direction,
             )
         except Exception:
             # Reference semantics: an exception aborts the PLAY (earlier
@@ -246,14 +283,17 @@ def yap_play_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             break
 
         emit(tk["nflId"], tk["displayName"], tk["position"],
-             yap, mvo, mao, "ok")
+             yap, mvo, mao, status)
 
     return pd.DataFrame(out, columns=[f.name for f in YAP_RESULT_SCHEMA.fields])
 
 
-def _search_tackler(tk, g, x_c, y_c, t, time_0, idx_start, play_direction):
+def _search_tackler(limits, g, x_c, y_c, t, time_0, idx_start, play_direction):
     """The per-tackler candidate-frame search (reference
-    optimal_pursuit.py:479-561), split out so exceptions map to error rows."""
+    optimal_pursuit.py:479-561), split out so exceptions map to error rows.
+    ``limits`` is the (V_max_med, V_max_max, A_max_med, A_max_max) tuple in
+    effect for this tackler — its own position's, or the previous tackler's
+    when the reference would reuse stale variables."""
     x_t, y_t = g["x"].to_numpy(), g["y"].to_numpy()
     v_t, a_t = g["s"].to_numpy(), g["a"].to_numpy()
     u_t, w_t = _uv(v_t, g["dir"].to_numpy())
@@ -266,8 +306,7 @@ def _search_tackler(tk, g, x_c, y_c, t, time_0, idx_start, play_direction):
         x_cv = x_c[idx_v]
         x0, y0 = x_t[idx_start], y_t[idx_start]
         u0, v0 = u_t[idx_start], w_t[idx_start]
-        v_med, v_max = float(tk["V_max_med"]), float(tk["V_max_max"])
-        a_med, a_max = float(tk["A_max_med"]), float(tk["A_max_max"])
+        v_med, v_max, a_med, a_max = limits
         # One shared Riccati sweep serves every candidate horizon.
         sweep = RiccatiSweep(v_med, a_med, R_T)
 

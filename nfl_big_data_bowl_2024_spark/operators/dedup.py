@@ -150,11 +150,17 @@ def minhash_lsh_candidates(
     Returns (doc_a, doc_b, est_jaccard, jaccard).
     """
     rows_per_band = num_perm // bands
-    # Signatures feed three consumers (banding + both sides of the est join);
-    # persist the materialized form — 32 ints per doc, orders of magnitude
-    # smaller than the text — instead of recomputing the shingle hashing 3x.
-    # At 100 TB this is the "signature index" a production pipeline would
-    # write to a table; MEMORY_AND_DISK spills gracefully.
+    # Signature lifecycle: the shingle hashing is the expensive part, so the
+    # signature table persists (MEMORY_AND_DISK — at 100 TB this is the
+    # "signature index" a production pipeline writes to a table) while the
+    # candidate pairs are derived, then is RELEASED before returning: the
+    # pair table (id pair + est_jaccard — a tiny fraction of the corpus) is
+    # eagerly localCheckpoint'ed, which truncates its lineage off the cached
+    # signatures, and sig.unpersist() runs before the verify plan is even
+    # built. The only storage the operator leaves behind is its own output,
+    # exactly like connected_components' checkpointed labels; composing
+    # sessions no longer accumulate signature caches (asserted in
+    # tests/test_dedup_similarity.py).
     from pyspark.storagelevel import StorageLevel
 
     sig = minhash_signatures(df, id_col, text_col, n, num_perm).persist(
@@ -174,27 +180,43 @@ def minhash_lsh_candidates(
             ),
         )
     )
-    banded = sig.select(F.col(id_col), band_gen.alias("bb")).select(
-        id_col, F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
+    banded = sig.select(F.col(id_col), F.col("mh"), band_gen.alias("bb")).select(
+        id_col,
+        "mh",
+        F.col("bb.band_id").alias("band_id"),
+        F.col("bb.band_hash").alias("band_hash"),
     )
-    left = banded.select(F.col(id_col).alias("doc_a"), "band_id", "band_hash")
-    right = banded.select(F.col(id_col).alias("doc_b"), "band_id", "band_hash")
+    left = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("mh").alias("mh_a"), "band_id", "band_hash"
+    )
+    right = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("mh").alias("mh_b"), "band_id", "band_hash"
+    )
     candidates = (
         left.join(right, ["band_id", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .select("doc_a", "doc_b", "mh_a", "mh_b")
+        # mh_a/mh_b are functions of the ids, so any surviving row carries
+        # identical arrays — dropDuplicates on the ids is a true pair-dedup.
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
-    # Estimated Jaccard = fraction of agreeing permutations.
-    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("mh").alias("mh_a"))
-    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("mh").alias("mh_b"))
+    # Estimated Jaccard = fraction of agreeing permutations — computed
+    # straight off the pair row (mh rode through the band join, ~128 B per
+    # banded row), so no signature re-join exists in the plan.
     agree = F.size(
         F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
     )
-    est = candidates.join(sa, "doc_a").join(sb, "doc_b").select(
-        "doc_a", "doc_b", (agree / F.lit(float(num_perm))).alias("est_jaccard")
+    est = (
+        candidates.select(
+            "doc_a", "doc_b", (agree / F.lit(float(num_perm))).alias("est_jaccard")
+        )
+        # Eager: one job materializes the pair table off the cached
+        # signatures; everything downstream (including the two cand_docs
+        # scans of the verify pruning) reads these blocks, never sig.
+        .localCheckpoint(eager=True)
     )
+    sig.unpersist()
 
     # Exact verification on the candidate PAIRS via array_intersect — LSH has
     # already pruned to ~O(n x dup-rate) pairs, so attaching each side's
@@ -203,8 +225,8 @@ def minhash_lsh_candidates(
     # standalone exact path in ngram_jaccard_pairs keeps the join shape for
     # corpus-wide use where no candidate pruning exists).
     cand_docs = (
-        candidates.select(F.col("doc_a").alias(id_col))
-        .union(candidates.select(F.col("doc_b").alias(id_col)))
+        est.select(F.col("doc_a").alias(id_col))
+        .union(est.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
     sh_arr = df.join(F.broadcast(cand_docs), id_col, "left_semi").select(

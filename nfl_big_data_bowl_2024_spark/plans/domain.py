@@ -348,9 +348,11 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             st.sessionized_play_stats(stream), "stream_session_stats_q", "append"
         )
         q.awaitTermination(300)
-        # Materialize off the memory sink so the temp dir can be removed.
-        rows = spark.table("stream_session_stats_q").collect()
-        return spark.createDataFrame(rows, spark.table("stream_session_stats_q").schema)
+        # The memory sink holds the emitted batches in the driver's table
+        # registry — the returned plan scans those batches, never the source
+        # files, so the temp dir can be removed with no collect/recreate
+        # round-trip (the r2 review's one remaining driver-side collect).
+        return spark.table("stream_session_stats_q")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

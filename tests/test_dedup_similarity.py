@@ -32,12 +32,19 @@ def test_minhash_lsh_pairs_subset_of_exact(spark, documents):
         (r["doc_a"], r["doc_b"]): r["jaccard"]
         for r in ngram_jaccard_pairs(documents, "doc_id", "text", 8, 0.2).collect()
     }
+    cached_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     lsh = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
         for r in minhash_lsh_candidates(
             documents, "doc_id", "text", 8, 32, 8, 0.2
         ).collect()
     }
+    # The signature cache is released inside the operator (sig.unpersist()
+    # after the eager pair-table checkpoint); the only storage allowed to
+    # survive is the operator's own output checkpoint — composed sessions
+    # must not accumulate signature caches.
+    cached_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert cached_after - cached_before <= 1
     # Verified LSH pairs are a subset of the exact answer with equal jaccard…
     for k, j in lsh.items():
         assert k in exact

@@ -228,3 +228,164 @@ def test_zorder_write_localizes_both_dimensions(spark):
     finally:
         shutil.rmtree(dz, ignore_errors=True)
         shutil.rmtree(d1, ignore_errors=True)
+
+
+# --- S5b animation/GIF sink -------------------------------------------------
+# The decoder below implements the GIF89a LZW decode algorithm from the spec
+# independently of the encoder, so a round-trip failure localizes encoder
+# bugs (bit packing, code-size bumps, table reset at 4096).
+
+
+def _gif_parse(data: bytes):
+    import struct as _s
+
+    assert data[:6] == b"GIF89a"
+    w, h = _s.unpack("<HH", data[6:10])
+    packed = data[10]
+    assert packed & 0x80
+    gct_bits = (packed & 0x07) + 1
+    pos = 13
+    palette = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(1 << gct_bits)]
+    pos += 3 * (1 << gct_bits)
+    frames = []
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        assert b == 0x2C, hex(b)
+        fx, fy, fw, fh = _s.unpack("<HHHH", data[pos + 1 : pos + 9])
+        assert data[pos + 9] == 0  # no local color table
+        pos += 10
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos] != 0:
+            n = data[pos]
+            lzw += data[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        frames.append((fw, fh, _gif_lzw_decode(bytes(lzw), mcs, fw * fh)))
+    return w, h, palette, frames
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_px: int) -> bytes:
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    table: list[bytes] = []
+    code_size = mcs + 1
+    bitpos = 0
+    prev = None
+
+    def reset():
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = mcs + 1
+        prev = None
+
+    reset()
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits:
+        byte0 = bitpos // 8
+        chunk = int.from_bytes(data[byte0 : byte0 + 3], "little")
+        code = (chunk >> (bitpos % 8)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(table[prev] + entry[:1])
+        else:
+            assert code == len(table), "invalid code"
+            entry = table[prev] + table[prev][:1]
+            table.append(entry)
+        out += entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = code
+        if len(out) >= n_px:
+            break
+    return bytes(out[:n_px])
+
+
+def test_gif_roundtrip_small_frames():
+    import numpy as np
+
+    from nfl_big_data_bowl_2024_spark.sources.animation_sink import write_gif
+
+    f0 = np.zeros((30, 40), dtype=np.uint8)
+    f0[5:10, 5:15] = 3
+    f1 = np.full((30, 40), 1, dtype=np.uint8)
+    f1[::2, ::3] = 7
+    d = tempfile.mkdtemp(prefix="gif_")
+    try:
+        p = write_gif([f0, f1], os.path.join(d, "t.gif"), fps=10)
+        data = open(p, "rb").read()
+        w, h, palette, frames = _gif_parse(data)
+        assert (w, h) == (40, 30)
+        assert len(frames) == 2
+        for src, (fw, fh, px) in zip([f0, f1], frames):
+            got = np.frombuffer(px, dtype=np.uint8).reshape(fh, fw)
+            assert np.array_equal(got, src)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_gif_lzw_table_reset_path():
+    import numpy as np
+
+    from nfl_big_data_bowl_2024_spark.sources.animation_sink import write_gif
+
+    # High-entropy frame large enough to overflow the 4096-entry LZW table
+    # (forces the mid-stream CLEAR + reset path).
+    i, j = np.indices((120, 200))
+    noisy = ((i * 37 + j * 101 + i * j) % 16).astype(np.uint8)
+    d = tempfile.mkdtemp(prefix="gif_")
+    try:
+        p = write_gif([noisy], os.path.join(d, "n.gif"), fps=5)
+        w, h, _, frames = _gif_parse(open(p, "rb").read())
+        got = np.frombuffer(frames[0][2], dtype=np.uint8).reshape(h, w)
+        assert np.array_equal(got, noisy)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_animation_sink_renders_trajectory(spark):
+    import numpy as np
+
+    from nfl_big_data_bowl_2024_spark.plans.domain import single_play_trajectory
+    from nfl_big_data_bowl_2024_spark.sources.animation_sink import (
+        PALETTE,
+        save_animation,
+    )
+
+    df = single_play_trajectory(spark, "/root/testdata/sf0.001")
+    d = tempfile.mkdtemp(prefix="gif_")
+    try:
+        p = save_animation(df, os.path.join(d, "play"), fps=10)
+        assert p.endswith(".gif")
+        data = open(p, "rb").read()
+        w, h, palette, frames = _gif_parse(data)
+        assert len(frames) == df.count()  # one GIF frame per tracked frame
+        assert palette[: len(PALETTE)] == [tuple(c) for c in PALETTE]
+        # Carrier (idx 3) and tackler (idx 4) are drawn on every frame; the
+        # vicinity ring (idx 7) appears only on in-vicinity frames.
+        n_vic = df.where("in_vicinity = 1").count()
+        seen_vic = 0
+        for fw, fh, px in frames:
+            arr = np.frombuffer(px, dtype=np.uint8)
+            assert (arr == 3).any() and (arr == 4).any()
+            seen_vic += int((arr == 7).any())
+        assert seen_vic == n_vic
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

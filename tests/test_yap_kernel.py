@@ -76,12 +76,56 @@ def test_ball_snap_fallback_runs():
     assert not pd.isna(row["YAP"])
 
 
-def test_unknown_position_kills_play():
+def test_unknown_position_mid_list_reuses_stale_limits():
     out = _run(2, 202)
-    # NT processed first (sorted by nflId), then QB aborts the play.
+    # NT processed first (sorted by nflId) assigns the method-scope limit
+    # variables; the QB's if/elif falls through with no else, so the
+    # reference silently computes it with the NT limits — same geometry +
+    # same (stale) limits => identical YAP, flagged as stale.
     assert out.loc[2004, "status"] == "ok"
+    assert out.loc[2005, "status"] == "ok_stale_limits"
+    assert out.loc[2005, "YAP"] == out.loc[2004, "YAP"]
+    assert out.loc[2005, "max_vel_opt"] == out.loc[2004, "max_vel_opt"]
+
+
+def test_unknown_position_first_with_vicinity_aborts_play():
+    out = _run(3, 204)
+    # No prior tackler assigned the limit variables and this one enters the
+    # vicinity, so the optimizer consumes unset vars -> reference NameError
+    # -> play error row (calculate_YAP.py:42-49).
+    assert len(out) == 1
     assert out.loc[2005, "status"] == "error_unknown_position"
     assert pd.isna(out.loc[2005, "YAP"])
+
+
+def test_unknown_position_never_in_vicinity_continues():
+    out = _run(3, 205)
+    # The unknown-position tackler takes the NaN path (limits never
+    # consumed -> no NameError) and the loop continues to the FS behind it,
+    # which computes normally (FS limits == CB limits, same closing
+    # geometry as play 101 -> same YAP).
+    assert out.loc[2005, "status"] == "ok"
+    assert pd.isna(out.loc[2005, "YAP"])
+    assert out.loc[2006, "status"] == "ok"
+    assert out.loc[2006, "YAP"] == pytest.approx(2.4, abs=1e-9)
+
+
+def test_vicinity_at_last_frame():
+    row = _run(3, 206).loc[2001]
+    # Crossing exactly at frame 35 (the final frame): the vicinity index is
+    # valid, the candidate search stops at len-2 as in the reference, and a
+    # feasible intercept well before the crossing yields a large YAP.
+    assert row["status"] == "ok"
+    assert row["YAP"] == pytest.approx(19.2, abs=1e-9)
+
+
+def test_left_direction_slow_closure_sign():
+    row = _run(3, 207).loc[2006]
+    # Second left-direction geometry (not the mirror of 101): crossing at
+    # frame 20, feasible intercept 9 frames earlier -> YAP = 9*0.8 = 7.2,
+    # positive under the left-direction sign convention (x_j - x_cv).
+    assert row["status"] == "ok"
+    assert row["YAP"] == pytest.approx(7.2, abs=1e-9)
 
 
 def test_no_stop_event_errors():
