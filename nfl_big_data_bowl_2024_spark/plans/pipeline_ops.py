@@ -599,21 +599,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_lsh_bucketed",
     None,
-    doc="Random-hyperplane (sign) LSH ANN with OR-amplification (12 bands x 6 "
-    "bits): any-band bucket join generates candidates (ids only; embeddings "
-    "re-attached post-distinct), exact cosine re-ranks. The 100 TB path: "
-    "per-band bucket join replaces the quadratic cross join; 6-bit bands cap "
-    "per-bucket fan-out (64 buckets/band). Threshold 0.45 sits inside the "
-    "testdata's cosine range (max ~0.51 at sf0.01) so the query is "
-    "non-vacuous; at this LOW threshold sign-LSH recall is ~0.6 by design "
-    "(ANN tradeoff; near-dup thresholds >=0.9 recall ~1.0 — asserted on "
-    "planted near-duplicates in tests/test_dedup_similarity.py).",
+    doc="Random-hyperplane (sign) LSH ANN with OR-amplification (16 bands, "
+    "AUTO bits-per-band sized to corpus count so per-bucket occupancy stays "
+    "~constant): any-band bucket join generates candidates (ids only; "
+    "embeddings re-attached post-distinct), exact cosine re-ranks. The "
+    "100 TB path: per-band bucket join replaces the quadratic cross join, "
+    "and auto band width keeps candidate volume near-linear in n (fixed "
+    "64-bucket bands measured scaling exponent 1.08 at sf0.1->sf1 — the "
+    "suite's only superlinear query before this). Threshold 0.45 sits "
+    "inside the testdata's cosine range so the query is non-vacuous; at "
+    "LOW thresholds sign-LSH recall is partial by design (ANN tradeoff; "
+    "near-dup thresholds >=0.95 recall ~1.0 across the auto range — "
+    "asserted on planted near-duplicates in tests/test_dedup_similarity.py).",
 )
 def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lsh_bucketed_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_bucketed_pairs(e, bands=12, bits_per_band=6, min_cosine=0.45)
+    return lsh_bucketed_pairs(e, bands=16, bits_per_band="auto", min_cosine=0.45)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,130 @@
+"""Scale up the driver testdata by key-shifted replication (default 10x).
+
+The driver tree stops at sf0.1; measuring how the engine's plans SCALE needs
+a second, larger point. Each fact/dim table is replicated ``factor`` times
+with every key column shifted by ``replica * OFFSET`` so referential
+integrity (orders->lineitem, customer, part, supplier, events.user_id) holds
+within each replica and keys never collide across replicas. Replica 0 is the
+original data bit-for-bit.
+
+Content columns that drive the dedup/similarity queries are MUTATED per
+replica so their selectivities stay constant instead of exploding:
+  - documents.text goes through a replica-specific character rotation
+    (translate), so cross-replica near-duplicate rates stay ~0 while
+    intra-replica rates match the original corpus;
+  - embeddings.embedding gets a replica-specific deterministic sign-flip
+    pattern, so cross-replica cosine similarity collapses to ~0.
+
+region/nation are true dimensions and are copied unchanged.
+
+Usage:
+    python scripts/gen_scale_data.py [--src=/root/testdata/sf0.1] \
+        [--out=/tmp/scaledata/sf1.0] [--factor=10]
+"""
+
+from __future__ import annotations
+
+import sys
+
+OFFSET = 100_000_000  # > any key in the source tree
+
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_TABLES = ["region", "nation"]
+N_FILES = {"lineitem": 16, "orders": 8, "events": 8}
+
+VOWELS = "aeiou"
+
+
+def _rotations(r: int) -> tuple[str, str]:
+    """Replica-specific translate mapping: rotate vowels by r%5, and for
+    r>=5 additionally rotate the common consonants 'rstln'. r=0 -> identity."""
+    v_to = VOWELS[r % 5 :] + VOWELS[: r % 5]
+    src, dst = VOWELS + VOWELS.upper(), v_to + v_to.upper()
+    if r >= 5:
+        cons = "rstln"
+        c_to = cons[r % 5 :] + cons[: r % 5]
+        src += cons
+        dst += c_to
+    return src, dst
+
+
+def main() -> int:
+    src_dir = "/root/testdata/sf0.1"
+    out_dir = "/tmp/scaledata/sf1.0"
+    factor = 10
+    for a in sys.argv[1:]:
+        if a.startswith("--src="):
+            src_dir = a.split("=", 1)[1]
+        elif a.startswith("--out="):
+            out_dir = a.split("=", 1)[1]
+        elif a.startswith("--factor="):
+            factor = int(a.split("=", 1)[1])
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo")
+    from nfl_big_data_bowl_2024_spark.sources.readers import read_testdata_table
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+    for t in COPY_TABLES:
+        read_testdata_table(spark, src_dir, t).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{t}.parquet")
+        print(f"{t}: copied")
+
+    for t, keys in KEY_COLS.items():
+        df = read_testdata_table(spark, src_dir, t)
+        rep = df.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+        for k in keys:
+            rep = rep.withColumn(k, F.col(k) + F.col("_r").cast("long") * OFFSET)
+        if t == "documents":
+            # Chain of whens; r=0 keeps the original text.
+            expr = F.col("text")
+            for r in range(1, factor):
+                s, d = _rotations(r)
+                expr = F.when(F.col("_r") == r, F.translate(F.col("text"), s, d)).otherwise(expr)
+            rep = rep.withColumn("text", expr)
+        if t == "embeddings":
+            # Deterministic sign flips per (replica, dimension); replica 0
+            # is identity. xxhash64 keeps it cheap and JVM-side.
+            flipped = F.zip_with(
+                F.col("embedding"),
+                F.transform(
+                    F.sequence(F.lit(1), F.size("embedding")),
+                    lambda i: F.when(F.col("_r") == 0, F.lit(1.0)).otherwise(
+                        (F.pmod(F.xxhash64(i, F.col("_r")), F.lit(2)) * 2 - 1).cast("float")
+                    ),
+                ),
+                lambda x, sgn: x * sgn,
+            )
+            rep = rep.withColumn("embedding", flipped.cast("array<float>"))
+        rep = rep.drop("_r")
+        rep.repartition(N_FILES.get(t, 4)).write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+        n = spark.read.parquet(f"{out_dir}/{t}.parquet").count()
+        print(f"{t}: {n} rows")
+
+    print(f"done -> {out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
