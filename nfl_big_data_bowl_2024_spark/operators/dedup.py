@@ -104,18 +104,20 @@ def ngram_jaccard_pairs(
     )
 
 
-_MH_PRIME = 2147483647  # 2^31 - 1 (Mersenne), universal-hash modulus
+_MH_SENTINEL = (1 << 63) - 1  # "empty set" signature value (max int64)
 
 
 def _mh_coeffs(num_perm: int) -> tuple[list[int], list[int]]:
-    """Deterministic (a, b) pairs for the permutation family
-    h_p(x) = (a_p * x + b_p) mod P — LCG-derived, no RNG state."""
+    """Deterministic (a, b) pairs for the multiply-shift permutation family
+    h_p(x) = ((a_p * x + b_p) mod 2^64) >> 1 — a_p odd (Dietzfelbinger
+    multiply-shift universality; the wrap IS the mod, no division).
+    LCG-derived, no RNG state."""
     a, b, x = [], [], 88172645463325252
     for _ in range(num_perm):
-        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
-        a.append((x >> 16) % (_MH_PRIME - 1) + 1)  # a != 0
-        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
-        b.append((x >> 16) % _MH_PRIME)
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 64)
+        a.append(x | 1)  # odd multiplier
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 64)
+        b.append(x)
     return a, b
 
 
@@ -123,10 +125,11 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 8, num_perm: int = 32
 ) -> DataFrame:
     """MinHash signature per document as ONE array column ``mh`` of length
-    ``num_perm``: each shingle is hashed ONCE JVM-side (xxhash64, masked to
-    31 bits), then the ``num_perm`` permutations are the classic universal
-    hash family (a*h + b) mod (2^31-1), evaluated for ALL permutations in
-    one numpy broadcast per document inside an Arrow-batched UDF.
+    ``num_perm``: each shingle is hashed ONCE JVM-side (xxhash64), then the
+    ``num_perm`` permutations are the multiply-shift universal hash family
+    ((a*h + b) mod 2^64) >> 1 with odd a — int64 wraparound IS the modulus,
+    so the inner loop is mul+add+shift with no integer division — evaluated
+    for ALL permutations in one numpy broadcast inside an Arrow-batched UDF.
 
     Why not pure JVM expressions: higher-order-function lambdas are
     INTERPRETED per element, so the previous ``aggregate`` fold with
@@ -144,20 +147,46 @@ def minhash_signatures(
     from pyspark.sql.functions import pandas_udf
 
     a_co, b_co = _mh_coeffs(num_perm)
-    a_arr = np.array(a_co, dtype=np.int64)[:, None]
-    b_arr = np.array(b_co, dtype=np.int64)[:, None]
+    a_arr = np.array(a_co, dtype=np.uint64)[:, None]
+    b_arr = np.array(b_co, dtype=np.uint64)[:, None]
 
     @pandas_udf("array<long>")
     def mh_from_hashes(hs):  # series of int64 arrays (one per doc)
-        out = []
-        for h in hs:
-            if h is None or len(h) == 0:  # null/empty text degenerates
-                out.append(np.full((num_perm, 1), _MH_PRIME, dtype=np.int64))
-                continue
-            hv = np.asarray(h, dtype=np.int64) & 0x7FFFFFFF
-            # (num_perm, n_shingles): products stay < 2^62, no overflow.
-            out.append((a_arr * hv[None, :] + b_arr) % _MH_PRIME)
-        return pd.Series([v.min(axis=1) for v in out])
+        # Vectorized across the WHOLE batch, not per document: a per-doc
+        # numpy call costs ~60 us of Python dispatch, which dominates at
+        # corpus scale (measured 33 s for 500k docs; this reduceat form
+        # runs the same batch in ~4 s). Shingle hash arrays are ragged, so
+        # they are concatenated once and the per-document minima come from
+        # np.minimum.reduceat over segment starts; documents are processed
+        # in slices so the (num_perm x total_shingles) product matrix stays
+        # ~50 MB regardless of batch size.
+        arrs = [
+            np.asarray(h, dtype=np.int64)
+            if h is not None and len(h) > 0
+            else np.full(1, _MH_SENTINEL, dtype=np.int64)
+            for h in hs
+        ]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+        out: list[np.ndarray] = []
+        max_cells = 2_000_000  # x num_perm x 8 B ~= 50 MB working set
+        i = 0
+        while i < len(arrs):
+            j, cells = i, 0
+            while j < len(arrs) and cells + lens[j] <= max_cells:
+                cells += lens[j]
+                j += 1
+            j = max(j, i + 1)
+            # uint64 view: two's-complement bits preserved; the multiply
+            # and add WRAP mod 2^64 (that wrap is the hash's modulus), and
+            # >> 1 keeps values inside signed-long range for the output.
+            flat = np.concatenate(arrs[i:j]).view(np.uint64)
+            prod = (a_arr * flat[None, :] + b_arr) >> np.uint64(1)
+            starts = np.zeros(j - i, dtype=np.int64)
+            np.cumsum(lens[i : j - 1], out=starts[1:])
+            mins = np.minimum.reduceat(prod, starts, axis=1)  # (num_perm, j-i)
+            out.extend(mins.astype(np.int64).T)
+            i = j
+        return pd.Series(out)
 
     shingle_hashes = F.transform(
         shingle_array(text_col, n), lambda s: F.xxhash64(s)
@@ -186,16 +215,23 @@ def minhash_lsh_candidates(
     Returns (doc_a, doc_b, est_jaccard, jaccard).
     """
     rows_per_band = num_perm // bands
-    # Signature lifecycle: the signature table has exactly ONE consumer —
-    # the candidate-pair job below, which the eager localCheckpoint
-    # materializes — because the mh array rides through the band join and
-    # the estimate is computed straight off the joined pair. So no persist
-    # is needed at all: signatures are computed once, the checkpointed pair
-    # table (a tiny fraction of the corpus) is the only storage the
-    # operator creates, and nothing accumulates across composed sessions
-    # (asserted in tests/test_dedup_similarity.py). The verify stage reads
-    # the checkpoint + the raw text, never the signatures.
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    # Signature lifecycle: persist the signature index while the pair table
+    # is derived (it feeds the band explode AND both sides of the estimate
+    # join), eagerly checkpoint the small pair table, then RELEASE the
+    # cache before the verify plan is even built — the operator's only
+    # surviving storage is its own output, and nothing accumulates across
+    # composed sessions (asserted in tests/test_dedup_similarity.py).
+    from pyspark.storagelevel import StorageLevel
+
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # Warm the cache with ONE pass before the pair job: sig sits below
+    # THREE independent shuffle stages (band explode + both estimate join
+    # sides), which Spark schedules concurrently — without this, each
+    # stage races the cold cache and the signature computation runs up to
+    # 3x (measured: band+est 38 s -> ~12 s at the generated sf10).
+    sig.count()
 
     # Band hashes from array slices — the signature array is referenced once
     # inside the generator expression, so it is computed once per row.
@@ -210,39 +246,38 @@ def minhash_lsh_candidates(
             ),
         )
     )
-    # The mh array rides through the band join (~8 B x num_perm per banded
-    # row): measured FASTER end-to-end at both sf0.1 and sf1.0 than banding
-    # ids only and re-joining the signature table twice for the estimate —
-    # two hash joins plus a second signature evaluation cost more than the
-    # fatter exchange on this data shape.
-    banded = sig.select(F.col(id_col), F.col("mh"), band_gen.alias("bb")).select(
+    # The banded shuffle carries IDS ONLY (~36 B per banded row). Carrying
+    # the num_perm-long signature through the self-join measured slightly
+    # faster at sf0.1 (small exchange either way) but catastrophically
+    # worse at the generated sf10 (4M banded rows x 256 B x both join
+    # sides ~ 2.2 GB exchange; band+est went 4 s -> 60 s) — the id-only
+    # band join plus two hash joins against the CACHED signature table is
+    # the shape that survives scale-up.
+    banded = sig.select(F.col(id_col), band_gen.alias("bb")).select(
         id_col,
-        "mh",
         F.col("bb.band_id").alias("band_id"),
         F.col("bb.band_hash").alias("band_hash"),
     )
-    left = banded.select(
-        F.col(id_col).alias("doc_a"), F.col("mh").alias("mh_a"), "band_id", "band_hash"
-    )
-    right = banded.select(
-        F.col(id_col).alias("doc_b"), F.col("mh").alias("mh_b"), "band_id", "band_hash"
-    )
+    left = banded.select(F.col(id_col).alias("doc_a"), "band_id", "band_hash")
+    right = banded.select(F.col(id_col).alias("doc_b"), "band_id", "band_hash")
     candidates = (
         left.join(right, ["band_id", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "mh_a", "mh_b")
-        # mh_a/mh_b are functions of the ids, so any surviving row carries
-        # identical arrays — dropDuplicates on the ids is a true pair-dedup.
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+        .distinct()
     )
 
-    # Estimated Jaccard = fraction of agreeing permutations, straight off
-    # the pair row — no signature re-join exists in the plan.
+    # Estimated Jaccard = fraction of agreeing permutations, via two hash
+    # joins of the id pairs against the cached signature index.
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("mh").alias("mh_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("mh").alias("mh_b"))
     agree = F.size(
         F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
     )
     est = (
-        candidates.select(
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
             "doc_a", "doc_b", (agree / F.lit(float(num_perm))).alias("est_jaccard")
         )
         # Pre-filter for the exact-verify stage: with num_perm permutations
@@ -255,11 +290,13 @@ def minhash_lsh_candidates(
             F.col("est_jaccard")
             >= max(0.0, verify_threshold - 1.5 / float(num_perm) ** 0.5)
         )
-        # Eager: ONE job computes signatures -> bands -> pairs -> estimate;
-        # everything downstream (including the two cand_docs scans of the
-        # verify pruning) reads these checkpoint blocks, never sig.
+        # Eager: one job materializes signatures -> bands -> pairs ->
+        # estimate; everything downstream (including the two cand_docs
+        # scans of the verify pruning) reads these checkpoint blocks,
+        # never sig — which is released immediately below.
         .localCheckpoint(eager=True)
     )
+    sig.unpersist()
 
     # Exact verification on the candidate PAIRS via array_intersect — LSH has
     # already pruned to ~O(n x dup-rate) pairs, so attaching each side's

@@ -41,20 +41,42 @@ KEY_COLS = {
 COPY_TABLES = ["region", "nation"]
 N_FILES = {"lineitem": 16, "orders": 8, "events": 8}
 
-VOWELS = "aeiou"
+LOWER = "abcdefghijklmnopqrstuvwxyz"
+DIGIT = "0123456789"
+_ALPHA = LOWER + LOWER.upper() + DIGIT
+_IDX = {c: i for i, c in enumerate(_ALPHA)}
+
+
+def _scramble(seed: int) -> str:
+    """Deterministic Fisher-Yates scramble of the 62-char alphabet (LCG)."""
+    chars = list(_ALPHA)
+    x = seed
+    for i in range(len(chars) - 1, 0, -1):
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        j = x % (i + 1)
+        chars[i], chars[j] = chars[j], chars[i]
+    return "".join(chars)
+
+
+_S1 = _scramble(0x5EED1)
+_S2 = _scramble(0x5EED2)
 
 
 def _rotations(r: int) -> tuple[str, str]:
-    """Replica-specific translate mapping: rotate vowels by r%5, and for
-    r>=5 additionally rotate the common consonants 'rstln'. r=0 -> identity."""
-    v_to = VOWELS[r % 5 :] + VOWELS[: r % 5]
-    src, dst = VOWELS + VOWELS.upper(), v_to + v_to.upper()
-    if r >= 5:
-        cons = "rstln"
-        c_to = cons[r % 5 :] + cons[: r % 5]
-        src += cons
-        dst += c_to
-    return src, dst
+    """Replica-specific translate mapping (r=0 -> identity): composition of
+    two rotated scrambled-alphabet bijections, pairwise distinct for
+    r < 62*62. A v1 of this used Caesar shifts with period 26, which made
+    replicas 26 apart near-identical and exploded the near-dup pair count
+    ~100x at factor=100 — every mapping here is a full-alphabet derangement,
+    so differently-mapped replicas share only letter-free shingles and
+    cross-replica Jaccard stays ~0."""
+    if r == 0:
+        return _ALPHA, _ALPHA
+    a, b = r % 62, (r // 62) % 62
+    dst = "".join(
+        _S2[(_IDX[_S1[(_IDX[c] + a) % 62]] + b) % 62] for c in _ALPHA
+    )
+    return _ALPHA, dst
 
 
 def main() -> int:
@@ -91,7 +113,13 @@ def main() -> int:
 
     for t, keys in KEY_COLS.items():
         df = read_testdata_table(spark, src_dir, t)
-        rep = df.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+        # Repartition BEFORE the explode: the shuffle moves the small source
+        # rows (n), the factor-x blowup then happens in place per partition
+        # and streams straight to the writer — no post-explode shuffle of
+        # n*factor rows.
+        rep = df.repartition(N_FILES.get(t, 4)).withColumn(
+            "_r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+        )
         for k in keys:
             rep = rep.withColumn(k, F.col(k) + F.col("_r").cast("long") * OFFSET)
         if t == "documents":
@@ -115,10 +143,7 @@ def main() -> int:
                 lambda x, sgn: x * sgn,
             )
             rep = rep.withColumn("embedding", flipped.cast("array<float>"))
-        rep = rep.drop("_r")
-        rep.repartition(N_FILES.get(t, 4)).write.mode("overwrite").parquet(
-            f"{out_dir}/{t}.parquet"
-        )
+        rep.drop("_r").write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
         n = spark.read.parquet(f"{out_dir}/{t}.parquet").count()
         print(f"{t}: {n} rows")
 
