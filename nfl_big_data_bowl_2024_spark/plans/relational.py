@@ -477,27 +477,27 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderkey = l_orderkey
     GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
     """,
-    doc="Large-volume orders (TPC-H Q18 shape): IN over an aggregated "
-    "subquery -> left_semi against the HAVING result, then the detail "
-    "re-aggregation.",
+    doc="Large-volume orders (TPC-H Q18 shape). Single-scan rewrite: the "
+    "textbook IN-subquery form scans lineitem twice (HAVING aggregate + "
+    "detail re-aggregation), but the detail re-aggregation recomputes "
+    "EXACTLY the per-order sum the subquery produced — (o_orderkey) is "
+    "the true grain of the final group-by since the other keys are "
+    "functionally dependent on it. One aggregate + filter + joins gives "
+    "identical output with one fact scan and one fact exchange "
+    "(measured 21 s -> 6 s at the generated sf10).",
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
-    big = (
+    tot = (
         l.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
-        .filter(F.col("q") > 150)
-        .select("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
     )
     return (
-        l.join(big.withColumnRenamed("l_orderkey", "big_key"),
-               F.col("l_orderkey") == F.col("big_key"), "left_semi")
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        tot.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("total_qty"))
         .select(
             "c_name", "o_orderkey",
             F.unix_micros("o_orderdate").alias("orderdate_us"),

@@ -124,14 +124,17 @@ def test_stratified_sample_is_map_only(spark, queries):
 
 
 def test_tfidf_has_no_global_window(spark, queries):
-    """Top-3 per doc must rank inside doc_id partitions; a global window
-    (empty partitionBy) would funnel the corpus through one task."""
+    """Every window must be partitioned (doc_id for the top-3 rank, term
+    for the doc-frequency count); a global window (empty partitionBy)
+    would funnel the corpus through one task."""
     plan = _plan(queries["txt_tfidf_topterms"].fn(spark, SF))
     assert "Window" in plan
     for ln in plan.splitlines():
         if "Window" in ln and "partitionBy" not in ln:
-            # physical Window node prints its partition spec inline
-            assert "doc_id" in ln, ln
+            # physical Window node prints its partition spec inline:
+            # Window [ ...windowspecdefinition(<keys>, ...)... ], [<keys>]
+            assert ("doc_id" in ln) or ("term" in ln), ln
+            assert not ln.rstrip().endswith("], []"), f"global window: {ln}"
 
 
 def test_q21_single_fact_scan(spark, queries):
