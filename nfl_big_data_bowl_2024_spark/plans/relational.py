@@ -518,10 +518,13 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
                         FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
     """,
     doc="Correlated aggregate subquery (TPC-H Q17 shape), decorrelated as a "
-    "per-part average join: the oracle's correlated subquery becomes "
-    "groupBy(l_partkey).avg + an equi-join back — the rewrite every engine's "
-    "decorrelator performs, written explicitly. l_quantity is integral so "
-    "the 0.2*avg threshold is cross-engine exact.",
+    "PER-PART WINDOW instead of an aggregate-plus-self-join: "
+    "0.2*avg(l_quantity) OVER (PARTITION BY l_partkey) computes the "
+    "threshold on the single filtered-lineitem subtree — the aggregate+join "
+    "form reads the fact twice because Catalyst does not CSE DataFrame "
+    "subtrees (same finding as Q18/Q21/TF-IDF). One fact scan, one "
+    "exchange on l_partkey. l_quantity is integral so the threshold is "
+    "cross-engine exact.",
 )
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
@@ -530,11 +533,9 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = l.join(
         F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey")
     )
-    lim = li.groupBy(F.col("l_partkey").alias("lim_partkey")).agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_lim")
-    )
+    qty_lim = (F.avg("l_quantity").over(Window.partitionBy("l_partkey")) * 0.2)
     return (
-        li.join(lim, F.col("l_partkey") == F.col("lim_partkey"))
+        li.withColumn("qty_lim", qty_lim)
         .filter(F.col("l_quantity") < F.col("qty_lim"))
         .agg(
             (

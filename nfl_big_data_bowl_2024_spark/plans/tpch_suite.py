@@ -275,13 +275,18 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE v * 1000 > (SELECT sum(v) FROM val)
     """,
     doc="TPC-H Q11 shape: groups whose aggregate exceeds a fraction of the "
-    "global total (scalar-aggregate subquery threshold). The grouped sums "
-    "compute once and feed BOTH the global total (a one-row re-aggregate, "
-    "broadcast back) and the filter — no second fact scan. The fraction "
-    "comparison runs on exact decimals scaled by an integer (v*1000 > total "
-    "== v > 0.1% of total), sidestepping double-division nondeterminism.",
+    "global total (scalar-aggregate subquery threshold). The global total "
+    "is a sum OVER A GLOBAL WINDOW placed ABOVE the per-part aggregate — a "
+    "re-aggregate+broadcast-join form references the val subtree twice and "
+    "Catalyst plans the whole fact scan+aggregate twice (no DataFrame "
+    "CSE). The window's input is the finished ~|parts|-row aggregate, "
+    "never the fact. The fraction comparison runs on exact decimals "
+    "scaled by an integer (v*1000 > total == v > 0.1% of total), "
+    "sidestepping double-division nondeterminism.",
 )
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier").filter(
         F.col("s_nationkey").isin(0, 1, 2)
@@ -291,9 +296,9 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast(_DEC)).alias("v"))
     )
-    total = val.agg(F.sum("v").alias("total"))
+    total = F.sum("v").over(Window.partitionBy())
     return (
-        val.join(F.broadcast(total))
+        val.withColumn("total", total)
         .filter(F.col("v") * 1000 > F.col("total"))
         .select("l_partkey", _round2(F.col("v")).alias("part_value"))
     )
@@ -317,13 +322,18 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
     """,
     doc="TPC-H Q15: top supplier by quarterly revenue — the canonical "
-    "view-reused-twice query. The per-supplier aggregate computes once; "
-    "max() re-aggregates its ~|suppliers| rows and broadcasts one row back "
-    "for the equality match. The equality compares the EXACT decimal sums "
+    "view-reused-twice query. The view reuse is expressed as a GLOBAL max "
+    "window ABOVE the per-supplier aggregate, so the fact scans once (the "
+    "aggregate+broadcast-max form reads lineitem twice — no DataFrame "
+    "subtree CSE). The global window is safe here precisely because its "
+    "input is the finished aggregate: ~|suppliers| rows through one task, "
+    "never the fact table. Equality compares the EXACT decimal sums "
     "(order-independent), never rounded doubles — ties all surface, no "
     "nondeterministic winner.",
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     rev = (
@@ -334,9 +344,9 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(_rev()).alias("total_rev"))
     )
-    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    mx = F.max("total_rev").over(Window.partitionBy())
     return (
-        rev.join(F.broadcast(mx))
+        rev.withColumn("max_rev", mx)
         .filter(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", _round2(F.col("total_rev")).alias("total_rev"))

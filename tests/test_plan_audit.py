@@ -145,6 +145,22 @@ def test_q21_single_fact_scan(spark, queries):
     assert "SortMergeJoin" not in plan
 
 
+def test_single_subtree_rewrites_scan_counts(spark, queries):
+    """Queries whose textbook form references a derived relation twice
+    (Catalyst does NOT CSE DataFrame subtrees) are written single-subtree:
+    the plan must scan each table exactly once."""
+    expected = {
+        "tpch_q11_important_parts": 2,   # lineitem + supplier
+        "tpch_q15_top_revenue_supplier": 2,  # lineitem + supplier
+        "tpch_q17_small_qty_revenue": 2,     # lineitem + part
+        "tpch_q18_large_orders": 3,          # lineitem + orders + customer
+        "txt_tfidf_topterms": 2,             # documents (tf) + documents (N)
+    }
+    for name, n in expected.items():
+        plan = _plan(queries[name].fn(spark, SF))
+        assert plan.count("Scan parquet") == n, f"{name}: {plan.count('Scan parquet')} scans"
+
+
 def test_q7_q8_fact_never_shuffled_before_agg(spark, queries):
     """All dims broadcast: the only exchanges are the final small groupBys."""
     for name in ("tpch_q7_nation_volume", "tpch_q8_market_share"):
