@@ -231,7 +231,7 @@ def minhash_lsh_candidates(
     # sides), which Spark schedules concurrently — without this, each
     # stage races the cold cache and the signature computation runs up to
     # 3x (measured: band+est 38 s -> ~12 s at the generated sf10).
-    sig.count()
+    n_docs = sig.count()
 
     # Band hashes from array slices — the signature array is referenced once
     # inside the generator expression, so it is computed once per row.
@@ -267,10 +267,14 @@ def minhash_lsh_candidates(
         .distinct()
     )
 
-    # Estimated Jaccard = fraction of agreeing permutations, via two hash
-    # joins of the id pairs against the cached signature index.
-    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("mh").alias("mh_a"))
-    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("mh").alias("mh_b"))
+    # Estimated Jaccard = fraction of agreeing permutations, via two joins
+    # of the id pairs against the cached signature index. Up to a few
+    # million docs the signature table (num_perm longs per doc) is the
+    # SMALL side — broadcast it so the pair rows never shuffle for the
+    # attach (same finding as the LSH re-rank in similarity.py).
+    sig_side = F.broadcast(sig) if n_docs <= 2_000_000 else sig
+    sa = sig_side.select(F.col(id_col).alias("doc_a"), F.col("mh").alias("mh_a"))
+    sb = sig_side.select(F.col(id_col).alias("doc_b"), F.col("mh").alias("mh_b"))
     agree = F.size(
         F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
     )
@@ -309,9 +313,22 @@ def minhash_lsh_candidates(
         .union(est.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
+    # Shingle sets are carried as xxhash64 LONGS, not strings: the
+    # intersection compares 8-byte values instead of variable-length UTF8
+    # (~2x smaller attach rows, faster array_intersect). Set cardinalities
+    # are preserved up to 64-bit hash collisions (P[any collision] ~
+    # (distinct shingles)^2 / 2^65 — immaterial next to the 4-dp rounding).
     sh_arr = df.join(F.broadcast(cand_docs), id_col, "left_semi").select(
-        F.col(id_col), shingle_array(text_col, n).alias("sh")
+        F.col(id_col),
+        F.transform(shingle_array(text_col, n), lambda s: F.xxhash64(s)).alias("sh"),
     )
+    # Candidate-doc count is bounded by 2x the pair count, and the pair
+    # table is already materialized — one cheap count decides whether the
+    # pruned shingle table fits a broadcast (it usually does: dup-rate x
+    # corpus), which keeps the est-pair rows from shuffling twice for the
+    # attach.
+    if cand_docs.count() <= 200_000:
+        sh_arr = F.broadcast(sh_arr)
     pa = sh_arr.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     pb = sh_arr.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
