@@ -347,6 +347,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text", n=8, threshold=0.2)
 
 
+_MINHASH_DUP_ORACLE = """
+WITH shingles AS (
+    SELECT doc_id, unnest(list_distinct([substr(text, g, 8)
+           FOR g IN range(1, greatest(length(text) - 6, 2))])) AS sh
+    FROM documents
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+pair_overlap AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4) AS jaccard
+FROM pair_overlap
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.9
+"""
+
+
+@register(
+    "dedup_minhash_exact_dups",
+    _MINHASH_DUP_ORACLE,
+    doc="MinHash+LSH at the DEDUP operating point, oracle-checked: at "
+    "verify threshold 0.9 with 16 bands x 2 rows the per-pair miss "
+    "probability for a J>=0.9 pair is (1-J^2)^16 <= 3.3e-12, so the "
+    "LSH output is (statistically) EQUAL to the exact-Jaccard answer and "
+    "DuckDB can verify it — the one operating point where a hash-seeded "
+    "sketch pipeline admits a deterministic oracle. The estimate column "
+    "is excluded from the output (it IS hash-dependent); the exact "
+    "verified jaccard is not. The general-threshold variant "
+    "(dedup_minhash_lsh, 0.2) stays rows-only: partial recall at low "
+    "similarity is the documented LSH tradeoff.",
+)
+def dedup_minhash_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        d, "doc_id", "text", n=8, num_perm=32, bands=16, verify_threshold=0.9
+    ).select("doc_a", "doc_b", "jaccard")
+
+
 @register(
     "dedup_minhash_lsh",
     None,

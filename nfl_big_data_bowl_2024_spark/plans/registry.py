@@ -48,8 +48,11 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # the remaining TPC-H shapes, and the three relational queries that changed
 # this round (tpch_q12 cast fix, the two approx sketches' new oracle shapes)
 # land inside it.  Everything displaced is either already driver-green from
-# round 2 or rows-only with pytest evidence (dedup_simhash / sim_ivf_topk /
-# mm_byte_features keep their oracle-free golden tests).
+# round 2 or rows-only with pytest evidence (dedup_minhash_lsh /
+# dedup_simhash / sim_ivf_topk / mm_byte_features keep their oracle-free
+# golden tests; the MinHash machinery gets its driver row through
+# dedup_minhash_exact_dups, whose 0.9-threshold operating point admits a
+# deterministic DuckDB oracle).
 _DRIVER_PRIORITY: list[str] = [
     # domain pipeline (reference E1/E2 capabilities)
     "e1_max_params",
@@ -83,7 +86,7 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_dimension_stats",
     "txt_winnow_fingerprint",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    "dedup_minhash_exact_dups",
     "pipeline_corpus_clean",
     "mm_binary_stats",
     "sim_topk_bruteforce",

@@ -190,3 +190,22 @@ def test_winnow_fingerprint_matches_python_model(spark):
             for r in txt_winnow_fingerprint(spark, td).collect()
         }
     assert got == {i: model(t) for i, t in texts.items()}
+
+
+def test_minhash_exact_dup_point_equals_exact_jaccard(spark, documents):
+    """At the 0.9-threshold / 16x2-band operating point the LSH output must
+    EQUAL the exact-Jaccard answer (per-pair miss probability <= 3.3e-12)
+    — this is what makes dedup_minhash_exact_dups oracle-checkable."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(documents, "doc_id", "text", 8, 0.9).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_candidates(
+            documents, "doc_id", "text", 8, 32, 16, 0.9
+        ).collect()
+    }
+    assert set(lsh) == set(exact)
+    for k in exact:
+        assert lsh[k] == pytest.approx(exact[k])
