@@ -415,6 +415,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_identical",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               list_sort(list_distinct(string_split(text, ' '))) AS toks
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM norm a JOIN norm b ON a.toks = b.toks AND a.doc_id < b.doc_id
+    """,
+    doc="SimHash at the oracle-checkable operating point: the 64-bit "
+    "signature is a pure function of the DISTINCT TOKEN SET, so "
+    "equal-signature pairs are exactly the identical-token-set pairs "
+    "(collision probability ~2^-64 per unequal pair) — which DuckDB "
+    "computes directly from sorted distinct token lists. The banded "
+    "near-dup buckets (dedup_simhash) stay rows-only: Hamming-near "
+    "pairs have no engine-independent definition.",
+)
+def dedup_simhash_identical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sig = simhash_signatures(d, "doc_id", "text").select("doc_id", "simhash")
+    a = sig.select(F.col("doc_id").alias("doc_a"), "simhash")
+    b = sig.select(F.col("doc_id").alias("doc_b"), "simhash")
+    return (
+        a.join(b, "simhash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+
+
+@register(
     "pipeline_corpus_clean",
     """
     WITH gated AS (
@@ -551,6 +582,25 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return ivf_topk(e, query_vec_id=0, k=25, n_centroids=16, nprobe=4)
+
+
+@register(
+    "sim_ivf_probeall_topk",
+    _TOPK_ORACLE,
+    doc="IVF at the oracle-checkable operating point: probing ALL inverted "
+    "lists makes the result exactly the brute-force top-k (asserted in "
+    "tests as well), so the same DuckDB oracle applies while the query "
+    "still exercises the full IVF machinery — deterministic-seed coarse "
+    "quantizer, Lloyd refinement, vectorized assignment, per-list "
+    "pruning plumbing. The partial-probe variant (sim_ivf_topk, "
+    "nprobe=4/16) stays rows-only: its recall-vs-scan-fraction tradeoff "
+    "is the ANN knob, not a deterministic answer.",
+)
+def sim_ivf_probeall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, query_vec_id=0, k=25, n_centroids=16, nprobe=16)
 
 
 @register(

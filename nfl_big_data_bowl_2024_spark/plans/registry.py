@@ -107,8 +107,13 @@ _DRIVER_PRIORITY: list[str] = [
     "txt_vocab_topk",
     "evt_funnel_conversion",
     "evt_cohort_retention",
-    "txt_bpe_pair_counts",
-    "dq_column_profile",
+    # Oracle-checkable operating points of otherwise hash-seeded machinery
+    # (simhash identity, IVF probe-all): these take the last two window
+    # slots from txt_bpe_pair_counts / dq_column_profile, whose shapes
+    # overlap other green rows (BPE pretokenize + vocab top-k; summary
+    # stats) and which keep their oracles for a future window rotation.
+    "dedup_simhash_identical",
+    "sim_ivf_probeall_topk",
 ]
 
 
