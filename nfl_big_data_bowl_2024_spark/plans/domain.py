@@ -320,14 +320,60 @@ def single_play_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic oracle for the STREAMING sessionization: gap-based sessions
+# (the general lag/running-sum formulation of session_window) over the same
+# fixture, INCLUDING the watermark emission rule — append mode only emits a
+# session once the watermark (max event time - 10 s) has passed its end, so
+# the chronologically-last play's session is provably withheld and the
+# oracle reproduces that by filtering on the same cutoff. Event times are
+# derived in INTEGER microseconds on both engines (t has exact 0.1 s
+# granularity, so round(t*10) is integral) — no double->timestamp rounding
+# hazard.
+_STREAM_SESS_ORACLE = f"""
+WITH fx AS (SELECT * FROM {fixtures.tracking_values_cte()}),
+ev AS (
+    SELECT gameId, playId, frameId, s,
+           (CAST(1700000000 AS BIGINT) + playId * 100) * 1000000
+           + CAST(round(t * 10) AS BIGINT) * 100000 AS ts_us
+    FROM fx
+),
+flagged AS (
+    SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > 5000000
+                   THEN 1 ELSE 0 END AS new_sess
+    FROM ev WINDOW w AS (PARTITION BY gameId, playId ORDER BY ts_us)
+),
+sess AS (
+    SELECT *, sum(new_sess) OVER (PARTITION BY gameId, playId ORDER BY ts_us
+                                  ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM flagged
+),
+agg AS (
+    SELECT gameId, playId,
+           min(ts_us) AS sess_start_us,
+           max(ts_us) + 5000000 AS sess_end_us,
+           count(*) AS n_frames,
+           min(frameId) AS first_frame,
+           max(frameId) AS last_frame,
+           max(s) AS max_speed
+    FROM sess GROUP BY gameId, playId, sess_id
+)
+SELECT * FROM agg
+WHERE sess_end_us <= (SELECT max(ts_us) FROM ev) - 10000000
+"""
+
+
 @register(
     "stream_session_stats",
-    None,
+    _STREAM_SESS_ORACLE,
     doc="Structured Streaming end-to-end (§2.9 extension): fixture tracking "
     "frames written as two parquet files -> file-source readStream (1 file "
     "per micro-batch) -> watermark + session_window per play -> memory sink "
-    "drained with trigger(availableNow). Returns the emitted sessions; "
-    "batch-equivalence is asserted in tests/test_streaming.py.",
+    "drained with trigger(availableNow). ORACLE-CHECKED including the "
+    "watermark semantics: the oracle computes gap-sessionization with the "
+    "general lag/running-sum formulation and applies the same append-mode "
+    "emission cutoff (session end <= max event time - 10 s), so the "
+    "withheld final session matches too. Batch-equivalence is additionally "
+    "asserted in tests/test_streaming.py.",
 )
 def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -337,9 +383,13 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tempfile.mkdtemp(prefix="stream_q_")
     try:
+        # Integer-microsecond event times (see oracle note above).
+        micros = (
+            (F.lit(1_700_000_000).cast("long") + F.col("playId") * 100) * 1_000_000
+            + F.round(F.col("t") * 10).cast("long") * 100_000
+        )
         tr = fixtures.tracking_df(spark).withColumn(
-            "event_time",
-            F.timestamp_seconds(F.col("t") + 1_700_000_000 + F.col("playId") * 100),
+            "event_time", F.timestamp_micros(micros)
         )
         tr.coalesce(2).write.mode("overwrite").parquet(d)
         schema = spark.read.parquet(d).schema
@@ -352,7 +402,12 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # registry — the returned plan scans those batches, never the source
         # files, so the temp dir can be removed with no collect/recreate
         # round-trip (the r2 review's one remaining driver-side collect).
-        return spark.table("stream_session_stats_q")
+        return spark.table("stream_session_stats_q").select(
+            "gameId", "playId",
+            F.unix_micros("sess_start").alias("sess_start_us"),
+            F.unix_micros("sess_end").alias("sess_end_us"),
+            "n_frames", "first_frame", "last_frame", "max_speed",
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
