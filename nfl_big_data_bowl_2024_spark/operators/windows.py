@@ -77,6 +77,50 @@ def first_crossing(
     )
 
 
+def event_window_exprs(
+    w: "Window",
+    order_col: str,
+    event_col: str,
+    start_events: Sequence[str],
+    stop_events: Sequence[str],
+    fallback_start_event: str | None = None,
+) -> tuple[Column, Column]:
+    """W1 as WINDOW EXPRESSIONS over an unbounded group window: (start_ord,
+    stop_ord) attached to every row of the group instead of one row per
+    group. Identical semantics to :func:`event_window`; use this form when
+    the same frame then feeds further per-row logic (crossing detection,
+    bounded aggregation) — the aggregate+join-back composition evaluates the
+    source subtree once PER CONSUMER (Catalyst does not CSE DataFrame
+    subtrees), while stacked window expressions over one partitioning keep
+    it to a single scan and a single exchange.
+    """
+    start_primary = F.min(
+        F.when(F.col(event_col).isin(list(start_events)), F.col(order_col))
+    ).over(w)
+    stop_ord = F.min(
+        F.when(F.col(event_col).isin(list(stop_events)), F.col(order_col))
+    ).over(w)
+    if fallback_start_event is not None:
+        start_fallback = F.min(
+            F.when(F.col(event_col) == fallback_start_event, F.col(order_col))
+        ).over(w)
+        return F.coalesce(start_primary, start_fallback), stop_ord
+    return start_primary, stop_ord
+
+
+def first_crossing_expr(
+    w: "Window",
+    order_col: str,
+    condition: Column,
+    after: Column,
+    strict: bool = True,
+) -> Column:
+    """W2 as a WINDOW EXPRESSION (see :func:`event_window_exprs` for when to
+    prefer this over the aggregate+join form)."""
+    cmp = F.col(order_col) > after if strict else F.col(order_col) >= after
+    return F.min(F.when(condition & cmp, F.col(order_col))).over(w)
+
+
 def offset_from_first(
     df: DataFrame,
     group_cols: Sequence[str],

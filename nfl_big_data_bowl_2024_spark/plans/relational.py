@@ -64,34 +64,35 @@ WHERE b.n_window >= 2
     "flagship_bounded_max",
     _FLAGSHIP_ORACLE,
     doc="E1 pipeline shape: W1 event window + W2 first crossing + A1 bounded max "
-    "+ J2 broadcast dim join + O2 having (reference optimal_pursuit.py:193-259).",
+    "+ J2 broadcast dim join + O2 having (reference optimal_pursuit.py:193-259). "
+    "Single-scan form: W1/W2 run as stacked window expressions over ONE "
+    "user_id partitioning — the aggregate+join-back composition evaluated "
+    "the events subtree four times (no DataFrame subtree CSE), this plan "
+    "scans events once with one exchange.",
 )
 def flagship_bounded_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import event_window_exprs, first_crossing_expr
+
     events = _t(spark, sf_dir, "events")
     customer = _t(spark, sf_dir, "customer")
 
-    win = event_window(
-        events,
-        ["user_id"],
-        "ts",
-        "event_type",
-        start_events=["signup"],
-        stop_events=["purchase"],
+    w = Window.partitionBy("user_id")  # unbounded frame: group-wide mins
+    start_c, stop_c = event_window_exprs(
+        w, "ts", "event_type",
+        start_events=["signup"], stop_events=["purchase"],
         fallback_start_event="view",
-    ).withColumnsRenamed({"start_ord": "start_ts", "stop_ord": "stop_ts"})
-
-    ev_w = events.join(win, "user_id")
-    crossing = first_crossing(
-        ev_w, ["user_id"], "ts", F.col("value") > 25.0, F.col("start_ts")
-    ).withColumnRenamed("crossing_ord", "crossing_ts")
-
-    # One aggregation produces max AND count, with the window bounds carried
-    # as (functionally dependent) grouping keys — no join back onto the
-    # win/crossing spines. Every shuffle in this plan is on user_id, so
-    # Catalyst reuses the exchange across the join and both aggregates.
-    ev_wc = ev_w.join(crossing, "user_id")
+    )
+    # Two stacked Window nodes (the crossing references start_ts, and a
+    # window expression cannot nest inside another) — same partitioning,
+    # so ONE exchange serves both plus the final aggregation.
+    ev_w = events.select(
+        "*", start_c.alias("start_ts"), stop_c.alias("stop_ts")
+    ).withColumn(
+        "crossing_ts",
+        first_crossing_expr(w, "ts", F.col("value") > 25.0, F.col("start_ts")),
+    )
     bounded = (
-        ev_wc.filter(
+        ev_w.filter(
             (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("crossing_ts"))
         )
         .groupBy("user_id", "start_ts", "crossing_ts", "stop_ts")
