@@ -67,13 +67,32 @@ def main() -> None:
     registry["tpch_q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Warm the Python worker fleet too: the first Arrow-UDF stage of a
+    # session spawns one worker per core, each importing numpy/pandas
+    # (~10-15 s across 32 workers). That is one-time session setup, not
+    # query cost — pay it here so the first UDF-bearing headline query is
+    # measured at steady state, like every other query.
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
 
-    # min of two runs per query: steady-state timing (first run pays Python
-    # worker spin-up and JIT; run-to-run variance on the shared box is high).
+    @pandas_udf("double")
+    def _warm(v):
+        import numpy as np  # noqa: F401
+        import pandas as pd
+
+        return pd.Series([float(x) for x in v])
+
+    spark.range(0, 320, 1, 32).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    # min of three runs per query: steady-state timing (the first run can
+    # pay residual JIT; run-to-run variance on the shared box is high and
+    # occasionally spikes multi-second, so one extra rep buys robustness).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

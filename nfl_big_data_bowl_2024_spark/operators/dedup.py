@@ -318,7 +318,14 @@ def minhash_lsh_candidates(
     # (~2x smaller attach rows, faster array_intersect). Set cardinalities
     # are preserved up to 64-bit hash collisions (P[any collision] ~
     # (distinct shingles)^2 / 2^65 — immaterial next to the 4-dp rounding).
-    sh_arr = df.join(F.broadcast(cand_docs), id_col, "left_semi").select(
+    # Spread the semi-joined candidate docs BEFORE shingling: the semi join
+    # preserves the scan's partitioning (size-based — a few MB of text is
+    # ONE partition), so without this the CPU-heavy shingle/hash of every
+    # candidate doc runs on a single task (measured 1.3 s of a 3.9 s run
+    # at sf0.1; the skew grows with the duplicate rate at scale).
+    sh_arr = _spread(
+        df.join(F.broadcast(cand_docs), id_col, "left_semi"), id_col
+    ).select(
         F.col(id_col),
         F.transform(shingle_array(text_col, n), lambda s: F.xxhash64(s)).alias("sh"),
     )

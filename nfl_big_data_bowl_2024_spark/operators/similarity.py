@@ -244,10 +244,6 @@ def lsh_bucketed_pairs(
         return pd.Series(list(sigs))
 
     sc = df.sparkSession.sparkContext
-    # The projection pass consumes the vector table exactly ONCE: the
-    # candidate-pair table is eagerly checkpointed below, so the banding
-    # subtree (the only consumer of this branch) runs in that one job —
-    # no persist, no cache race, nothing to release.
     v = (
         df.select(id_col, F.col(vec_col).cast("array<double>").alias("emb"))
         .repartition(sc.defaultParallelism, F.col(id_col))
@@ -255,18 +251,24 @@ def lsh_bucketed_pairs(
     # Candidate generation runs over (id, band) rows ONLY — embeddings are
     # attached after the distinct, so the (potentially large) candidate-pair
     # shuffle moves two longs per row, not two dim-sized arrays.
+    #
+    # The banded table is eagerly checkpointed BEFORE the self-join: both
+    # join branches would otherwise re-derive the projection-UDF subtree as
+    # two CONCURRENT stages — double the UDF work, and the two stages
+    # contend for the same Python worker pool (measured as multi-second
+    # jitter at small SF). The checkpoint is tiny: n x bands rows of
+    # (id, band_id, band_sig) — three fixed-width values per row.
     banded = v.select(
         id_col, F.posexplode(band_sigs("emb")).alias("band_id", "band_sig")
-    )
+    ).localCheckpoint(eager=True)
     a = banded.select(F.col(id_col).alias("vid_a"), "band_id", "band_sig")
     b = banded.select(F.col(id_col).alias("vid_b"), "band_id", "band_sig")
     # Explicit-count repartition on the dedup keys: candidate pairs are
     # byte-tiny but CPU-heavy downstream, and AQE's size-based coalescing
     # would funnel millions of pairs into 1-2 partitions. distinct() then
     # reuses this partitioning (no extra exchange). Eager checkpoint: the
-    # pair ids (two longs per row) materialize in one job; the re-rank
-    # below reads these blocks plus two column-pruned source scans, so the
-    # projection UDF never runs again.
+    # pair ids (two longs per row) materialize here, so the re-rank below
+    # reads these blocks and never re-runs the band join.
     candidates = (
         a.join(b, ["band_id", "band_sig"])
         .filter(F.col("vid_a") < F.col("vid_b"))
