@@ -314,16 +314,31 @@ def txt_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup: n-gram Jaccard (oracle-checked), MinHash+LSH / SimHash (rows-only)
 # ---------------------------------------------------------------------------
 
+# The registered query runs at the PRODUCTION operating point of the guard
+# (max_df=256), mirrored EXACTLY in the oracle, so both engines compute
+# Jaccard over the identical filtered shingle space. Why the guard must be
+# on by default: the per-shingle self-join costs sum(df^2) pairs, and at
+# the generated sf1 point (50k docs, 130k distinct shingles, avg df 104)
+# the UNguarded join generates 2.8e9 candidate pairs (~99 s on local[32]);
+# df<=256 keeps near-dup discrimination (true near-dups share RARE
+# shingles) while cutting the pair volume ~50x. The unguarded exact form
+# stays available via max_df=None and is what the MinHash subset/equality
+# tests compare against.
 _JACCARD_ORACLE = """
 WITH shingles AS (
     SELECT doc_id, unnest(list_distinct([substr(text, g, 8)
            FOR g IN range(1, greatest(length(text) - 6, 2))])) AS sh
     FROM documents
 ),
-counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+freq AS (SELECT sh, count(*) AS d FROM shingles GROUP BY sh),
+kept AS (
+    SELECT s.doc_id, s.sh FROM shingles s JOIN freq USING (sh)
+    WHERE freq.d <= 256
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
 pair_overlap AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -339,12 +354,13 @@ WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.2
     "dedup_ngram_jaccard",
     _JACCARD_ORACLE,
     doc="Near-dup detection via exact character-8-gram Jaccard: shingle -> explode -> "
-    "self-join on shingle -> overlap counts. The explode+join is the standard "
-    "distributed candidate generation; the >= threshold bounds the pair blowup.",
+    "self-join on shingle -> overlap counts. Runs at the max_df=256 hot-shingle "
+    "operating point (oracle applies the identical filter); the guard is what "
+    "bounds the self-join's sum(df^2) pair volume at corpus scale.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "doc_id", "text", n=8, threshold=0.2)
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=8, threshold=0.2, max_df=256)
 
 
 _MINHASH_DUP_ORACLE = """
@@ -721,10 +737,15 @@ WITH RECURSIVE shingles AS (
            FOR g IN range(1, greatest(length(text) - 10, 2))])) AS sh
     FROM documents
 ),
-counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+freq AS (SELECT sh, count(*) AS d FROM shingles GROUP BY sh),
+kept AS (
+    SELECT s.doc_id, s.sh FROM shingles s JOIN freq USING (sh)
+    WHERE freq.d <= 256
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
 pair_overlap AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 ),
 pairs AS (
@@ -768,7 +789,10 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=12, threshold=0.2)
+    # Same max_df=256 hot-shingle operating point as dedup_ngram_jaccard
+    # (mirrored in the recursive-CTE oracle above) — without it the edge
+    # generation pays sum(df^2) pairs before the clustering even starts.
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=12, threshold=0.2, max_df=256)
     return connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
         "node", "doc_id"
     )
