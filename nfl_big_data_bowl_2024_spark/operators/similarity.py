@@ -36,6 +36,86 @@ def cosine_col(a, b) -> Column:
     return dot_col(a, b) / (F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b)))
 
 
+def pair_cosine_udf():
+    """Vectorized cosine over two array<double> columns (one numpy einsum
+    per Arrow batch). HOF lambdas are interpreted PER ELEMENT, so
+    ``cosine_col`` costs ~3*dim lambda evals per row — fine against one
+    broadcast query vector, but the measured bottleneck on pair tables
+    (millions of rows): this form is the documented vectorized-UDF
+    exception used by the LSH re-rank and the bounded all-pairs dedup."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _pair_cosine(ea, eb):
+        ma = np.stack(ea.to_numpy())
+        mb = np.stack(eb.to_numpy())
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.sqrt(
+            np.einsum("ij,ij->i", ma, ma) * np.einsum("ij,ij->i", mb, mb)
+        )
+        return pd.Series(num / den)
+
+    return _pair_cosine
+
+
+def all_pairs_cosine(
+    df: DataFrame,
+    min_cosine: float,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    bound: int = 100_000,
+) -> DataFrame:
+    """Exact all-pairs cosine >= ``min_cosine`` over a BOUNDED vector set,
+    as a blocked matrix product: the full (normalized) matrix is collected
+    once (guarded by ``bound`` — the caller must have already capped the
+    relation; this is the exact/audit path, sim_lsh/ivf are the scale
+    paths) and broadcast, then ONE ``mapInPandas`` pass computes each Arrow
+    batch's (batch x n) cosine block with a single BLAS matmul.
+
+    Why not a join: the pair-level formulations move every vector across
+    the executor/Python boundary once PER PAIR — n^2/2 x 2 x dim doubles
+    of Arrow traffic (measured ~5 s for n=2000, dim=64 even with the
+    einsum kernel; a broadcast-nested-loop + HOF cosine on a single-file
+    scan was 65 s single-task). Here each vector crosses once per BLOCK:
+    n x dim in, matches out."""
+    import numpy as np
+    import pandas as pd
+
+    sc = df.sparkSession.sparkContext
+    rows = df.select(id_col, vec_col).collect()
+    if len(rows) > bound:
+        raise ValueError(
+            f"all_pairs_cosine is the bounded exact path: got {len(rows)} "
+            f"vectors > bound={bound}; use lsh_bucketed_pairs / ivf_topk"
+        )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bc = sc.broadcast((ids, mn))
+
+    def gen(batches):
+        bids, bmat = bc.value
+        for pdf in batches:
+            a = np.stack(pdf[vec_col].to_numpy())
+            an = a / np.linalg.norm(a, axis=1, keepdims=True)
+            aids = pdf[id_col].to_numpy()
+            c = an @ bmat.T
+            mask = (c >= min_cosine) & (aids[:, None] < bids[None, :])
+            ii, jj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "vid_a": aids[ii],
+                    "vid_b": bids[jj],
+                    "cosine": np.round(c[ii, jj], 4),
+                }
+            )
+
+    spread = df.repartition(sc.defaultParallelism, F.col(id_col))
+    return spread.mapInPandas(gen, "vid_a long, vid_b long, cosine double")
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec_id: int,
@@ -285,13 +365,7 @@ def lsh_bucketed_pairs(
     # same kernel; the pair rows are re-spread first because they are
     # byte-tiny but CPU-heavy, and AQE's size-based coalescing would
     # funnel them into 1-2 tasks.
-    @pandas_udf("double")
-    def pair_cosine(ea, eb):
-        ma = np.stack(ea.to_numpy())
-        mb = np.stack(eb.to_numpy())
-        num = np.einsum("ij,ij->i", ma, mb)
-        den = np.sqrt(np.einsum("ij,ij->i", ma, ma) * np.einsum("ij,ij->i", mb, mb))
-        return pd.Series(num / den)
+    pair_cosine = pair_cosine_udf()
 
     # Attaching dim-sized arrays to MILLIONS of pair rows through two
     # shuffle joins moves pairs x ~0.5 KB x 2 of exchange — measured as the

@@ -689,19 +689,19 @@ def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "accumulation matches DuckDB's list_dot_product element order exactly.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import all_pairs_cosine
+
     e = (
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 2000)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     )
-    a = e.select(F.col("vec_id").alias("vid_a"), F.col("emb").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vid_b"), F.col("emb").alias("emb_b"))
-    cos = cosine_col("emb_a", "emb_b")
-    return (
-        a.join(b, F.col("vid_a") < F.col("vid_b"))
-        .filter(cos >= 0.4)
-        .select("vid_a", "vid_b", F.round(cos, 4).alias("cosine"))
-    )
+    # Blocked matrix product (see all_pairs_cosine): the join formulations
+    # of n^2/2 pairs moved every vector across the Arrow boundary once per
+    # PAIR — 65 s as a single-task nested-loop + HOF cosine, ~5 s with
+    # repartition + einsum kernel; the blocked form is sub-second compute
+    # with one bounded collect of the capped vector set.
+    return all_pairs_cosine(e, min_cosine=0.4)
 
 
 @register(

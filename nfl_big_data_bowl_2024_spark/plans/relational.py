@@ -1511,15 +1511,19 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
-    return l.agg(
-        F.countDistinct("l_orderkey").cast("bigint").alias("exact_orders"),
-        (
-            F.abs(
-                F.approx_count_distinct("l_orderkey", rsd=0.01)
-                - F.countDistinct("l_orderkey")
-            )
-            <= 0.02 * F.countDistinct("l_orderkey")
-        ).alias("approx_within_2pct"),
+    # Dedup the key FIRST (partial-aggregate map-side, one shuffle of
+    # distinct keys), then run count + HLL over the key set in one pass.
+    # An HLL sketch depends only on the SET of values, so the estimate is
+    # bit-identical to sketching the raw column — but mixing
+    # countDistinct with other aggregates in one agg plans through
+    # Expand (row duplication per aggregate), measured 8 s at sf0.1 /
+    # 42 s at sf1 for this query vs 1.2 s / 1.6 s in this form.
+    keys = l.select("l_orderkey").distinct()
+    acd = F.approx_count_distinct("l_orderkey", rsd=0.01)
+    exact = F.count(F.lit(1)).cast("bigint")
+    return keys.agg(
+        exact.alias("exact_orders"),
+        (F.abs(acd - exact) <= 0.02 * exact).alias("approx_within_2pct"),
     )
 
 
