@@ -1452,3 +1452,253 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.selectExpr(
         f"stack(4, {legs}) AS (col, n_nulls, n_distinct)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: repetition quality, contamination, mixing, cluster reps
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txt_repetition_filter",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    uni AS (
+        SELECT doc_id, len(w) AS n_words,
+               len(list_distinct(w)) AS n_distinct
+        FROM w
+    ),
+    bg AS (
+        SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+        FROM w, unnest(range(1, len(w))) AS t(i)
+    ),
+    c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+    t AS (SELECT doc_id, max(c) AS top_bg FROM c GROUP BY doc_id)
+    SELECT u.doc_id, u.n_words,
+           round(u.n_distinct * 1.0 / u.n_words, 4) AS distinct_ratio,
+           round(t.top_bg * 1.0 / (u.n_words - 1), 4) AS top_bigram_frac,
+           CASE WHEN round(u.n_distinct * 1.0 / u.n_words, 4) >= 0.4
+                 AND round(t.top_bg * 1.0 / (u.n_words - 1), 4) <= 0.05
+                THEN 'keep' ELSE 'drop' END AS gate
+    FROM uni u JOIN t USING (doc_id)
+    """,
+    doc="Gopher-style repetition quality filter (type-token ratio + "
+    "most-repeated-bigram fraction + keep/drop gate). The Spark side is "
+    "MAP-ONLY: the per-doc top-bigram count is a max-run-length fold over "
+    "the SORTED bigram array (array_sort + aggregate HOF) — equal "
+    "elements group under any total order, so no collation sensitivity — "
+    "meaning the whole corpus filter is scan -> project with ZERO "
+    "shuffles at 100 TB (plan-asserted). The oracle takes the "
+    "explode + group-by route, which computes the same max bigram "
+    "multiplicity. Gates compare the ROUNDED metrics in both engines so "
+    "the keep/drop boundary cannot flip on last-ULP division noise.",
+)
+def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bga = F.array_sort(
+        F.expr(
+            "transform(sequence(1, size(w) - 1),"
+            " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"
+        )
+    )
+    # Max run length of equal adjacent elements in the sorted bigram array
+    # == max multiplicity of any bigram. Guard the size<2 sequence()
+    # descending-range footgun explicitly.
+    top_bg = F.expr(
+        "if(size(bga) < 2, size(bga), aggregate("
+        "  sequence(2, size(bga)),"
+        "  named_struct('run', 1, 'best', 1),"
+        "  (acc, i) -> if(element_at(bga, i) = element_at(bga, i - 1),"
+        "    named_struct('run', acc.run + 1,"
+        "                 'best', greatest(acc.best, acc.run + 1)),"
+        "    named_struct('run', 1, 'best', acc.best)),"
+        "  acc -> acc.best))"
+    )
+    m = base.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        bga.alias("bga"),
+    ).select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("n_distinct") / F.col("n_words"), 4).alias(
+            "distinct_ratio"
+        ),
+        F.round(top_bg / (F.col("n_words") - 1), 4).alias("top_bigram_frac"),
+    )
+    gate = F.when(
+        (F.col("distinct_ratio") >= 0.4) & (F.col("top_bigram_frac") <= 0.05),
+        "keep",
+    ).otherwise("drop")
+    return m.withColumn("gate", gate)
+
+
+@register(
+    "txt_contamination_check",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 4
+    ),
+    e AS (
+        SELECT doc_id,
+               unnest(list_distinct([list_aggregate(w[i:i+3], 'string_agg', ' ')
+                                     FOR i IN range(1, len(w) - 2)])) AS sh
+        FROM w
+    ),
+    bench AS (SELECT doc_id AS bid, sh FROM e WHERE doc_id % 23 = 0),
+    corpus AS (SELECT doc_id, sh FROM e WHERE doc_id % 23 <> 0)
+    SELECT c.doc_id,
+           count(DISTINCT c.sh)  AS n_hit_shingles,
+           count(DISTINCT b.bid) AS n_bench_docs
+    FROM corpus c JOIN bench b USING (sh)
+    GROUP BY c.doc_id
+    """,
+    doc="Benchmark-contamination check: word-4-gram overlap between the "
+    "training corpus and a held-out benchmark set (deterministically "
+    "keyed here as doc_id %% 23 == 0 so both engines agree). The "
+    "decontamination pass every serious training pipeline runs before "
+    "training. Scale shape: the benchmark side is a SMALL fixed suite -> "
+    "its shingle set broadcasts; the corpus side is shingled map-side "
+    "and never shuffles before the per-doc aggregate of HIT rows only — "
+    "at 100 TB the join is a broadcast-hash probe at scan speed, and "
+    "only contaminated (doc, shingle, bench) rows enter the exchange. "
+    "(Here both sides derive from one table, so the plan shows two "
+    "scans; in production the benchmark suite is its own tiny table and "
+    "the corpus is scanned exactly once.)",
+)
+def txt_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 4)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(w) - 3),"
+                        " i -> concat_ws(' ', slice(w, i, 4)))"
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
+    bench = sh.filter(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("bid"), "sh"
+    )
+    corpus = sh.filter(F.col("doc_id") % 23 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_hit_shingles"),
+            F.countDistinct("bid").alias("n_bench_docs"),
+        )
+    )
+
+
+@register(
+    "doc_mix_weights",
+    """
+    WITH s AS (
+        SELECT source, count(*) AS n_docs,
+               sum(len(string_split(text, ' '))) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(sqrt(n_tokens)) AS z FROM s)
+    SELECT source, n_docs, n_tokens,
+           floor(sqrt(n_tokens) / z * 1000000 + 0.5) / 1000000 AS mix_weight
+    FROM s, tot
+    """,
+    doc="Temperature-scaled source mixing weights (alpha = 0.5): "
+    "w_s = sqrt(tokens_s) / sum_s' sqrt(tokens_s') — the domain-mixing "
+    "knob that upweights small high-quality sources relative to raw "
+    "proportional sampling. sqrt is IEEE-754 exactly rounded (unlike "
+    "pow/ln, which differ between libm builds — same portability rule as "
+    "the TF-IDF ratio idf), so both engines compute bit-identical "
+    "per-source terms. One agg on source (tiny group count); the "
+    "denominator is an unpartitioned window over the POST-AGG relation "
+    "(#sources rows, bounded — not a data-scale window), because a "
+    "separate .agg() denominator would make Catalyst scan the fact "
+    "twice (DataFrame subtrees are not CSE'd — same finding as the "
+    "TF-IDF/Q21 rewrites; plan-asserted at ONE FileScan).",
+)
+def doc_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    z = F.sum(F.sqrt("n_tokens")).over(Window.partitionBy())
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.floor(F.sqrt("n_tokens") / z * 1000000 + 0.5) / 1000000).alias(
+            "mix_weight"
+        ),
+    )
+
+
+_REP_TAIL = """
+,
+labeled AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id),
+joined AS (
+    SELECT l.component, l.doc_id, d.n_chars
+    FROM labeled l JOIN documents d USING (doc_id)
+),
+ranked AS (
+    SELECT component, doc_id,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, doc_id) AS rk,
+           count(*)    OVER (PARTITION BY component) AS n_members
+    FROM joined
+)
+SELECT component, doc_id AS rep_doc_id, n_members
+FROM ranked WHERE rk = 1
+"""
+
+# Share the recursive-CTE cluster derivation with dedup_cluster_assign's
+# oracle and swap only its final SELECT for the per-cluster argmax.
+_CLUSTER_FINAL = "SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id"
+assert _CLUSTER_FINAL in _CLUSTER_ORACLE
+_REP_ORACLE = _CLUSTER_ORACLE.replace(_CLUSTER_FINAL, "") .rstrip().rstrip(")") + ")" + _REP_TAIL
+
+
+@register(
+    "dedup_cluster_representative",
+    _REP_ORACLE,
+    doc="Duplicate-cluster representative selection — the 'which copy do we "
+    "KEEP' step that turns cluster assignment into an actual dedup "
+    "decision: per connected component, the member with the most content "
+    "(n_chars DESC, doc_id as the deterministic tiebreak) plus the "
+    "member count. Spark computes it as ONE grouped aggregate over the "
+    "labels-x-documents join (max_by on a (n_chars, -doc_id) struct — "
+    "no window, no second shuffle); the oracle takes the recursive-CTE + "
+    "window route. The labels join is on doc_id, the same key the CC "
+    "output is already hashed on.",
+)
+def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=12, threshold=0.2, max_df=256)
+    labels = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    m = labels.join(d.select("doc_id", "n_chars"), "doc_id")
+    return m.groupBy("component").agg(
+        F.expr(
+            "max_by(doc_id, named_struct('a', n_chars, 'b', -doc_id))"
+        ).alias("rep_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )

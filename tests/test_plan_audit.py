@@ -238,3 +238,27 @@ def test_event_analytics_avoid_windows_and_cartesians(spark, queries):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert re.search(r"user_id|cohort_week_us", ln), ln
+
+
+def test_repetition_filter_is_map_only(spark, queries):
+    # The Gopher-style filter computes top-bigram multiplicity as a
+    # sorted-array run-length fold, so the whole corpus gate must be
+    # scan -> project: zero exchanges, one scan.
+    plan = _plan(queries["txt_repetition_filter"].fn(spark, SF))
+    assert "Exchange" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_contamination_check_broadcasts_benchmark(spark, queries):
+    # The benchmark shingle set is the small side — it must broadcast;
+    # a sort-merge join would shuffle the full corpus shingle stream.
+    plan = _plan(queries["txt_contamination_check"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mix_weights_single_fact_scan(spark, queries):
+    # The denominator is a window over the post-agg relation; a separate
+    # .agg() subtree would re-scan documents (no DataFrame CSE).
+    plan = _plan(queries["doc_mix_weights"].fn(spark, SF))
+    assert plan.count("FileScan") == 1
