@@ -1,0 +1,180 @@
+"""Distributed k-means (Lloyd) over an embedding column.
+
+This is the trainer for the IVF index in ``operators/similarity.py``: IVF
+*search* assumes a small driver-held centroid table; this module is the
+100 TB-shaped way to BUILD that table.
+
+Shape per Lloyd iteration (the only shape that survives a 100x scale-up):
+
+  assignment   map-side only. The k centroids are a driver-held model
+               (k x dim doubles, a few KB) embedded into the plan as a
+               literal array; argmin is an ``array_sort`` over k
+               (distance, cid) structs — no shuffle, no join, no UDF.
+  update       ``posexplode`` -> hash aggregate keyed on (cid, dim).
+               Catalyst's partial aggregation reduces map-side, so the
+               exchange carries O(k x dim x partitions) partial rows, not
+               O(n x dim). The k x dim result is collected to the driver —
+               the same bounded-model pattern as ``ivf_assign``.
+
+Cross-engine determinism (so a DuckDB oracle can replay the iteration
+exactly): distances are rounded half-up to 9 dp BEFORE the argmin (ties
+then break on cid, so near-ties become exact ties with a deterministic
+winner instead of float-noise coin flips), and refined centroids are
+rounded half-up to 6 dp before the next assignment round, which pins the
+iteration-2 inputs bit-identical across engines. float32 embeddings are
+cast to double up front (exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _round_col(c, ndigits: int):
+    # Half-up rounding, identical on Spark and DuckDB (their native round()
+    # functions disagree on .5 boundaries — repo-wide convention).
+    scale = 10**ndigits
+    return F.floor(c * scale + 0.5) / scale
+
+
+def _euclid(vec_col, centroid: list[float]):
+    """Rounded Euclidean distance from an array<double> column to a Python
+    centroid, as a sequential left fold (same accumulation order as the
+    oracle's list_distance)."""
+    lit_arr = F.array(*[F.lit(float(v)) for v in centroid])
+    sq = F.aggregate(
+        F.zip_with(vec_col, lit_arr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return _round_col(F.sqrt(sq), 9)
+
+
+def assign_to_centroids(
+    df: DataFrame, centroids: dict[int, list[float]], vec_col: str = "e"
+) -> DataFrame:
+    """Map-only hard assignment: adds ``cluster_id`` and rounded ``d``.
+
+    ``array_sort`` over (d, cid) structs orders by distance then cid, so
+    the argmin is deterministic under ties.
+    """
+    best = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _euclid(F.col(vec_col), cent).alias("d"),
+                    F.lit(int(cid)).alias("cid"),
+                )
+                for cid, cent in sorted(centroids.items())
+            ]
+        )
+    )[0]
+    return df.withColumn("cluster_id", best["cid"]).withColumn("d", best["d"])
+
+
+def refine_centroids(
+    assigned: DataFrame, vec_col: str = "e"
+) -> dict[int, list[float]]:
+    """Lloyd update: element-wise mean per cluster via posexplode + one
+    hash aggregate (map-side partials), rounded to 6 dp; collects the
+    k x dim model rows to the driver (bounded by k x dim, NOT by n)."""
+    rows = (
+        assigned.select("cluster_id", F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("cluster_id", "pos")
+        .agg(_round_col(F.avg("v"), 6).alias("cv"))
+        .collect()
+    )
+    cents: dict[int, dict[int, float]] = {}
+    for r in rows:
+        cents.setdefault(r["cluster_id"], {})[r["pos"]] = r["cv"]
+    return {
+        cid: [by_pos[p] for p in sorted(by_pos)] for cid, by_pos in cents.items()
+    }
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """Run ``iters`` assignment rounds of Lloyd's algorithm (so
+    ``iters - 1`` centroid refinements) and return the final assignment
+    DataFrame: (id_col, cluster_id, d).
+
+    Seeds are the ``k`` rows with the lowest ids (deterministic across
+    engines, unlike k-means++ sampling). A cluster that loses all members
+    simply drops out of the model — the next round assigns against the
+    survivors, matching the oracle's inner-join semantics.
+
+    The input is re-scanned once per round; at 100 TB prefer persisting
+    the (id, vector) projection before calling when the cluster has the
+    memory — the algorithm itself holds no state bigger than k x dim.
+    """
+    seeds = emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    centroids = {i: [float(v) for v in r[vec_col]] for i, r in enumerate(seeds)}
+    assigned = assign_to_centroids(emb, centroids, vec_col)
+    for _ in range(iters - 1):
+        centroids = refine_centroids(assigned, vec_col)
+        assigned = assign_to_centroids(emb, centroids, vec_col)
+    return assigned.select(id_col, "cluster_id", "d")
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    query_id: str = "query_id",
+    neighbor_id: str = "neighbor_id",
+    vec_col: str = "e",
+    n_salts: int = 64,
+) -> DataFrame:
+    """k-NN JOIN: for every query vector, its top-k corpus neighbors by
+    cosine (rounded to 6 dp; ties break on neighbor id).
+
+    Shape: the query set is broadcast (it is the small side by contract),
+    scoring is one pass over the corpus, and the per-query top-k is
+    SALTED two-phase — a local top-k per (query, salt) shard first, then
+    the final top-k over the k x n_salts survivors. A single
+    ``Window.partitionBy(query_id)`` over the raw pair table would funnel
+    the entire corpus through #queries tasks — the classic skew cliff when
+    queries are few and the corpus is 100 TB.
+    """
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("_qe")
+    )
+    pairs = corpus.select(
+        F.col(neighbor_id), F.col(vec_col).alias("_ce")
+    ).crossJoin(F.broadcast(q))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+
+    cos = dot(F.col("_qe"), F.col("_ce")) / (
+        F.sqrt(dot(F.col("_qe"), F.col("_qe")))
+        * F.sqrt(dot(F.col("_ce"), F.col("_ce")))
+    )
+    scored = pairs.select(
+        query_id,
+        neighbor_id,
+        _round_col(cos, 6).alias("cosine"),
+        (F.crc32(F.col(neighbor_id).cast("string")) % n_salts).alias("_salt"),
+    )
+    w_local = Window.partitionBy(query_id, "_salt").orderBy(
+        F.desc("cosine"), neighbor_id
+    )
+    survivors = (
+        scored.withColumn("_rk", F.row_number().over(w_local))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk", "_salt")
+    )
+    w_final = Window.partitionBy(query_id).orderBy(F.desc("cosine"), neighbor_id)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w_final))
+        .filter(F.col("rk") <= k)
+    )

@@ -1702,3 +1702,118 @@ def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rep_doc_id"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering: k-means training (the IVF index build) and k-NN join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_kmeans_lloyd",
+    """
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    seeds AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, e
+      FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 8) s
+    ),
+    d1 AS (
+      SELECT emb.vec_id, emb.e, seeds.cid,
+             floor(list_distance(emb.e, seeds.e) * 1e9 + 0.5) / 1e9 AS d
+      FROM emb CROSS JOIN seeds
+    ),
+    a1 AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT vec_id, e, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d1) t WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT cid, list(cv ORDER BY pos) AS e FROM (
+        SELECT cid, pos, floor(avg(v) * 1e6 + 0.5) / 1e6 AS cv FROM (
+          SELECT cid, unnest(e) AS v, unnest(generate_series(1, len(e))) AS pos
+          FROM a1) u GROUP BY cid, pos) g GROUP BY cid
+    ),
+    d2 AS (
+      SELECT emb.vec_id, c1.cid,
+             floor(list_distance(emb.e, c1.e) * 1e9 + 0.5) / 1e9 AS d
+      FROM emb CROSS JOIN c1
+    ),
+    a2 AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT vec_id, cid, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d2) t WHERE rn = 1
+    )
+    SELECT cid AS cluster_id, count(*) AS n_members,
+           floor(avg(d) * 1e4 + 0.5) / 1e4 AS avg_dist,
+           min(vec_id) AS first_member_id
+    FROM a2 GROUP BY cid
+    """,
+    doc="Distributed k-means trainer (Lloyd, k=8, 2 assignment rounds from "
+    "lowest-id seeds) — the 100 TB way to BUILD the centroid table that "
+    "ivf_assign searches with. Assignment is map-only (centroids are a "
+    "driver-held k x dim model embedded as plan literals, argmin via "
+    "array_sort over (dist, cid) structs); the update is posexplode + one "
+    "hash aggregate whose exchange carries k x dim partials, never n x dim "
+    "rows. Distances round to 9 dp pre-argmin and refined centroids to "
+    "6 dp pre-round-2, so a DuckDB oracle replays the whole iteration "
+    "bit-identically. Output: per-cluster size, mean distance, lowest "
+    "member id (operators/clustering.py:kmeans_lloyd).",
+)
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_lloyd
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    assigned = kmeans_lloyd(e, k=8, iters=2, id_col="vec_id", vec_col="e")
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (F.floor(F.avg("d") * 1e4 + 0.5) / 1e4).alias("avg_dist"),
+        F.min("vec_id").alias("first_member_id"),
+    )
+
+
+@register(
+    "sim_knn_join",
+    """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e FROM emb WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, e FROM emb WHERE vec_id % 50 <> 0),
+    p AS (
+      SELECT q.query_id, c.neighbor_id,
+             floor(list_cosine_similarity(q.e, c.e) * 1e6 + 0.5) / 1e6
+               AS cosine
+      FROM q CROSS JOIN c)
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM p) t WHERE rk <= 3
+    """,
+    doc="k-NN JOIN: top-3 cosine neighbors for EVERY query in a query set "
+    "(vs sim_topk_bruteforce's single query). The query side broadcasts, "
+    "scoring is one corpus pass, and the per-query top-k is SALTED "
+    "two-phase — local top-k per (query, crc32-salt) shard, then the "
+    "final top-k over k x 64 survivors — because a bare "
+    "Window.partitionBy(query_id) would funnel the whole corpus through "
+    "#queries tasks (operators/clustering.py:knn_join).",
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    q = emb.filter(F.col("vec_id") % 50 == 0).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    c = emb.filter(F.col("vec_id") % 50 != 0).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    return knn_join(q, c, k=3)

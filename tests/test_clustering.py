@@ -1,0 +1,128 @@
+"""k-means trainer and k-NN join: numeric cross-validation vs numpy plus
+the plan properties the docstrings promise (map-only assignment, salted
+two-phase top-k, no cartesian pair table)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_big_data_bowl_2024_spark.operators.clustering import (
+    assign_to_centroids,
+    kmeans_lloyd,
+    knn_join,
+    refine_centroids,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        .cache()
+    )
+
+
+def test_kmeans_refinement_reduces_inertia(spark, emb):
+    seeds = emb.orderBy("vec_id").limit(8).collect()
+    c0 = {i: [float(v) for v in r["e"]] for i, r in enumerate(seeds)}
+    a1 = assign_to_centroids(emb, c0)
+    inertia1 = a1.agg(F.sum(F.col("d") * F.col("d"))).collect()[0][0]
+    c1 = refine_centroids(a1)
+    a2 = assign_to_centroids(emb, c1)
+    inertia2 = a2.agg(F.sum(F.col("d") * F.col("d"))).collect()[0][0]
+    # Lloyd monotonicity (the 6-dp centroid rounding can cost at most a
+    # whisker, hence the epsilon)
+    assert inertia2 <= inertia1 * (1 + 1e-6)
+
+
+def test_kmeans_recovers_planted_blobs(spark):
+    rng = np.random.default_rng(7)
+    blobs = []
+    # interleave ids so the k lowest-id seeds span the blobs (lowest-id
+    # seeding is deterministic, not smart — all-one-blob seeds would just
+    # demonstrate Lloyd's well-known bad-seed local optimum)
+    for b, center in enumerate([-10.0, 0.0, 10.0]):
+        pts = center + 0.01 * rng.standard_normal((20, 8))
+        blobs += [(i * 3 + b, [float(x) for x in pts[i]]) for i in range(20)]
+    df = spark.createDataFrame(blobs, "vec_id: long, e: array<double>")
+    out = kmeans_lloyd(df, k=3, iters=3).collect()
+    # every planted blob must map to exactly one learned cluster
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r["vec_id"] % 3, set()).add(r["cluster_id"])
+    assert all(len(s) == 1 for s in by_blob.values()), by_blob
+    assert len({next(iter(s)) for s in by_blob.values()}) == 3
+
+
+def test_kmeans_drops_empty_clusters(spark):
+    # two far blobs, k=3 seeded from the first blob: at least one seed
+    # starves and the survivors still partition the data
+    rows = [(i, [0.0 + 0.001 * i] * 4) for i in range(10)] + [
+        (100 + i, [50.0 + 0.001 * i] * 4) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, e: array<double>")
+    out = kmeans_lloyd(df, k=3, iters=3).collect()
+    assert len(out) == 20
+    assert len({r["cluster_id"] for r in out}) <= 3
+
+
+def test_knn_join_matches_numpy(spark, emb):
+    q = emb.filter(F.col("vec_id") % 10 == 0).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    c = emb.filter(F.col("vec_id") % 10 != 0).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    got = {
+        (r["query_id"], r["rk"]): r["neighbor_id"]
+        for r in knn_join(q, c, k=3).collect()
+    }
+
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack([np.array(r["e"]) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qm = ids % 10 == 0
+    sims = mat[qm] @ mat[~qm].T
+    cids = ids[~qm]
+    for qi, qid in enumerate(ids[qm]):
+        order = sorted(
+            zip(np.floor(sims[qi] * 1e6 + 0.5) / 1e6, -cids), reverse=True
+        )
+        for rk in range(1, 4):
+            assert got[(qid, rk)] == -order[rk - 1][1], (qid, rk)
+
+
+def test_knn_join_windows_all_partitioned(spark, emb):
+    q = emb.filter(F.col("vec_id") % 10 == 0).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    c = emb.filter(F.col("vec_id") % 10 != 0).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    plan = knn_join(q, c, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # scoring pass, queries broadcast
+    # both top-k windows carry a partition spec (no global single-task sort)
+    for ln in plan.splitlines():
+        if "Window [" in ln or "RunningWindowFunction" in ln:
+            assert "windowspecdefinition(query_id" in ln, ln
+
+
+def test_kmeans_query_plan_is_scan_plus_single_exchange(spark):
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+
+    df = all_queries()["emb_kmeans_lloyd"].fn(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # final round: map-only assignment against literal centroids + one
+    # grouped agg — no join in the returned plan at all
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
