@@ -49,6 +49,12 @@ HEADLINE = [
     "emb_int8_quantize",
     "cube_order_profile",
     "txt_vocab_topk",
+    "txt_repetition_filter",
+    "txt_contamination_check",
+    "doc_mix_weights",
+    "dedup_cluster_representative",
+    "emb_kmeans_lloyd",
+    "sim_knn_join",
 ]
 
 
