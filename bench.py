@@ -55,6 +55,8 @@ HEADLINE = [
     "dedup_cluster_representative",
     "emb_kmeans_lloyd",
     "sim_knn_join",
+    "evt_rolling_24h",
+    "txt_unigram_surprisal",
 ]
 
 

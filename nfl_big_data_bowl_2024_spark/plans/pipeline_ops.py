@@ -1817,3 +1817,98 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "neighbor_id"
     )
     return knn_join(q, c, k=3)
+
+
+@register(
+    "evt_rolling_24h",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+    )
+    SELECT event_id, user_id, ts_us,
+           count(*) OVER w AS n_24h,
+           floor(sum(value) OVER w * 100 + 0.5) / 100 AS sum_24h,
+           floor(avg(value) OVER w * 10000 + 0.5) / 10000 AS avg_24h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Trailing-24-hour rolling aggregates per user (RANGE frame over "
+    "epoch-microseconds — a TIME-based sliding window, not a row-count "
+    "frame: the frame widens and narrows with event density, the shape "
+    "rowsBetween cannot express). One shuffle on user_id + one sort; "
+    "Spark's range-frame executor buffers only the current frame span per "
+    "partition, so memory is bounded by events-per-24h, not by user "
+    "history. Epoch-us arithmetic keeps the frame bound and the hash "
+    "engine-exact.",
+)
+def evt_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-86_400_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        (F.floor(F.sum("value").over(w) * 100 + 0.5) / 100).alias("sum_24h"),
+        (F.floor(F.avg("value").over(w) * 10000 + 0.5) / 10000).alias("avg_24h"),
+    )
+
+
+@register(
+    "txt_unigram_surprisal",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    model AS (
+        SELECT term, count(*) AS n FROM toks GROUP BY term
+    ),
+    model_p AS (
+        SELECT term, -log2(n * 1.0 / sum(n) OVER ()) AS surprisal FROM model
+    )
+    SELECT t.doc_id, count(*) AS n_toks,
+           floor(avg(m.surprisal) * 10000 + 0.5) / 10000 AS mean_surprisal,
+           floor(max(m.surprisal) * 10000 + 0.5) / 10000 AS max_surprisal
+    FROM toks t JOIN model_p m USING (term)
+    GROUP BY t.doc_id
+    """,
+    doc="Perplexity-proxy quality score: train a corpus unigram LM (one "
+    "token aggregate; the normalizer is a window over the BOUNDED "
+    "post-agg vocab relation, not a second corpus scan), broadcast it, "
+    "and score every document's mean/max token surprisal in a second "
+    "pass. The classic two-pass train-then-score shape: the model is "
+    "O(vocab) — broadcast-sized at any corpus size — so scoring is a "
+    "broadcast hash join + one doc-keyed aggregate. Gibberish and "
+    "boilerplate land in the distribution tails, which is how CCNet-style "
+    "pipelines bucket quality.",
+)
+def txt_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    model = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    model_p = model.select(
+        "term",
+        (-F.log2(F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy()))).alias(
+            "surprisal"
+        ),
+    )
+    return (
+        toks.join(F.broadcast(model_p), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            (F.floor(F.avg("surprisal") * 10000 + 0.5) / 10000).alias(
+                "mean_surprisal"
+            ),
+            (F.floor(F.max("surprisal") * 10000 + 0.5) / 10000).alias(
+                "max_surprisal"
+            ),
+        )
+    )

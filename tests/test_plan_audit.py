@@ -262,3 +262,21 @@ def test_mix_weights_single_fact_scan(spark, queries):
     # .agg() subtree would re-scan documents (no DataFrame CSE).
     plan = _plan(queries["doc_mix_weights"].fn(spark, SF))
     assert plan.count("FileScan") == 1
+
+
+def test_rolling_24h_single_user_exchange(spark, queries):
+    plan = _plan(queries["evt_rolling_24h"].fn(spark, SF))
+    # one shuffle, keyed on user_id; the RANGE frame sort rides the same
+    # partitioning (no extra exchange, no single-partition window)
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(ex) == 1 and "user_id" in ex[0], ex
+    assert "SinglePartition" not in plan
+
+
+def test_unigram_surprisal_model_broadcasts(spark, queries):
+    plan = _plan(queries["txt_unigram_surprisal"].fn(spark, SF))
+    # the trained LM joins back as a broadcast, never a sort-merge; the
+    # only single-partition exchange is the normalizer window over the
+    # bounded vocab relation
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
