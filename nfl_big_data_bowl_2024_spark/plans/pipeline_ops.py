@@ -1796,12 +1796,14 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p) t WHERE rk <= 3
     """,
     doc="k-NN JOIN: top-3 cosine neighbors for EVERY query in a query set "
-    "(vs sim_topk_bruteforce's single query). The query side broadcasts, "
-    "scoring is one corpus pass, and the per-query top-k is SALTED "
-    "two-phase — local top-k per (query, crc32-salt) shard, then the "
-    "final top-k over k x 64 survivors — because a bare "
-    "Window.partitionBy(query_id) would funnel the whole corpus through "
-    "#queries tasks (operators/clustering.py:knn_join).",
+    "(vs sim_topk_bruteforce's single query). The query side is a "
+    "driver-held matrix (bounded by contract); ONE mapInPandas corpus "
+    "pass scores each Arrow batch against all queries with a single BLAS "
+    "matmul and emits only per-batch top-k candidates — selected by an "
+    "integer composite key that reproduces the global (cosine DESC, id) "
+    "order exactly — so the final per-query window sees O(partitions x "
+    "|Q| x k) rows, never the |Q| x |C| pair table "
+    "(operators/clustering.py:knn_join).",
 )
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import knn_join

@@ -109,9 +109,11 @@ def test_knn_join_windows_all_partitioned(spark, emb):
         "vec_id", "neighbor_id"
     )
     plan = knn_join(q, c, k=3)._jdf.queryExecution().executedPlan().toString()
+    # scoring is one mapInPandas pass — no pair join of any kind
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # scoring pass, queries broadcast
-    # both top-k windows carry a partition spec (no global single-task sort)
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
+    # the final top-k window carries a partition spec (no global sort)
     for ln in plan.splitlines():
         if "Window [" in ln or "RunningWindowFunction" in ln:
             assert "windowspecdefinition(query_id" in ln, ln
