@@ -1882,24 +1882,30 @@ def evt_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY t.doc_id
     """,
     doc="Perplexity-proxy quality score: train a corpus unigram LM (one "
-    "token aggregate; the normalizer is a window over the BOUNDED "
-    "post-agg vocab relation, not a second corpus scan), broadcast it, "
-    "and score every document's mean/max token surprisal in a second "
-    "pass. The classic two-pass train-then-score shape: the model is "
-    "O(vocab) — broadcast-sized at any corpus size — so scoring is a "
-    "broadcast hash join + one doc-keyed aggregate. Gibberish and "
-    "boilerplate land in the distribution tails, which is how CCNet-style "
-    "pipelines bucket quality.",
+    "token aggregate, materialized once via eager localCheckpoint; the "
+    "normalizer is a distributed scalar aggregate over the checkpointed "
+    "vocab — never a single-partition window sort, which would break "
+    "when web-scale token vocab reaches billions of rows), broadcast "
+    "it, and score every document's mean/max token surprisal in a "
+    "second pass. The classic two-pass train-then-score shape: the "
+    "model is O(vocab), so scoring is a broadcast hash join + one "
+    "doc-keyed aggregate (past broadcast size, drop the hint and AQE "
+    "keeps it a shuffle join on term). Gibberish and boilerplate land "
+    "in the distribution tails, which is how CCNet-style pipelines "
+    "bucket quality.",
 )
 def txt_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    model = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
-    model_p = model.select(
+    model = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    total = model.agg(F.sum("n").alias("tot"))
+    model_p = model.crossJoin(F.broadcast(total)).select(
         "term",
-        (-F.log2(F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy()))).alias(
-            "surprisal"
-        ),
+        (-F.log2(F.col("n") * 1.0 / F.col("tot"))).alias("surprisal"),
     )
     return (
         toks.join(F.broadcast(model_p), "term")

@@ -275,18 +275,19 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE v * 1000 > (SELECT sum(v) FROM val)
     """,
     doc="TPC-H Q11 shape: groups whose aggregate exceeds a fraction of the "
-    "global total (scalar-aggregate subquery threshold). The global total "
-    "is a sum OVER A GLOBAL WINDOW placed ABOVE the per-part aggregate — a "
-    "re-aggregate+broadcast-join form references the val subtree twice and "
-    "Catalyst plans the whole fact scan+aggregate twice (no DataFrame "
-    "CSE). The window's input is the finished ~|parts|-row aggregate, "
-    "never the fact. The fraction comparison runs on exact decimals "
-    "scaled by an integer (v*1000 > total == v > 0.1% of total), "
-    "sidestepping double-division nondeterminism.",
+    "global total (scalar-aggregate subquery threshold). The per-part "
+    "aggregate is materialized ONCE (eager localCheckpoint — the same "
+    "idiom as the MinHash signature index) and both consumers read the "
+    "checkpoint blocks: the grand total is a distributed scalar aggregate "
+    "over it, broadcast back as one row. A naive re-aggregate form would "
+    "plan the fact scan+aggregate twice (no DataFrame CSE); a global-"
+    "window form would sort the whole |parts|-row aggregate on a single "
+    "task — the shape that breaks when |parts| reaches 10^10. The "
+    "fraction comparison runs on exact decimals scaled by an integer "
+    "(v*1000 > total == v > 0.1% of total), sidestepping double-division "
+    "nondeterminism.",
 )
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier").filter(
         F.col("s_nationkey").isin(0, 1, 2)
@@ -295,10 +296,11 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast(_DEC)).alias("v"))
+        .localCheckpoint(eager=True)
     )
-    total = F.sum("v").over(Window.partitionBy())
+    total = val.agg(F.sum("v").alias("total"))
     return (
-        val.withColumn("total", total)
+        val.crossJoin(F.broadcast(total))
         .filter(F.col("v") * 1000 > F.col("total"))
         .select("l_partkey", _round2(F.col("v")).alias("part_value"))
     )
@@ -322,18 +324,18 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
     """,
     doc="TPC-H Q15: top supplier by quarterly revenue — the canonical "
-    "view-reused-twice query. The view reuse is expressed as a GLOBAL max "
-    "window ABOVE the per-supplier aggregate, so the fact scans once (the "
-    "aggregate+broadcast-max form reads lineitem twice — no DataFrame "
-    "subtree CSE). The global window is safe here precisely because its "
-    "input is the finished aggregate: ~|suppliers| rows through one task, "
-    "never the fact table. Equality compares the EXACT decimal sums "
+    "view-reused-twice query. The view is materialized once (eager "
+    "localCheckpoint of the ~|suppliers|-row aggregate) and reused by "
+    "both consumers: the global max is a distributed scalar aggregate "
+    "over the checkpoint, broadcast back as one row — the fact scans "
+    "once AND no relation ever funnels through a single task (the "
+    "naive re-aggregate form reads lineitem twice — no DataFrame "
+    "subtree CSE — and a global-window form sorts all suppliers on one "
+    "task). Equality compares the EXACT decimal sums "
     "(order-independent), never rounded doubles — ties all surface, no "
     "nondeterministic winner.",
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     rev = (
@@ -343,10 +345,11 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(F.sum(_rev()).alias("total_rev"))
+        .localCheckpoint(eager=True)
     )
-    mx = F.max("total_rev").over(Window.partitionBy())
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
-        rev.withColumn("max_rev", mx)
+        rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", _round2(F.col("total_rev")).alias("total_rev"))

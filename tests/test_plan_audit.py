@@ -163,8 +163,6 @@ def test_single_subtree_rewrites_scan_counts(spark, queries):
     (Catalyst does NOT CSE DataFrame subtrees) are written single-subtree:
     the plan must scan each table exactly once."""
     expected = {
-        "tpch_q11_important_parts": 2,   # lineitem + supplier
-        "tpch_q15_top_revenue_supplier": 2,  # lineitem + supplier
         "tpch_q17_small_qty_revenue": 2,     # lineitem + part
         "tpch_q18_large_orders": 3,          # lineitem + orders + customer
         "txt_tfidf_topterms": 2,             # documents (tf) + documents (N)
@@ -172,6 +170,26 @@ def test_single_subtree_rewrites_scan_counts(spark, queries):
     for name, n in expected.items():
         plan = _plan(queries[name].fn(spark, SF))
         assert plan.count("Scan parquet") == n, f"{name}: {plan.count('Scan parquet')} scans"
+
+
+def test_grand_total_queries_checkpoint_not_rescan_not_single_partition(
+    spark, queries
+):
+    """Q11/Q15 attach a grand total to a per-key aggregate. The aggregate
+    is materialized once (eager localCheckpoint), so the final plan must
+    contain NO parquet re-scan of the fact (both consumers read the
+    checkpoint blocks) and NO single-partition exchange (the total is a
+    distributed scalar aggregate broadcast back, never a global window
+    sorting the whole aggregate on one task)."""
+    for name in ("tpch_q11_important_parts", "tpch_q15_top_revenue_supplier"):
+        plan = _plan(queries[name].fn(spark, SF))
+        assert "ExistingRDD" in plan, name
+        assert "Window" not in plan, name
+        fact_scans = [
+            ln for ln in plan.splitlines()
+            if "Scan parquet" in ln and "lineitem" in ln
+        ]
+        assert not fact_scans, f"{name}: fact re-scanned: {fact_scans}"
 
 
 def test_q7_q8_fact_never_shuffled_before_agg(spark, queries):
@@ -276,7 +294,8 @@ def test_rolling_24h_single_user_exchange(spark, queries):
 def test_unigram_surprisal_model_broadcasts(spark, queries):
     plan = _plan(queries["txt_unigram_surprisal"].fn(spark, SF))
     # the trained LM joins back as a broadcast, never a sort-merge; the
-    # only single-partition exchange is the normalizer window over the
-    # bounded vocab relation
+    # normalizer is a scalar aggregate over the checkpointed vocab, so
+    # nothing funnels through a single-partition window sort
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
