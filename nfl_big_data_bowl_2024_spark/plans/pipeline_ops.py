@@ -1920,3 +1920,120 @@ def txt_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "txt_span_dedup",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, toks,
+               unnest(range(CAST(ceil(len(toks) / 5.0) AS BIGINT))) AS span_idx
+        FROM toks
+    ),
+    spans AS (
+        SELECT doc_id, span_idx,
+               array_to_string(toks[span_idx * 5 + 1 : span_idx * 5 + 5], ' ')
+                   AS span
+        FROM idx
+    ),
+    ranked AS (
+        SELECT doc_id, span_idx,
+               row_number() OVER (
+                   PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+        FROM spans
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY doc_id
+    """,
+    doc="Sub-document (span-level) exact dedup, the C4/CCNet line-dedup "
+    "shape: chunk every document into consecutive 5-token spans, keep "
+    "each distinct span's FIRST occurrence corpus-wide (ordered by "
+    "doc_id, then position), and report kept/dropped span counts per "
+    "document. Chunking is map-only (one transform+posexplode, no UDF); "
+    "first-occurrence selection is one window keyed on the span itself — "
+    "partitioned by span, so boilerplate-heavy corpora shard across the "
+    "cluster by span hash rather than funneling anywhere. At 100 TB the "
+    "span relation is corpus-sized but the shuffle carries (hash, doc_id, "
+    "idx) only; swap the span string for xxhash64(span) to shrink the "
+    "exchange further (kept as text here so the oracle is "
+    "engine-portable).",
+)
+def txt_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    spans = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(toks) / 5.0) as int) - 1), "
+                "i -> array_join(slice(toks, i * 5 + 1, 5), ' '))"
+            )
+        ).alias("span_idx", "span"),
+    )
+    w = Window.partitionBy("span").orderBy("doc_id", "span_idx")
+    ranked = spans.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+
+
+@register(
+    "doc_quality_zscore_bucket",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               length(text) * 1.0 / len(string_split(text, ' ')) AS score
+        FROM documents
+    ),
+    stats AS (
+        SELECT avg(score) AS mu, stddev(score) AS sigma FROM scored
+    )
+    SELECT doc_id,
+           floor((score - mu) / sigma * 10000 + 0.5) / 10000 AS z,
+           CASE WHEN (score - mu) / sigma < -1.0 THEN 'head'
+                WHEN (score - mu) / sigma > 1.0 THEN 'tail'
+                ELSE 'middle' END AS bucket
+    FROM scored, stats
+    """,
+    doc="Corpus-relative quality bucketing (the CCNet head/middle/tail "
+    "cut): score each document (mean token length — exact integer ratio, "
+    "so both engines agree bit-for-bit), compute the corpus mean/stddev "
+    "in one distributed scalar aggregate, broadcast that single row back, "
+    "and bucket every document by z-score. Two source scans by design: "
+    "re-scanning the SOURCE table is the cheap branch of the "
+    "single-subtree rule (the stats subtree is scan+agg, nothing "
+    "expensive to re-derive), and the per-doc pass stays map-only — "
+    "scan, broadcast-attach one row, project. No shuffle of the corpus "
+    "at all.",
+)
+def doc_quality_zscore_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        (F.length("text") * 1.0 / F.size(F.split("text", " "))).alias("score"),
+    )
+    stats = scored.agg(
+        F.avg("score").alias("mu"), F.stddev("score").alias("sigma")
+    )
+    z = (F.col("score") - F.col("mu")) / F.col("sigma")
+    return scored.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        (F.floor(z * 10000 + 0.5) / 10000).alias("z"),
+        F.when(z < -1.0, "head")
+        .when(z > 1.0, "tail")
+        .otherwise("middle")
+        .alias("bucket"),
+    )

@@ -178,9 +178,10 @@ def test_grand_total_queries_checkpoint_not_rescan_not_single_partition(
     """Q11/Q15 attach a grand total to a per-key aggregate. The aggregate
     is materialized once (eager localCheckpoint), so the final plan must
     contain NO parquet re-scan of the fact (both consumers read the
-    checkpoint blocks) and NO single-partition exchange (the total is a
-    distributed scalar aggregate broadcast back, never a global window
-    sorting the whole aggregate on one task)."""
+    checkpoint blocks) and NO window node (the total is a distributed
+    scalar aggregate broadcast back — its single-partition exchange
+    carries one partial row per task — never a global window sorting the
+    whole aggregate on one task)."""
     for name in ("tpch_q11_important_parts", "tpch_q15_top_revenue_supplier"):
         plan = _plan(queries[name].fn(spark, SF))
         assert "ExistingRDD" in plan, name
@@ -298,4 +299,27 @@ def test_unigram_surprisal_model_broadcasts(spark, queries):
     # nothing funnels through a single-partition window sort
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_span_dedup_shuffles_on_span_then_doc(spark, queries):
+    """Span chunking is map-only (no UDF, no Generate-side exchange); the
+    only shuffles are the span-keyed window and the doc-keyed final
+    aggregate — nothing single-partition."""
+    plan = _plan(queries["txt_span_dedup"].fn(spark, SF))
+    assert "SinglePartition" not in plan
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(ex) == 2, ex
+    assert any("span" in ln for ln in ex), ex
+    assert any("doc_id" in ln for ln in ex), ex
+
+
+def test_zscore_bucket_corpus_never_shuffles(spark, queries):
+    """Corpus-relative bucketing: the per-doc pass is scan + broadcast-attach
+    of the 1-row stats + project. The only exchanges belong to the scalar
+    stats aggregate (partial rows) and its broadcast — the corpus itself is
+    never hash-partitioned."""
+    plan = _plan(queries["doc_quality_zscore_bucket"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
     assert "Window" not in plan
