@@ -2037,3 +2037,66 @@ def doc_quality_zscore_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("middle")
         .alias("bucket"),
     )
+
+
+@register(
+    "doc_length_batches",
+    """
+    WITH sized AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_toks
+        FROM documents
+    ),
+    banded AS (
+        SELECT doc_id, n_toks,
+               CAST(floor(n_toks / 8) AS BIGINT) AS band,
+               row_number() OVER (
+                   PARTITION BY CAST(floor(n_toks / 8) AS BIGINT)
+                   ORDER BY n_toks, doc_id) AS rn
+        FROM sized
+    )
+    SELECT band,
+           CAST(floor((rn - 1) / 16) AS BIGINT) AS batch_idx,
+           count(*) AS n_docs,
+           max(n_toks) AS max_toks,
+           CAST(count(*) * max(n_toks) - sum(n_toks) AS BIGINT) AS pad_waste
+    FROM banded
+    GROUP BY band, floor((rn - 1) / 16)
+    """,
+    doc="Sequence-length-bucketed batching — group documents of similar "
+    "token count into fixed-size batches so per-batch padding (to the "
+    "batch max) is minimized; pad_waste is the padding-token bill the "
+    "trainer pays per batch. One shuffle on the length band for the "
+    "within-band ordering window, one AQE-coalesced aggregate on "
+    "(band, batch_idx). Bands (width 8) bound both the padding per batch "
+    "AND the window partition size; at 100 TB the band width is the "
+    "parallelism/padding trade knob — narrower bands shard finer and pad "
+    "less (a length histogram picks the width; skewed corpora sub-salt "
+    "the dominant band). Deterministic: ordering key (n_toks, doc_id) is "
+    "unique, all outputs integer.",
+)
+def doc_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    band = F.floor(F.col("n_toks") / 8).cast("bigint")
+    w = Window.partitionBy(band).orderBy("n_toks", "doc_id")
+    banded = sized.select(
+        "doc_id",
+        "n_toks",
+        band.alias("band"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        banded.groupBy(
+            "band",
+            F.floor((F.col("rn") - 1) / 16).cast("bigint").alias("batch_idx"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_toks").alias("max_toks"),
+            (F.count(F.lit(1)) * F.max("n_toks") - F.sum("n_toks"))
+            .cast("bigint")
+            .alias("pad_waste"),
+        )
+    )

@@ -323,3 +323,13 @@ def test_zscore_bucket_corpus_never_shuffles(spark, queries):
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "Window" not in plan
+
+
+def test_length_batches_window_is_band_partitioned(spark, queries):
+    """Within-band ordering must partition by the length band — never a
+    global sequence — and the batch aggregate is the only other shuffle."""
+    plan = _plan(queries["doc_length_batches"].fn(spark, SF))
+    assert "SinglePartition" not in plan
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(ex) == 2, ex
+    assert any("band" in ln for ln in ex), ex
