@@ -2100,3 +2100,68 @@ def doc_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pad_waste"),
         )
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    """
+    WITH fp AS (
+        SELECT doc_id, source, md5(lower(trim(text))) AS fingerprint
+        FROM documents
+    ),
+    batch AS (
+        SELECT doc_id, fingerprint,
+               row_number() OVER (
+                   PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        FROM fp WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+    ),
+    index_fps AS (
+        SELECT DISTINCT fingerprint
+        FROM fp WHERE source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4')
+    )
+    SELECT b.doc_id,
+           CASE WHEN i.fingerprint IS NOT NULL THEN 'dup_of_index'
+                WHEN b.rn > 1 THEN 'dup_in_batch'
+                ELSE 'new' END AS verdict
+    FROM batch b LEFT JOIN index_fps i USING (fingerprint)
+    """,
+    doc="Incremental dedup — the production shape for continuous crawl "
+    "ingestion: an incoming batch (sources src0-src4 here) dedups "
+    "against the EXISTING corpus index without re-deduping the corpus "
+    "itself. Per batch doc: 'dup_of_index' (fingerprint already "
+    "ingested), 'dup_in_batch' (first occurrence wins within the batch, "
+    "by doc_id), else 'new'. One fingerprint-keyed window over the "
+    "batch + one left join against the distinct index fingerprints — "
+    "window and join share the same shuffle key, so the exchange is "
+    "reused. At 100 TB the index side is a persisted fingerprint table "
+    "(corpus-sized, so a shuffle hash join — never broadcast) and only "
+    "the BATCH is scanned fresh; the pushed source-IN filters mean "
+    "neither side reads the other's bytes.",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    batch_srcs = ["src0", "src1", "src2", "src3", "src4"]
+    fp = F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    batch = (
+        d.filter(F.col("source").isin(batch_srcs))
+        .select("doc_id", fp.alias("fingerprint"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("fingerprint").orderBy("doc_id")
+            ),
+        )
+    )
+    index_fps = (
+        d.filter(~F.col("source").isin(batch_srcs))
+        .select(fp.alias("fingerprint"))
+        .distinct()
+        .withColumn("in_index", F.lit(1))
+    )
+    return batch.join(index_fps, "fingerprint", "left").select(
+        "doc_id",
+        F.when(F.col("in_index").isNotNull(), "dup_of_index")
+        .when(F.col("rn") > 1, "dup_in_batch")
+        .otherwise("new")
+        .alias("verdict"),
+    )

@@ -333,3 +333,14 @@ def test_length_batches_window_is_band_partitioned(spark, queries):
     ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert len(ex) == 2, ex
     assert any("band" in ln for ln in ex), ex
+
+
+def test_incremental_dedup_keys_everything_on_fingerprint(spark, queries):
+    """Batch window and index join both key on the fingerprint; nothing
+    single-partition, and the source filters reach both scans."""
+    plan = _plan(queries["dedup_incremental_batch"].fn(spark, SF))
+    assert "SinglePartition" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "fingerprint" in ln, ln
+    assert plan.count("PushedFilters: [In(source") == 2 or plan.count("In(source") >= 2
