@@ -2165,3 +2165,135 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("new")
         .alias("verdict"),
     )
+
+
+@register(
+    "dq_expectations_check",
+    """
+    WITH o AS (
+        SELECT count(*) AS n_rows,
+               count(DISTINCT o_orderkey) AS n_keys,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null_cust
+        FROM orders
+    ),
+    l AS (
+        SELECT sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                        THEN 1 ELSE 0 END) AS n_qty_oob,
+               sum(CASE WHEN l_shipdate <  TIMESTAMP '1992-01-01 00:00:00'
+                          OR l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+                        THEN 1 ELSE 0 END) AS n_date_oob
+        FROM lineitem
+    ),
+    fk AS (
+        SELECT count(*) AS n_orphans
+        FROM lineitem li LEFT JOIN orders oo ON li.l_orderkey = oo.o_orderkey
+        WHERE oo.o_orderkey IS NULL
+    )
+    SELECT 'orders.o_orderkey unique' AS expectation,
+           CAST(n_rows - n_keys AS BIGINT) AS violations,
+           n_rows = n_keys AS passed FROM o
+    UNION ALL
+    SELECT 'orders.o_custkey not null',
+           CAST(n_null_cust AS BIGINT), n_null_cust = 0 FROM o
+    UNION ALL
+    SELECT 'lineitem.l_quantity in [1,50]',
+           CAST(n_qty_oob AS BIGINT), n_qty_oob = 0 FROM l
+    UNION ALL
+    SELECT 'lineitem.l_shipdate in [1992,1999)',
+           CAST(n_date_oob AS BIGINT), n_date_oob = 0 FROM l
+    UNION ALL
+    SELECT 'lineitem.l_orderkey references orders',
+           CAST(n_orphans AS BIGINT), n_orphans = 0 FROM fk
+    """,
+    doc="Declarative data-quality gate (the Deequ/Great-Expectations "
+    "shape) — the admission check a training pipeline runs before a "
+    "batch enters the corpus: uniqueness, completeness, range, and "
+    "referential-integrity expectations evaluated to one row each with "
+    "the violation count. All per-table metrics for a table fuse into "
+    "ONE scan's aggregate (map-side partials, 1-row output); the FK "
+    "expectation is the only join — left-anti count against the orders "
+    "key set, which at dim-scale broadcasts and at fact-scale is one "
+    "key-only shuffle. The expectation rows themselves are 1-row "
+    "relations unioned driver-free.",
+)
+def dq_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    om = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "n_null_cust"
+        ),
+    ).localCheckpoint(eager=True)  # 1 row; reused by two union branches
+    lm = li.agg(
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            .otherwise(0)
+        ).alias("n_qty_oob"),
+        F.sum(
+            F.when(
+                (F.col("l_shipdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("n_date_oob"),
+    ).localCheckpoint(eager=True)  # 1 row; reused by two union branches
+    fk = (
+        li.select("l_orderkey")
+        .join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    row = F.lit  # brevity
+
+    def expect(src, name, violations, passed):
+        return src.select(
+            row(name).alias("expectation"),
+            violations.cast("bigint").alias("violations"),
+            passed.alias("passed"),
+        )
+
+    return (
+        expect(
+            om,
+            "orders.o_orderkey unique",
+            F.col("n_rows") - F.col("n_keys"),
+            F.col("n_rows") == F.col("n_keys"),
+        )
+        .unionAll(
+            expect(
+                om,
+                "orders.o_custkey not null",
+                F.col("n_null_cust"),
+                F.col("n_null_cust") == 0,
+            )
+        )
+        .unionAll(
+            expect(
+                lm,
+                "lineitem.l_quantity in [1,50]",
+                F.col("n_qty_oob"),
+                F.col("n_qty_oob") == 0,
+            )
+        )
+        .unionAll(
+            expect(
+                lm,
+                "lineitem.l_shipdate in [1992,1999)",
+                F.col("n_date_oob"),
+                F.col("n_date_oob") == 0,
+            )
+        )
+        .unionAll(
+            expect(
+                fk,
+                "lineitem.l_orderkey references orders",
+                F.col("n_orphans"),
+                F.col("n_orphans") == 0,
+            )
+        )
+    )

@@ -344,3 +344,11 @@ def test_incremental_dedup_keys_everything_on_fingerprint(spark, queries):
         if "Exchange hashpartitioning" in ln:
             assert "fingerprint" in ln, ln
     assert plan.count("PushedFilters: [In(source") == 2 or plan.count("In(source") >= 2
+
+
+def test_dq_expectations_scan_each_fact_once_outside_fk(spark, queries):
+    """Per-table metric aggregates are checkpointed 1-row relations reused
+    by their union branches; the only live parquet scans in the final plan
+    belong to the FK anti-join (lineitem keys + orders keys)."""
+    plan = _plan(queries["dq_expectations_check"].fn(spark, SF))
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
