@@ -57,6 +57,11 @@ HEADLINE = [
     "sim_knn_join",
     "evt_rolling_24h",
     "txt_unigram_surprisal",
+    "txt_span_dedup",
+    "doc_quality_zscore_bucket",
+    "doc_length_batches",
+    "dedup_incremental_batch",
+    "dq_expectations_check",
 ]
 
 
