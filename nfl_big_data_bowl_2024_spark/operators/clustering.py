@@ -27,6 +27,8 @@ cast to double up front (exact).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -200,3 +202,45 @@ def knn_join(
         cand.withColumn("rk", F.row_number().over(w_final))
         .filter(F.col("rk") <= k)
     )
+
+
+def logreg_train_gd(
+    feat: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    lr: float = 0.5,
+    iters: int = 2,
+) -> list[float]:
+    """Full-batch gradient-descent logistic regression trainer.
+
+    Returns ``[w0, w1, ..., wd]`` (bias first) after ``iters`` rounds.
+    Each round is ONE distributed aggregate over ``feat`` — the gradient
+    is d+1 averaged doubles, so the per-round driver traffic is a single
+    row no matter the corpus size (the same bounded driver-index contract
+    as ``kmeans_lloyd``'s centroids). The caller should pass a
+    materialized (checkpointed) feature relation: iterative training
+    re-reads it every round.
+
+    Determinism across engines: weights are rounded to 9 dp after every
+    update, so an oracle replaying the same schedule sees bit-identical
+    weights each round; the first round needs no exp() at all (w=0 gives
+    p=0.5 exactly), and later rounds' libm exp() differences (~1 ulp)
+    vanish under the averaging + rounding.
+    """
+    w = [0.0] * (1 + len(feature_cols))
+    for _ in range(iters):
+        z = F.lit(w[0])
+        for j, c in enumerate(feature_cols):
+            z = z + F.lit(w[j + 1]) * F.col(c)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - F.col(label_col)
+        aggs = [F.avg(err).alias("g0")] + [
+            F.avg(err * F.col(c)).alias(f"g{j + 1}")
+            for j, c in enumerate(feature_cols)
+        ]
+        g = feat.agg(*aggs).first()
+        w = [
+            math.floor((wj - lr * gj) * 1e9 + 0.5) / 1e9
+            for wj, gj in zip(w, list(g))
+        ]
+    return w

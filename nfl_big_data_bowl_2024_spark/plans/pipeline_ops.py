@@ -2297,3 +2297,83 @@ def dq_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "ml_quality_classifier_train",
+    """
+    WITH feat AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               length(text) * 1.0 / len(string_split(text, ' ')) AS x1,
+               len(string_split(text, ' ')) / 100.0 AS x2
+        FROM documents
+    ),
+    g1 AS (  -- round 1: w = 0, so p = 0.5 exactly (no exp needed)
+        SELECT avg(0.5 - y) AS g0,
+               avg((0.5 - y) * x1) AS g1,
+               avg((0.5 - y) * x2) AS g2
+        FROM feat
+    ),
+    w1 AS (
+        SELECT floor(-0.5 * g0 * 1e9 + 0.5) / 1e9 AS w0,
+               floor(-0.5 * g1 * 1e9 + 0.5) / 1e9 AS w1,
+               floor(-0.5 * g2 * 1e9 + 0.5) / 1e9 AS w2
+        FROM g1
+    ),
+    g2 AS (
+        SELECT avg(1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) - y) AS g0,
+               avg((1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) - y) * x1)
+                   AS g1,
+               avg((1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) - y) * x2)
+                   AS g2,
+               any_value(w0) AS pw0, any_value(w1) AS pw1, any_value(w2) AS pw2
+        FROM feat, w1
+    ),
+    w2 AS (
+        SELECT floor((pw0 - 0.5 * g0) * 1e9 + 0.5) / 1e9 AS w0,
+               floor((pw1 - 0.5 * g1) * 1e9 + 0.5) / 1e9 AS w1,
+               floor((pw2 - 0.5 * g2) * 1e9 + 0.5) / 1e9 AS w2
+        FROM g2
+    )
+    SELECT f.doc_id,
+           floor(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2)))
+                 * 1e6 + 0.5) / 1e6 AS p,
+           1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2))) >= 0.5
+               AS pred,
+           CAST(f.y AS BIGINT) AS y
+    FROM feat f, w2 w
+    """,
+    doc="Distributed quality-classifier training — the fasttext-style "
+    "linear gate LLM pipelines train to score crawl quality: full-batch "
+    "gradient-descent logistic regression (label: lang='en'; features: "
+    "mean token length, scaled token count — exact integer ratios). Each "
+    "GD round is ONE aggregate whose d+1-double gradient is the only "
+    "driver traffic (operators/clustering.py:logreg_train_gd, same "
+    "bounded-index contract as the k-means trainer); the feature "
+    "relation is checkpointed once so rounds re-read blocks, not text. "
+    "Weights round to 9 dp per round, which lets the oracle replay both "
+    "rounds bit-identically (round 1 needs no exp at all; round 2's "
+    "~1-ulp libm exp differences vanish under averaging + rounding). "
+    "Output: per-doc score, hard prediction, label.",
+)
+def ml_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import logreg_train_gd
+
+    d = _t(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " "))
+    feat = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.length("text") * 1.0 / n_toks).alias("x1"),
+        (n_toks / 100.0).alias("x2"),
+    ).localCheckpoint(eager=True)
+    w = logreg_train_gd(feat, ["x1", "x2"], "y", lr=0.5, iters=2)
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feat.select(
+        "doc_id",
+        (F.floor(p * 1e6 + 0.5) / 1e6).alias("p"),
+        (p >= 0.5).alias("pred"),
+        F.col("y").cast("bigint").alias("y"),
+    )

@@ -128,3 +128,36 @@ def test_kmeans_query_plan_is_scan_plus_single_exchange(spark):
     # grouped agg — no join in the returned plan at all
     assert "Join" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_logreg_gd_matches_numpy_replay(spark):
+    """The distributed trainer's per-round (gradient -> 9dp-rounded
+    update) schedule must reproduce an exact numpy replay, and two rounds
+    must reduce the full-batch log-loss from the w=0 baseline."""
+    import math
+
+    from nfl_big_data_bowl_2024_spark.operators.clustering import logreg_train_gd
+
+    rows = [
+        (float(i % 2), 1.0 + 0.8 * (i % 2) + 0.05 * (i % 7), 0.3 + 0.1 * (i % 5))
+        for i in range(60)
+    ]
+    feat = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    w = logreg_train_gd(feat, ["x1", "x2"], "y", lr=0.5, iters=2)
+
+    m = np.array(rows)
+    y, X = m[:, 0], np.hstack([np.ones((len(m), 1)), m[:, 1:]])
+    wref = np.zeros(3)
+    for _ in range(2):
+        p = 1.0 / (1.0 + np.exp(-X @ wref))
+        g = ((p - y)[:, None] * X).mean(axis=0)
+        wref = np.array(
+            [math.floor(v * 1e9 + 0.5) / 1e9 for v in (wref - 0.5 * g)]
+        )
+    assert w == pytest.approx(list(wref), abs=1e-12)
+
+    def loss(wv):
+        p = 1.0 / (1.0 + np.exp(-X @ np.asarray(wv)))
+        return -(y * np.log(p) + (1 - y) * np.log(1 - p)).mean()
+
+    assert loss(w) < loss([0.0, 0.0, 0.0])
