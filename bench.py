@@ -62,6 +62,7 @@ HEADLINE = [
     "doc_length_batches",
     "dedup_incremental_batch",
     "dq_expectations_check",
+    "ml_quality_classifier_train",
 ]
 
 

@@ -239,6 +239,11 @@ def logreg_train_gd(
             for j, c in enumerate(feature_cols)
         ]
         g = feat.agg(*aggs).first()
+        if any(gj is None for gj in g):
+            raise ValueError(
+                "logreg_train_gd: empty feature relation or all-NULL "
+                "feature/label column (avg returned NULL)"
+            )
         w = [
             math.floor((wj - lr * gj) * 1e9 + 0.5) / 1e9
             for wj, gj in zip(w, list(g))

@@ -28,6 +28,23 @@ from ..sources.readers import read_testdata_table as _t
 from .registry import register
 
 
+def _content_fingerprint():
+    """Canonical document fingerprint: md5 of the lower-trimmed text.
+
+    Single definition shared by every exact-dedup / incremental-dedup /
+    corpus-clean query; the oracle SQL mirrors it literally as
+    ``md5(lower(trim(text)))``. Change both together.
+    """
+    return F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+
+
+def _mean_token_len():
+    """Per-doc quality score: mean token length — an exact integer ratio,
+    so Spark and DuckDB agree bit-for-bit. Shared by the z-score bucketer
+    and the classifier's x1 feature."""
+    return F.length("text") * 1.0 / F.size(F.split("text", " "))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -137,7 +154,7 @@ def txt_fingerprint_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # At 100 TB the scan itself arrives in thousands of splits.
     d = _t(spark, sf_dir, "documents")
     return d.groupBy(
-        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("fingerprint")
+        _content_fingerprint().alias("fingerprint")
     ).agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
 
 
@@ -497,7 +514,7 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_chars.alias("n_chars"), n_tokens.alias("n_tokens"),
     )
     canonical = (
-        gated.groupBy(F.md5(F.lower(F.trim(F.col("text"))).cast("binary")))
+        gated.groupBy(_content_fingerprint())
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
@@ -1088,7 +1105,7 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    fp = _content_fingerprint()
     bucket = F.substring(F.md5(fp.cast("binary")), 1, 8)
     return d.select(
         "doc_id",
@@ -1191,7 +1208,7 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    fp = _content_fingerprint()
     shard = (
         F.expr(
             "instr('0123456789abcdef', substring("
@@ -1897,13 +1914,13 @@ def evt_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
 def txt_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    model = (
-        toks.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+    from ..operators.scalars import checkpoint_with_scalar
+
+    model, total = checkpoint_with_scalar(
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("n")),
+        F.sum("n").alias("tot"),
     )
-    total = model.agg(F.sum("n").alias("tot"))
-    model_p = model.crossJoin(F.broadcast(total)).select(
+    model_p = model.crossJoin(total).select(
         "term",
         (-F.log2(F.col("n") * 1.0 / F.col("tot"))).alias("surprisal"),
     )
@@ -2001,12 +2018,15 @@ def txt_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
         SELECT avg(score) AS mu, stddev(score) AS sigma FROM scored
     )
-    SELECT doc_id,
-           floor((score - mu) / sigma * 10000 + 0.5) / 10000 AS z,
-           CASE WHEN (score - mu) / sigma < -1.0 THEN 'head'
-                WHEN (score - mu) / sigma > 1.0 THEN 'tail'
+    SELECT doc_id, z,
+           CASE WHEN z < -1.0 THEN 'head'
+                WHEN z > 1.0 THEN 'tail'
                 ELSE 'middle' END AS bucket
-    FROM scored, stats
+    FROM (
+        SELECT doc_id,
+               floor((score - mu) / sigma * 10000 + 0.5) / 10000 AS z
+        FROM scored, stats
+    )
     """,
     doc="Corpus-relative quality bucketing (the CCNet head/middle/tail "
     "cut): score each document (mean token length — exact integer ratio, "
@@ -2021,21 +2041,28 @@ def txt_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_quality_zscore_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    scored = d.select(
-        "doc_id",
-        (F.length("text") * 1.0 / F.size(F.split("text", " "))).alias("score"),
-    )
+    scored = d.select("doc_id", _mean_token_len().alias("score"))
     stats = scored.agg(
         F.avg("score").alias("mu"), F.stddev("score").alias("sigma")
     )
-    z = (F.col("score") - F.col("mu")) / F.col("sigma")
-    return scored.crossJoin(F.broadcast(stats)).select(
-        "doc_id",
-        (F.floor(z * 10000 + 0.5) / 10000).alias("z"),
-        F.when(z < -1.0, "head")
-        .when(z > 1.0, "tail")
-        .otherwise("middle")
-        .alias("bucket"),
+    # Buckets derive from the 4-dp-ROUNDED z, not the raw double: mu/sigma
+    # are summation-order-dependent, so cutting on raw z would let low-bit
+    # engine differences flip a boundary doc's bucket.
+    z4 = (
+        F.floor((F.col("score") - F.col("mu")) / F.col("sigma") * 10000 + 0.5)
+        / 10000
+    )
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .select("doc_id", z4.alias("z"))
+        .select(
+            "doc_id",
+            "z",
+            F.when(F.col("z") < -1.0, "head")
+            .when(F.col("z") > 1.0, "tail")
+            .otherwise("middle")
+            .alias("bucket"),
+        )
     )
 
 
@@ -2141,7 +2168,7 @@ def doc_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     batch_srcs = ["src0", "src1", "src2", "src3", "src4"]
-    fp = F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    fp = _content_fingerprint()
     batch = (
         d.filter(F.col("source").isin(batch_srcs))
         .select("doc_id", fp.alias("fingerprint"))
@@ -2336,13 +2363,13 @@ def dq_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                floor((pw2 - 0.5 * g2) * 1e9 + 0.5) / 1e9 AS w2
         FROM g2
     )
-    SELECT f.doc_id,
-           floor(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2)))
-                 * 1e6 + 0.5) / 1e6 AS p,
-           1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2))) >= 0.5
-               AS pred,
-           CAST(f.y AS BIGINT) AS y
-    FROM feat f, w2 w
+    SELECT doc_id, p, p >= 0.5 AS pred, y FROM (
+        SELECT f.doc_id,
+               floor(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2)))
+                     * 1e6 + 0.5) / 1e6 AS p,
+               CAST(f.y AS BIGINT) AS y
+        FROM feat f, w2 w
+    )
     """,
     doc="Distributed quality-classifier training — the fasttext-style "
     "linear gate LLM pipelines train to score crawl quality: full-batch "
@@ -2365,15 +2392,18 @@ def ml_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = d.select(
         "doc_id",
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
-        (F.length("text") * 1.0 / n_toks).alias("x1"),
+        _mean_token_len().alias("x1"),
         (n_toks / 100.0).alias("x2"),
     ).localCheckpoint(eager=True)
     w = logreg_train_gd(feat, ["x1", "x2"], "y", lr=0.5, iters=2)
     z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    # pred derives from the ROUNDED p (the value both engines hash), so a
+    # ~1-ulp libm exp() difference cannot flip a boundary prediction.
     return feat.select(
         "doc_id",
         (F.floor(p * 1e6 + 0.5) / 1e6).alias("p"),
-        (p >= 0.5).alias("pred"),
         F.col("y").cast("bigint").alias("y"),
-    )
+    ).select(
+        "doc_id", "p", (F.col("p") >= 0.5).alias("pred"), "y"
+    ).select("doc_id", "p", "pred", "y")

@@ -292,15 +292,16 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier").filter(
         F.col("s_nationkey").isin(0, 1, 2)
     ).select("s_suppkey")
-    val = (
+    from ..operators.scalars import checkpoint_with_scalar
+
+    val, total = checkpoint_with_scalar(
         l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice").cast(_DEC)).alias("v"))
-        .localCheckpoint(eager=True)
+        .agg(F.sum(F.col("l_extendedprice").cast(_DEC)).alias("v")),
+        F.sum("v").alias("total"),
     )
-    total = val.agg(F.sum("v").alias("total"))
     return (
-        val.crossJoin(F.broadcast(total))
+        val.crossJoin(total)
         .filter(F.col("v") * 1000 > F.col("total"))
         .select("l_partkey", _round2(F.col("v")).alias("part_value"))
     )
@@ -338,18 +339,19 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    rev = (
+    from ..operators.scalars import checkpoint_with_scalar
+
+    rev, mx = checkpoint_with_scalar(
         l.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(_rev()).alias("total_rev"))
-        .localCheckpoint(eager=True)
+        .agg(F.sum(_rev()).alias("total_rev")),
+        F.max("total_rev").alias("max_rev"),
     )
-    mx = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
-        rev.crossJoin(F.broadcast(mx))
+        rev.crossJoin(mx)
         .filter(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", _round2(F.col("total_rev")).alias("total_rev"))
