@@ -140,14 +140,61 @@ def upsert_parquet(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    _swap_dataset(spark, latest, path)
+
+
+def _swap_dataset(spark, df: DataFrame, path: str) -> None:
+    """Write ``df`` to a sibling temp dir, then replace ``path`` via a
+    filesystem rename (see upsert_parquet's docstring for the
+    non-transactional-commit caveats)."""
     tmp = path.rstrip("/") + ".__upsert_tmp__"
-    latest.write.mode("overwrite").parquet(tmp)
+    df.write.mode("overwrite").parquet(tmp)
     jvm = spark._jvm
     hadoop_path = jvm.org.apache.hadoop.fs.Path
     fs = hadoop_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
     fs.delete(hadoop_path(path), True)
     if not fs.rename(hadoop_path(tmp), hadoop_path(path)):
         raise IOError(f"rename {tmp} -> {path} failed")
+
+
+def upsert_scd2_parquet(
+    spark,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    ts_col: str,
+) -> None:
+    """SCD-2 history-preserving upsert: validity intervals instead of
+    latest-wins.
+
+    The target dataset carries ``valid_from`` (long) and ``valid_to``
+    (long, NULL = current). Each update row (with its effective timestamp
+    in ``ts_col``) opens a new version: the previously-current row for
+    that key closes at the update's timestamp, and multiple updates for
+    one key inside a batch chain correctly (ordered by ``ts_col``). Keys
+    the batch does not touch pass through untouched; closed history rows
+    are never rewritten logically (the dataset IS rewritten physically —
+    same dimension-table scope and swap caveats as upsert_parquet).
+
+    Shape: one window over (keys) ordered by valid_from computes every
+    row's ``valid_to`` as the next version's ``valid_from`` — a single
+    key-partitioned shuffle of current+new rows only; the closed-history
+    side is a pass-through union.
+    """
+    from pyspark.sql.window import Window
+
+    tgt = spark.read.parquet(path)
+    hist = tgt.filter(F.col("valid_to").isNotNull())
+    cur = tgt.filter(F.col("valid_to").isNull()).drop("valid_to")
+    upd = updates.withColumn("valid_from", F.col(ts_col).cast("long")).drop(
+        ts_col
+    )
+    w = Window.partitionBy(*keys).orderBy("valid_from")
+    chained = (
+        cur.unionByName(upd)
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+    )
+    _swap_dataset(spark, hist.unionByName(chained), path)
 
 
 def write_range_sorted(

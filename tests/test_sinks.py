@@ -389,3 +389,53 @@ def test_animation_sink_renders_trajectory(spark):
         assert seen_vic == n_vic
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_upsert_scd2_validity_chains(spark):
+    import shutil
+    import tempfile
+
+    from nfl_big_data_bowl_2024_spark.sources.writers import upsert_scd2_parquet
+
+    d = tempfile.mkdtemp(prefix="scd2_")
+    path = f"{d}/dim"
+    try:
+        base = spark.createDataFrame(
+            [(1, "a", 10, None), (2, "b", 10, None)],
+            "k long, v string, valid_from long, valid_to long",
+        )
+        base.write.parquet(path)
+        # two chained updates for k=1 in ONE batch, plus a brand-new key
+        updates = spark.createDataFrame(
+            [(1, "a2", 20), (1, "a1", 15), (3, "c", 20)],
+            "k long, v string, ts long",
+        )
+        upsert_scd2_parquet(spark, path, updates, keys=["k"], ts_col="ts")
+        got = {
+            (r["k"], r["v"], r["valid_from"], r["valid_to"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == {
+            (1, "a", 10, 15),    # closed by the 15-update
+            (1, "a1", 15, 20),   # closed by the 20-update, same batch
+            (1, "a2", 20, None), # current
+            (2, "b", 10, None),  # untouched key passes through
+            (3, "c", 20, None),  # new key, current from its first version
+        }
+        # a later batch closes only what it touches and keeps history
+        upsert_scd2_parquet(
+            spark,
+            path,
+            spark.createDataFrame([(2, "b2", 30)], "k long, v string, ts long"),
+            keys=["k"],
+            ts_col="ts",
+        )
+        after = {
+            (r["k"], r["v"], r["valid_from"], r["valid_to"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert (2, "b", 10, 30) in after and (2, "b2", 30, None) in after
+        assert (1, "a", 10, 15) in after  # closed history untouched
+        assert len(after) == 6
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
