@@ -63,6 +63,7 @@ HEADLINE = [
     "dedup_incremental_batch",
     "dq_expectations_check",
     "ml_quality_classifier_train",
+    "emb_pca_power_iteration",
 ]
 
 

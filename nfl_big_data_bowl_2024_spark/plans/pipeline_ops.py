@@ -2407,3 +2407,104 @@ def ml_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "p", (F.col("p") >= 0.5).alias("pred"), "y"
     ).select("doc_id", "p", "pred", "y")
+
+
+@register(
+    "emb_pca_power_iteration",
+    """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cr AS (
+        SELECT i, j, floor(sum(e[i] * e[j]) * 1e6 + 0.5) / 1e6 AS c
+        FROM emb,
+             unnest(generate_series(1, 64)) AS ti(i),
+             unnest(generate_series(1, 64)) AS tj(j)
+        GROUP BY i, j
+    ),
+    v1r AS (SELECT i, sum(c) * 0.125 AS w FROM cr GROUP BY i),
+    n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM v1r),
+    v1 AS (SELECT i, floor(w / nrm * 1e9 + 0.5) / 1e9 AS v FROM v1r, n1),
+    v2r AS (
+        SELECT cr.i, sum(cr.c * v1.v) AS w
+        FROM cr JOIN v1 ON cr.j = v1.i GROUP BY cr.i
+    ),
+    n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM v2r),
+    v2 AS (SELECT i, floor(w / nrm * 1e9 + 0.5) / 1e9 AS v FROM v2r, n2),
+    proj AS (
+        SELECT vec_id, sum(e[t.i] * v2.v) AS p
+        FROM emb, unnest(generate_series(1, len(e))) AS t(i)
+        JOIN v2 ON v2.i = t.i
+        GROUP BY vec_id
+    )
+    SELECT vec_id, floor(p * 1e6 + 0.5) / 1e6 AS pc1 FROM proj
+    """,
+    doc="Distributed PCA (top principal direction) by power iteration — "
+    "the dimensionality-reduction/whitening pass of an embedding "
+    "pipeline. The Gram matrix is ONE corpus pass: a BLAS X^T.X per "
+    "Arrow batch emitting 64x64 partials (the outer-product explode "
+    "would be 4096 JVM rows per vector; the matmul is the documented "
+    "vectorization exception), summed into a d^2-row relation — bounded "
+    "at any corpus size, so it lands driver-side under the same "
+    "bounded-index contract as the k-means centroids. Two power-"
+    "iteration rounds run on the driver with 9-dp rounding per round "
+    "(Gram entries rounded 6 dp first), which the oracle replays "
+    "bit-identically in SQL; the projection back onto the corpus is "
+    "map-only with the final direction as a literal. Start vector "
+    "1/sqrt(64) = 0.125 is exactly representable, so round 1 is pure "
+    "rational arithmetic.",
+)
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["e"].tolist(), dtype=np.float64)
+            C = X.T @ X
+            d = C.shape[0]
+            ii, jj = np.indices((d, d))
+            yield pd.DataFrame(
+                {
+                    "i": (ii.ravel() + 1).astype("int32"),
+                    "j": (jj.ravel() + 1).astype("int32"),
+                    "c": C.ravel(),
+                }
+            )
+
+    crows = (
+        e.select("e")
+        .mapInPandas(gram, "i int, j int, c double")
+        .groupBy("i", "j")
+        .agg(F.sum("c").alias("c"))
+        .select("i", "j", (F.floor(F.col("c") * 1e6 + 0.5) / 1e6).alias("c"))
+        .collect()  # d^2 = 4096 rows: bounded driver-held index
+    )
+    d = max(r["i"] for r in crows)
+    M = np.zeros((d, d))
+    for r in crows:
+        M[r["i"] - 1, r["j"] - 1] = r["c"]
+    v = np.full(d, 0.125)
+    for _ in range(2):
+        w = M @ v
+        nrm = math.sqrt(float((w * w).sum()))
+        v = np.array([math.floor(x / nrm * 1e9 + 0.5) / 1e9 for x in w])
+
+    varr = F.array(*[F.lit(float(x)) for x in v])
+    proj = F.aggregate(
+        F.zip_with("e", varr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id", (F.floor(proj * 1e6 + 0.5) / 1e6).alias("pc1")
+    )
