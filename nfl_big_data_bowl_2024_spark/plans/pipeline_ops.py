@@ -2508,3 +2508,102 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", (F.floor(proj * 1e6 + 0.5) / 1e6).alias("pc1")
     )
+
+
+@register(
+    "doc_training_order",
+    """
+    WITH keyed AS (
+        SELECT doc_id,
+               strpos('0123456789abcdef',
+                      substr(md5(lower(trim(text))), 1, 1)) - 1 AS shard,
+               substr(md5(lower(trim(text))), 2, 16) AS ord_key
+        FROM documents
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           row_number() OVER (
+               PARTITION BY shard ORDER BY ord_key, doc_id) AS position
+    FROM keyed
+    """,
+    doc="Deterministic global training-order shuffle: every document gets "
+    "a reproducible (shard, position) — shard from the content "
+    "fingerprint's first nibble (same layout as doc_shard_manifest), "
+    "position by the next 16 hex digits (tie-broken on doc_id). "
+    "Content-keyed, so the order is stable across runs, engines, and "
+    "input partitionings — unlike orderBy(rand(seed)), whose result "
+    "depends on the physical split layout. One window per shard (hash-"
+    "keyed, so the corpus shards across the cluster); readers stream "
+    "shard files in position order and get the same epoch permutation "
+    "everywhere. For a different epoch, salt the md5 input with the "
+    "epoch number.",
+)
+def doc_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    keyed = d.select(
+        "doc_id",
+        (
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+        ).cast("bigint").alias("shard"),
+        F.substring(h, 2, 16).alias("ord_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).alias("position")
+    )
+
+
+@register(
+    "evt_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           floor(n * 1.0 / sum(n) OVER (PARTITION BY prev_type)
+                 * 1000000 + 0.5) / 1000000 AS p
+    FROM t
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences — the user-journey / session-flow analytics primitive. "
+    "One user-keyed lag window (the corpus shards by user), one hash "
+    "aggregate down to the BOUNDED |types|^2 transition relation, and "
+    "row-normalization as a window over that post-agg relation "
+    "(partitioned by prev_type — the doc_mix_weights bounded-denominator "
+    "case, never a data-scale window). Ordering ties break on event_id, "
+    "so the lag sequence is deterministic.",
+)
+def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(wseq).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (
+            F.floor(F.col("n") * 1.0 / F.sum("n").over(wrow) * 1000000 + 0.5)
+            / 1000000
+        ).alias("p"),
+    )
