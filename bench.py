@@ -64,6 +64,8 @@ HEADLINE = [
     "dq_expectations_check",
     "ml_quality_classifier_train",
     "emb_pca_power_iteration",
+    "doc_training_order",
+    "evt_transition_matrix",
 ]
 
 
