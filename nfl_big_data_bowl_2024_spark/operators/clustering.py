@@ -249,3 +249,64 @@ def logreg_train_gd(
             for wj, gj in zip(w, list(g))
         ]
     return w
+
+
+def power_iteration_top_direction(
+    e: DataFrame, vec_col: str = "e", iters: int = 2
+) -> list[float]:
+    """Top direction of the corpus's uncentered second-moment (Gram)
+    matrix by distributed power iteration.
+
+    The Gram matrix is ONE corpus pass — a BLAS X^T.X per Arrow batch
+    emitting d^2 partials (the outer-product explode would be d^2 JVM
+    rows per vector), summed to a bounded d^2-row relation that lands
+    driver-side under the same bounded-index contract as the k-means
+    centroids. Iteration then runs on the driver with 9-dp rounding per
+    round (Gram entries rounded 6 dp first), so an oracle can replay the
+    schedule bit-identically; the start vector 1/sqrt(d) is exactly
+    representable for power-of-two d.
+
+    Convergence is the standard (lambda_2/lambda_1)^iters rate: it needs
+    a spectral gap. Isotropic corpora (no dominant direction) keep the
+    output deterministic but meaningless — see the planted-spike test
+    for the convergent regime.
+    """
+    import numpy as np
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            C = X.T @ X
+            d = C.shape[0]
+            ii, jj = np.indices((d, d))
+            yield pd.DataFrame(
+                {
+                    "i": (ii.ravel() + 1).astype("int32"),
+                    "j": (jj.ravel() + 1).astype("int32"),
+                    "c": C.ravel(),
+                }
+            )
+
+    crows = (
+        e.select(vec_col)
+        .mapInPandas(gram, "i int, j int, c double")
+        .groupBy("i", "j")
+        .agg(F.sum("c").alias("c"))
+        .select("i", "j", (F.floor(F.col("c") * 1e6 + 0.5) / 1e6).alias("c"))
+        .collect()  # d^2 rows: bounded driver-held index
+    )
+    d = max(r["i"] for r in crows)
+    M = np.zeros((d, d))
+    for r in crows:
+        M[r["i"] - 1, r["j"] - 1] = r["c"]
+    v = np.full(d, 1.0 / math.sqrt(d))
+    for _ in range(iters):
+        w = M @ v
+        nrm = math.sqrt(float((w * w).sum()))
+        v = np.array([math.floor(x / nrm * 1e9 + 0.5) / 1e9 for x in w])
+    return [float(x) for x in v]

@@ -2437,68 +2437,35 @@ def ml_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, floor(p * 1e6 + 0.5) / 1e6 AS pc1 FROM proj
     """,
-    doc="Distributed PCA (top principal direction) by power iteration — "
-    "the dimensionality-reduction/whitening pass of an embedding "
-    "pipeline. The Gram matrix is ONE corpus pass: a BLAS X^T.X per "
-    "Arrow batch emitting 64x64 partials (the outer-product explode "
-    "would be 4096 JVM rows per vector; the matmul is the documented "
-    "vectorization exception), summed into a d^2-row relation — bounded "
-    "at any corpus size, so it lands driver-side under the same "
-    "bounded-index contract as the k-means centroids. Two power-"
-    "iteration rounds run on the driver with 9-dp rounding per round "
-    "(Gram entries rounded 6 dp first), which the oracle replays "
-    "bit-identically in SQL; the projection back onto the corpus is "
-    "map-only with the final direction as a literal. Start vector "
-    "1/sqrt(64) = 0.125 is exactly representable, so round 1 is pure "
-    "rational arithmetic.",
+    doc="Distributed power iteration toward the corpus Gram matrix's top "
+    "direction — the dimensionality-reduction pass of an embedding "
+    "pipeline (operators/clustering.py:power_iteration_top_direction). "
+    "The Gram matrix is ONE corpus pass: a BLAS X^T.X per Arrow batch "
+    "emitting 64x64 partials (the outer-product explode would be 4096 "
+    "JVM rows per vector; the matmul is the documented vectorization "
+    "exception), summed into a d^2-row relation — bounded at any corpus "
+    "size, so it lands driver-side under the same bounded-index contract "
+    "as the k-means centroids. Two iteration rounds run on the driver "
+    "with 9-dp rounding per round (Gram entries rounded 6 dp first), "
+    "which the oracle replays bit-identically in SQL; the projection "
+    "back onto the corpus is map-only with the final direction as a "
+    "literal. Start vector 1/sqrt(64) = 0.125 is exactly representable, "
+    "so round 1 is pure rational arithmetic. Convergence is the "
+    "standard (lambda2/lambda1)^k rate and needs a spectral gap: the "
+    "driver's synthetic embeddings are isotropic by construction "
+    "(lambda1/lambda2 ~ 1.07), so THIS registered operating point "
+    "exercises the distributed machinery and its cross-engine replay; "
+    "the planted-spike test (test_clustering.py) demonstrates the "
+    "convergent regime the operator exists for.",
 )
 def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
-    import numpy as np
+    from ..operators.clustering import power_iteration_top_direction
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-
-    def gram(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.asarray(pdf["e"].tolist(), dtype=np.float64)
-            C = X.T @ X
-            d = C.shape[0]
-            ii, jj = np.indices((d, d))
-            yield pd.DataFrame(
-                {
-                    "i": (ii.ravel() + 1).astype("int32"),
-                    "j": (jj.ravel() + 1).astype("int32"),
-                    "c": C.ravel(),
-                }
-            )
-
-    crows = (
-        e.select("e")
-        .mapInPandas(gram, "i int, j int, c double")
-        .groupBy("i", "j")
-        .agg(F.sum("c").alias("c"))
-        .select("i", "j", (F.floor(F.col("c") * 1e6 + 0.5) / 1e6).alias("c"))
-        .collect()  # d^2 = 4096 rows: bounded driver-held index
-    )
-    d = max(r["i"] for r in crows)
-    M = np.zeros((d, d))
-    for r in crows:
-        M[r["i"] - 1, r["j"] - 1] = r["c"]
-    v = np.full(d, 0.125)
-    for _ in range(2):
-        w = M @ v
-        nrm = math.sqrt(float((w * w).sum()))
-        v = np.array([math.floor(x / nrm * 1e9 + 0.5) / 1e9 for x in w])
-
+    v = power_iteration_top_direction(e, "e", iters=2)
     varr = F.array(*[F.lit(float(x)) for x in v])
     proj = F.aggregate(
         F.zip_with("e", varr, lambda a, b: a * b),

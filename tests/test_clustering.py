@@ -161,3 +161,33 @@ def test_logreg_gd_matches_numpy_replay(spark):
         return -(y * np.log(p) + (1 - y) * np.log(1 - p)).mean()
 
     assert loss(w) < loss([0.0, 0.0, 0.0])
+
+
+def test_pca_power_iteration_tracks_top_eigenvector(spark):
+    """On data WITH a spectral gap (planted dominant direction), the
+    rounded distributed power iteration must converge to the true top
+    eigen-direction; on the driver's isotropic corpus the query is
+    exercised for replay determinism only (see the query docstring)."""
+    import math
+
+    from nfl_big_data_bowl_2024_spark.operators.clustering import (
+        power_iteration_top_direction,
+    )
+
+    d, n = 16, 400
+    rng_free = [
+        [math.sin(1.0 + 0.7 * i + 1.3 * j) * 0.2 for j in range(d)]
+        for i in range(n)
+    ]  # deterministic pseudo-noise, no RNG
+    spike = [math.cos(0.3 * j) for j in range(d)]
+    rows = [
+        (i, [rng_free[i][j] + (2.0 if i % 2 else -2.0) * spike[j] for j in range(d)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    v = np.array(power_iteration_top_direction(df, "e", iters=3))
+
+    X = np.array([r[1] for r in rows])
+    evecs = np.linalg.eigh(X.T @ X)[1]
+    top = evecs[:, -1]
+    assert abs(float(v @ top)) > 0.999, float(v @ top)
