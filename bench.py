@@ -66,6 +66,7 @@ HEADLINE = [
     "emb_pca_power_iteration",
     "doc_training_order",
     "evt_transition_matrix",
+    "evt_user_zscore_outliers",
 ]
 
 

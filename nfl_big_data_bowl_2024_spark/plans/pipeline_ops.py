@@ -2574,3 +2574,45 @@ def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("p"),
     )
+
+
+@register(
+    "evt_user_zscore_outliers",
+    """
+    WITH stats AS (
+        SELECT user_id, avg(value) AS mu, stddev(value) AS sigma
+        FROM events GROUP BY user_id
+    ),
+    z AS (
+        SELECT e.event_id, e.user_id,
+               floor((e.value - s.mu) / s.sigma * 10000 + 0.5) / 10000 AS z
+        FROM events e JOIN stats s USING (user_id)
+        WHERE s.sigma > 0
+    )
+    SELECT event_id, user_id, z FROM z WHERE abs(z) > 3.0
+    """,
+    doc="Per-entity outlier detection — the anomaly/noise filter a "
+    "training pipeline runs per source/user/session rather than "
+    "globally: z-score each event against ITS OWN user's mean/stddev "
+    "and keep |z| > 3. Per-key two-pass normalization: one hash "
+    "aggregate to the |users|-row stats relation, one equi-join back on "
+    "the same user_id key (both sides hash-partition on user_id, so the "
+    "stats attach rides the aggregate's own exchange layout; at dim-"
+    "scale AQE broadcasts the stats side instead). Outlier cut runs on "
+    "the 4-dp-ROUNDED z — the doc_quality_zscore_bucket boundary rule. "
+    "Single-event users drop out naturally (sample stddev is NULL).",
+)
+def evt_user_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"), F.stddev("value").alias("sigma")
+    )
+    z4 = F.floor(
+        (F.col("value") - F.col("mu")) / F.col("sigma") * 10000 + 0.5
+    ) / 10000
+    return (
+        ev.join(stats, "user_id")
+        .filter(F.col("sigma") > 0)
+        .select("event_id", "user_id", z4.alias("z"))
+        .filter(F.abs(F.col("z")) > 3.0)
+    )

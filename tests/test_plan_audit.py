@@ -352,3 +352,30 @@ def test_dq_expectations_scan_each_fact_once_outside_fk(spark, queries):
     belong to the FK anti-join (lineitem keys + orders keys)."""
     plan = _plan(queries["dq_expectations_check"].fn(spark, SF))
     assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+
+
+def test_training_order_window_is_shard_partitioned(spark, queries):
+    plan = _plan(queries["doc_training_order"].fn(spark, SF))
+    assert "SinglePartition" not in plan
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(ex) == 1 and "shard" in ex[0], ex
+
+
+def test_transition_matrix_windows_are_keyed(spark, queries):
+    """The lag window keys on user_id; the row-normalize window keys on
+    prev_type over the bounded post-agg relation. Nothing global."""
+    plan = _plan(queries["evt_transition_matrix"].fn(spark, SF))
+    assert "SinglePartition" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert ("user_id" in ln) or ("prev_type" in ln), ln
+
+
+def test_user_outliers_stats_attach_reuses_user_key(spark, queries):
+    """Both the stats aggregate and the join hash on user_id — no other
+    key appears in any exchange, nothing single-partition."""
+    plan = _plan(queries["evt_user_zscore_outliers"].fn(spark, SF))
+    assert "SinglePartition" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "user_id" in ln, ln
