@@ -1642,26 +1642,28 @@ def txt_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pow/ln, which differ between libm builds — same portability rule as "
     "the TF-IDF ratio idf), so both engines compute bit-identical "
     "per-source terms. One agg on source (tiny group count); the "
-    "denominator is an unpartitioned window over the POST-AGG relation "
-    "(#sources rows, bounded — not a data-scale window), because a "
-    "separate .agg() denominator would make Catalyst scan the fact "
-    "twice (DataFrame subtrees are not CSE'd — same finding as the "
-    "TF-IDF/Q21 rewrites; plan-asserted at ONE FileScan).",
+    "denominator attaches via the shared checkpointed-grand-total idiom "
+    "(operators/scalars.py) — one fact scan, and the registry-wide "
+    "sweep audit stays at ZERO global windows with no exceptions.",
 )
 def doc_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scalars import checkpoint_with_scalar
+
     d = _t(spark, sf_dir, "documents")
-    s = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    s, z = checkpoint_with_scalar(
+        d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        ),
+        F.sum(F.sqrt("n_tokens")).alias("z"),
     )
-    z = F.sum(F.sqrt("n_tokens")).over(Window.partitionBy())
-    return s.select(
+    return s.crossJoin(z).select(
         "source",
         "n_docs",
         "n_tokens",
-        (F.floor(F.sqrt("n_tokens") / z * 1000000 + 0.5) / 1000000).alias(
-            "mix_weight"
-        ),
+        (
+            F.floor(F.sqrt("n_tokens") / F.col("z") * 1000000 + 0.5) / 1000000
+        ).alias("mix_weight"),
     )
 
 

@@ -277,10 +277,12 @@ def test_contamination_check_broadcasts_benchmark(spark, queries):
 
 
 def test_mix_weights_single_fact_scan(spark, queries):
-    # The denominator is a window over the post-agg relation; a separate
-    # .agg() subtree would re-scan documents (no DataFrame CSE).
+    # The denominator attaches via the checkpointed grand-total idiom: the
+    # final plan reads checkpoint blocks (no fact re-scan, no window).
     plan = _plan(queries["doc_mix_weights"].fn(spark, SF))
-    assert plan.count("FileScan") == 1
+    assert "ExistingRDD" in plan
+    assert "FileScan" not in plan
+    assert "Window" not in plan
 
 
 def test_rolling_24h_single_user_exchange(spark, queries):
@@ -379,3 +381,22 @@ def test_user_outliers_stats_attach_reuses_user_key(spark, queries):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "user_id" in ln, ln
+
+
+def test_no_scale_killer_nodes_anywhere(spark, queries):
+    """Registry-wide sweep: NO registered query's executed plan may
+    contain a CartesianProduct, a row-at-a-time Python UDF, or a GLOBAL
+    window (windowspecdefinition with no partition columns funnels the
+    relation through one task). Zero exceptions — the per-query audits
+    above pin the positive shapes; this pins the absence of the three
+    plan nodes that kill a 100x scale-up."""
+    offenders = []
+    for name, spec in queries.items():
+        plan = _plan(spec.fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+        if "windowspecdefinition(specifiedwindowframe" in plan:
+            offenders.append((name, "global window"))
+    assert not offenders, offenders
