@@ -83,12 +83,16 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_kmeans_lloyd",
     "sim_knn_join",
     # LLM-pipeline operators (dedup / similarity / text / multimodal / data ops)
+    # Round-3b capability classes take four slots from simple map-only
+    # shapes (txt_lang_id / txt_regex_extract / json_build_extract /
+    # arr_top_components — their evidence class stays represented by
+    # txt_token_quality and all four stay locally verified):
     "txt_token_quality",
-    "txt_lang_id",
+    "txt_span_dedup",
     "txt_fingerprint_exact_dedup",
-    "txt_regex_extract",
-    "json_build_extract",
-    "arr_top_components",
+    "dedup_incremental_batch",
+    "dq_expectations_check",
+    "ml_quality_classifier_train",
     "emb_dimension_stats",
     "txt_winnow_fingerprint",
     "dedup_ngram_jaccard",
