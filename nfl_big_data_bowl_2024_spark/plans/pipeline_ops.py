@@ -2618,3 +2618,66 @@ def evt_user_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", z4.alias("z"))
         .filter(F.abs(F.col("z")) > 3.0)
     )
+
+
+@register(
+    "txt_vocab_coverage",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    vocab AS (
+        SELECT term FROM (
+            SELECT term, count(*) AS n FROM toks GROUP BY term
+            ORDER BY n DESC, term LIMIT 20
+        )
+    )
+    SELECT t.doc_id,
+           count(*) AS n_toks,
+           CAST(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_in_vocab,
+           floor(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*) * 10000 + 0.5) / 10000 AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (term)
+    GROUP BY t.doc_id
+    """,
+    doc="Tokenizer-fit metric: apply a trained vocabulary (here the "
+    "corpus top-20 terms — deterministic ties-on-term top-k, the "
+    "txt_vocab_topk machinery) to every document and report its "
+    "out-of-vocabulary rate — the number that tells you a tokenizer or "
+    "stopword list does not fit a new corpus before you pay for "
+    "training on it. The vocab is bounded (top-k), so the apply step is "
+    "a broadcast left join onto the token stream + one doc-keyed "
+    "aggregate; two corpus passes total (vocab build, vocab apply) — "
+    "the same train-then-score shape as the unigram LM.",
+)
+def txt_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(20)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.when(F.col("in_vocab").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_in_vocab"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                    * 1.0
+                    / F.count(F.lit(1))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("oov_rate"),
+        )
+    )
