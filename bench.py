@@ -67,6 +67,7 @@ HEADLINE = [
     "doc_training_order",
     "evt_transition_matrix",
     "evt_user_zscore_outliers",
+    "txt_vocab_coverage",
 ]
 
 
