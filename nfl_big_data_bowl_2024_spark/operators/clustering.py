@@ -300,6 +300,10 @@ def power_iteration_top_direction(
         .select("i", "j", (F.floor(F.col("c") * 1e6 + 0.5) / 1e6).alias("c"))
         .collect()  # d^2 rows: bounded driver-held index
     )
+    if not crows:
+        raise ValueError(
+            "power_iteration_top_direction: empty corpus (no vectors)"
+        )
     d = max(r["i"] for r in crows)
     M = np.zeros((d, d))
     for r in crows:
@@ -308,5 +312,10 @@ def power_iteration_top_direction(
     for _ in range(iters):
         w = M @ v
         nrm = math.sqrt(float((w * w).sum()))
+        if nrm == 0.0:
+            raise ValueError(
+                "power_iteration_top_direction: zero Gram matrix (all "
+                "vectors zero, or the iterate landed in its null space)"
+            )
         v = np.array([math.floor(x / nrm * 1e9 + 0.5) / 1e9 for x in w])
     return [float(x) for x in v]

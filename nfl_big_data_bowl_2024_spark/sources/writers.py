@@ -179,16 +179,49 @@ def upsert_scd2_parquet(
     Shape: one window over (keys) ordered by valid_from computes every
     row's ``valid_to`` as the next version's ``valid_from`` — a single
     key-partitioned shuffle of current+new rows only; the closed-history
-    side is a pass-through union.
+    side is a pass-through union. The target is read once (eager
+    localCheckpoint) — hist and cur are two filters of the SAME read, and
+    Catalyst does not CSE DataFrame subtrees.
+
+    Late arrivals are REJECTED: an update whose timestamp is at or before
+    its key's current ``valid_from`` would splice an interval inside the
+    closed history (overlapping intervals, nondeterministic tie order).
+    Chaining is only correct for strictly-increasing timestamps per key,
+    so the writer raises instead of corrupting the dataset — route
+    late-arriving facts through a history rebuild, not an upsert.
     """
     from pyspark.sql.window import Window
 
-    tgt = spark.read.parquet(path)
+    tgt = spark.read.parquet(path).localCheckpoint(eager=True)
     hist = tgt.filter(F.col("valid_to").isNotNull())
     cur = tgt.filter(F.col("valid_to").isNull()).drop("valid_to")
     upd = updates.withColumn("valid_from", F.col(ts_col).cast("long")).drop(
         ts_col
     )
+    n_late = (
+        upd.select(*keys, F.col("valid_from").alias("_new_from"))
+        .join(cur.select(*keys, F.col("valid_from").alias("_cur_from")), keys)
+        .filter(F.col("_new_from") <= F.col("_cur_from"))
+        .count()
+    )
+    if n_late:
+        raise ValueError(
+            f"upsert_scd2_parquet: {n_late} update row(s) carry a timestamp "
+            "at or before their key's current valid_from — late arrivals "
+            "would splice intervals inside closed history; rebuild instead"
+        )
+    n_dup = (
+        upd.groupBy(*keys, "valid_from")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"upsert_scd2_parquet: {n_dup} (key, timestamp) pair(s) appear "
+            "more than once in the batch — equal timestamps make the "
+            "version chain order nondeterministic"
+        )
     w = Window.partitionBy(*keys).orderBy("valid_from")
     chained = (
         cur.unionByName(upd)

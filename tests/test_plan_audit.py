@@ -383,10 +383,43 @@ def test_user_outliers_stats_attach_reuses_user_key(spark, queries):
             assert "user_id" in ln, ln
 
 
+def _global_windows(plan: str) -> list[str]:
+    """Window nodes whose input is a single-partition exchange — i.e.
+    GLOBAL windows (empty partition spec), ordered or not. Detected
+    structurally: a physical Window requires its child distribution to be
+    SinglePartition exactly when the partition spec is empty, so the plan
+    prints the Window followed (through an optional Sort) by an
+    `Exchange SinglePartition`. Substring checks on windowspecdefinition
+    are NOT enough: ordered global windows print their ordering columns
+    before specifiedwindowframe."""
+    lines = plan.splitlines()
+    hits = []
+    for k, ln in enumerate(lines):
+        if "Window" not in ln:
+            continue
+        for nxt in lines[k + 1 : k + 3]:
+            if "Exchange SinglePartition" in nxt:
+                hits.append(ln.strip()[:100])
+                break
+    return hits
+
+
+def test_global_window_detector_catches_ordered_form(spark):
+    """Self-check: the detector must flag row_number over a GLOBAL
+    ordering (the classic scale-killer the substring check missed)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.range(10).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    assert _global_windows(_plan(df))
+
+
 def test_no_scale_killer_nodes_anywhere(spark, queries):
     """Registry-wide sweep: NO registered query's executed plan may
     contain a CartesianProduct, a row-at-a-time Python UDF, or a GLOBAL
-    window (windowspecdefinition with no partition columns funnels the
+    window (empty partition spec — ordered or unordered — funnels the
     relation through one task). Zero exceptions — the per-query audits
     above pin the positive shapes; this pins the absence of the three
     plan nodes that kill a 100x scale-up."""
@@ -397,6 +430,6 @@ def test_no_scale_killer_nodes_anywhere(spark, queries):
             offenders.append((name, "CartesianProduct"))
         if "BatchEvalPython" in plan:
             offenders.append((name, "BatchEvalPython"))
-        if "windowspecdefinition(specifiedwindowframe" in plan:
-            offenders.append((name, "global window"))
+        for hit in _global_windows(plan):
+            offenders.append((name, f"global window: {hit}"))
     assert not offenders, offenders

@@ -439,3 +439,48 @@ def test_upsert_scd2_validity_chains(spark):
         assert len(after) == 6
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_upsert_scd2_rejects_late_and_duplicate_timestamps(spark):
+    import shutil
+    import tempfile
+
+    import pytest as _pytest
+
+    from nfl_big_data_bowl_2024_spark.sources.writers import upsert_scd2_parquet
+
+    d = tempfile.mkdtemp(prefix="scd2g_")
+    path = f"{d}/dim"
+    try:
+        spark.createDataFrame(
+            [(1, "a", 10, 15), (1, "a1", 15, None)],
+            "k long, v string, valid_from long, valid_to long",
+        ).write.parquet(path)
+        # late arrival: ts=12 falls inside closed history [10,15)
+        with _pytest.raises(ValueError, match="late arrivals"):
+            upsert_scd2_parquet(
+                spark,
+                path,
+                spark.createDataFrame([(1, "x", 12)], "k long, v string, ts long"),
+                keys=["k"],
+                ts_col="ts",
+            )
+        # duplicate (key, ts) in one batch: nondeterministic chain order
+        with _pytest.raises(ValueError, match="nondeterministic"):
+            upsert_scd2_parquet(
+                spark,
+                path,
+                spark.createDataFrame(
+                    [(1, "x", 30), (1, "y", 30)], "k long, v string, ts long"
+                ),
+                keys=["k"],
+                ts_col="ts",
+            )
+        # the rejected batches must not have modified the dataset
+        got = {
+            (r["k"], r["v"], r["valid_from"], r["valid_to"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == {(1, "a", 10, 15), (1, "a1", 15, None)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
