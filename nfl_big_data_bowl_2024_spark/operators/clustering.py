@@ -228,7 +228,7 @@ def logreg_train_gd(
     vanish under the averaging + rounding.
     """
     w = [0.0] * (1 + len(feature_cols))
-    for _ in range(iters):
+    for it in range(iters):
         z = F.lit(w[0])
         for j, c in enumerate(feature_cols):
             z = z + F.lit(w[j + 1]) * F.col(c)
@@ -238,7 +238,28 @@ def logreg_train_gd(
             F.avg(err * F.col(c)).alias(f"g{j + 1}")
             for j, c in enumerate(feature_cols)
         ]
-        g = feat.agg(*aggs).first()
+        if it == 0:
+            # NULL hygiene, folded into the first round's aggregate (no
+            # extra pass): avg() silently DROPS NULL rows, so scattered
+            # NULLs in one feature would shrink that gradient component's
+            # averaging set and skew the weights without any error.
+            aggs.append(F.count(F.lit(1)).alias("_n"))
+            aggs += [
+                F.count(F.col(c)).alias(f"_n{j}")
+                for j, c in enumerate([label_col, *feature_cols])
+            ]
+        row = feat.agg(*aggs).first()
+        g = [row[f"g{j}"] for j in range(1 + len(feature_cols))]
+        if it == 0:
+            n = row["_n"]
+            for j, c in enumerate([label_col, *feature_cols]):
+                if row[f"_n{j}"] != n:
+                    raise ValueError(
+                        f"logreg_train_gd: column {c!r} has "
+                        f"{n - row[f'_n{j}']} NULL row(s) out of {n} — "
+                        "avg() would silently drop them and skew that "
+                        "gradient component; pass a NULL-free relation"
+                    )
         if any(gj is None for gj in g):
             raise ValueError(
                 "logreg_train_gd: empty feature relation or all-NULL "

@@ -1630,10 +1630,16 @@ def txt_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(len(string_split(text, ' '))) AS n_tokens
         FROM documents GROUP BY source
     ),
-    tot AS (SELECT sum(sqrt(n_tokens)) AS z FROM s)
+    s2 AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(floor(sqrt(n_tokens) * 1000000 + 0.5) AS BIGINT) AS num_i
+        FROM s
+    ),
+    tot AS (SELECT CAST(sum(num_i) AS BIGINT) AS z_i FROM s2)
     SELECT source, n_docs, n_tokens,
-           floor(sqrt(n_tokens) / z * 1000000 + 0.5) / 1000000 AS mix_weight
-    FROM s, tot
+           floor(CAST(num_i AS DOUBLE) / CAST(z_i AS DOUBLE) * 1000000 + 0.5)
+               / 1000000 AS mix_weight
+    FROM s2, tot
     """,
     doc="Temperature-scaled source mixing weights (alpha = 0.5): "
     "w_s = sqrt(tokens_s) / sum_s' sqrt(tokens_s') — the domain-mixing "
@@ -1641,8 +1647,14 @@ def txt_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "proportional sampling. sqrt is IEEE-754 exactly rounded (unlike "
     "pow/ln, which differ between libm builds — same portability rule as "
     "the TF-IDF ratio idf), so both engines compute bit-identical "
-    "per-source terms. One agg on source (tiny group count); the "
-    "denominator attaches via the shared checkpointed-grand-total idiom "
+    "per-source terms.  Cross-engine determinism: each term is first "
+    "half-up rounded to integer micro-units (num_i BIGINT); the "
+    "denominator z is the EXACT integer sum of those units, so its value "
+    "cannot depend on accumulation order (the round-3 driver flake was a "
+    "~1-ulp float-sum z flipping the 1e-6 half-up floor); the final "
+    "weight is one exactly-rounded double division of two <2^53 "
+    "integers.  One agg on source (tiny group count); the denominator "
+    "attaches via the shared checkpointed-grand-total idiom "
     "(operators/scalars.py) — one fact scan, and the registry-wide "
     "sweep audit stays at ZERO global windows with no exceptions.",
 )
@@ -1651,18 +1663,31 @@ def doc_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     s, z = checkpoint_with_scalar(
-        d.groupBy("source").agg(
+        d.groupBy("source")
+        .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        )
+        .withColumn(
+            # half-up-rounded micro-sqrt units: BIGINT, so the grand total
+            # below is an order-independent integer sum on both engines
+            "num_i",
+            F.floor(F.sqrt("n_tokens") * 1000000 + F.lit(0.5)),
         ),
-        F.sum(F.sqrt("n_tokens")).alias("z"),
+        F.sum("num_i").alias("z_i"),
     )
     return s.crossJoin(z).select(
         "source",
         "n_docs",
         "n_tokens",
         (
-            F.floor(F.sqrt("n_tokens") / F.col("z") * 1000000 + 0.5) / 1000000
+            F.floor(
+                F.col("num_i").cast("double")
+                / F.col("z_i").cast("double")
+                * 1000000
+                + 0.5
+            )
+            / 1000000
         ).alias("mix_weight"),
     )
 

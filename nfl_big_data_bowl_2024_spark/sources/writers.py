@@ -195,8 +195,14 @@ def upsert_scd2_parquet(
     tgt = spark.read.parquet(path).localCheckpoint(eager=True)
     hist = tgt.filter(F.col("valid_to").isNotNull())
     cur = tgt.filter(F.col("valid_to").isNull()).drop("valid_to")
-    upd = updates.withColumn("valid_from", F.col(ts_col).cast("long")).drop(
-        ts_col
+    # Materialize the caller's updates ONCE: the guards below and the
+    # final write must see identical rows, and a nondeterministic source
+    # (rand(), a non-snapshot stream) re-evaluated per action could pass
+    # the guards yet write rows violating the interval invariants.
+    upd = (
+        updates.withColumn("valid_from", F.col(ts_col).cast("long"))
+        .drop(ts_col)
+        .localCheckpoint(eager=True)
     )
     n_late = (
         upd.select(*keys, F.col("valid_from").alias("_new_from"))

@@ -392,14 +392,31 @@ def _global_windows(plan: str) -> list[str]:
     `Exchange SinglePartition`. Substring checks on windowspecdefinition
     are NOT enough: ordered global windows print their ordering columns
     before specifiedwindowframe."""
+    def depth(ln: str) -> int:
+        # tree-glyph prefix is spaces plus ':' '+' '-'; the node text
+        # (or its '*(n)' codegen marker) starts right after
+        return len(ln) - len(ln.lstrip(" :+-"))
+
     lines = plan.splitlines()
     hits = []
     for k, ln in enumerate(lines):
         if "Window" not in ln:
             continue
-        for nxt in lines[k + 1 : k + 3]:
-            if "Exchange SinglePartition" in nxt:
-                hits.append(ln.strip()[:100])
+        d = depth(ln)
+        # Walk the Window's child subtree by indentation (NOT a fixed
+        # 2-line lookahead: AQEShuffleRead / ReusedExchange / codegen
+        # markers / stacked Sorts can interpose). The FIRST Exchange met
+        # going down is the one feeding the Window; SinglePartition there
+        # means the window is global. ReusedExchange lines embed the
+        # referenced exchange's string, so the substring check covers
+        # them too; ShuffleQueryStage lines carry no partitioning and are
+        # passed through (their child Exchange line decides).
+        for nxt in lines[k + 1 :]:
+            if depth(nxt) <= d:
+                break  # left the Window's subtree
+            if "Exchange" in nxt:
+                if "SinglePartition" in nxt:
+                    hits.append(ln.strip()[:100])
                 break
     return hits
 
