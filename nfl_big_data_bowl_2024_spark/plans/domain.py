@@ -271,6 +271,98 @@ def e2_yap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Driver-checkable operating point for the U1 kernel: the two straight-line
+# pursuit plays (101 right, 201 left mirror). For them everything except two
+# LQR-path maxima is SQL-derivable from the fixture CTE:
+#   - the start frame f0 (first handoff-class event) and the vicinity
+#     crossing fv (first frame after f0 with dist < R_t) are plain SQL;
+#   - the first LQR-FEASIBLE intercept frame is f0 + 6 — pinned, and proven
+#     robust, by tests/test_yap_kernel.py::test_closed_form_operating_point
+#     (the previous candidate fails r_f > R_t by >= 4%, the winner passes
+#     all three constraints with >= 48% headroom, so no ~1-ulp numeric
+#     drift can move the argmin);
+#   - YAP is then pure carrier displacement: +/- (x_c[fv] - x_c[f0+6]);
+#   - max_vel_opt / max_accel_opt are maxima OVER the optimal path itself
+#     (not SQL-expressible); they enter the oracle as literals whose
+#     unrounded values sit >= 0.0018 away from their 2 dp rounding
+#     boundary (asserted by the same test).
+_YAP_CF_ORACLE = f"""
+WITH tracking AS (SELECT * FROM {fixtures.tracking_values_cte().replace('fx(', 'fxy(')}),
+meta AS (
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(101 AS BIGINT), CAST(1001 AS BIGINT),
+         CAST(2001 AS BIGINT), 'Tackler Alpha', 'CB', 'right',
+         CAST(5.66 AS DOUBLE), CAST(0.57 AS DOUBLE)),
+        (CAST(2 AS BIGINT), CAST(201 AS BIGINT), CAST(1002 AS BIGINT),
+         CAST(2003 AS BIGINT), 'Tackler Charlie', 'MLB', 'left',
+         CAST(5.6 AS DOUBLE), CAST(0.34 AS DOUBLE))
+    ) AS m(gameId, playId, carrierId, tacklerId, name, position, dir,
+           max_vel_opt, max_accel_opt)
+),
+carrier AS (
+    SELECT t.gameId, t.playId, t.frameId, t.event, t.x, t.y
+    FROM tracking t JOIN meta m
+      ON t.gameId = m.gameId AND t.playId = m.playId AND t.nflId = m.carrierId
+),
+start_f AS (
+    SELECT gameId, playId,
+           min(CASE WHEN event IN ('handoff','pass_outcome_caught','run',
+                                   'snap_direct') THEN frameId END) AS f0
+    FROM carrier GROUP BY gameId, playId
+),
+dist AS (
+    SELECT c.gameId, c.playId, c.frameId, c.x AS cx,
+           sqrt((c.x - k.x) * (c.x - k.x) + (c.y - k.y) * (c.y - k.y)) AS d
+    FROM carrier c
+    JOIN meta m ON c.gameId = m.gameId AND c.playId = m.playId
+    JOIN tracking k ON k.gameId = c.gameId AND k.playId = c.playId
+                   AND k.frameId = c.frameId AND k.nflId = m.tacklerId
+),
+crossing AS (
+    SELECT d.gameId, d.playId, min(d.frameId) AS fv
+    FROM dist d JOIN start_f s ON d.gameId = s.gameId AND d.playId = s.playId
+    WHERE d.d < 1.0 AND d.frameId > s.f0
+    GROUP BY d.gameId, d.playId
+)
+SELECT m.gameId AS game_ID, m.playId AS play_ID, m.tacklerId AS NFL_ID,
+       m.name AS name, m.position AS position,
+       floor((CASE WHEN m.dir = 'left' THEN cj.cx - cv.cx
+                   ELSE cv.cx - cj.cx END) * 100 + 0.5) / 100 AS YAP,
+       m.max_vel_opt AS max_vel_opt, m.max_accel_opt AS max_accel_opt,
+       'ok' AS status
+FROM meta m
+JOIN start_f s ON s.gameId = m.gameId AND s.playId = m.playId
+JOIN crossing cr ON cr.gameId = m.gameId AND cr.playId = m.playId
+JOIN dist cv ON cv.gameId = m.gameId AND cv.playId = m.playId
+            AND cv.frameId = cr.fv
+JOIN dist cj ON cj.gameId = m.gameId AND cj.playId = m.playId
+            AND cj.frameId = s.f0 + 6
+"""
+
+
+@register(
+    "e2_yap_closed_form",
+    _YAP_CF_ORACLE,
+    doc="E2/U1 at a hash-checkable operating point: the same applyInPandas "
+    "LQR kernel (reference calculate_YAP.py + optimal_pursuit.py:431-571) "
+    "restricted to the two straight-line pursuit plays whose YAP is "
+    "closed-form carrier displacement. The oracle derives the start frame, "
+    "vicinity crossing and YAP from the fixture VALUES CTE; the intercept "
+    "frame and the two optimal-path maxima are pinned constants whose "
+    "robustness (feasibility + rounding margins) is asserted in "
+    "tests/test_yap_kernel.py — same move that made MinHash/SimHash/IVF "
+    "driver-checkable via deterministic operating points.",
+)
+def e2_yap_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cf = F.col("playId").isin(101, 201)
+    return yap_plan(
+        fixtures.tracking_df(spark).filter(cf),
+        fixtures.players_df(spark),
+        fixtures.plays_df(spark).filter(cf),
+        fixtures.tackles_df(spark).filter(cf),
+    )
+
+
 _TRAJ_ORACLE = f"""
 WITH tracking AS (SELECT * FROM {fixtures.tracking_values_cte().replace('fx(', 'fxt(')}),
 carrier AS (SELECT frameId, t, event, x AS cx, y AS cy FROM tracking

@@ -233,3 +233,119 @@ def test_synthetic_tracking_df_matches_driver_rows(spark):
     want = {tuple(r) for r in rows}
     got = {tuple(r) for r in fixtures.synthetic_tracking_df(spark, 6).collect()}
     assert got == want
+
+
+def test_closed_form_operating_point():
+    """Pins the e2_yap_closed_form oracle constants (plans/domain.py).
+
+    For the two straight-line plays (101 right / 201 left) the oracle
+    hardcodes: intercept frame = start frame + 6, and the two LQR-path
+    maxima (max_vel_opt / max_accel_opt). That is only sound if the
+    constants are ROBUST — the feasibility argmin must not sit on a
+    constraint boundary and the literals must not sit on a 2 dp rounding
+    boundary, so ~1-ulp libm/BLAS drift can never flip them. This test
+    re-derives all of it from the kernel internals and asserts margins.
+    """
+    from nfl_big_data_bowl_2024_spark.kernels.lqr import (
+        RiccatiSweep,
+        solve_optimal_path,
+    )
+    from nfl_big_data_bowl_2024_spark.kernels.yap import (
+        R_T,
+        _first_crossing,
+        _identify_events,
+        _max_params_over,
+        _uv,
+    )
+
+    tr = pd.DataFrame(fixtures.tracking_rows(), columns=fixtures.TRACKING_COLS)
+    limits = {p: v for p, *v in schemas.POSITION_LIMITS}
+    expected = {
+        101: (2.4, 5.66, 0.57),
+        201: (2.4, 5.6, 0.34),
+    }
+    cases = [(1, 101, 1001, 2001, "CB", "right"), (2, 201, 1002, 2003, "MLB", "left")]
+    for game, play, carrier_id, tackler_id, pos, direction in cases:
+        g = tr[(tr.gameId == game) & (tr.playId == play)]
+        c = g[g.nflId == carrier_id].sort_values("frameId")
+        k = g[g.nflId == tackler_id].sort_values("frameId")
+        x_c, y_c = c.x.to_numpy(), c.y.to_numpy()
+        t = c.t.to_numpy(float)
+        t = t - t[0]
+        idx_start, _ = _identify_events(c.event.to_numpy(dtype=object))
+        x_t, y_t = k.x.to_numpy(), k.y.to_numpy()
+        v_t, a_t = k.s.to_numpy(), k.a.to_numpy()
+        u_t, w_t = _uv(v_t, k["dir"].to_numpy())
+        dist = np.sqrt((x_c - x_t) ** 2 + (y_c - y_t) ** 2)
+        idx_v = _first_crossing(dist, idx_start)
+        v_med, v_max, a_med, a_max = limits[pos]
+        sweep = RiccatiSweep(v_med, a_med, R_T)
+
+        def solve(idx_j):
+            time_j = t[idx_start : idx_j + 1] - t[idx_start]
+            return solve_optimal_path(
+                x_t[idx_start] - x_c[idx_j], y_t[idx_start] - y_c[idx_j],
+                u_t[idx_start], w_t[idx_start], time_j, v_med, a_med, R_T,
+                sweep=sweep,
+            )
+
+        # every candidate BEFORE the pinned winner fails at least one
+        # constraint by >= 4% of its threshold
+        for idx_j in range(idx_start + 1, idx_start + 6):
+            xp, yp, up, vp, axp, ayp = solve(idx_j)
+            r_f = float(np.hypot(xp[-1], yp[-1]))
+            v_pk = float(np.max(np.hypot(up, vp)))
+            a_pk = float(np.max(np.hypot(axp, ayp)))
+            assert (
+                r_f >= 1.04 * R_T or v_pk >= 1.04 * v_max or a_pk >= 1.04 * a_max
+            ), (play, idx_j)
+
+        # the pinned winner (start + 6) passes ALL constraints with wide
+        # headroom: no numeric drift can move the argmin
+        idx_j = idx_start + 6
+        xp, yp, up, vp, axp, ayp = solve(idx_j)
+        assert float(np.hypot(xp[-1], yp[-1])) <= 0.30 * R_T
+        assert float(np.max(np.hypot(up, vp))) <= 0.60 * v_max
+        assert float(np.max(np.hypot(axp, ayp))) <= 0.10 * a_max
+
+        # YAP is pure carrier displacement between the two pinned frames
+        yap_raw = (
+            x_c[idx_j] - x_c[idx_v]
+            if direction == "left"
+            else x_c[idx_v] - x_c[idx_j]
+        )
+        want_yap, want_mv, want_ma = expected[play]
+        assert abs(yap_raw - want_yap) < 1e-9
+
+        # the oracle's literal maxima match the optimal-path re-run, and
+        # their unrounded values sit >= 0.0015 from a 2 dp half-up boundary
+        kk = len(xp)
+        x_o, y_o = x_t.astype(float).copy(), y_t.astype(float).copy()
+        v_o, a_o = v_t.astype(float).copy(), a_t.astype(float).copy()
+        x_o[idx_start : idx_start + kk] = xp + x_c[idx_j]
+        y_o[idx_start : idx_start + kk] = yp + y_c[idx_j]
+        v_o[idx_start : idx_start + kk] = np.hypot(up, vp)
+        a_o[idx_start : idx_start + kk] = np.hypot(axp, ayp)
+        for arr in (x_o, y_o, v_o, a_o):
+            arr[idx_start + kk :] = np.nan
+        dist_o = np.sqrt((x_c - x_o) ** 2 + (y_c - y_o) ** 2)
+        mv, ma = _max_params_over(v_o, a_o, dist_o, idx_start)
+        assert round(mv, 2) == want_mv and round(ma, 2) == want_ma
+        for v in (mv, ma):
+            frac = abs(v * 100 - np.floor(v * 100 + 0.5))
+            assert abs(0.5 - frac) >= 0.15, v  # >= 0.0015 absolute
+
+
+def test_e2_closed_form_spark_rows(spark):
+    """The registered query returns exactly the two pinned rows."""
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+
+    df = all_queries()["e2_yap_closed_form"].fn(spark, "/root/testdata/sf0.01")
+    rows = {
+        (r.game_ID, r.play_ID, r.NFL_ID): (r.YAP, r.max_vel_opt, r.max_accel_opt, r.status)
+        for r in df.collect()
+    }
+    assert rows == {
+        (1, 101, 2001): (2.4, 5.66, 0.57, "ok"),
+        (2, 201, 2003): (2.4, 5.6, 0.34, "ok"),
+    }
