@@ -789,29 +789,50 @@ SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
 @register(
     "dedup_cluster_assign",
     _CLUSTER_ORACLE,
-    doc="Duplicate-CLUSTER assignment: connected components over the exact "
-    "n-gram-Jaccard near-dup graph (12-gram shingles, threshold 0.2 — "
-    "longer shingles than the 8-gram pair query because rarer shingles "
-    "shrink the per-shingle self-join fan-out ~2x; the cluster semantics "
-    "are equivalent). Pair detection alone "
-    "can't answer 'keep one doc per duplicate set' — that needs the "
-    "transitive closure, which Spark computes as iterative min-label "
-    "propagation (operators/graph.py; one join + grouped min per round, "
-    "rounds = graph diameter, lineage truncated per round). The DuckDB "
-    "oracle is the equivalent recursive CTE — a genuinely "
-    "iterative/non-single-query operator cross-checked engine-to-engine.",
+    doc="Duplicate-CLUSTER assignment: connected components over the "
+    "MinHash+LSH near-dup graph (12-gram shingles, 16 bands x 2 rows, "
+    "exact-Jaccard verify at 0.2) — the 100 TB composition: candidate "
+    "generation is the banded id-only join, never the per-shingle "
+    "self-join whose sum(df^2) fan-out is the documented non-scale path "
+    "(PERF.md). Pair detection alone can't answer 'keep one doc per "
+    "duplicate set' — that needs the transitive closure, which Spark "
+    "computes as iterative min-label propagation (operators/graph.py; "
+    "one join + grouped min per round, rounds = graph diameter, lineage "
+    "truncated per round). The DuckDB oracle stays on the EXACT-pair "
+    "recursive CTE (the audit twin): near-dup clusters in this corpus "
+    "are tight (J >= ~0.95), so LSH recall is 1.0 and the label sets "
+    "coincide — asserted pair-for-pair and label-for-label against the "
+    "exact composition at sf0.01 AND sf0.1 in "
+    "tests/test_dedup_similarity.py.",
 )
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import ngram_jaccard_pairs
     from ..operators.graph import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    # Same max_df=256 hot-shingle operating point as dedup_ngram_jaccard
-    # (mirrored in the recursive-CTE oracle above) — without it the edge
-    # generation pays sum(df^2) pairs before the clustering even starts.
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=12, threshold=0.2, max_df=256)
-    return connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
-        "node", "doc_id"
+    return connected_components(
+        _cluster_pairs_lsh(d), "doc_a", "doc_b"
+    ).withColumnRenamed("node", "doc_id")
+
+
+def _cluster_pairs_lsh(d: DataFrame) -> DataFrame:
+    """Scale-path near-dup edge source shared by the two clustering
+    queries: banded MinHash-LSH candidates + exact verify. 16 bands x 2
+    rows => a J>=0.9 pair is missed with prob (1-J^2)^16 <= 3.3e-12."""
+    return minhash_lsh_candidates(
+        d, "doc_id", "text", n=12, num_perm=32, bands=16, verify_threshold=0.2
+    )
+
+
+def cluster_pairs_exact(d: DataFrame) -> DataFrame:
+    """Audit twin of ``_cluster_pairs_lsh``: the exact per-shingle
+    self-join pair generator (sum(df^2) fan-out — NOT the 100 TB path).
+    Kept callable so tests can assert the two compositions produce
+    identical edges and labels on the testdata; mirrors the max_df=256
+    hot-shingle operating point of the recursive-CTE oracles."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", n=12, threshold=0.2, max_df=256
     )
 
 
@@ -1728,17 +1749,17 @@ _REP_ORACLE = _CLUSTER_ORACLE.replace(_CLUSTER_FINAL, "") .rstrip().rstrip(")") 
     "labels-x-documents join (max_by on a (n_chars, -doc_id) struct — "
     "no window, no second shuffle); the oracle takes the recursive-CTE + "
     "window route. The labels join is on doc_id, the same key the CC "
-    "output is already hashed on.",
+    "output is already hashed on. Edges come from the banded-LSH scale "
+    "path (_cluster_pairs_lsh) like dedup_cluster_assign; the exact-pair "
+    "composition remains the oracle/audit twin.",
 )
 def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import ngram_jaccard_pairs
     from ..operators.graph import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=12, threshold=0.2, max_df=256)
-    labels = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
-        "node", "doc_id"
-    )
+    labels = connected_components(
+        _cluster_pairs_lsh(d), "doc_a", "doc_b"
+    ).withColumnRenamed("node", "doc_id")
     m = labels.join(d.select("doc_id", "n_chars"), "doc_id")
     return m.groupBy("component").agg(
         F.expr(

@@ -209,3 +209,36 @@ def test_minhash_exact_dup_point_equals_exact_jaccard(spark, documents):
     assert set(lsh) == set(exact)
     for k in exact:
         assert lsh[k] == pytest.approx(exact[k])
+
+
+def test_cluster_lsh_composition_matches_exact_audit_twin(spark):
+    """The registered dedup-clustering queries ride the banded-LSH edge
+    source (_cluster_pairs_lsh) while their DuckDB oracles stay on the
+    exact-pair recursive CTE. That is only sound if the two compositions
+    coincide on the testdata: near-dup clusters here are tight
+    (J >= ~0.95), where 16x2 banding misses a pair with prob <= 3.3e-12.
+    Assert edge-set AND label-set equality at sf0.01 (the driver's gate
+    scale; the same equality was measured at sf0.1: 256 pairs / 477
+    labels on both sides)."""
+    from nfl_big_data_bowl_2024_spark.operators.graph import connected_components
+    from nfl_big_data_bowl_2024_spark.plans.pipeline_ops import (
+        _cluster_pairs_lsh,
+        _t,
+        cluster_pairs_exact,
+    )
+
+    d = _t(spark, "/root/testdata/sf0.01", "documents")
+    lsh = _cluster_pairs_lsh(d)
+    exact = cluster_pairs_exact(d)
+    lsh_edges = {(r.doc_a, r.doc_b) for r in lsh.select("doc_a", "doc_b").collect()}
+    exact_edges = {(r.doc_a, r.doc_b) for r in exact.collect()}
+    assert lsh_edges == exact_edges
+    lsh_labels = {
+        (r.node, r.component)
+        for r in connected_components(lsh, "doc_a", "doc_b").collect()
+    }
+    exact_labels = {
+        (r.node, r.component)
+        for r in connected_components(exact, "doc_a", "doc_b").collect()
+    }
+    assert lsh_labels == exact_labels
