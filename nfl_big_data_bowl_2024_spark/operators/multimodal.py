@@ -19,6 +19,7 @@ Design rules for scale:
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -99,14 +100,215 @@ def extract_byte_features(
     return df.select(id_col, payload_col).mapInPandas(_featurize, FEATURE_SCHEMA)
 
 
-def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """STUB — real image/audio decode (PIL/libsndfile/ffmpeg) is unavailable
-    in this container. The contract when codecs exist: mapInPandas batches
-    payload bytes -> decoded arrays -> typed MEDIA_META + feature columns,
-    exactly the extract_byte_features shape."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use extract_byte_features for the plumbing-equivalent path"
+# ---------------------------------------------------------------------------
+# Real image decode: BMP (BITMAPINFOHEADER, 24/32 bpp uncompressed, bottom-up
+# or top-down) and binary PPM (P6). Pure numpy — no codec libraries — so the
+# decode boundary is REAL, not a stub: header parsing, row padding, BGR(A)
+# channel order and vertical orientation are all exercised. Exotic formats
+# (JPEG/PNG/audio) would slot in behind the same sniff-dispatch; unknown
+# magic becomes an error-status ROW (S4 errors-as-data), never a job failure.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(rgb: np.ndarray, bpp: int = 24, top_down: bool = False) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed BMP.
+
+    24 bpp rows are BGR padded to 4-byte multiples; 32 bpp is BGRA (alpha
+    0xFF). ``top_down`` writes a negative biHeight (rows in natural order);
+    the default is the classic bottom-up layout."""
+    h, w, _ = rgb.shape
+    if bpp == 24:
+        row = np.empty((h, w, 3), dtype=np.uint8)
+        row[..., 0], row[..., 1], row[..., 2] = rgb[..., 2], rgb[..., 1], rgb[..., 0]
+        stride = (w * 3 + 3) & ~3
+        padded = np.zeros((h, stride), dtype=np.uint8)
+        padded[:, : w * 3] = row.reshape(h, w * 3)
+    elif bpp == 32:
+        row = np.empty((h, w, 4), dtype=np.uint8)
+        row[..., 0], row[..., 1], row[..., 2] = rgb[..., 2], rgb[..., 1], rgb[..., 0]
+        row[..., 3] = 255
+        stride = w * 4
+        padded = row.reshape(h, stride)
+    else:
+        raise ValueError(f"unsupported bpp {bpp}")
+    body = padded if top_down else padded[::-1]
+    pix = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pix), 0, 0, 14 + 40)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, 0, len(pix),
+        2835, 2835, 0, 0,
+    )
+    return header + dib + pix
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as binary PPM (P6, maxval 255)."""
+    h, w, _ = rgb.shape
+    return f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes()
+
+
+def _decode_bmp(b: bytes) -> np.ndarray:
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", b, 10)[0]
+    hdr_size, w, h_raw = struct.unpack_from("<Iii", b, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", b, 26)
+    if hdr_size < 40 or compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (hdr={hdr_size} comp={compression} bpp={bpp})")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    if len(b) < offset + stride * h:
+        raise ValueError("truncated BMP")
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = rows.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        rows = rows[::-1]
+    rgb = np.empty((h, w, 3), dtype=np.uint8)
+    rgb[..., 0], rgb[..., 1], rgb[..., 2] = rows[..., 2], rows[..., 1], rows[..., 0]
+    return rgb
+
+
+def _decode_ppm(b: bytes) -> np.ndarray:
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = magic + 3 ASCII ints, '#' comments allowed, then ONE
+    # whitespace byte before the raw pixel block
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        fields.append(int(b[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    if len(b) < pos + w * h * 3:
+        raise ValueError("truncated PPM")
+    return (
+        np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("px00_r", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+
+def decode_media(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode binary image payloads (BMP 24/32 bpp, PPM P6) into typed
+    features via one Arrow-batched mapInPandas pass.
+
+    Emits per payload: media_type, dimensions, the (0,0) pixel's red value
+    (orientation-sensitive on purpose — a decoder that forgets the BMP
+    bottom-up flip gets it wrong) and exact per-channel means. Undecodable
+    payloads become 'error_*' status rows with NULL features — at corpus
+    scale one corrupt file must never kill the stage (same S4 rule as the
+    YAP kernel). Replaces the round-2/3 NotImplementedError stub."""
+
+    def _decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DECODE_SCHEMA.fields]
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    if b[:2] == b"BM":
+                        rgb, mt = _decode_bmp(b), "bmp"
+                    elif b[:2] == b"P6":
+                        rgb, mt = _decode_ppm(b), "ppm"
+                    else:
+                        out.append((int(doc_id), None, None, None, None,
+                                    None, None, None, "error_unknown_format"))
+                        continue
+                except ValueError:
+                    out.append((int(doc_id), None, None, None, None,
+                                None, None, None, "error_corrupt"))
+                    continue
+                h, w, _ = rgb.shape
+                out.append(
+                    (int(doc_id), mt, int(w), int(h), int(rgb[0, 0, 0]),
+                     float(rgb[..., 0].mean()), float(rgb[..., 1].mean()),
+                     float(rgb[..., 2].mean()), "ok")
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, DECODE_SCHEMA)
+
+
+IMG_W, IMG_H = 16, 8
+
+
+def synth_image_rgb(doc_id: int) -> np.ndarray:
+    """Closed-form test image for ``doc_id``: pixel (x, y) has
+    r=(7d+3x+5y)%256, g=(11d+x)%256, b=(13y+d)%256 — chosen so a SQL engine
+    can compute every decoded feature directly from doc_id (the driver
+    oracle for mm_decode_features), while Spark actually round-trips the
+    bytes through a real encoder and decoder."""
+    x = np.arange(IMG_W, dtype=np.int64)[None, :]
+    y = np.arange(IMG_H, dtype=np.int64)[:, None]
+    rgb = np.empty((IMG_H, IMG_W, 3), dtype=np.uint8)
+    rgb[..., 0] = (7 * doc_id + 3 * x + 5 * y) % 256
+    rgb[..., 1] = (11 * doc_id + x + 0 * y) % 256
+    rgb[..., 2] = (13 * y + doc_id + 0 * x) % 256
+    return rgb
+
+
+def synth_payload(doc_id: int) -> bytes:
+    """Deterministic payload variant mix: doc_id%7==3 -> corrupt bytes;
+    even -> BMP (32 bpp top-down when %4==0, else 24 bpp bottom-up);
+    odd -> PPM P6. Exercises every decoder branch."""
+    if doc_id % 7 == 3:
+        return b"ZZ" + bytes([doc_id % 256]) * 16
+    rgb = synth_image_rgb(doc_id)
+    if doc_id % 2 == 0:
+        if doc_id % 4 == 0:
+            return encode_bmp(rgb, bpp=32, top_down=True)
+        return encode_bmp(rgb, bpp=24, top_down=False)
+    return encode_ppm(rgb)
+
+
+def synth_payload_df(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the synthetic image payload executor-side (mapInPandas over
+    the id column only — payload bytes are GENERATED on executors, never
+    Arrow-shipped from the driver; the 100 TB analog is reading them from
+    object storage)."""
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [synth_payload(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        _gen, f"{id_col} long, payload binary"
     )
 
 

@@ -569,6 +569,53 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_byte_features(d, "doc_id")
 
 
+@register(
+    "mm_decode_features",
+    """
+    WITH px AS (
+        SELECT d.doc_id, x.range AS x, y.range AS y
+        FROM documents d, range(16) x, range(8) y
+    ),
+    m AS (
+        SELECT doc_id,
+               sum((7 * doc_id + 3 * x + 5 * y) % 256) / 128.0 AS mean_r,
+               sum((11 * doc_id + x) % 256) / 128.0 AS mean_g,
+               sum((13 * y + doc_id) % 256) / 128.0 AS mean_b
+        FROM px GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 7 = 3 THEN NULL
+                WHEN d.doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS media_type,
+           CASE WHEN d.doc_id % 7 = 3 THEN NULL ELSE 16 END AS width,
+           CASE WHEN d.doc_id % 7 = 3 THEN NULL ELSE 8 END AS height,
+           CASE WHEN d.doc_id % 7 = 3 THEN NULL
+                ELSE CAST((7 * d.doc_id) % 256 AS INTEGER) END AS px00_r,
+           CASE WHEN d.doc_id % 7 = 3 THEN NULL ELSE m.mean_r END AS mean_r,
+           CASE WHEN d.doc_id % 7 = 3 THEN NULL ELSE m.mean_g END AS mean_g,
+           CASE WHEN d.doc_id % 7 = 3 THEN NULL ELSE m.mean_b END AS mean_b,
+           CASE WHEN d.doc_id % 7 = 3 THEN 'error_unknown_format'
+                ELSE 'ok' END AS status
+    FROM documents d JOIN m ON d.doc_id = m.doc_id
+    """,
+    doc="REAL image decode through the mapInPandas boundary (replaces the "
+    "round-3 NotImplementedError stub): per document a synthetic image "
+    "whose pixel (x,y) color is a closed-form function of doc_id is "
+    "encoded executor-side as BMP (32 bpp top-down / 24 bpp bottom-up) or "
+    "PPM P6 — plus a corrupt-payload stripe — then decoded by the pure-"
+    "numpy decoder (operators/multimodal.py): header parse, row padding, "
+    "BGR(A) order, vertical flip. Spark round-trips actual bytes; the "
+    "oracle computes every decoded feature (dimensions, the orientation-"
+    "sensitive (0,0) pixel, exact channel means — 128 px so /128 is an "
+    "exact binary division) directly from doc_id in SQL. Corrupt payloads "
+    "emit error-status rows (S4 errors-as-data), never stage failures.",
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_media, synth_payload_df
+
+    d = synth_payload_df(_t(spark, sf_dir, "documents"))
+    return decode_media(d, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------

@@ -53,9 +53,82 @@ def test_extract_byte_features_matches_python_oracle(spark, docs):
     assert got[3]["n_bytes"] == 0 and got[3]["mean_byte"] is None
 
 
-def test_decode_media_is_explicit_stub(spark, docs):
-    with pytest.raises(NotImplementedError):
-        decode_media(with_binary_payload(docs))
+def test_codec_roundtrip_all_variants():
+    """encode->decode returns the exact pixel array for every decoder
+    branch: 24bpp bottom-up (padded rows: w=15 gives stride 48), 32bpp
+    top-down, and PPM P6 (with a header comment)."""
+    from nfl_big_data_bowl_2024_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    h, w = 5, 15
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    rgb = np.stack(
+        [(3 * x + 5 * y) % 256, (x + 7 * y) % 256, (11 * x + y) % 256], axis=-1
+    ).astype(np.uint8)
+    assert (_decode_bmp(encode_bmp(rgb, bpp=24)) == rgb).all()
+    assert (_decode_bmp(encode_bmp(rgb, bpp=32, top_down=True)) == rgb).all()
+    assert (_decode_ppm(encode_ppm(rgb)) == rgb).all()
+    commented = b"P6\n# a comment\n15 5\n255\n" + rgb.tobytes()
+    assert (_decode_ppm(commented) == rgb).all()
+
+
+def test_decode_media_errors_are_rows(spark):
+    """Corrupt/truncated/unknown payloads must come back as status rows,
+    never exceptions."""
+    from nfl_big_data_bowl_2024_spark.operators.multimodal import (
+        encode_bmp,
+        synth_image_rgb,
+    )
+
+    good = encode_bmp(synth_image_rgb(4))
+    rows = [
+        (1, bytearray(b"ZZ garbage")),
+        (2, bytearray(good[:30])),  # truncated BMP header
+        (3, bytearray(b"P6\n16 8\n255\n" + b"\x00" * 10)),  # truncated PPM
+        (4, bytearray(good)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["status"] for r in decode_media(df).collect()}
+    assert got == {
+        1: "error_unknown_format",
+        2: "error_corrupt",
+        3: "error_corrupt",
+        4: "ok",
+    }
+
+
+def test_decode_media_matches_closed_form(spark):
+    """The synthetic-payload pipeline decodes back to the closed-form
+    pixel model for every variant stripe (BMP 24/32, PPM, corrupt)."""
+    from nfl_big_data_bowl_2024_spark.operators.multimodal import (
+        synth_image_rgb,
+        synth_payload_df,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
+    got = {
+        r["doc_id"]: r
+        for r in decode_media(synth_payload_df(ids)).collect()
+    }
+    for i in range(16):
+        r = got[i]
+        if i % 7 == 3:
+            assert r["status"] == "error_unknown_format"
+            assert r["mean_r"] is None and r["width"] is None
+            continue
+        rgb = synth_image_rgb(i)
+        assert r["status"] == "ok"
+        assert r["media_type"] == ("bmp" if i % 2 == 0 else "ppm")
+        assert (r["width"], r["height"]) == (16, 8)
+        assert r["px00_r"] == int(rgb[0, 0, 0])
+        assert r["mean_r"] == float(rgb[..., 0].mean())
+        assert r["mean_g"] == float(rgb[..., 1].mean())
+        assert r["mean_b"] == float(rgb[..., 2].mean())
 
 
 def test_frame_sample_plan(spark):
