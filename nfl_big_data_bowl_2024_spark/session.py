@@ -36,6 +36,14 @@ def get_spark(app_name: str = "nfl-bdb-2024-spark", shuffle_partitions: int | No
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Joins whose keys are a SUPERSET of a table's bucket keys (E1/E2
+        # join tracking on (game, play, frame) / (game, play, nflId) over
+        # storage bucketed on (game, play)) may reuse the bucket
+        # partitioning instead of re-shuffling both sides — the default
+        # (true, since Spark 3.3) only accepts exact key matches. This is
+        # what makes the bucketed 100 TB layout shuffle-free for the whole
+        # domain pipeline (plan-asserted in tests/test_plan_audit.py).
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

@@ -450,3 +450,66 @@ def test_no_scale_killer_nodes_anywhere(spark, queries):
         for hit in _global_windows(plan):
             offenders.append((name, f"global window: {hit}"))
     assert not offenders, offenders
+
+
+def test_bucketed_tracking_keeps_e1_fact_shuffle_free(spark, tmp_path):
+    """The 100 TB layout claim, plan-verified: tracking stored bucketed on
+    (gameId, playId) feeds the whole E1 max-params pipeline without the
+    FACT ever re-shuffling — every join/window/groupBy key downstream is a
+    superset of the bucket keys, which the session factory's
+    requireAllClusterKeysForCoPartition=false lets Spark exploit. The only
+    exchanges allowed are over the tiny non-bucketed dim relations
+    (tackles x players) aligning TO the fact's partitioning. Also asserts
+    row parity with the non-bucketed path, so shuffle-freedom isn't
+    bought with wrong results."""
+    from nfl_big_data_bowl_2024_spark import fixtures
+    from nfl_big_data_bowl_2024_spark.plans.domain import max_params_plan
+    from nfl_big_data_bowl_2024_spark.sources.writers import write_bucketed
+
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    write_bucketed(
+        fixtures.tracking_df(spark),
+        "tracking_bucketed_audit",
+        ["gameId", "playId"],
+        n_buckets=8,
+        sort_cols=["gameId", "playId", "nflId", "frameId"],
+        path=str(tmp_path / "tracking_bucketed"),
+    )
+    try:
+        dims = (
+            fixtures.players_df(spark),
+            fixtures.plays_df(spark),
+            fixtures.tackles_df(spark),
+        )
+        df = max_params_plan(spark.table("tracking_bucketed_audit"), *dims)
+        got = {
+            (r.game_ID, r.play_ID, r.NFL_ID): (r.max_vel, r.max_accel, r.status)
+            for r in df.collect()  # collect first: finalize the AQE plan
+        }
+        plan = _plan(df)
+        assert "Bucketed: true" in plan
+
+        def depth(ln: str) -> int:
+            return len(ln) - len(ln.lstrip(" :+-"))
+
+        lines = plan.splitlines()
+        for k, ln in enumerate(lines):
+            if "Exchange" not in ln or "Broadcast" in ln or "Reused" in ln:
+                continue
+            d = depth(ln)
+            subtree = []
+            for nxt in lines[k + 1 :]:
+                if depth(nxt) <= d:
+                    break
+                subtree.append(nxt)
+            # a shuffle may only move the small in-memory dims, never a
+            # subtree that reads the bucketed fact
+            assert not any("Bucketed: true" in s for s in subtree), ln.strip()[:120]
+        want = {
+            (r.game_ID, r.play_ID, r.NFL_ID): (r.max_vel, r.max_accel, r.status)
+            for r in max_params_plan(fixtures.tracking_df(spark), *dims).collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tracking_bucketed_audit")
+        spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
