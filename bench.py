@@ -68,7 +68,65 @@ HEADLINE = [
     "evt_transition_matrix",
     "evt_user_zscore_outliers",
     "txt_vocab_coverage",
+    # round-4 additions: the previously-unbenchmarked paths (the
+    # e2_yap_closed_form correctness artifact is NOT here — e2_yap and
+    # e2_yap_scale already measure the kernel; bench stays perf-focused)
+    "pipeline_curation_funnel",
+    "mm_decode_features",
+    "stream_session_stats",
 ]
+
+# Queries that showed multi-second shared-box spikes in past driver runs
+# (BENCH_r03: sim_topk_bruteforce x4.7, doc_pack_context_windows x2.9 — both
+# noise on re-measure) or that pay Arrow/kernel dispatch: extra reps so one
+# stall can't masquerade as a regression.
+NOISY = {
+    "sim_topk_bruteforce",
+    "doc_pack_context_windows",
+    "dedup_minhash_lsh",
+    "sim_lsh_bucketed",
+    "e2_yap",
+    "e2_yap_scale",
+    "sim_knn_join",
+    "emb_kmeans_lloyd",
+    "dedup_cluster_representative",
+}
+
+
+def bench_scd2_upsert(spark, sf_dir: str) -> float:
+    """Time one SCD-2 history-preserving upsert cycle over the documents
+    dimension: snapshot write -> updates batch for half the keys ->
+    upsert (guards + window chain + swap). Not a registry query (it is a
+    side-effecting writer), so it gets a bespoke bench entry."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from nfl_big_data_bowl_2024_spark.sources.readers import read_testdata_table
+    from nfl_big_data_bowl_2024_spark.sources.writers import upsert_scd2_parquet
+
+    d = read_testdata_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_scd2_")
+    path = tmp + "/dim"
+    try:
+        t0 = _t.time()
+        d.withColumn("valid_from", F.lit(0).cast("long")).withColumn(
+            "valid_to", F.lit(None).cast("long")
+        ).write.mode("overwrite").parquet(path)
+        updates = d.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id",
+            F.concat(F.col("source"), F.lit("-v2")).alias("source"),
+            (F.col("n_chars") + 1).alias("n_chars"),
+            (F.lit(1000) + F.col("doc_id")).cast("timestamp").alias("ts"),
+        )
+        upsert_scd2_parquet(spark, path, updates, keys=["doc_id"], ts_col="ts")
+        return _t.time() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:
@@ -105,19 +163,31 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # min of three runs per query: steady-state timing (the first run can
-    # pay residual JIT; run-to-run variance on the shared box is high and
-    # occasionally spikes multi-second, so one extra rep buys robustness).
+    # min of N runs per query, ALL samples recorded: the min is the
+    # steady-state number (first run can pay residual JIT), and the full
+    # sample list lets a reader separate shared-box stalls from real
+    # regressions without re-running (BENCH_r03 had two x3-5 spikes that
+    # were pure noise). Noise-prone/kernel-heavy queries get 5 reps.
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(3):
+        reps = 5 if name in NOISY else 3
+        runs: list[float] = []
+        for _ in range(reps):
             t0 = time.time()
             registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+        samples[name] = runs
+        timings[name] = min(runs)
+
+    name = "scd2_upsert"
+    samples[name] = [round(bench_scd2_upsert(spark, sf_dir), 3) for _ in range(3)]
+    timings[name] = min(samples[name])
 
     total = round(sum(timings.values()), 3)
+    spread = {
+        n: round(max(r) - min(r), 3) for n, r in samples.items() if len(r) > 1
+    }
     print(
         json.dumps(
             {
@@ -125,6 +195,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
+                "max_spread_sec": round(max(spread.values()), 3),
                 "sf": sf,
             }
         )

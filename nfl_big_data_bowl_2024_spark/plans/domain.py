@@ -9,9 +9,10 @@ U1 kernel (kernels/yap.py) in applyInPandas over (gameId, playId) groups.
 
 Both run over the deterministic NFL fixtures (fixtures.py) because the driver
 testdata has no tracking-shaped table; E1's oracle rebuilds the identical
-fixture via VALUES CTEs so the DuckDB gate still applies. E2 is iterative
-LQR search — not SQL-expressible — so it registers rows-only; its numerics
-are covered by golden tests (tests/test_yap_kernel.py).
+fixture via VALUES CTEs so the DuckDB gate still applies. E2's full search is
+iterative LQR — not SQL-expressible — so e2_yap registers rows-only with
+golden tests (tests/test_yap_kernel.py); e2_yap_closed_form is its
+hash-checkable operating point (straight-line plays, oracle below).
 
 At 100 TB: tracking is week-partitioned (sources.read_tracking), play groups
 are the shuffle key everywhere (one shuffle, reused), dims broadcast, and the

@@ -479,6 +479,121 @@ def dedup_simhash_identical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_curation_funnel",
+    """
+    WITH base AS (
+        SELECT doc_id,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+               (length(text) BETWEEN 100 AND 5000
+                AND length(text) - length(replace(text, ' ', '')) + 1 >= 10)
+                   AS gated,
+               md5(lower(trim(text))) AS fp,
+               CASE WHEN substr(md5(md5(lower(trim(text)))), 1, 8) < 'cc000000'
+                    THEN 'train'
+                    WHEN substr(md5(md5(lower(trim(text)))), 1, 8) < 'e6000000'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    canon AS (
+        SELECT *,
+               (gated AND doc_id = min(CASE WHEN gated THEN doc_id END)
+                              OVER (PARTITION BY fp)) AS is_canon
+        FROM base
+    )
+    SELECT 0 AS stage_ord, 'raw' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM canon
+    UNION ALL
+    SELECT 1, 'quality_gate', CAST(count(*) AS BIGINT),
+           CAST(sum(n_tokens) AS BIGINT) FROM canon WHERE gated
+    UNION ALL
+    SELECT 2, 'dedup', CAST(count(*) AS BIGINT),
+           CAST(sum(n_tokens) AS BIGINT) FROM canon WHERE is_canon
+    UNION ALL
+    SELECT CASE split WHEN 'train' THEN 3 WHEN 'val' THEN 4 ELSE 5 END,
+           'split_' || split, CAST(count(*) AS BIGINT),
+           CAST(sum(n_tokens) AS BIGINT)
+    FROM canon WHERE is_canon GROUP BY split
+    """,
+    doc="The whole curation pipeline as ONE plan with a funnel ledger: "
+    "quality gate -> exact content dedup -> leakage-safe content-keyed "
+    "split, emitting per-stage retention (docs + tokens) the way a "
+    "training-data run reports its losses. Spark computes every stage "
+    "membership as per-row FLAGS in one projection (gate predicate, "
+    "canonical = min gated doc_id per fingerprint via ONE "
+    "fingerprint-partitioned window, content-hash split), explodes each "
+    "row's contributing-stage list map-side, and aggregates once on "
+    "stage — one scan, one fingerprint exchange, one small stage "
+    "aggregate; the oracle re-derives the same ledger as stacked "
+    "aggregates. Because the split key is the dedup fingerprint itself, "
+    "the composition is leakage-free by construction "
+    "(dq_split_leakage_audit checks the same invariant corpus-wide).",
+)
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = n_chars - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    fp = _content_fingerprint()
+    bucket = F.substring(F.md5(fp.cast("binary")), 1, 8)
+    base = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (n_chars.between(100, 5000) & (n_tokens >= 10)).alias("gated"),
+        fp.alias("fp"),
+        F.when(bucket < "cc000000", "train")
+        .when(bucket < "e6000000", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    w = Window.partitionBy("fp")
+    canon = base.withColumn(
+        "is_canon",
+        F.col("gated")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("gated"), F.col("doc_id"))).over(w)
+        ),
+    )
+    stage = lambda o, s: F.struct(  # noqa: E731
+        F.lit(o).alias("o") if isinstance(o, int) else o.alias("o"),
+        F.lit(s).alias("s") if isinstance(s, str) else s.alias("s"),
+    )
+    empty = F.slice(F.array(stage(0, "x")), 1, 0)
+    stages = F.concat(
+        F.array(stage(0, "raw")),
+        F.when(F.col("gated"), F.array(stage(1, "quality_gate"))).otherwise(empty),
+        F.when(
+            F.col("is_canon"),
+            F.array(
+                stage(2, "dedup"),
+                stage(
+                    F.when(F.col("split") == "train", 3)
+                    .when(F.col("split") == "val", 4)
+                    .otherwise(5),
+                    F.concat(F.lit("split_"), F.col("split")),
+                ),
+            ),
+        ).otherwise(empty),
+    )
+    return (
+        canon.select("n_tokens", F.explode(stages).alias("st"))
+        .groupBy(
+            F.col("st.o").cast("int").alias("stage_ord"),
+            F.col("st.s").alias("stage"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+
+@register(
     "pipeline_corpus_clean",
     """
     WITH gated AS (
