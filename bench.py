@@ -73,6 +73,7 @@ HEADLINE = [
     # e2_yap_scale already measure the kernel; bench stays perf-focused)
     "pipeline_curation_funnel",
     "mm_decode_features",
+    "mm_video_frame_decode",
     "stream_session_stats",
 ]
 

@@ -170,12 +170,15 @@ def _decode_bmp(b: bytes) -> np.ndarray:
     return rgb
 
 
-def _decode_ppm(b: bytes) -> np.ndarray:
-    if b[:2] != b"P6":
+def _parse_ppm_at(b: bytes, pos: int) -> tuple[np.ndarray, int]:
+    """Parse one P6 PPM frame starting at ``pos``; return (rgb, next_pos).
+    Concatenated P6 frames are a real streaming container (ffmpeg's
+    image2pipe ppm), which makes this the video-decode analog."""
+    if b[pos : pos + 2] != b"P6":
         raise ValueError("not a P6 PPM")
     # header = magic + 3 ASCII ints, '#' comments allowed, then ONE
     # whitespace byte before the raw pixel block
-    pos, fields = 2, []
+    pos, fields = pos + 2, []
     while len(fields) < 3:
         while pos < len(b) and b[pos : pos + 1].isspace():
             pos += 1
@@ -195,11 +198,17 @@ def _decode_ppm(b: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PPM maxval {maxval}")
     if len(b) < pos + w * h * 3:
         raise ValueError("truncated PPM")
-    return (
+    rgb = (
         np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
         .reshape(h, w, 3)
         .copy()
     )
+    return rgb, pos + w * h * 3
+
+
+def _decode_ppm(b: bytes) -> np.ndarray:
+    rgb, _ = _parse_ppm_at(b, 0)
+    return rgb
 
 
 DECODE_SCHEMA = T.StructType(
@@ -309,6 +318,124 @@ def synth_payload_df(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return df.select(id_col).mapInPandas(
         _gen, f"{id_col} long, payload binary"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video path: multi-frame payloads (concatenated P6 frames — ffmpeg's
+# image2pipe ppm stream), JVM-side sampled-index derivation, and a decoder
+# that decodes ONLY the sampled frames of each stream.
+# ---------------------------------------------------------------------------
+
+
+def synth_video_rgb(doc_id: int, frame_idx: int) -> np.ndarray:
+    """Closed-form frame: pixel (x, y) of frame f has
+    r=(7d+3x+5y+11f)%256, g=(11d+x+13f)%256, b=(13y+d+7f)%256 — SQL can
+    compute every decoded frame feature directly from (doc_id, frame_idx)
+    while Spark round-trips real container bytes."""
+    x = np.arange(IMG_W, dtype=np.int64)[None, :]
+    y = np.arange(IMG_H, dtype=np.int64)[:, None]
+    rgb = np.empty((IMG_H, IMG_W, 3), dtype=np.uint8)
+    rgb[..., 0] = (7 * doc_id + 3 * x + 5 * y + 11 * frame_idx) % 256
+    rgb[..., 1] = (11 * doc_id + x + 0 * y + 13 * frame_idx) % 256
+    rgb[..., 2] = (13 * y + doc_id + 0 * x + 7 * frame_idx) % 256
+    return rgb
+
+
+def video_frame_count(doc_id: int) -> int:
+    return 3 + doc_id % 4  # 3..6 frames per stream
+
+
+def synth_video_payload(doc_id: int) -> bytes:
+    return b"".join(
+        encode_ppm(synth_video_rgb(doc_id, f))
+        for f in range(video_frame_count(doc_id))
+    )
+
+
+def synth_video_df(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload, n_frames) rows generated executor-side — the 100 TB
+    analog is a manifest join against object-storage video blobs."""
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = [int(d) for d in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": [synth_video_payload(d) for d in ids],
+                    "n_frames": [video_frame_count(d) for d in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        _gen, f"{id_col} long, payload binary, n_frames int"
+    )
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("px00_r", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+
+def video_frame_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    idx_col: str = "sample_idxs",
+) -> DataFrame:
+    """Decode the SAMPLED frames of each multi-frame P6 stream.
+
+    ``idx_col`` is an array<int> of frame indices (derive it JVM-side with
+    F.sequence — the sampling decision never touches Python). The decoder
+    walks each stream once up to the last wanted frame, decoding wanted
+    frames and skipping others header-by-header (a real container would
+    seek via its index instead); one output row per sampled frame.
+    Corrupt streams emit error rows for their remaining wanted frames —
+    errors stay data, never stage failures."""
+
+    def _decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VIDEO_FRAME_SCHEMA.fields]
+        for pdf in it:
+            out = []
+            for doc_id, payload, idxs in zip(
+                pdf[id_col], pdf[payload_col], pdf[idx_col]
+            ):
+                wanted = sorted(int(i) for i in idxs)
+                b = bytes(payload) if payload is not None else b""
+                pos, cur = 0, 0
+                for w_idx in wanted:
+                    try:
+                        while cur < w_idx:  # skip unwanted frames
+                            _, pos = _parse_ppm_at(b, pos)
+                            cur += 1
+                        rgb, pos = _parse_ppm_at(b, pos)
+                        cur += 1
+                    except ValueError:
+                        out.append((int(doc_id), w_idx, None, None, None,
+                                    None, None, None, "error_corrupt"))
+                        continue
+                    h, w, _ = rgb.shape
+                    out.append(
+                        (int(doc_id), w_idx, int(w), int(h),
+                         int(rgb[0, 0, 0]), float(rgb[..., 0].mean()),
+                         float(rgb[..., 1].mean()), float(rgb[..., 2].mean()),
+                         "ok")
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(id_col, payload_col, idx_col).mapInPandas(
+        _decode, VIDEO_FRAME_SCHEMA
     )
 
 

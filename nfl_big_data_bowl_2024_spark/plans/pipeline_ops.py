@@ -731,6 +731,51 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(d, "doc_id")
 
 
+@register(
+    "mm_video_frame_decode",
+    """
+    WITH f AS (
+        SELECT d.doc_id, g.range AS frame_idx
+        FROM documents d, range(0, 7, 2) g
+        WHERE g.range < 3 + d.doc_id % 4
+    ),
+    px AS (
+        SELECT f.doc_id, f.frame_idx, x.range AS x, y.range AS y
+        FROM f, range(16) x, range(8) y
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           16 AS width, 8 AS height,
+           CAST((7 * doc_id + 11 * frame_idx) % 256 AS INTEGER) AS px00_r,
+           sum((7 * doc_id + 3 * x + 5 * y + 11 * frame_idx) % 256) / 128.0
+               AS mean_r,
+           sum((11 * doc_id + x + 13 * frame_idx) % 256) / 128.0 AS mean_g,
+           sum((13 * y + doc_id + 7 * frame_idx) % 256) / 128.0 AS mean_b,
+           'ok' AS status
+    FROM px GROUP BY doc_id, frame_idx
+    """,
+    doc="VIDEO path end-to-end: per document a multi-frame payload "
+    "(concatenated P6 frames — ffmpeg's image2pipe ppm stream container, "
+    "3-6 frames) is generated executor-side; the every-2nd-frame sampling "
+    "decision is derived JVM-side (F.sequence over the n_frames metadata "
+    "column — never Python); ONE mapInPandas pass walks each stream and "
+    "decodes ONLY the sampled frames (skipping others header-by-header), "
+    "emitting a row per sampled frame. Frame pixels are a closed-form "
+    "function of (doc_id, frame_idx) so the oracle computes every decoded "
+    "feature in SQL; 128 px/frame keeps the channel means exact binary "
+    "divisions. No shuffle anywhere — scan -> generate -> sample -> "
+    "decode is the map-only shape that survives any scale.",
+)
+def mm_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import synth_video_df, video_frame_features
+
+    v = synth_video_df(_t(spark, sf_dir, "documents"))
+    sampled = v.withColumn(
+        "sample_idxs",
+        F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(2)),
+    )
+    return video_frame_features(sampled)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------

@@ -93,6 +93,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new this round
     "e2_yap_closed_form",
     "mm_decode_features",
+    "mm_video_frame_decode",
     "pipeline_curation_funnel",
     # --- changed this round: need fresh rows
     "doc_mix_weights",
@@ -116,7 +117,6 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "txt_winnow_fingerprint",
-    "tpch_q1_pricing_summary",
 ]
 
 

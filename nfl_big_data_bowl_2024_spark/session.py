@@ -44,6 +44,15 @@ def get_spark(app_name: str = "nfl-bdb-2024-spark", shuffle_partitions: int | No
         # what makes the bucketed 100 TB layout shuffle-free for the whole
         # domain pipeline (plan-asserted in tests/test_plan_audit.py).
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # Runtime Bloom-filter join pruning: when a selective filter sits on
+        # the build side of a NON-broadcast join (the fact-to-fact case at
+        # 100 TB — at local scale dims broadcast and this never fires), the
+        # probe side's scan is pre-filtered by a bloom_filter_agg subquery
+        # (might_contain on xxhash64 of the join key), cutting the shuffled
+        # volume to ~the matching fraction. No-op for broadcast joins;
+        # plan-audited under forced-shuffle conditions in
+        # tests/test_plan_audit.py.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

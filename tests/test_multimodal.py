@@ -137,3 +137,51 @@ def test_frame_sample_plan(spark):
         (r["doc_id"], r["frame_idx"]) for r in frame_sample_plan(df, every_k=10).collect()
     )
     assert got == [(1, 0), (1, 10), (1, 20), (2, 0), (3, 0)]
+
+
+def test_video_stream_sampled_decode(spark):
+    """Sampled-frame decode over a concatenated-P6 stream: only requested
+    indices come back, values match the closed-form frame model, and a
+    mid-stream corruption turns the remaining wanted frames into error
+    rows (earlier frames still decode)."""
+    from pyspark.sql import functions as F
+
+    from nfl_big_data_bowl_2024_spark.operators.multimodal import (
+        synth_video_df,
+        synth_video_payload,
+        synth_video_rgb,
+        video_frame_count,
+        video_frame_features,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    sampled = synth_video_df(ids).withColumn(
+        "sample_idxs", F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(2))
+    )
+    got = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in video_frame_features(sampled).collect()
+    }
+    want_keys = {
+        (d, f)
+        for d in range(8)
+        for f in range(0, video_frame_count(d), 2)
+    }
+    assert set(got) == want_keys
+    for (d, f), r in got.items():
+        rgb = synth_video_rgb(d, f)
+        assert r["status"] == "ok"
+        assert r["px00_r"] == int(rgb[0, 0, 0])
+        assert r["mean_g"] == float(rgb[..., 1].mean())
+
+    # corrupt the stream after the first frame: frame 0 decodes, the
+    # later sampled frames become error rows
+    good = synth_video_payload(4)  # 7 frames? no: 3 + 4%4 = 3 frames
+    one_frame = len(good) // video_frame_count(4)
+    broken = good[: one_frame + 4]  # frame 0 intact, frame 1 truncated
+    df = spark.createDataFrame(
+        [(4, bytearray(broken), [0, 2])],
+        "doc_id long, payload binary, sample_idxs array<int>",
+    )
+    rows = {r["frame_idx"]: r["status"] for r in video_frame_features(df).collect()}
+    assert rows == {0: "ok", 2: "error_corrupt"}

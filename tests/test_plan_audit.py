@@ -513,3 +513,52 @@ def test_bucketed_tracking_keeps_e1_fact_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS tracking_bucketed_audit")
         spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+
+
+def test_bloom_filter_prunes_fact_fact_join(spark):
+    """Runtime Bloom-filter join pruning (session.py enables it): when the
+    build side of a join cannot broadcast — the fact-to-fact case at
+    100 TB — the probe side's scan must be pre-filtered by a
+    might_contain(bloom_filter_agg(...)) subquery on the join key, so only
+    ~the matching fraction of the big fact reaches the shuffle. Forced
+    here by disabling broadcast and lowering the size thresholds (at
+    sf0.01 everything would otherwise broadcast and the filter correctly
+    stays out of the plan)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan, "bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+        # the filter sits on the PROBE (lineitem) side's key
+        probe_lines = [ln for ln in plan.splitlines() if "might_contain" in ln]
+        assert any("l_orderkey" in ln for ln in probe_lines)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
