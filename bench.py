@@ -74,7 +74,10 @@ HEADLINE = [
     "pipeline_curation_funnel",
     "mm_decode_features",
     "mm_video_frame_decode",
+    "mm_resize_features",
+    "mm_audio_features",
     "stream_session_stats",
+    "stream_window_stats",
 ]
 
 # Queries that showed multi-second shared-box spikes in past driver runs

@@ -35,7 +35,15 @@ def connected_components(
     """Component label per node: (node, component) where component is the
     minimum node id reachable through ``edges`` (undirected; self-pairs and
     duplicates tolerated). Nodes are those appearing in any edge."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Materialize the caller's edge relation ONCE before anything else:
+    # the symmetrizing union below references it twice, and Spark executes
+    # both union branches — for an LSH-derived edge source that meant the
+    # whole candidate-verify subtree ran twice inside the first job
+    # (measured at the generated sf10: 211 s -> 97 s for
+    # dedup_cluster_assign after this checkpoint).
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
     # Symmetrize once; both directions are needed so a min label entering a
     # cluster anywhere can flow along every edge. Duplicate edges are left
     # in place — min() is idempotent over them, and a distinct() here would

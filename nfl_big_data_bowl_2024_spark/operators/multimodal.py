@@ -321,6 +321,184 @@ def synth_payload_df(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("out_w", T.IntegerType(), True),
+        T.StructField("out_h", T.IntegerType(), True),
+        T.StructField("px00_r", T.DoubleType(), True),
+        T.StructField("pxlast_b", T.DoubleType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+
+def resize_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    factor: int = 2,
+) -> DataFrame:
+    """Decode + box-mean downsample (the standard antialiased integer
+    resize: each output pixel is the exact mean of its factor x factor
+    input block) in ONE mapInPandas pass. Emits the resized dimensions,
+    two orientation/alignment-sensitive probe pixels (top-left block mean
+    of the red channel, bottom-right block mean of the blue channel) and
+    the resized red-channel mean. Box means are exact rationals over
+    power-of-two block sizes, so every output is a bit-reproducible
+    double; undecodable payloads degrade to error rows."""
+
+    def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in RESIZE_SCHEMA.fields]
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    if b[:2] == b"BM":
+                        rgb = _decode_bmp(b)
+                    elif b[:2] == b"P6":
+                        rgb = _decode_ppm(b)
+                    else:
+                        raise ValueError("unknown format")
+                except ValueError:
+                    out.append((int(doc_id), None, None, None, None, None,
+                                "error_undecodable"))
+                    continue
+                h, w, _ = rgb.shape
+                oh, ow = h // factor, w // factor
+                boxes = (
+                    rgb[: oh * factor, : ow * factor]
+                    .astype(np.float64)
+                    .reshape(oh, factor, ow, factor, 3)
+                    .mean(axis=(1, 3))
+                )
+                out.append(
+                    (int(doc_id), int(ow), int(oh),
+                     float(boxes[0, 0, 0]), float(boxes[-1, -1, 2]),
+                     float(boxes[..., 0].mean()), "ok")
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio path: real WAV (RIFF, 16-bit mono PCM) encode/decode, pure
+# struct/numpy — the audio analog of the BMP/PPM image path.
+# ---------------------------------------------------------------------------
+
+AUDIO_RATE = 8000
+
+
+def synth_audio_samples(doc_id: int) -> np.ndarray:
+    """Closed-form int16 waveform: sample i of doc d is
+    ((37 d + 17 i) mod 4001) - 2000 over n = 64 + d%5 samples — SQL can
+    replay every decoded feature from doc_id while Spark round-trips real
+    RIFF bytes."""
+    n = 64 + doc_id % 5
+    i = np.arange(n, dtype=np.int64)
+    return ((37 * doc_id + 17 * i) % 4001 - 2000).astype(np.int16)
+
+
+def encode_wav(samples: np.ndarray, rate: int = AUDIO_RATE) -> bytes:
+    """16-bit mono PCM WAV (RIFF/WAVE, fmt + data chunks)."""
+    pcm = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """Return (int16 samples, sample_rate); walks RIFF chunks properly
+    (tolerates extra chunks before/after data)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if audio_fmt != 1 or n_ch != 1 or bits != 16:
+                raise ValueError("unsupported WAV encoding")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples.astype(np.int16), rate
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("peak_abs", T.IntegerType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+        T.StructField("n_zero_cross", T.IntegerType(), True),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode WAV payloads and emit exact-integer signal features (peak,
+    energy as sum of squares, strict sign-change zero crossings) — integer
+    outputs so the cross-engine comparison needs no float rounding at
+    all. Undecodable payloads degrade to error rows."""
+
+    def _decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_SCHEMA.fields]
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    s, rate = _decode_wav(b)
+                except ValueError:
+                    out.append((int(doc_id), None, None, None, None, None,
+                                "error_undecodable"))
+                    continue
+                s64 = s.astype(np.int64)
+                zc = int(((s64[:-1] < 0) & (s64[1:] > 0)).sum()
+                         + ((s64[:-1] > 0) & (s64[1:] < 0)).sum())
+                out.append(
+                    (int(doc_id), int(rate), int(s.size),
+                     int(np.abs(s64).max()) if s.size else None,
+                     int((s64 * s64).sum()), zc, "ok")
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, AUDIO_SCHEMA)
+
+
+def synth_audio_df(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload) WAV rows generated executor-side."""
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = [int(d) for d in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": [
+                        encode_wav(synth_audio_samples(d)) for d in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_gen, f"{id_col} long, payload binary")
+
+
 # ---------------------------------------------------------------------------
 # Video path: multi-frame payloads (concatenated P6 frames — ffmpeg's
 # image2pipe ppm stream), JVM-side sampled-index derivation, and a decoder

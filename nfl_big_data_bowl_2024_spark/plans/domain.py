@@ -455,6 +455,69 @@ WHERE sess_end_us <= (SELECT max(ts_us) FROM ev) - 10000000
 """
 
 
+_STREAM_WIN_ORACLE = f"""
+WITH fxw AS (SELECT * FROM {fixtures.tracking_values_cte().replace('fx(', 'fxw(')}),
+ev AS (
+    SELECT gameId, playId, s, a,
+           (CAST(1700000000 AS BIGINT) + playId * 100) * 1000000
+           + CAST(round(t * 10) AS BIGINT) * 100000 AS ts_us
+    FROM fxw
+),
+win AS (
+    SELECT gameId, playId,
+           (ts_us // 1000000) * 1000000 AS win_start_us,
+           count(*) AS n_frames,
+           max(s) AS max_speed,
+           max(a) AS max_accel
+    FROM ev GROUP BY gameId, playId, ts_us // 1000000
+)
+SELECT * FROM win
+WHERE win_start_us + 1000000 <= (SELECT max(ts_us) FROM ev) - 10000000
+"""
+
+
+@register(
+    "stream_window_stats",
+    _STREAM_WIN_ORACLE,
+    doc="Structured Streaming tumbling-window aggregation (the other half "
+    "of §2.9 next to the session_window query): watermarked 1 s event-time "
+    "windows per play, file-source micro-batches, memory sink drained with "
+    "trigger(availableNow). Oracle-checked INCLUDING append-mode emission: "
+    "epoch-aligned tumbling windows are integer-second buckets in SQL, and "
+    "only windows whose end <= max event time - 10 s (the final global "
+    "watermark) are emitted — the withheld tail windows match too.",
+)
+def stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .. import streaming as st
+
+    d = tempfile.mkdtemp(prefix="stream_w_")
+    try:
+        micros = (
+            (F.lit(1_700_000_000).cast("long") + F.col("playId") * 100) * 1_000_000
+            + F.round(F.col("t") * 10).cast("long") * 100_000
+        )
+        tr = fixtures.tracking_df(spark).withColumn(
+            "event_time", F.timestamp_micros(micros)
+        )
+        tr.coalesce(2).write.mode("overwrite").parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream = st.read_tracking_stream(spark, d, schema, max_files_per_trigger=1)
+        q = st.run_to_memory_sink(
+            st.windowed_play_stats(stream), "stream_window_stats_q", "append"
+        )
+        q.awaitTermination(300)
+        return spark.table("stream_window_stats_q").select(
+            "gameId", "playId",
+            F.unix_micros("win_start").alias("win_start_us"),
+            "n_frames", "max_speed", "max_accel",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @register(
     "stream_session_stats",
     _STREAM_SESS_ORACLE,

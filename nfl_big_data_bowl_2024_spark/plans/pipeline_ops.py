@@ -776,6 +776,96 @@ def mm_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_features(sampled)
 
 
+@register(
+    "mm_resize_features",
+    """
+    WITH px AS (
+        SELECT d.doc_id, x.range AS x, y.range AS y,
+               (7 * d.doc_id + 3 * x.range + 5 * y.range) % 256 AS r,
+               (13 * y.range + d.doc_id) % 256 AS b
+        FROM documents d, range(16) x, range(8) y
+        WHERE d.doc_id % 7 <> 3
+    ),
+    boxes AS (
+        SELECT doc_id, x // 2 AS bx, y // 2 AS by,
+               sum(r) / 4.0 AS box_r, sum(b) / 4.0 AS box_b
+        FROM px GROUP BY doc_id, x // 2, y // 2
+    ),
+    agg AS (
+        SELECT doc_id,
+               max(CASE WHEN bx = 0 AND by = 0 THEN box_r END) AS px00_r,
+               max(CASE WHEN bx = 7 AND by = 3 THEN box_b END) AS pxlast_b,
+               sum(box_r) / 32.0 AS mean_r
+        FROM boxes GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 7 = 3 THEN NULL ELSE 8 END AS out_w,
+           CASE WHEN d.doc_id % 7 = 3 THEN NULL ELSE 4 END AS out_h,
+           a.px00_r, a.pxlast_b, a.mean_r,
+           CASE WHEN d.doc_id % 7 = 3 THEN 'error_undecodable'
+                ELSE 'ok' END AS status
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+    doc="Image RESIZE through the decode boundary (the brief's named "
+    "multimodal op): decode (BMP or PPM) + exact 2x2 box-mean downsample "
+    "in one mapInPandas pass, emitting resized dims, two alignment-"
+    "sensitive probe pixels (top-left red / bottom-right blue block "
+    "means — wrong block alignment or channel order changes them) and "
+    "the resized red mean. Box means over power-of-two blocks are exact "
+    "doubles, so the oracle replays them bit-for-bit from the closed-form "
+    "pixel model; the corrupt-payload stripe degrades to error rows.",
+)
+def mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_features, synth_payload_df
+
+    d = synth_payload_df(_t(spark, sf_dir, "documents"))
+    return resize_features(d, "doc_id", factor=2)
+
+
+@register(
+    "mm_audio_features",
+    """
+    WITH s AS (
+        SELECT d.doc_id, i.range AS i,
+               (37 * d.doc_id + 17 * i.range) % 4001 - 2000 AS v
+        FROM documents d, range(69) i
+        WHERE i.range < 64 + d.doc_id % 5
+    ),
+    feat AS (
+        SELECT doc_id,
+               CAST(count(*) AS INTEGER) AS n_samples,
+               CAST(max(abs(v)) AS INTEGER) AS peak_abs,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq
+        FROM s GROUP BY doc_id
+    ),
+    zc AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN (prev < 0 AND v > 0) OR (prev > 0 AND v < 0)
+                             THEN 1 ELSE 0 END) AS INTEGER) AS n_zero_cross
+        FROM (SELECT doc_id, v,
+                     lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+              FROM s) t
+        GROUP BY doc_id
+    )
+    SELECT f.doc_id, 8000 AS sample_rate, f.n_samples, f.peak_abs, f.sum_sq,
+           zc.n_zero_cross, 'ok' AS status
+    FROM feat f JOIN zc USING (doc_id)
+    """,
+    doc="AUDIO path end-to-end: real 16-bit mono PCM WAV payloads "
+    "(RIFF/WAVE with proper chunk walking) generated executor-side from a "
+    "closed-form int16 waveform, decoded by the pure-struct/numpy parser, "
+    "emitting EXACT-INTEGER signal features (peak, energy as sum of "
+    "squares, strict sign-change zero crossings) — integer outputs mean "
+    "the cross-engine hash needs no float rounding at all. The oracle "
+    "replays the waveform from doc_id via generate_series + a lag window.",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_features, synth_audio_df
+
+    d = synth_audio_df(_t(spark, sf_dir, "documents"))
+    return audio_features(d, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------

@@ -46,12 +46,15 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # domain/LLM-pipeline half (46 green / 1 float-flake, fixed). Round 4 closes
 # the LAST evidence gap: the window now leads with every query that has
 # NEVER had a driver correctness row in any round (26 carried over from the
-# round-3 audit + the 3 new round-4 registrations), then the queries whose
+# round-3 audit + the six new round-4 registrations: the YAP closed-form
+# operating point, the image/video/resize/audio decode paths, the
+# tumbling-window streaming query and the curation funnel), then the
+# queries whose
 # code changed this round and need fresh rows (doc_mix_weights' exact-integer
 # denominator fix; the two dedup-clustering queries now riding the banded-LSH
-# edge source), then 18 re-confirmation slots spanning every capability
+# edge source), then 14 re-confirmation slots spanning every capability
 # family (domain kernels, streaming, dedup/similarity/clustering operating
-# points, text pipeline, TPC-H). Everything displaced is driver-green from
+# points, text pipeline). Everything displaced is driver-green from
 # rounds 2-3 with unchanged code and stays locally verified via
 # scripts/verify_local.py. Four of the leading entries (dedup_minhash_lsh /
 # dedup_simhash / sim_ivf_topk / mm_byte_features) are rows-only BY DESIGN
@@ -94,6 +97,9 @@ _DRIVER_PRIORITY: list[str] = [
     "e2_yap_closed_form",
     "mm_decode_features",
     "mm_video_frame_decode",
+    "mm_resize_features",
+    "mm_audio_features",
+    "stream_window_stats",
     "pipeline_curation_funnel",
     # --- changed this round: need fresh rows
     "doc_mix_weights",
@@ -113,10 +119,7 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_kmeans_lloyd",
     "ml_quality_classifier_train",
     "pipeline_corpus_clean",
-    "txt_tfidf_topterms",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "txt_winnow_fingerprint",
 ]
 
 

@@ -185,3 +185,64 @@ def test_video_stream_sampled_decode(spark):
     )
     rows = {r["frame_idx"]: r["status"] for r in video_frame_features(df).collect()}
     assert rows == {0: "ok", 2: "error_corrupt"}
+
+
+def test_wav_roundtrip_and_chunk_walking():
+    """encode->decode returns the exact samples; the RIFF walker must
+    tolerate an extra chunk before data and word-aligned odd-size chunks."""
+    import struct
+
+    from nfl_big_data_bowl_2024_spark.operators.multimodal import (
+        _decode_wav,
+        encode_wav,
+        synth_audio_samples,
+    )
+
+    s = synth_audio_samples(11)
+    got, rate = _decode_wav(encode_wav(s))
+    assert rate == 8000 and (got == s).all()
+
+    # splice an odd-sized LIST chunk between fmt and data
+    b = encode_wav(s)
+    fmt_end = b.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # word pad
+    spliced = b[:fmt_end] + extra + b[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    got2, _ = _decode_wav(spliced)
+    assert (got2 == s).all()
+
+
+def test_resize_box_means_match_numpy(spark):
+    from nfl_big_data_bowl_2024_spark.operators.multimodal import (
+        resize_features,
+        synth_image_rgb,
+        synth_payload_df,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    got = {
+        r["doc_id"]: r
+        for r in resize_features(synth_payload_df(ids), factor=2).collect()
+    }
+    for i in range(10):
+        r = got[i]
+        if i % 7 == 3:
+            assert r["status"] == "error_undecodable" and r["out_w"] is None
+            continue
+        rgb = synth_image_rgb(i).astype(np.float64)
+        boxes = rgb.reshape(4, 2, 8, 2, 3).mean(axis=(1, 3))
+        assert (r["out_w"], r["out_h"]) == (8, 4)
+        assert r["px00_r"] == float(boxes[0, 0, 0])
+        assert r["pxlast_b"] == float(boxes[-1, -1, 2])
+        assert r["mean_r"] == float(boxes[..., 0].mean())
+
+
+def test_audio_features_error_rows(spark):
+    from nfl_big_data_bowl_2024_spark.operators.multimodal import audio_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"RIFFxxxxNOPE")), (2, bytearray(b""))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r["status"] for r in audio_features(df).collect()}
+    assert got == {1: "error_undecodable", 2: "error_undecodable"}
