@@ -455,6 +455,69 @@ WHERE sess_end_us <= (SELECT max(ts_us) FROM ev) - 10000000
 """
 
 
+_STREAM_DEDUP_ORACLE = f"""
+WITH fxd AS (SELECT * FROM {fixtures.tracking_values_cte().replace('fx(', 'fxd(')})
+SELECT gameId, playId,
+       count(*) AS n_rows,
+       count(DISTINCT frameId) AS n_frames
+FROM fxd GROUP BY gameId, playId
+"""
+
+
+@register(
+    "stream_dedup_frames",
+    _STREAM_DEDUP_ORACLE,
+    doc="Streaming at-least-once dedup (§2.9): the fixture feed is written "
+    "as one full file plus a REDELIVERY file duplicating the latest "
+    "play's frames (their event times sit inside the 10 s watermark, so "
+    "the dedup state is still live when the duplicates arrive in the "
+    "next micro-batch); dropDuplicatesWithinWatermark keys the state "
+    "store on frame identity and drops them. The oracle is the "
+    "duplicate-free per-play row count — any surviving duplicate row "
+    "hash-fails. Bounded state by construction: entries expire once the "
+    "watermark passes their event time, unlike dropDuplicates whose "
+    "keys-seen store grows forever.",
+)
+def stream_dedup_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .. import streaming as st
+
+    d = tempfile.mkdtemp(prefix="stream_d_")
+    try:
+        micros = (
+            (F.lit(1_700_000_000).cast("long") + F.col("playId") * 100) * 1_000_000
+            + F.round(F.col("t") * 10).cast("long") * 100_000
+        )
+        tr = fixtures.tracking_df(spark).withColumn(
+            "event_time", F.timestamp_micros(micros)
+        )
+        tr.coalesce(1).write.mode("overwrite").parquet(d)
+        # Redelivery: the play with the GLOBAL max event time — its frames
+        # are within every batch's watermark, so the duplicates must be
+        # dropped regardless of which file forms the first micro-batch.
+        tr.filter((F.col("gameId") == 3) & (F.col("playId") == 207)).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream = st.read_tracking_stream(spark, d, schema, max_files_per_trigger=1)
+        q = st.run_to_memory_sink(
+            st.dedup_frame_stream(stream), "stream_dedup_frames_q", "append"
+        )
+        q.awaitTermination(300)
+        return (
+            spark.table("stream_dedup_frames_q")
+            .groupBy("gameId", "playId")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("frameId").alias("n_frames"),
+            )
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 _STREAM_WIN_ORACLE = f"""
 WITH fxw AS (SELECT * FROM {fixtures.tracking_values_cte().replace('fx(', 'fxw(')}),
 ev AS (
