@@ -76,6 +76,7 @@ HEADLINE = [
     "mm_video_frame_decode",
     "mm_resize_features",
     "mm_audio_features",
+    "txt_bpe_train",
     "stream_session_stats",
     "stream_window_stats",
 ]

@@ -1321,6 +1321,136 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(d, "doc_id", "n_frames", every_k=10)
 
 
+_BPE_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+# one sentinel char per merge round; verified absent from the corpus, so a
+# sentinel unambiguously denotes that round's merged symbol inside the
+# packed string representation
+_BPE_SENT = ["\x01", "\x02", "\x03"]
+
+
+@register(
+    "txt_bpe_train",
+    rf"""
+    WITH words AS (
+        SELECT tok AS s0, count(*) AS freq FROM (
+            SELECT unnest(regexp_extract_all(text, '{_BPE_RE}')) AS tok
+            FROM documents) GROUP BY tok
+    ),
+    p1 AS (
+        SELECT s0[i:i+1] AS pair, CAST(sum(freq) AS BIGINT) AS n
+        FROM words, unnest(generate_series(1, length(s0) - 1)) AS t(i)
+        GROUP BY pair
+    ),
+    m1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair LIMIT 1),
+    w1 AS (SELECT replace(s0, (SELECT pair FROM m1), chr(1)) AS s1, freq
+           FROM words),
+    p2 AS (
+        SELECT s1[i:i+1] AS pair, CAST(sum(freq) AS BIGINT) AS n
+        FROM w1, unnest(generate_series(1, length(s1) - 1)) AS t(i)
+        GROUP BY pair
+    ),
+    m2 AS (SELECT pair, n FROM p2 ORDER BY n DESC, pair LIMIT 1),
+    w2 AS (SELECT replace(s1, (SELECT pair FROM m2), chr(2)) AS s2, freq
+           FROM w1),
+    p3 AS (
+        SELECT s2[i:i+1] AS pair, CAST(sum(freq) AS BIGINT) AS n
+        FROM w2, unnest(generate_series(1, length(s2) - 1)) AS t(i)
+        GROUP BY pair
+    ),
+    m3 AS (SELECT pair, n FROM p3 ORDER BY n DESC, pair LIMIT 1),
+    raw AS (
+        SELECT 1 AS round, pair, n FROM m1
+        UNION ALL SELECT 2, pair, n FROM m2
+        UNION ALL SELECT 3, pair, n FROM m3
+    )
+    -- sentinels only ever reference EARLIER rounds, so expanding round-3's
+    -- marker first, then round-2's, then round-1's resolves every symbol
+    SELECT round,
+           replace(replace(replace(pair[1:1],
+               chr(3), replace(replace((SELECT pair FROM m3),
+                   chr(2), (SELECT pair FROM m2)),
+                   chr(1), (SELECT pair FROM m1))),
+               chr(2), replace((SELECT pair FROM m2),
+                   chr(1), (SELECT pair FROM m1))),
+               chr(1), (SELECT pair FROM m1)) AS sym_a,
+           replace(replace(replace(pair[2:2],
+               chr(3), replace(replace((SELECT pair FROM m3),
+                   chr(2), (SELECT pair FROM m2)),
+                   chr(1), (SELECT pair FROM m1))),
+               chr(2), replace((SELECT pair FROM m2),
+                   chr(1), (SELECT pair FROM m1))),
+               chr(1), (SELECT pair FROM m1)) AS sym_b,
+           n
+    FROM raw
+    """,
+    doc="Distributed BPE TRAINER (3 merge rounds) — the tokenizer-build "
+    "loop itself, not just one pair count. Per round: adjacent-pair "
+    "counts over the word-frequency table (classic BPE trains on "
+    "distinct words x freq — vocab-sized, not corpus-sized), argmax with "
+    "a deterministic (count DESC, pair ASC) tiebreak collected as ONE "
+    "driver row (the bounded-model pattern of kmeans/logreg), then the "
+    "merge applied via replace(word, a||b, sentinel) — string replace is "
+    "leftmost-non-overlapping on both engines, which IS the greedy BPE "
+    "merge order, and one reserved sentinel char per round keeps merged "
+    "symbols atomic inside the packed string. The oracle replays all "
+    "three rounds in SQL (same counts, same argmax, same replace "
+    "semantics) and expands sentinels back to concrete symbol strings. "
+    "Scale: the words table is built once (one corpus shuffle) and each "
+    "round adds one vocab-sized aggregate + a map-only replace.",
+)
+def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+            ).alias("s")
+        )
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)  # reused by all three rounds
+    )
+    cur = words
+    sent_to_pair: dict[str, str] = {}
+    out_rows = []
+    for r in range(1, 4):
+        pairs = cur.filter(F.length("s") >= 2).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(s) - 1),"
+                    " i -> substring(s, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        pair, n = top["pair"], top["n"]
+        sent = _BPE_SENT[r - 1]
+        sent_to_pair[sent] = pair
+
+        def expand(sym: str) -> str:
+            # sentinels reference earlier rounds only -> expand newest first
+            for s_ch in reversed(_BPE_SENT[: r]):
+                if s_ch in sent_to_pair:
+                    sym = sym.replace(s_ch, sent_to_pair[s_ch])
+            return sym
+
+        out_rows.append((r, expand(pair[0]), expand(pair[1]), int(n)))
+        cur = cur.select(
+            F.replace(F.col("s"), F.lit(pair), F.lit(sent)).alias("s"), "freq"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out_rows, "round int, sym_a string, sym_b string, n long"
+    )
+
+
+
 @register(
     "txt_bpe_pretokenize",
     r"""
