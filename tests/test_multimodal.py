@@ -246,3 +246,58 @@ def test_audio_features_error_rows(spark):
     )
     got = {r["doc_id"]: r["status"] for r in audio_features(df).collect()}
     assert got == {1: "error_undecodable", 2: "error_undecodable"}
+
+
+def test_codec_roundtrip_property():
+    """Property test: encode->decode is the identity for arbitrary image
+    shapes/contents (BMP 24/32, PPM) and arbitrary int16 waveforms (WAV).
+    Deterministic content derived per example — exercises odd widths
+    (row padding), 1-pixel edges, and extreme sample values."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nfl_big_data_bowl_2024_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_ppm,
+        _decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 21),
+        h=st.integers(1, 13),
+        seed=st.integers(0, 10_000),
+    )
+    def check_images(w, h, seed):
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        rgb = np.stack(
+            [
+                (seed * 7 + 3 * x + 5 * y) % 256,
+                (seed * 11 + x + 2 * y) % 256,
+                (seed + 13 * x + y) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        assert (_decode_bmp(encode_bmp(rgb, bpp=24)) == rgb).all()
+        assert (_decode_bmp(encode_bmp(rgb, bpp=24, top_down=True)) == rgb).all()
+        assert (_decode_bmp(encode_bmp(rgb, bpp=32)) == rgb).all()
+        assert (_decode_ppm(encode_ppm(rgb)) == rgb).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(0, 200),
+        seed=st.integers(0, 10_000),
+        amp=st.sampled_from([1, 1000, 32767]),
+    )
+    def check_audio(n, seed, amp):
+        i = np.arange(n, dtype=np.int64)
+        s = (((seed * 31 + 17 * i) % (2 * amp + 1)) - amp).astype(np.int16)
+        got, rate = _decode_wav(encode_wav(s))
+        assert rate == 8000 and got.size == n and (got == s).all()
+
+    check_images()
+    check_audio()

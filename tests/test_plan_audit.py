@@ -562,3 +562,18 @@ def test_bloom_filter_prunes_fact_fact_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_media_decode_family_is_map_only(spark, queries):
+    """The whole decode family must be scan -> generate -> mapInPandas
+    with ZERO exchanges — parallelism equals input-split count, the shape
+    that survives any scale-up (payloads never shuffle)."""
+    for name in (
+        "mm_decode_features",
+        "mm_resize_features",
+        "mm_audio_features",
+        "mm_video_frame_decode",
+    ):
+        plan = _plan(queries[name].fn(spark, SF))
+        assert "Exchange" not in plan, name
+        assert "MapInPandas" in plan, name
