@@ -276,3 +276,67 @@ def test_stream_stream_interval_join_matches_batch(spark, stream_dir):
         assert len(want) > 0  # the fixture actually exercises the join
     finally:
         shutil.rmtree(edir, ignore_errors=True)
+
+
+def test_checkpoint_resume_processes_only_new_files(spark):
+    """Exactly-once file-source semantics across RESTARTS: a query drained
+    with trigger(availableNow) against a checkpointLocation, then
+    restarted after new files arrive, must process ONLY the new files —
+    the checkpoint's source log, not the sink's content, carries the
+    progress. This is the durability contract a 100 TB ingestion pipeline
+    leans on (reprocessing a day of input on every restart is not an
+    option)."""
+    src = tempfile.mkdtemp(prefix="ckpt_src_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_log_")
+    out = tempfile.mkdtemp(prefix="ckpt_out_") + "/sink"
+    try:
+        base = 1_700_000_000
+
+        def write_batch(play, n0, n1):
+            rows = [
+                (1, play, 11, f, float(base + f * 0.1), 3.0, 1.0)
+                for f in range(n0, n1)
+            ]
+            spark.createDataFrame(
+                rows,
+                "gameId long, playId long, nflId long, frameId int,"
+                " ts double, s double, a double",
+            ).withColumn("event_time", F.timestamp_seconds("ts")).drop(
+                "ts"
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        def run_once():
+            stream = spark.readStream.schema(
+                spark.read.parquet(src).schema
+            ).parquet(src)
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        write_batch(1, 1, 11)
+        run_once()
+        first = spark.read.parquet(out).count()
+        assert first == 10
+
+        # restart with NO new input: nothing may be reprocessed
+        run_once()
+        assert spark.read.parquet(out).count() == 10
+
+        # new file arrives; restart processes exactly the delta
+        write_batch(2, 1, 6)
+        run_once()
+        got = spark.read.parquet(out)
+        assert got.count() == 15
+        assert got.filter(F.col("playId") == 2).count() == 5
+        # no duplicates of the first batch
+        assert got.select("playId", "frameId").distinct().count() == 15
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out.rsplit("/", 1)[0], ignore_errors=True)
