@@ -1873,6 +1873,32 @@ def txt_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_footer_profile",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_orderkey) AS min_o_orderkey,
+           max(o_orderkey) AS max_o_orderkey,
+           min(o_totalprice) AS min_o_totalprice,
+           max(o_totalprice) AS max_o_totalprice
+    FROM orders
+    """,
+    doc="Metadata-only dataset profile: COUNT/MIN/MAX answered from "
+    "parquet FOOTER statistics via DSv2 aggregate pushdown "
+    "(PushedAggregation in the plan, asserted in tests/test_plan_audit) "
+    "— at 100 TB a footer pass instead of a full scan for the 'how many "
+    "rows, what key range' query every pipeline runs first. The V2 "
+    "reader is scoped to this call (sources/readers.py:"
+    "parquet_footer_stats); the session default stays V1 for bucketing.",
+)
+def dq_footer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import parquet_footer_stats
+
+    return parquet_footer_stats(
+        spark, f"{sf_dir}/orders.parquet", ["o_orderkey", "o_totalprice"]
+    )
+
+
+@register(
     "dq_column_profile",
     """
     SELECT 'c_acctbal' AS col,

@@ -123,3 +123,52 @@ def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFram
     are NULL, and hive-style partition directories (lang=en/...) surface as
     partition columns that prune from WHERE clauses."""
     return spark.read.schema(schema).json(path)
+
+
+def parquet_footer_stats(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """COUNT(*) + per-column MIN/MAX answered from parquet FOOTER
+    statistics — no row data is read.
+
+    At 100 TB this is the difference between a metadata pass (one footer
+    read per file) and a full scan for the dataset-profiling queries every
+    pipeline runs first ("how many rows, what key range"). Uses the DSv2
+    parquet reader's aggregate pushdown (`PushedAggregation` in the plan,
+    asserted in tests/test_plan_audit.py), scoped to THIS call: the
+    session-wide default stays on the V1 reader because V1 is what
+    supports bucketed tables and the plan shapes the audits pin. The
+    result is materialized (tiny: one row) before the confs are restored,
+    so the V2 scan never leaks into caller plans.
+
+    Caveat (inherent to footer stats, not this helper): columns whose
+    row-group stats are absent/invalid (e.g. legacy binary stats) fall
+    back to a real scan — Spark decides per file, correctness is
+    unaffected.
+    """
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.parquet.aggregatePushdown",
+            "spark.sql.sources.useV1SourceList",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        df = spark.read.parquet(path).agg(*aggs)
+        rows = df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out = spark.createDataFrame(rows, df.schema)
+        # carry the evidence so tests can assert pushdown actually fired
+        out._footer_stats_plan = plan  # type: ignore[attr-defined]
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

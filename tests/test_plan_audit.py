@@ -577,3 +577,35 @@ def test_media_decode_family_is_map_only(spark, queries):
         plan = _plan(queries[name].fn(spark, SF))
         assert "Exchange" not in plan, name
         assert "MapInPandas" in plan, name
+
+
+def test_footer_stats_use_aggregate_pushdown(spark):
+    """parquet_footer_stats must answer COUNT/MIN/MAX from footer
+    statistics (PushedAggregation in the V2 scan), match a real scan's
+    answers, and leave the session's reader confs untouched."""
+    from pyspark.sql import functions as F
+
+    from nfl_big_data_bowl_2024_spark.sources.readers import parquet_footer_stats
+
+    before = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    out = parquet_footer_stats(
+        spark, f"{SF}/orders.parquet", ["o_orderkey", "o_totalprice"]
+    )
+    assert "PushedAggregation" in out._footer_stats_plan
+    got = out.collect()[0]
+    want = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+            F.min("o_totalprice").alias("plo"),
+            F.max("o_totalprice").alias("phi"),
+        )
+        .collect()[0]
+    )
+    assert (got.n_rows, got.min_o_orderkey, got.max_o_orderkey) == (
+        want.n, want.lo, want.hi
+    )
+    assert (got.min_o_totalprice, got.max_o_totalprice) == (want.plo, want.phi)
+    assert spark.conf.get("spark.sql.sources.useV1SourceList", None) == before
