@@ -172,3 +172,21 @@ def parquet_footer_stats(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def read_parquet_evolved(
+    spark: SparkSession, path: str, mergeSchema: bool = True
+) -> DataFrame:
+    """Read a parquet dataset whose files were written under EVOLVING
+    schemas (columns added over time — the normal life of a 100 TB table
+    fed for months).
+
+    ``mergeSchema=true`` makes Spark union all file footers' schemas
+    instead of trusting one sampled file, so late-added columns surface
+    everywhere (NULL for files written before the column existed).
+    Deliberately per-read, not session-wide: schema merging reads every
+    footer at planning time, which on a million-file table is an O(files)
+    planning cost you only pay where evolution actually happens (or
+    avoid entirely by giving the table a catalog/metastore schema).
+    """
+    return spark.read.option("mergeSchema", str(mergeSchema).lower()).parquet(path)

@@ -209,3 +209,49 @@ def frame_event_interval_join(
         F.col("e.event").alias("event"),
         F.col("e.evt_time").alias("evt_time"),
     )
+
+
+def stream_upsert_to_parquet(
+    stream: DataFrame,
+    path: str,
+    keys: list[str],
+    order_cols: list[str],
+    checkpoint_dir: str,
+):
+    """Stream -> dimension-table maintenance: every micro-batch applies an
+    SCD-1 latest-wins upsert (sources.writers.upsert_parquet) to ``path``
+    via ``foreachBatch`` — the standard pattern when the sink needs MERGE
+    semantics that no streaming file sink offers.
+
+    Exactly-once story: foreachBatch itself is at-least-once (a batch can
+    be retried after a crash mid-upsert), but the upsert is IDEMPOTENT —
+    latest-wins keyed on (keys, order_cols) produces the same target no
+    matter how many times a batch re-applies — so the composition is
+    effectively-once, the same argument Delta's MERGE-in-foreachBatch
+    deployments make. The checkpoint dir carries source progress, so a
+    restart resumes from the last committed batch (see
+    tests/test_streaming.py for both properties).
+
+    Each micro-batch pays one target read + rewrite: right-sized for
+    dimension tables (the upsert_parquet contract); fact-scale streams
+    should append partitions instead and compact later.
+    """
+    from .sources.writers import upsert_parquet
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jvm_path):
+            batch_df.write.mode("overwrite").parquet(path)
+            return
+        upsert_parquet(spark, path, batch_df, keys, order_cols)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

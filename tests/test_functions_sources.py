@@ -167,3 +167,26 @@ def test_jsonl_roundtrip_and_partition_pruning(spark):
         assert a == b
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Files written before a column existed read back with NULLs there,
+    and the late column is visible even when the sampled footer predates
+    it — the read-path contract for a long-lived evolving table."""
+    from pyspark.sql import functions as F
+
+    from nfl_big_data_bowl_2024_spark.sources.readers import read_parquet_evolved
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).coalesce(1).write.mode("append").parquet(p)
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, v string, score double"
+    ).coalesce(1).write.mode("append").parquet(p)
+
+    got = read_parquet_evolved(spark, p)
+    assert set(got.columns) == {"id", "v", "score"}
+    rows = {r.id: (r.v, r.score) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+    assert got.filter(F.col("score").isNull()).count() == 2

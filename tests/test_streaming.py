@@ -340,3 +340,45 @@ def test_checkpoint_resume_processes_only_new_files(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_stream_upsert_foreachbatch_latest_wins_and_resumes(spark):
+    """foreachBatch SCD-1 maintenance: (a) later micro-batches overwrite
+    earlier versions of a key, latest-wins; (b) a restart against the
+    same checkpoint applies nothing new (idempotent-by-progress); (c) a
+    fresh update file upserts only the delta."""
+    src = tempfile.mkdtemp(prefix="fb_src_")
+    ckpt = tempfile.mkdtemp(prefix="fb_ckpt_")
+    tgt = tempfile.mkdtemp(prefix="fb_tgt_") + "/dim"
+    try:
+        def write_updates(rows):
+            spark.createDataFrame(
+                rows, "k long, v string, ver long"
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        def run():
+            stream = spark.readStream.schema("k long, v string, ver long").parquet(src)
+            q = st.stream_upsert_to_parquet(
+                stream, tgt, keys=["k"], order_cols=["ver"], checkpoint_dir=ckpt
+            )
+            q.awaitTermination(120)
+
+        write_updates([(1, "a1", 1), (2, "b1", 1)])
+        run()
+        assert {(r.k, r.v) for r in spark.read.parquet(tgt).collect()} == {
+            (1, "a1"), (2, "b1"),
+        }
+
+        # restart, no new input: target unchanged
+        run()
+        assert spark.read.parquet(tgt).count() == 2
+
+        # delta: key 2 updated, key 3 new
+        write_updates([(2, "b2", 2), (3, "c1", 1)])
+        run()
+        got = {(r.k, r.v) for r in spark.read.parquet(tgt).collect()}
+        assert got == {(1, "a1"), (2, "b2"), (3, "c1")}
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(tgt.rsplit("/", 1)[0], ignore_errors=True)
