@@ -609,3 +609,48 @@ def test_footer_stats_use_aggregate_pushdown(spark):
     )
     assert (got.min_o_totalprice, got.max_o_totalprice) == (want.plo, want.phi)
     assert spark.conf.get("spark.sql.sources.useV1SourceList", None) == before
+
+
+def test_curation_funnel_one_scan_one_fingerprint_exchange(spark, queries):
+    """pipeline_curation_funnel's docstring claims: one documents scan,
+    one fingerprint exchange (the canonical-choice window), one small
+    stage aggregate. Pin it."""
+    plan = _plan(queries["pipeline_curation_funnel"].fn(spark, SF))
+    assert plan.count("Scan parquet") == 1
+    hash_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    # window exchange on fp + the final stage aggregate's exchange
+    assert len(hash_exchanges) == 2, hash_exchanges
+    assert any("fp" in ln for ln in hash_exchanges)
+
+
+def test_every_oracle_parses_in_duckdb(queries):
+    """Parse-lint every registered oracle with DuckDB BEFORE any Spark
+    run: a syntax error in an oracle otherwise only surfaces as a driver
+    ERROR row (this class of bug shipped once as a dangling comma).
+    EXPLAIN against empty same-named views validates syntax + most
+    binding without executing anything."""
+    import duckdb
+
+    con = duckdb.connect()
+    import pyarrow as pa
+    import pyarrow.parquet  # noqa: F401
+
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet') LIMIT 0"
+        )
+    bad = []
+    for name, spec in queries.items():
+        if spec.oracle is None:
+            continue
+        try:
+            con.execute("EXPLAIN " + spec.oracle)
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, str(e).splitlines()[0]))
+    assert not bad, bad
