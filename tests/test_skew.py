@@ -61,6 +61,52 @@ def test_salted_join_matches_plain_join_on_skewed_keys(spark):
         assert got == want, how
 
 
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """session.py claims AQE's skew-join splitting is the runtime fallback
+    for joins whose skew is not known up front. Prove it on the executed
+    plan: a sort-merge join where one key holds ~99% of the rows must come
+    back with the skew marker once AQE finalizes the plan, and the split
+    must not change the result."""
+    confs = {
+        # force a shuffle join (the dim would broadcast otherwise)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # shrink the detection thresholds to testdata scale (defaults are
+        # 256 MB / 5x median — correct for the 100 TB target, far above a
+        # 60k-row fixture)
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # incompressible payload so shuffle-write bytes track row counts
+        # (a constant pad would LZ4 away and dodge the size threshold)
+        pad = F.sha2(F.col("id").cast("string"), 256)
+        left = spark.range(60_000).select(
+            F.when(F.col("id") % 100 == 0, F.col("id") % 50)
+            .otherwise(F.lit(999))
+            .alias("k"),
+            pad.alias("pad_l"),
+        )
+        right = spark.range(1_000).select(F.col("id").alias("k"), pad.alias("pad_r"))
+        joined = left.join(right, "k")
+        rows = joined.collect()
+        # every left key (0..49 and 999) exists exactly once on the right
+        assert len(rows) == 60_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_approx_quantiles_error_bound(spark):
     import sys
 
