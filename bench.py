@@ -79,6 +79,9 @@ HEADLINE = [
     "txt_bpe_train",
     "stream_session_stats",
     "stream_window_stats",
+    "txt_pii_redact",
+    "doc_select_token_budget",
+    "doc_dsir_importance",
 ]
 
 # Queries that showed multi-second shared-box spikes in past driver runs

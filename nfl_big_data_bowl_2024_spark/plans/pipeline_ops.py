@@ -3243,3 +3243,248 @@ def dq_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         leaking.cast("bigint").alias("n_leaking"),
         (leaking == 0).alias("leakage_free"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation add-ons: PII redaction, token-budget selection, DSIR importance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txt_pii_redact",
+    """
+    WITH aug AS (
+        SELECT doc_id, text,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@ex' || CAST(doc_id % 10 AS VARCHAR) || '.org or call 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST(doc_id % 200 AS VARCHAR) AS pii_text
+        FROM documents
+    ),
+    steps AS (
+        SELECT doc_id, text, pii_text,
+               regexp_replace(pii_text,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g') AS r1
+        FROM aug
+    ),
+    steps2 AS (
+        SELECT doc_id, text, pii_text, r1,
+               regexp_replace(r1,
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS r2
+        FROM steps
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(pii_text,
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+              + len(regexp_extract_all(r1,
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+              + len(regexp_extract_all(r2, '\\b\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_pii,
+           substr(regexp_replace(r2, '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+                  length(text) + 2) AS redacted_tail
+    FROM steps2
+    """,
+    doc="PII scrub as a map-only column expression (functions/text.py "
+    "redact_pii/count_pii): email -> IPv4 -> phone regexp_replace chain, "
+    "counts taken against the same sequential order so a digit-bearing "
+    "email local-part is never double-counted. The synthetic corpus has "
+    "no organic PII, so the query plants a deterministic doc_id-derived "
+    "email/IP/phone per document and proves all three are found and "
+    "replaced. Patterns stay in the RE2<->Java-regex common subset so the "
+    "oracle mirrors the chain literally (change functions/text.py and "
+    "this SQL together). Zero exchanges, zero Python: whole-stage codegen "
+    "keeps the scrub inside the scan projection at 100 TB.",
+)
+def txt_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import count_pii, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    s = lambda c: c.cast("string")  # noqa: E731
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), s(F.col("doc_id")),
+        F.lit("@ex"), s(F.col("doc_id") % 10), F.lit(".org or call 555-"),
+        F.lpad(s(F.col("doc_id") % 10000), 4, "0"),
+        F.lit(" from 10.0."), s(F.col("doc_id") % 256),
+        F.lit("."), s(F.col("doc_id") % 200),
+    )
+    return d.select(
+        "doc_id",
+        count_pii(pii_text).alias("n_pii"),
+        F.substring(
+            redact_pii(pii_text), F.length("text") + 2, 1 << 30
+        ).alias("redacted_tail"),
+    )
+
+
+@register(
+    "doc_select_token_budget",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS n_tokens,
+               CAST(floor(length(text) * 1000.0 /
+                    (length(text) - length(replace(text, ' ', '')) + 1))
+                    AS BIGINT) AS score_milli
+        FROM documents
+    ),
+    b AS (SELECT CAST(floor(sum(n_tokens) * 0.4) AS BIGINT) AS budget FROM d),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   ORDER BY score_milli DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+        FROM d
+    )
+    SELECT doc_id, n_tokens, cum_tokens FROM c, b WHERE cum_tokens <= budget
+    """,
+    doc="Token-budget corpus selection: rank documents by a quality score "
+    "(mean token length in exact integer milli-units) and keep the best "
+    "prefix whose cumulative token count fits 40% of the corpus. The "
+    "oracle's global running sum is the semantics; the Spark plan is the "
+    "SCALE form — a distributed prefix sum: per-band (score value) token "
+    "totals, a triangular band-level self-join for each band's exclusive "
+    "offset (bands are bounded: scores are quantized to 1e-3, so the "
+    "band relation is tiny and fully distributed — no driver collect, no "
+    "single-partition window), then one band-partitioned window adds the "
+    "in-band running sum. The corpus-wide budget scalar rides the same "
+    "eager checkpoint (operators/scalars.py), so the documents scan "
+    "happens exactly once.",
+)
+def doc_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scalars import checkpoint_with_scalar
+
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    docs = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.floor(F.length("text") * 1000.0 / n_tokens).cast("long").alias(
+            "score_milli"
+        ),
+    )
+    cp, tot = checkpoint_with_scalar(docs, F.sum("n_tokens").alias("tot"))
+    bands = cp.groupBy("score_milli").agg(
+        F.sum("n_tokens").alias("band_tokens")
+    )
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    offsets = (
+        b1.join(b2, F.col("b2.score_milli") > F.col("b1.score_milli"), "left")
+        .groupBy(F.col("b1.score_milli").alias("score_milli"))
+        .agg(
+            F.coalesce(F.sum("b2.band_tokens"), F.lit(0))
+            .cast("long")
+            .alias("band_offset")
+        )
+    )
+    w = (
+        Window.partitionBy("score_milli")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cp.withColumn("cum_in_band", F.sum("n_tokens").over(w))
+        .join(F.broadcast(offsets), "score_milli")
+        .crossJoin(tot)
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("band_offset") + F.col("cum_in_band"))
+            .cast("long")
+            .alias("cum_tokens"),
+            F.floor(F.col("tot") * 0.4).cast("long").alias("budget"),
+        )
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "n_tokens", "cum_tokens")
+    )
+
+
+@register(
+    "doc_dsir_importance",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    lm AS (
+        SELECT term, count(*) AS c_r,
+               CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_t
+        FROM toks GROUP BY term
+    ),
+    consts AS (
+        SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+               CAST(sum(c_t) AS BIGINT) AS n_t,
+               count(*) AS v
+        FROM lm
+    ),
+    ratio AS (
+        SELECT term,
+               CAST(floor(ln(((c_t + 1.0) * (n_r + v)) /
+                             ((c_r + 1.0) * (n_t + v)))
+                          * 1000000.0 + 0.5) AS BIGINT) AS lr_micro
+        FROM lm, consts
+    )
+    SELECT t.doc_id, count(*) AS n_toks,
+           CAST(sum(r.lr_micro) AS BIGINT) AS dsir_weight_micro
+    FROM toks t JOIN ratio r USING (term)
+    GROUP BY t.doc_id
+    """,
+    doc="DSIR-style importance weight (Xie et al. 2023, Data Selection via "
+    "Importance Resampling): per-document log-likelihood ratio of a "
+    "target-domain unigram LM (docs from source 'src0') vs the raw-corpus "
+    "LM, add-1 smoothed over the shared vocabulary. ONE token aggregate "
+    "builds both LMs (the target count is a conditional sum in the same "
+    "groupBy); the three normalizer scalars ride an eager checkpoint of "
+    "that vocab relation, never a single-partition window. Per-token log "
+    "ratios are half-up-rounded to BIGINT micro-units BEFORE the per-doc "
+    "sum so the total is an order-independent integer sum (the "
+    "doc_mix_weights lesson: never hash a float accumulation). Scale "
+    "shape: vocab is O(unique tokens) and broadcasts back onto the token "
+    "stream; the only corpus-sized exchanges are the term groupBy and the "
+    "doc_id groupBy.",
+)
+def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scalars import checkpoint_with_scalar
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    lm = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c_t"),
+    )
+    cp, consts = checkpoint_with_scalar(
+        lm,
+        F.sum("c_r").alias("n_r"),
+        F.sum("c_t").alias("n_t"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    ratio = cp.crossJoin(consts).select(
+        "term",
+        F.floor(
+            F.log(
+                ((F.col("c_t") + 1.0) * (F.col("n_r") + F.col("v")))
+                / ((F.col("c_r") + 1.0) * (F.col("n_t") + F.col("v")))
+            )
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    return (
+        toks.join(F.broadcast(ratio), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("lr_micro").cast("long").alias("dsir_weight_micro"),
+        )
+    )

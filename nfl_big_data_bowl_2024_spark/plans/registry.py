@@ -46,13 +46,14 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # domain/LLM-pipeline half (46 green / 1 float-flake, fixed). Round 4 closes
 # the LAST evidence gap: the window now leads with every query that has
 # NEVER had a driver correctness row in any round (26 carried over from the
-# round-3 audit + the nine new round-4 registrations: the YAP closed-form
+# round-3 audit + the twelve new round-4 registrations: the YAP closed-form
 # operating point, the image/video/resize/audio decode paths, the
 # tumbling-window and at-least-once-dedup streaming queries, the 3-round
-# BPE merge trainer and the curation funnel), then the queries whose code
+# BPE merge trainer, the curation funnel, the PII scrub, the token-budget
+# selection prefix-sum and the DSIR importance weights), then the queries whose code
 # changed this round and need fresh rows (doc_mix_weights' exact-integer
 # denominator fix; the two dedup-clustering queries now riding the banded-LSH
-# edge source), then 12 re-confirmation slots spanning every capability
+# edge source), then 9 re-confirmation slots spanning every capability
 # family (domain kernels, streaming, dedup/similarity/clustering operating
 # points, text pipeline). Everything displaced is driver-green from
 # rounds 2-3 with unchanged code and stays locally verified via
@@ -103,6 +104,9 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_dedup_frames",
     "txt_bpe_train",
     "pipeline_curation_funnel",
+    "txt_pii_redact",
+    "doc_select_token_budget",
+    "doc_dsir_importance",
     # --- changed this round: need fresh rows
     "doc_mix_weights",
     "dedup_cluster_assign",

@@ -190,3 +190,65 @@ def test_schema_evolution_merge(spark, tmp_path):
     rows = {r.id: (r.v, r.score) for r in got.collect()}
     assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
     assert got.filter(F.col("score").isNull()).count() == 2
+
+
+def test_redact_pii_replaces_and_counts_in_order(spark):
+    """Email must be consumed before IP/phone so digits in a local-part
+    are never double-counted; clean text passes through untouched."""
+    from pyspark.sql import functions as F
+
+    from nfl_big_data_bowl_2024_spark.functions.text import count_pii, redact_pii
+
+    rows = [
+        ("write 555-1234@mail.example.org today",),  # email eats the phone-shaped local part
+        ("server 192.168.1.10 then call 555-0199",),
+        ("no pii here at all",),
+        ("a@b.io and c@d.io twice",),
+    ]
+    df = spark.createDataFrame(rows, "t string").select(
+        F.col("t"),
+        redact_pii(F.col("t")).alias("clean"),
+        count_pii(F.col("t")).alias("n"),
+    )
+    got = {r.t: (r.clean, r.n) for r in df.collect()}
+    assert got["write 555-1234@mail.example.org today"] == (
+        "write <EMAIL> today",
+        1,
+    )
+    assert got["server 192.168.1.10 then call 555-0199"] == (
+        "server <IP> then call <PHONE>",
+        2,
+    )
+    assert got["no pii here at all"] == ("no pii here at all", 0)
+    assert got["a@b.io and c@d.io twice"] == ("<EMAIL> and <EMAIL> twice", 2)
+
+
+def test_pii_redact_query_is_map_only(spark):
+    """The registered PII scrub must stay a pure projection over the scan:
+    zero exchanges, zero Python workers — the property that lets it
+    compose into the curation funnel for free at 100 TB."""
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+
+    df = all_queries()["txt_pii_redact"].fn(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_budget_prefix_sum_is_consistent(spark):
+    """The distributed band-offset + in-band window stitching must produce
+    one contiguous running sum: sorted by cum_tokens, every row's cum is
+    the previous cum plus its own n_tokens (checked independently of the
+    DuckDB oracle)."""
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+
+    rows = (
+        all_queries()["doc_select_token_budget"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert rows
+    prev = 0
+    for r in sorted(rows, key=lambda r: r.cum_tokens):
+        assert r.cum_tokens == prev + r.n_tokens
+        prev = r.cum_tokens
