@@ -82,6 +82,7 @@ HEADLINE = [
     "txt_pii_redact",
     "doc_select_token_budget",
     "doc_dsir_importance",
+    "txt_heavy_hitters",
 ]
 
 # Queries that showed multi-second shared-box spikes in past driver runs

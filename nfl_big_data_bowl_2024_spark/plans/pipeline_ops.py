@@ -3488,3 +3488,54 @@ def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lr_micro").cast("long").alias("dsir_weight_micro"),
         )
     )
+
+
+@register(
+    "txt_heavy_hitters",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tot AS (SELECT count(*) AS n_total FROM toks)
+    SELECT term, count(*) AS n
+    FROM toks, tot
+    GROUP BY term, n_total
+    HAVING count(*) * 50 >= n_total
+    """,
+    doc="Exact heavy hitters (terms holding >= 2% of all tokens) via the "
+    "2-pass Misra-Gries pattern (operators/sketches.py): per-partition "
+    "k=256-counter MG summaries produce a bounded candidate relation "
+    "(any term above N/256 globally is guaranteed in it, and the 2% "
+    "threshold is far above that), then the candidates broadcast back "
+    "onto the token stream for an EXACT count + integer threshold "
+    "(n * 50 >= N, no floats anywhere). The oracle is a plain GROUP "
+    "BY/HAVING: the sketch only bounds the candidate set, never the "
+    "answer. At 100 TB the full vocabulary (billions of rare terms) "
+    "never enters an exchange — only candidate tokens shuffle; the "
+    "total-token scalar comes from a doc-level length aggregate on a "
+    "separate cheap scan, not from the exploded stream.",
+)
+def txt_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import misra_gries_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("term"))
+    cands = (
+        misra_gries_candidates(toks, "term", k=256)
+        .select("term")
+        .distinct()
+    )
+    n_tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    total = F.broadcast(d.agg(F.sum(n_tokens).alias("n_total")))
+    return (
+        toks.join(F.broadcast(cands), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(total)
+        .filter(F.col("n") * 50 >= F.col("n_total"))
+        .select("term", "n")
+    )

@@ -50,10 +50,11 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # operating point, the image/video/resize/audio decode paths, the
 # tumbling-window and at-least-once-dedup streaming queries, the 3-round
 # BPE merge trainer, the curation funnel, the PII scrub, the token-budget
-# selection prefix-sum and the DSIR importance weights), then the queries whose code
+# selection prefix-sum, the DSIR importance weights and the Misra-Gries
+# exact heavy-hitters), then the queries whose code
 # changed this round and need fresh rows (doc_mix_weights' exact-integer
 # denominator fix; the two dedup-clustering queries now riding the banded-LSH
-# edge source), then 9 re-confirmation slots spanning every capability
+# edge source), then 8 re-confirmation slots spanning every capability
 # family (domain kernels, streaming, dedup/similarity/clustering operating
 # points, text pipeline). Everything displaced is driver-green from
 # rounds 2-3 with unchanged code and stays locally verified via
@@ -107,6 +108,7 @@ _DRIVER_PRIORITY: list[str] = [
     "txt_pii_redact",
     "doc_select_token_budget",
     "doc_dsir_importance",
+    "txt_heavy_hitters",
     # --- changed this round: need fresh rows
     "doc_mix_weights",
     "dedup_cluster_assign",

@@ -1,0 +1,61 @@
+"""Misra-Gries heavy-hitter candidates: superset guarantee and exactness
+of the 2-pass pattern when the vocabulary is far larger than k."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nfl_big_data_bowl_2024_spark.operators.sketches import misra_gries_candidates
+
+
+def _skewed_terms(spark):
+    """60k tokens: 5 hot terms (~9% each) + 10k-term rare tail, shuffled
+    across 8 partitions so each partition sees a mix."""
+    return (
+        spark.range(0, 60_000, 1, 8)
+        .select(
+            F.when(F.col("id") % 11 < 3, F.concat(F.lit("hot"), (F.col("id") % 5).cast("string")))
+            .otherwise(F.concat(F.lit("rare"), (F.col("id") % 10_000).cast("string")))
+            .alias("term")
+        )
+    )
+
+
+def test_mg_candidates_contain_every_true_heavy_hitter(spark):
+    toks = _skewed_terms(spark)
+    k = 64
+    total = toks.count()
+    exact = {
+        r["term"]
+        for r in toks.groupBy("term").count().filter(F.col("count") > total / k).collect()
+    }
+    cands = {r["term"] for r in misra_gries_candidates(toks, "term", k=k).collect()}
+    assert exact, "fixture must actually have heavy hitters"
+    assert exact <= cands
+    # the candidate relation is bounded: at most k rows per partition
+    assert len(cands) <= k * 8
+
+
+def test_two_pass_heavy_hitters_equal_direct_groupby(spark):
+    """The full registered shape (candidates -> broadcast -> exact count ->
+    integer threshold) must equal the direct groupBy answer on data whose
+    vocab (10k) dwarfs the sketch size (k=256)."""
+    toks = _skewed_terms(spark)
+    total = toks.count()
+    cands = misra_gries_candidates(toks, "term", k=256).select("term").distinct()
+    got = {
+        (r["term"], r["n"])
+        for r in toks.join(F.broadcast(cands), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * 50 >= total)
+        .collect()
+    }
+    want = {
+        (r["term"], r["count"])
+        for r in toks.groupBy("term")
+        .count()
+        .filter(F.col("count") * 50 >= total)
+        .collect()
+    }
+    assert got == want and got
