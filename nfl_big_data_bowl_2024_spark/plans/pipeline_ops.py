@@ -2390,12 +2390,18 @@ def evt_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     model AS (
         SELECT term, count(*) AS n FROM toks GROUP BY term
     ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM model),
     model_p AS (
-        SELECT term, -log2(n * 1.0 / sum(n) OVER ()) AS surprisal FROM model
+        SELECT term,
+               CAST(floor(-log2(n * 1.0 / tot) * 1000000 + 0.5) AS BIGINT)
+                   AS surprisal_micro
+        FROM model, tot
     )
     SELECT t.doc_id, count(*) AS n_toks,
-           floor(avg(m.surprisal) * 10000 + 0.5) / 10000 AS mean_surprisal,
-           floor(max(m.surprisal) * 10000 + 0.5) / 10000 AS max_surprisal
+           floor(CAST(sum(m.surprisal_micro) AS BIGINT)
+                 / (count(*) * 100.0) + 0.5) / 10000 AS mean_surprisal,
+           floor(max(m.surprisal_micro) / 100.0 + 0.5) / 10000
+               AS max_surprisal
     FROM toks t JOIN model_p m USING (term)
     GROUP BY t.doc_id
     """,
@@ -2421,19 +2427,35 @@ def txt_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.groupBy("term").agg(F.count(F.lit(1)).alias("n")),
         F.sum("n").alias("tot"),
     )
+    # Per-term surprisal is rounded to BIGINT micro-units BEFORE the
+    # per-doc aggregation, so the mean comes from an order-independent
+    # integer sum (the r3 doc_mix_weights lesson: a float avg's
+    # accumulation order differs across partitionings and engines, and a
+    # floor at the 1e-4 boundary can flip on a ~ulp difference).
     model_p = model.crossJoin(total).select(
         "term",
-        (-F.log2(F.col("n") * 1.0 / F.col("tot"))).alias("surprisal"),
+        F.floor(-F.log2(F.col("n") * 1.0 / F.col("tot")) * 1000000 + 0.5)
+        .cast("long")
+        .alias("surprisal_micro"),
     )
     return (
         toks.join(F.broadcast(model_p), "term")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_toks"),
-            (F.floor(F.avg("surprisal") * 10000 + 0.5) / 10000).alias(
-                "mean_surprisal"
-            ),
-            (F.floor(F.max("surprisal") * 10000 + 0.5) / 10000).alias(
+            F.sum("surprisal_micro").alias("sum_micro"),
+            F.max("surprisal_micro").alias("max_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            (
+                F.floor(
+                    F.col("sum_micro") / (F.col("n_toks") * 100.0) + 0.5
+                )
+                / 10000
+            ).alias("mean_surprisal"),
+            (F.floor(F.col("max_micro") / 100.0 + 0.5) / 10000).alias(
                 "max_surprisal"
             ),
         )
@@ -2513,11 +2535,15 @@ def txt_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH scored AS (
         SELECT doc_id,
-               length(text) * 1.0 / len(string_split(text, ' ')) AS score
+               CAST(floor(length(text) * 1000.0 /
+                    len(string_split(text, ' '))) AS BIGINT) AS s
         FROM documents
     ),
     stats AS (
-        SELECT avg(score) AS mu, stddev(score) AS sigma FROM scored
+        SELECT count(*) AS n,
+               CAST(sum(s) AS BIGINT) AS s1,
+               CAST(sum(s * s) AS BIGINT) AS s2
+        FROM scored
     )
     SELECT doc_id, z,
            CASE WHEN z < -1.0 THEN 'head'
@@ -2525,15 +2551,19 @@ def txt_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'middle' END AS bucket
     FROM (
         SELECT doc_id,
-               floor((score - mu) / sigma * 10000 + 0.5) / 10000 AS z
+               floor((s - s1 * 1.0 / n) /
+                     sqrt((s2 - s1 * 1.0 * s1 / n) / (n - 1.0))
+                     * 10000 + 0.5) / 10000 AS z
         FROM scored, stats
     )
     """,
     doc="Corpus-relative quality bucketing (the CCNet head/middle/tail "
-    "cut): score each document (mean token length — exact integer ratio, "
-    "so both engines agree bit-for-bit), compute the corpus mean/stddev "
-    "in one distributed scalar aggregate, broadcast that single row back, "
-    "and bucket every document by z-score. Two source scans by design: "
+    "cut): score each document (mean token length in exact integer "
+    "milli-units), compute the corpus moments (n, sum, sum-of-squares) as "
+    "EXACT integer sums in one distributed scalar aggregate — so mu/sigma "
+    "and every z are bit-identical across partitionings and engines, "
+    "never a summation-order-dependent float accumulation — broadcast "
+    "that single row back, and bucket every document by z-score. Two source scans by design: "
     "re-scanning the SOURCE table is the cheap branch of the "
     "single-subtree rule (the stats subtree is scan+agg, nothing "
     "expensive to re-derive), and the per-doc pass stays map-only — "
@@ -2542,17 +2572,26 @@ def txt_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_quality_zscore_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    scored = d.select("doc_id", _mean_token_len().alias("score"))
+    # Integer milli-unit score -> the corpus moments (n, S1, S2) are EXACT
+    # integer sums, so mu/sigma — and therefore every z and bucket — are
+    # bit-identical regardless of partitioning or engine. The r3
+    # doc_mix_weights lesson applied: never round a float ACCUMULATION;
+    # accumulate integers and derive the float once, deterministically.
+    s_int = F.floor(
+        F.length("text") * 1000.0 / F.size(F.split("text", " "))
+    ).cast("long")
+    scored = d.select("doc_id", s_int.alias("s"))
     stats = scored.agg(
-        F.avg("score").alias("mu"), F.stddev("score").alias("sigma")
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("s1"),
+        F.sum(F.col("s") * F.col("s")).alias("s2"),
     )
-    # Buckets derive from the 4-dp-ROUNDED z, not the raw double: mu/sigma
-    # are summation-order-dependent, so cutting on raw z would let low-bit
-    # engine differences flip a boundary doc's bucket.
-    z4 = (
-        F.floor((F.col("score") - F.col("mu")) / F.col("sigma") * 10000 + 0.5)
-        / 10000
+    mu = F.col("s1") * 1.0 / F.col("n")
+    sigma = F.sqrt(
+        (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1.0)
     )
+    z4 = F.floor((F.col("s") - mu) / sigma * 10000 + 0.5) / 10000
     return (
         scored.crossJoin(F.broadcast(stats))
         .select("doc_id", z4.alias("z"))
@@ -3080,15 +3119,24 @@ def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "evt_user_zscore_outliers",
     """
-    WITH stats AS (
-        SELECT user_id, avg(value) AS mu, stddev(value) AS sigma
-        FROM events GROUP BY user_id
+    WITH ev AS (
+        SELECT event_id, user_id,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id, count(*) AS n,
+               CAST(sum(c) AS BIGINT) AS s1,
+               CAST(sum(c * c) AS BIGINT) AS s2
+        FROM ev GROUP BY user_id
     ),
     z AS (
         SELECT e.event_id, e.user_id,
-               floor((e.value - s.mu) / s.sigma * 10000 + 0.5) / 10000 AS z
-        FROM events e JOIN stats s USING (user_id)
-        WHERE s.sigma > 0
+               floor((e.c - s.s1 * 1.0 / s.n) /
+                     sqrt((s.s2 - s.s1 * 1.0 * s.s1 / s.n) / (s.n - 1.0))
+                     * 10000 + 0.5) / 10000 AS z
+        FROM ev e JOIN stats s USING (user_id)
+        WHERE s.n > 1 AND s.s2 * s.n > s.s1 * s.s1
     )
     SELECT event_id, user_id, z FROM z WHERE abs(z) > 3.0
     """,
@@ -3099,21 +3147,41 @@ def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate to the |users|-row stats relation, one equi-join back on "
     "the same user_id key (both sides hash-partition on user_id, so the "
     "stats attach rides the aggregate's own exchange layout; at dim-"
-    "scale AQE broadcasts the stats side instead). Outlier cut runs on "
-    "the 4-dp-ROUNDED z — the doc_quality_zscore_bucket boundary rule. "
-    "Single-event users drop out naturally (sample stddev is NULL).",
+    "scale AQE broadcasts the stats side instead). Values are lossless "
+    "integer cents, so the per-user moments are exact integer sums and "
+    "every z is bit-identical across partitionings/engines; the outlier "
+    "cut runs on the 4-dp-rounded z and the sigma>0 guard is the exact "
+    "integer condition s2*n > s1*s1. Single-event users drop via n > 1.",
 )
 def evt_user_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    stats = ev.groupBy("user_id").agg(
-        F.avg("value").alias("mu"), F.stddev("value").alias("sigma")
+    # Event values are 2-decimal data: half-up rounding to integer cents is
+    # lossless, and the per-user moments (n, S1, S2) become EXACT integer
+    # sums — mu/sigma and every z are then bit-identical across
+    # partitionings and engines. The sigma>0 guard is likewise the exact
+    # integer condition s2*n > s1*s1 (sample variance > 0), never a float
+    # comparison.
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("c"),
     )
-    z4 = F.floor(
-        (F.col("value") - F.col("mu")) / F.col("sigma") * 10000 + 0.5
-    ) / 10000
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    mu = F.col("s1") * 1.0 / F.col("n")
+    sigma = F.sqrt(
+        (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1.0)
+    )
+    z4 = F.floor((F.col("c") - mu) / sigma * 10000 + 0.5) / 10000
     return (
         ev.join(stats, "user_id")
-        .filter(F.col("sigma") > 0)
+        .filter(
+            (F.col("n") > 1)
+            & (F.col("s2") * F.col("n") > F.col("s1") * F.col("s1"))
+        )
         .select("event_id", "user_id", z4.alias("z"))
         .filter(F.abs(F.col("z")) > 3.0)
     )
