@@ -2343,12 +2343,15 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evt_rolling_24h",
     """
     WITH e AS (
-      SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+      FROM events
     )
     SELECT event_id, user_id, ts_us,
            count(*) OVER w AS n_24h,
-           floor(sum(value) OVER w * 100 + 0.5) / 100 AS sum_24h,
-           floor(avg(value) OVER w * 10000 + 0.5) / 10000 AS avg_24h
+           CAST(sum(c) OVER w AS BIGINT) / 100.0 AS sum_24h,
+           floor(CAST(sum(c) OVER w AS BIGINT) * 100.0
+                 / count(*) OVER w + 0.5) / 10000 AS avg_24h
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
                  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
@@ -2359,25 +2362,33 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rowsBetween cannot express). One shuffle on user_id + one sort; "
     "Spark's range-frame executor buffers only the current frame span per "
     "partition, so memory is bounded by events-per-24h, not by user "
-    "history. Epoch-us arithmetic keeps the frame bound and the hash "
-    "engine-exact.",
+    "history. Epoch-us frame bounds and lossless integer-cent sums keep "
+    "every emitted value engine-exact (the frames are float-free).",
 )
 def evt_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lossless integer cents make the frame sums exact, so the rolling
+    # aggregates cannot drift with the engines' different sliding-frame
+    # accumulation strategies (incremental add/remove vs segment tree).
     ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("c"),
     )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts_us")
         .rangeBetween(-86_400_000_000, Window.currentRow)
     )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("c").over(w)
     return ev.select(
         "event_id",
         "user_id",
         "ts_us",
-        F.count(F.lit(1)).over(w).alias("n_24h"),
-        (F.floor(F.sum("value").over(w) * 100 + 0.5) / 100).alias("sum_24h"),
-        (F.floor(F.avg("value").over(w) * 10000 + 0.5) / 10000).alias("avg_24h"),
+        n.alias("n_24h"),
+        (s / 100.0).alias("sum_24h"),
+        (F.floor(s * 100.0 / n + 0.5) / 10000).alias("avg_24h"),
     )
 
 
