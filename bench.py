@@ -77,6 +77,7 @@ HEADLINE = [
     "mm_resize_features",
     "mm_audio_features",
     "txt_bpe_train",
+    "txt_bpe_encode",
     "stream_session_stats",
     "stream_window_stats",
     "txt_pii_redact",

@@ -1328,6 +1328,52 @@ _BPE_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
 _BPE_SENT = ["\x01", "\x02", "\x03"]
 
 
+def _bpe_train_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, str, int]]:
+    """Run the 3 BPE merge rounds and return ``[(packed_pair, sentinel,
+    count), ...]`` in train order. The merge table is the driver-held
+    bounded model (3 rows) shared by the trainer output query and the
+    encoder; packed pairs may contain earlier rounds' sentinel chars."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+            ).alias("s")
+        )
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)  # reused by all three rounds
+    )
+    cur = words
+    merges: list[tuple[str, str, int]] = []
+    for r in range(1, 4):
+        pairs = cur.filter(F.length("s") >= 2).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(s) - 1),"
+                    " i -> substring(s, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        sent = _BPE_SENT[r - 1]
+        merges.append((top["pair"], sent, int(top["n"])))
+        cur = cur.select(
+            F.replace(F.col("s"), F.lit(top["pair"]), F.lit(sent)).alias("s"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return merges
+
+
 @register(
     "txt_bpe_train",
     rf"""
@@ -1398,53 +1444,21 @@ _BPE_SENT = ["\x01", "\x02", "\x03"]
     "Scale: the words table is built once (one corpus shuffle) and each "
     "round adds one vocab-sized aggregate + a map-only replace.",
 )
+
 def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    words = (
-        d.select(
-            F.explode(
-                F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
-            ).alias("s")
-        )
-        .groupBy("s")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .localCheckpoint(eager=True)  # reused by all three rounds
-    )
-    cur = words
-    sent_to_pair: dict[str, str] = {}
+    merges = _bpe_train_merges(spark, sf_dir)
+    sent_to_pair = {sent: pair for pair, sent, _ in merges}
     out_rows = []
-    for r in range(1, 4):
-        pairs = cur.filter(F.length("s") >= 2).select(
-            "freq",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(s) - 1),"
-                    " i -> substring(s, i, 2))"
-                )
-            ).alias("pair"),
-        )
-        top = (
-            pairs.groupBy("pair")
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(F.desc("n"), "pair")
-            .limit(1)
-            .collect()[0]
-        )
-        pair, n = top["pair"], top["n"]
-        sent = _BPE_SENT[r - 1]
-        sent_to_pair[sent] = pair
+    for r, (pair, _sent, n) in enumerate(merges, start=1):
 
         def expand(sym: str) -> str:
             # sentinels reference earlier rounds only -> expand newest first
-            for s_ch in reversed(_BPE_SENT[: r]):
+            for s_ch in reversed(_BPE_SENT[:r]):
                 if s_ch in sent_to_pair:
                     sym = sym.replace(s_ch, sent_to_pair[s_ch])
             return sym
 
-        out_rows.append((r, expand(pair[0]), expand(pair[1]), int(n)))
-        cur = cur.select(
-            F.replace(F.col("s"), F.lit(pair), F.lit(sent)).alias("s"), "freq"
-        ).localCheckpoint(eager=True)
+        out_rows.append((r, expand(pair[0]), expand(pair[1]), n))
     return spark.createDataFrame(
         out_rows, "round int, sym_a string, sym_b string, n long"
     )
@@ -3617,4 +3631,98 @@ def txt_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(total)
         .filter(F.col("n") * 50 >= F.col("n_total"))
         .select("term", "n")
+    )
+
+
+@register(
+    "txt_bpe_encode",
+    rf"""
+    WITH words AS (
+        SELECT tok AS s0, count(*) AS freq FROM (
+            SELECT unnest(regexp_extract_all(text, '{_BPE_RE}')) AS tok
+            FROM documents) GROUP BY tok
+    ),
+    p1 AS (
+        SELECT s0[i:i+1] AS pair, CAST(sum(freq) AS BIGINT) AS n
+        FROM words, unnest(generate_series(1, length(s0) - 1)) AS t(i)
+        GROUP BY pair
+    ),
+    m1 AS (SELECT pair FROM p1 ORDER BY n DESC, pair LIMIT 1),
+    w1 AS (SELECT replace(s0, (SELECT pair FROM m1), chr(1)) AS s1, freq
+           FROM words),
+    p2 AS (
+        SELECT s1[i:i+1] AS pair, CAST(sum(freq) AS BIGINT) AS n
+        FROM w1, unnest(generate_series(1, length(s1) - 1)) AS t(i)
+        GROUP BY pair
+    ),
+    m2 AS (SELECT pair FROM p2 ORDER BY n DESC, pair LIMIT 1),
+    w2 AS (SELECT replace(s1, (SELECT pair FROM m2), chr(2)) AS s2, freq
+           FROM w1),
+    p3 AS (
+        SELECT s2[i:i+1] AS pair, CAST(sum(freq) AS BIGINT) AS n
+        FROM w2, unnest(generate_series(1, length(s2) - 1)) AS t(i)
+        GROUP BY pair
+    ),
+    m3 AS (SELECT pair FROM p3 ORDER BY n DESC, pair LIMIT 1),
+    doc_toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '{_BPE_RE}')) AS tok
+        FROM documents
+    ),
+    enc AS (
+        SELECT doc_id, tok,
+               replace(replace(replace(tok,
+                   (SELECT pair FROM m1), chr(1)),
+                   (SELECT pair FROM m2), chr(2)),
+                   (SELECT pair FROM m3), chr(3)) AS e
+        FROM doc_toks
+    )
+    SELECT doc_id,
+           count(*) AS n_bpe_tokens,
+           CAST(sum(length(e)) AS BIGINT) AS n_syms,
+           floor(CAST(sum(length(e)) AS BIGINT) * 1.0
+                 / CAST(sum(length(tok)) AS BIGINT) * 10000 + 0.5) / 10000
+               AS compression
+    FROM enc GROUP BY doc_id
+    """,
+    doc="BPE ENCODER — apply the trained merge table to every document "
+    "(the tokenize-the-corpus pass that follows txt_bpe_train): the 3 "
+    "merges are re-derived by the shared _bpe_train_merges driver-held "
+    "bounded model (3 rows), then encoding is a map-only chain of "
+    "replace(tok, pair_r, sentinel_r) in train order — leftmost-non-"
+    "overlapping replace IS greedy BPE application, identical on both "
+    "engines. Emits per-doc symbol counts and the compression ratio "
+    "(symbols per input char, single float division over exact integer "
+    "sums). Scale: training cost is vocab-sized (see txt_bpe_train); "
+    "encoding is one corpus scan with literal merge strings baked into "
+    "the projection — zero Python, zero joins, one doc_id aggregate.",
+)
+def txt_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _bpe_train_merges(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+        ).alias("tok"),
+    )
+    enc = F.col("tok")
+    for pair, sent, _n in merges:
+        enc = F.replace(enc, F.lit(pair), F.lit(sent))
+    return (
+        toks.withColumn("e", enc)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bpe_tokens"),
+            F.sum(F.length("e")).cast("long").alias("n_syms"),
+            (
+                F.floor(
+                    F.sum(F.length("e")).cast("long")
+                    * 1.0
+                    / F.sum(F.length("tok")).cast("long")
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("compression"),
+        )
     )
