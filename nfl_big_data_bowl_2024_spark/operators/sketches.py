@@ -31,13 +31,14 @@ from pyspark.sql import DataFrame
 def misra_gries_candidates(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     """Per-partition Misra-Gries heavy-hitter candidates.
 
-    Returns a bounded relation ``(term, lb)`` with at most ``k`` rows per
-    input partition; ``lb`` is the MG counter (a lower bound on the
-    partition-local count, undercounting by at most N_p/k). Batches are
-    folded in vectorized: each Arrow batch's exact value_counts is merged
-    into the running summary, then the summary is pruned back to ``k``
-    counters by subtracting the (k+1)-th largest value (the standard MG
-    merge, which preserves the error bound).
+    Returns a bounded relation ``(<col>, lb)`` — the output keeps the
+    input column's name — with at most ``k`` rows per input partition;
+    ``lb`` is the MG counter (a lower bound on the partition-local count,
+    undercounting by at most N_p/k). Batches are folded in vectorized:
+    each Arrow batch's exact value_counts is merged into the running
+    summary, then the summary is pruned back to ``k`` counters by
+    subtracting the (k+1)-th largest value (the standard MG merge, which
+    preserves the error bound).
     """
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -52,9 +53,7 @@ def misra_gries_candidates(df: DataFrame, col: str, k: int = 256) -> DataFrame:
                 }
         if counters:
             yield pd.DataFrame(
-                {"term": list(counters.keys()), "lb": list(counters.values())}
+                {col: list(counters.keys()), "lb": list(counters.values())}
             )
 
-    return df.select(df[col].alias(col)).mapInPandas(
-        mg, schema="term string, lb long"
-    )
+    return df.select(col).mapInPandas(mg, schema=f"{col} string, lb long")

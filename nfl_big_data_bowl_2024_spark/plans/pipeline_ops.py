@@ -38,6 +38,19 @@ def _content_fingerprint():
     return F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
 
 
+def _n_ws_tokens():
+    """Whitespace token count via the space-count identity (spaces + 1) —
+    the oracle-side form is ``length(text) - length(replace(text,' ','')) +
+    1``. Shared by every query that pairs a token count with that SQL
+    shape; equals ``size(split(text,' '))`` on this corpus (no
+    leading/trailing/double spaces)."""
+    return (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+
+
 def _mean_token_len():
     """Per-doc quality score: mean token length — an exact integer ratio,
     so Spark and DuckDB agree bit-for-bit. Shared by the z-score bucketer
@@ -1367,10 +1380,13 @@ def _bpe_train_merges(
         )
         sent = _BPE_SENT[r - 1]
         merges.append((top["pair"], sent, int(top["n"])))
-        cur = cur.select(
-            F.replace(F.col("s"), F.lit(top["pair"]), F.lit(sent)).alias("s"),
-            "freq",
-        ).localCheckpoint(eager=True)
+        if r < 3:  # the final round's replaced vocab is never read
+            cur = cur.select(
+                F.replace(
+                    F.col("s"), F.lit(top["pair"]), F.lit(sent)
+                ).alias("s"),
+                "freq",
+            ).localCheckpoint(eager=True)
     return merges
 
 
@@ -2602,6 +2618,9 @@ def doc_quality_zscore_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-identical regardless of partitioning or engine. The r3
     # doc_mix_weights lesson applied: never round a float ACCUMULATION;
     # accumulate integers and derive the float once, deterministically.
+    # Bounds: s ~ 5e3 milli-units -> s^2 ~ 2.5e7, so S2 stays inside
+    # BIGINT up to ~1e11 documents; past that, combine per-shard moments
+    # as decimals.
     s_int = F.floor(
         F.length("text") * 1000.0 / F.size(F.split("text", " "))
     ).cast("long")
@@ -3152,7 +3171,8 @@ def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
         SELECT user_id, count(*) AS n,
                CAST(sum(c) AS BIGINT) AS s1,
-               CAST(sum(c * c) AS BIGINT) AS s2
+               CAST(sum(c * c) AS BIGINT) AS s2,
+               min(c) AS mn, max(c) AS mx
         FROM ev GROUP BY user_id
     ),
     z AS (
@@ -3161,7 +3181,7 @@ def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                      sqrt((s.s2 - s.s1 * 1.0 * s.s1 / s.n) / (s.n - 1.0))
                      * 10000 + 0.5) / 10000 AS z
         FROM ev e JOIN stats s USING (user_id)
-        WHERE s.n > 1 AND s.s2 * s.n > s.s1 * s.s1
+        WHERE s.n > 1 AND s.mn < s.mx
     )
     SELECT event_id, user_id, z FROM z WHERE abs(z) > 3.0
     """,
@@ -3175,16 +3195,20 @@ def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scale AQE broadcasts the stats side instead). Values are lossless "
     "integer cents, so the per-user moments are exact integer sums and "
     "every z is bit-identical across partitionings/engines; the outlier "
-    "cut runs on the 4-dp-rounded z and the sigma>0 guard is the exact "
-    "integer condition s2*n > s1*s1. Single-event users drop via n > 1.",
+    "cut runs on the 4-dp-rounded z and the sigma>0 guard is the exact, "
+    "overflow-free condition min(c) < max(c). Single-event users drop "
+    "via n > 1.",
 )
 def evt_user_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Event values are 2-decimal data: half-up rounding to integer cents is
     # lossless, and the per-user moments (n, S1, S2) become EXACT integer
     # sums — mu/sigma and every z are then bit-identical across
-    # partitionings and engines. The sigma>0 guard is likewise the exact
-    # integer condition s2*n > s1*s1 (sample variance > 0), never a float
-    # comparison.
+    # partitionings and engines. The sigma>0 guard is min(c) < max(c) —
+    # exactly equivalent to sample variance > 0 and overflow-free (the
+    # naive s2*n > s1*s1 product would exceed BIGINT around 1e9 events
+    # per user at ~$100 values). S2 itself is exact up to ~1e9 such
+    # events per user (c^2 ~ 1e8 -> s2 ~ 1e17 < 2^63); past that, shard
+    # the user's moments and combine as decimals.
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -3194,6 +3218,8 @@ def evt_user_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("s1"),
         F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.min("c").alias("mn"),
+        F.max("c").alias("mx"),
     )
     mu = F.col("s1") * 1.0 / F.col("n")
     sigma = F.sqrt(
@@ -3203,10 +3229,7 @@ def evt_user_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     z4 = F.floor((F.col("c") - mu) / sigma * 10000 + 0.5) / 10000
     return (
         ev.join(stats, "user_id")
-        .filter(
-            (F.col("n") > 1)
-            & (F.col("s2") * F.col("n") > F.col("s1") * F.col("s1"))
-        )
+        .filter((F.col("n") > 1) & (F.col("mn") < F.col("mx")))
         .select("event_id", "user_id", z4.alias("z"))
         .filter(F.abs(F.col("z")) > 3.0)
     )
@@ -3343,9 +3366,19 @@ def dq_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# The oracle interpolates the SAME pattern/token table the Spark side uses
+# (functions/text.py PII_PATTERNS) — the single source of truth, so a
+# pattern tweak cannot silently drift the query from its oracle.
+from ..functions.text import PII_PATTERNS as _PII_PATTERNS
+
+(_PII_EMAIL, _PII_EMAIL_TOK), (_PII_IP, _PII_IP_TOK), (_PII_PHONE, _PII_PHONE_TOK) = (
+    _PII_PATTERNS
+)
+
+
 @register(
     "txt_pii_redact",
-    """
+    f"""
     WITH aug AS (
         SELECT doc_id, text,
                text || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -3358,22 +3391,22 @@ def dq_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps AS (
         SELECT doc_id, text, pii_text,
                regexp_replace(pii_text,
-                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g') AS r1
+                   '{_PII_EMAIL}', '{_PII_EMAIL_TOK}', 'g') AS r1
         FROM aug
     ),
     steps2 AS (
         SELECT doc_id, text, pii_text, r1,
                regexp_replace(r1,
-                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS r2
+                   '{_PII_IP}', '{_PII_IP_TOK}', 'g') AS r2
         FROM steps
     )
     SELECT doc_id,
            CAST(len(regexp_extract_all(pii_text,
-                    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+                    '{_PII_EMAIL}'))
               + len(regexp_extract_all(r1,
-                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
-              + len(regexp_extract_all(r2, '\\b\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_pii,
-           substr(regexp_replace(r2, '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+                    '{_PII_IP}'))
+              + len(regexp_extract_all(r2, '{_PII_PHONE}')) AS BIGINT) AS n_pii,
+           substr(regexp_replace(r2, '{_PII_PHONE}', '{_PII_PHONE_TOK}', 'g'),
                   length(text) + 2) AS redacted_tail
     FROM steps2
     """,
@@ -3384,8 +3417,8 @@ def dq_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no organic PII, so the query plants a deterministic doc_id-derived "
     "email/IP/phone per document and proves all three are found and "
     "replaced. Patterns stay in the RE2<->Java-regex common subset so the "
-    "oracle mirrors the chain literally (change functions/text.py and "
-    "this SQL together). Zero exchanges, zero Python: whole-stage codegen "
+    "oracle interpolates functions/text.py PII_PATTERNS directly — one "
+    "source of truth, no hand-copied regex to drift. Zero exchanges, zero Python: whole-stage codegen "
     "keeps the scrub inside the scan projection at 100 TB.",
 )
 def txt_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3450,11 +3483,7 @@ def doc_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.scalars import checkpoint_with_scalar
 
     d = _t(spark, sf_dir, "documents")
-    n_tokens = (
-        F.length("text")
-        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-        + 1
-    ).cast("long")
+    n_tokens = _n_ws_tokens().cast("long")
     docs = d.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -3618,11 +3647,7 @@ def txt_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term")
         .distinct()
     )
-    n_tokens = (
-        F.length("text")
-        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-        + 1
-    ).cast("long")
+    n_tokens = _n_ws_tokens().cast("long")
     total = F.broadcast(d.agg(F.sum(n_tokens).alias("n_total")))
     return (
         toks.join(F.broadcast(cands), "term")

@@ -46,7 +46,7 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # domain/LLM-pipeline half (46 green / 1 float-flake, fixed). Round 4 closes
 # the LAST evidence gap: the window now leads with every query that has
 # NEVER had a driver correctness row in any round (26 carried over from the
-# round-3 audit + the twelve new round-4 registrations: the YAP closed-form
+# round-3 audit + the fourteen new round-4 registrations: the YAP closed-form
 # operating point, the image/video/resize/audio decode paths, the
 # tumbling-window and at-least-once-dedup streaming queries, the 3-round
 # BPE merge trainer, the curation funnel, the PII scrub, the token-budget

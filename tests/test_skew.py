@@ -85,7 +85,7 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
         # (a constant pad would LZ4 away and dodge the size threshold)
         pad = F.sha2(F.col("id").cast("string"), 256)
         left = spark.range(60_000).select(
-            F.when(F.col("id") % 100 == 0, F.col("id") % 50)
+            F.when(F.col("id") % 100 == 0, (F.col("id") / 100).cast("long") % 50)
             .otherwise(F.lit(999))
             .alias("k"),
             pad.alias("pad_l"),
