@@ -83,6 +83,7 @@ HEADLINE = [
     "txt_pii_redact",
     "doc_select_token_budget",
     "doc_dsir_importance",
+    "doc_dsir_select",
     "txt_heavy_hitters",
 ]
 

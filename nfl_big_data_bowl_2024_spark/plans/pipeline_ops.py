@@ -3573,6 +3573,12 @@ def doc_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_id groupBy.",
 )
 def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsir_doc_weights(spark, sf_dir)
+
+
+def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR relation ``(doc_id, n_toks, dsir_weight_micro)`` —
+    shared by the weights query and the budgeted selection built on it."""
     from ..operators.scalars import checkpoint_with_scalar
 
     d = _t(spark, sf_dir, "documents")
@@ -3750,4 +3756,104 @@ def txt_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 10000
             ).alias("compression"),
         )
+    )
+
+
+@register(
+    "doc_dsir_select",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    lm AS (
+        SELECT term, count(*) AS c_r,
+               CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_t
+        FROM toks GROUP BY term
+    ),
+    consts AS (
+        SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+               CAST(sum(c_t) AS BIGINT) AS n_t,
+               count(*) AS v
+        FROM lm
+    ),
+    ratio AS (
+        SELECT term,
+               CAST(floor(ln(((c_t + 1.0) * (n_r + v)) /
+                             ((c_r + 1.0) * (n_t + v)))
+                          * 1000000.0 + 0.5) AS BIGINT) AS lr_micro
+        FROM lm, consts
+    ),
+    w AS (
+        SELECT t.doc_id, count(*) AS n_toks,
+               CAST(sum(r.lr_micro) AS BIGINT) AS dsir_weight_micro
+        FROM toks t JOIN ratio r USING (term)
+        GROUP BY t.doc_id
+    ),
+    b AS (SELECT CAST(floor(sum(n_toks) * 0.3) AS BIGINT) AS budget FROM w),
+    c AS (
+        SELECT doc_id, n_toks, dsir_weight_micro,
+               CAST(sum(n_toks) OVER (
+                   ORDER BY dsir_weight_micro DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+        FROM w
+    )
+    SELECT doc_id, n_toks, dsir_weight_micro, cum_tokens
+    FROM c, b WHERE cum_tokens <= budget
+    """,
+    doc="DSIR SELECTION — the method's actual output (Xie et al. 2023): "
+    "keep the highest-importance documents whose cumulative token count "
+    "fits 30% of the corpus. The oracle's global running sum over "
+    "(weight DESC, doc_id) is the semantics; the Spark plan is the SCALE "
+    "form — the same distributed prefix sum as doc_select_token_budget, "
+    "banded on floor(weight/1000) (monotone in weight, so band-major "
+    "order equals the global order; the band relation is bounded by the "
+    "log-ratio range over milli-steps, not by corpus size): per-band "
+    "token totals, triangular band self-join for exclusive offsets, one "
+    "band-partitioned window. Weights ride the exact-integer micro-unit "
+    "machinery of doc_dsir_importance, so the ordering has no float "
+    "ties to flip.",
+)
+def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scalars import checkpoint_with_scalar
+
+    w, tot = checkpoint_with_scalar(
+        _dsir_doc_weights(spark, sf_dir), F.sum("n_toks").alias("tot")
+    )
+    banded = w.withColumn(
+        "band", F.floor(F.col("dsir_weight_micro") / 1000.0).cast("long")
+    )
+    bands = banded.groupBy("band").agg(F.sum("n_toks").alias("band_tokens"))
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    offsets = (
+        b1.join(b2, F.col("b2.band") > F.col("b1.band"), "left")
+        .groupBy(F.col("b1.band").alias("band"))
+        .agg(
+            F.coalesce(F.sum("b2.band_tokens"), F.lit(0))
+            .cast("long")
+            .alias("band_offset")
+        )
+    )
+    iw = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("dsir_weight_micro"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        banded.withColumn("cum_in_band", F.sum("n_toks").over(iw))
+        .join(F.broadcast(offsets), "band")
+        .crossJoin(tot)
+        .select(
+            "doc_id",
+            "n_toks",
+            "dsir_weight_micro",
+            (F.col("band_offset") + F.col("cum_in_band"))
+            .cast("long")
+            .alias("cum_tokens"),
+            F.floor(F.col("tot") * 0.3).cast("long").alias("budget"),
+        )
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "n_toks", "dsir_weight_micro", "cum_tokens")
     )

@@ -46,23 +46,25 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # domain/LLM-pipeline half (46 green / 1 float-flake, fixed). Round 4 closes
 # the LAST evidence gap: the window now leads with every query that has
 # NEVER had a driver correctness row in any round (26 carried over from the
-# round-3 audit + the fourteen new round-4 registrations: the YAP closed-form
+# round-3 audit + the fifteen new round-4 registrations: the YAP closed-form
 # operating point, the image/video/resize/audio decode paths, the
 # tumbling-window and at-least-once-dedup streaming queries, the 3-round
 # BPE merge trainer, the curation funnel, the PII scrub, the token-budget
-# selection prefix-sum, the DSIR importance weights, the Misra-Gries
-# exact heavy-hitters and the BPE encoder), then the queries whose code
+# selection prefix-sum, the DSIR importance weights + budgeted DSIR
+# selection, the Misra-Gries exact heavy-hitters and the BPE
+# encoder), then the queries whose code
 # changed this round and need fresh rows (doc_mix_weights' exact-integer
 # denominator fix; the two dedup-clustering queries now riding the banded-LSH
-# edge source), then 7 re-confirmation slots spanning every capability
+# edge source), then 6 re-confirmation slots spanning every capability
 # family (domain kernels, streaming, dedup/similarity/clustering operating
 # points, text pipeline). Everything displaced is driver-green from
 # rounds 2-3 with unchanged code and stays locally verified via
 # scripts/verify_local.py. Four of the leading entries (dedup_minhash_lsh /
 # dedup_simhash / sim_ivf_topk / mm_byte_features) are rows-only BY DESIGN
 # (hash-seeded machinery; their deterministic oracle-backed operating
-# points dedup_minhash_exact_dups / dedup_simhash_identical remain
-# in-window, and sim_ivf_probeall_topk is round-3 driver-green).
+# points all have green rows — dedup_minhash_exact_dups remains
+# in-window, dedup_simhash_identical / sim_ivf_probeall_topk are
+# round-3 driver-green).
 _DRIVER_PRIORITY: list[str] = [
     # --- never driver-checked: TPC-H scalar-subquery/anti-join shapes
     "tpch_q11_important_parts",
@@ -109,6 +111,7 @@ _DRIVER_PRIORITY: list[str] = [
     "txt_pii_redact",
     "doc_select_token_budget",
     "doc_dsir_importance",
+    "doc_dsir_select",
     "txt_heavy_hitters",
     # --- changed this round: need fresh rows
     "doc_mix_weights",

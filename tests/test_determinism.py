@@ -23,6 +23,7 @@ BOUNDARY_QUERIES = [
     "txt_unigram_surprisal",
     "evt_rolling_24h",
     "doc_dsir_importance",
+    "doc_dsir_select",
     "doc_select_token_budget",
     "txt_heavy_hitters",
     "txt_bpe_encode",
