@@ -382,3 +382,52 @@ def test_stream_upsert_foreachbatch_latest_wins_and_resumes(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(tgt.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_map_only_curation_ops_compose_into_streams(spark):
+    """The curation column functions (PII redaction here) are pure
+    projections, so the SAME expression must run unchanged on a
+    readStream and emit exactly the batch result — the property that
+    lets the curation pipeline process a live ingest feed without a
+    separate code path."""
+    from nfl_big_data_bowl_2024_spark.functions.text import count_pii, redact_pii
+
+    d = tempfile.mkdtemp(prefix="stream_pii_")
+    try:
+        rows = [
+            (1, "reach me at a@b.io or 10.0.0.1"),
+            (2, "call 555-0142 twice 555-0143"),
+            (3, "clean text only"),
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("text", T.StringType(), False),
+            ]
+        )
+        batch_df = spark.createDataFrame(rows, schema)
+        batch_df.coalesce(1).write.mode("overwrite").parquet(d)
+
+        def scrub(df):
+            return df.select(
+                "doc_id",
+                redact_pii(F.col("text")).alias("clean"),
+                count_pii(F.col("text")).alias("n_pii"),
+            )
+
+        stream = spark.readStream.schema(schema).parquet(d)
+        q = (
+            scrub(stream)
+            .writeStream.format("memory")
+            .queryName("stream_pii_q")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {tuple(r) for r in spark.table("stream_pii_q").collect()}
+        want = {tuple(r) for r in scrub(batch_df).collect()}
+        assert got == want
+        assert {r[0]: r[2] for r in want} == {1: 2, 2: 2, 3: 0}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
