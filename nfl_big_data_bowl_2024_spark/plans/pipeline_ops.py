@@ -24,6 +24,7 @@ from ..operators.dedup import (
     simhash_signatures,
 )
 from ..operators.similarity import brute_force_topk, cosine_col
+from ..operators.prefix import banded_running_sum
 from ..sources.readers import read_testdata_table as _t
 from .registry import register
 
@@ -3492,34 +3493,15 @@ def doc_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     cp, tot = checkpoint_with_scalar(docs, F.sum("n_tokens").alias("tot"))
-    bands = cp.groupBy("score_milli").agg(
-        F.sum("n_tokens").alias("band_tokens")
-    )
-    b1, b2 = bands.alias("b1"), bands.alias("b2")
-    offsets = (
-        b1.join(b2, F.col("b2.score_milli") > F.col("b1.score_milli"), "left")
-        .groupBy(F.col("b1.score_milli").alias("score_milli"))
-        .agg(
-            F.coalesce(F.sum("b2.band_tokens"), F.lit(0))
-            .cast("long")
-            .alias("band_offset")
-        )
-    )
-    w = (
-        Window.partitionBy("score_milli")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = banded_running_sum(
+        cp, "score_milli", [F.col("doc_id")], "n_tokens", "cum_tokens"
     )
     return (
-        cp.withColumn("cum_in_band", F.sum("n_tokens").over(w))
-        .join(F.broadcast(offsets), "score_milli")
-        .crossJoin(tot)
+        cum.crossJoin(tot)
         .select(
             "doc_id",
             "n_tokens",
-            (F.col("band_offset") + F.col("cum_in_band"))
-            .cast("long")
-            .alias("cum_tokens"),
+            "cum_tokens",
             F.floor(F.col("tot") * 0.4).cast("long").alias("budget"),
         )
         .filter(F.col("cum_tokens") <= F.col("budget"))
@@ -3825,33 +3807,20 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = w.withColumn(
         "band", F.floor(F.col("dsir_weight_micro") / 1000.0).cast("long")
     )
-    bands = banded.groupBy("band").agg(F.sum("n_toks").alias("band_tokens"))
-    b1, b2 = bands.alias("b1"), bands.alias("b2")
-    offsets = (
-        b1.join(b2, F.col("b2.band") > F.col("b1.band"), "left")
-        .groupBy(F.col("b1.band").alias("band"))
-        .agg(
-            F.coalesce(F.sum("b2.band_tokens"), F.lit(0))
-            .cast("long")
-            .alias("band_offset")
-        )
-    )
-    iw = (
-        Window.partitionBy("band")
-        .orderBy(F.desc("dsir_weight_micro"), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = banded_running_sum(
+        banded,
+        "band",
+        [F.desc("dsir_weight_micro"), F.col("doc_id")],
+        "n_toks",
+        "cum_tokens",
     )
     return (
-        banded.withColumn("cum_in_band", F.sum("n_toks").over(iw))
-        .join(F.broadcast(offsets), "band")
-        .crossJoin(tot)
+        cum.crossJoin(tot)
         .select(
             "doc_id",
             "n_toks",
             "dsir_weight_micro",
-            (F.col("band_offset") + F.col("cum_in_band"))
-            .cast("long")
-            .alias("cum_tokens"),
+            "cum_tokens",
             F.floor(F.col("tot") * 0.3).cast("long").alias("budget"),
         )
         .filter(F.col("cum_tokens") <= F.col("budget"))

@@ -55,9 +55,11 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # encoder), then the queries whose code
 # changed this round and need fresh rows (doc_mix_weights' exact-integer
 # denominator fix; the two dedup-clustering queries now riding the banded-LSH
-# edge source), then 6 re-confirmation slots spanning every capability
-# family (domain kernels, streaming, dedup/similarity/clustering operating
-# points, text pipeline). Everything displaced is driver-green from
+# edge source), then 6 re-confirmation slots (domain kernels E1/E2/E3,
+# streaming sessionization, and the MinHash exact-dup operating point —
+# the text/similarity/clustering re-confirmations listed after position
+# 50 are round-2/3 driver-green and sit outside this round's window).
+# Everything displaced is driver-green from
 # rounds 2-3 with unchanged code and stays locally verified via
 # scripts/verify_local.py. Four of the leading entries (dedup_minhash_lsh /
 # dedup_simhash / sim_ivf_topk / mm_byte_features) are rows-only BY DESIGN
