@@ -3826,3 +3826,86 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= F.col("budget"))
         .select("doc_id", "n_toks", "dsir_weight_micro", "cum_tokens")
     )
+
+
+@register(
+    "dedup_multi_signal_clusters",
+    """
+    WITH RECURSIVE fp AS (
+        SELECT doc_id, md5(lower(trim(text))) AS f FROM documents
+    ),
+    fstar AS (
+        SELECT f, min(doc_id) AS root FROM fp GROUP BY f HAVING count(*) > 1
+    ),
+    text_pairs AS (
+        SELECT s.root AS doc_a, p.doc_id AS doc_b
+        FROM fstar s JOIN fp p USING (f) WHERE p.doc_id > s.root
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings WHERE vec_id < 2000),
+    emb_pairs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.emb, b.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM text_pairs
+        UNION
+        SELECT doc_a, doc_b FROM emb_pairs
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(id, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+    """,
+    doc="Multi-signal duplicate clustering — the production dedup shape: "
+    "UNION the edge sets from two independent signals (exact content "
+    "fingerprint star-pairs; embedding-cosine >= 0.4 from the bounded "
+    "exact all-pairs path shared with dedup_embedding_cosine) and run "
+    "ONE connected-components pass over the combined graph, so a "
+    "document caught by either signal lands in the same cluster as its "
+    "transitive duplicates across BOTH signals. Scale: the text edges "
+    "are one fingerprint aggregate (star edges to the min doc, never "
+    "the within-group quadratic); the embedding edges ride the "
+    "documented bounded/exact audit path (sim_lsh_bucketed is the scale "
+    "generator to swap in at 100 TB); CC is the same pointer-doubling "
+    "operator as dedup_cluster_assign. Oracle: recursive-CTE closure "
+    "over the identical SQL edge union.",
+)
+def dedup_multi_signal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+    from ..operators.similarity import all_pairs_cosine
+
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", _content_fingerprint().alias("f"))
+    stars = (
+        fp.groupBy("f")
+        .agg(F.min("doc_id").alias("root"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    text_pairs = (
+        fp.join(stars, "f")
+        .filter(F.col("doc_id") > F.col("root"))
+        .select(F.col("root").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 2000)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    emb_pairs = all_pairs_cosine(e, min_cosine=0.4).select(
+        F.col("vid_a").alias("doc_a"), F.col("vid_b").alias("doc_b")
+    )
+    edges = text_pairs.unionByName(emb_pairs).distinct()
+    return connected_components(edges, "doc_a", "doc_b").withColumnRenamed(
+        "node", "doc_id"
+    )

@@ -46,7 +46,7 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # domain/LLM-pipeline half (46 green / 1 float-flake, fixed). Round 4 closes
 # the LAST evidence gap: the window now leads with every query that has
 # NEVER had a driver correctness row in any round (26 carried over from the
-# round-3 audit + the fifteen new round-4 registrations: the YAP closed-form
+# round-3 audit + the sixteen new round-4 registrations: the YAP closed-form
 # operating point, the image/video/resize/audio decode paths, the
 # tumbling-window and at-least-once-dedup streaming queries, the 3-round
 # BPE merge trainer, the curation funnel, the PII scrub, the token-budget
@@ -55,18 +55,18 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # encoder), then the queries whose code
 # changed this round and need fresh rows (doc_mix_weights' exact-integer
 # denominator fix; the two dedup-clustering queries now riding the banded-LSH
-# edge source), then 6 re-confirmation slots (domain kernels E1/E2/E3,
-# streaming sessionization, and the MinHash exact-dup operating point —
-# the text/similarity/clustering re-confirmations listed after position
-# 50 are round-2/3 driver-green and sit outside this round's window).
+# edge source), then 5 re-confirmation slots (domain kernels E1/E2/E3
+# and streaming sessionization — the dedup/similarity/clustering/text
+# re-confirmations listed after position 50 are round-2/3 driver-green
+# and sit outside this round's window).
 # Everything displaced is driver-green from
 # rounds 2-3 with unchanged code and stays locally verified via
 # scripts/verify_local.py. Four of the leading entries (dedup_minhash_lsh /
 # dedup_simhash / sim_ivf_topk / mm_byte_features) are rows-only BY DESIGN
 # (hash-seeded machinery; their deterministic oracle-backed operating
-# points all have green rows — dedup_minhash_exact_dups remains
-# in-window, dedup_simhash_identical / sim_ivf_probeall_topk are
-# round-3 driver-green).
+# points dedup_minhash_exact_dups / dedup_simhash_identical /
+# sim_ivf_probeall_topk all carry green round-3 driver rows and sit
+# past position 50 this round).
 _DRIVER_PRIORITY: list[str] = [
     # --- never driver-checked: TPC-H scalar-subquery/anti-join shapes
     "tpch_q11_important_parts",
@@ -115,6 +115,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_dsir_importance",
     "doc_dsir_select",
     "txt_heavy_hitters",
+    "dedup_multi_signal_clusters",
     # --- changed this round: need fresh rows
     "doc_mix_weights",
     "dedup_cluster_assign",
