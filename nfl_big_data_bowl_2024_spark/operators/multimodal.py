@@ -55,28 +55,39 @@ def binary_stats(df: DataFrame, id_col: str, payload_col: str = "payload") -> Da
     )
 
 
+N_BYTE_BUCKETS = 8
+
 FEATURE_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("n_bytes", T.LongType(), False),
-        T.StructField("mean_byte", T.DoubleType(), True),
-        T.StructField("byte_entropy", T.DoubleType(), True),
-        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
-    ]
+    [T.StructField("doc_id", T.LongType(), False),
+     T.StructField("n_bytes", T.LongType(), False),
+     T.StructField("mean_byte", T.DoubleType(), True),
+     T.StructField("byte_entropy", T.DoubleType(), True)]
+    + [T.StructField(f"f{k}", T.DoubleType(), True) for k in range(N_BYTE_BUCKETS)]
 )
 
 
 def extract_byte_features(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", n_buckets: int = 8
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
     """mapInPandas feature extractor over binary payloads.
 
     Deterministic stand-in for a real media featurizer (CNN embedding /
     mel-spectrogram): per payload emits byte mean, byte-histogram entropy and
-    an ``n_buckets``-bin byte-class histogram as the feature vector. The
+    an 8-bin byte-class histogram as SCALAR columns ``f0..f7``.  Flat scalars
+    (not ``array<double>``) so any downstream row canonicalizer — including
+    the driver's pandas ``sort_values`` gate, which raises ``unhashable
+    type: 'list'`` on array cells — can sort/hash the output.  The
     Arrow-batch shape, schema and partition behavior are exactly what a real
     decoder would use — swap ``_featurize`` for the codec call.
+
+    Cross-engine determinism (the registry idiom): every float is derived
+    from the EXACT integer byte histogram with one fixed op order, half-up
+    rounded to micro-units.  Entropy rounds each ``-(p*log2(p))`` term to
+    integer micros BEFORE the (order-independent, integer) sum, so the only
+    cross-libm exposure is the ~1-ulp ``log2`` difference, margin-tested in
+    tests/test_multimodal.py.
     """
+    import math
 
     def _featurize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -84,18 +95,26 @@ def extract_byte_features(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = np.frombuffer(bytes(payload), dtype=np.uint8)
                 if b.size == 0:
-                    out.append((int(doc_id), 0, None, None, None))
+                    out.append((int(doc_id), 0) + (None,) * (2 + N_BYTE_BUCKETS))
                     continue
-                hist = np.bincount(b, minlength=256).astype(np.float64)
-                p = hist[hist > 0] / b.size
-                entropy = float(-(p * np.log2(p)).sum())
-                buckets = hist.reshape(n_buckets, 256 // n_buckets).sum(axis=1) / b.size
-                out.append(
-                    (int(doc_id), int(b.size), float(b.mean()), entropy, buckets.tolist())
+                n = int(b.size)
+                hist = np.bincount(b, minlength=256)
+                sum_bytes = int(b.sum(dtype=np.int64))
+                # one rounded division, then one rounded multiply — the SQL
+                # oracle performs the identical op sequence
+                mean_byte = math.floor((sum_bytes * 1.0 / n) * 1000000 + 0.5) / 1000000
+                ent_micro = 0
+                for c in hist[hist > 0]:
+                    p = int(c) * 1.0 / n
+                    ent_micro += math.floor(-(p * math.log2(p)) * 1000000 + 0.5)
+                entropy = ent_micro / 1000000
+                bucket_counts = hist.reshape(N_BYTE_BUCKETS, 256 // N_BYTE_BUCKETS).sum(axis=1)
+                fk = tuple(
+                    math.floor(int(c) * 1000000.0 / n + 0.5) / 1000000
+                    for c in bucket_counts
                 )
-            yield pd.DataFrame(
-                out, columns=["doc_id", "n_bytes", "mean_byte", "byte_entropy", "feature"]
-            )
+                out.append((int(doc_id), n, mean_byte, entropy) + fk)
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return df.select(id_col, payload_col).mapInPandas(_featurize, FEATURE_SCHEMA)
 

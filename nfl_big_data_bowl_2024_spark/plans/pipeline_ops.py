@@ -685,11 +685,60 @@ def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_byte_features",
-    None,
+    """
+    WITH ch AS (
+        SELECT doc_id, ascii(substring(text, CAST(i AS INTEGER) + 1, 1)) AS byte
+        FROM (SELECT doc_id, text, unnest(range(len(text))) AS i
+              FROM documents)
+    ),
+    hist AS (
+        SELECT doc_id, byte, CAST(count(*) AS BIGINT) AS c
+        FROM ch GROUP BY doc_id, byte
+    ),
+    n AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(byte * c) AS BIGINT) AS sum_bytes
+        FROM hist GROUP BY doc_id
+    ),
+    feat AS (
+        SELECT h.doc_id,
+               CAST(sum(CAST(floor(-((h.c * 1.0 / n.n) * log2(h.c * 1.0 / n.n))
+                                   * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS ent_micro,
+               CAST(sum(CASE WHEN h.byte // 32 = 0 THEN h.c ELSE 0 END) AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN h.byte // 32 = 1 THEN h.c ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN h.byte // 32 = 2 THEN h.c ELSE 0 END) AS BIGINT) AS c2,
+               CAST(sum(CASE WHEN h.byte // 32 = 3 THEN h.c ELSE 0 END) AS BIGINT) AS c3,
+               CAST(sum(CASE WHEN h.byte // 32 = 4 THEN h.c ELSE 0 END) AS BIGINT) AS c4,
+               CAST(sum(CASE WHEN h.byte // 32 = 5 THEN h.c ELSE 0 END) AS BIGINT) AS c5,
+               CAST(sum(CASE WHEN h.byte // 32 = 6 THEN h.c ELSE 0 END) AS BIGINT) AS c6,
+               CAST(sum(CASE WHEN h.byte // 32 = 7 THEN h.c ELSE 0 END) AS BIGINT) AS c7
+        FROM hist h JOIN n USING (doc_id) GROUP BY h.doc_id
+    )
+    SELECT n.doc_id, n.n AS n_bytes,
+           floor((n.sum_bytes * 1.0 / n.n) * 1000000 + 0.5) / 1000000 AS mean_byte,
+           f.ent_micro / 1000000.0 AS byte_entropy,
+           floor(f.c0 * 1000000.0 / n.n + 0.5) / 1000000 AS f0,
+           floor(f.c1 * 1000000.0 / n.n + 0.5) / 1000000 AS f1,
+           floor(f.c2 * 1000000.0 / n.n + 0.5) / 1000000 AS f2,
+           floor(f.c3 * 1000000.0 / n.n + 0.5) / 1000000 AS f3,
+           floor(f.c4 * 1000000.0 / n.n + 0.5) / 1000000 AS f4,
+           floor(f.c5 * 1000000.0 / n.n + 0.5) / 1000000 AS f5,
+           floor(f.c6 * 1000000.0 / n.n + 0.5) / 1000000 AS f6,
+           floor(f.c7 * 1000000.0 / n.n + 0.5) / 1000000 AS f7
+    FROM n JOIN feat f USING (doc_id)
+    """,
     doc="mapInPandas feature extraction over binary payloads (Arrow-batched, "
     "zero-copy numpy byte views): mean byte, histogram entropy, 8-bucket "
-    "byte-class feature vector. Stand-in for a real media featurizer; "
-    "cross-checked against a pure-Python oracle in tests/test_multimodal.py.",
+    "byte-class fractions as SCALAR columns f0..f7 (flat, so the driver's "
+    "pandas canonicalizer can sort/hash rows — arrays are unhashable there). "
+    "The payload is the deterministic UTF-8 byte view of text (pure-ASCII "
+    "corpus, asserted in tests), so the oracle recomputes every feature "
+    "from a per-character unnest in SQL. Determinism: all floats derive "
+    "from the exact integer histogram with one fixed op order; entropy "
+    "rounds each -(p*log2 p) term to integer micros before the integer "
+    "sum (order-independent), leaving only the ~1-ulp log2 cross-libm "
+    "exposure, margin-tested in tests/test_multimodal.py.",
 )
 def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import extract_byte_features, with_binary_payload
@@ -2132,7 +2181,7 @@ def txt_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
         SELECT source, count(*) AS n_docs,
-               sum(len(string_split(text, ' '))) AS n_tokens
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         FROM documents GROUP BY source
     ),
     s2 AS (

@@ -43,96 +43,111 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 # The driver's correctness gate samples the FIRST 50 registry entries.
 # Round-2 verified the 50 relational registrations; round 3 rotated onto the
-# domain/LLM-pipeline half (46 green / 1 float-flake, fixed). Round 4 closes
-# the LAST evidence gap: the window now leads with every query that has
-# NEVER had a driver correctness row in any round (26 carried over from the
-# round-3 audit + the sixteen new round-4 registrations: the YAP closed-form
-# operating point, the image/video/resize/audio decode paths, the
-# tumbling-window and at-least-once-dedup streaming queries, the 3-round
-# BPE merge trainer, the curation funnel, the PII scrub, the token-budget
-# selection prefix-sum, the DSIR importance weights + budgeted DSIR
-# selection, the Misra-Gries exact heavy-hitters and the BPE
-# encoder), then the queries whose code
-# changed this round and need fresh rows (doc_mix_weights' exact-integer
-# denominator fix; the two dedup-clustering queries now riding the banded-LSH
-# edge source), then 5 re-confirmation slots (domain kernels E1/E2/E3
-# and streaming sessionization — the dedup/similarity/clustering/text
-# re-confirmations listed after position 50 are round-2/3 driver-green
-# and sit outside this round's window).
-# Everything displaced is driver-green from
-# rounds 2-3 with unchanged code and stays locally verified via
-# scripts/verify_local.py. Four of the leading entries (dedup_minhash_lsh /
-# dedup_simhash / sim_ivf_topk / mm_byte_features) are rows-only BY DESIGN
-# (hash-seeded machinery; their deterministic oracle-backed operating
-# points dedup_minhash_exact_dups / dedup_simhash_identical /
-# sim_ivf_probeall_topk all carry green round-3 driver rows and sit
-# past position 50 this round).
+# domain/LLM-pipeline half; round 4 covered the 26 never-checked + 16 new
+# registrations (44/50 hash-green, 4 rows-only clean). Round 5 window:
+#   1. dq_footer_profile — the ONLY registered query with zero driver rows
+#      in any round (it missed every prior window);
+#   2. the two round-4 reds, both fixed this round: doc_mix_weights (oracle
+#      n_tokens sum now CAST to BIGINT — DuckDB HUGEINT rendered as float
+#      under the driver's pandas canonicalizer, the actual r3/r4 hash-red
+#      cause) and mm_byte_features (array<long> feature column flattened to
+#      scalar f0..f7 and GRADUATED to oracle-backed — the array made the
+#      driver's pandas sort_values raise before it could even count rows);
+#   3. queries whose code changed this round (ml_quality_classifier_train:
+#      non-null feature guard) and the new round-5 registrations (the
+#      curved-pursuit YAP closed-form operating point family);
+#   4. the round-2 relational slice — their only driver evidence is two
+#      rounds old; re-confirm under unchanged code.
+# Everything displaced is driver-green from rounds 3-4 with unchanged code
+# and stays locally verified via scripts/verify_local.py (which now
+# canonicalizes through pandas exactly like the driver, so the HUGEINT and
+# unhashable-list flake classes reproduce locally). Three entries past the
+# window (dedup_minhash_lsh / dedup_simhash / sim_ivf_topk) remain rows-only
+# BY DESIGN (hash-seeded machinery pinned by oracle-backed deterministic
+# operating-point twins, all driver-green).
 _DRIVER_PRIORITY: list[str] = [
-    # --- never driver-checked: TPC-H scalar-subquery/anti-join shapes
-    "tpch_q11_important_parts",
-    "tpch_q15_top_revenue_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q20_promotion_suppliers",
-    # --- never driver-checked: embeddings / events analytics
-    "emb_pca_power_iteration",
-    "evt_rolling_24h",
-    "evt_transition_matrix",
-    "evt_user_zscore_outliers",
-    # --- never driver-checked: CCNet/Gopher-style curation + data ops
-    "txt_unigram_surprisal",
-    "txt_vocab_coverage",
-    "doc_training_order",
-    "doc_quality_zscore_bucket",
-    "doc_length_batches",
-    "dq_split_leakage_audit",
-    "dq_column_profile",
-    "doc_quota_per_source",
-    "txt_bpe_pretokenize",
-    "txt_bpe_pair_counts",
-    # --- never driver-checked: map-only text/JSON/array shapes
-    "txt_lang_id",
-    "txt_regex_extract",
-    "json_build_extract",
-    "arr_top_components",
-    # --- never driver-checked: rows-only by design (hash-seeded)
+    # --- never driver-checked (missed every prior window)
+    "dq_footer_profile",
+    # --- round-4 reds, fixed this round
+    "doc_mix_weights",
+    "mm_byte_features",
+    # --- changed or new this round
+    "ml_quality_classifier_train",
+    "e2_yap_closed_form_curved",
+    # --- round-2 re-confirmation slice (driver evidence is two rounds old)
+    "flagship_bounded_max",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q12_shipmode_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_orders",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_join",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_dormant_accounts",
+    "pivot_priority_by_nation",
+    "unpivot_part_metrics",
+    "summary_stats",
+    "grouped_having_sort",
+    "corr_per_group",
+    "histogram_bins",
+    "distinct_keys",
+    "filter_project_pushdown",
+    "point_lookup",
+    "trig_heading_wrap",
+    "conditional_recode_clip",
+    "case_lookup_dim_join",
+    "timestamp_parts",
+    "join_multi_key",
+    "temporal_self_join",
+    "batch_sessionize",
+    "asof_last_purchase",
+    "range_join_near_events",
+    "semi_anti_join",
+    "union_dedup_sorted",
+    "offset_from_first",
+    "first_crossing_after_start",
+    "rollup_hierarchy",
+    "cube_order_profile",
+    "set_ops_intersect_except",
+    "window_rank_family",
+    "approx_count_distinct",
+    "skew_salted_agg",
+    "sql_interface",
+    "argmax_per_group",
+    # ---------------- position 50 cutoff ----------------
+    # r2 slice overflow (5 queries that did not fit the 50-entry window;
+    # r2 driver-green, unchanged, locally verified — rotate into round 6)
+    "ordered_rank_lag",
+    "skew_salted_join",
+    "grouped_percentiles",
+    "approx_quantiles",
+    "json_props_rollup",
+    # r3/r4 driver-green, code unchanged, locally verified
+    "e2_yap_closed_form",
+    "e1_max_params",
+    "e2_yap",
+    "e3_player_stats",
+    "e3_position_params",
+    "stream_session_stats",
+    "stream_window_stats",
+    "stream_dedup_frames",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_ivf_topk",
-    "mm_byte_features",
-    # --- new this round
-    "e2_yap_closed_form",
-    "mm_decode_features",
-    "mm_video_frame_decode",
-    "mm_resize_features",
-    "mm_audio_features",
-    "stream_window_stats",
-    "stream_dedup_frames",
-    "txt_bpe_train",
-    "txt_bpe_encode",
-    "pipeline_curation_funnel",
-    "txt_pii_redact",
-    "doc_select_token_budget",
-    "doc_dsir_importance",
-    "doc_dsir_select",
-    "txt_heavy_hitters",
-    "dedup_multi_signal_clusters",
-    # --- changed this round: need fresh rows
-    "doc_mix_weights",
-    "dedup_cluster_assign",
-    "dedup_cluster_representative",
-    # --- re-confirmation slots (driver-green r2/r3, code unchanged)
-    "e1_max_params",
-    "e2_yap",
-    "stream_session_stats",
-    "e3_player_stats",
-    "e3_position_params",
     "dedup_minhash_exact_dups",
     "dedup_simhash_identical",
     "sim_ivf_probeall_topk",
     "sim_knn_join",
     "emb_kmeans_lloyd",
-    "ml_quality_classifier_train",
     "dedup_ngram_jaccard",
+    "dedup_cluster_assign",
+    "dedup_cluster_representative",
 ]
 
 

@@ -24,23 +24,43 @@ TABLES = [
 
 
 def _norm_cell(v):
+    import numpy as np
+
     if v is None:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if v != v:
             return "NaN"
         return repr(round(v, 9))
-    if isinstance(v, bool):
+    if isinstance(v, np.integer):
         return str(int(v))
     return str(v)
 
 
-def value_hash(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
+def _canon_pdf(pdf):
+    """Driver-realistic canonicalization: the driver converts BOTH sides to
+    pandas (Spark ``toPandas()``, DuckDB ``.df()``) and sorts with
+    ``sort_values`` before hashing.  Routing the compare through the same
+    path reproduces the driver's flake classes locally: DuckDB HUGEINT
+    aggregates render as float/object in pandas (``123.0`` != ``123`` — the
+    round-3/4 ``doc_mix_weights`` red), and list-valued cells make
+    ``sort_values`` raise ``TypeError: unhashable type`` (the round-4
+    ``mm_byte_features`` ERR).  A raw ``.collect()`` compare hides both.
+    """
+    pdf = pdf[sorted(pdf.columns)]
+    return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def value_hash_pdf(pdf) -> str:
+    pdf = _canon_pdf(pdf)
     h = hashlib.sha256()
-    for ln in lines:
-        h.update(ln.encode())
+    for row in pdf.itertuples(index=False, name=None):
+        h.update("|".join(_norm_cell(v) for v in row).encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
 
@@ -84,29 +104,32 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
             if name not in oracles:
-                status = f"ROWS-ONLY ({len(srows)} rows)"
+                # rows-only queries still go through the driver's pandas
+                # canonicalizer for the row count — an unsortable column
+                # (list cells) must ERROR here like it does there
+                _canon_pdf(spdf)
+                status = f"ROWS-ONLY ({len(spdf)} rows)"
                 n_rowsonly += 1
             else:
-                ocols_rows = con.execute(oracles[name])
-                ocols = [d[0] for d in ocols_rows.description]
-                orows = ocols_rows.fetchall()
+                opdf = con.execute(oracles[name]).df()
+                ocols = list(opdf.columns)
                 if sorted(scols) != sorted(ocols):
                     status = f"FAIL cols spark={sorted(scols)} oracle={sorted(ocols)}"
                     n_fail += 1
-                elif len(srows) != len(orows):
-                    status = f"FAIL rows spark={len(srows)} oracle={len(orows)}"
+                elif len(spdf) != len(opdf):
+                    status = f"FAIL rows spark={len(spdf)} oracle={len(opdf)}"
                     n_fail += 1
                 else:
-                    sh = value_hash(scols, srows)
-                    oh = value_hash(ocols, orows)
+                    sh = value_hash_pdf(spdf)
+                    oh = value_hash_pdf(opdf)
                     if sh == oh:
-                        status = f"PASS ({len(srows)} rows)"
+                        status = f"PASS ({len(spdf)} rows)"
                         n_pass += 1
                     else:
-                        status = f"FAIL hash ({len(srows)} rows) {sh} != {oh}"
+                        status = f"FAIL hash ({len(spdf)} rows) {sh} != {oh}"
                         n_fail += 1
         except Exception as e:
             status = f"ERROR {type(e).__name__}: {e}"

@@ -40,17 +40,73 @@ def test_extract_byte_features_matches_python_oracle(spark, docs):
         b = np.frombuffer(text.encode(), dtype=np.uint8)
         r = got[doc_id]
         assert r["n_bytes"] == b.size
-        assert r["mean_byte"] == pytest.approx(float(b.mean()))
+        assert r["mean_byte"] == pytest.approx(float(b.mean()), abs=1e-6)
         hist = np.bincount(b, minlength=256)
         p = hist[hist > 0] / b.size
-        assert r["byte_entropy"] == pytest.approx(float(-(p * np.log2(p)).sum()))
-        assert len(r["feature"]) == 8
-        assert sum(r["feature"]) == pytest.approx(1.0)
+        assert r["byte_entropy"] == pytest.approx(
+            float(-(p * np.log2(p)).sum()), abs=2e-4
+        )
+        fk = [r[f"f{k}"] for k in range(8)]
+        assert sum(fk) == pytest.approx(1.0, abs=1e-5)
     # 'aaaa': single byte value -> zero entropy, mean 97
     assert got[2]["byte_entropy"] == 0.0
     assert got[2]["mean_byte"] == 97.0
     # empty payload -> NULL features, zero bytes
     assert got[3]["n_bytes"] == 0 and got[3]["mean_byte"] is None
+
+
+def test_byte_features_corpus_is_ascii_and_log2_margins_safe():
+    """The mm_byte_features oracle treats characters as bytes (per-char
+    unnest + ascii()), valid only for a pure-ASCII corpus — assert that at
+    both driver scales.  Also assert every half-up-rounded micro term
+    (entropy term, mean, bucket fraction) on the real corpus sits away from
+    the .5 boundary by >= 1e-6 in units, so the ~1-ulp log2 / division
+    difference between numpy and DuckDB libm cannot flip a floor (the
+    ADVICE.md flake class)."""
+    import duckdb
+    import math
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01"):
+        path = f"/root/testdata/sf{sf}/documents.parquet"
+        bad = con.sql(
+            f"SELECT count(*) FROM '{path}' WHERE len(text) != "
+            "octet_length(encode(text)) OR len(text) = 0"
+        ).fetchone()[0]
+        assert bad == 0, f"non-ASCII or empty text in {path}"
+    # mean_byte and the bucket fractions use only IEEE-exactly-rounded ops
+    # (+ * /) on exact integers in one fixed order, so both engines produce
+    # BIT-IDENTICAL doubles — even an exact x.5 floors deterministically.
+    # The only cross-libm exposure is log2 in the entropy terms.  For
+    # power-of-two p, log2 is exact (every libm returns the integer); for
+    # the rest, assert a +/-2-ulp perturbation of log2's result cannot flip
+    # the half-up floor of the micro term.
+    texts = [t for (t,) in con.sql(
+        "SELECT text FROM '/root/testdata/sf0.01/documents.parquet'"
+    ).fetchall()]
+    checked = 0
+    for t in texts:
+        b = np.frombuffer(t.encode(), dtype=np.uint8)
+        n = int(b.size)
+        hist = np.bincount(b, minlength=256)
+        for c in hist[hist > 0]:
+            p = int(c) * 1.0 / n
+            lg = math.log2(p)
+            if lg == int(lg) and p == 2.0 ** int(lg):
+                continue  # exact power of two: log2 exact in every libm
+            floors = set()
+            for nudged in (
+                lg,
+                np.nextafter(np.nextafter(lg, -np.inf), -np.inf),
+                np.nextafter(np.nextafter(lg, np.inf), np.inf),
+            ):
+                floors.add(math.floor(-(p * float(nudged)) * 1000000 + 0.5))
+            assert len(floors) == 1, (
+                f"entropy term p={p} (c={c}, n={n}) flips its floor under a "
+                f"2-ulp log2 perturbation: {floors}"
+            )
+            checked += 1
+    assert checked > 1000  # the corpus genuinely exercises inexact log2
 
 
 def test_codec_roundtrip_all_variants():
