@@ -195,23 +195,48 @@ def main() -> None:
     samples[name] = [round(bench_scd2_upsert(spark, sf_dir), 3) for _ in range(3)]
     timings[name] = min(samples[name])
 
-    total = round(sum(timings.values()), 3)
-    spread = {
-        n: round(max(r) - min(r), 3) for n, r in samples.items() if len(r) > 1
-    }
-    print(
-        json.dumps(
+    total = round(sum(timings.values()), 2)
+
+    # The driver's artifact keeps only the LAST 2000 characters of stdout and
+    # parses the JSON document out of that window — round 4 recorded every
+    # raw sample on the line, overflowed the window, and lost the head of
+    # the document (headline_queries_total + the first ~23 timings). So the
+    # printed line carries ONLY the contract keys, compact separators, 2 dp
+    # (whole seconds past 10 s), asserted <= 2000 chars (worst-case width is
+    # pinned by tests/test_bench_contract.py); the full per-run samples go
+    # to a sidecar file for spread/noise analysis instead.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SAMPLES.json"), "w") as fh:
+        json.dump(
             {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "samples": samples,
-                "max_spread_sec": round(max(spread.values()), 3),
                 "sf": sf,
-            }
+                "samples": samples,
+                "spread_sec": {
+                    n: round(max(r) - min(r), 3)
+                    for n, r in samples.items()
+                    if len(r) > 1
+                },
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
         )
+
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {
+                n: (round(v, 2) if v < 10 else int(round(v)))
+                for n, v in timings.items()
+            },
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    assert len(line) <= 2000, f"bench JSON line {len(line)} chars > driver window"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -608,7 +608,11 @@ def video_frame_features(
             for doc_id, payload, idxs in zip(
                 pdf[id_col], pdf[payload_col], pdf[idx_col]
             ):
-                wanted = sorted(int(i) for i in idxs)
+                # sorted(set(...)): a duplicate index would skip the
+                # while-loop after the first decode advanced past it and
+                # silently emit the NEXT frame's features under the
+                # duplicated frame_idx with status ok
+                wanted = sorted({int(i) for i in idxs})
                 b = bytes(payload) if payload is not None else b""
                 pos, cur = 0, 0
                 for w_idx in wanted:

@@ -6,11 +6,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Session conf selecting the materialization primitive (see
+# checkpoint_with_scalar): "local" (default) or "reliable".
+CHECKPOINT_MODE_CONF = "spark.graft.scalarCheckpointMode"
 
-def checkpoint_with_scalar(df: DataFrame, *aggs) -> tuple[DataFrame, DataFrame]:
-    """Materialize ``df`` once (eager localCheckpoint) and return
-    ``(cp, scalar)`` where ``scalar`` is a broadcast 1-row aggregate of
-    the given expressions over the checkpoint.
+
+def checkpoint_with_scalar(
+    df: DataFrame, *aggs, mode: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize ``df`` once and return ``(cp, scalar)`` where ``scalar``
+    is a broadcast 1-row aggregate of the given expressions over the
+    checkpoint.
 
     Both consumers — the scalar aggregate and whatever cross-joins it
     back — read the checkpoint blocks, so the subtree below ``df`` is
@@ -20,15 +26,34 @@ def checkpoint_with_scalar(df: DataFrame, *aggs) -> tuple[DataFrame, DataFrame]:
     single task. Used by TPC-H Q11/Q15 and the unigram-LM normalizer;
     plan-audited in tests/test_plan_audit.py.
 
-    Fault-tolerance trade-off: ``localCheckpoint`` truncates lineage and
-    stores the blocks only on executors, so on a multi-executor cluster
-    an executor loss makes downstream stages fail unrecoverably instead
-    of recomputing.  That is acceptable in this repo's single-JVM test
-    harness and for short interactive queries; the production-scale
-    variant is a reliable ``checkpoint()`` (after
-    ``spark.sparkContext.setCheckpointDir`` on HDFS/object storage) or
-    ``persist(StorageLevel.MEMORY_AND_DISK_2)`` — same plan shape, blocks
-    survive executor loss.
+    Fault-tolerance trade-off, and the ``mode`` flag:
+
+    - ``"local"`` (default): ``localCheckpoint`` truncates lineage and
+      stores blocks only on executors. Fastest (no FS round-trip), but on
+      a real multi-executor cluster an executor loss makes every
+      downstream stage fail UNRECOVERABLY — there is no lineage left to
+      recompute from. Right for the single-JVM harness and short
+      interactive queries.
+    - ``"reliable"``: ``DataFrame.checkpoint`` writes the blocks to the
+      cluster checkpoint directory (HDFS / object storage — the caller
+      must have called ``spark.sparkContext.setCheckpointDir``). Same
+      plan shape, one extra write+read of the materialized relation, and
+      the 100 TB-scale behavior: blocks survive executor loss, stages
+      recompute from the checkpoint files.
+
+    ``mode=None`` reads the session conf ``spark.graft.scalarCheckpointMode``
+    (default ``"local"``), so a production deployment flips every
+    grand-total query to reliable checkpoints with one session setting and
+    zero query changes.
     """
-    cp = df.localCheckpoint(eager=True)
+    if mode is None:
+        mode = df.sparkSession.conf.get(CHECKPOINT_MODE_CONF, "local")
+    if mode == "reliable":
+        cp = df.checkpoint(eager=True)
+    elif mode == "local":
+        cp = df.localCheckpoint(eager=True)
+    else:
+        raise ValueError(
+            f"{CHECKPOINT_MODE_CONF}={mode!r}: expected 'local' or 'reliable'"
+        )
     return cp, F.broadcast(cp.agg(*aggs))

@@ -135,43 +135,35 @@ def parquet_footer_stats(
     read per file) and a full scan for the dataset-profiling queries every
     pipeline runs first ("how many rows, what key range"). Uses the DSv2
     parquet reader's aggregate pushdown (`PushedAggregation` in the plan,
-    asserted in tests/test_plan_audit.py), scoped to THIS call: the
-    session-wide default stays on the V1 reader because V1 is what
-    supports bucketed tables and the plan shapes the audits pin. The
-    result is materialized (tiny: one row) before the confs are restored,
-    so the V2 scan never leaks into caller plans.
+    asserted in tests/test_plan_audit.py), scoped to THIS call via a
+    dedicated ``spark.newSession()`` — same SparkContext, ISOLATED
+    SQLConf — so the session-wide default stays on the V1 reader (V1 is
+    what supports bucketed tables and the plan shapes the audits pin),
+    and no concurrently-planned query or streaming micro-batch can ever
+    observe the V2 confs (mutating the shared session's conf around the
+    collect, the previous implementation, was a thread-safety hazard:
+    anything planned in that window silently switched readers).  The
+    1-row result is re-homed onto the CALLER's session so downstream
+    composition behaves normally.
 
     Caveat (inherent to footer stats, not this helper): columns whose
     row-group stats are absent/invalid (e.g. legacy binary stats) fall
     back to a real scan — Spark decides per file, correctness is
     unaffected.
     """
-    saved = {
-        k: spark.conf.get(k, None)
-        for k in (
-            "spark.sql.parquet.aggregatePushdown",
-            "spark.sql.sources.useV1SourceList",
-        )
-    }
-    try:
-        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-        spark.conf.set("spark.sql.sources.useV1SourceList", "")
-        aggs = [F.count(F.lit(1)).alias("n_rows")]
-        for c in cols:
-            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
-        df = spark.read.parquet(path).agg(*aggs)
-        rows = df.collect()
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        out = spark.createDataFrame(rows, df.schema)
-        # carry the evidence so tests can assert pushdown actually fired
-        out._footer_stats_plan = plan  # type: ignore[attr-defined]
-        return out
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+    scoped = spark.newSession()
+    scoped.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    scoped.conf.set("spark.sql.sources.useV1SourceList", "")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    df = scoped.read.parquet(path).agg(*aggs)
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    out = spark.createDataFrame(rows, df.schema)
+    # carry the evidence so tests can assert pushdown actually fired
+    out._footer_stats_plan = plan  # type: ignore[attr-defined]
+    return out
 
 
 def read_parquet_evolved(

@@ -245,7 +245,23 @@ def stream_upsert_to_parquet(
         jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
         fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
         if not fs.exists(jvm_path):
-            batch_df.write.mode("overwrite").parquet(path)
+            # Bootstrap batch must apply the SAME latest-wins dedup as the
+            # upsert path: with availableNow (and no maxFilesPerTrigger cap)
+            # the ENTIRE source backlog can land in this one batch, carrying
+            # multiple versions of a key — writing it verbatim would violate
+            # the one-row-per-key SCD-1 contract until a later batch happens
+            # to touch the same keys.
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(*keys).orderBy(
+                *[F.desc(c) for c in order_cols]
+            )
+            latest = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            latest.write.mode("overwrite").parquet(path)
             return
         upsert_parquet(spark, path, batch_df, keys, order_cols)
 

@@ -1,0 +1,54 @@
+"""Bench output-contract guards (no Spark session needed).
+
+The driver captures only the LAST 2000 characters of bench.py stdout and
+parses the JSON document from that window (BENCH_r04.json lost the head of
+the line — headline_queries_total plus ~23 timings — when round 4 printed
+every raw sample).  Pin the worst-case printed line under the window so
+adding a headline query can never silently truncate the artifact again.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+BENCH_SRC = Path(__file__).resolve().parent.parent / "bench.py"
+
+
+def _headline_names() -> list[str]:
+    src = BENCH_SRC.read_text()
+    body = src[src.index("HEADLINE = [") : src.index("]", src.index("HEADLINE = ["))]
+    return re.findall(r'"([a-z0-9_]+)"', body)
+
+
+def test_worst_case_bench_line_fits_driver_window():
+    names = _headline_names() + ["scd2_upsert"]
+    assert len(names) >= 60
+    assert len(set(names)) == len(names), "duplicate headline entries"
+    # worst case the formatter can emit per value: "9.99" under 10 s,
+    # whole seconds ("9999") above — 4 chars either way
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": 99999.99,
+            "unit": "sec",
+            "queries": {n: 9999 for n in names},
+            "sf": 0.1,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) <= 2000, (
+        f"worst-case bench line is {len(line)} chars; the driver window is "
+        "2000 — drop or rename a headline entry"
+    )
+
+
+def test_bench_registry_names_resolve():
+    """Every headline name must exist in the query registry (a typo would
+    crash the driver's bench run, losing the round's perf artifact)."""
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+
+    registry = all_queries()
+    missing = [n for n in _headline_names() if n not in registry]
+    assert not missing, f"headline entries not in registry: {missing}"

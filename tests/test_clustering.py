@@ -191,3 +191,26 @@ def test_pca_power_iteration_tracks_top_eigenvector(spark):
     evecs = np.linalg.eigh(X.T @ X)[1]
     top = evecs[:, -1]
     assert abs(float(v @ top)) > 0.999, float(v @ top)
+
+
+def test_logreg_gd_rejects_null_features(spark):
+    """avg() silently drops NULL rows per-column, which would shrink one
+    gradient component's averaging set and skew the weights with no error
+    — the guard (folded into the first round's aggregate, no extra pass)
+    must raise instead."""
+    import pytest as _pytest
+
+    from nfl_big_data_bowl_2024_spark.operators.clustering import logreg_train_gd
+
+    feat = spark.createDataFrame(
+        [(0.0, 1.0, 0.0), (1.0, None, 1.0), (1.0, 2.0, 1.0)],
+        "y double, x1 double, x2 double",
+    )
+    with _pytest.raises(ValueError, match="x1.*NULL"):
+        logreg_train_gd(feat, ["x1", "x2"], "y", lr=0.5, iters=1)
+    # all-NULL label: the dedicated empty/all-NULL message
+    feat2 = spark.createDataFrame(
+        [(None, 1.0, 0.0)], "y double, x1 double, x2 double"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        logreg_train_gd(feat2, ["x1", "x2"], "y", lr=0.5, iters=1)

@@ -54,3 +54,78 @@ def test_rows_identical_across_partitionings(spark, name):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a, name
     assert a == b, f"{name}: rows differ between 3- and 64-partition runs"
+
+
+def test_log_micro_terms_survive_libm_ulp_differences():
+    """ADVICE r4: doc_dsir_importance / doc_dsir_select and
+    txt_unigram_surprisal floor(log(x)*1e6+0.5) — ln/log2 are NOT
+    exactly-rounded and can differ by ~1 ulp between JVM Math.log and
+    DuckDB's libm, so a micro term at a .5 boundary could flip the BIGINT
+    unit cross-engine.  Replay every log argument on the gate corpus and
+    assert a +/-2-ulp perturbation of the log's result never flips the
+    floor.  Both engines compute the log ARGUMENT bit-identically (exact
+    integer inputs through one fixed IEEE op order), so perturbing the
+    log output is exactly the cross-engine failure model; x == 1 (ln = 0)
+    and power-of-two log2 arguments are exact in every libm and skipped.
+    """
+    import math
+
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    doc = f"'{SF}/documents.parquet'"
+
+    def floors_stable(val: float, scale: float) -> bool:
+        outs = {
+            math.floor(scale * v + 0.5)
+            for v in (
+                val,
+                float(np.nextafter(np.nextafter(val, -np.inf), -np.inf)),
+                float(np.nextafter(np.nextafter(val, np.inf), np.inf)),
+            )
+        }
+        return len(outs) == 1
+
+    # --- DSIR per-term log-likelihood ratios ---
+    lm = con.sql(
+        f"""
+        WITH toks AS (
+            SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+            FROM {doc}
+        )
+        SELECT CAST(count(*) AS BIGINT) AS c_r,
+               CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+        FROM toks GROUP BY term
+        """
+    ).fetchall()
+    n_r = sum(c_r for c_r, _ in lm)
+    n_t = sum(c_t for _, c_t in lm)
+    v = len(lm)
+    checked = 0
+    for c_r, c_t in lm:
+        x = ((c_t + 1.0) * (n_r + v)) / ((c_r + 1.0) * (n_t + v))
+        if x == 1.0:
+            continue  # ln(1) = 0 exactly in every libm
+        assert floors_stable(math.log(x), 1e6), (c_r, c_t, x)
+        checked += 1
+    # the synthetic corpus has a deliberately tiny vocabulary (~31 terms);
+    # what matters is that every inexact-log term on the gate corpus holds
+    assert checked >= 25
+
+    # --- unigram surprisal -log2(n/tot) ---
+    counts = con.sql(
+        f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS term FROM {doc}
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY term
+        """
+    ).fetchall()
+    tot = sum(n for (n,) in counts)
+    for (n,) in counts:
+        p = n * 1.0 / tot
+        m = math.frexp(p)
+        if m[0] == 0.5:
+            continue  # exact power of two: log2 exact in every libm
+        assert floors_stable(-math.log2(p), 1e6), (n, tot)

@@ -242,6 +242,23 @@ def test_video_stream_sampled_decode(spark):
     rows = {r["frame_idx"]: r["status"] for r in video_frame_features(df).collect()}
     assert rows == {0: "ok", 2: "error_corrupt"}
 
+    # duplicate wanted index: deduped, one row per distinct frame with the
+    # RIGHT frame's features (before the fix, the second occurrence of 1
+    # silently emitted frame 2's features labeled frame_idx=1, status ok)
+    dup = spark.createDataFrame(
+        [(5, bytearray(synth_video_payload(5)), [1, 1, 2])],
+        "doc_id long, payload binary, sample_idxs array<int>",
+    )
+    dup_rows = {
+        r["frame_idx"]: r for r in video_frame_features(dup).collect()
+    }
+    assert sorted(dup_rows) == [1, 2]
+    for f in (1, 2):
+        rgb = synth_video_rgb(5, f)
+        assert dup_rows[f]["status"] == "ok"
+        assert dup_rows[f]["px00_r"] == int(rgb[0, 0, 0])
+        assert dup_rows[f]["mean_b"] == float(rgb[..., 2].mean())
+
 
 def test_wav_roundtrip_and_chunk_walking():
     """encode->decode returns the exact samples; the RIFF walker must

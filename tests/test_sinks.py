@@ -484,3 +484,49 @@ def test_upsert_scd2_rejects_late_and_duplicate_timestamps(spark):
         assert got == {(1, "a", 10, 15), (1, "a1", 15, None)}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_upsert_scd2_evaluates_updates_once(spark):
+    """The updates DataFrame is materialized ONCE (eager localCheckpoint)
+    before the guards: the late/duplicate checks and the final write must
+    see identical rows, or a nondeterministic source (rand(), a
+    non-snapshot view) could pass the guards yet write rows violating the
+    interval invariants.  An accumulator-backed source counts evaluations
+    directly — two actions (guards) + one write would otherwise re-run it
+    three times."""
+    import shutil
+    import tempfile
+
+    from nfl_big_data_bowl_2024_spark.sources.writers import upsert_scd2_parquet
+
+    d = tempfile.mkdtemp(prefix="scd2once_")
+    path = f"{d}/dim"
+    try:
+        spark.createDataFrame(
+            [(1, "a", 10, None)], "k long, v string, valid_from long, valid_to long"
+        ).write.parquet(path)
+        acc = spark.sparkContext.accumulator(0)
+
+        def _emit(i):
+            acc.add(1)
+            return (int(i), f"u{i}", 20 + int(i))
+
+        # explicit schema: inference would sample the RDD before the writer
+        # ever sees it and over-count
+        updates = spark.createDataFrame(
+            spark.sparkContext.parallelize([1, 2], 1).map(_emit),
+            "k long, v string, ts long",
+        )
+        upsert_scd2_parquet(spark, path, updates, keys=["k"], ts_col="ts")
+        assert acc.value == 2, f"updates evaluated {acc.value / 2:g} times"
+        got = {
+            (r["k"], r["v"], r["valid_from"], r["valid_to"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == {
+            (1, "a", 10, 21),
+            (1, "u1", 21, None),
+            (2, "u2", 22, None),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -384,6 +384,36 @@ def test_stream_upsert_foreachbatch_latest_wins_and_resumes(spark):
         shutil.rmtree(tgt.rsplit("/", 1)[0], ignore_errors=True)
 
 
+def test_stream_upsert_bootstrap_batch_dedups_backlog(spark):
+    """ADVICE r4: with availableNow and no file cap, the ENTIRE backlog
+    lands in the FIRST micro-batch — the target-bootstrap path must apply
+    the same latest-wins dedup as the upsert path, or multiple versions of
+    a key persist in the fresh target, violating the one-row-per-key SCD-1
+    contract."""
+    src = tempfile.mkdtemp(prefix="fb_boot_src_")
+    ckpt = tempfile.mkdtemp(prefix="fb_boot_ckpt_")
+    tgt = tempfile.mkdtemp(prefix="fb_boot_tgt_") + "/dim"
+    try:
+        # three versions of key 1 plus an exact-duplicate row for key 2,
+        # all present BEFORE the stream first starts
+        spark.createDataFrame(
+            [(1, "a1", 1), (1, "a2", 2), (1, "a3", 3), (2, "b1", 1), (2, "b1", 1)],
+            "k long, v string, ver long",
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("k long, v string, ver long").parquet(src)
+        q = st.stream_upsert_to_parquet(
+            stream, tgt, keys=["k"], order_cols=["ver"], checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(tgt).collect()
+        assert len(rows) == 2, f"bootstrap kept duplicates: {rows}"
+        assert {(r.k, r.v) for r in rows} == {(1, "a3"), (2, "b1")}
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(tgt.rsplit("/", 1)[0], ignore_errors=True)
+
+
 def test_map_only_curation_ops_compose_into_streams(spark):
     """The curation column functions (PII redaction here) are pure
     projections, so the SAME expression must run unchanged on a
