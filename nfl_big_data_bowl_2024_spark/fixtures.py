@@ -34,6 +34,9 @@ Scenario coverage (FIXTURES.md §A5):
             boundary
   play 207  second playDirection=left geometry (slow closure, FS) -> sign
             convention exercised away from the exact mirror of 101
+  play 301  CURVED pursuit: quadratic carrier arc + 2-D converging SS ->
+            second hash-checked closed-form operating point for the LQR
+            kernel (e2_yap_closed_form_curved), geometry genuinely 2-D
 """
 
 from __future__ import annotations
@@ -52,6 +55,7 @@ PLAYERS = [
     (2004, "Tackler Delta", "NT"),
     (2005, "Tackler Echo", "QB"),  # outside the limits table on purpose
     (2006, "Tackler Foxtrot", "FS"),
+    (2007, "Tackler Golf", "SS"),  # curved-pursuit play 301
 ]
 
 # (gameId, playId, ballCarrierId, playDirection)
@@ -67,6 +71,7 @@ PLAYS = [
     (3, 205, 1001, "right"),
     (3, 206, 1001, "right"),
     (3, 207, 1002, "left"),
+    (4, 301, 1001, "right"),  # curved pursuit (quadratic carrier path)
 ]
 
 TACKLES = [
@@ -83,6 +88,7 @@ TACKLES = [
     (3, 205, 2006),
     (3, 206, 2001),
     (3, 207, 2006),
+    (4, 301, 2007),
 ]
 
 
@@ -142,7 +148,38 @@ def tracking_rows() -> list[tuple]:
     def a_decay(f):  # max over window [5,14) is at f=5 -> 2.75
         return 3.0 - 0.05 * f
 
+    # play 301: CURVED pursuit — the carrier bends upfield on a quadratic
+    # arc (x linear, y quadratic) while the SS converges along both axes,
+    # so neither the vicinity distance nor the LQR boundary conditions
+    # reduce to the 1-D geometry of plays 101/201. The closed-form facts
+    # (vicinity crossing at frame 14, first LQR-feasible intercept at
+    # start+5, YAP = 2.8) are re-derived with margins in
+    # tests/test_yap_kernel.py::test_closed_form_operating_point_curved.
+    def _curved_play_rows(game: int, play: int, carrier: int, tackler: int):
+        out = []
+        events = {5: "handoff", 30: "tackle"}
+        for f in range(1, N_FRAMES + 1):
+            x_c = round(30.0 + 0.7 * (f - 1), 4)
+            y_c = round(26.65 + 0.012 * (f - 1) ** 2, 4)
+            out.append((game, play, carrier, f, round(0.1 * (f - 1), 1),
+                        events.get(f), x_c, y_c, 8.0, 0.5, 90.0, "right"))
+        for f in range(1, N_FRAMES + 1):
+            x_c = 30.0 + 0.7 * (f - 1)
+            y_c = 26.65 + 0.012 * (f - 1) ** 2
+            # 2-D convergence: dist < 1.0 first at f=14
+            x_t = round(x_c + 8.0 - 0.55 * (f - 1), 4)
+            y_t = round(y_c + 4.0 - 0.28 * (f - 1), 4)
+            s = 5.0 + 0.1 * f if f <= 20 else 7.0 - 0.05 * (f - 20)
+            a = 3.0 - 0.05 * f
+            out.append((game, play, tackler, f, round(0.1 * (f - 1), 1),
+                        None, x_t, y_t, round(s, 4), round(a, 4), 250.0,
+                        "right"))
+        return out
+
     for game, play, carrier, direction in PLAYS:
+        if play == 301:
+            rows.extend(_curved_play_rows(game, play, carrier, 2007))
+            continue
         if play == 104:
             events = {3: "ball_snap", 30: "out_of_bounds"}
         elif play == 203:

@@ -364,6 +364,91 @@ def e2_yap_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Second closed-form operating point: the CURVED pursuit play 301 (quadratic
+# carrier arc, SS converging along both axes). Unlike 101/201 the geometry
+# is genuinely 2-D — the vicinity distance and the LQR boundary conditions
+# both carry nonzero y components — so this pins the kernel's planar math,
+# not just its 1-D projection. Pinned constants (intercept = f0 + 5,
+# max_vel_opt 5.62, max_accel_opt 5.9) are margin-proven in
+# tests/test_yap_kernel.py::test_closed_form_operating_point_curved: every
+# earlier candidate fails its binding constraint by >= 30%, the winner
+# passes all three with >= 28% headroom, and both maxima sit >= 0.0020 from
+# their 2 dp half-up boundary.
+_YAP_CF_CURVED_ORACLE = f"""
+WITH tracking AS (SELECT * FROM {fixtures.tracking_values_cte().replace('fx(', 'fxcv(')}),
+meta AS (
+    SELECT * FROM (VALUES
+        (CAST(4 AS BIGINT), CAST(301 AS BIGINT), CAST(1001 AS BIGINT),
+         CAST(2007 AS BIGINT), 'Tackler Golf', 'SS', 'right',
+         CAST(5.62 AS DOUBLE), CAST(5.9 AS DOUBLE))
+    ) AS m(gameId, playId, carrierId, tacklerId, name, position, dir,
+           max_vel_opt, max_accel_opt)
+),
+carrier AS (
+    SELECT t.gameId, t.playId, t.frameId, t.event, t.x, t.y
+    FROM tracking t JOIN meta m
+      ON t.gameId = m.gameId AND t.playId = m.playId AND t.nflId = m.carrierId
+),
+start_f AS (
+    SELECT gameId, playId,
+           min(CASE WHEN event IN ('handoff','pass_outcome_caught','run',
+                                   'snap_direct') THEN frameId END) AS f0
+    FROM carrier GROUP BY gameId, playId
+),
+dist AS (
+    SELECT c.gameId, c.playId, c.frameId, c.x AS cx,
+           sqrt((c.x - k.x) * (c.x - k.x) + (c.y - k.y) * (c.y - k.y)) AS d
+    FROM carrier c
+    JOIN meta m ON c.gameId = m.gameId AND c.playId = m.playId
+    JOIN tracking k ON k.gameId = c.gameId AND k.playId = c.playId
+                   AND k.frameId = c.frameId AND k.nflId = m.tacklerId
+),
+crossing AS (
+    SELECT d.gameId, d.playId, min(d.frameId) AS fv
+    FROM dist d JOIN start_f s ON d.gameId = s.gameId AND d.playId = s.playId
+    WHERE d.d < 1.0 AND d.frameId > s.f0
+    GROUP BY d.gameId, d.playId
+)
+SELECT m.gameId AS game_ID, m.playId AS play_ID, m.tacklerId AS NFL_ID,
+       m.name AS name, m.position AS position,
+       floor((CASE WHEN m.dir = 'left' THEN cj.cx - cv.cx
+                   ELSE cv.cx - cj.cx END) * 100 + 0.5) / 100 AS YAP,
+       m.max_vel_opt AS max_vel_opt, m.max_accel_opt AS max_accel_opt,
+       'ok' AS status
+FROM meta m
+JOIN start_f s ON s.gameId = m.gameId AND s.playId = m.playId
+JOIN crossing cr ON cr.gameId = m.gameId AND cr.playId = m.playId
+JOIN dist cv ON cv.gameId = m.gameId AND cv.playId = m.playId
+            AND cv.frameId = cr.fv
+JOIN dist cj ON cj.gameId = m.gameId AND cj.playId = m.playId
+            AND cj.frameId = s.f0 + 5
+"""
+
+
+@register(
+    "e2_yap_closed_form_curved",
+    _YAP_CF_CURVED_ORACLE,
+    doc="E2/U1 second hash-checked operating point: the SAME applyInPandas "
+    "LQR kernel on the curved-pursuit play (quadratic carrier arc + 2-D "
+    "converging SS, fixtures.py play 301) — extends the hash-checked "
+    "surface of the kernel (reference calculate_YAP.py + "
+    "optimal_pursuit.py:431-571) beyond the straight-line plays of "
+    "e2_yap_closed_form. The oracle derives start frame, vicinity "
+    "crossing and YAP (pure carrier displacement between two derived "
+    "frames) from the fixture VALUES CTE; the intercept frame (f0 + 5) "
+    "and the optimal-path maxima are pinned constants margin-proven in "
+    "tests/test_yap_kernel.py.",
+)
+def e2_yap_closed_form_curved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cf = F.col("playId") == 301
+    return yap_plan(
+        fixtures.tracking_df(spark).filter(cf),
+        fixtures.players_df(spark),
+        fixtures.plays_df(spark).filter(cf),
+        fixtures.tackles_df(spark).filter(cf),
+    )
+
+
 _TRAJ_ORACLE = f"""
 WITH tracking AS (SELECT * FROM {fixtures.tracking_values_cte().replace('fx(', 'fxt(')}),
 carrier AS (SELECT frameId, t, event, x AS cx, y AS cy FROM tracking

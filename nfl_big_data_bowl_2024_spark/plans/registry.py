@@ -71,9 +71,15 @@ _DRIVER_PRIORITY: list[str] = [
     # --- round-4 reds, fixed this round
     "doc_mix_weights",
     "mm_byte_features",
-    # --- changed or new this round
+    # --- changed or new this round (play 301 extends the tracking fixture,
+    #     so every fixture-generic query's expected rows changed too)
     "ml_quality_classifier_train",
     "e2_yap_closed_form_curved",
+    "e1_max_params",
+    "e2_yap",
+    "stream_session_stats",
+    "stream_window_stats",
+    "stream_dedup_frames",
     # --- round-2 re-confirmation slice (driver evidence is two rounds old)
     "flagship_bounded_max",
     "tpch_q1_pricing_summary",
@@ -92,17 +98,12 @@ _DRIVER_PRIORITY: list[str] = [
     "tpch_q22_dormant_accounts",
     "pivot_priority_by_nation",
     "unpivot_part_metrics",
-    "summary_stats",
     "grouped_having_sort",
     "corr_per_group",
     "histogram_bins",
-    "distinct_keys",
-    "filter_project_pushdown",
-    "point_lookup",
     "trig_heading_wrap",
     "conditional_recode_clip",
     "case_lookup_dim_join",
-    "timestamp_parts",
     "join_multi_key",
     "temporal_self_join",
     "batch_sessionize",
@@ -121,8 +122,13 @@ _DRIVER_PRIORITY: list[str] = [
     "sql_interface",
     "argmax_per_group",
     # ---------------- position 50 cutoff ----------------
-    # r2 slice overflow (5 queries that did not fit the 50-entry window;
-    # r2 driver-green, unchanged, locally verified — rotate into round 6)
+    # r2 slice overflow (did not fit the 50-entry window; r2 driver-green,
+    # unchanged, locally verified — rotate into round 6)
+    "summary_stats",
+    "distinct_keys",
+    "filter_project_pushdown",
+    "point_lookup",
+    "timestamp_parts",
     "ordered_rank_lag",
     "skew_salted_join",
     "grouped_percentiles",
@@ -130,13 +136,8 @@ _DRIVER_PRIORITY: list[str] = [
     "json_props_rollup",
     # r3/r4 driver-green, code unchanged, locally verified
     "e2_yap_closed_form",
-    "e1_max_params",
-    "e2_yap",
     "e3_player_stats",
     "e3_position_params",
-    "stream_session_stats",
-    "stream_window_stats",
-    "stream_dedup_frames",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_ivf_topk",

@@ -349,3 +349,108 @@ def test_e2_closed_form_spark_rows(spark):
         (1, 101, 2001): (2.4, 5.66, 0.57, "ok"),
         (2, 201, 2003): (2.4, 5.6, 0.34, "ok"),
     }
+
+
+def test_closed_form_operating_point_curved():
+    """Pins the e2_yap_closed_form_curved oracle constants (plans/domain.py)
+    for play 301 — the CURVED operating point, where the carrier's y is
+    quadratic and the SS converges along both axes, so the vicinity
+    distance and the LQR boundary conditions are genuinely 2-D.  Asserts
+    the same robustness contract as the straight-line test: every
+    candidate before the pinned winner fails its binding constraint by a
+    wide margin, the winner passes all three with wide headroom, YAP is
+    pure carrier displacement between the two derived frames, and the
+    pinned maxima sit away from their 2 dp half-up boundary."""
+    from nfl_big_data_bowl_2024_spark.kernels.lqr import (
+        RiccatiSweep,
+        solve_optimal_path,
+    )
+    from nfl_big_data_bowl_2024_spark.kernels.yap import (
+        R_T,
+        _first_crossing,
+        _identify_events,
+        _max_params_over,
+        _uv,
+    )
+
+    tr = pd.DataFrame(fixtures.tracking_rows(), columns=fixtures.TRACKING_COLS)
+    g = tr[(tr.gameId == 4) & (tr.playId == 301)]
+    c = g[g.nflId == 1001].sort_values("frameId")
+    k = g[g.nflId == 2007].sort_values("frameId")
+    x_c, y_c = c.x.to_numpy(), c.y.to_numpy()
+    # the curve is real: carrier y spans > 5 yd (1-D degenerate geometry
+    # would silently re-test the straight-line operating point)
+    assert y_c.max() - y_c.min() > 5.0
+    t = c.t.to_numpy(float)
+    t = t - t[0]
+    idx_start, _ = _identify_events(c.event.to_numpy(dtype=object))
+    assert idx_start == 4  # handoff at frame 5
+    x_t, y_t = k.x.to_numpy(), k.y.to_numpy()
+    v_t, a_t = k.s.to_numpy(), k.a.to_numpy()
+    u_t, w_t = _uv(v_t, k["dir"].to_numpy())
+    dist = np.sqrt((x_c - x_t) ** 2 + (y_c - y_t) ** 2)
+    idx_v = _first_crossing(dist, idx_start)
+    assert idx_v == 13  # vicinity crossing at frame 14 (oracle's fv)
+    limits = {p: v for p, *v in schemas.POSITION_LIMITS}
+    v_med, v_max, a_med, a_max = limits["SS"]
+    sweep = RiccatiSweep(v_med, a_med, R_T)
+
+    def solve(idx_j):
+        time_j = t[idx_start : idx_j + 1] - t[idx_start]
+        return solve_optimal_path(
+            x_t[idx_start] - x_c[idx_j], y_t[idx_start] - y_c[idx_j],
+            u_t[idx_start], w_t[idx_start], time_j, v_med, a_med, R_T,
+            sweep=sweep,
+        )
+
+    # every candidate BEFORE the pinned winner (start + 5) fails at least
+    # one constraint by >= 30% of its threshold
+    for idx_j in range(idx_start + 1, idx_start + 5):
+        xp, yp, up, vp, axp, ayp = solve(idx_j)
+        r_f = float(np.hypot(xp[-1], yp[-1]))
+        v_pk = float(np.max(np.hypot(up, vp)))
+        a_pk = float(np.max(np.hypot(axp, ayp)))
+        assert (
+            r_f >= 1.30 * R_T or v_pk >= 1.30 * v_max or a_pk >= 1.30 * a_max
+        ), (idx_j, r_f, v_pk, a_pk)
+
+    # the pinned winner passes ALL constraints with >= 28% headroom
+    idx_j = idx_start + 5
+    xp, yp, up, vp, axp, ayp = solve(idx_j)
+    assert float(np.hypot(xp[-1], yp[-1])) <= 0.72 * R_T
+    assert float(np.max(np.hypot(up, vp))) <= 0.52 * v_max
+    assert float(np.max(np.hypot(axp, ayp))) <= 0.65 * a_max
+
+    # YAP is pure carrier displacement between the two pinned frames
+    yap_raw = x_c[idx_v] - x_c[idx_j]
+    assert abs(yap_raw - 2.8) < 1e-9
+
+    # the oracle's literal maxima match the optimal-path re-run; unrounded
+    # values sit >= 0.0020 from a 2 dp half-up boundary
+    kk = len(xp)
+    x_o, y_o = x_t.astype(float).copy(), y_t.astype(float).copy()
+    v_o, a_o = v_t.astype(float).copy(), a_t.astype(float).copy()
+    x_o[idx_start : idx_start + kk] = xp + x_c[idx_j]
+    y_o[idx_start : idx_start + kk] = yp + y_c[idx_j]
+    v_o[idx_start : idx_start + kk] = np.hypot(up, vp)
+    a_o[idx_start : idx_start + kk] = np.hypot(axp, ayp)
+    for arr in (x_o, y_o, v_o, a_o):
+        arr[idx_start + kk :] = np.nan
+    dist_o = np.sqrt((x_c - x_o) ** 2 + (y_c - y_o) ** 2)
+    mv, ma = _max_params_over(v_o, a_o, dist_o, idx_start)
+    assert round(mv, 2) == 5.62 and round(ma, 2) == 5.9
+    for v in (mv, ma):
+        frac = abs(v * 100 - np.floor(v * 100 + 0.5))
+        assert abs(0.5 - frac) >= 0.20, v
+
+
+def test_e2_closed_form_curved_spark_row(spark):
+    """The registered curved query returns exactly the pinned row."""
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+
+    df = all_queries()["e2_yap_closed_form_curved"].fn(spark, "/root/testdata/sf0.01")
+    rows = {
+        (r.game_ID, r.play_ID, r.NFL_ID): (r.YAP, r.max_vel_opt, r.max_accel_opt, r.status)
+        for r in df.collect()
+    }
+    assert rows == {(4, 301, 2007): (2.8, 5.62, 5.9, "ok")}
