@@ -85,6 +85,8 @@ HEADLINE = [
     "doc_dsir_importance",
     "doc_dsir_select",
     "txt_heavy_hitters",
+    # round-5 addition
+    "dedup_semantic",
 ]
 
 # Queries that showed multi-second shared-box spikes in past driver runs

@@ -76,6 +76,61 @@ def assign_to_centroids(
     return df.withColumn("cluster_id", best["cid"]).withColumn("d", best["d"])
 
 
+def assign_to_centroids_vectorized(
+    df: DataFrame, centroids: dict[int, list[float]], vec_col: str = "e"
+) -> DataFrame:
+    """BLAS twin of ``assign_to_centroids`` for LARGE k: same 9-dp rounded
+    Euclidean distances, same tie rule (argmin returns the FIRST minimum,
+    i.e. the lowest cid), computed as one matmul per Arrow batch via the
+    |x-c|^2 = |x|^2 + |c|^2 - 2x.c expansion.
+
+    The HOF form interprets k (distance, cid) struct lambdas PER ROW, so
+    its cost is k interpreted evaluations x n — fine for a k=8 gate query,
+    linear-in-n-AND-k at SemDeDup scale (k ~ n/1000 makes assignment
+    quadratic overall). Here the inner loop is one n x k BLAS product.
+    The expansion reorders the floating-point sum vs the fold, so
+    distances can differ in the last ulps pre-rounding; agreement with
+    the HOF path after 9-dp rounding is asserted on the gate corpus
+    (tests/test_clustering.py) — use the HOF path for oracle-checked
+    queries, this path at scale."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array(sorted(centroids), dtype=np.int64)
+    C = np.stack([np.asarray(centroids[int(c)], dtype=np.float64) for c in cids])
+    c_sq = (C * C).sum(axis=1)
+
+    # no type hints: PEP 563 string annotations break pyspark's signature
+    # parser (same caveat as similarity.py's band_sigs)
+    @pandas_udf("struct<cluster_id: int, d: double>")
+    def _assign(embs):
+        m = np.stack(embs.to_numpy())
+        d2 = (m * m).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (m @ C.T)
+        np.maximum(d2, 0.0, out=d2)  # expansion can go ~-1e-13 on exact hits
+        # the expansion's absolute error (~1e-16) is negligible at d ~ O(1)
+        # but dominates near zero (sqrt turns 1e-16 into 1e-8 — an exact
+        # centroid hit must yield d = 0.0 like the fold path): recompute
+        # the few tiny entries with the exact difference formula
+        near = np.argwhere(d2 < 1e-8)
+        if len(near):
+            diffs = m[near[:, 0]] - C[near[:, 1]]
+            d2[near[:, 0], near[:, 1]] = (diffs * diffs).sum(axis=1)
+        d = np.floor(np.sqrt(d2) * 1e9 + 0.5) / 1e9
+        j = np.argmin(d, axis=1)  # first minimum -> lowest cid on ties
+        rows = np.arange(len(j))
+        return pd.DataFrame(
+            {"cluster_id": cids[j].astype(np.int32), "d": d[rows, j]}
+        )
+
+    out = df.withColumn("_a", _assign(F.col(vec_col)))
+    return (
+        out.withColumn("cluster_id", F.col("_a.cluster_id"))
+        .withColumn("d", F.col("_a.d"))
+        .drop("_a")
+    )
+
+
 def refine_centroids(
     assigned: DataFrame, vec_col: str = "e"
 ) -> dict[int, list[float]]:
@@ -102,6 +157,7 @@ def kmeans_lloyd(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "e",
+    vectorized: bool = False,
 ) -> DataFrame:
     """Run ``iters`` assignment rounds of Lloyd's algorithm (so
     ``iters - 1`` centroid refinements) and return the final assignment
@@ -116,12 +172,13 @@ def kmeans_lloyd(
     the (id, vector) projection before calling when the cluster has the
     memory — the algorithm itself holds no state bigger than k x dim.
     """
+    assign = assign_to_centroids_vectorized if vectorized else assign_to_centroids
     seeds = emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     centroids = {i: [float(v) for v in r[vec_col]] for i, r in enumerate(seeds)}
-    assigned = assign_to_centroids(emb, centroids, vec_col)
+    assigned = assign(emb, centroids, vec_col)
     for _ in range(iters - 1):
         centroids = refine_centroids(assigned, vec_col)
-        assigned = assign_to_centroids(emb, centroids, vec_col)
+        assigned = assign(emb, centroids, vec_col)
     return assigned.select(id_col, "cluster_id", "d")
 
 
@@ -340,3 +397,87 @@ def power_iteration_top_direction(
             )
         v = np.array([math.floor(x / nrm * 1e9 + 0.5) / 1e9 for x in w])
     return [float(x) for x in v]
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    tau: float,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    vectorized_assign: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication"):
+    cluster the embedding space, then search for near-duplicate pairs ONLY
+    within each cluster — the move that turns the quadratic all-pairs
+    cosine into sum(|cluster|^2), bounded at corpus scale by growing k
+    with n (cluster size stays ~constant, so pair volume is ~n x s and
+    the cluster-keyed self-join parallelizes across k keys; this repo's
+    local run uses k=8 over 500 vectors, a 100 TB run would use
+    k ~ n/1000).
+
+    Verdict rule (deterministic variant of the paper's keep-one): a vector
+    is dropped iff a LOWER-id member of its cluster has cosine >= ``tau``
+    with it; ``dup_of`` records the lowest such id. The paper keeps the
+    member farthest from the centroid — id order is used here so both
+    engines agree without a float ranking.
+
+    Plan shape: kmeans_lloyd assignment (map-only vs broadcast centroids;
+    ``vectorized_assign=True`` switches to the BLAS twin — REQUIRED once k
+    grows with n, the HOF argmin interprets k struct lambdas per row) ->
+    eager checkpoint of the (id, cluster, vector) relation (it feeds the
+    pair stage AND the verdict join; Catalyst does not CSE DataFrame
+    subtrees — the connected-components lesson) -> per-cluster
+    ``applyInPandas`` dup-pair extraction: ONE normalized gram matrix per
+    cluster, so each vector crosses the Arrow boundary once per CLUSTER
+    (a pair-table self-join moves every vector once per PAIR — n x s x d
+    doubles vs n x d). Cluster size is bounded by construction (k ~ n/s),
+    which also bounds the per-group matrix. Cosine is half-up floored to
+    6 dp before the threshold on BOTH engines; margin-tested in
+    tests/test_dedup_similarity.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assigned = kmeans_lloyd(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        vectorized=vectorized_assign,
+    )
+    m = (
+        assigned.join(emb.select(id_col, vec_col), id_col)
+        .select(id_col, "cluster_id", vec_col)
+        .localCheckpoint(eager=True)
+    )
+
+    def _dup_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(pdf[vec_col].to_numpy())[order]
+        nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = np.floor((nm @ nm.T) * 1e6 + 0.5) / 1e6
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = cos[iu, ju] >= tau
+        return pd.DataFrame(
+            {"ia": ids[iu[keep]].astype(np.int64),
+             "ib": ids[ju[keep]].astype(np.int64)}
+        )
+
+    dup = m.groupBy("cluster_id").applyInPandas(_dup_pairs, "ia long, ib long")
+    dropped = dup.groupBy(F.col("ib").alias(id_col)).agg(
+        F.min("ia").alias("dup_of")
+    )
+    return (
+        m.select(id_col, "cluster_id")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.when(F.col("dup_of").isNotNull(), "dropped_semantic")
+            .otherwise("kept")
+            .alias("verdict"),
+            "dup_of",
+        )
+    )

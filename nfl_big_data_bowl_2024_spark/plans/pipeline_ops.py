@@ -2376,6 +2376,89 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB replay of kmeans_lloyd(k=8, iters=2, lowest-id seeds) ending in an
+# ``a2(vec_id, e, cid)`` assignment relation — the same iteration the
+# emb_kmeans_lloyd oracle replays, re-used by the SemDeDup oracle below.
+_KMEANS_ASSIGN_CTE = """
+    emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    seeds AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, e
+      FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 8) s
+    ),
+    d1 AS (
+      SELECT emb.vec_id, emb.e, seeds.cid,
+             floor(list_distance(emb.e, seeds.e) * 1e9 + 0.5) / 1e9 AS d
+      FROM emb CROSS JOIN seeds
+    ),
+    a1 AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT vec_id, e, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d1) t WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT cid, list(cv ORDER BY pos) AS e FROM (
+        SELECT cid, pos, floor(avg(v) * 1e6 + 0.5) / 1e6 AS cv FROM (
+          SELECT cid, unnest(e) AS v, unnest(generate_series(1, len(e))) AS pos
+          FROM a1) u GROUP BY cid, pos) g GROUP BY cid
+    ),
+    d2 AS (
+      SELECT emb.vec_id, emb.e, c1.cid,
+             floor(list_distance(emb.e, c1.e) * 1e9 + 0.5) / 1e9 AS d
+      FROM emb CROSS JOIN c1
+    ),
+    a2 AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT vec_id, e, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d2) t WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "dedup_semantic",
+    f"""
+    WITH {_KMEANS_ASSIGN_CTE},
+    p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             floor(list_cosine_similarity(a.e, b.e) * 1e6 + 0.5) / 1e6 AS c
+      FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    ),
+    dropped AS (
+      SELECT ib AS vec_id, min(ia) AS dup_of FROM p WHERE c >= 0.45 GROUP BY ib
+    )
+    SELECT a2.vec_id, a2.cid AS cluster_id,
+           CASE WHEN d.vec_id IS NULL THEN 'kept'
+                ELSE 'dropped_semantic' END AS verdict,
+           d.dup_of
+    FROM a2 LEFT JOIN dropped d USING (vec_id)
+    """,
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023): k-means the "
+    "embedding space (the driver-replayable Lloyd trainer, k=8 x 2 "
+    "rounds, lowest-id seeds), then near-dup search ONLY within clusters "
+    "— all-pairs cosine's n^2/2 collapses to sum(|cluster|^2) (15.6k of "
+    "124.7k pairs here, and at corpus scale k grows with n so cluster "
+    "size stays bounded and the cluster-keyed self-join parallelizes). "
+    "Verdict: dropped iff a lower-id cluster member has cosine >= 0.45 "
+    "(the deterministic keep-lowest-id variant of the paper's keep-one "
+    "rule); dup_of = that lowest id. Cosine half-up floored to 6 dp on "
+    "both engines pre-threshold; 2-ulp accumulation margins asserted in "
+    "tests/test_dedup_similarity.py "
+    "(operators/clustering.py:semantic_dedup).",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    return semantic_dedup(e, tau=0.45, k=8, iters=2)
+
+
 @register(
     "sim_knn_join",
     """

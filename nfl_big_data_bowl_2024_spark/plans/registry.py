@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: list[str] = [
     #     so every fixture-generic query's expected rows changed too)
     "ml_quality_classifier_train",
     "e2_yap_closed_form_curved",
+    "dedup_semantic",
     "e1_max_params",
     "e2_yap",
     "stream_session_stats",
@@ -120,10 +121,10 @@ _DRIVER_PRIORITY: list[str] = [
     "approx_count_distinct",
     "skew_salted_agg",
     "sql_interface",
-    "argmax_per_group",
     # ---------------- position 50 cutoff ----------------
     # r2 slice overflow (did not fit the 50-entry window; r2 driver-green,
     # unchanged, locally verified — rotate into round 6)
+    "argmax_per_group",
     "summary_stats",
     "distinct_keys",
     "filter_project_pushdown",

@@ -214,3 +214,42 @@ def test_logreg_gd_rejects_null_features(spark):
     )
     with _pytest.raises(ValueError, match="NULL"):
         logreg_train_gd(feat2, ["x1", "x2"], "y", lr=0.5, iters=1)
+
+
+def test_vectorized_assignment_matches_hof_path(spark):
+    """assign_to_centroids_vectorized (BLAS expansion, the large-k scale
+    path) must agree with assign_to_centroids (sequential fold, the
+    oracle-checked path) after the shared 9-dp rounding — same cluster,
+    same rounded distance — on the gate corpus."""
+    from pyspark.sql import functions as F
+
+    from nfl_big_data_bowl_2024_spark.operators.clustering import (
+        assign_to_centroids,
+        assign_to_centroids_vectorized,
+        kmeans_lloyd,
+        refine_centroids,
+    )
+    from nfl_big_data_bowl_2024_spark.sources.readers import read_testdata_table
+
+    e = read_testdata_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    seeds = e.orderBy("vec_id").limit(8).collect()
+    cents = {i: [float(v) for v in r["e"]] for i, r in enumerate(seeds)}
+    # round 1 + a refined round 2, both paths
+    for c in (cents, refine_centroids(assign_to_centroids(e, cents), "e")):
+        hof = {
+            r["vec_id"]: (r["cluster_id"], r["d"])
+            for r in assign_to_centroids(e, c).collect()
+        }
+        vec = {
+            r["vec_id"]: (r["cluster_id"], r["d"])
+            for r in assign_to_centroids_vectorized(e, c).collect()
+        }
+        assert hof == vec
+    # and the full trainer agrees end-to-end
+    a = {(r["vec_id"], r["cluster_id"], r["d"])
+         for r in kmeans_lloyd(e, k=8, iters=2).collect()}
+    b = {(r["vec_id"], r["cluster_id"], r["d"])
+         for r in kmeans_lloyd(e, k=8, iters=2, vectorized=True).collect()}
+    assert a == b

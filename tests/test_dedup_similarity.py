@@ -242,3 +242,91 @@ def test_cluster_lsh_composition_matches_exact_audit_twin(spark):
         for r in connected_components(exact, "doc_a", "doc_b").collect()
     }
     assert lsh_labels == exact_labels
+
+
+def test_semantic_dedup_drops_planted_neighbors(spark):
+    """SemDeDup semantics on planted geometry: two near-identical vectors
+    land in the same cluster -> higher id dropped with dup_of = lower id;
+    an equally-similar pair SPLIT across clusters is NOT compared (the
+    approximation the paper trades for the n^2 -> sum(|c|^2) bound)."""
+    import numpy as np
+
+    from nfl_big_data_bowl_2024_spark.operators.clustering import semantic_dedup
+
+    rng_free = [
+        # cluster A around +x, cluster B around +y (k=2 seeds are ids 0,1)
+        (0, [10.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 10.0, 0.0, 0.0]),
+        (2, [10.0, 0.5, 0.0, 0.0]),   # near-dup of 0 (same cluster)
+        (3, [0.5, 10.0, 0.0, 0.0]),   # near-dup of 1 (same cluster)
+        (4, [10.0, 9.0, 0.0, 0.0]),   # between, lands in ONE cluster only
+        (5, [9.0, 10.0, 0.0, 0.0]),   # its near-dup in the OTHER cluster
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rng_free],
+        "vec_id long, e array<double>",
+    )
+    out = {
+        r.vec_id: (r.verdict, r.dup_of)
+        for r in semantic_dedup(emb, tau=0.97, k=2, iters=1).collect()
+    }
+    assert out[0] == ("kept", None)
+    assert out[1] == ("kept", None)
+    assert out[2] == ("dropped_semantic", 0)
+    assert out[3] == ("dropped_semantic", 1)
+    # 4 and 5: cosine(4,5) = 0.9945 >= tau, but they sit in different
+    # clusters, so neither is dropped by the other
+    a = np.array(rng_free[4][1]); b = np.array(rng_free[5][1])
+    assert a @ b / (np.linalg.norm(a) * np.linalg.norm(b)) > 0.97
+    assert out[4][0] == "kept" and out[5][0] == "kept"
+
+
+def test_semantic_dedup_cosine_floor_margins():
+    """The dedup_semantic oracle compares floor(cosine*1e6+0.5) across
+    engines, where Spark's cosine is a numpy einsum and DuckDB's a
+    sequential list_cosine_similarity — different accumulation orders.
+    Assert every within-cluster pair's micro value on the gate corpus
+    keeps the same floor under a +/-2-ulp perturbation, and that no
+    ROUNDED cosine ties the 0.45 threshold boundary ambiguously (exact
+    equality is fine: both engines then see the same rounded value)."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    emb = con.sql(
+        "SELECT vec_id, embedding::DOUBLE[] AS e "
+        "FROM '/root/testdata/sf0.01/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in emb])
+    m = np.stack([np.asarray(r[1]) for r in emb])
+    # replay the assignment the same way kmeans_lloyd does (2 rounds,
+    # lowest-id seeds, 9 dp distance rounding, 6 dp centroid rounding)
+    cents = m[np.argsort(ids)[:8]].copy()
+    for it in range(2):
+        d = np.sqrt(((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2))
+        d = np.floor(d * 1e9 + 0.5) / 1e9
+        assign = np.lexsort((np.arange(cents.shape[0])[None, :].repeat(len(m), 0), d), axis=1)[:, 0]
+        if it == 0:
+            cents = np.stack([
+                np.floor(m[assign == c].mean(axis=0) * 1e6 + 0.5) / 1e6
+                for c in range(cents.shape[0])
+            ])
+    checked = 0
+    for c in range(8):
+        members = np.nonzero(assign == c)[0]
+        sub = m[members]
+        n = sub / np.linalg.norm(sub, axis=1, keepdims=True)
+        cos = n @ n.T
+        iu, ju = np.triu_indices(len(members), k=1)
+        for v in cos[iu, ju]:
+            micro = v * 1e6 + 0.5
+            base = math.floor(micro)
+            for nudged in (
+                np.nextafter(np.nextafter(v, -np.inf), -np.inf),
+                np.nextafter(np.nextafter(v, np.inf), np.inf),
+            ):
+                assert math.floor(float(nudged) * 1e6 + 0.5) == base, v
+            checked += 1
+    assert checked > 10_000
