@@ -237,7 +237,20 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
-    assert len(line) <= 2000, f"bench JSON line {len(line)} chars > driver window"
+    if len(line) > 2000:
+        # Never abort the artifact: an oversized line (e.g. a >=10000 s
+        # timing widening past the pinned per-query budget) degrades to a
+        # headline-only record instead of losing the whole perf document.
+        line = json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "truncated": f"per-query map dropped ({len(line)} chars > 2000)",
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
     print(line)
 
 

@@ -88,11 +88,20 @@ def assign_to_centroids_vectorized(
     its cost is k interpreted evaluations x n — fine for a k=8 gate query,
     linear-in-n-AND-k at SemDeDup scale (k ~ n/1000 makes assignment
     quadratic overall). Here the inner loop is one n x k BLAS product.
-    The expansion reorders the floating-point sum vs the fold, so
-    distances can differ in the last ulps pre-rounding; agreement with
-    the HOF path after 9-dp rounding is asserted on the gate corpus
-    (tests/test_clustering.py) — use the HOF path for oracle-checked
-    queries, this path at scale."""
+    The expansion reorders the floating-point sum vs the fold, so raw
+    BLAS distances can differ in the last ulps pre-rounding. To make the
+    twin PROVABLY identical (not just empirically on the gate corpus),
+    every centroid whose approximate distance lies within 1e-5 of the
+    row's approximate minimum — a band >10000x the expansion's worst
+    error (~3e-7 near zero where d_err ~ sqrt(d2_err), far less elsewhere) — is recomputed
+    with the exact difference formula in the fold's own left-to-right
+    accumulation order, and BOTH the
+    winner and its reported distance are taken from those exact values
+    (rounded-tie -> lowest cid, same as the fold's first-minimum rule).
+    A centroid outside the band cannot win or tie under the fold path,
+    so the output is bit-identical by construction; the extra exact work
+    is ~one centroid per row (1/k of the matmul). Asserted against the
+    HOF path in tests/test_clustering.py."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -108,19 +117,28 @@ def assign_to_centroids_vectorized(
         m = np.stack(embs.to_numpy())
         d2 = (m * m).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (m @ C.T)
         np.maximum(d2, 0.0, out=d2)  # expansion can go ~-1e-13 on exact hits
-        # the expansion's absolute error (~1e-16) is negligible at d ~ O(1)
-        # but dominates near zero (sqrt turns 1e-16 into 1e-8 — an exact
-        # centroid hit must yield d = 0.0 like the fold path): recompute
-        # the few tiny entries with the exact difference formula
-        near = np.argwhere(d2 < 1e-8)
-        if len(near):
-            diffs = m[near[:, 0]] - C[near[:, 1]]
-            d2[near[:, 0], near[:, 1]] = (diffs * diffs).sum(axis=1)
-        d = np.floor(np.sqrt(d2) * 1e9 + 0.5) / 1e9
-        j = np.argmin(d, axis=1)  # first minimum -> lowest cid on ties
-        rows = np.arange(len(j))
+        d_approx = np.sqrt(d2)
+        # exact recompute of the winner band (see docstring): every
+        # centroid within 1e-5 of the row minimum gets the fold-identical
+        # difference formula; winner + distance come from exact values only
+        dmin = d_approx.min(axis=1)
+        rows_idx, cand_idx = np.nonzero(d_approx <= (dmin + 1e-5)[:, None])
+        diffs = m[rows_idx] - C[cand_idx]
+        # accumulate dims SEQUENTIALLY (vectorized across candidates) —
+        # numpy's .sum() is pairwise, the fold path is a left fold, and
+        # "provably identical" requires the identical op order
+        sq = np.zeros(len(rows_idx), dtype=np.float64)
+        for t in range(diffs.shape[1]):
+            sq += diffs[:, t] * diffs[:, t]
+        d_exact = np.floor(np.sqrt(sq) * 1e9 + 0.5) / 1e9
+        # per row: min exact distance, ties -> lowest cid. rows_idx is
+        # row-major sorted, cand_idx ascending within a row, so a stable
+        # lexsort on (row, d) keeps the lowest cid first among ties.
+        order = np.lexsort((cand_idx, d_exact, rows_idx))
+        _, first = np.unique(rows_idx[order], return_index=True)
+        pick = order[first]
         return pd.DataFrame(
-            {"cluster_id": cids[j].astype(np.int32), "d": d[rows, j]}
+            {"cluster_id": cids[cand_idx[pick]].astype(np.int32), "d": d_exact[pick]}
         )
 
     out = df.withColumn("_a", _assign(F.col(vec_col)))

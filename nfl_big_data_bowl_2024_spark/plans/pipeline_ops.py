@@ -715,7 +715,7 @@ def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CASE WHEN h.byte // 32 = 7 THEN h.c ELSE 0 END) AS BIGINT) AS c7
         FROM hist h JOIN n USING (doc_id) GROUP BY h.doc_id
     )
-    SELECT n.doc_id, n.n AS n_bytes,
+    SELECT d.doc_id, CAST(coalesce(n.n, 0) AS BIGINT) AS n_bytes,
            floor((n.sum_bytes * 1.0 / n.n) * 1000000 + 0.5) / 1000000 AS mean_byte,
            f.ent_micro / 1000000.0 AS byte_entropy,
            floor(f.c0 * 1000000.0 / n.n + 0.5) / 1000000 AS f0,
@@ -726,7 +726,9 @@ def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(f.c5 * 1000000.0 / n.n + 0.5) / 1000000 AS f5,
            floor(f.c6 * 1000000.0 / n.n + 0.5) / 1000000 AS f6,
            floor(f.c7 * 1000000.0 / n.n + 0.5) / 1000000 AS f7
-    FROM n JOIN feat f USING (doc_id)
+    FROM documents d
+    LEFT JOIN n ON d.doc_id = n.doc_id
+    LEFT JOIN feat f ON d.doc_id = f.doc_id
     """,
     doc="mapInPandas feature extraction over binary payloads (Arrow-batched, "
     "zero-copy numpy byte views): mean byte, histogram entropy, 8-bucket "
@@ -734,7 +736,10 @@ def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pandas canonicalizer can sort/hash rows — arrays are unhashable there). "
     "The payload is the deterministic UTF-8 byte view of text (pure-ASCII "
     "corpus, asserted in tests), so the oracle recomputes every feature "
-    "from a per-character unnest in SQL. Determinism: all floats derive "
+    "from a per-character unnest in SQL; the oracle LEFT JOINs from "
+    "documents so an empty payload yields the same (id, 0, NULL...) row "
+    "the Spark path emits — parity holds at any scale or generator, not "
+    "just corpora with no empty docs. Determinism: all floats derive "
     "from the exact integer histogram with one fixed op order; entropy "
     "rounds each -(p*log2 p) term to integer micros before the integer "
     "sum (order-independent), leaving only the ~1-ulp log2 cross-libm "

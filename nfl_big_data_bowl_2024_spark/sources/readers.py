@@ -140,7 +140,10 @@ def parquet_footer_stats(
     SQLConf — so the session-wide default stays on the V1 reader (V1 is
     what supports bucketed tables and the plan shapes the audits pin),
     and no concurrently-planned query or streaming micro-batch can ever
-    observe the V2 confs (mutating the shared session's conf around the
+    observe the V2 confs. The caller's RUNTIME confs (session timezone,
+    parquet rebase modes, ...) are copied onto the scoped session first,
+    so the footer scan behaves exactly like a read in the caller's
+    session plus the two V2 overrides (mutating the shared session's conf around the
     collect, the previous implementation, was a thread-safety hazard:
     anything planned in that window silently switched readers).  The
     1-row result is re-homed onto the CALLER's session so downstream
@@ -152,6 +155,19 @@ def parquet_footer_stats(
     unaffected.
     """
     scoped = spark.newSession()
+    # newSession() seeds a FRESH SQLConf from context defaults, not a copy
+    # of the caller's runtime conf — so read-path settings the caller
+    # applied at runtime (session timezone, parquet rebase modes, ...)
+    # would silently not govern the footer scan. Copy every caller conf
+    # that differs from the scoped session's defaults; non-modifiable
+    # entries are skipped.
+    scoped_conf = scoped.conf.getAll
+    for k, v in spark.conf.getAll.items():
+        if scoped_conf.get(k) != v:
+            try:
+                scoped.conf.set(k, v)
+            except Exception:
+                pass  # static / non-modifiable conf
     scoped.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     scoped.conf.set("spark.sql.sources.useV1SourceList", "")
     aggs = [F.count(F.lit(1)).alias("n_rows")]

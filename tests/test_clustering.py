@@ -253,3 +253,54 @@ def test_vectorized_assignment_matches_hof_path(spark):
     b = {(r["vec_id"], r["cluster_id"], r["d"])
          for r in kmeans_lloyd(e, k=8, iters=2, vectorized=True).collect()}
     assert a == b
+
+
+def test_vectorized_assignment_exact_on_adversarial_ties(spark):
+    """The provably-identical claim (clustering.py docstring): exact ties,
+    exact centroid hits, and distances engineered within ulps of a 0.5e-9
+    half-up rounding boundary must all come out bit-identical between the
+    BLAS twin and the fold path — the winner band is recomputed exactly in
+    the fold's own accumulation order, so no empirical luck is involved."""
+    from pyspark.sql import functions as F
+
+    from nfl_big_data_bowl_2024_spark.operators.clustering import (
+        assign_to_centroids,
+        assign_to_centroids_vectorized,
+    )
+
+    cents = {
+        0: [0.0, 0.0, 0.0, 0.0],
+        1: [1.0, 0.0, 0.0, 0.0],
+        2: [0.0, 1.0, 0.0, 0.0],
+        # a centroid crowded next to c1 so the winner band holds >1 entry
+        3: [1.0, 1e-7, 0.0, 0.0],
+    }
+    rows = [
+        # exact hit on c1: d must be exactly 0.0 (expansion alone gives ~1e-8)
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        # exact tie between c0 and c1 -> lowest cid (0) must win
+        (1, [0.5, 0.0, 0.0, 0.0]),
+        # near-tie zone: c3 beats the exact c1/c2 tie by ~5e-8
+        (2, [0.5, 0.5, 0.0, 0.0]),
+        # within ulps of a rounding boundary: d to c0 = 0.0000000005
+        (3, [5e-10, 0.0, 0.0, 0.0]),
+        # deep inside c3's crowd zone
+        (4, [1.0, 5e-8, 0.0, 0.0]),
+        # far point, unambiguous winner
+        (5, [10.0, 10.0, 10.0, 10.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id int, e array<double>").withColumn(
+        "e", F.transform("e", lambda x: x.cast("double"))
+    )
+    hof = {
+        r["vec_id"]: (r["cluster_id"], r["d"])
+        for r in assign_to_centroids(e, cents).collect()
+    }
+    vec = {
+        r["vec_id"]: (r["cluster_id"], r["d"])
+        for r in assign_to_centroids_vectorized(e, cents).collect()
+    }
+    assert hof == vec
+    assert hof[0] == (1, 0.0)  # exact hit is exactly zero
+    assert hof[1][0] == 0  # tie -> lowest cid
+    assert hof[2][0] == 3  # c3 is ~5e-8 nearer than the c1/c2 tie pair
