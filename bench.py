@@ -25,10 +25,8 @@ HEADLINE = [
     "grouped_having_sort",
     "temporal_self_join",
     "offset_from_first",
-    "txt_token_quality",
     "txt_fingerprint_exact_dedup",
     "txt_winnow_fingerprint",
-    "emb_dimension_stats",
     "pivot_priority_by_nation",
     "tpch_q18_large_orders",
     "tpch_q8_market_share",
@@ -36,7 +34,6 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
     "sim_lsh_bucketed",
-    "mm_binary_stats",
     "e2_yap",
     "e2_yap_scale",
     "skew_salted_agg",
@@ -45,7 +42,6 @@ HEADLINE = [
     "txt_tfidf_topterms",
     "doc_pack_context_windows",
     "grouped_percentiles",
-    "doc_leakage_safe_split",
     "emb_int8_quantize",
     "cube_order_profile",
     "txt_vocab_topk",
@@ -64,7 +60,6 @@ HEADLINE = [
     "dq_expectations_check",
     "ml_quality_classifier_train",
     "emb_pca_power_iteration",
-    "doc_training_order",
     "evt_transition_matrix",
     "evt_user_zscore_outliers",
     "txt_vocab_coverage",
@@ -87,6 +82,18 @@ HEADLINE = [
     "txt_heavy_hitters",
     # round-5 addition
     "dedup_semantic",
+    # round-6 additions: bigram LM, time-hierarchy rollup, and the three
+    # format round-trips (write+read cycles, so they measure sink+source).
+    # To keep the printed line inside the driver's 2000-char tail window,
+    # five map-only sub-0.25s entries whose timings were flat across
+    # r2-r5 rotated out (txt_token_quality, emb_dimension_stats,
+    # mm_binary_stats, doc_training_order, doc_leakage_safe_split) —
+    # their r5 numbers remain in BENCH_r05.json/BENCH_SAMPLES.json.
+    "txt_bigram_lm_surprisal",
+    "evt_hypertable_rollup",
+    "src_jsonl_roundtrip",
+    "src_orc_roundtrip",
+    "src_zorder_pruned_scan",
 ]
 
 # Queries that showed multi-second shared-box spikes in past driver runs

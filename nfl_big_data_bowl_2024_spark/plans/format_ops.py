@@ -1,0 +1,173 @@
+"""Source/sink format round-trips and time-hierarchy rollups under the
+driver's correctness gate.
+
+The JSONL / ORC / Z-order sinks in ``sources/writers.py`` were previously
+unit-tested only; these queries put the full WRITE -> READ -> VERIFY cycle
+behind the Spark-vs-DuckDB oracle so format fidelity (JSON string escaping,
+unicode, ORC timestamp round-trip, layout-preserving rewrites) is checked
+by the driver on every window, not just locally.
+
+Round-trip queries write under ``/tmp/spark_graft_fmt/<sf>/`` with
+mode=overwrite — deterministic, idempotent, and safely re-runnable; the
+returned DataFrame reads from the written copy, so the files must outlive
+the call (the driver collects AFTER the callable returns — no tempdir
+cleanup in the query body).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import read_testdata_table as _t
+from .registry import register
+
+
+def _fmt_dir(sf_dir: str, leaf: str) -> str:
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join("/tmp/spark_graft_fmt", sf, leaf)
+
+
+@register(
+    "src_jsonl_roundtrip",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    doc="JSONL sink -> source fidelity under the oracle: write the documents "
+    "table as gzip JSON-Lines (the interchange format of LLM training-data "
+    "pipelines) and read it back with an EXPLICIT schema — the oracle is "
+    "the original table, so every row must survive JSON string escaping, "
+    "multi-byte unicode (zh/fr docs), and the gzip codec bit-for-bit. "
+    "Explicit schema matters at 100 TB twice over: schema inference is a "
+    "full extra pass of the data, and a sampled inference can silently "
+    "widen/narrow types between runs. One map-only write + one map-only "
+    "read; gzip is per-file (splittable at file granularity — files stay "
+    "at partition size, so parallelism is preserved; a single giant .gz "
+    "would serialize the scan).",
+)
+def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.writers import write_jsonl
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = _fmt_dir(sf_dir, "docs_jsonl")
+    write_jsonl(d, path, compression="gzip")
+    return spark.read.schema(d.schema).json(path)
+
+
+@register(
+    "src_orc_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
+    FROM orders
+    """,
+    doc="ORC sink -> source fidelity: rewrite the orders table as ORC "
+    "(Spark's built-in native reader — the other big columnar format, so "
+    "an engine user can interop with Hive/Trino ORC lakes) and read it "
+    "back. The oracle is the original parquet table, so BIGINT keys, "
+    "DOUBLE prices, strings and the TIMESTAMP order date must round-trip "
+    "exactly (emitted as epoch micros per the registry convention). ORC "
+    "carries its own footer min/max + bloom stats, so predicate pushdown "
+    "and row-group skipping work the same way they do on parquet "
+    "(ReadSchema/PushedFilters audited for the parquet scans in "
+    "tests/test_plan_audit.py apply to this reader too).",
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    path = _fmt_dir(sf_dir, "orders_orc")
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.schema(o.schema).orc(path)
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+        "o_orderpriority",
+    )
+
+
+@register(
+    "src_zorder_pruned_scan",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+    FROM events
+    WHERE user_id BETWEEN 20 AND 60 AND value BETWEEN 10.0 AND 50.0
+    """,
+    doc="Z-order (Morton-curve) layout rewrite + 2-D box-predicate scan: "
+    "events rewritten with sources/writers.py:write_zorder clustered on "
+    "(user_id, value), then read back through the box predicate — the "
+    "oracle filters the ORIGINAL table, so the layout rewrite must be "
+    "row-lossless and the pruned scan must return exactly the unpruned "
+    "answer. The 100 TB point of Z-order: a single-key sorted layout "
+    "prunes ONE column's predicates; bit-interleaving two rank-quantized "
+    "keys makes per-file footer min/max selective for BOTH, so a box "
+    "predicate touches only files whose curve segment crosses the box "
+    "(file-overlap ratio vs the single-key layout is measured in "
+    "tests/test_sinks.py). Filters are pushed to the parquet reader on "
+    "the read side — row groups outside the box never leave disk.",
+)
+def src_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.writers import write_zorder
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    path = _fmt_dir(sf_dir, "events_zorder")
+    write_zorder(ev, path, "user_id", "value", n_files=16)
+    back = spark.read.schema(ev.schema).parquet(path)
+    return back.filter(
+        F.col("user_id").between(20, 60) & F.col("value").between(10.0, 50.0)
+    )
+
+
+@register(
+    "evt_hypertable_rollup",
+    """
+    WITH e AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               (epoch_us(ts) // 3600000000) % 24 AS hour,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        FROM events
+    )
+    SELECT CAST(coalesce(day, -1) AS BIGINT) AS day,
+           CAST(coalesce(hour, -1) AS BIGINT) AS hour,
+           count(*) AS n_events,
+           CAST(sum(c) AS BIGINT) / 100.0 AS total_value
+    FROM e
+    GROUP BY ROLLUP (day, hour)
+    """,
+    doc="Time-hierarchy rollup (hour -> day -> grand total) in ONE pass — "
+    "the hypertable continuous-aggregate shape: Spark's Expand node feeds "
+    "a single hash aggregate with map-side partials, so the events fact "
+    "is scanned once for all three granularities instead of once per "
+    "materialization level. Day/hour indices come from exact BIGINT "
+    "integer division of epoch micros (never double division — epoch "
+    "micros exceed 2^53, where float arithmetic silently loses exactness) "
+    "and sums accumulate in lossless integer cents, so every emitted "
+    "value is engine-exact. -1 sentinels the rolled-up levels (real "
+    "day/hour indices are nonnegative, so the sentinel is unambiguous).",
+)
+def evt_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hour"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("c"),
+    )
+    return (
+        e.rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("c").cast("long") / 100.0).alias("total_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit(-1)).cast("long").alias("day"),
+            F.coalesce("hour", F.lit(-1)).cast("long").alias("hour"),
+            "n_events",
+            "total_value",
+        )
+    )

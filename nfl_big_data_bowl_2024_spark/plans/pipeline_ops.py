@@ -2642,6 +2642,120 @@ def txt_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_bigram_lm_surprisal",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+        SELECT unnest(t) AS term FROM toks
+    ),
+    uc AS (SELECT term, count(*) AS n FROM uni GROUP BY term),
+    vocab AS (SELECT count(*) AS v FROM uc),
+    pairs AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(range(1, len(t))) AS u(i)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS nb FROM pairs GROUP BY w1, w2),
+    model AS (
+        SELECT bc.w1, bc.w2,
+               CAST(floor(-log2((bc.nb + 1.0) / (uc.n + vocab.v))
+                          * 1000000 + 0.5) AS BIGINT) AS s_micro
+        FROM bc JOIN uc ON bc.w1 = uc.term CROSS JOIN vocab
+    )
+    SELECT p.doc_id, count(*) AS n_bigrams,
+           floor(CAST(sum(m.s_micro) AS BIGINT)
+                 / (count(*) * 100.0) + 0.5) / 10000 AS mean_surprisal,
+           floor(max(m.s_micro) / 100.0 + 0.5) / 10000 AS max_surprisal
+    FROM pairs p JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
+    GROUP BY p.doc_id
+    """,
+    doc="Bigram-LM perplexity proxy with add-one smoothing — the stronger "
+    "sibling of txt_unigram_surprisal (a unigram LM scores word CHOICE; "
+    "the bigram model scores word ORDER, so shuffled/boilerplate text "
+    "that fools unigram stats lands in this tail). p(w2|w1) = "
+    "(c(w1,w2)+1)/(c(w1)+V). Bigram extraction is MAP-ONLY: the token "
+    "array is sliced and zipped per row (no posexplode self-join, no "
+    "lead() window — a window would shuffle the whole corpus on doc_id "
+    "just to pair adjacent tokens). Model build is two hash aggregates "
+    "(term; (w1,w2) pair); V is a distributed scalar over the "
+    "checkpointed vocab (never a single-partition window). Scoring "
+    "re-joins pairs to the model on (w1,w2) — the model side is already "
+    "hashed on that key from its own aggregate, so the exchange is "
+    "reused; at web scale the bigram model outgrows broadcast, and the "
+    "shuffle join is the right default (AQE flips small models back to "
+    "broadcast at runtime). Per-pair surprisal is rounded to integer "
+    "micros in the MODEL (once per distinct bigram), so per-doc sums are "
+    "order-independent integer sums; only the ~1-ulp cross-libm log2 "
+    "exposure remains, same accepted class as txt_unigram_surprisal. "
+    "Docs under 2 tokens have no bigrams and emit no row on either "
+    "engine (inner-join semantics).",
+)
+def txt_bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scalars import checkpoint_with_scalar
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    uc_base = (
+        toks.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    uc, vocab = checkpoint_with_scalar(uc_base, F.count(F.lit(1)).alias("v"))
+    # map-only adjacent-pair extraction: zip the array against itself
+    # shifted by one — no join, no window
+    pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                    F.slice("t", 2, F.size("t") - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
+    model = (
+        bc.join(F.broadcast(uc.withColumnRenamed("term", "w1")), "w1")
+        .crossJoin(vocab)
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                -F.log2((F.col("nb") + 1.0) / (F.col("n") + F.col("v")))
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("s_micro"),
+        )
+    )
+    return (
+        pairs.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("s_micro").alias("sum_micro"),
+            F.max("s_micro").alias("max_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.floor(F.col("sum_micro") / (F.col("n_bigrams") * 100.0) + 0.5)
+                / 10000
+            ).alias("mean_surprisal"),
+            (F.floor(F.col("max_micro") / 100.0 + 0.5) / 10000).alias(
+                "max_surprisal"
+            ),
+        )
+    )
+
+
+@register(
     "txt_span_dedup",
     """
     WITH toks AS (

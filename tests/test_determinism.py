@@ -21,12 +21,14 @@ BOUNDARY_QUERIES = [
     "doc_quality_zscore_bucket",
     "evt_user_zscore_outliers",
     "txt_unigram_surprisal",
+    "txt_bigram_lm_surprisal",
     "evt_rolling_24h",
     "doc_dsir_importance",
     "doc_dsir_select",
     "doc_select_token_budget",
     "txt_heavy_hitters",
     "txt_bpe_encode",
+    "evt_hypertable_rollup",
     # rounded float pipelines with wide margins — pinned here so a margin
     # regression (e.g. a finer rounding step) surfaces as a test failure
     # instead of a driver-gate flake
