@@ -106,6 +106,20 @@ SHOWCASE = [
         "aggregate + TakeOrdered argmax over the checkpointed "
         "word-frequency table; merges were map-only string replaces.",
     ),
+    (
+        "evt_hypertable_rollup",
+        "Time-hierarchy rollup (hour -> day -> total) in one pass: a "
+        "single Expand node feeds one hash aggregate with map-side "
+        "partials — the fact is scanned once for all three granularities; "
+        "day/hour come from exact BIGINT division of epoch micros.",
+    ),
+    (
+        "txt_bigram_lm_surprisal",
+        "Bigram LM train-then-score: adjacent-pair extraction is map-only "
+        "(slice+zip on the token array — no self-join, no lead() window); "
+        "the scoring join re-shuffles pairs onto the model's own (w1,w2) "
+        "aggregate exchange; V is a checkpointed distributed scalar.",
+    ),
 ]
 
 
