@@ -716,6 +716,87 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+_STREAM_ENRICH_ORACLE = f"""
+WITH fxe AS (SELECT * FROM {fixtures.tracking_values_cte().replace('fx(', 'fxe(')}),
+fxp AS (SELECT * FROM {fixtures.players_values_cte().replace('fx(', 'fxp(')}),
+ev AS (
+    SELECT fxe.nflId, s,
+           (CAST(1700000000 AS BIGINT) + playId * 100) * 1000000
+           + CAST(round(t * 10) AS BIGINT) * 100000 AS ts_us
+    FROM fxe
+),
+j AS (
+    SELECT fxp.position AS position, ev.s, ev.ts_us
+    FROM ev LEFT JOIN fxp ON ev.nflId = fxp.nflId
+),
+win AS (
+    SELECT position,
+           (ts_us // 1000000) * 1000000 AS win_start_us,
+           count(*) AS n_frames,
+           max(s) AS max_speed
+    FROM j GROUP BY position, ts_us // 1000000
+)
+SELECT * FROM win
+WHERE win_start_us + 1000000 <= (SELECT max(ts_us) FROM ev) - 10000000
+"""
+
+
+@register(
+    "stream_enrich_window_stats",
+    _STREAM_ENRICH_ORACLE,
+    doc="Stream-STATIC broadcast enrichment under the driver gate (the "
+    "streaming form of the J1 dim join): live frames LEFT-join the roster "
+    "dimension via streaming.enriched_frame_stream — stateless, map-side, "
+    "re-resolving the static side every micro-batch so dimension updates "
+    "land without a query restart — then a watermarked 1 s tumbling "
+    "window aggregates per POSITION (a dim attribute, proving enrichment "
+    "happened before windowing). Oracle-checked including append-mode "
+    "emission: only windows whose end <= max event time - 10 s (the "
+    "final global watermark) are emitted.",
+)
+def stream_enrich_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .. import streaming as st
+
+    d = tempfile.mkdtemp(prefix="stream_e_")
+    try:
+        micros = (
+            (F.lit(1_700_000_000).cast("long") + F.col("playId") * 100) * 1_000_000
+            + F.round(F.col("t") * 10).cast("long") * 100_000
+        )
+        tr = fixtures.tracking_df(spark).withColumn(
+            "event_time", F.timestamp_micros(micros)
+        )
+        tr.coalesce(2).write.mode("overwrite").parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream = st.read_tracking_stream(spark, d, schema, max_files_per_trigger=1)
+        enriched = st.enriched_frame_stream(
+            stream, fixtures.players_df(spark), on="nflId"
+        )
+        agg = (
+            enriched.withWatermark("event_time", "10 seconds")
+            .groupBy(F.window("event_time", "1 second").alias("win"), "position")
+            .agg(
+                F.count(F.lit(1)).alias("n_frames"),
+                F.max("s").alias("max_speed"),
+            )
+        )
+        q = st.run_to_memory_sink(
+            agg, "stream_enrich_window_stats_q", "append"
+        )
+        q.awaitTermination(300)
+        return spark.table("stream_enrich_window_stats_q").select(
+            "position",
+            F.unix_micros("win.start").alias("win_start_us"),
+            "n_frames",
+            "max_speed",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @register(
     "e2_yap_scale",
     None,

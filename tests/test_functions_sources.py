@@ -252,3 +252,36 @@ def test_token_budget_prefix_sum_is_consistent(spark):
     for r in sorted(rows, key=lambda r: r.cum_tokens):
         assert r.cum_tokens == prev + r.n_tokens
         prev = r.cum_tokens
+
+
+def test_jsonl_roundtrip_survives_adversarial_strings(spark):
+    """The src_jsonl_roundtrip driver query proves fidelity on the (clean)
+    documents corpus; this pins the JSON escaping edge cases a real web
+    corpus WILL contain — embedded newlines (a raw newline would split one
+    JSONL record into two), quotes, backslashes, tabs, NUL-adjacent control
+    chars, multi-byte CJK + astral-plane emoji, and empty/null strings —
+    byte-identical through write_jsonl (gzip) -> schema-explicit read."""
+    import shutil
+    import tempfile
+
+    from nfl_big_data_bowl_2024_spark.sources.writers import write_jsonl
+
+    rows = [
+        (0, "line one\nline two\r\nthree"),
+        (1, 'she said "hi" \\ back\\slash'),
+        (2, "tab\there, bell\x07, esc\x1b, unit\x1f"),
+        (3, "中文字符 and émojis 🎉🚀 and ﬂigatures"),
+        (4, ""),
+        (5, None),
+        (6, "{\"looks\": \"like json\"}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = tempfile.mkdtemp(prefix="jsonl_adv_")
+    try:
+        write_jsonl(df, d, compression="gzip")
+        back = spark.read.schema(df.schema).json(d)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, rows))
+        # _corrupt_record never materialized: every line parsed
+        assert back.filter(F.col("text").isNull()).count() == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
