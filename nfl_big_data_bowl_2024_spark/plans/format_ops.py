@@ -171,3 +171,53 @@ def evt_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "src_snapshot_time_travel",
+    """
+    SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS version, count(*) AS n_docs,
+           CAST(sum(n_chars) + count(*) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+    doc="Snapshot-versioned table + time travel under the oracle: commit "
+    "documents as snapshot v1, commit an updated copy (n_chars + 1) as "
+    "v2, then aggregate a TIME-TRAVEL read of v1 alongside a latest read "
+    "(pointer-resolved v2) — both must match the oracle's reconstruction "
+    "from the source table, proving v1 stayed byte-stable after the v2 "
+    "commit and the _LATEST pointer resolves the newest snapshot. The "
+    "write path is sources/writers.py:write_snapshot (data lands whole "
+    "in v=N before the pointer moves — snapshot isolation on plain "
+    "parquet, no metastore); the read path lists ONLY its version's "
+    "files, so at 100 TB version resolution is one metadata read and a "
+    "concurrent writer never perturbs a running query. Retention/vacuum "
+    "semantics are exercised in tests/test_sinks.py.",
+)
+def src_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sources.readers import read_snapshot
+    from ..sources.writers import write_snapshot
+
+    d = _t(spark, sf_dir, "documents")
+    path = _fmt_dir(sf_dir, "docs_snap")
+    shutil.rmtree(path, ignore_errors=True)  # deterministic version numbering
+    v1 = write_snapshot(spark, d, path)
+    write_snapshot(
+        spark, d.withColumn("n_chars", F.col("n_chars") + 1), path
+    )
+
+    def _profile(df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        ).select("version", "n_docs", "total_chars")
+
+    asof = _profile(read_snapshot(spark, path, version=v1), 1)
+    latest = _profile(read_snapshot(spark, path), 2)
+    return asof.unionAll(latest)

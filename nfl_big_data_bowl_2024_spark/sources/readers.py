@@ -198,3 +198,37 @@ def read_parquet_evolved(
     avoid entirely by giving the table a catalog/metastore schema).
     """
     return spark.read.option("mergeSchema", str(mergeSchema).lower()).parquet(path)
+
+
+# --- Snapshot-versioned tables (see sources/writers.py:write_snapshot) ------
+
+
+def read_snapshot_version(spark: SparkSession, path: str) -> int:
+    """Resolve the committed version from the ``_LATEST`` pointer file —
+    one metadata read, never a directory listing of data files."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    ptr = P(f"{path}/_LATEST")
+    fs = ptr.getFileSystem(spark._jsc.hadoopConfiguration())
+    inp = fs.open(ptr)
+    try:
+        raw = bytes(inp.readAllBytes()) if hasattr(inp, "readAllBytes") else None
+        if raw is None:  # Hadoop stream without readAllBytes
+            buf = bytearray()
+            b = inp.read()
+            while b >= 0:
+                buf.append(b)
+                b = inp.read()
+            raw = bytes(buf)
+    finally:
+        inp.close()
+    return int(raw.decode("ascii").strip())
+
+
+def read_snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Read a snapshot table as of ``version`` (default: the committed
+    latest). The returned scan lists ONLY ``path/v=N`` — other versions'
+    files are invisible to planning, so a concurrent writer appending
+    ``v=N+1`` never perturbs a running query (snapshot isolation)."""
+    v = version if version is not None else read_snapshot_version(spark, path)
+    return spark.read.parquet(f"{path}/v={v}")

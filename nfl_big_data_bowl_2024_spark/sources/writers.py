@@ -318,3 +318,86 @@ def write_zorder(
         else zdf.repartitionByRange("__z")
     )
     parted.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
+# --- Snapshot-versioned tables (time travel / snapshot isolation) -----------
+
+
+def _fs_for(spark, path: str):
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    return hp.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def list_snapshot_versions(spark, path: str) -> list[int]:
+    """Sorted version numbers present under a snapshot table root."""
+    fs, jvm = _fs_for(spark, path)
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def write_snapshot(spark, df: DataFrame, path: str) -> int:
+    """Versioned snapshot write: the table-format commit primitive on plain
+    parquet.
+
+    Layout: ``path/v=N/`` per snapshot plus a ``path/_LATEST`` pointer file
+    holding N. A write lands ENTIRELY in a fresh ``v=N`` directory before
+    the pointer moves, so concurrent readers that resolved the pointer see
+    a complete, immutable snapshot for the whole lifetime of their query —
+    snapshot isolation without a metastore. Time travel is
+    ``read_snapshot(path, version=K)``: old versions stay readable until
+    ``vacuum_snapshots`` reclaims them (exactly Delta/Iceberg's
+    snapshot + retention model, minus the transaction log).
+
+    The commit itself is the pointer swap (tmp file + delete + rename via
+    the Hadoop FS API, so HDFS/S3A/local all work). On a POSIX FS the
+    rename is atomic; the delete->rename pair leaves a sub-millisecond
+    window where the pointer is absent — honest limitation of
+    log-free plain parquet; a real deployment serializes WRITERS
+    externally (readers are always safe: they either resolve the old or
+    the new version, never a partial one).
+
+    At 100 TB the cost over a plain write is ZERO data movement — the
+    snapshot directory IS the written output; version resolution is one
+    metadata read, and no reader ever lists more than its own version's
+    files.
+    """
+    fs, jvm = _fs_for(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    versions = list_snapshot_versions(spark, path)
+    n = (versions[-1] + 1) if versions else 1
+    df.write.mode("overwrite").parquet(f"{path}/v={n}")
+    tmp = P(f"{path}/_LATEST.tmp")
+    out = fs.create(tmp, True)
+    out.write(str(n).encode("ascii"))
+    out.close()
+    ptr = P(f"{path}/_LATEST")
+    fs.delete(ptr, False)
+    if not fs.rename(tmp, ptr):
+        raise IOError(f"pointer swap failed for {path}")
+    return n
+
+
+def vacuum_snapshots(spark, path: str, keep: int = 2) -> list[int]:
+    """Retention: delete all but the newest ``keep`` versions (and never
+    the pointer target). Returns the removed version numbers. Readers
+    holding a vacuumed version fail on their NEXT file access — the same
+    contract as Delta's VACUUM; retention must exceed the longest-running
+    reader."""
+    from .readers import read_snapshot_version
+
+    fs, jvm = _fs_for(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    latest = read_snapshot_version(spark, path)
+    versions = list_snapshot_versions(spark, path)
+    doomed = [v for v in versions[:-keep] if v != latest] if keep > 0 else []
+    for v in doomed:
+        fs.delete(P(f"{path}/v={v}"), True)
+    return doomed

@@ -530,3 +530,52 @@ def test_upsert_scd2_evaluates_updates_once(spark):
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_snapshot_versions_time_travel_and_vacuum(spark):
+    """write_snapshot / read_snapshot / vacuum_snapshots: versions are
+    immutable, the pointer resolves the newest commit, time travel reads
+    any retained version, vacuum removes only the oldest and never the
+    pointer target."""
+    import shutil
+    import tempfile
+
+    import pytest as _pytest
+
+    from nfl_big_data_bowl_2024_spark.sources.readers import (
+        read_snapshot,
+        read_snapshot_version,
+    )
+    from nfl_big_data_bowl_2024_spark.sources.writers import (
+        list_snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    d = tempfile.mkdtemp(prefix="snap_")
+    path = d + "/tbl"
+    try:
+        base = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+        assert write_snapshot(spark, base, path) == 1
+        assert write_snapshot(spark, base.withColumn("v", F.col("v") + 1), path) == 2
+        assert write_snapshot(spark, base.limit(10), path) == 3
+        assert read_snapshot_version(spark, path) == 3
+        assert list_snapshot_versions(spark, path) == [1, 2, 3]
+        # latest + time travel
+        assert read_snapshot(spark, path).count() == 10
+        assert read_snapshot(spark, path, version=1).agg(F.sum("v")).first()[0] == 9900
+        assert read_snapshot(spark, path, version=2).agg(F.sum("v")).first()[0] == 10000
+        # a v1 reader resolved BEFORE the v2/v3 commits still sees v1 bytes
+        # (the new commits never touched v=1)
+        assert read_snapshot(spark, path, version=1).count() == 100
+        # vacuum: keep newest 2 -> v1 goes, pointer target stays
+        assert vacuum_snapshots(spark, path, keep=2) == [1]
+        assert list_snapshot_versions(spark, path) == [2, 3]
+        assert read_snapshot_version(spark, path) == 3
+        assert read_snapshot(spark, path, version=2).count() == 100
+        with _pytest.raises(Exception):
+            read_snapshot(spark, path, version=1).count()
+        # keep=0 is clamped to never delete the pointer target
+        assert vacuum_snapshots(spark, path, keep=0) == []
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
