@@ -94,6 +94,7 @@ HEADLINE = [
     "src_jsonl_roundtrip",
     "src_orc_roundtrip",
     "src_zorder_pruned_scan",
+    "evt_rollup_incremental_refresh",
 ]
 
 # Queries that showed multi-second shared-box spikes in past driver runs

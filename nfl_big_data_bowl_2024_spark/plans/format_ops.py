@@ -221,3 +221,68 @@ def src_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     asof = _profile(read_snapshot(spark, path, version=v1), 1)
     latest = _profile(read_snapshot(spark, path), 2)
     return asof.unionAll(latest)
+
+
+@register(
+    "evt_rollup_incremental_refresh",
+    """
+    WITH e AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        FROM events
+    )
+    SELECT day, count(*) AS n_events,
+           CAST(sum(c) AS BIGINT) / 100.0 AS total_value,
+           CAST(min(c) AS BIGINT) / 100.0 AS min_value,
+           CAST(max(c) AS BIGINT) / 100.0 AS max_value
+    FROM e GROUP BY day
+    """,
+    doc="Incremental materialized-aggregate refresh — the continuous-"
+    "aggregate MAINTENANCE step evt_hypertable_rollup's one-shot build "
+    "needs in production: the day-level rollup is first materialized "
+    "from the base slice (event_id % 10 != 0), then a late-arriving "
+    "delta batch (event_id % 10 = 0) is aggregated ALONE and merged "
+    "into the materialized state by re-aggregating partials — "
+    "sum-of-counts, sum-of-sums, min-of-mins, max-of-maxes — so the "
+    "refresh cost is O(delta + |rollup|), never a rescan of the 100 TB "
+    "fact. The oracle recomputes the rollup from the full table: the "
+    "merged increment must be indistinguishable from a full rebuild "
+    "(count/sum/min/max are all decomposable aggregates; exact integer "
+    "cents make the merge bit-identical regardless of batch split). "
+    "The same shape maintains the rollup from a foreachBatch streaming "
+    "sink — each micro-batch is a delta.",
+)
+def evt_rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("c"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").alias("sum_c"),
+            F.min("c").alias("min_c"),
+            F.max("c").alias("max_c"),
+        )
+
+    base = partial(e.filter(F.col("event_id") % 10 != 0))
+    delta = partial(e.filter(F.col("event_id") % 10 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_c").alias("sum_c"),
+            F.min("min_c").alias("min_c"),
+            F.max("max_c").alias("max_c"),
+        )
+    )
+    return merged.select(
+        "day",
+        "n_events",
+        (F.col("sum_c").cast("long") / 100.0).alias("total_value"),
+        (F.col("min_c").cast("long") / 100.0).alias("min_value"),
+        (F.col("max_c").cast("long") / 100.0).alias("max_value"),
+    )
