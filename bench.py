@@ -55,7 +55,6 @@ HEADLINE = [
     "txt_unigram_surprisal",
     "txt_span_dedup",
     "doc_quality_zscore_bucket",
-    "doc_length_batches",
     "dedup_incremental_batch",
     "dq_expectations_check",
     "ml_quality_classifier_train",
@@ -82,19 +81,22 @@ HEADLINE = [
     "txt_heavy_hitters",
     # round-5 addition
     "dedup_semantic",
-    # round-6 additions: bigram LM, time-hierarchy rollup, and the three
-    # format round-trips (write+read cycles, so they measure sink+source).
+    # round-6 additions: bigram LM, time-hierarchy rollup + incremental
+    # refresh, integer PageRank, and the three format round-trips
+    # (write+read cycles, so they measure sink+source).
     # To keep the printed line inside the driver's 2000-char tail window,
-    # five map-only sub-0.25s entries whose timings were flat across
+    # six map-only sub-0.25s entries whose timings were flat across
     # r2-r5 rotated out (txt_token_quality, emb_dimension_stats,
-    # mm_binary_stats, doc_training_order, doc_leakage_safe_split) —
-    # their r5 numbers remain in BENCH_r05.json/BENCH_SAMPLES.json.
+    # mm_binary_stats, doc_training_order, doc_leakage_safe_split,
+    # doc_length_batches) — their r5 numbers remain in
+    # BENCH_r05.json/BENCH_SAMPLES.json.
     "txt_bigram_lm_surprisal",
     "evt_hypertable_rollup",
     "src_jsonl_roundtrip",
     "src_orc_roundtrip",
     "src_zorder_pruned_scan",
     "evt_rollup_incremental_refresh",
+    "graph_pagerank_trading",
 ]
 
 # Queries that showed multi-second shared-box spikes in past driver runs
@@ -111,6 +113,7 @@ NOISY = {
     "sim_knn_join",
     "emb_kmeans_lloyd",
     "dedup_cluster_representative",
+    "graph_pagerank_trading",
 }
 
 

@@ -89,3 +89,62 @@ def connected_components(
         prev_sum = cur_sum
     sym.unpersist()
     return labels.select("node", F.col("lbl").alias("component"))
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Deterministic integer PageRank: (node, rank_micro) after ``iters``
+    synchronous power iterations.
+
+    The float formulation (r' = (1-d)/N + d * sum r/outdeg) accumulates in
+    an engine- and partitioning-dependent order, so a cross-engine oracle
+    could never hash-match it. This variant is FLOAT-FREE: ranks live in
+    integer micro-units, per-edge contributions are ``r div outdeg`` and
+    the damping step is ``(85 * sum) div 100`` — integer division of
+    positive operands, on which Spark's ``div`` and DuckDB's ``//`` agree
+    exactly, so every iteration is bit-replayable in SQL. (Floor-division
+    rank leakage ≤ outdeg-1 micro-units per node per round is part of the
+    DEFINED semantics, identically on both engines.)
+
+    Scale shape per iteration — the same discipline as
+    ``connected_components`` above:
+      - one shuffle join of the (static) out-degree-annotated edge
+        relation with the current rank vector on ``src``;
+      - one grouped integer sum on ``dst`` (map-side partials);
+      - ``localCheckpoint`` truncates the doubling lineage each round.
+    The edge relation is symmetrized/deduplicated by the CALLER; nodes
+    are every distinct ``src`` (callers wanting dangling-node handling
+    add the reverse edges, which also guarantees every node receives
+    mass). N (node count) is a bounded scalar fetch, same class as the
+    k-means seed collect.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    n = deg.count()  # bounded scalar: one long to the driver
+    base = (100 - damping_pct) * 1_000_000 // (100 * n)
+    r = deg.select(
+        F.col("src").alias("node"), F.lit(1_000_000 // n).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            ed.join(r.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("r div outdeg").alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("s"))
+        )
+        r = contrib.select(
+            "node",
+            (F.lit(base) + F.expr(f"({damping_pct} * s) div 100"))
+            .cast("long")
+            .alias("r"),
+        ).localCheckpoint(eager=True)
+    ed.unpersist()
+    return r.select("node", F.col("r").alias("rank_micro"))

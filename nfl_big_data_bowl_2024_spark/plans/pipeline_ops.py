@@ -4160,3 +4160,76 @@ def dedup_multi_signal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, "doc_a", "doc_b").withColumnRenamed(
         "node", "doc_id"
     )
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    """One unrolled integer-PageRank iteration (see operators/graph.py:
+    pagerank_integer — div of positive ints matches Spark's div exactly)."""
+    return f"""{out} AS (
+        SELECT e.dst AS node,
+               b.b + (85 * sum(p.r // e.outdeg)) // 100 AS r
+        FROM ed e JOIN {prev} p ON e.src = p.node CROSS JOIN base b
+        GROUP BY e.dst, b.b
+    )"""
+
+
+@register(
+    "graph_pagerank_trading",
+    f"""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+        SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+        UNION ALL
+        SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src),
+    n AS (SELECT count(*) AS n FROM deg),
+    base AS (SELECT (15 * 1000000) // (100 * n) AS b FROM n),
+    r0 AS (SELECT src AS node, 1000000 // n.n AS r FROM deg, n),
+    {_pagerank_iter_sql("r0", "r1")},
+    {_pagerank_iter_sql("r1", "r2")},
+    {_pagerank_iter_sql("r2", "r3")}
+    SELECT CAST(node % 2 AS INTEGER) AS is_supplier,
+           CAST(node // 2 AS BIGINT) AS entity_id,
+           CAST(r AS BIGINT) AS rank_micro
+    FROM r3
+    """,
+    doc="Deterministic integer PageRank over the customer<->supplier "
+    "trading graph (distinct trading pairs from orders x lineitem, "
+    "symmetrized so every node both emits and receives mass) — the "
+    "iterative NUMERIC fixpoint shape next to connected_components' "
+    "label fixpoint: 3 synchronous power iterations, each one shuffle "
+    "join of the degree-annotated edge relation with the rank vector on "
+    "src plus one grouped integer sum on dst, lineage truncated per "
+    "round. Rank arithmetic is float-free (micro-units, div/// of "
+    "positive ints) so the DuckDB oracle replays all three iterations "
+    "bit-exactly — a hash-checked iterative algorithm, not a rows-only "
+    "one (operators/graph.py:pagerank_integer).",
+)
+def graph_pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_integer
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+    ).unionAll(
+        pairs.select(
+            (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
+        )
+    )
+    r = pagerank_integer(edges, iters=3)
+    return r.select(
+        (F.col("node") % 2).cast("int").alias("is_supplier"),
+        F.expr("node div 2").cast("long").alias("entity_id"),
+        F.col("rank_micro").cast("long").alias("rank_micro"),
+    )

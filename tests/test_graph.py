@@ -100,3 +100,29 @@ def test_property_random_graphs_match_union_find(spark):
         assert _components(spark, edge_list) == expect
 
     check()
+
+
+def test_pagerank_integer_matches_hand_replay(spark):
+    """pagerank_integer on a 3-node star (A<->B, A<->C): every iteration is
+    integer-exact, so the expected ranks are computed by a 5-line Python
+    replay of the defined arithmetic — any deviation (float creep, wrong
+    div semantics, missed damping) breaks equality."""
+    from nfl_big_data_bowl_2024_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(0, 2), (2, 0), (0, 4), (4, 0)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_integer(edges, iters=3).collect()
+    }
+
+    deg = {0: 2, 2: 1, 4: 1}
+    r = {n: 1_000_000 // 3 for n in deg}
+    base = 15 * 1_000_000 // (100 * 3)
+    for _ in range(3):
+        contrib = {0: r[2] // deg[2] + r[4] // deg[4], 2: r[0] // deg[0], 4: r[0] // deg[0]}
+        r = {n: base + (85 * contrib[n]) // 100 for n in deg}
+    assert got == r
+    # the hub holds more mass than the leaves, and leaves tie exactly
+    assert got[0] > got[2] == got[4]
