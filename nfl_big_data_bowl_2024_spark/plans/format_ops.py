@@ -267,7 +267,14 @@ def evt_rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFram
             F.max("c").alias("max_c"),
         )
 
-    base = partial(e.filter(F.col("event_id") % 10 != 0))
+    # The base rollup is MATERIALIZED to parquet and the refresh reads it
+    # back, so the executed plan is genuinely read(rollup) + scan(delta) —
+    # the fact table's base slice is only touched by the build step, and
+    # the delta filter is pushed to its scan.
+    base_path = _fmt_dir(sf_dir, "rollup_base")
+    built = partial(e.filter(F.col("event_id") % 10 != 0))
+    built.write.mode("overwrite").parquet(base_path)
+    base = spark.read.schema(built.schema).parquet(base_path)
     delta = partial(e.filter(F.col("event_id") % 10 == 0))
     merged = (
         base.unionByName(delta)
