@@ -114,6 +114,22 @@ SHOWCASE = [
         "day/hour come from exact BIGINT division of epoch micros.",
     ),
     (
+        "evt_rollup_incremental_refresh",
+        "Continuous-aggregate maintenance: the executed plan reads the "
+        "MATERIALIZED base rollup from parquet and unions it with the "
+        "delta slice's partial aggregate (pushed filter on the fact "
+        "scan); the merge re-aggregates decomposable partials — no "
+        "full-fact rescan anywhere in the plan.",
+    ),
+    (
+        "graph_pagerank_trading",
+        "Iterative integer fixpoint: the final plan hangs off the last "
+        "round's checkpointed rank blocks (Scan ExistingRDD — the 3 "
+        "edge-rank joins already ran eagerly); per round one src-keyed "
+        "shuffle join + one dst-keyed integer sum, float-free so the "
+        "DuckDB oracle replays it bit-exactly.",
+    ),
+    (
         "txt_bigram_lm_surprisal",
         "Bigram LM train-then-score: adjacent-pair extraction is map-only "
         "(slice+zip on the token array — no self-join, no lead() window); "
