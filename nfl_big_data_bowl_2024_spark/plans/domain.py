@@ -797,6 +797,164 @@ def stream_enrich_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+_STREAM_SSJOIN_ORACLE = f"""
+WITHfxs AS (SELECT * FROM {fixtures.tracking_values_cte().replace('fx(', 'fxs(')}),
+fr AS (
+    SELECT gameId, playId, nflId, frameId,
+           (CAST(1700000000 AS BIGINT) + playId * 100) * 1000000
+           + CAST(round(t * 10) AS BIGINT) * 100000 AS ts_us
+    FROM fxs
+),
+ev AS (
+    SELECT gameId, playId, event,
+           (CAST(1700000000 AS BIGINT) + playId * 100) * 1000000
+           + CAST(round(t * 10) AS BIGINT) * 100000 AS evt_us
+    FROM fxs WHERE event IS NOT NULL
+)
+SELECT f.gameId, f.playId, f.nflId, e.event, e.evt_us,
+       count(*) AS n_frames,
+       min(f.frameId) AS first_frame,
+       max(f.frameId) AS last_frame
+FROM fr f JOIN ev e
+  ON f.gameId = e.gameId AND f.playId = e.playId
+ AND e.evt_us >= f.ts_us - 5000000 AND e.evt_us <= f.ts_us
+GROUP BY f.gameId, f.playId, f.nflId, e.event, e.evt_us
+"""
+
+
+@register(
+    "stream_interval_join_stats",
+    _STREAM_SSJOIN_ORACLE.replace("WITHfxs", "WITH fxs"),
+    doc="Stream-STREAM interval join under the driver gate (the remaining "
+    "§2.9 join shape next to the stream-static broadcast): a live frame "
+    "stream joins a live play-event stream (snap/handoff/tackle markers) "
+    "on play keys PLUS a 5 s lookback interval — the watermark+interval "
+    "combination that lets Spark EXPIRE buffered join state, so each "
+    "side holds watermark+lookback worth of rows instead of growing for "
+    "the life of the query (streaming.py:frame_event_interval_join). "
+    "Per (frame-actor, event) the emitted matches are aggregated to "
+    "counts + frame bounds; the oracle replays the interval join "
+    "statically from the fixture CTE — epoch-micro interval bounds keep "
+    "it engine-exact.",
+)
+def stream_interval_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .. import streaming as st
+
+    fd = tempfile.mkdtemp(prefix="stream_f_")
+    ed = tempfile.mkdtemp(prefix="stream_ev_")
+    try:
+        micros = (
+            (F.lit(1_700_000_000).cast("long") + F.col("playId") * 100) * 1_000_000
+            + F.round(F.col("t") * 10).cast("long") * 100_000
+        )
+        tr = fixtures.tracking_df(spark).withColumn(
+            "event_time", F.timestamp_micros(micros)
+        )
+        tr.coalesce(1).write.mode("overwrite").parquet(fd)
+        tr.filter(F.col("event").isNotNull()).select(
+            "gameId",
+            "playId",
+            "event",
+            F.col("event_time").alias("evt_time"),
+        ).coalesce(1).write.mode("overwrite").parquet(ed)
+        fschema = spark.read.parquet(fd).schema
+        eschema = T.StructType(
+            [
+                T.StructField("gameId", T.LongType(), True),
+                T.StructField("playId", T.LongType(), True),
+                T.StructField("event", T.StringType(), True),
+                T.StructField("evt_time", T.TimestampType(), True),
+            ]
+        )
+        frames = st.read_tracking_stream(spark, fd, fschema)
+        events = st.read_tracking_stream(spark, ed, eschema)
+        joined = st.frame_event_interval_join(frames, events, lookback="5 seconds")
+        q = st.run_to_memory_sink(joined, "stream_ssj_q", "append")
+        q.awaitTermination(300)
+        return (
+            spark.table("stream_ssj_q")
+            .groupBy(
+                "gameId",
+                "playId",
+                "nflId",
+                "event",
+                F.unix_micros("evt_time").alias("evt_us"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_frames"),
+                F.min("frameId").alias("first_frame"),
+                F.max("frameId").alias("last_frame"),
+            )
+        )
+    finally:
+        shutil.rmtree(fd, ignore_errors=True)
+        shutil.rmtree(ed, ignore_errors=True)
+
+
+_STREAM_STATEFUL_ORACLE = f"""
+WITH fxr AS (SELECT * FROM {fixtures.tracking_values_cte().replace('fx(', 'fxr(')})
+SELECT gameId, playId, nflId,
+       count(*) AS n_frames,
+       max(s) AS max_speed
+FROM fxr GROUP BY gameId, playId, nflId
+"""
+
+
+@register(
+    "stream_stateful_running_max",
+    _STREAM_STATEFUL_ORACLE,
+    doc="Custom STATEFUL streaming operator under the driver gate: "
+    "applyInPandasWithState carries per-(game, play, player) running "
+    "frame-count + max speed across micro-batches in the state store "
+    "(streaming.py:running_player_max — the streaming form of the A1 "
+    "bounded max; transformWithStateInPandas is unusable in this "
+    "container, see session notes). The feed is split into two files "
+    "fed one per micro-batch, so the state MUST survive a batch "
+    "boundary to produce the right totals; update-mode emissions are "
+    "reduced with a monotone max per key, and the oracle is the plain "
+    "batch aggregate over the fixture CTE — any lost or double-counted "
+    "state hash-fails.",
+)
+def stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .. import streaming as st
+
+    d = tempfile.mkdtemp(prefix="stream_st_")
+    try:
+        tr = fixtures.tracking_df(spark)
+        # two files -> two micro-batches (maxFilesPerTrigger=1): state must
+        # carry the first file's counts into the second batch
+        tr.filter(F.col("frameId") <= 17).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        tr.filter(F.col("frameId") > 17).coalesce(1).write.mode("append").parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream = st.read_tracking_stream(spark, d, schema, max_files_per_trigger=1)
+        q = st.run_to_memory_sink(
+            st.running_player_max(stream), "stream_runmax_q", "update"
+        )
+        q.awaitTermination(300)
+        # update mode emits one row per key per batch-with-updates; the
+        # running values are monotone, so max() reduces to the final state
+        return (
+            spark.table("stream_runmax_q")
+            .groupBy("gameId", "playId", "nflId")
+            .agg(
+                F.max("n_frames").alias("n_frames"),
+                F.max("max_speed").alias("max_speed"),
+            )
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @register(
     "e2_yap_scale",
     None,

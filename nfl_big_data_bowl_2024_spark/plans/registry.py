@@ -44,22 +44,25 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # The driver's correctness gate samples the FIRST 50 registry entries.
 # Rounds 2-5 cumulatively hash-checked all 142 pre-round-6 registrations
 # (round 5: 49/50 green + e2_yap rows-only by design). Round 6 window:
-#   1. the nine round-6 registrations (format round-trips src_jsonl/
+#   1. the eleven round-6 registrations (format round-trips src_jsonl/
 #      src_orc/src_zorder plus the snapshot/time-travel commit cycle
 #      src_snapshot_time_travel, the evt_hypertable_rollup time hierarchy
 #      plus its incremental-refresh maintenance twin,
 #      the txt_bigram_lm_surprisal bigram LM, the stream-static
 #      broadcast enrichment stream_enrich_window_stats, and the
-#      hash-checked iterative integer PageRank graph_pagerank_trading);
+#      hash-checked iterative integer PageRank graph_pagerank_trading,
+#      and the two remaining §2.9 shapes — the stream-stream interval
+#      join stream_interval_join_stats and the applyInPandasWithState
+#      stateful operator stream_stateful_running_max);
 #   2. mm_byte_features — its oracle changed this round (LEFT JOIN from
 #      documents so empty payloads yield the same (id, 0, NULL...) row
 #      the Spark path emits at any scale);
 #   3. the ten queries whose only driver evidence is round 2 (three
 #      rounds old) — re-confirm under unchanged code;
-#   4. thirty of the thirty-nine round-3-era queries. Deferred to round 7:
-#      txt_tfidf_topterms + txt_token_quality + txt_vocab_topk +
-#      txt_winnow_fingerprint (displaced by round-6 registrations) and
-#      five operating-point twins (dedup_minhash_exact_dups, dedup_simhash_identical,
+#   4. twenty-eight of the thirty-nine round-3-era queries. Deferred to
+#      round 7: txt_repetition_filter + txt_span_dedup + txt_tfidf_topterms
+#      + txt_token_quality + txt_vocab_topk + txt_winnow_fingerprint
+#      (displaced by round-6 registrations) and five operating-point twins (dedup_minhash_exact_dups, dedup_simhash_identical,
 #      sim_ivf_probeall_topk, sim_lsh_bucketed, e2_yap_scale) — the
 #      operating-point twins / scale variants whose underlying machinery
 #      is separately pinned by driver-green siblings.
@@ -80,6 +83,8 @@ _DRIVER_PRIORITY: list[str] = [
     "src_snapshot_time_travel",
     "evt_rollup_incremental_refresh",
     "graph_pagerank_trading",
+    "stream_interval_join_stats",
+    "stream_stateful_running_max",
     "mm_byte_features",
     # --- round-2-only evidence (three rounds old)
     "argmax_per_group",
@@ -121,9 +126,9 @@ _DRIVER_PRIORITY: list[str] = [
     "tpch_q9_nation_profit",
     "txt_contamination_check",
     "txt_fingerprint_exact_dedup",
+    # ---------------- position 50 cutoff ----------------
     "txt_repetition_filter",
     "txt_span_dedup",
-    # ---------------- position 50 cutoff ----------------
     "txt_tfidf_topterms",
     "txt_token_quality",
     "txt_vocab_topk",
