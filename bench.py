@@ -42,7 +42,6 @@ HEADLINE = [
     "txt_tfidf_topterms",
     "doc_pack_context_windows",
     "grouped_percentiles",
-    "emb_int8_quantize",
     "cube_order_profile",
     "txt_vocab_topk",
     "txt_repetition_filter",
@@ -51,10 +50,8 @@ HEADLINE = [
     "dedup_cluster_representative",
     "emb_kmeans_lloyd",
     "sim_knn_join",
-    "evt_rolling_24h",
     "txt_unigram_surprisal",
     "txt_span_dedup",
-    "doc_quality_zscore_bucket",
     "dedup_incremental_batch",
     "dq_expectations_check",
     "ml_quality_classifier_train",
@@ -74,7 +71,6 @@ HEADLINE = [
     "txt_bpe_encode",
     "stream_session_stats",
     "stream_window_stats",
-    "txt_pii_redact",
     "doc_select_token_budget",
     "doc_dsir_importance",
     "doc_dsir_select",
@@ -97,6 +93,16 @@ HEADLINE = [
     "src_zorder_pruned_scan",
     "evt_rollup_incremental_refresh",
     "graph_pagerank_trading",
+    # round-6 API-surface additions (VARIANT, Arrow UDTF lateral,
+    # GROUPED_AGG pandas UDAF, Observation telemetry). Same line-budget
+    # rotation as above: four flat map-only-or-tiny entries whose timings
+    # were stable r2-r5 rotated to BENCH_SAMPLES-only (txt_pii_redact
+    # 0.47s, emb_int8_quantize 0.31s, doc_quality_zscore_bucket 0.36s,
+    # evt_rolling_24h 0.38s — r5 numbers in BENCH_r05.json).
+    "json_variant_extract",
+    "txt_chunk_udtf",
+    "agg_weighted_median",
+    "dq_observe_metrics",
 ]
 
 # Queries that showed multi-second shared-box spikes in past driver runs

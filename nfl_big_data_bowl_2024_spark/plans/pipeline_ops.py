@@ -4233,3 +4233,87 @@ def graph_pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node div 2").cast("long").alias("entity_id"),
         F.col("rank_micro").cast("long").alias("rank_micro"),
     )
+
+
+@register(
+    "txt_chunk_udtf",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    c AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0, len(t) - 1, 48)) AS start
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(start / 48 AS INTEGER)                   AS chunk_idx,
+           CAST(least(len(t) - start, 64) AS INTEGER)    AS n_toks,
+           t[start + 1]                                  AS first_tok,
+           t[least(start + 64, len(t))]                  AS last_tok
+    FROM c
+    """,
+    doc="Overlapping token-window chunking (size 64 / stride 48) via a "
+    "Spark 4 Python UDTF in a LATERAL join — the table-function extension "
+    "point: one document row yields a variable number of chunk rows whose "
+    "columns (chunk content endpoints) only the chunker can derive. "
+    "Arrow-batched (ArrowEvalPythonUDTF, allowlisted as a documented "
+    "vectorized kernel — never row-at-a-time pickling) and map-only: the "
+    "explode shuffles nothing, and the doc_id filter is pushed below the "
+    "lateral to the parquet scan. The DuckDB oracle mirrors the chunk rule "
+    "with generate_series over the same empty-preserving space-split, so "
+    "the UDTF's emission logic is hash-checked end to end.",
+)
+def txt_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.chunking import register_token_chunks
+
+    fn = register_token_chunks(spark)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    d.select("doc_id", "text").createOrReplaceTempView("_chunk_udtf_docs")
+    return spark.sql(
+        f"""
+        SELECT doc_id, c.chunk_idx, c.n_toks, c.first_tok, c.last_tok
+        FROM _chunk_udtf_docs, LATERAL {fn}(text) AS c
+        """
+    )
+
+
+@register(
+    "dq_observe_metrics",
+    """
+    SELECT source,
+           count(*)                                        AS n_kept,
+           CAST(sum(n_chars) AS BIGINT)                    AS kept_chars
+    FROM documents
+    WHERE n_chars >= 200 AND lang = 'en'
+    GROUP BY source
+    """,
+    doc="Single-pass in-flight pipeline telemetry via the Observation API "
+    "(CollectMetrics): the curation gate's admission metrics — rows "
+    "scanned, rows admitted, total chars scanned — are observed on the "
+    "SAME job that produces the per-source rollup, so at 100 TB the "
+    "monitoring costs zero extra scans (the naive form is a second "
+    "full-table aggregate). The observed values are asserted against "
+    "independently-computed aggregates in tests/test_modern_api.py; the "
+    "driver hash-checks the rollup itself. CollectMetrics is a "
+    "pass-through node: the plan below it is the same pushed-filter scan "
+    "+ single hash aggregate as an unobserved gate.",
+)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    d = _t(spark, sf_dir, "documents")
+    obs = Observation("curation_gate")
+    gated = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars_scanned"),
+        F.sum(
+            ((F.col("n_chars") >= 200) & (F.col("lang") == "en")).cast("long")
+        ).alias("rows_admitted"),
+    ).filter((F.col("n_chars") >= 200) & (F.col("lang") == "en"))
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("kept_chars"),
+    )

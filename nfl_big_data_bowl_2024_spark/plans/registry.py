@@ -44,6 +44,11 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # The driver's correctness gate samples the FIRST 50 registry entries.
 # Rounds 2-5 cumulatively hash-checked all 142 pre-round-6 registrations
 # (round 5: 49/50 green + e2_yap rows-only by design). Round 6 window:
+#   0. the four Spark-4 API-surface registrations (VARIANT typed
+#      extraction json_variant_extract, the Arrow Python-UDTF lateral
+#      chunker txt_chunk_udtf, the GROUPED_AGG pandas-UDF weighted
+#      median agg_weighted_median, and the Observation-API single-pass
+#      telemetry gate dq_observe_metrics);
 #   1. the eleven round-6 registrations (format round-trips src_jsonl/
 #      src_orc/src_zorder plus the snapshot/time-travel commit cycle
 #      src_snapshot_time_travel, the evt_hypertable_rollup time hierarchy
@@ -59,8 +64,10 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #      the Spark path emits at any scale);
 #   3. the ten queries whose only driver evidence is round 2 (three
 #      rounds old) — re-confirm under unchanged code;
-#   4. twenty-eight of the thirty-nine round-3-era queries. Deferred to
-#      round 7: txt_repetition_filter + txt_span_dedup + txt_tfidf_topterms
+#   4. twenty-four of the thirty-nine round-3-era queries. Deferred to
+#      round 7: tpch_q8_market_share + tpch_q9_nation_profit +
+#      txt_contamination_check + txt_fingerprint_exact_dedup +
+#      txt_repetition_filter + txt_span_dedup + txt_tfidf_topterms
 #      + txt_token_quality + txt_vocab_topk + txt_winnow_fingerprint
 #      (displaced by round-6 registrations) and five operating-point twins (dedup_minhash_exact_dups, dedup_simhash_identical,
 #      sim_ivf_probeall_topk, sim_lsh_bucketed, e2_yap_scale) — the
@@ -74,6 +81,10 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # operating-point twin.
 _DRIVER_PRIORITY: list[str] = [
     # --- new or changed-oracle this round
+    "json_variant_extract",
+    "txt_chunk_udtf",
+    "agg_weighted_median",
+    "dq_observe_metrics",
     "src_jsonl_roundtrip",
     "src_orc_roundtrip",
     "src_zorder_pruned_scan",
@@ -122,11 +133,11 @@ _DRIVER_PRIORITY: list[str] = [
     "single_play_trajectory",
     "tpch_q2_top_supplier_per_nation",
     "tpch_q7_nation_volume",
+    # ---------------- position 50 cutoff ----------------
     "tpch_q8_market_share",
     "tpch_q9_nation_profit",
     "txt_contamination_check",
     "txt_fingerprint_exact_dedup",
-    # ---------------- position 50 cutoff ----------------
     "txt_repetition_filter",
     "txt_span_dedup",
     "txt_tfidf_topterms",

@@ -1762,3 +1762,122 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "json_variant_extract",
+    """
+    WITH v AS (
+        SELECT event_id,
+               '{"meta":{"type":"' || event_type || '","flag":'
+                   || CAST(value > 50 AS VARCHAR)
+                   || '},"payload":' || props
+                   || ',"tags":[1,' || CAST(user_id AS VARCHAR) || ']}'
+                   AS doc
+        FROM events
+    )
+    SELECT json_extract_string(doc, '$.meta.type')               AS etype,
+           CAST(sum(CAST(json_extract(doc, '$.payload.k') AS BIGINT))
+                AS BIGINT)                                       AS total_k,
+           CAST(sum(CAST(CAST(json_extract(doc, '$.meta.flag') AS BOOLEAN)
+                         AS BIGINT)) AS BIGINT)                  AS n_flag,
+           CAST(sum(CAST(json_extract(doc, '$.tags[1]') AS BIGINT))
+                AS BIGINT)                                       AS sum_tag1,
+           count(*)                                              AS n
+    FROM v
+    GROUP BY etype
+    """,
+    doc="Spark 4 VARIANT type: a nested semi-structured payload (object + "
+    "array + mixed scalar types, assembled from the events columns so the "
+    "nesting is non-trivial) is parsed ONCE with parse_json into a VARIANT "
+    "and then path-extracted with variant_get at three different types "
+    "(string / boolean / long, including an array index '$.tags[1]'). "
+    "Unlike get_json_object, the VARIANT binary encoding is parsed a single "
+    "time per row however many paths are read, and is the shredding-ready "
+    "representation for columnarizing hot paths at 100 TB. The whole "
+    "extraction stays inside whole-stage codegen (plan-asserted: zero "
+    "Python nodes); only the few extracted scalars reach the shuffle.",
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('","flag":'),
+        (F.col("value") > 50).cast("string"),
+        F.lit('},"payload":'),
+        F.col("props"),
+        F.lit(',"tags":[1,'),
+        F.col("user_id").cast("string"),
+        F.lit("]}"),
+    )
+    v = e.select("event_id", F.parse_json(doc).alias("v"))
+    out = v.select(
+        F.variant_get("v", "$.meta.type", "string").alias("etype"),
+        F.variant_get("v", "$.meta.flag", "boolean").alias("flag"),
+        F.variant_get("v", "$.payload.k", "long").alias("k"),
+        F.variant_get("v", "$.tags[1]", "long").alias("tag1"),
+    )
+    return out.groupBy("etype").agg(
+        F.sum("k").cast("long").alias("total_k"),
+        F.sum(F.col("flag").cast("long")).cast("long").alias("n_flag"),
+        F.sum("tag1").cast("long").alias("sum_tag1"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_weighted_median",
+    """
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice AS p,
+               sum(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag ORDER BY l_extendedprice
+                   ROWS UNBOUNDED PRECEDING)                  AS cum,
+               sum(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag)                 AS tot
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           min(p)                       AS wmed,
+           CAST(min(tot) AS BIGINT)     AS total_qty
+    FROM w WHERE 2 * cum >= tot
+    GROUP BY l_returnflag
+    """,
+    doc="Custom aggregate via GROUPED_AGG pandas UDF (ArrowAggregatePython): "
+    "quantity-weighted median price per return flag — the UDAF extension "
+    "point for aggregates Spark lacks natively. Weights are cast to int64 "
+    "inside the UDF so the crossing test 2*cum >= tot is exact integer "
+    "arithmetic: the answer depends only on the (price, qty) multiset, "
+    "never on row order within equal prices, which is what makes a "
+    "cross-engine hash check of a custom UDAF possible at all. Arrow "
+    "transfers each group as columnar batches (no row-at-a-time pickling); "
+    "at 100 TB the single hash-exchange on the grouping key is the only "
+    "shuffle, identical to a native aggregate's plan shape.",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType is explicit (not hint-inferred): this module's
+    # `from __future__ import annotations` stringifies hints, which the
+    # pandas-UDF type inferencer cannot resolve.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmedian(price, qty):
+        df = (
+            pd.DataFrame({"p": price, "q": qty.astype("int64")})
+            .sort_values("p", kind="mergesort")
+        )
+        cum = df["q"].cumsum()
+        tot = int(df["q"].sum())
+        return float(df.loc[2 * cum >= tot, "p"].iloc[0])
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def wtotal(qty):
+        return int(qty.astype("int64").sum())
+
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        wmedian("l_extendedprice", "l_quantity").alias("wmed"),
+        wtotal("l_quantity").alias("total_qty"),
+    )

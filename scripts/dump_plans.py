@@ -136,6 +136,21 @@ SHOWCASE = [
         "the scoring join re-shuffles pairs onto the model's own (w1,w2) "
         "aggregate exchange; V is a checkpointed distributed scalar.",
     ),
+    (
+        "json_variant_extract",
+        "VARIANT: one parse_json per row, four variant_get path "
+        "extractions at three types — all inside WholeStageCodegen (zero "
+        "Python nodes), pruned 4-column scan; only extracted scalars "
+        "reach the exchange.",
+    ),
+    (
+        "txt_chunk_udtf",
+        "Python UDTF lateral: the chunker plans as a single "
+        "ArrowEvalPythonUDTF generator node (vectorized Arrow transfer, "
+        "no BatchEvalPython, no nested-loop join for the LATERAL); "
+        "map-only — the doc_id filter is pushed to the parquet scan "
+        "below the UDTF.",
+    ),
 ]
 
 

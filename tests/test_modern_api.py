@@ -1,0 +1,281 @@
+"""Spark-4 API-surface queries: VARIANT, Python UDTF, Observation,
+GROUPED_AGG pandas UDF.
+
+Each test pins the property that makes the query a legitimate 100 TB
+citizen: VARIANT extraction stays whole-stage-codegen JVM-side; the UDTF
+is Arrow-batched (never BatchEvalPython) and its emission rule is
+order/partitioning-independent; the Observation metrics ride the SAME job
+as the result (no second scan) and agree with independently-computed
+aggregates; the custom weighted-median aggregate is a pure function of the
+group's (value, weight) multiset, invariant to input partitioning.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="session")
+def queries():
+    from nfl_big_data_bowl_2024_spark.plans.registry import all_queries
+
+    return all_queries()
+
+
+# ---------------------------------------------------------------------------
+# VARIANT
+# ---------------------------------------------------------------------------
+
+
+def test_variant_extract_stays_jvm_side(spark, queries):
+    """parse_json + variant_get compile to codegen expressions — the plan
+    has zero Python nodes and the scan reads only the referenced columns."""
+    plan = _plan(queries["json_variant_extract"].fn(spark, SF))
+    assert "Python" not in plan
+    assert "variant_get" in plan
+    # column pruning reaches the scan: only the four referenced columns
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    schema = scan.split("ReadSchema: struct<", 1)[1].rstrip(">")
+    cols = {c.split(":")[0] for c in schema.split(",")}
+    assert cols == {"user_id", "event_type", "value", "props"}
+
+
+def test_variant_extract_matches_direct_columns(spark, queries):
+    """The variant path round-trips: extracting through the nested VARIANT
+    document equals computing the same aggregates from the raw columns."""
+    got = {
+        r["etype"]: (r["total_k"], r["n_flag"], r["sum_tag1"], r["n"])
+        for r in queries["json_variant_extract"].fn(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    want = {
+        r["event_type"]: (r["tk"], r["nf"], r["st"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.sum(k).cast("long").alias("tk"),
+            F.sum((F.col("value") > 50).cast("long")).cast("long").alias("nf"),
+            F.sum("user_id").cast("long").alias("st"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (token chunker)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_udtf_is_arrow_batched_and_join_free(spark, queries):
+    """The lateral UDTF plans as ArrowEvalPythonUDTF (vectorized transfer,
+    not row-at-a-time BatchEvalPython) and as a generator node — no
+    CartesianProduct / nested-loop join materializes the lateral."""
+    plan = _plan(queries["txt_chunk_udtf"].fn(spark, SF))
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_chunk_udtf_rule_matches_jvm_recompute(spark, queries):
+    """Chunk rows equal a JVM-side recomputation of the same rule
+    (sequence() starts + slice endpoints), so the Python emission logic is
+    pinned against an independent in-engine derivation."""
+    got = sorted(
+        tuple(r)
+        for r in queries["txt_chunk_udtf"].fn(spark, SF).collect()
+    )
+    d = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", F.split("text", " ", -1).alias("t"))
+    )
+    n = F.size("t")
+    want = sorted(
+        tuple(r)
+        for r in d.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(0), n - 1, F.lit(48))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / 48).cast("int").alias("chunk_idx"),
+            F.least(F.size("t") - F.col("start"), F.lit(64))
+            .cast("int")
+            .alias("n_toks"),
+            F.element_at("t", F.col("start") + 1).alias("first_tok"),
+            F.element_at(
+                "t", F.least(F.col("start") + 64, F.size("t"))
+            ).alias("last_tok"),
+        )
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 100
+
+
+def test_chunk_udtf_overlap_invariant(spark, queries):
+    """Per-doc chunk_idx is dense from 0; chunk i starts at 48*i, so every
+    chunk except (at most) the last two is a full 64-token window — with
+    stride 48 < size 64, the final <=64-token span can leave both the last
+    and penultimate chunk partial. Tail chunks are never empty."""
+    rows = queries["txt_chunk_udtf"].fn(spark, SF).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    full = 0
+    for doc, ch in by_doc.items():
+        ch.sort(key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in ch] == list(range(len(ch)))
+        for c in ch[:-2]:
+            assert c["n_toks"] == 64, (doc, c)
+        for c in ch[-2:]:
+            assert 1 <= c["n_toks"] <= 64, (doc, c)
+        full += sum(1 for c in ch if c["n_toks"] == 64)
+    assert full > 0  # the corpus actually exercises full windows
+
+
+# ---------------------------------------------------------------------------
+# Observation API
+# ---------------------------------------------------------------------------
+
+
+def test_observe_metrics_single_pass_and_consistent(spark):
+    """The CollectMetrics node rides the result job: ONE scan in the plan,
+    and the observed admission metrics equal independently-computed
+    aggregates over the same table."""
+    from nfl_big_data_bowl_2024_spark.plans.pipeline_ops import (
+        dq_observe_metrics,
+    )
+    from pyspark.sql import Observation
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    obs = Observation("gate_test")
+    gated = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars_scanned"),
+        F.sum(
+            ((F.col("n_chars") >= 200) & (F.col("lang") == "en")).cast("long")
+        ).alias("rows_admitted"),
+    ).filter((F.col("n_chars") >= 200) & (F.col("lang") == "en"))
+    out = gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("kept_chars"),
+    )
+    plan = _plan(out)
+    assert plan.count("Scan parquet") == 1
+    assert "CollectMetrics" in plan
+
+    rows = out.collect()
+    m = obs.get
+    exact = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").cast("long")).alias("c"),
+        F.sum(
+            ((F.col("n_chars") >= 200) & (F.col("lang") == "en")).cast("long")
+        ).alias("a"),
+    ).collect()[0]
+    assert m["rows_scanned"] == exact["n"]
+    assert m["chars_scanned"] == exact["c"]
+    assert m["rows_admitted"] == exact["a"]
+    # admitted metric ties out against the result itself
+    assert m["rows_admitted"] == sum(r["n_kept"] for r in rows)
+
+    # the registered query produces the same rollup (fresh Observation per
+    # call — re-running the registry fn never reuses a spent Observation)
+    reg = dq_observe_metrics(spark, SF).collect()
+    assert sorted(map(tuple, reg)) == sorted(map(tuple, rows))
+
+
+# ---------------------------------------------------------------------------
+# GROUPED_AGG pandas UDF (weighted median)
+# ---------------------------------------------------------------------------
+
+
+def _exact_weighted_median(pairs):
+    """Driver-side reference: smallest p with 2*cumweight(p' <= p) >= total."""
+    pairs = sorted(pairs)
+    tot = sum(q for _, q in pairs)
+    cum = 0
+    for p, q in pairs:
+        cum += q
+        if 2 * cum >= tot:
+            return p
+    raise AssertionError("empty group")
+
+
+def test_weighted_median_matches_reference(spark, queries):
+    got = {
+        r["l_returnflag"]: (r["wmed"], r["total_qty"])
+        for r in queries["agg_weighted_median"].fn(spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    groups: dict[str, list] = {}
+    for r in li.collect():
+        groups.setdefault(r["l_returnflag"], []).append(
+            (r["l_extendedprice"], int(r["l_quantity"]))
+        )
+    for flag, pairs in groups.items():
+        assert got[flag][0] == _exact_weighted_median(pairs), flag
+        assert got[flag][1] == sum(q for _, q in pairs), flag
+
+
+def test_weighted_median_partitioning_invariant(spark):
+    """The UDAF answer is a pure function of the group multiset: shuffling
+    input row order / partitioning does not change a single value."""
+    from nfl_big_data_bowl_2024_spark.plans.relational import (
+        agg_weighted_median,
+    )
+
+    base = sorted(map(tuple, agg_weighted_median(spark, SF).collect()))
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    scrambled = (
+        li.repartition(7, F.col("l_orderkey") % 7)
+        .sortWithinPartitions(F.col("l_extendedprice").desc())
+    )
+    scrambled.createOrReplaceTempView("_wm_scrambled")
+    # rebuild the same aggregate over the scrambled relation
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmedian(price, qty):
+        df = (
+            pd.DataFrame({"p": price, "q": qty.astype("int64")})
+            .sort_values("p", kind="mergesort")
+        )
+        cum = df["q"].cumsum()
+        tot = int(df["q"].sum())
+        return float(df.loc[2 * cum >= tot, "p"].iloc[0])
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def wtotal(qty):
+        return int(qty.astype("int64").sum())
+
+    alt = sorted(
+        map(
+            tuple,
+            scrambled.groupBy("l_returnflag")
+            .agg(
+                wmedian("l_extendedprice", "l_quantity").alias("wmed"),
+                wtotal("l_quantity").alias("total_qty"),
+            )
+            .collect(),
+        )
+    )
+    assert base == alt

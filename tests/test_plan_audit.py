@@ -71,6 +71,9 @@ def test_flagship_shuffles_only_on_group_key(spark, queries):
 # everywhere.
 _ARROW_KERNEL_ALLOWLIST = {
     "sim_ivf_probeall_topk",  # BLAS centroid assignment (operators/similarity.py)
+    "txt_chunk_udtf",  # ArrowEvalPythonUDTF — the table-function extension
+    # point (functions/chunking.py); chunk-content emission is the part
+    # sequence()-based JVM plans cannot express
 }
 
 
