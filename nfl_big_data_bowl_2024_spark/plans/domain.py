@@ -981,3 +981,56 @@ def e2_yap_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(plays, fixtures.PLAYS_FIXTURE_SCHEMA),
         spark.createDataFrame(tackles, fixtures.TACKLES_FIXTURE_SCHEMA),
     )
+
+
+_STREAM_STATE_ORACLE = f"""
+WITH fxs AS (SELECT * FROM {fixtures.tracking_values_cte().replace('fx(', 'fxs(')})
+SELECT gameId, playId,
+       count(DISTINCT frameId) AS n_state_keys
+FROM fxs GROUP BY gameId, playId
+"""
+
+
+@register(
+    "stream_state_introspection",
+    _STREAM_STATE_ORACLE,
+    doc="State-store introspection (statestore batch reader): run the "
+    "fixture feed through an exactly-once key dedup "
+    "(dropDuplicates on frame identity — unbounded state), then "
+    "batch-read the checkpoint's state store itself and count live "
+    "state entries per play. The oracle is the per-play distinct frame "
+    "count: the dedup operator's state IS the set of keys seen, so any "
+    "state-store row lost, duplicated, or mis-keyed hash-fails. This is "
+    "the ops surface for state-size audits and skew hunts on a "
+    "production stream — a batch scan over the checkpoint, one task per "
+    "state partition, no stream restart. Companion catalog reader: "
+    "streaming.state_metadata.",
+)
+def stream_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from .. import streaming as st
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join("/tmp/spark_graft_stream", sf, "state_introspection")
+    feed, ckpt = os.path.join(base, "feed"), os.path.join(base, "ckpt")
+    # Fresh cycle each run: the state store must reflect exactly one full
+    # pass over the feed. The checkpoint outlives the call (the returned
+    # DataFrame lazily scans it when the driver collects).
+    shutil.rmtree(base, ignore_errors=True)
+    tr = fixtures.tracking_df(spark).select("gameId", "playId", "frameId", "t")
+    tr.coalesce(1).write.mode("overwrite").parquet(feed)
+    stream = st.read_tracking_stream(spark, feed, tr.schema)
+    q = (
+        st.dedup_keys_stream(stream, ["gameId", "playId", "frameId"])
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = st.state_snapshot(spark, ckpt)
+    return state.groupBy(
+        F.col("key.gameId").alias("gameId"), F.col("key.playId").alias("playId")
+    ).agg(F.count(F.lit(1)).alias("n_state_keys"))

@@ -293,3 +293,55 @@ def evt_rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFram
         (F.col("min_c").cast("long") / 100.0).alias("min_value"),
         (F.col("max_c").cast("long") / 100.0).alias("max_value"),
     )
+
+
+@register(
+    "src_pysource_generate",
+    """
+    WITH ids AS (
+        SELECT unnest(generate_series(150000, 159999)) AS event_id
+    ),
+    z AS (
+        SELECT event_id,
+               (event_id * 2654435761) & 2147483647 AS z
+        FROM ids
+    )
+    SELECT z % 97                                     AS user_id,
+           CAST(sum((z // 97) % 1000) AS BIGINT)      AS total_amount,
+           min(event_id)                              AS first_event,
+           max(event_id)                              AS last_event,
+           count(*)                                   AS n
+    FROM z
+    GROUP BY user_id
+    """,
+    doc="Custom connector via the Python Data Source API "
+    "(sources/pysource.py): a deterministic synthetic event feed read "
+    "through spark.read.format('synth_events') — partitions() plans "
+    "id-range splits driver-side (metadata only), read() materializes "
+    "each split executor-side as one numpy computation emitted as one "
+    "Arrow record batch, and pushFilters() narrows the planned id "
+    "interval from the event_id range predicate BEFORE partitioning "
+    "(the Python analogue of row-group pruning; verified in "
+    "tests/test_modern_api.py — the narrowed reader plans splits only "
+    "inside [150000, 160000)). The fixed integer mix makes any slice "
+    "of the feed bit-reproducible, so the DuckDB oracle replays the "
+    "same arithmetic over generate_series. 1.2M logical rows, 10k "
+    "surviving the pushed range filter.",
+)
+def src_pysource_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pysource import register_synth_events
+
+    fmt = register_synth_events(spark)
+    feed = (
+        spark.read.format(fmt)
+        .option("rows", "1200000")
+        .option("partitions", "16")
+        .load()
+        .filter((F.col("event_id") >= 150000) & (F.col("event_id") < 160000))
+    )
+    return feed.groupBy("user_id").agg(
+        F.sum("amount").cast("long").alias("total_amount"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -47,8 +47,10 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   0. the four Spark-4 API-surface registrations (VARIANT typed
 #      extraction json_variant_extract, the Arrow Python-UDTF lateral
 #      chunker txt_chunk_udtf, the GROUPED_AGG pandas-UDF weighted
-#      median agg_weighted_median, and the Observation-API single-pass
-#      telemetry gate dq_observe_metrics);
+#      median agg_weighted_median, the Observation-API single-pass
+#      telemetry gate dq_observe_metrics, the Python Data Source
+#      connector with pushFilters pruning src_pysource_generate, and
+#      the statestore checkpoint reader stream_state_introspection);
 #   1. the eleven round-6 registrations (format round-trips src_jsonl/
 #      src_orc/src_zorder plus the snapshot/time-travel commit cycle
 #      src_snapshot_time_travel, the evt_hypertable_rollup time hierarchy
@@ -64,8 +66,9 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #      the Spark path emits at any scale);
 #   3. the ten queries whose only driver evidence is round 2 (three
 #      rounds old) — re-confirm under unchanged code;
-#   4. twenty-four of the thirty-nine round-3-era queries. Deferred to
-#      round 7: tpch_q8_market_share + tpch_q9_nation_profit +
+#   4. twenty-two of the thirty-nine round-3-era queries. Deferred to
+#      round 7: tpch_q2_top_supplier_per_nation + tpch_q7_nation_volume +
+#      tpch_q8_market_share + tpch_q9_nation_profit +
 #      txt_contamination_check + txt_fingerprint_exact_dedup +
 #      txt_repetition_filter + txt_span_dedup + txt_tfidf_topterms
 #      + txt_token_quality + txt_vocab_topk + txt_winnow_fingerprint
@@ -85,6 +88,8 @@ _DRIVER_PRIORITY: list[str] = [
     "txt_chunk_udtf",
     "agg_weighted_median",
     "dq_observe_metrics",
+    "src_pysource_generate",
+    "stream_state_introspection",
     "src_jsonl_roundtrip",
     "src_orc_roundtrip",
     "src_zorder_pruned_scan",
@@ -131,9 +136,9 @@ _DRIVER_PRIORITY: list[str] = [
     "sim_label_cohesion",
     "sim_topk_bruteforce",
     "single_play_trajectory",
+    # ---------------- position 50 cutoff ----------------
     "tpch_q2_top_supplier_per_nation",
     "tpch_q7_nation_volume",
-    # ---------------- position 50 cutoff ----------------
     "tpch_q8_market_share",
     "tpch_q9_nation_profit",
     "txt_contamination_check",

@@ -1,0 +1,131 @@
+"""Custom connector via the Python Data Source API (Spark 4).
+
+``synth_events`` is a generator-as-connector: a deterministic synthetic
+event feed exposed as a first-class ``spark.read.format(...)`` source.
+This is the engine's connector extension point — the same four methods
+(``schema`` / ``pushFilters`` / ``partitions`` / ``read``) wrap any
+external system Spark lacks a native reader for, and everything that
+matters at 100 TB is exercised for real:
+
+- **Executor-side generation.** ``partitions()`` plans id-range splits on
+  the driver (metadata only); each range materializes inside ``read()``
+  on an executor as ONE numpy computation emitted as ONE Arrow record
+  batch — the driver never holds a row, and scan parallelism is the
+  connector's partition count, exactly like file splits.
+- **Filter pushdown** (``pushFilters``, Spark 4.1): range/equality
+  predicates on ``event_id`` narrow the planned id interval BEFORE
+  partitioning, so pruned splits are never generated at all — the Python
+  analogue of parquet row-group pruning. Pushed filters are still
+  returned to Spark for re-evaluation (correctness never depends on the
+  connector's pruning); everything else stays Spark-side.
+- **Determinism.** Columns derive from the id via a fixed integer mix
+  (Knuth multiplicative hash masked to 31 bits), so any slice of the
+  feed is bit-reproducible across partitionings, retries, and engines —
+  the DuckDB oracle replays the same arithmetic over generate_series.
+
+Row schema: ``event_id bigint, user_id bigint, amount bigint`` with
+``user_id = mix(id) % 97`` and ``amount = (mix(id) // 97) % 1000``.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator, List
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+if TYPE_CHECKING:
+    import pyarrow as pa
+
+MIX_MULT = 2654435761  # Knuth's 2^32 / phi multiplicative constant
+MIX_MASK = 0x7FFFFFFF
+N_USERS = 97
+AMOUNT_MOD = 1000
+
+
+class IdRangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SynthEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.lo = 0
+        self.hi = int(options.get("rows", 100_000))
+        self.n_parts = max(1, int(options.get("partitions", 16)))
+
+    def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
+        """Narrow [lo, hi) from event_id range/equality predicates. Every
+        filter is ALSO yielded back for Spark-side re-evaluation, so a
+        connector pruning bug can only cost performance, never rows."""
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            if col == ("event_id",):
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, int(f.value))
+                    self.hi = min(self.hi, int(f.value) + 1)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, int(f.value) + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, int(f.value))
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, int(f.value))
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, int(f.value) + 1)
+            yield f
+
+    def partitions(self) -> List[IdRangePartition]:
+        lo, hi = self.lo, max(self.lo, self.hi)
+        if hi == lo:
+            return [IdRangePartition(lo, lo)]
+        step = max(1, (hi - lo + self.n_parts - 1) // self.n_parts)
+        return [
+            IdRangePartition(s, min(s + step, hi)) for s in range(lo, hi, step)
+        ]
+
+    def read(self, part: IdRangePartition) -> Iterator["pa.RecordBatch"]:
+        import numpy as np
+        import pyarrow as pa
+
+        ids = np.arange(part.start, part.end, dtype="int64")
+        z = (ids * MIX_MULT) & MIX_MASK
+        yield pa.record_batch(
+            {
+                "event_id": pa.array(ids),
+                "user_id": pa.array(z % N_USERS),
+                "amount": pa.array((z // N_USERS) % AMOUNT_MOD),
+            }
+        )
+
+
+class SynthEventsSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synth_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, amount bigint"
+
+    def reader(self, schema) -> SynthEventsReader:
+        return SynthEventsReader(self.options)
+
+
+def register_synth_events(spark) -> str:
+    """Idempotently register the connector; returns its format name.
+
+    Python-data-source filter pushdown is gated behind a runtime conf
+    (off by default in 4.1); enable it here so the connector behaves the
+    same under any session, including the driver's vanilla one."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SynthEventsSource)
+    return SynthEventsSource.name()

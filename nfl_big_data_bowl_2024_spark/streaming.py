@@ -271,3 +271,31 @@ def stream_upsert_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_keys_stream(stream: DataFrame, keys: list[str]) -> DataFrame:
+    """Exactly-once key dedup with UNBOUNDED state (contrast with
+    ``dedup_frame_stream``'s watermark-expired state): every key ever seen
+    stays in the state store, which is what makes the store itself an
+    inspectable artifact — see :func:`state_snapshot`."""
+    return stream.dropDuplicates(keys)
+
+
+def state_snapshot(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Batch-read a streaming operator's state store (Spark's
+    ``statestore`` reader): returns one row per live state entry with the
+    operator's key/value structs. This is the ops surface a 100 TB
+    streaming deployment needs — state-size audits, skew hunts (which
+    keys bloat the store), and offline validation that state matches a
+    batch recomputation — all WITHOUT stopping the stream or
+    instrumenting the job. The read is planned like any other batch scan
+    (one task per state-store partition), so it parallelizes with the
+    store's shuffle partitioning."""
+    return spark.read.format("statestore").load(checkpoint_dir)
+
+
+def state_metadata(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """The checkpoint's operator catalog (``state-metadata`` reader):
+    operator ids/names, store names, partition counts, batch id range —
+    the entry point for locating WHICH store to snapshot."""
+    return spark.read.format("state-metadata").load(checkpoint_dir)

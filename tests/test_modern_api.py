@@ -279,3 +279,94 @@ def test_weighted_median_partitioning_invariant(spark):
         )
     )
     assert base == alt
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source connector (synth_events)
+# ---------------------------------------------------------------------------
+
+
+def test_pysource_pushdown_narrows_planned_partitions():
+    """pushFilters narrows [lo, hi) BEFORE partitioning: with the range
+    predicate pushed, splits are planned only inside the filter window —
+    the pruned id space is never generated. All filters are yielded back
+    (Spark re-evaluates them, so pruning can never drop rows)."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from nfl_big_data_bowl_2024_spark.sources.pysource import (
+        SynthEventsReader,
+    )
+
+    r = SynthEventsReader({"rows": "1200000", "partitions": "16"})
+    fs = [
+        GreaterThanOrEqual(("event_id",), 150000),
+        LessThan(("event_id",), 160000),
+    ]
+    returned = list(r.pushFilters(fs))
+    assert returned == fs  # every filter still Spark-evaluated
+    parts = r.partitions()
+    assert len(parts) == 16
+    assert min(p.start for p in parts) == 150000
+    assert max(p.end for p in parts) == 160000
+    # unfiltered reader plans the full id space
+    r2 = SynthEventsReader({"rows": "1200000", "partitions": "16"})
+    assert max(p.end for p in r2.partitions()) == 1200000
+
+
+def test_pysource_scan_matches_jvm_recompute(spark):
+    """The connector's executor-side generation equals a JVM range()
+    recomputation of the same integer mix — and the scan parallelism is
+    the connector's partition plan."""
+    from nfl_big_data_bowl_2024_spark.sources.pysource import (
+        register_synth_events,
+    )
+
+    fmt = register_synth_events(spark)
+    feed = (
+        spark.read.format(fmt)
+        .option("rows", "10000")
+        .option("partitions", "8")
+        .load()
+    )
+    assert feed.rdd.getNumPartitions() == 8
+    got = sorted(tuple(r) for r in feed.collect())
+    z = (F.col("id") * F.lit(2654435761)).bitwiseAND(F.lit(0x7FFFFFFF))
+    want = sorted(
+        tuple(r)
+        for r in spark.range(10000)
+        .select(
+            F.col("id").alias("event_id"),
+            (z % 97).alias("user_id"),
+            ((z / 97).cast("long") % 1000).alias("amount"),
+        )
+        .collect()
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# State-store introspection
+# ---------------------------------------------------------------------------
+
+
+def test_state_snapshot_matches_batch_distinct(spark, queries):
+    """The dedup operator's state store holds exactly the distinct frame
+    keys; the metadata reader catalogs the dedupe operator."""
+    from nfl_big_data_bowl_2024_spark import fixtures, streaming as st
+
+    got = sorted(
+        tuple(r)
+        for r in queries["stream_state_introspection"].fn(spark, SF).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in fixtures.tracking_df(spark)
+        .groupBy("gameId", "playId")
+        .agg(F.countDistinct("frameId").alias("n_state_keys"))
+        .collect()
+    )
+    assert got == want
+    meta = st.state_metadata(
+        spark, "/tmp/spark_graft_stream/sf0.01/state_introspection/ckpt"
+    ).collect()
+    assert any(m["operatorName"] == "dedupe" for m in meta)
