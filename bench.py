@@ -24,7 +24,6 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "grouped_having_sort",
     "temporal_self_join",
-    "txt_fingerprint_exact_dedup",
     "txt_winnow_fingerprint",
     "pivot_priority_by_nation",
     "tpch_q18_large_orders",
@@ -108,6 +107,12 @@ HEADLINE = [
     # but not benched: it is a full streaming run + checkpoint scan
     # (~10s fixed fixture cost), like the e2_yap_closed_form artifacts.
     "src_pysource_generate",
+    # mapInArrow integer-exact norm kernel (txt_fingerprint_exact_dedup,
+    # 0.2s flat since r2, rotated to samples-only for the line budget;
+    # src_pysource_write_roundtrip is correctness-gated but not benched —
+    # its write+read cycle profile is already covered by
+    # src_jsonl_roundtrip).
+    "emb_arrow_norm_audit",
 ]
 
 # Queries that showed multi-second shared-box spikes in past driver runs

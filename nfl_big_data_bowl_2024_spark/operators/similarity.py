@@ -391,3 +391,46 @@ def lsh_bucketed_pairs(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def arrow_sq_norms(df, id_col: str, vec_col: str, keep: list[str]):
+    """Exact integer squared norms via ``mapInArrow`` — the RecordBatch-level
+    custom-compute modality (lower-level than mapInPandas: no pandas
+    conversion, zero-copy Arrow buffers straight into numpy).
+
+    Each component is quantized to micro-units with the engine's half-up
+    idiom (``floor(x*1e6 + 0.5)`` as int64) and the squared norm accumulates
+    in EXACT integer arithmetic via a cumulative-sum/offset-difference over
+    the list array's flattened values buffer — one vectorized pass per
+    batch, no per-row Python, and a result that is bit-identical across
+    partitionings, engines, and summation orders (the float formulation
+    would differ from DuckDB at ~1e-16 and round unstably). Map-only: the
+    plan is a single MapInArrow node over the scan.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = ", ".join(
+        [f"{id_col} bigint"]
+        + [f"{k} bigint" for k in keep]
+        + ["sum_sq bigint"]
+    )
+
+    def kernel(batches):
+        for b in batches:
+            col = b.column(vec_col)
+            vals = np.asarray(col.values, dtype="float64")
+            offs = np.asarray(col.offsets, dtype="int64")
+            q = np.floor(vals * 1_000_000 + 0.5).astype("int64")
+            sq = q * q
+            cums = np.concatenate([[0], np.cumsum(sq)])
+            sums = cums[offs[1:]] - cums[offs[:-1]]
+            # passthrough columns cast to the declared int64 (e.g. an
+            # int32 label) — the Arrow vector type must match the schema
+            cols = {id_col: b.column(id_col).cast(pa.int64())}
+            for k in keep:
+                cols[k] = b.column(k).cast(pa.int64())
+            cols["sum_sq"] = pa.array(sums, type=pa.int64())
+            yield pa.record_batch(cols)
+
+    return df.select(id_col, *keep, vec_col).mapInArrow(kernel, out_schema)

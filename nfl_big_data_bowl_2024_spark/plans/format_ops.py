@@ -345,3 +345,29 @@ def src_pysource_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("last_event"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "src_pysource_write_roundtrip",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    doc="Python Data Source WRITE path under the oracle "
+    "(sources/pysource.py:PyJsonlSink): the documents table streams "
+    "through DataSourceArrowWriter tasks into uniquely-named staging "
+    "files, the driver's commit() publishes them with an ATOMIC "
+    "tmp+rename manifest swap (the Iceberg-style files-then-pointer "
+    "protocol; failed/speculative attempts stay invisible and abort() "
+    "reaps them), and the read side scans ONLY manifest-listed files. "
+    "The oracle is the source table itself, so the whole write -> "
+    "commit -> manifest-scoped read cycle must preserve every row and "
+    "every JSON-escaped character exactly.",
+)
+def src_pysource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pysource import read_pyjsonl, register_pyjsonl
+
+    fmt = register_pyjsonl(spark)
+    d = _t(spark, sf_dir, "documents")
+    path = _fmt_dir(sf_dir, "pyjsonl_docs")
+    d.write.format(fmt).mode("overwrite").option("path", path).save()
+    return read_pyjsonl(spark, path, d.schema)

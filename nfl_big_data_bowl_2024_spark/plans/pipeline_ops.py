@@ -4317,3 +4317,45 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum(F.col("n_chars").cast("long")).cast("long").alias("kept_chars"),
     )
+
+
+@register(
+    "emb_arrow_norm_audit",
+    """
+    WITH q AS (
+        SELECT label,
+               CAST(list_sum(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                      * CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+               )) AS BIGINT) AS sum_sq
+        FROM embeddings
+    )
+    SELECT label,
+           count(*)                          AS n,
+           min(sum_sq)                       AS min_sq,
+           max(sum_sq)                       AS max_sq,
+           CAST(sum(sum_sq) AS BIGINT)       AS total_sq
+    FROM q GROUP BY label
+    """,
+    doc="Per-label embedding-norm audit via mapInArrow "
+    "(operators/similarity.py:arrow_sq_norms) — the RecordBatch-level "
+    "custom-compute modality: zero-copy Arrow list buffers straight into "
+    "one vectorized numpy pass per batch (quantize to int64 micro-units, "
+    "offset-difference over a flat cumulative sum), no pandas "
+    "conversion and no per-row Python. Exact integer arithmetic makes a "
+    "kernel over FLOAT vectors hash-checkable cross-engine — the audit a "
+    "pipeline runs to catch un-normalized or corrupted embedding shards "
+    "before they poison ANN indexes. Map-only below the final per-label "
+    "aggregate.",
+)
+def emb_arrow_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import arrow_sq_norms
+
+    e = _t(spark, sf_dir, "embeddings")
+    norms = arrow_sq_norms(e, "vec_id", "embedding", keep=["label"])
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("sum_sq").alias("min_sq"),
+        F.max("sum_sq").alias("max_sq"),
+        F.sum("sum_sq").cast("long").alias("total_sq"),
+    )

@@ -49,8 +49,11 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #      chunker txt_chunk_udtf, the GROUPED_AGG pandas-UDF weighted
 #      median agg_weighted_median, the Observation-API single-pass
 #      telemetry gate dq_observe_metrics, the Python Data Source
-#      connector with pushFilters pruning src_pysource_generate, and
-#      the statestore checkpoint reader stream_state_introspection);
+#      connector with pushFilters pruning src_pysource_generate, the
+#      statestore checkpoint reader stream_state_introspection, the
+#      mapInArrow integer-exact norm kernel emb_arrow_norm_audit, and
+#      the Python Data Source Arrow writer with its manifest commit
+#      protocol src_pysource_write_roundtrip);
 #   1. the eleven round-6 registrations (format round-trips src_jsonl/
 #      src_orc/src_zorder plus the snapshot/time-travel commit cycle
 #      src_snapshot_time_travel, the evt_hypertable_rollup time hierarchy
@@ -66,8 +69,9 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #      the Spark path emits at any scale);
 #   3. the ten queries whose only driver evidence is round 2 (three
 #      rounds old) — re-confirm under unchanged code;
-#   4. twenty-two of the thirty-nine round-3-era queries. Deferred to
-#      round 7: tpch_q2_top_supplier_per_nation + tpch_q7_nation_volume +
+#   4. twenty of the thirty-nine round-3-era queries. Deferred to
+#      round 7: sim_topk_bruteforce + single_play_trajectory +
+#      tpch_q2_top_supplier_per_nation + tpch_q7_nation_volume +
 #      tpch_q8_market_share + tpch_q9_nation_profit +
 #      txt_contamination_check + txt_fingerprint_exact_dedup +
 #      txt_repetition_filter + txt_span_dedup + txt_tfidf_topterms
@@ -90,6 +94,8 @@ _DRIVER_PRIORITY: list[str] = [
     "dq_observe_metrics",
     "src_pysource_generate",
     "stream_state_introspection",
+    "emb_arrow_norm_audit",
+    "src_pysource_write_roundtrip",
     "src_jsonl_roundtrip",
     "src_orc_roundtrip",
     "src_zorder_pruned_scan",
@@ -134,9 +140,9 @@ _DRIVER_PRIORITY: list[str] = [
     "pipeline_corpus_clean",
     "sim_knn_join",
     "sim_label_cohesion",
+    # ---------------- position 50 cutoff ----------------
     "sim_topk_bruteforce",
     "single_play_trajectory",
-    # ---------------- position 50 cutoff ----------------
     "tpch_q2_top_supplier_per_nation",
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",

@@ -33,6 +33,7 @@ from typing import TYPE_CHECKING, Iterator, List
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -41,6 +42,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 if TYPE_CHECKING:
@@ -129,3 +131,107 @@ def register_synth_events(spark) -> str:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SynthEventsSource)
     return SynthEventsSource.name()
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source WRITE path: a manifest-committing JSONL sink
+# ---------------------------------------------------------------------------
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class PyJsonlArrowWriter(DataSourceArrowWriter):
+    """Executor side of the commit protocol. Each task streams its Arrow
+    batches to ONE uniquely-named staging file (no two attempts collide,
+    so speculative/retried tasks are safe) and returns a commit message;
+    nothing a task writes is visible until the driver's ``commit()``
+    publishes the manifest. This is the Iceberg-style
+    write-new-files-then-swap-pointer protocol in miniature — the same
+    shape ``sources/writers.py:write_snapshot`` uses for versioned
+    tables, here at the connector extension point."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+        rows = 0
+        with open(fname, "w", encoding="utf-8") as fh:
+            for batch in iterator:
+                for rec in batch.to_pylist():
+                    fh.write(_json.dumps(rec, ensure_ascii=False))
+                    fh.write("\n")
+                    rows += 1
+        return _FileCommit(fname, rows)
+
+    def commit(self, messages):
+        """Driver-side publish: move committed parts out of staging and
+        write the manifest ATOMICALLY (tmp + rename). A reader that races
+        this commit sees either the previous manifest or the new one,
+        never a partial file list."""
+        import json as _json
+        import os
+
+        final = []
+        total = 0
+        for m in messages:
+            dest = os.path.join(self.path, os.path.basename(m.path))
+            os.replace(m.path, dest)
+            final.append(os.path.basename(dest))
+            total += m.rows
+        tmp = os.path.join(self.path, "_MANIFEST.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump({"files": sorted(final), "rows": total}, fh)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class PyJsonlSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "pyjsonl"
+
+    def writer(self, schema, overwrite: bool) -> PyJsonlArrowWriter:
+        import os
+        import shutil
+
+        path = self.options["path"]
+        if overwrite and os.path.isdir(path):
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+        return PyJsonlArrowWriter(path)
+
+
+def register_pyjsonl(spark) -> str:
+    spark.dataSource.register(PyJsonlSink)
+    return PyJsonlSink.name()
+
+
+def read_pyjsonl(spark, path: str, schema):
+    """Manifest-scoped read of a :class:`PyJsonlSink` table: only files the
+    last successful commit published are scanned — uncommitted staging
+    files and orphans from failed attempts are invisible, which is the
+    reader half of the atomicity contract."""
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        manifest = _json.load(fh)
+    files = [os.path.join(path, f) for f in manifest["files"]]
+    return spark.read.schema(schema).json(files)

@@ -370,3 +370,87 @@ def test_state_snapshot_matches_batch_distinct(spark, queries):
         spark, "/tmp/spark_graft_stream/sf0.01/state_introspection/ckpt"
     ).collect()
     assert any(m["operatorName"] == "dedupe" for m in meta)
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow (integer-exact norm kernel)
+# ---------------------------------------------------------------------------
+
+
+def test_arrow_norm_kernel_map_only_and_exact(spark, queries):
+    """The kernel plans as a MapInArrow node with the only exchange being
+    the final per-label aggregate's; values equal a JVM HOF recomputation
+    of the same integer quantization."""
+    from nfl_big_data_bowl_2024_spark.operators.similarity import (
+        arrow_sq_norms,
+    )
+
+    plan = _plan(queries["emb_arrow_norm_audit"].fn(spark, SF))
+    assert "MapInArrow" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") == 1  # the label aggregate only
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = sorted(
+        tuple(r)
+        for r in arrow_sq_norms(e, "vec_id", "embedding", keep=[]).collect()
+    )
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 1_000_000 + 0.5).cast("long"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in e.select(
+            "vec_id",
+            F.aggregate(
+                q, F.lit(0).cast("long"), lambda acc, m: acc + m * m
+            ).alias("sum_sq"),
+        ).collect()
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source writer (manifest commit protocol)
+# ---------------------------------------------------------------------------
+
+
+def test_pyjsonl_writer_commit_protocol(spark, tmp_path):
+    """Round-trip equality through the Arrow writer, and the atomicity
+    contract: the manifest lists exactly the committed parts, and a
+    reader ignores orphan files a failed attempt might leave behind."""
+    import json
+    import os
+
+    from nfl_big_data_bowl_2024_spark.sources.pysource import (
+        read_pyjsonl,
+        register_pyjsonl,
+    )
+
+    fmt = register_pyjsonl(spark)
+    src = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "docs")
+    src.write.format(fmt).mode("overwrite").option("path", path).save()
+
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    committed = {
+        f for f in os.listdir(path) if f.endswith(".jsonl")
+    }
+    assert set(manifest["files"]) == committed
+    assert manifest["rows"] == src.count()
+    assert os.listdir(os.path.join(path, "_staging")) == []
+
+    # orphans (simulating a crashed attempt) stay invisible to readers
+    with open(os.path.join(path, "_staging", "part-orphan.jsonl"), "w") as fh:
+        fh.write('{"doc_id": -1, "text": "x", "lang": "en", '
+                 '"source": "s", "n_chars": 1}\n')
+    with open(os.path.join(path, "part-uncommitted.jsonl"), "w") as fh:
+        fh.write('{"doc_id": -2, "text": "x", "lang": "en", '
+                 '"source": "s", "n_chars": 1}\n')
+    back = read_pyjsonl(spark, path, src.schema)
+    assert back.count() == src.count()
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
