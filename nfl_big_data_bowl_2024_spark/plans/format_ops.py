@@ -371,3 +371,63 @@ def src_pysource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _fmt_dir(sf_dir, "pyjsonl_docs")
     d.write.format(fmt).mode("overwrite").option("path", path).save()
     return read_pyjsonl(spark, path, d.schema)
+
+
+@register(
+    "src_pysource_stream_agg",
+    """
+    WITH ids AS (
+        SELECT unnest(generate_series(0, 59999)) AS event_id
+    ),
+    z AS (
+        SELECT event_id, (event_id * 2654435761) & 2147483647 AS z FROM ids
+    )
+    SELECT z % 97                                AS user_id,
+           count(*)                              AS n,
+           CAST(sum((z // 97) % 1000) AS BIGINT) AS total_amount
+    FROM z GROUP BY user_id
+    """,
+    doc="Python Data Source STREAMING read (the full streamReader API, "
+    "not the driver-side Simple variant): the synth_events feed drains "
+    "as a deterministic sequence of 3 micro-batches (latestOffset "
+    "admission control advances 20k ids per trigger), each micro-batch "
+    "split into id-range partitions materialized ON EXECUTORS, into a "
+    "complete-mode per-user aggregate. The oracle replays the whole "
+    "offset range in one SQL pass — so offset sequencing, partition "
+    "planning, and executor-side generation must compose to exactly the "
+    "batch answer. commit() is a no-op because any offset range is "
+    "replayable from the stateless generator: the exactly-once story "
+    "under checkpoint recovery.",
+)
+def src_pysource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources.pysource import register_synth_events
+
+    fmt = register_synth_events(spark)
+    ckpt = tempfile.mkdtemp(prefix="pysource_stream_")
+    try:
+        stream = (
+            spark.readStream.format(fmt)
+            .option("rows", "60000")
+            .option("batch_rows", "20000")
+            .option("partitions", "8")
+            .load()
+        )
+        agg = stream.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("amount").cast("long").alias("total_amount"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("src_pysource_stream_agg_q")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.table("src_pysource_stream_agg_q")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)

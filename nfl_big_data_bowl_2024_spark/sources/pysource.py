@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -58,6 +59,24 @@ class IdRangePartition(InputPartition):
     def __init__(self, start: int, end: int):
         self.start = start
         self.end = end
+
+
+def _generate_batch(start: int, end: int) -> "pa.RecordBatch":
+    """One id-range split materialized executor-side: a single numpy pass
+    emitted as a single Arrow batch. Shared by the batch reader and the
+    stream reader so both serve the identical bit-reproducible feed."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids = np.arange(start, end, dtype="int64")
+    z = (ids * MIX_MULT) & MIX_MASK
+    return pa.record_batch(
+        {
+            "event_id": pa.array(ids),
+            "user_id": pa.array(z % N_USERS),
+            "amount": pa.array((z // N_USERS) % AMOUNT_MOD),
+        }
+    )
 
 
 class SynthEventsReader(DataSourceReader):
@@ -96,18 +115,51 @@ class SynthEventsReader(DataSourceReader):
         ]
 
     def read(self, part: IdRangePartition) -> Iterator["pa.RecordBatch"]:
-        import numpy as np
-        import pyarrow as pa
+        yield _generate_batch(part.start, part.end)
 
-        ids = np.arange(part.start, part.end, dtype="int64")
-        z = (ids * MIX_MULT) & MIX_MASK
-        yield pa.record_batch(
-            {
-                "event_id": pa.array(ids),
-                "user_id": pa.array(z % N_USERS),
-                "amount": pa.array((z // N_USERS) % AMOUNT_MOD),
-            }
-        )
+
+class SynthEventsStreamReader(DataSourceStreamReader):
+    """The same feed as a STREAMING source (micro-batch offsets over the id
+    space). This is the full ``streamReader`` API — not the driver-side
+    ``SimpleDataSourceStreamReader`` — so each micro-batch's id range is
+    split into :class:`IdRangePartition`\ s and materialized ON EXECUTORS,
+    exactly like the batch reader; the driver handles offsets only.
+
+    Admission control: ``latestOffset`` advances at most ``batch_rows``
+    ids per trigger, so a bounded feed drains as a deterministic SEQUENCE
+    of micro-batches (offset log entries 0 -> batch -> 2*batch -> ...)
+    rather than one giant batch — the property that bounds per-trigger
+    work on an unbounded production feed. ``commit`` is a no-op: the
+    generator is stateless and any offset range is replayable, which is
+    what makes the source exactly-once under checkpoint recovery."""
+
+    def __init__(self, options):
+        self.total = int(options.get("rows", 100_000))
+        self.batch_rows = int(options.get("batch_rows", 20_000))
+        self.n_parts = max(1, int(options.get("partitions", 16)))
+        self.pos = 0
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def latestOffset(self):
+        self.pos = min(self.pos + self.batch_rows, self.total)
+        return {"next": self.pos}
+
+    def partitions(self, start, end):
+        lo, hi = start["next"], end["next"]
+        if hi <= lo:
+            return [IdRangePartition(lo, lo)]
+        step = max(1, (hi - lo + self.n_parts - 1) // self.n_parts)
+        return [
+            IdRangePartition(s, min(s + step, hi)) for s in range(lo, hi, step)
+        ]
+
+    def read(self, part: IdRangePartition) -> Iterator["pa.RecordBatch"]:
+        yield _generate_batch(part.start, part.end)
+
+    def commit(self, end):
+        pass
 
 
 class SynthEventsSource(DataSource):
@@ -120,6 +172,9 @@ class SynthEventsSource(DataSource):
 
     def reader(self, schema) -> SynthEventsReader:
         return SynthEventsReader(self.options)
+
+    def streamReader(self, schema) -> SynthEventsStreamReader:
+        return SynthEventsStreamReader(self.options)
 
 
 def register_synth_events(spark) -> str:

@@ -454,3 +454,52 @@ def test_pyjsonl_writer_commit_protocol(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, src.collect())
     )
+
+
+def test_pysource_stream_matches_batch_and_sequences_microbatches(
+    spark, tmp_path
+):
+    """The streaming reader serves the identical feed as the batch reader
+    (shared _generate_batch), and admission control actually sequences
+    micro-batches: each trigger admits exactly batch_rows ids."""
+    from nfl_big_data_bowl_2024_spark.sources.pysource import (
+        register_synth_events,
+    )
+
+    fmt = register_synth_events(spark)
+    stream = (
+        spark.readStream.format(fmt)
+        .option("rows", "3000")
+        .option("batch_rows", "1000")
+        .option("partitions", "2")
+        .load()
+    )
+    q = (
+        stream.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("amt"))
+        .writeStream.format("memory")
+        .queryName("pysource_stream_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    data_batches = [
+        p.numInputRows for p in q.recentProgress if p.numInputRows > 0
+    ]
+    q.stop()
+    assert data_batches == [1000, 1000, 1000]
+
+    got = sorted(map(tuple, spark.table("pysource_stream_test").collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.format(fmt)
+            .option("rows", "3000")
+            .load()
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("amt"))
+            .collect(),
+        )
+    )
+    assert got == want
