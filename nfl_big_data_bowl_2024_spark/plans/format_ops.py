@@ -431,3 +431,79 @@ def src_pysource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table("src_pysource_stream_agg_q")
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register(
+    "scd2_pointintime_join",
+    """
+    WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+    v AS (
+        SELECT CAST(500 AS BIGINT) AS probe_ts, FALSE AS is_v2, n_chars
+        FROM base
+        UNION ALL
+        SELECT CAST(10000000 AS BIGINT), FALSE, n_chars
+        FROM base WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT CAST(10000000 AS BIGINT), TRUE, n_chars + 1
+        FROM base WHERE doc_id % 2 = 0
+    )
+    SELECT probe_ts, is_v2,
+           count(*)                      AS n,
+           CAST(sum(n_chars) AS BIGINT)  AS total_chars
+    FROM v GROUP BY probe_ts, is_v2
+    """,
+    doc="SCD-2 point-in-time (temporal) join under the oracle: build the "
+    "history-preserving dimension with sources/writers.py:"
+    "upsert_scd2_parquet (base version at valid_from=0, then an update "
+    "batch re-versioning every even doc at t=1000+doc_id s), then join "
+    "probe facts at two instants against the validity intervals "
+    "(valid_from <= t < coalesce(valid_to, inf)) — the AS OF join every "
+    "warehouse needs to reconstruct 'what did the dimension say when "
+    "this fact happened'. Probes at t=500 must see only original "
+    "versions; probes at t=10^7 must see v2 for even docs and the "
+    "original for odd — so the writer's interval chaining AND the "
+    "range-predicate join are both hash-checked. Plan shape: equi-join "
+    "on the key with the interval predicate as residual — the fact "
+    "shuffles once on doc_id, never a cross product.",
+)
+def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sources.writers import upsert_scd2_parquet
+
+    path = _fmt_dir(sf_dir, "scd2_dim")
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    (
+        d.withColumn("valid_from", F.lit(0).cast("long"))
+        .withColumn("valid_to", F.lit(None).cast("long"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    updates = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit("-v2")).alias("source"),
+        (F.col("n_chars") + 1).alias("n_chars"),
+        (F.lit(1000) + F.col("doc_id")).cast("timestamp").alias("ts"),
+    )
+    upsert_scd2_parquet(spark, path, updates, keys=["doc_id"], ts_col="ts")
+
+    dim = spark.read.parquet(path)
+    probes = d.select(
+        "doc_id",
+        F.explode(
+            F.array(F.lit(500).cast("long"), F.lit(10_000_000).cast("long"))
+        ).alias("probe_ts"),
+    )
+    joined = probes.join(
+        dim,
+        (probes["doc_id"] == dim["doc_id"])
+        & (dim["valid_from"] <= probes["probe_ts"])
+        & (dim["valid_to"].isNull() | (probes["probe_ts"] < dim["valid_to"])),
+    )
+    return joined.groupBy(
+        "probe_ts", dim["source"].endswith("-v2").alias("is_v2")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dim["n_chars"]).cast("long").alias("total_chars"),
+    )

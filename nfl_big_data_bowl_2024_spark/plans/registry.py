@@ -53,8 +53,9 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #      statestore checkpoint reader stream_state_introspection, the
 #      mapInArrow integer-exact norm kernel emb_arrow_norm_audit, the
 #      Python Data Source Arrow writer with its manifest commit
-#      protocol src_pysource_write_roundtrip, and the connector's
-#      admission-controlled streamReader src_pysource_stream_agg);
+#      protocol src_pysource_write_roundtrip, the connector's
+#      admission-controlled streamReader src_pysource_stream_agg, and
+#      the SCD-2 point-in-time interval join scd2_pointintime_join);
 #   1. the eleven round-6 registrations (format round-trips src_jsonl/
 #      src_orc/src_zorder plus the snapshot/time-travel commit cycle
 #      src_snapshot_time_travel, the evt_hypertable_rollup time hierarchy
@@ -71,7 +72,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   3. the ten queries whose only driver evidence is round 2 (three
 #      rounds old) — re-confirm under unchanged code;
 #   4. nineteen of the thirty-nine round-3-era queries. Deferred to
-#      round 7: sim_knn_join + sim_topk_bruteforce + single_play_trajectory +
+#      round 7: sim_label_cohesion + sim_knn_join + sim_topk_bruteforce +
+#      single_play_trajectory +
 #      tpch_q2_top_supplier_per_nation + tpch_q7_nation_volume +
 #      tpch_q8_market_share + tpch_q9_nation_profit +
 #      txt_contamination_check + txt_fingerprint_exact_dedup +
@@ -98,6 +100,7 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_arrow_norm_audit",
     "src_pysource_write_roundtrip",
     "src_pysource_stream_agg",
+    "scd2_pointintime_join",
     "src_jsonl_roundtrip",
     "src_orc_roundtrip",
     "src_zorder_pruned_scan",
@@ -140,8 +143,8 @@ _DRIVER_PRIORITY: list[str] = [
     "mm_binary_stats",
     "mm_frame_sample",
     "pipeline_corpus_clean",
-    "sim_label_cohesion",
     # ---------------- position 50 cutoff ----------------
+    "sim_label_cohesion",
     "sim_knn_join",
     "sim_topk_bruteforce",
     "single_play_trajectory",

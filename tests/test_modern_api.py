@@ -503,3 +503,21 @@ def test_pysource_stream_matches_batch_and_sequences_microbatches(
         )
     )
     assert got == want
+
+
+def test_scd2_pointintime_join_is_keyed_not_cartesian(spark, queries):
+    """The interval predicate rides a doc_id equi-join as a residual
+    condition — never a cross product — and versions resolve correctly
+    at both probe instants."""
+    df = queries["scd2_pointintime_join"].fn(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = {(r["probe_ts"], r["is_v2"]): (r["n"], r["total_chars"])
+            for r in df.collect()}
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    # t=500: every doc on its original version; no v2 visible
+    assert rows[(500, False)][0] == n_docs
+    assert (500, True) not in rows
+    # t=1e7: even docs re-versioned, odd untouched
+    assert rows[(10_000_000, True)][0] + rows[(10_000_000, False)][0] == n_docs
