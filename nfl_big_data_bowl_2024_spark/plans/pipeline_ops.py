@@ -4359,3 +4359,103 @@ def emb_arrow_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sum_sq").alias("max_sq"),
         F.sum("sum_sq").cast("long").alias("total_sq"),
     )
+
+
+@register(
+    "cogroup_order_reconcile",
+    """
+    WITH l AS (
+        SELECT l_orderkey AS k,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS line_cents,
+               count(*) AS n_lines
+        FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY l_orderkey
+    ),
+    o AS (
+        SELECT o_orderkey AS k, o_orderpriority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+        FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    j AS (
+        SELECT coalesce(o.k, l.k) AS k,
+               coalesce(o_orderpriority, '<NO_ORDER>') AS pri,
+               coalesce(total_cents, 0) AS tc,
+               coalesce(line_cents, 0) AS lc,
+               coalesce(n_lines, 0) AS nl
+        FROM o FULL OUTER JOIN l ON o.k = l.k
+    )
+    SELECT pri AS o_orderpriority,
+           count(*)                        AS n_orders,
+           CAST(sum(nl) AS BIGINT)         AS n_lines,
+           CAST(sum(abs(tc - lc)) AS BIGINT) AS abs_delta_cents
+    FROM j GROUP BY pri
+    """,
+    doc="Cogrouped applyInPandas (the two-relation custom-compute "
+    "modality): orders and their lineitems meet per order key in one "
+    "pandas kernel that reconciles the order header's total against the "
+    "recomputed line revenue in EXACT integer cents — emitting one "
+    "delta row per key, including headerless line groups and lineless "
+    "orders (the empty-side cases cogroup exists for). The aggregate "
+    "per priority is JVM-side. NOTE: this reconciliation is "
+    "SQL-expressible (the oracle IS the DF-native production "
+    "formulation — two aggregates + one full-outer join); the cogrouped "
+    "kernel is registered as the extension-point exhibit with exact "
+    "parity, the same role as U3's UDF parity twin — use it when the "
+    "per-key logic genuinely exceeds relational algebra (per-key "
+    "simulation, rule engines, model scoring over both sides). Keyed "
+    "subset (k % 100 = 0) bounds the group count BY CONTRACT: measured "
+    "~3 ms per tiny cogroup dispatch (15k groups took 50 s at sf0.1 — "
+    "the per-group pandas call is the intrinsic cost of this API, which "
+    "is exactly why the relational twin is the production path and why "
+    "group COUNT, not row count, is what must be bounded).",
+)
+def cogroup_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    )
+
+    def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(left):
+            pri = left["o_orderpriority"].iloc[0]
+            tc = int(np.floor(left["o_totalprice"].iloc[0] * 100 + 0.5))
+        else:
+            pri, tc = "<NO_ORDER>", 0
+        if len(right):
+            cents = np.floor(
+                right["l_extendedprice"]
+                * (1 - right["l_discount"])
+                * (1 + right["l_tax"])
+                * 100
+                + 0.5
+            ).astype("int64")
+            lc, nl = int(cents.sum()), len(right)
+        else:
+            lc, nl = 0, 0
+        return pd.DataFrame(
+            {"pri": [pri], "tc": [tc], "lc": [lc], "nl": [nl]}
+        )
+
+    per_key = (
+        o.groupBy(F.col("o_orderkey").alias("k"))
+        .cogroup(l.groupBy(F.col("l_orderkey").alias("k")))
+        .applyInPandas(reconcile, "pri string, tc long, lc long, nl long")
+    )
+    return per_key.groupBy(F.col("pri").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("nl").cast("long").alias("n_lines"),
+        F.sum(F.abs(F.col("tc") - F.col("lc"))).cast("long").alias(
+            "abs_delta_cents"
+        ),
+    )

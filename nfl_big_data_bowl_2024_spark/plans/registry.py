@@ -55,7 +55,9 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #      Python Data Source Arrow writer with its manifest commit
 #      protocol src_pysource_write_roundtrip, the connector's
 #      admission-controlled streamReader src_pysource_stream_agg, and
-#      the SCD-2 point-in-time interval join scd2_pointintime_join);
+#      the SCD-2 point-in-time interval join scd2_pointintime_join,
+#      and the cogrouped-applyInPandas order reconciliation
+#      cogroup_order_reconcile with its relational parity twin);
 #   1. the eleven round-6 registrations (format round-trips src_jsonl/
 #      src_orc/src_zorder plus the snapshot/time-travel commit cycle
 #      src_snapshot_time_travel, the evt_hypertable_rollup time hierarchy
@@ -72,7 +74,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #   3. the ten queries whose only driver evidence is round 2 (three
 #      rounds old) — re-confirm under unchanged code;
 #   4. nineteen of the thirty-nine round-3-era queries. Deferred to
-#      round 7: sim_label_cohesion + sim_knn_join + sim_topk_bruteforce +
+#      round 7: pipeline_corpus_clean + sim_label_cohesion + sim_knn_join +
+#      sim_topk_bruteforce +
 #      single_play_trajectory +
 #      tpch_q2_top_supplier_per_nation + tpch_q7_nation_volume +
 #      tpch_q8_market_share + tpch_q9_nation_profit +
@@ -101,6 +104,7 @@ _DRIVER_PRIORITY: list[str] = [
     "src_pysource_write_roundtrip",
     "src_pysource_stream_agg",
     "scd2_pointintime_join",
+    "cogroup_order_reconcile",
     "src_jsonl_roundtrip",
     "src_orc_roundtrip",
     "src_zorder_pruned_scan",
@@ -142,8 +146,8 @@ _DRIVER_PRIORITY: list[str] = [
     "evt_funnel_conversion",
     "mm_binary_stats",
     "mm_frame_sample",
-    "pipeline_corpus_clean",
     # ---------------- position 50 cutoff ----------------
+    "pipeline_corpus_clean",
     "sim_label_cohesion",
     "sim_knn_join",
     "sim_topk_bruteforce",

@@ -521,3 +521,62 @@ def test_scd2_pointintime_join_is_keyed_not_cartesian(spark, queries):
     assert (500, True) not in rows
     # t=1e7: even docs re-versioned, odd untouched
     assert rows[(10_000_000, True)][0] + rows[(10_000_000, False)][0] == n_docs
+
+
+def test_cogroup_reconcile_matches_relational_twin(spark, queries):
+    """The cogrouped pandas kernel's per-key reconciliation equals the
+    DF-native formulation (two aggregates + full-outer join) — the exact
+    parity that justifies shipping the extension point at all."""
+    got = sorted(
+        tuple(r)
+        for r in queries["cogroup_order_reconcile"].fn(spark, SF).collect()
+    )
+    o = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("tc"),
+        )
+    )
+    l = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                    * 100
+                    + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("lc"),
+            F.count(F.lit(1)).alias("nl"),
+        )
+    )
+    j = o.join(l, "k", "full_outer").select(
+        F.coalesce("o_orderpriority", F.lit("<NO_ORDER>")).alias("pri"),
+        F.coalesce("tc", F.lit(0)).alias("tc"),
+        F.coalesce("lc", F.lit(0)).alias("lc"),
+        F.coalesce("nl", F.lit(0)).alias("nl"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in j.groupBy(F.col("pri").alias("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("nl").cast("long").alias("n_lines"),
+            F.sum(F.abs(F.col("tc") - F.col("lc")))
+            .cast("long")
+            .alias("abs_delta_cents"),
+        )
+        .collect()
+    )
+    assert got == want
