@@ -151,6 +151,26 @@ SHOWCASE = [
         "map-only — the doc_id filter is pushed to the parquet scan "
         "below the UDTF.",
     ),
+    (
+        "emb_arrow_norm_audit",
+        "mapInArrow kernel: one MapInArrow node straight over the scan "
+        "(zero-copy Arrow list buffers, integer cumsum per batch); the "
+        "label aggregate's exchange is the plan's only shuffle.",
+    ),
+    (
+        "scd2_pointintime_join",
+        "AS OF (point-in-time) join against the SCD-2 dimension: the "
+        "validity-interval predicate rides the doc_id equi-join as a "
+        "residual condition — a keyed shuffle join, never a "
+        "CartesianProduct/nested-loop over intervals.",
+    ),
+    (
+        "src_pysource_generate",
+        "Python Data Source scan: BatchScan over the connector's planned "
+        "id-range partitions; the pushed range predicate narrowed the "
+        "planned splits BEFORE generation (connector-side pruning), and "
+        "Spark still re-applies the filter above the scan.",
+    ),
 ]
 
 
