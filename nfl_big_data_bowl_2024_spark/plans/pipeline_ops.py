@@ -4459,3 +4459,77 @@ def cogroup_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_delta_cents"
         ),
     )
+
+
+@register(
+    "graph_triangle_count",
+    """
+    WITH lo AS (
+        SELECT l_orderkey AS ok, l_partkey AS p
+        FROM lineitem WHERE l_orderkey % 4 = 0
+    ),
+    canon AS (
+        SELECT DISTINCT a.p AS a, b.p AS b
+        FROM lo a JOIN lo b ON a.ok = b.ok AND a.p < b.p
+    ),
+    deg AS (
+        SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM canon
+            UNION ALL
+            SELECT b AS node FROM canon
+        ) GROUP BY node
+    ),
+    oriented AS (
+        SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND c.a < c.b)
+                    THEN c.a ELSE c.b END AS lo,
+               CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND c.a < c.b)
+                    THEN c.b ELSE c.a END AS hi
+        FROM canon c
+        JOIN deg da ON c.a = da.node
+        JOIN deg db ON c.b = db.node
+    ),
+    tri AS (
+        SELECT w1.lo AS x, w1.hi AS y, w2.hi AS z
+        FROM oriented w1
+        JOIN oriented w2 ON w1.lo = w2.lo AND w1.hi <> w2.hi
+        JOIN oriented e ON e.lo = w1.hi AND e.hi = w2.hi
+    )
+    SELECT node AS part_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y AS node FROM tri
+        UNION ALL SELECT z AS node FROM tri
+    )
+    GROUP BY node
+    """,
+    doc="Per-node triangle counts over the part co-purchase graph (parts "
+    "sharing an order, every 4th order) — the third graph-analytics shape "
+    "next to connected_components' label fixpoint and PageRank's numeric "
+    "fixpoint: a SINGLE-PASS join algorithm whose scale risk is fan-out, "
+    "not iteration. Degree-ordered edge orientation (Cohen's MapReduce "
+    "graph-twiddling) caps oriented out-degree at O(sqrt(E)) so the wedge "
+    "self-join never explodes on power-law hubs — a star contributes ZERO "
+    "wedges at its center. All joins are equi-keyed (apex, then the "
+    "(y,z) closing pair); integer-only arithmetic, so the DuckDB oracle "
+    "replays the orientation and enumeration bit-exactly "
+    "(operators/graph.py:triangle_counts).",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    lo = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+    )
+    pairs = (
+        lo.alias("x")
+        .join(
+            lo.alias("y"),
+            (F.col("x.ok") == F.col("y.ok")) & (F.col("x.p") < F.col("y.p")),
+        )
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    )
+    return triangle_counts(pairs).select(
+        F.col("node").alias("part_id"), "n_triangles"
+    )

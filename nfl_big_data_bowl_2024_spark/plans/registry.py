@@ -94,6 +94,7 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # operating-point twin.
 _DRIVER_PRIORITY: list[str] = [
     # --- new or changed-oracle this round
+    "graph_triangle_count",
     "json_variant_extract",
     "txt_chunk_udtf",
     "agg_weighted_median",

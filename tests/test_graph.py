@@ -126,3 +126,48 @@ def test_pagerank_integer_matches_hand_replay(spark):
     assert got == r
     # the hub holds more mass than the leaves, and leaves tie exactly
     assert got[0] > got[2] == got[4]
+
+
+def test_triangle_counts_known_topologies(spark):
+    from nfl_big_data_bowl_2024_spark.operators.graph import triangle_counts
+
+    # K4 on 1-4 (every node in C(3,2)=3 triangles), square 10-13 (none),
+    # star at 20 (none), triangle 30-32 with pendant 33, plus a duplicate
+    # and a reversed edge to exercise canonicalization.
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+            (10, 11), (11, 12), (12, 13), (13, 10),
+            (20, 21), (20, 22), (20, 23), (20, 24),
+            (30, 31), (31, 32), (32, 30), (32, 33),
+            (2, 1), (30, 31),  # reversed + duplicate
+        ],
+        "src: long, dst: long",
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 30: 1, 31: 1, 32: 1}
+
+
+def test_triangle_counts_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from nfl_big_data_bowl_2024_spark.operators.graph import triangle_counts
+
+    rng = random.Random(11)
+    edge_list = {
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.randrange(25), rng.randrange(25)) for _ in range(80)
+        )
+        if a != b
+    }
+    adj = set(edge_list)
+    expect: dict[int, int] = {}
+    for x, y, z in itertools.combinations(range(25), 3):
+        if (x, y) in adj and (x, z) in adj and (y, z) in adj:
+            for n in (x, y, z):
+                expect[n] = expect.get(n, 0) + 1
+    edges = spark.createDataFrame(sorted(edge_list), "src: long, dst: long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == expect
