@@ -4533,3 +4533,98 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs).select(
         F.col("node").alias("part_id"), "n_triangles"
     )
+
+
+@register(
+    "evt_gap_fill_locf",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        FROM events WHERE user_id % 10 = 0
+    ),
+    obs AS (
+        SELECT user_id, h, count(*) AS n_events,
+               CAST(sum(c) AS BIGINT) AS cents
+        FROM e GROUP BY user_id, h
+    ),
+    span AS (
+        SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM span
+    )
+    SELECT g.user_id,
+           CAST(g.h AS BIGINT)                                AS hour,
+           CAST(coalesce(o.n_events, 0) AS BIGINT)            AS n_events,
+           CAST(last_value(o.cents IGNORE NULLS) OVER w AS BIGINT)
+                                                              AS locf_cents,
+           CAST(g.h - last_value(CASE WHEN o.n_events IS NOT NULL
+                                      THEN g.h END IGNORE NULLS) OVER w
+                AS BIGINT)                                    AS gap_age_h,
+           CAST(CASE WHEN o.n_events IS NULL THEN 1 ELSE 0 END AS INTEGER)
+                                                              AS is_gap
+    FROM grid g
+    LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+    WINDOW w AS (PARTITION BY g.user_id ORDER BY g.h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-series resample + gap-fill: bucket events to hours per user, "
+    "densify each user's span to a complete hourly grid "
+    "(sequence+explode — generated map-side from one (h0,h1) row per "
+    "user, so the grid never shuffles raw events), then "
+    "last-observation-carried-forward via last(ignorenulls) over an "
+    "unbounded-preceding frame, plus the staleness age of the carried "
+    "value. The hypertable rollup's missing half: rollups aggregate what "
+    "IS there, gap-fill materializes what ISN'T — the densify-then-LOCF "
+    "idiom every downstream ML featurizer needs for regular time grids. "
+    "Scale: the grid is O(users x span-hours) independent of event count, "
+    "LOCF is one partition-local sorted window per user (no global sort), "
+    "and sums ride integer cents so both engines agree bit-for-bit.",
+)
+def evt_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 0)
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("c"),
+        )
+    )
+    obs = ev.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("c").cast("long").alias("cents"),
+    )
+    span = obs.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    joined = grid.join(obs, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").cast("long").alias("hour"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.last("cents", ignorenulls=True).over(w).cast("long").alias(
+            "locf_cents"
+        ),
+        (
+            F.col("h")
+            - F.last(
+                F.when(F.col("n_events").isNotNull(), F.col("h")),
+                ignorenulls=True,
+            ).over(w)
+        )
+        .cast("long")
+        .alias("gap_age_h"),
+        F.when(F.col("n_events").isNull(), 1).otherwise(0).cast("int").alias(
+            "is_gap"
+        ),
+    )

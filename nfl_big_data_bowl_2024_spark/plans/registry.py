@@ -95,6 +95,7 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 _DRIVER_PRIORITY: list[str] = [
     # --- new or changed-oracle this round
     "graph_triangle_count",
+    "evt_gap_fill_locf",
     "json_variant_extract",
     "txt_chunk_udtf",
     "agg_weighted_median",

@@ -85,3 +85,30 @@ def test_shard_manifest_partitions_the_corpus(spark, queries):
     # Balance: uniform hex nibble over 500 docs — no shard should be
     # empty or hold a majority.
     assert max(r.n_docs for r in rows) < 100
+
+
+def test_gap_fill_locf_invariants(spark, queries):
+    # The guarantees the densify-then-LOCF idiom promises a featurizer:
+    # a complete hourly grid per user, no null carried values (grids start
+    # at each user's first observed hour), and gap rows correctly aged.
+    rows = queries["evt_gap_fill_locf"].fn(spark, SF).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r["hour"])
+        hours = [r["hour"] for r in rs]
+        assert hours == list(range(hours[0], hours[-1] + 1)), u  # dense grid
+        assert rs[0]["is_gap"] == 0 and rs[0]["gap_age_h"] == 0
+        last_cents = None
+        for r in rs:
+            assert r["locf_cents"] is not None
+            if r["is_gap"]:
+                assert r["n_events"] == 0
+                assert r["gap_age_h"] > 0
+                assert r["locf_cents"] == last_cents  # carried, not invented
+            else:
+                assert r["n_events"] > 0
+                assert r["gap_age_h"] == 0
+                last_cents = r["locf_cents"]
