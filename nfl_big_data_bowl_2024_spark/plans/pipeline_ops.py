@@ -4628,3 +4628,84 @@ def evt_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_gap"
         ),
     )
+
+
+@register(
+    "txt_fuzzy_blocked_levenshtein",
+    """
+    WITH d AS (
+        SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 120) AS p
+        FROM documents
+        WHERE length(text) = strlen(text)  -- ASCII guard: see doc
+    ),
+    ok_blk AS (
+        SELECT blk FROM d GROUP BY blk
+        HAVING count(*) BETWEEN 2 AND 64
+    ),
+    b AS (SELECT d.* FROM d JOIN ok_blk USING (blk))
+    SELECT x.doc_id AS doc_a,
+           y.doc_id AS doc_b,
+           CAST(levenshtein(x.p, y.p) AS INTEGER) AS edit_dist,
+           CAST(100 - (100 * levenshtein(x.p, y.p))
+                      // greatest(length(x.p), length(y.p)) AS INTEGER)
+               AS sim_pct
+    FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+    WHERE levenshtein(x.p, y.p) <= 10
+    """,
+    doc="Blocked fuzzy matching by edit distance — the dedup family's "
+    "character-level member (exact/MinHash/SimHash/Jaccard/cosine see "
+    "token or vector space; OCR noise, typo variants and boilerplate "
+    "drift need true Levenshtein). Prefix-16 blocking turns the "
+    "quadratic all-pairs into per-block candidate sets; a 2..64 "
+    "block-size band is the hot-block guard (same discipline as the "
+    "n-gram Jaccard hot-shingle cap) so one boilerplate prefix cannot "
+    "explode the self-join at 100 TB; the distance itself runs on a "
+    "120-char prefix, capping per-pair cost at O(120^2) inside "
+    "whole-stage codegen (JVM levenshtein, no UDF). Spark's levenshtein "
+    "counts codepoints while DuckDB's counts bytes, so candidates are "
+    "restricted to byte-pure strings via length=octet_length — a "
+    "predicate both engines evaluate identically (on this corpus it "
+    "keeps everything).",
+)
+def txt_fuzzy_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") == F.octet_length("text"))
+        .select(
+            "doc_id",
+            F.substring("text", 1, 16).alias("blk"),
+            F.substring("text", 1, 120).alias("p"),
+        )
+    )
+    ok_blk = (
+        d.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= 64))
+        .select("blk")
+    )
+    b = d.join(F.broadcast(ok_blk), "blk")
+    x = b.alias("x")
+    y = b.alias("y")
+    dist = F.levenshtein(F.col("x.p"), F.col("y.p"))
+    return (
+        x.join(
+            y,
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .filter(dist <= 10)
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            dist.cast("int").alias("edit_dist"),
+            (
+                F.lit(100)
+                - F.expr(
+                    "(100 * levenshtein(x.p, y.p))"
+                    " div greatest(length(x.p), length(y.p))"
+                )
+            )
+            .cast("int")
+            .alias("sim_pct"),
+        )
+    )

@@ -96,6 +96,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new or changed-oracle this round
     "graph_triangle_count",
     "evt_gap_fill_locf",
+    "txt_fuzzy_blocked_levenshtein",
     "json_variant_extract",
     "txt_chunk_udtf",
     "agg_weighted_median",

@@ -330,3 +330,42 @@ def test_semantic_dedup_cosine_floor_margins():
                 assert math.floor(float(nudged) * 1e6 + 0.5) == base, v
             checked += 1
     assert checked > 10_000
+
+
+def test_fuzzy_blocked_levenshtein_adversarial_fixture(spark):
+    """Known edit distances, hot-block exclusion, threshold cut, and the
+    non-ASCII guard — the semantics the blocked fuzzy matcher promises."""
+    import os
+    import tempfile
+
+    from nfl_big_data_bowl_2024_spark.plans.pipeline_ops import (
+        txt_fuzzy_blocked_levenshtein,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (1, base, "en", "t", len(base)),
+        # replace() hits all 3 repeats; 2 land inside the 120-char prefix
+        (2, base.replace("lazy", "hazy"), "en", "t", len(base)),
+        (3, base[:-6] + "qq dog", "en", "t", len(base)),
+        (10, "zz" + base, "en", "t", len(base) + 2),  # different block, alone
+        # non-ASCII pair that WOULD match but must be excluded by the guard
+        (20, "café " + base, "en", "t", len(base) + 5),
+        (21, "café " + base + "x", "en", "t", len(base) + 6),
+    ]
+    # hot block: 70 rows sharing a prefix-16 — must be guarded out entirely
+    hot = "HOTBLOCKPREFIX__ filler text %d"
+    rows += [(100 + i, hot % i, "en", "t", 30) for i in range(70)]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["edit_dist"], r["sim_pct"])
+            for r in txt_fuzzy_blocked_levenshtein(spark, td).collect()
+        }
+    # prefix is 120 chars; docs 1/2/3 share the block. 1-2 dist 2 (two
+    # lazy->hazy repeats inside the prefix), 1-3 identical up to 120.
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert got[(1, 2)] == (2, 99)
+    assert got[(1, 3)][0] == 0 and got[(1, 3)][1] == 100
