@@ -507,3 +507,63 @@ def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(dim["n_chars"]).cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "agg_hll_shard_union",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+               AS n_shards,
+           TRUE AS sketch_within_2pct
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Mergeable-sketch re-aggregation — the distinct-count analogue of "
+    "evt_rollup_incremental_refresh: count(DISTINCT) is NOT decomposable, "
+    "so an incremental rollup cannot merge exact partials; DataSketches "
+    "HLL sketches are. Stage 1 sketches user_id per (event_type, day) "
+    "shard (hll_sketch_agg, lgK=14) and MATERIALIZES the binary sketches "
+    "to parquet; stage 2 reads only the sketch table back and "
+    "hll_union_agg's it per event_type — distinct users over the full "
+    "history without rescanning events, which at 100 TB turns a "
+    "full-corpus distinct into an O(shards x 16KB) merge. A new day "
+    "means sketching ONE day and re-merging. The sketch estimate is "
+    "engine-specific, so per the registry's sketch idiom the emitted "
+    "columns are the exact count plus a Spark-computed within-2%-bound "
+    "boolean the oracle emits as literal TRUE.",
+)
+def agg_hll_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "user_id",
+    )
+    shards = ev.groupBy("event_type", "day").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    path = _fmt_dir(sf_dir, "hll_shards")
+    shards.write.mode("overwrite").parquet(path)
+
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias(
+                "est"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_shards"),
+        )
+    )
+    exact = ev.select("event_type", "user_id").distinct().groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("exact_users"))
+    return exact.join(F.broadcast(merged), "event_type").select(
+        "event_type",
+        "exact_users",
+        "n_shards",
+        (F.abs(F.col("est") - F.col("exact_users")) <= 0.02 * F.col("exact_users")).alias(
+            "sketch_within_2pct"
+        ),
+    )

@@ -97,6 +97,7 @@ _DRIVER_PRIORITY: list[str] = [
     "graph_triangle_count",
     "evt_gap_fill_locf",
     "txt_fuzzy_blocked_levenshtein",
+    "agg_hll_shard_union",
     "json_variant_extract",
     "txt_chunk_udtf",
     "agg_weighted_median",

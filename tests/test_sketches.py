@@ -59,3 +59,41 @@ def test_two_pass_heavy_hitters_equal_direct_groupby(spark):
         .collect()
     }
     assert got == want and got
+
+
+def test_hll_shard_union_equals_whole_corpus_sketch(spark):
+    """Mergeability — the property agg_hll_shard_union sells: unioning
+    per-shard sketches must give the SAME estimate as sketching the whole
+    column in one pass, and adding a new shard must only touch its delta."""
+    df = spark.range(30000).selectExpr(
+        "id % 10 as shard", "id % 2311 as u"  # heavy cross-shard overlap
+    )
+    whole = df.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(u, 14))").alias("e")
+    ).first()["e"]
+    sharded = (
+        df.groupBy("shard")
+        .agg(F.expr("hll_sketch_agg(u, 14)").alias("sk"))
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("e")
+        )
+        .first()["e"]
+    )
+    assert sharded == whole
+    # incremental: merge 9 old shard sketches + 1 new one == full re-union
+    old = df.filter("shard < 9").groupBy("shard").agg(
+        F.expr("hll_sketch_agg(u, 14)").alias("sk")
+    )
+    new = df.filter("shard = 9").groupBy("shard").agg(
+        F.expr("hll_sketch_agg(u, 14)").alias("sk")
+    )
+    inc = (
+        old.unionByName(new)
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("e")
+        )
+        .first()["e"]
+    )
+    assert inc == sharded
+    # and the estimate is tight at this lgK / cardinality
+    assert abs(sharded - 2311) <= 0.02 * 2311
