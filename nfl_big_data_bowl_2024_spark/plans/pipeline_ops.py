@@ -4709,3 +4709,74 @@ def txt_fuzzy_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("sim_pct"),
         )
     )
+
+
+@register(
+    "ml_linreg_closed_form",
+    """
+    WITH f AS (
+        SELECT source,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS x,
+               CAST(n_chars AS BIGINT) AS y
+        FROM documents
+    ),
+    s AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT)    AS n,
+               CAST(sum(x) AS BIGINT)      AS sx,
+               CAST(sum(y) AS BIGINT)      AS sy,
+               CAST(sum(x * x) AS BIGINT)  AS sxx,
+               CAST(sum(y * y) AS BIGINT)  AS syy,
+               CAST(sum(x * y) AS BIGINT)  AS sxy
+        FROM f GROUP BY source
+    )
+    SELECT source,
+           n AS n_docs,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+               AS intercept,
+           ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+               * ((n * sxy - sx * sy) / (n * syy - sy * sy)) AS r2
+    FROM s
+    """,
+    doc="Closed-form OLS regression (chars-per-token fit per source) via "
+    "SUFFICIENT STATISTICS — the non-iterative sibling of "
+    "ml_quality_classifier_train's gradient loop: slope/intercept/r2 "
+    "derive entirely from {n, Sx, Sy, Sxx, Syy, Sxy}, so the whole fit "
+    "is ONE map-side-combined groupBy over the corpus — one shuffle of "
+    "six numbers per group, no iterations, no driver-side matrices, the "
+    "way a 100 TB calibration fit should run. Both x and y are integers, "
+    "so the six moments are EXACT BIGINTs; each engine then performs the "
+    "IDENTICAL scalar float expression on identical integers "
+    "(bigint/bigint division promotes to double in both Spark and "
+    "DuckDB), which is why a float regression can be hash-checked at all "
+    "— regr_slope/regr_r2 built-ins would accumulate in "
+    "partitioning-dependent order and could never cross-engine match.",
+)
+def ml_linreg_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _t(spark, sf_dir, "documents").select(
+        "source",
+        _n_ws_tokens().cast("long").alias("x"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    s = f.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)").alias("slope"),
+        F.expr(
+            "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n"
+        ).alias("intercept"),
+        F.expr(
+            "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+            " * ((n * sxy - sx * sy) / (n * syy - sy * sy))"
+        ).alias("r2"),
+    )

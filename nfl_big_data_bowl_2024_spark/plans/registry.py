@@ -98,6 +98,7 @@ _DRIVER_PRIORITY: list[str] = [
     "evt_gap_fill_locf",
     "txt_fuzzy_blocked_levenshtein",
     "agg_hll_shard_union",
+    "ml_linreg_closed_form",
     "json_variant_extract",
     "txt_chunk_udtf",
     "agg_weighted_median",

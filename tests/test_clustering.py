@@ -304,3 +304,44 @@ def test_vectorized_assignment_exact_on_adversarial_ties(spark):
     assert hof[0] == (1, 0.0)  # exact hit is exactly zero
     assert hof[1][0] == 0  # tie -> lowest cid
     assert hof[2][0] == 3  # c3 is ~5e-8 nearer than the c1/c2 tie pair
+
+
+def test_linreg_closed_form_matches_numpy(spark):
+    """The sufficient-statistics OLS must agree with numpy's least squares
+    (and its r2 with scipy-free manual computation) on a crafted corpus."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from nfl_big_data_bowl_2024_spark.plans.pipeline_ops import (
+        ml_linreg_closed_form,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    xs, ys = [], []
+    for i in range(300):
+        ntok = int(rng.integers(5, 120))
+        text = " ".join("w" * int(rng.integers(1, 9)) for _ in range(ntok))
+        noise = int(rng.integers(-20, 21))
+        n_chars = max(len(text) + noise, 1)
+        rows.append((i, text, "en", "synth", n_chars))
+        xs.append(ntok)
+        ys.append(n_chars)
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        got = ml_linreg_closed_form(spark, td).collect()
+    assert len(got) == 1
+    r = got[0]
+    x = np.array(xs, dtype=np.float64)
+    y = np.array(ys, dtype=np.float64)
+    slope, intercept = np.polyfit(x, y, 1)
+    r2 = float(np.corrcoef(x, y)[0, 1] ** 2)
+    assert r["n_docs"] == 300
+    assert r["slope"] == pytest.approx(slope, rel=1e-9)
+    assert r["intercept"] == pytest.approx(intercept, rel=1e-6)
+    assert r["r2"] == pytest.approx(r2, rel=1e-9)
