@@ -4780,3 +4780,91 @@ def ml_linreg_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * ((n * sxy - sx * sy) / (n * syy - sy * sy))"
         ).alias("r2"),
     )
+
+
+@register(
+    "stat_ks_two_sample",
+    """
+    WITH e AS (
+        SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS i1,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i2
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    g AS (
+        SELECT c, CAST(sum(i1) AS BIGINT) AS d1,
+                  CAST(sum(i2) AS BIGINT) AS d2
+        FROM e GROUP BY c
+    ),
+    r AS (
+        SELECT c,
+               CAST(sum(d1) OVER (ORDER BY c) AS BIGINT) AS c1,
+               CAST(sum(d2) OVER (ORDER BY c) AS BIGINT) AS c2
+        FROM g
+    ),
+    t AS (
+        SELECT CAST(sum(d1) AS BIGINT) AS n1,
+               CAST(sum(d2) AS BIGINT) AS n2
+        FROM g
+    )
+    SELECT n1, n2,
+           CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_scaled,
+           CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) / (n1 * n2) AS ks_stat
+    FROM r, t GROUP BY n1, n2
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic between the 'view' and "
+    "'purchase' value distributions — distribution-drift detection, the "
+    "statistical gate a training pipeline runs between corpus versions / "
+    "shards before accepting new data. The KS statistic is "
+    "max|F1(x)-F2(x)| over the pooled support, i.e. a GLOBAL running "
+    "count — the oracle states it as the textbook unpartitioned window, "
+    "while the Spark plan rides banded_running_sum (per-band totals + "
+    "triangular band offsets + band-local windows; operators/prefix.py), "
+    "so no stage ever sorts the pooled sample on one task. Counts stay "
+    "integers and the deviation is computed CROSS-MULTIPLIED "
+    "(|C1*n2 - C2*n1|, exact BIGINT) rather than as float CDF "
+    "differences, so the max is engine-exact; the only float is the "
+    "final scalar division.",
+)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import banded_running_sum
+    from ..operators.scalars import checkpoint_with_scalar
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("c"),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("i1"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("i2"),
+        )
+    )
+    g = e.groupBy("c").agg(
+        F.sum("i1").cast("long").alias("d1"),
+        F.sum("i2").cast("long").alias("d2"),
+    )
+    # Band DESC == global order, so ascending-c cumsums band on -(c div 1000).
+    g = g.withColumn("band", -F.expr("c div 1000"))
+    g = banded_running_sum(g, "band", [F.col("c").asc()], "d1", out_col="c1")
+    g = banded_running_sum(g, "band", [F.col("c").asc()], "d2", out_col="c2")
+    cp, tot = checkpoint_with_scalar(
+        g,
+        F.sum("d1").cast("long").alias("n1"),
+        F.sum("d2").cast("long").alias("n2"),
+    )
+    dev = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    return (
+        cp.join(tot)
+        .groupBy("n1", "n2")
+        .agg(F.max(dev).cast("long").alias("ks_scaled"))
+        .select(
+            "n1",
+            "n2",
+            "ks_scaled",
+            (F.col("ks_scaled") / (F.col("n1") * F.col("n2"))).alias(
+                "ks_stat"
+            ),
+        )
+    )

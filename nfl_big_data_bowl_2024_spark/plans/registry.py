@@ -99,6 +99,7 @@ _DRIVER_PRIORITY: list[str] = [
     "txt_fuzzy_blocked_levenshtein",
     "agg_hll_shard_union",
     "ml_linreg_closed_form",
+    "stat_ks_two_sample",
     "json_variant_extract",
     "txt_chunk_udtf",
     "agg_weighted_median",

@@ -112,3 +112,48 @@ def test_gap_fill_locf_invariants(spark, queries):
                 assert r["n_events"] > 0
                 assert r["gap_age_h"] == 0
                 last_cents = r["locf_cents"]
+
+
+def test_ks_two_sample_matches_python_model(spark, queries):
+    """The banded-prefix-sum KS statistic vs a from-scratch pure-Python
+    model (pooled distinct support, exact integer cross-multiplied
+    deviations) on a crafted two-sample fixture with heavy ties."""
+    import os
+    import tempfile
+    from datetime import datetime, timezone
+
+    rows = []
+    vals1 = [1.00, 1.00, 2.50, 3.00, 3.00, 7.25, 9.00, 9.00]
+    vals2 = [1.00, 2.50, 2.50, 4.75, 7.25, 8.00]
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    eid = 0
+    for v in vals1:
+        rows.append((eid, t0, 1, "view", v, "{}")); eid += 1
+    for v in vals2:
+        rows.append((eid, t0, 2, "purchase", v, "{}")); eid += 1
+    rows.append((eid, t0, 3, "error", 999.0, "{}"))  # must be ignored
+
+    def model(a, b):
+        ca = [round(v * 100) for v in a]
+        cb = [round(v * 100) for v in b]
+        support = sorted(set(ca) | set(cb))
+        n1, n2 = len(ca), len(cb)
+        best = 0
+        for s in support:
+            c1 = sum(1 for v in ca if v <= s)
+            c2 = sum(1 for v in cb if v <= s)
+            best = max(best, abs(c1 * n2 - c2 * n1))
+        return n1, n2, best
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(os.path.join(td, "events.parquet"))
+        got = queries["stat_ks_two_sample"].fn(spark, td).collect()
+    assert len(got) == 1
+    r = got[0]
+    n1, n2, ks = model(vals1, vals2)
+    assert (r["n1"], r["n2"], r["ks_scaled"]) == (n1, n2, ks)
+    assert r["ks_stat"] == ks / (n1 * n2)
