@@ -567,3 +567,87 @@ def agg_hll_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sketch_within_2pct"
         ),
     )
+
+
+@register(
+    "src_binaryfile_scan",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) + 1 AS BIGINT)  AS n_bytes,
+           md5(text || chr(10))              AS content_md5
+    FROM documents WHERE doc_id % 20 = 0
+    """,
+    doc="binaryFile source — the ingest path for multimodal corpora "
+    "(images/audio arrive as FILES, not rows): selected documents are "
+    "written one-file-per-doc by a DISTRIBUTED partitionBy text sink "
+    "(no driver-side file loop), then re-ingested with "
+    "spark.read.format('binaryFile') + pathGlobFilter + "
+    "recursiveFileLookup, the id recovered from the Hive-style "
+    "partition path and the payload checksummed JVM-side. The oracle "
+    "derives the same (length, md5) from the source rows (text sink "
+    "appends one LF), so file materialization, path recovery and byte "
+    "fidelity are all hash-checked. Scale: the scan plans one task per "
+    "file-batch (maxPartitionBytes packing), metadata columns prune "
+    "without reading payloads, and the 10 MB-per-row multimodal decode "
+    "path (operators/multimodal.py) consumes exactly this schema.",
+)
+def src_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", F.col("text").alias("value"))
+    )
+    path = _fmt_dir(sf_dir, "binary_docs")
+    d.write.mode("overwrite").partitionBy("doc_id").text(path)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+    return files.select(
+        F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("long").alias(
+            "doc_id"
+        ),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+@register(
+    "src_xml_roundtrip",
+    """
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE n_chars > 0
+    """,
+    doc="XML sink -> source fidelity (Spark 4's built-in XML data source — "
+    "the third interchange format next to the JSONL and ORC round-trips): "
+    "write the documents table as row-tagged XML, read it back with an "
+    "EXPLICIT schema, oracle = the original table. Exercises XML entity "
+    "escaping (&, <, > in text), multi-byte unicode, and numeric "
+    "round-trip. Empty documents are excluded on BOTH sides: an empty "
+    "string emits as a self-closing element that re-reads as null — an "
+    "XML data-model limit, not an engine bug, so the contract states it. "
+    "Explicit schema again avoids the inference pass at 100 TB; the "
+    "write+scan are map-only with one task per file split.",
+)
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    path = _fmt_dir(sf_dir, "docs_xml")
+    (
+        d.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .save(path)
+    )
+    return (
+        spark.read.schema(d.schema)
+        .format("xml")
+        .option("rowTag", "doc")
+        .load(path)
+    )

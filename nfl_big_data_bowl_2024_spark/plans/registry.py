@@ -100,6 +100,8 @@ _DRIVER_PRIORITY: list[str] = [
     "agg_hll_shard_union",
     "ml_linreg_closed_form",
     "stat_ks_two_sample",
+    "src_binaryfile_scan",
+    "src_xml_roundtrip",
     "json_variant_extract",
     "txt_chunk_udtf",
     "agg_weighted_median",

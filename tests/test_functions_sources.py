@@ -285,3 +285,57 @@ def test_jsonl_roundtrip_survives_adversarial_strings(spark):
         assert back.filter(F.col("text").isNull()).count() == 1
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_xml_roundtrip_escaping_edge_cases(spark):
+    """XML entity escaping: &, <, >, quotes, and multi-byte unicode must
+    survive the write->read cycle bit-for-bit."""
+    import os
+    import tempfile
+
+    from nfl_big_data_bowl_2024_spark.plans.format_ops import src_xml_roundtrip
+
+    rows = [
+        (1, "a & b < c > d 'q' \"qq\"", "en", "t", 21),
+        (2, "中文 résumé ünïcode", "zh", "t", 17),
+        (3, "]]> cdata-breaker & <tag attr=\"x\">", "en", "t", 34),
+        (4, "", "en", "t", 0),  # excluded by the n_chars>0 contract
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {r["doc_id"]: r["text"] for r in src_xml_roundtrip(spark, td).collect()}
+    assert got == {i: t for i, t, *_ in [r for r in rows if r[4] > 0]}
+
+
+def test_binaryfile_scan_recovers_ids_and_checksums(spark):
+    """Path-based id recovery (multi-digit ids) + md5-of-bytes fidelity."""
+    import hashlib
+    import os
+    import tempfile
+
+    from nfl_big_data_bowl_2024_spark.plans.format_ops import src_binaryfile_scan
+
+    rows = [
+        (0, "zero payload", "en", "t", 12),
+        (140, "longer payload with spaces", "en", "t", 26),
+        (2000, "x", "en", "t", 1),
+        (7, "not selected", "en", "t", 12),  # doc_id % 20 != 0
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r["doc_id"]: (r["n_bytes"], r["content_md5"])
+            for r in src_binaryfile_scan(spark, td).collect()
+        }
+    expect = {
+        i: (len(t) + 1, hashlib.md5((t + "\n").encode()).hexdigest())
+        for i, t, *_ in rows
+        if i % 20 == 0
+    }
+    assert got == expect
