@@ -24,7 +24,6 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "grouped_having_sort",
     "temporal_self_join",
-    "txt_winnow_fingerprint",
     "pivot_priority_by_nation",
     "tpch_q18_large_orders",
     "tpch_q8_market_share",
@@ -56,7 +55,6 @@ HEADLINE = [
     "emb_pca_power_iteration",
     "evt_transition_matrix",
     "evt_user_zscore_outliers",
-    "txt_vocab_coverage",
     # round-4 additions: the previously-unbenchmarked paths (the
     # e2_yap_closed_form correctness artifact is NOT here — e2_yap and
     # e2_yap_scale already measure the kernel; bench stays perf-focused)
@@ -70,7 +68,6 @@ HEADLINE = [
     "stream_session_stats",
     "stream_window_stats",
     "doc_select_token_budget",
-    "doc_dsir_importance",
     "doc_dsir_select",
     "txt_heavy_hitters",
     # round-5 addition
@@ -85,9 +82,6 @@ HEADLINE = [
     # doc_length_batches) — their r5 numbers remain in
     # BENCH_r05.json/BENCH_SAMPLES.json.
     "txt_bigram_lm_surprisal",
-    "evt_hypertable_rollup",
-    "src_jsonl_roundtrip",
-    "src_orc_roundtrip",
     "src_zorder_pruned_scan",
     "evt_rollup_incremental_refresh",
     "graph_pagerank_trading",
@@ -98,9 +92,7 @@ HEADLINE = [
     # 0.47s, emb_int8_quantize 0.31s, doc_quality_zscore_bucket 0.36s,
     # evt_rolling_24h 0.38s — r5 numbers in BENCH_r05.json).
     "json_variant_extract",
-    "txt_chunk_udtf",
     "agg_weighted_median",
-    "dq_observe_metrics",
     # Python Data Source connector scan (pushFilters pruning); rotated
     # offset_from_first (0.27s flat since r2) to BENCH_SAMPLES-only for
     # the line budget. stream_state_introspection is correctness-gated
@@ -113,6 +105,23 @@ HEADLINE = [
     # its write+read cycle profile is already covered by
     # src_jsonl_roundtrip).
     "emb_arrow_norm_audit",
+    # round-6 second batch: triangle counting (the quadratic-fan-out-risk
+    # plan), banded-prefix-sum KS drift, densify+LOCF gap fill, blocked
+    # Levenshtein fuzzy dedup, materialized HLL shard union, closed-form
+    # OLS, and the binaryFile/XML source cycles. Line-budget rotation:
+    # eight flat entries stable across r2-r6 moved to BENCH_SAMPLES-only
+    # (txt_winnow_fingerprint, evt_hypertable_rollup, dq_observe_metrics,
+    # src_jsonl_roundtrip, src_orc_roundtrip, txt_chunk_udtf,
+    # doc_dsir_importance, txt_vocab_coverage — r5/r6 numbers remain in
+    # BENCH_r05.json/BENCH_SAMPLES.json).
+    "graph_triangle_count",
+    "stat_ks_two_sample",
+    "evt_gap_fill_locf",
+    "txt_fuzzy_blocked_levenshtein",
+    "agg_hll_shard_union",
+    "ml_linreg_closed_form",
+    "src_binaryfile_scan",
+    "src_xml_roundtrip",
 ]
 
 # Queries that showed multi-second shared-box spikes in past driver runs
