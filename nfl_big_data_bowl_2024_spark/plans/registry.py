@@ -102,6 +102,8 @@ _DRIVER_PRIORITY: list[str] = [
     "stat_ks_two_sample",
     "src_binaryfile_scan",
     "src_xml_roundtrip",
+    "agg_grouping_sets",
+    "dq_try_arithmetic",
     "json_variant_extract",
     "txt_chunk_udtf",
     "agg_weighted_median",

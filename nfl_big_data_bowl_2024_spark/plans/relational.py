@@ -1881,3 +1881,79 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         wmedian("l_extendedprice", "l_quantity").alias("wmed"),
         wtotal("l_quantity").alias("total_qty"),
     )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT CAST(grouping(source) * 2 + grouping(lang) AS INTEGER) AS gid,
+           source, lang,
+           CAST(count(*) AS BIGINT)        AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)    AS total_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (lang), ())
+    """,
+    doc="Arbitrary GROUPING SETS — the general form CUBE/ROLLUP "
+    "specialize (cube_order_profile / rollup_hierarchy cover those): an "
+    "ASYMMETRIC set list ((source,lang), (lang), ()) that neither cube "
+    "nor rollup can express, in one Expand + single hash-aggregate pass "
+    "over the corpus (scanned once, map-side partials, one shuffle — "
+    "not one scan per set). Disambiguation here uses grouping() bit "
+    "flags (gid = grouping(source)*2 + grouping(lang)) instead of the "
+    "coalesce-'ALL' sentinel, the correct idiom when a grouping column "
+    "could itself hold the sentinel value; both engines implement the "
+    "SQL-standard grouping() so the flag is hash-exact.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupingSets([["source", "lang"], ["lang"], []], "source", "lang")
+        .agg(
+            (F.grouping("source") * 2 + F.grouping("lang"))
+            .cast("int")
+            .alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select("gid", "source", "lang", "n_docs", "total_chars")
+    )
+
+
+@register(
+    "dq_try_arithmetic",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE n_chars / (doc_id % 7) END          AS ratio,
+           string_split(text, ' ')[CAST(doc_id % 60 AS INTEGER) + 1]
+                                                         AS tok_at,
+           CASE WHEN n_chars = 0 THEN 0
+                WHEN n_chars = 1 THEN 9223372036854775807
+                ELSE NULL END                            AS big_mul
+    FROM documents
+    """,
+    doc="ANSI-safe error-handling surface: Spark 4 runs with ANSI mode ON "
+    "by default, so division by zero, out-of-bounds element_at and "
+    "bigint overflow RAISE unless the try_* family absorbs them — "
+    "try_divide / try_element_at / try_multiply return NULL exactly "
+    "where a pre-ANSI pipeline silently got NULL (or silently got a "
+    "WRONG wrapped value, the overflow case). At 100 TB this is the "
+    "difference between one poison row killing a 6-hour job and a "
+    "NULL-auditable error column — same philosophy as the errors-as-rows "
+    "sink (S4), expressed at the scalar level. The oracle states each "
+    "absorbed error as an explicit CASE, pinning the exact NULL "
+    "positions; all three expressions stay JVM-side in whole-stage "
+    "codegen (no UDF error handling).",
+)
+def dq_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("try_divide(n_chars, doc_id % 7)").alias("ratio"),
+        F.expr(
+            "try_element_at(split(text, ' '), CAST(doc_id % 60 AS INT) + 1)"
+        ).alias("tok_at"),
+        F.expr("try_multiply(n_chars, 9223372036854775807L)").alias(
+            "big_mul"
+        ),
+    )

@@ -339,3 +339,46 @@ def test_binaryfile_scan_recovers_ids_and_checksums(spark):
         if i % 20 == 0
     }
     assert got == expect
+
+
+def test_try_arithmetic_absorbs_all_three_error_classes(spark):
+    """try_divide(x,0), try_element_at OOB, try_multiply overflow must all
+    yield NULL (never raise, never wrap) — pinned on adversarial rows."""
+    import os
+    import tempfile
+
+    from nfl_big_data_bowl_2024_spark.plans.relational import dq_try_arithmetic
+
+    rows = [
+        (7, "a b c", "en", "t", 5),      # doc_id%7=0 -> ratio NULL
+        (1, "x", "en", "t", 1),          # n_chars=1 -> big_mul = Long.MAX
+        (61, "only two", "en", "t", 0),  # idx 2 OK; n_chars=0 -> big_mul 0
+        (113, "t", "en", "t", 9),        # idx 54 OOB -> tok_at NULL
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {r["doc_id"]: r for r in dq_try_arithmetic(spark, td).collect()}
+    assert got[7]["ratio"] is None
+    assert got[1]["big_mul"] == 9223372036854775807
+    assert got[1]["ratio"] == 1.0
+    assert got[61]["big_mul"] == 0 and got[61]["tok_at"] == "two"
+    assert got[113]["tok_at"] is None and got[113]["big_mul"] is None
+
+
+def test_grouping_sets_single_scan_expand_plan(spark):
+    """The asymmetric grouping sets must plan as ONE scan + Expand, not a
+    union of three aggregates (which would scan the corpus three times)."""
+    from nfl_big_data_bowl_2024_spark.plans.relational import agg_grouping_sets
+
+    plan = (
+        agg_grouping_sets(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Expand") >= 1
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Union") == 0
