@@ -4868,3 +4868,130 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "evt_session_window_batch",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, ts_us, c,
+               CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    s AS (
+        SELECT user_id, ts_us, c,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    )
+    SELECT user_id,
+           CAST(min(ts_us) AS BIGINT)  AS session_start_us,
+           CAST(count(*) AS BIGINT)    AS n_events,
+           CAST(sum(c) AS BIGINT)      AS cents
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="The BUILT-IN session_window aggregation running in BATCH mode "
+    "(30 min gap) — batch_sessionize hand-rolls the same semantics with "
+    "lag + running-sum islands; this is the declarative form, one "
+    "groupBy(user_id, session_window(ts)) whose merging Spark executes "
+    "with a dedicated sort-merge session aggregate "
+    "(UpdatingSessionsExec), and the SAME expression works unchanged "
+    "under readStream (stream_session_stats is exactly that) — the "
+    "batch/stream unification Structured Streaming promises. The oracle "
+    "states the gap-islands definition relationally, so the built-in's "
+    "merge rule (new session iff gap STRICTLY exceeds 30 min — a point "
+    "event owns the closed interval [ts, ts+gap], so an exact-gap "
+    "successor still merges) is pinned "
+    "against the textbook formulation; micro-second integer timestamps "
+    "and cent sums keep it engine-exact.",
+)
+def evt_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("c"),
+    )
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("c").cast("long").alias("cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            "n_events",
+            "cents",
+        )
+    )
+
+
+@register(
+    "cdc_apply_changelog",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, ts_us, event_id, is_del, cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_us DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_ops
+        FROM e
+    )
+    SELECT user_id,
+           CAST(ts_us AS BIGINT) AS last_ts_us,
+           cents                 AS last_cents,
+           CAST(n_ops AS BIGINT) AS n_ops
+    FROM r WHERE rn = 1 AND is_del = 0
+    """,
+    doc="CDC changelog apply (log compaction): replay an ordered "
+    "upsert/delete stream (events; event_type='error' acts as the "
+    "tombstone op) down to current state per key — the Debezium/Kafka "
+    "ingest step that turns a 100 TB change log into a dimension "
+    "snapshot, and the batch complement of the SCD-2 writer (which "
+    "keeps HISTORY; this keeps the HEAD, dropping keys whose final op "
+    "is a delete). One hash exchange on the key + a partition-local "
+    "sort takes the latest op per key with a deterministic "
+    "(ts, event_id) tie-break; no driver loops, no global sort. "
+    "Row-number-desc rather than max_by so delete tombstones can "
+    "suppress the key entirely while still counting replayed ops.",
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias(
+            "is_del"
+        ),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    wn = Window.partitionBy("user_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_ops", F.count(F.lit(1)).over(wn))
+        .filter((F.col("rn") == 1) & (F.col("is_del") == 0))
+        .select(
+            "user_id",
+            F.col("ts_us").cast("long").alias("last_ts_us"),
+            F.col("cents").alias("last_cents"),
+            F.col("n_ops").cast("long").alias("n_ops"),
+        )
+    )

@@ -104,6 +104,8 @@ _DRIVER_PRIORITY: list[str] = [
     "src_xml_roundtrip",
     "agg_grouping_sets",
     "dq_try_arithmetic",
+    "evt_session_window_batch",
+    "cdc_apply_changelog",
     "json_variant_extract",
     "txt_chunk_udtf",
     "agg_weighted_median",

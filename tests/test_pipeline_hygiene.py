@@ -157,3 +157,70 @@ def test_ks_two_sample_matches_python_model(spark, queries):
     n1, n2, ks = model(vals1, vals2)
     assert (r["n1"], r["n2"], r["ks_scaled"]) == (n1, n2, ks)
     assert r["ks_stat"] == ks / (n1 * n2)
+
+
+def test_session_window_batch_gap_boundary(spark, queries):
+    """Built-in session_window merge rule pinned at the boundary: an
+    EXACT 30-min gap still merges (closed interval); 1 us over splits."""
+    import os
+    import tempfile
+    from datetime import datetime, timedelta, timezone
+
+    t0 = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    gap = timedelta(minutes=30)
+    rows = [
+        # user 1: merge chain (29:59.999999 gaps), one session of 3
+        (0, t0, 1, "view", 1.00, "{}"),
+        (1, t0 + gap - timedelta(microseconds=1), 1, "view", 2.00, "{}"),
+        (2, t0 + 2 * gap - timedelta(microseconds=2), 1, "view", 3.00, "{}"),
+        # user 2: 1 us OVER the gap -> two sessions
+        (3, t0, 2, "view", 10.00, "{}"),
+        (4, t0 + gap + timedelta(microseconds=1), 2, "view", 20.00, "{}"),
+        # user 3: exactly the gap -> still one session (closed interval)
+        (5, t0, 3, "view", 30.00, "{}"),
+        (6, t0 + gap, 3, "view", 40.00, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(os.path.join(td, "events.parquet"))
+        got = sorted(
+            (r["user_id"], r["n_events"], r["cents"])
+            for r in queries["evt_session_window_batch"].fn(spark, td).collect()
+        )
+    assert got == [(1, 3, 600), (2, 1, 1000), (2, 1, 2000), (3, 2, 7000)]
+
+
+def test_cdc_apply_tombstones_and_tiebreak(spark, queries):
+    """Delete-last keys vanish, upsert-after-delete resurrects, and equal
+    timestamps break by event_id."""
+    import os
+    import tempfile
+    from datetime import datetime, timedelta, timezone
+
+    t0 = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    s = timedelta(seconds=1)
+    rows = [
+        # user 1: upsert, delete LAST -> excluded, though n_ops counts all
+        (0, t0, 1, "view", 5.00, "{}"),
+        (1, t0 + s, 1, "error", 0.0, "{}"),
+        # user 2: delete then upsert -> resurrected with latest value
+        (2, t0, 2, "error", 0.0, "{}"),
+        (3, t0 + s, 2, "purchase", 7.50, "{}"),
+        # user 3: two ops at the SAME ts -> higher event_id wins
+        (4, t0, 3, "view", 1.00, "{}"),
+        (5, t0, 3, "view", 2.00, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r["user_id"]: (r["last_cents"], r["n_ops"])
+            for r in queries["cdc_apply_changelog"].fn(spark, td).collect()
+        }
+    assert got == {2: (750, 2), 3: (200, 2)}
