@@ -225,3 +225,58 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def bfs_min_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: (node, hops) — the MINIMUM hop distance from any
+    seed node, for every node within ``max_hops`` of the seed set along
+    DIRECTED ``edges`` (symmetrize before calling for undirected reach).
+
+    Spark has no recursive CTE, so bounded-depth reachability runs as a
+    synchronous frontier loop — the Pregel/GraphX ``shortestPaths`` shape
+    specialized to unit weights:
+
+      frontier_{k+1} = (frontier_k ⋈ edges).dst  ANTI-JOIN  visited
+
+    Each round is ONE keyed shuffle join (frontier x edges on ``src``) plus
+    one distinct and one left-anti join against the visited set — no
+    all-pairs products anywhere, and the frontier (not the full graph)
+    drives the join, so per-round cost tracks the expanding wavefront.
+    ``localCheckpoint`` truncates lineage per round exactly as in
+    ``connected_components`` above. The loop body is deterministic set
+    algebra — no floats, no ordering sensitivity — which is why the
+    registered query can carry a recursive-CTE DuckDB oracle that replays
+    the same fixpoint bit-for-bit.
+
+    ``seeds`` is a one-column DataFrame of node ids (column name ``node``).
+    Depth is bounded by contract (``max_hops``), keeping the visited
+    relation O(reachable set) — at 100 TB the visited set is the only
+    state that grows, and it only ever receives NEW nodes.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    visited = seeds.select(
+        F.col("node").cast("long").alias("node"), F.lit(0).cast("int").alias("hops")
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.withColumnRenamed("node", "src")
+            .join(e, "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("hops", F.lit(k).cast("int"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -57,3 +57,84 @@ def misra_gries_candidates(df: DataFrame, col: str, k: int = 256) -> DataFrame:
             )
 
     return df.select(col).mapInPandas(mg, schema=f"{col} string, lb long")
+
+
+# Count-Min sketch: fixed hash-family parameters shared with the SQL oracle.
+# h_d(k) = ((A[d]*k + B[d]) mod P) mod width — universal hashing over a
+# Mersenne prime, integer-only, so Spark and DuckDB compute identical
+# buckets for identical keys (CMS counters are additive sums, insensitive
+# to partitioning/merge order, which is what makes the sketch estimate
+# DETERMINISTIC and therefore hash-checkable cross-engine).
+CMS_P = 8191
+CMS_A = [3079, 4093, 5351, 6151]
+CMS_B = [1531, 2389, 3271, 4447]
+
+
+def count_min_counters(df, key: str, width: int = 64, depth: int = 4):
+    """Build the d x w Count-Min counter table for an integer key column.
+
+    Returns (d, bucket, cnt) with at most depth*width rows. One narrow
+    explode (depth rows per input) feeding a grouped count whose key space
+    is the FIXED d x w grid — map-side partial aggregation collapses each
+    task's contribution to <= d*w rows, so the exchange moves O(d*w) per
+    task regardless of input size. That is the CMS contract at 100 TB: the
+    stream is summarized into constant-size mergeable state without ever
+    shuffling the raw key column (contrast the exact groupBy, which
+    shuffles every distinct key).
+    """
+    from pyspark.sql import functions as F
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("d"),
+                (
+                    (F.lit(CMS_A[d]) * F.col(key) + F.lit(CMS_B[d])) % CMS_P % width
+                )
+                .cast("int")
+                .alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("r"))
+        .select("r.d", "r.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def count_min_estimate(keys_df, counters, key: str, width: int = 64, depth: int = 4):
+    """Point-estimate each key against the counter table: min over the d
+    rows of the counter each hash lands in. The counter table is bounded
+    (d*w rows) and broadcast, so estimating N keys is a map-only broadcast
+    join — no shuffle of the probe side."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    probes = keys_df.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("d"),
+                        (
+                            (F.lit(CMS_A[d]) * F.col(key) + F.lit(CMS_B[d]))
+                            % CMS_P
+                            % width
+                        )
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("r"),
+    ).select(key, "r.d", "r.bucket")
+    return (
+        probes.join(broadcast(counters), ["d", "bucket"], "left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cms_n"))
+    )

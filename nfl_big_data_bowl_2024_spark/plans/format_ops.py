@@ -651,3 +651,52 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rowTag", "doc")
         .load(path)
     )
+
+
+@register(
+    "src_schema_evolution_scan",
+    """
+    SELECT source,
+           count(*)                                              AS n_rows,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT)                                       AS n_with_quality,
+           CAST(sum(CASE WHEN doc_id % 2 = 1
+                         THEN n_chars // 100 END) AS BIGINT)     AS sum_quality,
+           CAST(sum(n_chars) AS BIGINT)                          AS total_chars
+    FROM documents GROUP BY source
+    """,
+    doc="Schema evolution across partitioned batches: batch=v1 files carry "
+    "(doc_id, source, n_chars), batch=v2 files add a quality column; one "
+    "mergeSchema=true scan over the partitioned layout reconciles both "
+    "footers into the superset schema, v1 rows surfacing NULL quality — "
+    "the additive-column evolution every long-lived lakehouse table "
+    "undergoes, verified end to end (write both generations -> evolved "
+    "read -> aggregate) against an oracle that recomputes the same "
+    "answer from the source table. Scale notes: schema reconciliation "
+    "reads footers only (not data); per-file projection pushdown still "
+    "applies — v1 files never materialize the absent column; the "
+    "partition column prunes generations when filtered. The aggregate "
+    "itself is one hash exchange on source.",
+)
+def src_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    root = _fmt_dir(sf_dir, "evo")
+    d.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        os.path.join(root, "batch=v1")
+    )
+    d.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "quality", F.expr("n_chars div 100")
+    ).write.mode("overwrite").parquet(os.path.join(root, "batch=v2"))
+    evolved = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", root)
+        .parquet(root)
+    )
+    return evolved.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("quality").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_quality"),
+        F.sum("quality").cast("long").alias("sum_quality"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -4995,3 +4995,405 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_ops").cast("long").alias("n_ops"),
         )
     )
+
+@register(
+    "graph_khop_reachability",
+    """
+    WITH RECURSIVE
+    pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+        SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+        UNION ALL
+        SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+    ),
+    seeds AS (
+        SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_suppkey % 10 = 0
+    ),
+    reach AS (
+        SELECT node, 0 AS hops FROM seeds
+        UNION
+        SELECT e.dst AS node, r.hops + 1 AS hops
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.hops < 3
+    )
+    SELECT CAST(node % 2 AS INTEGER)  AS is_supplier,
+           CAST(node // 2 AS BIGINT)  AS entity_id,
+           CAST(min(hops) AS INTEGER) AS hops
+    FROM reach GROUP BY node
+    """,
+    doc="Bounded-depth multi-source BFS over the customer<->supplier "
+    "trading graph: minimum hop distance (<= 3) from the seeded supplier "
+    "cohort, via the synchronous frontier loop in "
+    "operators/graph.py:bfs_min_hops — Spark's recursive-CTE substitute. "
+    "Each round is one keyed frontier-x-edges shuffle join + distinct + "
+    "left-anti against the visited set (the wavefront drives the join, "
+    "never the full graph), lineage truncated per round. Pure integer set "
+    "algebra, so the DuckDB oracle IS a recursive CTE replaying the same "
+    "fixpoint — the third hash-checked iterative algorithm next to "
+    "connected components (label fixpoint) and integer PageRank (numeric "
+    "fixpoint): this one is the frontier/reachability fixpoint.",
+)
+def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_min_hops
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+    ).unionAll(
+        pairs.select(
+            (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
+        )
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 0)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    reach = bfs_min_hops(edges, seeds, max_hops=3)
+    return reach.select(
+        (F.col("node") % 2).cast("int").alias("is_supplier"),
+        F.expr("node div 2").cast("long").alias("entity_id"),
+        F.col("hops").cast("int").alias("hops"),
+    )
+
+
+@register(
+    "agg_countmin_sketch",
+    """
+    WITH h(d, a, b) AS (
+        VALUES (0, 3079, 1531), (1, 4093, 2389),
+               (2, 5351, 3271), (3, 6151, 4447)
+    ),
+    cnt AS (
+        SELECT h.d, ((h.a * e.user_id + h.b) % 8191) % 64 AS bucket,
+               count(*) AS cnt
+        FROM events e CROSS JOIN h
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id
+    ),
+    est AS (
+        SELECT x.user_id, min(coalesce(c.cnt, 0)) AS cms_n
+        FROM exact x CROSS JOIN h
+        LEFT JOIN cnt c
+          ON c.d = h.d
+         AND c.bucket = ((h.a * x.user_id + h.b) % 8191) % 64
+        GROUP BY x.user_id
+    )
+    SELECT CAST(x.user_id AS BIGINT)            AS user_id,
+           CAST(x.exact_n AS BIGINT)            AS exact_n,
+           CAST(e.cms_n AS BIGINT)              AS cms_n,
+           CAST(e.cms_n - x.exact_n AS BIGINT)  AS overcount
+    FROM exact x JOIN est e ON x.user_id = e.user_id
+    """,
+    doc="Count-Min sketch frequency estimation over the event stream "
+    "(d=4 x w=64, universal integer hashing mod the Mersenne prime 8191) "
+    "with the exact per-key count joined alongside as the audit twin — "
+    "rounding out the sketch family: HLL (distinct count), Misra-Gries "
+    "(heavy hitters), CMS (point frequency). CMS counters are additive "
+    "integer sums into a FIXED d x w grid, so map-side partials collapse "
+    "each task to <= 256 rows and the raw key column never shuffles — the "
+    "100 TB contract (operators/sketches.py:count_min_counters); the "
+    "estimate pass is a broadcast of the 256-row counter table, map-only. "
+    "Merge-order insensitivity makes the estimates deterministic, hence a "
+    "pure-SQL oracle replaying both the sketch and the exact twin.",
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import count_min_counters, count_min_estimate
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    counters = count_min_counters(ev, "user_id", width=64, depth=4)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    est = count_min_estimate(
+        exact.select("user_id"), counters, "user_id", width=64, depth=4
+    )
+    return exact.join(est, "user_id").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).cast("long").alias("overcount"),
+    )
+
+
+@register(
+    "evt_ewma_fixed_point",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    l AS (
+        SELECT user_id, ts_us, event_id, cents,
+               lag(cents, 1) OVER w AS c1, lag(cents, 2) OVER w AS c2,
+               lag(cents, 3) OVER w AS c3, lag(cents, 4) OVER w AS c4,
+               lag(cents, 5) OVER w AS c5, lag(cents, 6) OVER w AS c6,
+               lag(cents, 7) OVER w AS c7,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_us DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_events
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    )
+    SELECT CAST(user_id AS BIGINT)  AS user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(128 * cents
+                + 64 * coalesce(c1, 0) + 32 * coalesce(c2, 0)
+                + 16 * coalesce(c3, 0) +  8 * coalesce(c4, 0)
+                +  4 * coalesce(c5, 0) +  2 * coalesce(c6, 0)
+                +  1 * coalesce(c7, 0) AS BIGINT)            AS ewma_w256,
+           CAST(128
+                + CASE WHEN c1 IS NULL THEN 0 ELSE 64 END
+                + CASE WHEN c2 IS NULL THEN 0 ELSE 32 END
+                + CASE WHEN c3 IS NULL THEN 0 ELSE 16 END
+                + CASE WHEN c4 IS NULL THEN 0 ELSE  8 END
+                + CASE WHEN c5 IS NULL THEN 0 ELSE  4 END
+                + CASE WHEN c6 IS NULL THEN 0 ELSE  2 END
+                + CASE WHEN c7 IS NULL THEN 0 ELSE  1 END AS BIGINT)
+                                                             AS norm_w
+    FROM l WHERE rn = 1
+    """,
+    doc="Fixed-point EWMA (alpha=1/2, 8-term truncation, weights scaled "
+    "by 256 so everything stays integer) of each user's cent-valued "
+    "signal at their LATEST event — the exponential-decay smoothing "
+    "featurizers apply before training, next to the rolling-24h mean "
+    "(uniform weights) and gap-fill LOCF (no decay). The recurrence "
+    "y_t = x_t/2 + y_{t-1}/2 is unrolled into eight lag() terms over one "
+    "partition-local sorted window per user (no global sort, one "
+    "exchange), with the realized weight mass emitted alongside so "
+    "missing-history normalization needs no division. Integer weights "
+    "mean both engines agree bit-for-bit — a hash-checked oracle over a "
+    "smoothing kernel that is float-and-flaky in its textbook form.",
+)
+def evt_ewma_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    wn = Window.partitionBy("user_id")
+    lags = e.select(
+        "user_id",
+        "cents",
+        *[F.lag("cents", i).over(w).alias(f"c{i}") for i in range(1, 8)],
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_events"),
+    )
+    weights = [64, 32, 16, 8, 4, 2, 1]
+    ewma = F.lit(128) * F.col("cents")
+    norm = F.lit(128)
+    for i, wt in enumerate(weights, start=1):
+        ewma = ewma + F.lit(wt) * F.coalesce(F.col(f"c{i}"), F.lit(0))
+        norm = norm + F.when(F.col(f"c{i}").isNull(), 0).otherwise(wt)
+    return lags.filter(F.col("rn") == 1).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        ewma.cast("long").alias("ewma_w256"),
+        norm.cast("long").alias("norm_w"),
+    )
+
+
+@register(
+    "evt_sequence_match",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+               substr(event_type, 1, 1) AS ch
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id,
+               string_agg(ch, '' ORDER BY ts_us, event_id) AS s
+        FROM e GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT)                          AS user_id,
+           CAST(length(s) AS BIGINT)                        AS n_events,
+           CAST((length(s) - length(replace(s, 'vcp', ''))) // 3
+                AS BIGINT)                                  AS n_conversions,
+           CAST(strpos(s, 'vcp') AS BIGINT)                 AS first_conv_pos
+    FROM seq
+    """,
+    doc="Ordered sequence-pattern matching (MATCH_RECOGNIZE shape): each "
+    "user's event history is folded into an ordered type-code string "
+    "(event types map to distinct first letters) and scanned for the "
+    "consecutive view->click->purchase funnel — count of non-overlapping "
+    "conversions plus the first conversion position. Complements "
+    "evt_funnel_conversion (which allows gaps between stages): this is "
+    "the STRICT-CONTIGUITY pattern a MATCH_RECOGNIZE engine compiles. "
+    "One exchange on user_id; the per-user fold is "
+    "sort_array(collect_list(struct(ts,id,ch))) — partition-local, "
+    "deterministic under the unique (ts_us, event_id) tie-break, with "
+    "per-key sequence length bounded by contract (sessionize first for "
+    "unbounded keys). String matching is engine-agnostic left-to-right "
+    "replace/locate, so the oracle hash-matches exactly.",
+)
+def evt_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    seq = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts_us", "event_id", "ch"))
+                    ),
+                    lambda x: x["ch"],
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.length("s").cast("long").alias("n_events"),
+        F.expr("(length(s) - length(replace(s, 'vcp', ''))) div 3")
+        .cast("long")
+        .alias("n_conversions"),
+        F.instr(F.col("s"), "vcp").cast("long").alias("first_conv_pos"),
+    )
+
+
+@register(
+    "stat_chi2_independence",
+    """
+    WITH e AS (
+        SELECT event_type AS t, user_id % 4 AS c FROM events
+    ),
+    cells AS (SELECT t, c, count(*) AS o_n FROM e GROUP BY t, c),
+    rt AS (SELECT t, sum(o_n) AS rt FROM cells GROUP BY t),
+    ct AS (SELECT c, sum(o_n) AS ct FROM cells GROUP BY c),
+    n AS (SELECT sum(o_n) AS n FROM cells),
+    grid AS (
+        SELECT rt.t, ct.c, rt.rt, ct.ct, n.n,
+               coalesce(cells.o_n, 0) AS o_n
+        FROM rt CROSS JOIN ct CROSS JOIN n
+        LEFT JOIN cells ON cells.t = rt.t AND cells.c = ct.c
+    )
+    SELECT t AS event_type,
+           CAST(c AS BIGINT)                    AS cohort,
+           CAST(o_n AS BIGINT)                  AS o_n,
+           CAST((rt * ct * 1000) // n AS BIGINT) AS e_milli,
+           CAST(((o_n * 1000 - (rt * ct * 1000) // n)
+                 * (o_n * 1000 - (rt * ct * 1000) // n))
+                // (1000 * ((rt * ct * 1000) // n)) AS BIGINT)
+                                                AS chi2_term_milli
+    FROM grid
+    """,
+    doc="Chi-squared independence test (event_type x user cohort) in "
+    "exact fixed-point arithmetic: expected counts in milli-units "
+    "(E_milli = rt*ct*1000 div N, floor division DEFINED identically on "
+    "both engines), per-cell contribution dev^2/(1000*E_milli) — the "
+    "categorical-drift statistic next to the KS test's continuous one, "
+    "emitted per cell so the hash pins every intermediate, with zero "
+    "cells materialized via the rowtot x coltot grid (chi2 is wrong "
+    "without them). Plan: one hash aggregate over the (t,c) cells — "
+    "tiny, checkpointed — then row/col/grand totals all DERIVED from "
+    "the cell relation (no second fact scan) and broadcast back; at "
+    "100 TB the fact table is read once. Milli-scaling bounds "
+    "intermediates at (N*1000)^2, inside int64 through sf10-per-cell "
+    "~3e9 events; beyond that the documented move is micro->milli unit "
+    "drop, not silent float fallback.",
+)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"), (F.col("user_id") % 4).alias("c")
+    )
+    cells = (
+        ev.groupBy("t", "c")
+        .agg(F.count(F.lit(1)).alias("o_n"))
+        .localCheckpoint(eager=True)  # tiny: |types| x |cohorts| rows
+    )
+    rt = cells.groupBy("t").agg(F.sum("o_n").alias("rt"))
+    ct = cells.groupBy("c").agg(F.sum("o_n").alias("ct"))
+    n = cells.agg(F.sum("o_n").alias("n"))
+    grid = (
+        F.broadcast(rt)
+        .crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(cells), ["t", "c"], "left")
+        .withColumn("o_n", F.coalesce("o_n", F.lit(0)))
+    )
+    e_milli = F.expr("(rt * ct * 1000) div n")
+    dev = F.col("o_n") * 1000 - e_milli
+    return grid.select(
+        F.col("t").alias("event_type"),
+        F.col("c").cast("long").alias("cohort"),
+        F.col("o_n").cast("long").alias("o_n"),
+        e_milli.cast("long").alias("e_milli"),
+        (dev * dev).cast("long").alias("_d2"),
+    ).select(
+        "event_type",
+        "cohort",
+        "o_n",
+        "e_milli",
+        F.expr("_d2 div (1000 * e_milli)").cast("long").alias(
+            "chi2_term_milli"
+        ),
+    )
+
+
+@register(
+    "evt_sliding_distinct_users",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+    ),
+    w AS (
+        SELECT user_id, unnest(generate_series(d - 6, d)) AS wd FROM e
+    )
+    SELECT CAST(wd AS BIGINT)                     AS window_day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           count(*)                               AS n_events
+    FROM w GROUP BY wd
+    """,
+    doc="Sliding-window distinct counting: 7-day windows advancing 1 day "
+    "(Spark's native sliding window(ts, '7 days', '1 day') — each event "
+    "replicated into its 7 covering windows by the JVM Expand, "
+    "epoch-aligned starts) with an EXACT per-window distinct-user count "
+    "— the rolling-reach / WAU-style metric. Distinct-over-sliding is "
+    "the shape approx sketches usually absorb; here the exact form is "
+    "two-level aggregation (partial distinct inside the Expand exchange) "
+    "and the oracle replays the window replication with generate_series "
+    "— swap in the HLL shard union when 7x replication of a 100 TB "
+    "stream outgrows exact (the documented scale path, "
+    "agg_hll_shard_union). Window starts are pure integer day indexes, "
+    "so both engines agree exactly.",
+)
+def evt_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        ev.groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.expr("unix_micros(w.start) div 86400000000")
+            .cast("long")
+            .alias("window_day"),
+            "n_users",
+            "n_events",
+        )
+    )

@@ -171,6 +171,31 @@ SHOWCASE = [
         "planned splits BEFORE generation (connector-side pruning), and "
         "Spark still re-applies the filter above the scan.",
     ),
+    (
+        "agg_countmin_sketch",
+        "Count-Min estimate pass: the d x w counter table (<= 256 rows, "
+        "built by a grouped count whose key space is the fixed grid, so "
+        "map-side partials bound every task's exchange contribution) "
+        "re-enters as a BroadcastHashJoin build side — the probe never "
+        "shuffles; the only exchanges key on user_id (exact twin) and "
+        "the fixed grid.",
+    ),
+    (
+        "stat_chi2_independence",
+        "Single fact scan: the (t,c) cell aggregate is an eager "
+        "localCheckpoint (Scan ExistingRDD below), and row totals, "
+        "column totals, the grand total AND the zero-cell grid are all "
+        "derived from it via broadcast joins — no second pass over "
+        "events, no Window node.",
+    ),
+    (
+        "evt_sliding_distinct_users",
+        "Native sliding window: one Expand replicates each event into "
+        "its 7 covering windows JVM-side, then a two-phase "
+        "distinct-aggregate (partial per partition under the exchange) "
+        "computes the exact per-window user count — no per-window "
+        "re-scan, no Python.",
+    ),
 ]
 
 

@@ -382,3 +382,38 @@ def test_grouping_sets_single_scan_expand_plan(spark):
     assert plan.count("Expand") >= 1
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Union") == 0
+
+
+def test_schema_evolution_mergeschema_null_semantics(spark):
+    """Additive-column evolution: v1 files lack the column, mergeSchema
+    surfaces it as NULL for v1 rows and typed for v2 rows; the partition
+    column distinguishes generations and prunes."""
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="evo_test_")
+    try:
+        v1 = spark.createDataFrame([(1, 10), (2, 20)], "id: long, v: long")
+        v2 = spark.createDataFrame(
+            [(3, 30, 300), (4, 40, 400)], "id: long, v: long, extra: long"
+        )
+        v1.write.parquet(os.path.join(tmp, "batch=v1"))
+        v2.write.parquet(os.path.join(tmp, "batch=v2"))
+        ev = (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", tmp)
+            .parquet(tmp)
+        )
+        assert set(ev.columns) == {"id", "v", "extra", "batch"}
+        rows = {r["id"]: (r["extra"], r["batch"]) for r in ev.collect()}
+        assert rows == {1: (None, "v1"), 2: (None, "v1"),
+                        3: (300, "v2"), 4: (400, "v2")}
+        # Partition pruning: a batch filter must reach PartitionFilters.
+        plan = (
+            ev.filter(F.col("batch") == "v2")._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert "PartitionFilters: [" in plan and "batch" in plan.split(
+            "PartitionFilters:"
+        )[1][:120]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -171,3 +171,59 @@ def test_triangle_counts_bruteforce_random(spark):
     edges = spark.createDataFrame(sorted(edge_list), "src: long, dst: long")
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
     assert got == expect
+
+
+def _hops(spark, edge_list, seed_nodes, max_hops=3):
+    from nfl_big_data_bowl_2024_spark.operators.graph import bfs_min_hops
+
+    edges = spark.createDataFrame(edge_list, "src: long, dst: long")
+    seeds = spark.createDataFrame([(s,) for s in seed_nodes], "node: long")
+    rows = bfs_min_hops(edges, seeds, max_hops=max_hops).collect()
+    return {r["node"]: r["hops"] for r in rows}
+
+
+def test_bfs_known_topology(spark):
+    # Directed chain 1->2->3->4->5, branch 2->10, back-edge 4->1,
+    # unreachable island 20->21.
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 10), (4, 1), (20, 21)]
+    got = _hops(spark, edges, [1], max_hops=3)
+    assert got == {1: 0, 2: 1, 3: 2, 10: 2, 4: 3}
+
+
+def test_bfs_multi_source_takes_minimum(spark):
+    # Two seeds converging: node 3 is 2 hops from seed 1 but 1 hop from
+    # seed 9; min wins. Seed nodes themselves stay at 0 even when reached
+    # again via the cycle.
+    edges = [(1, 2), (2, 3), (9, 3), (3, 1)]
+    got = _hops(spark, edges, [1, 9], max_hops=4)
+    assert got == {1: 0, 9: 0, 2: 1, 3: 1}
+
+
+def test_bfs_early_stop_on_empty_frontier(spark):
+    # Exhausts reachability in 1 hop; the loop must stop rather than
+    # spin to max_hops.
+    got = _hops(spark, [(1, 2)], [1], max_hops=25)
+    assert got == {1: 0, 2: 1}
+
+
+def test_bfs_matches_python_bfs_on_random_graph(spark):
+    import collections
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    seeds = [0, 1]
+    adj = collections.defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for k in range(1, 4):
+        nxt = set()
+        for u in frontier:
+            nxt |= adj[u]
+        nxt -= dist.keys()
+        for v in nxt:
+            dist[v] = k
+        frontier = list(nxt)
+    assert _hops(spark, edges, seeds, max_hops=3) == dist

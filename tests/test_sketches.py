@@ -97,3 +97,39 @@ def test_hll_shard_union_equals_whole_corpus_sketch(spark):
     assert inc == sharded
     # and the estimate is tight at this lgK / cardinality
     assert abs(sharded - 2311) <= 0.02 * 2311
+
+
+def test_cms_estimate_upper_bounds_and_mostly_matches_exact(spark):
+    from nfl_big_data_bowl_2024_spark.operators.sketches import (
+        count_min_counters,
+        count_min_estimate,
+    )
+
+    # 20k rows over 300 keys with a skewed head; CMS never undercounts,
+    # and with w=64 x d=4 most keys collide enough that some overcount —
+    # assert the guarantee (estimate >= exact) plus bounded total error.
+    df = spark.range(0, 20_000, 1, 8).select(
+        (F.col("id") % 300 * F.col("id") % 300 % 300).alias("k")
+    )
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    counters = count_min_counters(df, "k")
+    keys = df.select("k").distinct()
+    est = {r["k"]: r["cms_n"] for r in count_min_estimate(keys, counters, "k").collect()}
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)
+    # CMS error bound: overcount per key <= 2N/w with prob 1-2^-d; assert
+    # the deterministic aggregate form loosely (total overcount bounded).
+    total_over = sum(est[k] - exact[k] for k in exact)
+    assert total_over <= 4 * 20_000  # d*w grid absorbs the stream 4x over
+
+def test_cms_counters_partitioning_invariant(spark):
+    from nfl_big_data_bowl_2024_spark.operators.sketches import count_min_counters
+
+    base = spark.range(0, 5_000).select((F.col("id") % 97).alias("k"))
+    a = {(r["d"], r["bucket"]): r["cnt"] for r in count_min_counters(base, "k").collect()}
+    b = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in count_min_counters(base.repartition(17), "k").collect()
+    }
+    assert a == b  # additive merge: same counters under any partitioning
