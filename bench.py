@@ -36,7 +36,6 @@ HEADLINE = [
     "doc_pack_context_windows",
     "grouped_percentiles",
     "cube_order_profile",
-    "txt_vocab_topk",
     "txt_repetition_filter",
     "txt_contamination_check",
     "dedup_cluster_representative",
@@ -50,11 +49,9 @@ HEADLINE = [
     # round-4 additions: the previously-unbenchmarked paths (the
     # e2_yap_closed_form correctness artifact is NOT here — e2_yap and
     # e2_yap_scale already measure the kernel; bench stays perf-focused)
-    "pipeline_curation_funnel",
     "mm_decode_features",
     "mm_video_frame_decode",
     "mm_resize_features",
-    "mm_audio_features",
     "txt_bpe_train",
     "txt_bpe_encode",
     "stream_session_stats",
@@ -134,6 +131,14 @@ HEADLINE = [
     "src_schema_evolution_scan",
     "stat_chi2_independence",
     "evt_sliding_distinct_users",
+    # round-6 fifth batch: association-lift pairs, Simpson diversity,
+    # winsorized robust stats. Rotation (line-budget rule):
+    # txt_vocab_topk 0.33s, pipeline_curation_funnel 0.31s,
+    # mm_audio_features 0.36s — flat across r3-r6 — moved to
+    # BENCH_SAMPLES-only.
+    "txt_token_lift_pairs",
+    "txt_simpson_diversity",
+    "doc_winsorized_stats",
 ]
 
 # Queries that showed multi-second shared-box spikes in past driver runs

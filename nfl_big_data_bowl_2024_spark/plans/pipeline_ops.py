@@ -5397,3 +5397,219 @@ def evt_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "txt_token_lift_pairs",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) WHERE length(tok) >= 4
+    ),
+    kept AS (
+        SELECT doc_id FROM toks GROUP BY doc_id HAVING count(*) <= 64
+    ),
+    t AS (SELECT toks.* FROM toks JOIN kept USING (doc_id)),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM t),
+    df AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+    pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+        FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+        HAVING count(*) >= 5
+    )
+    SELECT p.tok_a, p.tok_b,
+           CAST(p.n_ab AS BIGINT)  AS n_ab,
+           CAST(da.n AS BIGINT)    AS n_a,
+           CAST(db.n AS BIGINT)    AS n_b,
+           CAST((p.n_ab * n.n_docs * 1000) // (da.n * db.n) AS BIGINT)
+                                   AS lift_milli
+    FROM pairs p
+    JOIN df da ON da.tok = p.tok_a
+    JOIN df db ON db.tok = p.tok_b
+    CROSS JOIN n
+    """,
+    doc="Association mining (market-basket lift) over token co-occurrence: "
+    "each document is a basket of its distinct >=4-char tokens; pairs "
+    "co-occurring in >= 5 baskets are scored by lift = P(ab)/(P(a)P(b)) "
+    "in exact integer milli-units (n_ab*N*1000 div (n_a*n_b)) — the "
+    "A-priori association statistic, log-free so both engines agree "
+    "bit-for-bit (PMI is this with a log around it). Scale guards: the "
+    "per-doc basket is capped at 64 distinct tokens (the quadratic "
+    "fan-out driver — same discipline as the hot-shingle guard), the "
+    "pair join is keyed on doc_id with BOTH sides sharing one "
+    "partitioning, and the document-frequency relation re-enters "
+    "broadcast. The basket-universe count N is derived from the SAME "
+    "guarded relation the frequencies come from, so the lift "
+    "denominator is consistent at any scale.",
+)
+def txt_token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") >= 4)
+        .distinct()
+    )
+    kept = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")).filter(
+        F.col("sz") <= 64
+    )
+    t = toks.join(kept.select("doc_id"), "doc_id").localCheckpoint(eager=True)
+    n_docs = t.select("doc_id").distinct().count()  # bounded scalar
+    df_rel = t.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    a = t.select("doc_id", F.col("tok").alias("tok_a"))
+    b = t.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    da = df_rel.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a"))
+    db = df_rel.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr(f"(n_ab * {n_docs} * 1000) div (n_a * n_b)")
+            .cast("long")
+            .alias("lift_milli"),
+        )
+    )
+
+
+@register(
+    "txt_simpson_diversity",
+    """
+    WITH t AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    c AS (
+        SELECT source, tok, count(*) AS n FROM t
+        WHERE tok <> '' GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT)                           AS n_tokens,
+           CAST(count(*) AS BIGINT)                         AS n_vocab,
+           CAST(sum(n * (n - 1)) * 1000
+                // (sum(n) * (sum(n) - 1)) AS BIGINT)       AS simpson_conc_milli
+    FROM c GROUP BY source
+    """,
+    doc="Simpson concentration index per source (the log-free diversity "
+    "statistic): sum n_i(n_i-1) / (N(N-1)) — the probability two tokens "
+    "drawn without replacement coincide; 1 - it is Simpson diversity, "
+    "and its reciprocal the effective vocabulary size. Purely rational, "
+    "so milli-unit integer floor division replays exactly cross-engine "
+    "where Shannon entropy would drag float logs into the hash. Plan: "
+    "one (source, tok) aggregate (map-side partials absorb the token "
+    "stream) then one per-source fold of the count relation — the "
+    "vocabulary shuffles once, raw tokens never do. Milli-scaling keeps "
+    "sum(n^2) * 1000 inside int64 through ~10^15 tokens per source.",
+)
+def txt_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    c = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.expr("sum(n * (n - 1)) * 1000 div (sum(n) * (sum(n) - 1))")
+        .cast("long")
+        .alias("simpson_conc_milli"),
+    )
+
+
+@register(
+    "doc_winsorized_stats",
+    """
+    WITH r AS (
+        SELECT source, n_chars, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS cnt
+        FROM documents
+    ),
+    th AS (
+        SELECT source,
+               min(CASE WHEN rn = ((cnt - 1) * 10) // 100 + 1
+                        THEN n_chars END) AS p10,
+               min(CASE WHEN rn = ((cnt - 1) * 90) // 100 + 1
+                        THEN n_chars END) AS p90
+        FROM r GROUP BY source
+    )
+    SELECT r.source,
+           CAST(max(r.cnt) AS BIGINT)                     AS n_docs,
+           CAST(max(th.p10) AS BIGINT)                    AS p10_chars,
+           CAST(max(th.p90) AS BIGINT)                    AS p90_chars,
+           CAST(sum(least(greatest(r.n_chars, th.p10), th.p90))
+                AS BIGINT)                                AS sum_winsorized,
+           CAST(sum(CASE WHEN r.n_chars < th.p10 THEN 1 ELSE 0 END)
+                AS BIGINT)                                AS n_clipped_low,
+           CAST(sum(CASE WHEN r.n_chars > th.p90 THEN 1 ELSE 0 END)
+                AS BIGINT)                                AS n_clipped_high
+    FROM r JOIN th ON r.source = th.source
+    GROUP BY r.source
+    """,
+    doc="Winsorized robust statistics per source: exact discrete "
+    "p10/p90 thresholds (rank-based — index ((cnt-1)*q) div 100 + 1 on "
+    "the (n_chars, doc_id)-ordered group, integer-only so both engines "
+    "pick the identical element) clip the tails before aggregating — "
+    "the outlier-robust moment estimation feature pipelines apply "
+    "before normalization, complementing grouped_percentiles "
+    "(interpolated, reporting) and conditional_recode_clip (fixed "
+    "bounds): here the bounds are DATA-DERIVED per group. Plan: one "
+    "exchange on source feeds both the ranking window and the clipped "
+    "re-aggregate; thresholds re-enter as a broadcast of one row per "
+    "source — the fact relation is scanned once and never re-sorted.",
+)
+def doc_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("source", "n_chars", "doc_id")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    r = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    th = r.groupBy("source").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("((cnt - 1) * 10) div 100 + 1"),
+                F.col("n_chars"),
+            )
+        ).alias("p10"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("((cnt - 1) * 90) div 100 + 1"),
+                F.col("n_chars"),
+            )
+        ).alias("p90"),
+    )
+    clipped = r.join(F.broadcast(th), "source")
+    return clipped.groupBy("source").agg(
+        F.max("cnt").cast("long").alias("n_docs"),
+        F.max("p10").cast("long").alias("p10_chars"),
+        F.max("p90").cast("long").alias("p90_chars"),
+        F.sum(F.least(F.greatest("n_chars", "p10"), "p90"))
+        .cast("long")
+        .alias("sum_winsorized"),
+        F.sum(F.when(F.col("n_chars") < F.col("p10"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("n_chars") > F.col("p90"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_high"),
+    )

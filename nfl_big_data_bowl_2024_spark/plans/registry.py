@@ -79,8 +79,11 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #      additive-column evolution scan src_schema_evolution_scan, the
 #      fixed-point chi-squared independence test
 #      stat_chi2_independence, and exact sliding-window distinct
-#      counting evt_sliding_distinct_users);
-#   3. eight of the ten queries whose only driver evidence is round 2
+#      counting evt_sliding_distinct_users), plus the fifth batch
+#      (association-lift pairs txt_token_lift_pairs, the Simpson
+#      concentration index txt_simpson_diversity, and winsorized
+#      robust stats doc_winsorized_stats);
+#   3. five of the ten queries whose only driver evidence is round 2
 #      (three rounds old) — re-confirm under unchanged code. Deferred to
 #      round 7: pipeline_corpus_clean + sim_label_cohesion + sim_knn_join +
 #      sim_topk_bruteforce +
@@ -109,6 +112,9 @@ _DRIVER_PRIORITY: list[str] = [
     "src_schema_evolution_scan",
     "stat_chi2_independence",
     "evt_sliding_distinct_users",
+    "txt_token_lift_pairs",
+    "txt_simpson_diversity",
+    "doc_winsorized_stats",
     "graph_triangle_count",
     "evt_gap_fill_locf",
     "txt_fuzzy_blocked_levenshtein",
@@ -150,15 +156,15 @@ _DRIVER_PRIORITY: list[str] = [
     "filter_project_pushdown",
     "grouped_percentiles",
     "json_props_rollup",
+    # ---------------- position 50 cutoff ----------------
+    # (the ten third/fourth/fifth-batch registrations above push the
+    # rest of the round-2-only slice and the round-3-era
+    # re-confirmations below to round 7; all are driver-green with
+    # unchanged code and stay locally verified via
+    # scripts/verify_local.py)
     "ordered_rank_lag",
     "point_lookup",
     "skew_salted_join",
-    # ---------------- position 50 cutoff ----------------
-    # (the seven third/fourth-batch registrations above push
-    # summary_stats + timestamp_parts (r2-green, trivial) and the
-    # round-3-era re-confirmations below to round 7; all are
-    # driver-green with unchanged code and stay locally verified via
-    # scripts/verify_local.py)
     "summary_stats",
     "timestamp_parts",
     # --- round-3-era re-confirmation slice

@@ -196,6 +196,14 @@ SHOWCASE = [
         "computes the exact per-window user count — no per-window "
         "re-scan, no Python.",
     ),
+    (
+        "txt_token_lift_pairs",
+        "Association lift: the basket relation is checkpointed once "
+        "(Scan ExistingRDD on both sides of the pair join — the "
+        "explode/distinct subtree never runs twice), the pair join is "
+        "keyed on doc_id, and the document-frequency relation re-enters "
+        "twice as BroadcastHashJoin build sides.",
+    ),
 ]
 
 
