@@ -259,12 +259,21 @@ def bfs_min_hops(
     relation O(reachable set) — at 100 TB the visited set is the only
     state that grows, and it only ever receives NEW nodes.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Materialize the edge relation once: every round's frontier join and
+    # the anti-join probe reread it, and without this the caller's edge
+    # subtree (often a join+distinct) replans per round.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     visited = seeds.select(
         F.col("node").cast("long").alias("node"), F.lit(0).cast("int").alias("hops")
     ).localCheckpoint(eager=True)
     frontier = visited.select("node")
     for k in range(1, max_hops + 1):
+        # Only the new layer is checkpointed (one job per round): the
+        # visited relation stays a <= max_hops-deep union of already-
+        # checkpointed layers — shallow enough to leave as lineage, so
+        # each round costs one materialization instead of two.
         nxt = (
             frontier.withColumnRenamed("node", "src")
             .join(e, "src")
@@ -275,8 +284,7 @@ def bfs_min_hops(
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(
-            nxt.withColumn("hops", F.lit(k).cast("int"))
-        ).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt.withColumn("hops", F.lit(k).cast("int")))
         frontier = nxt
+    e.unpersist()
     return visited
