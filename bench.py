@@ -36,14 +36,11 @@ HEADLINE = [
     "doc_pack_context_windows",
     "grouped_percentiles",
     "cube_order_profile",
-    "txt_repetition_filter",
     "txt_contamination_check",
     "dedup_cluster_representative",
     "emb_kmeans_lloyd",
     "sim_knn_join",
     "txt_unigram_surprisal",
-    "txt_span_dedup",
-    "dq_expectations_check",
     "ml_quality_classifier_train",
     "emb_pca_power_iteration",
     # round-4 additions: the previously-unbenchmarked paths (the
@@ -51,9 +48,7 @@ HEADLINE = [
     # e2_yap_scale already measure the kernel; bench stays perf-focused)
     "mm_decode_features",
     "mm_video_frame_decode",
-    "mm_resize_features",
     "txt_bpe_train",
-    "txt_bpe_encode",
     "stream_session_stats",
     "stream_window_stats",
     "doc_select_token_budget",
@@ -139,6 +134,17 @@ HEADLINE = [
     "txt_token_lift_pairs",
     "txt_simpson_diversity",
     "doc_winsorized_stats",
+    # round-6 sixth batch: fixed-round k-core peeling, naive-Bayes
+    # training, the referential-integrity audit, autocovariance
+    # sufficient stats. Rotation (line-budget rule): txt_span_dedup
+    # 0.34s, mm_resize_features 0.15s, txt_bpe_encode 0.27s,
+    # dq_expectations_check 0.70s, txt_repetition_filter 0.40s —
+    # flat across r3-r6 — moved to
+    # BENCH_SAMPLES-only.
+    "graph_kcore_peel",
+    "ml_naive_bayes_train",
+    "dq_referential_integrity",
+    "evt_autocovariance_lags",
 ]
 
 # Queries that showed multi-second shared-box spikes in past driver runs
@@ -157,6 +163,7 @@ NOISY = {
     "dedup_cluster_representative",
     "graph_pagerank_trading",
     "graph_khop_reachability",
+    "graph_kcore_peel",
 }
 
 

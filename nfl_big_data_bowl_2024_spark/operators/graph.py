@@ -288,3 +288,40 @@ def bfs_min_hops(
         frontier = nxt
     e.unpersist()
     return visited
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = 2, rounds: int = 3, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Fixed-round k-core peeling: (node, deg) for nodes surviving
+    ``rounds`` synchronous rounds of "drop every node with degree < k"
+    over the undirected graph (callers pass a symmetrized edge relation;
+    degree = out-degree of the symmetrized form).
+
+    True k-core decomposition peels to a fixpoint; the ROUND COUNT here is
+    part of the defined semantics (like pagerank_integer's iteration
+    count) so the result is bit-replayable by an unrolled SQL oracle —
+    each round is a monotone filter, so r rounds give the exact k-core
+    whenever the peeling converges within r (and a superset otherwise,
+    with survivors' degrees reported from the last surviving edge set).
+
+    Per round: one grouped degree count + one semi-join of the edge
+    relation against surviving nodes on EACH endpoint — all keyed
+    shuffles, edge set only ever shrinks, lineage truncated per round.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        e = (
+            e.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )

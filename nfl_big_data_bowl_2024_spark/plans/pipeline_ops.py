@@ -5613,3 +5613,277 @@ def doc_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_clipped_high"),
     )
+
+
+def _kcore_round_sql(e_in: str, e_out: str, k: int) -> str:
+    """One unrolled peel round (see operators/graph.py:kcore_peel)."""
+    return f"""d_{e_out} AS (
+        SELECT src, count(*) AS n FROM {e_in} GROUP BY src
+    ),
+    k_{e_out} AS (SELECT src FROM d_{e_out} WHERE n >= {k}),
+    {e_out} AS (
+        SELECT {e_in}.src, {e_in}.dst FROM {e_in}
+        JOIN k_{e_out} a ON {e_in}.src = a.src
+        JOIN k_{e_out} b ON {e_in}.dst = b.src
+    )"""
+
+
+@register(
+    "graph_kcore_peel",
+    f"""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    e0 AS (
+        SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+        UNION ALL
+        SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+    ),
+    {_kcore_round_sql("e0", "e1", 20)},
+    {_kcore_round_sql("e1", "e2", 20)},
+    {_kcore_round_sql("e2", "e3", 20)}
+    SELECT CAST(src % 2 AS INTEGER)  AS is_supplier,
+           CAST(src // 2 AS BIGINT)  AS entity_id,
+           CAST(count(*) AS BIGINT)  AS deg
+    FROM e3 GROUP BY src
+    """,
+    doc="Fixed-round k-core peeling (k=20, 3 synchronous rounds) over the "
+    "trading graph — the monotone-peeling iterative shape next to CC "
+    "(label fixpoint), PageRank (numeric fixpoint) and BFS (frontier "
+    "fixpoint): each round drops every node of degree < k and the edges "
+    "touching it, isolating the densely-interconnected trading core "
+    "(the engagement/fraud-analysis primitive). The round count is part "
+    "of the DEFINED semantics (like pagerank_integer's iteration "
+    "count), so the unrolled SQL oracle replays every peel bit-exactly; "
+    "peeling is monotone, so r rounds equal the true k-core whenever it "
+    "converges within r. Per round: one grouped degree count + one "
+    "semi-join per endpoint — keyed shuffles over an edge set that only "
+    "shrinks (operators/graph.py:kcore_peel).",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore_peel
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+    ).unionAll(
+        pairs.select(
+            (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
+        )
+    )
+    core = kcore_peel(edges, k=20, rounds=3)
+    return core.select(
+        (F.col("node") % 2).cast("int").alias("is_supplier"),
+        F.expr("node div 2").cast("long").alias("entity_id"),
+        F.col("deg").cast("long").alias("deg"),
+    )
+
+
+@register(
+    "ml_naive_bayes_train",
+    """
+    WITH t AS (
+        SELECT source AS label, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    c AS (
+        SELECT label, tok, count(*) AS n_lt FROM t
+        WHERE tok <> '' GROUP BY label, tok
+    ),
+    lt AS (SELECT label, sum(n_lt) AS n_l FROM c GROUP BY label),
+    v AS (SELECT count(DISTINCT tok) AS v FROM c),
+    ld AS (SELECT source AS label, count(*) AS n_docs_l FROM documents
+           GROUP BY source),
+    nd AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT c.label, c.tok,
+           CAST(c.n_lt AS BIGINT)                             AS n_lt,
+           CAST((c.n_lt + 1) * 1000000 // (lt.n_l + v.v)
+                AS BIGINT)                                    AS cond_micro,
+           CAST(ld.n_docs_l * 1000 // nd.n_docs AS BIGINT)    AS prior_milli
+    FROM c
+    JOIN lt ON lt.label = c.label
+    JOIN ld ON ld.label = c.label
+    CROSS JOIN v CROSS JOIN nd
+    """,
+    doc="Multinomial naive-Bayes training in exact fixed point: "
+    "class-conditional token probabilities with add-one smoothing "
+    "((n_lt+1)*1e6 div (n_l+V)) and class priors in milli-units — "
+    "count-based ML training is pure relational algebra, so unlike the "
+    "GD-trained classifier (ml_quality_classifier_train, replayed "
+    "round-by-round) the WHOLE training run is one hash-checked "
+    "aggregate pass. Plan: one (label, tok) aggregate absorbs the "
+    "token stream map-side; class totals and the vocabulary size "
+    "derive from the count relation (no second corpus scan) and "
+    "re-enter broadcast. Scoring is a broadcast-model join of these "
+    "micro-unit log-free weights (the txt_bigram_lm_surprisal pattern).",
+)
+def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        F.col("source").alias("label"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    c = t.groupBy("label", "tok").agg(F.count(F.lit(1)).alias("n_lt"))
+    c = c.localCheckpoint(eager=True)  # bounded: |labels| x |vocab|
+    lt = c.groupBy("label").agg(F.sum("n_lt").alias("n_l"))
+    v = c.agg(F.countDistinct("tok").alias("v"))
+    ld = d.groupBy(F.col("source").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs_l")
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        c.join(F.broadcast(lt), "label")
+        .join(F.broadcast(ld), "label")
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "label",
+            "tok",
+            F.col("n_lt").cast("long").alias("n_lt"),
+            F.expr("(n_lt + 1) * 1000000 div (n_l + v)")
+            .cast("long")
+            .alias("cond_micro"),
+            F.expr("n_docs_l * 1000 div n_docs")
+            .cast("long")
+            .alias("prior_milli"),
+        )
+    )
+
+
+@register(
+    "dq_referential_integrity",
+    """
+    SELECT 'lineitem->orders' AS fk_edge,
+           (SELECT count(*) FROM lineitem)                     AS n_child,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey)) AS n_childless
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey))
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey)),
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_suppkey = s.s_suppkey))
+    """,
+    doc="Referential-integrity audit across three FK edges of the star "
+    "schema: orphaned children (FK with no parent — anti-join child vs "
+    "parent) and childless parents (reverse anti-join; customers with "
+    "no orders are the nonzero case in this corpus) — the DQ gate that "
+    "runs before any OLAP backfill, completing the data-quality family "
+    "(column profile, expectations, footer stats, observe, try_*). "
+    "Plan: each direction is one LeftAnti broadcast/shuffle join "
+    "feeding a count; parents broadcast (dimension-sized), the child "
+    "side is scanned with only the key column (pruned scan). At 100 TB "
+    "each audit is one pass over the fact's key column.",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+
+    def audit(name, child, ckey, parent, pkey):
+        n_child = child.count()
+        n_orphans = child.join(
+            parent, child[ckey] == parent[pkey], "left_anti"
+        ).count()
+        n_childless = parent.join(
+            child, parent[pkey] == child[ckey], "left_anti"
+        ).count()
+        return (name, n_child, n_orphans, n_childless)
+
+    rows = [
+        audit("lineitem->orders", li.select("l_orderkey"), "l_orderkey",
+              o.select("o_orderkey"), "o_orderkey"),
+        audit("orders->customer", o.select("o_custkey"), "o_custkey",
+              cu.select("c_custkey"), "c_custkey"),
+        audit("lineitem->supplier", li.select("l_suppkey"), "l_suppkey",
+              su.select("s_suppkey"), "s_suppkey"),
+    ]
+    return _t(spark, sf_dir, "region").sparkSession.createDataFrame(
+        rows, "fk_edge: string, n_child: long, n_orphans: long, n_childless: long"
+    )
+
+
+@register(
+    "evt_autocovariance_lags",
+    """
+    WITH h AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+               CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+    ),
+    lags AS (SELECT unnest(generate_series(1, 3)) AS lag)
+    SELECT a.event_type,
+           CAST(l.lag AS INTEGER)        AS lag,
+           CAST(count(*) AS BIGINT)      AS n_pairs,
+           CAST(sum(a.cents) AS BIGINT)  AS sum_x,
+           CAST(sum(b.cents) AS BIGINT)  AS sum_y,
+           CAST(sum(a.cents * b.cents) AS BIGINT) AS sum_xy
+    FROM h a
+    CROSS JOIN lags l
+    JOIN h b ON b.event_type = a.event_type AND b.h = a.h + l.lag
+    GROUP BY a.event_type, l.lag
+    """,
+    doc="Autocovariance sufficient statistics at lags 1-3 of the hourly "
+    "cent-valued signal per event type: exact integer (n, sum_x, sum_y, "
+    "sum_xy) over observed-hour pairs (h, h+lag) — the closed-form-OLS "
+    "pattern (ml_linreg_closed_form) applied to serial dependence; the "
+    "caller derives autocorrelation as (n*sxy - sx*sy) / ... in one "
+    "driver-side step, keeping the distributed pass float-free. Pairs "
+    "come from an equi-join of the hourly rollup with itself on "
+    "(type, h+lag) — keyed, never a range scan — and the rollup is "
+    "computed once, map-side partials absorbing the event stream. "
+    "Gaps are handled by construction: only observed pairs join.",
+)
+def evt_autocovariance_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("c"),
+    )
+    h = (
+        ev.groupBy("event_type", "h")
+        .agg(F.sum("c").cast("long").alias("cents"))
+        .localCheckpoint(eager=True)  # reused by both join sides
+    )
+    lags = h.sparkSession.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    a = h.select("event_type", "h", F.col("cents").alias("x"))
+    b = h.select(
+        "event_type", F.col("h").alias("hb"), F.col("cents").alias("y")
+    )
+    return (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("hb", F.col("h") + F.col("lag"))
+        .join(b, ["event_type", "hb"])
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("x").cast("long").alias("sum_x"),
+            F.sum("y").cast("long").alias("sum_y"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        )
+    )

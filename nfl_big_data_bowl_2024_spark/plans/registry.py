@@ -82,9 +82,13 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #      counting evt_sliding_distinct_users), plus the fifth batch
 #      (association-lift pairs txt_token_lift_pairs, the Simpson
 #      concentration index txt_simpson_diversity, and winsorized
-#      robust stats doc_winsorized_stats);
-#   3. five of the ten queries whose only driver evidence is round 2
-#      (three rounds old) — re-confirm under unchanged code. Deferred to
+#      robust stats doc_winsorized_stats), and the sixth batch
+#      (fixed-round k-core peeling graph_kcore_peel, exact naive-Bayes
+#      training ml_naive_bayes_train, the referential-integrity audit
+#      dq_referential_integrity, and autocovariance sufficient
+#      statistics evt_autocovariance_lags);
+#   3. one round-2-only re-confirmation (argmax_per_group); the rest
+#      of that slice defers to round 7. Deferred to
 #      round 7: pipeline_corpus_clean + sim_label_cohesion + sim_knn_join +
 #      sim_topk_bruteforce +
 #      single_play_trajectory +
@@ -115,6 +119,10 @@ _DRIVER_PRIORITY: list[str] = [
     "txt_token_lift_pairs",
     "txt_simpson_diversity",
     "doc_winsorized_stats",
+    "graph_kcore_peel",
+    "ml_naive_bayes_train",
+    "dq_referential_integrity",
+    "evt_autocovariance_lags",
     "graph_triangle_count",
     "evt_gap_fill_locf",
     "txt_fuzzy_blocked_levenshtein",
@@ -152,16 +160,15 @@ _DRIVER_PRIORITY: list[str] = [
     "mm_byte_features",
     # --- round-2-only evidence (three rounds old)
     "argmax_per_group",
+    # ---------------- position 50 cutoff ----------------
+    # (the fourteen batch-3/4/5/6 registrations above push the rest of
+    # the round-2-only slice and the round-3-era re-confirmations
+    # below to round 7; all are driver-green with unchanged code and
+    # stay locally verified via scripts/verify_local.py)
     "distinct_keys",
     "filter_project_pushdown",
     "grouped_percentiles",
     "json_props_rollup",
-    # ---------------- position 50 cutoff ----------------
-    # (the ten third/fourth/fifth-batch registrations above push the
-    # rest of the round-2-only slice and the round-3-era
-    # re-confirmations below to round 7; all are driver-green with
-    # unchanged code and stay locally verified via
-    # scripts/verify_local.py)
     "ordered_rank_lag",
     "point_lookup",
     "skew_salted_join",

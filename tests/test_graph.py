@@ -227,3 +227,36 @@ def test_bfs_matches_python_bfs_on_random_graph(spark):
             dist[v] = k
         frontier = list(nxt)
     assert _hops(spark, edges, seeds, max_hops=3) == dist
+
+
+def _core(spark, edge_list, k, rounds=3):
+    from nfl_big_data_bowl_2024_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(edge_list, "src: long, dst: long")
+    sym = edges.union(edges.selectExpr("dst as src", "src as dst"))
+    return {r["node"]: r["deg"] for r in kcore_peel(sym, k=k, rounds=rounds).collect()}
+
+
+def test_kcore_triangle_with_pendant(spark):
+    # Triangle 1-2-3 plus pendant 3-4: the 2-core is the triangle; node 4
+    # (degree 1) peels in round 1 and node 3's degree drops to 2.
+    got = _core(spark, [(1, 2), (2, 3), (1, 3), (3, 4)], k=2)
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_chain_fully_peels(spark):
+    # A chain has no 2-core: endpoints peel first, then the chain unravels
+    # inward one round per layer — 3 rounds clear a 6-node chain.
+    got = _core(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], k=2)
+    assert got == {}
+
+
+def test_kcore_fixed_rounds_is_superset_of_fixpoint(spark):
+    # A 10-node chain needs 5 peel rounds to empty; at rounds=3 the defined
+    # semantics keep the inner 4 nodes (a SUPERSET of the true empty
+    # 2-core), each reporting degree from the surviving edge set.
+    edges = [(i, i + 1) for i in range(1, 10)]
+    got = _core(spark, edges, k=2, rounds=3)
+    assert set(got) == {4, 5, 6, 7}
+    got5 = _core(spark, edges, k=2, rounds=5)
+    assert got5 == {}
