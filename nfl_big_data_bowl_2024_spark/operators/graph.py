@@ -314,7 +314,15 @@ def kcore_peel(
     )
     for _ in range(rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("src")
+        keep = deg.filter(F.col("deg") >= k).select("src").localCheckpoint(eager=True)
+        # Monotone fixpoint early-stop: if no node fell below k this round,
+        # none ever will (degrees only drop when a neighbor peels), so the
+        # remaining rounds are no-ops and the unrolled-SQL oracle still
+        # matches exactly. Two bounded scalar counts per round — this is
+        # what keeps the dense-graph case (nothing peels) from rewriting
+        # the full edge set every round.
+        if keep.count() == deg.count():
+            break
         e = (
             e.join(keep, "src")
             .join(keep.withColumnRenamed("src", "dst"), "dst")

@@ -1034,3 +1034,73 @@ def stream_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.groupBy(
         F.col("key.gameId").alias("gameId"), F.col("key.playId").alias("playId")
     ).agg(F.count(F.lit(1)).alias("n_state_keys"))
+
+
+_STREAM_SLIDE_ORACLE = f"""
+WITH fxsl AS (SELECT * FROM {fixtures.tracking_values_cte().replace('fx(', 'fxsl(')}),
+ev AS (
+    SELECT gameId, playId, s, a,
+           (CAST(1700000000 AS BIGINT) + playId * 100) * 1000000
+           + CAST(round(t * 10) AS BIGINT) * 100000 AS ts_us
+    FROM fxsl
+),
+w AS (
+    SELECT gameId, playId, s, a,
+           unnest([ts_us // 1000000 - 1, ts_us // 1000000]) AS ws
+    FROM ev
+),
+win AS (
+    SELECT gameId, playId,
+           ws * 1000000 AS win_start_us,
+           count(*) AS n_frames,
+           max(s) AS max_speed,
+           max(a) AS max_accel
+    FROM w GROUP BY gameId, playId, ws
+)
+SELECT * FROM win
+WHERE win_start_us + 2000000 <= (SELECT max(ts_us) FROM ev) - 10000000
+"""
+
+
+@register(
+    "stream_sliding_window_stats",
+    _STREAM_SLIDE_ORACLE,
+    doc="Structured Streaming SLIDING-window aggregation (2 s windows, 1 s "
+    "slide) — the remaining §2.9 window type next to tumbling, session, "
+    "stream-static, stream-stream and stateful: each frame is replicated "
+    "into its two covering epoch-aligned windows by the JVM Expand, the "
+    "watermark bounds state, and append mode emits a window once the "
+    "final watermark passes its END (window start + 2 s <= max event "
+    "time - 10 s — the oracle replays both the replication via unnest "
+    "and the emission cutoff, so the withheld tail windows match too). "
+    "Batch twin: evt_sliding_distinct_users.",
+)
+def stream_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .. import streaming as st
+
+    d = tempfile.mkdtemp(prefix="stream_sl_")
+    try:
+        micros = (
+            (F.lit(1_700_000_000).cast("long") + F.col("playId") * 100) * 1_000_000
+            + F.round(F.col("t") * 10).cast("long") * 100_000
+        )
+        tr = fixtures.tracking_df(spark).withColumn(
+            "event_time", F.timestamp_micros(micros)
+        )
+        tr.coalesce(2).write.mode("overwrite").parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream = st.read_tracking_stream(spark, d, schema, max_files_per_trigger=1)
+        q = st.run_to_memory_sink(
+            st.sliding_play_stats(stream), "stream_sliding_window_stats_q", "append"
+        )
+        q.awaitTermination(300)
+        return spark.table("stream_sliding_window_stats_q").select(
+            "gameId", "playId",
+            F.unix_micros("win_start").alias("win_start_us"),
+            "n_frames", "max_speed", "max_accel",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

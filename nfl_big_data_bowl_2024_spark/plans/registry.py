@@ -123,6 +123,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ml_naive_bayes_train",
     "dq_referential_integrity",
     "evt_autocovariance_lags",
+    "stream_sliding_window_stats",
     "graph_triangle_count",
     "evt_gap_fill_locf",
     "txt_fuzzy_blocked_levenshtein",

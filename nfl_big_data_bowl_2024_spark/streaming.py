@@ -58,6 +58,36 @@ def windowed_play_stats(
     )
 
 
+def sliding_play_stats(
+    stream: DataFrame,
+    time_col: str = "event_time",
+    watermark: str = "10 seconds",
+    window_len: str = "2 seconds",
+    slide: str = "1 second",
+) -> DataFrame:
+    """Per-(play, window) stats over SLIDING event-time windows (len 2 s,
+    slide 1 s): each frame lands in window_len/slide covering windows —
+    the JVM Expand replicates it, the watermark still bounds state, and
+    append mode emits a window once the watermark passes its end. The
+    streaming half of the batch sliding-window queries
+    (evt_sliding_distinct_users); epoch-aligned starts keep the window
+    grid integer-exact for the oracle."""
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window_len, slide).alias("win"), "gameId", "playId")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("s").alias("max_speed"),
+            F.max("a").alias("max_accel"),
+        )
+        .select(
+            "gameId", "playId",
+            F.col("win.start").alias("win_start"),
+            "n_frames", "max_speed", "max_accel",
+        )
+    )
+
+
 def sessionized_play_stats(
     stream: DataFrame,
     time_col: str = "event_time",
