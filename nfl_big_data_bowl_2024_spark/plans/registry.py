@@ -85,10 +85,10 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 #      robust stats doc_winsorized_stats), and the sixth batch
 #      (fixed-round k-core peeling graph_kcore_peel, exact naive-Bayes
 #      training ml_naive_bayes_train, the referential-integrity audit
-#      dq_referential_integrity, and autocovariance sufficient
-#      statistics evt_autocovariance_lags);
-#   3. one round-2-only re-confirmation (argmax_per_group); the rest
-#      of that slice defers to round 7. Deferred to
+#      dq_referential_integrity, autocovariance sufficient
+#      statistics evt_autocovariance_lags, and the streaming sliding
+#      window stream_sliding_window_stats) — these fill the window
+#      exactly; the round-2-only slice defers to round 7. Deferred to
 #      round 7: pipeline_corpus_clean + sim_label_cohesion + sim_knn_join +
 #      sim_topk_bruteforce +
 #      single_play_trajectory +
@@ -159,13 +159,13 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_interval_join_stats",
     "stream_stateful_running_max",
     "mm_byte_features",
+    # ---------------- position 50 cutoff ----------------
+    # (the fifteen batch-3/4/5/6 registrations above fill the window
+    # exactly; the round-2-only slice and the round-3-era
+    # re-confirmations below defer to round 7 — all driver-green with
+    # unchanged code and locally verified via scripts/verify_local.py)
     # --- round-2-only evidence (three rounds old)
     "argmax_per_group",
-    # ---------------- position 50 cutoff ----------------
-    # (the fourteen batch-3/4/5/6 registrations above push the rest of
-    # the round-2-only slice and the round-3-era re-confirmations
-    # below to round 7; all are driver-green with unchanged code and
-    # stay locally verified via scripts/verify_local.py)
     "distinct_keys",
     "filter_project_pushdown",
     "grouped_percentiles",

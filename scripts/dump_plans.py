@@ -204,6 +204,15 @@ SHOWCASE = [
         "keyed on doc_id, and the document-frequency relation re-enters "
         "twice as BroadcastHashJoin build sides.",
     ),
+    (
+        "graph_kcore_peel",
+        "Final round of the peel (earlier rounds ran as their own jobs "
+        "behind eager checkpoints): the surviving edge relation is a "
+        "Scan ExistingRDD feeding one grouped degree count — each "
+        "round's semi-joins are keyed on an edge set that only shrinks, "
+        "and the monotone-fixpoint early stop skips rounds that would "
+        "rewrite an unchanged edge set.",
+    ),
 ]
 
 
