@@ -36,7 +36,6 @@ HEADLINE = [
     "doc_pack_context_windows",
     "grouped_percentiles",
     "cube_order_profile",
-    "txt_contamination_check",
     "dedup_cluster_representative",
     "emb_kmeans_lloyd",
     "sim_knn_join",
@@ -145,6 +144,10 @@ HEADLINE = [
     "ml_naive_bayes_train",
     "dq_referential_integrity",
     "evt_autocovariance_lags",
+    # round-6 seventh batch: Mann-Whitney rank-sum via the ascending
+    # banded prefix sum. Rotation: txt_contamination_check 0.30s (flat
+    # r3-r6) to BENCH_SAMPLES-only.
+    "stat_mann_whitney_u",
 ]
 
 # Queries that showed multi-second shared-box spikes in past driver runs

@@ -34,14 +34,23 @@ def banded_running_sum(
     order_cols: Sequence[Column],
     value_col: str,
     out_col: str = "cum",
+    descending: bool = True,
 ) -> DataFrame:
-    """Append ``out_col`` = running sum of ``value_col`` in (band DESC,
-    *order_cols) global order. Bands sort DESCENDING (earlier = larger
-    band value), matching the best-first selection queries."""
+    """Append ``out_col`` = running sum of ``value_col`` in (band,
+    *order_cols) global order. With ``descending=True`` (default) bands
+    sort DESCENDING — earlier = larger band value, matching the
+    best-first selection queries; ``descending=False`` gives the
+    ascending order rank/CDF computations need (``order_cols`` must then
+    sort ascending within bands to match)."""
     bands = df.groupBy(band_col).agg(F.sum(value_col).alias("_band_total"))
     b1, b2 = bands.alias("b1"), bands.alias("b2")
+    earlier = (
+        F.col(f"b2.{band_col}") > F.col(f"b1.{band_col}")
+        if descending
+        else F.col(f"b2.{band_col}") < F.col(f"b1.{band_col}")
+    )
     offsets = (
-        b1.join(b2, F.col(f"b2.{band_col}") > F.col(f"b1.{band_col}"), "left")
+        b1.join(b2, earlier, "left")
         .groupBy(F.col(f"b1.{band_col}").alias(band_col))
         .agg(
             F.coalesce(F.sum(F.col("b2._band_total")), F.lit(0))

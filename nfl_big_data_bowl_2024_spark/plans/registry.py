@@ -163,7 +163,10 @@ _DRIVER_PRIORITY: list[str] = [
     # (the fifteen batch-3/4/5/6 registrations above fill the window
     # exactly; the round-2-only slice and the round-3-era
     # re-confirmations below defer to round 7 — all driver-green with
-    # unchanged code and locally verified via scripts/verify_local.py)
+    # unchanged code and locally verified via scripts/verify_local.py.
+    # stat_mann_whitney_u, registered after the window filled, leads
+    # round 7's slice — locally verified green.)
+    "stat_mann_whitney_u",
     # --- round-2-only evidence (three rounds old)
     "argmax_per_group",
     "distinct_keys",

@@ -64,3 +64,31 @@ def test_mode_resolves_from_session_conf(spark):
     finally:
         spark.conf.unset(CHECKPOINT_MODE_CONF)
         shutil.rmtree(ckdir, ignore_errors=True)
+
+
+def test_banded_running_sum_ascending_matches_global_window(spark):
+    """descending=False gives the ascending global running sum a rank/CDF
+    computation needs — compare against a single-partition recompute."""
+    from pyspark.sql import functions as F
+
+    from nfl_big_data_bowl_2024_spark.operators.prefix import banded_running_sum
+
+    df = (
+        spark.range(0, 1000, 1, 8)
+        .select((F.col("id") * 37 % 500).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("band", F.expr("v div 64"))
+    )
+    got = {
+        r["v"]: r["cum"]
+        for r in banded_running_sum(
+            df, "band", [F.col("v")], "n", descending=False
+        ).collect()
+    }
+    rows = sorted((r["v"], r["n"]) for r in df.collect())
+    cum, expect = 0, {}
+    for v, n in rows:
+        cum += n
+        expect[v] = cum
+    assert got == expect
