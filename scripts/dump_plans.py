@@ -213,6 +213,14 @@ SHOWCASE = [
         "and the monotone-fixpoint early stop skips rounds that would "
         "rewrite an unchanged edge set.",
     ),
+    (
+        "stat_mann_whitney_u",
+        "Rank-sum without a global sort: the cumulative count rides the "
+        "banded prefix-sum shape (band-partitioned window + triangular "
+        "band offsets — no SinglePartition exchange anywhere), and the "
+        "value-level doubled-midrank relation re-enters as a "
+        "BroadcastHashJoin build side onto the fact scan.",
+    ),
 ]
 
 
