@@ -39,7 +39,6 @@ HEADLINE = [
     "dedup_cluster_representative",
     "emb_kmeans_lloyd",
     "sim_knn_join",
-    "txt_unigram_surprisal",
     "ml_quality_classifier_train",
     "emb_pca_power_iteration",
     # round-4 additions: the previously-unbenchmarked paths (the
@@ -148,6 +147,9 @@ HEADLINE = [
     # banded prefix sum. Rotation: txt_contamination_check 0.30s (flat
     # r3-r6) to BENCH_SAMPLES-only.
     "stat_mann_whitney_u",
+    # round-6 eighth batch: exact per-nation Gini. Rotation:
+    # txt_unigram_surprisal 0.18s (flat r3-r6) to BENCH_SAMPLES-only.
+    "agg_gini_per_nation",
 ]
 
 # Queries that showed multi-second shared-box spikes in past driver runs

@@ -5954,3 +5954,77 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("u2_vs_rest"),
     )
+
+
+@register(
+    "agg_gini_per_nation",
+    """
+    WITH v AS (
+        SELECT n.n_name AS nation,
+               CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+               o.o_orderkey
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    r AS (
+        SELECT nation, cents,
+               row_number() OVER (PARTITION BY nation
+                                  ORDER BY cents, o_orderkey) AS i
+        FROM v
+    ),
+    s AS (
+        SELECT nation, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS sum_x,
+               CAST(sum(i * cents) AS BIGINT) AS sum_ix
+        FROM r GROUP BY nation
+    )
+    SELECT nation,
+           CAST(n AS BIGINT) AS n_orders,
+           sum_x             AS total_cents,
+           CAST((2 * sum_ix - (n + 1) * sum_x) * 1000000
+                // (n * sum_x) AS BIGINT) AS gini_micro
+    FROM s
+    """,
+    doc="Exact Gini concentration index of order value per customer "
+    "nation, via the rank formulation G = (2*sum(i*x_i) - (n+1)*sum x) "
+    "/ (n*sum x) over the ascending-sorted group — the inequality/"
+    "concentration statistic (revenue concentration, whale detection) "
+    "in pure integer arithmetic: cent-quantized values, a deterministic "
+    "(cents, orderkey) tie-break, and micro-unit floor division, so "
+    "both engines agree bit-for-bit. Plan: one exchange on nation feeds "
+    "a partition-local ranking window and the grouped fold — no global "
+    "sort, no single-partition exchange (ranks are PER GROUP; for a "
+    "corpus-wide Gini the banded prefix-sum operator supplies the "
+    "global rank, as in stat_mann_whitney_u). Intermediates bound by "
+    "n*max_cents*n — inside int64 through ~10^5 orders/nation at these "
+    "prices; the documented scale move past that is milli-unit values.",
+)
+def agg_gini_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    v = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "cents", "o_orderkey")
+    )
+    w = Window.partitionBy("nation").orderBy("cents", "o_orderkey")
+    r = v.withColumn("i", F.row_number().over(w))
+    s = r.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("sum_x"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("sum_ix"),
+    )
+    return s.select(
+        "nation",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("sum_x").alias("total_cents"),
+        F.expr("(2 * sum_ix - (n + 1) * sum_x) * 1000000 div (n * sum_x)")
+        .cast("long")
+        .alias("gini_micro"),
+    )

@@ -164,9 +164,10 @@ _DRIVER_PRIORITY: list[str] = [
     # exactly; the round-2-only slice and the round-3-era
     # re-confirmations below defer to round 7 — all driver-green with
     # unchanged code and locally verified via scripts/verify_local.py.
-    # stat_mann_whitney_u, registered after the window filled, leads
-    # round 7's slice — locally verified green.)
+    # stat_mann_whitney_u and agg_gini_per_nation, registered after
+    # the window filled, lead round 7's slice — locally verified green.)
     "stat_mann_whitney_u",
+    "agg_gini_per_nation",
     # --- round-2-only evidence (three rounds old)
     "argmax_per_group",
     "distinct_keys",
