@@ -5982,8 +5982,8 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT nation,
            CAST(n AS BIGINT) AS n_orders,
            sum_x             AS total_cents,
-           CAST((2 * sum_ix - (n + 1) * sum_x) * 1000000
-                // (n * sum_x) AS BIGINT) AS gini_micro
+           CAST(((2 * sum_ix - (n + 1) * sum_x) // n) * 1000000
+                // sum_x AS BIGINT) AS gini_micro
     FROM s
     """,
     doc="Exact Gini concentration index of order value per customer "
@@ -5992,7 +5992,10 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     "concentration statistic (revenue concentration, whale detection) "
     "in pure integer arithmetic: cent-quantized values, a deterministic "
     "(cents, orderkey) tie-break, and micro-unit floor division, so "
-    "both engines agree bit-for-bit. Plan: one exchange on nation feeds "
+    "both engines agree bit-for-bit (the per-n floor division happens "
+    "BEFORE the micro scaling so the numerator never exceeds int64 — "
+    "relative floor error <= 1/(A/n) ~ 1e-10, part of the defined "
+    "semantics). Plan: one exchange on nation feeds "
     "a partition-local ranking window and the grouped fold — no global "
     "sort, no single-partition exchange (ranks are PER GROUP; for a "
     "corpus-wide Gini the banded prefix-sum operator supplies the "
@@ -6024,7 +6027,7 @@ def agg_gini_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation",
         F.col("n").cast("long").alias("n_orders"),
         F.col("sum_x").alias("total_cents"),
-        F.expr("(2 * sum_ix - (n + 1) * sum_x) * 1000000 div (n * sum_x)")
+        F.expr("((2 * sum_ix - (n + 1) * sum_x) div n) * 1000000 div sum_x")
         .cast("long")
         .alias("gini_micro"),
     )
