@@ -288,6 +288,17 @@ def lsh_bucketed_pairs(
     recall at the NEAR-DUP end (cosine >= 0.95) stays >= 0.99 across the
     auto range, while mid-similarity recall (0.7) degrades with r — at
     scale, threshold-0.7 search is ivf_topk's job, and dedup is this one's.
+
+    Auto sizing needs n, but a dedicated ``df.count()`` is a full extra
+    source scan BEFORE any real work (measured +22% on the sf0.1 headline).
+    Instead, auto mode computes signatures at the MAX auto width (16 bits)
+    in the one UDF pass that runs anyway, takes n from the eager
+    checkpoint's materialized row count (a near-free job over cached
+    blocks, n_rows/bands), and then MASKS each band signature down to the
+    chosen r low bits JVM-side — bit j is sign(<emb, plane_{b*16+j}>), so
+    the low-r mask IS an r-bit banding (over the fixed plane family
+    indexed at stride 16). One source scan total, and the corpus-sizing
+    job costs blocks-already-in-memory instead of a second pass.
     """
     import math
 
@@ -295,20 +306,17 @@ def lsh_bucketed_pairs(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    n_vectors = df.count()  # one cheap aggregate scan, reused below
-    if bits_per_band == "auto":
-        bits_per_band = min(
-            16, max(8, math.ceil(math.log2(max(n_vectors, 16) / 16)))
-        )
+    auto = bits_per_band == "auto"
+    sig_bits = 16 if auto else int(bits_per_band)
 
-    # All bands*bits_per_band plane projections happen in ONE BLAS matmul per
+    # All bands*sig_bits plane projections happen in ONE BLAS matmul per
     # Arrow batch: (batch x dim) @ (dim x n_planes) -> sign bits -> packed
     # band signatures. The JVM-expression alternative (aggregate/zip_with per
     # plane) is interpreted per array element — ~dim * n_planes lambda
     # evaluations per row — and measured ~50x slower; this is the documented
     # "vectorized Pandas UDF over mapInPandas when built-ins genuinely can't
     # express it efficiently" case.
-    n_planes = bands * bits_per_band
+    n_planes = bands * sig_bits
     planes = np.array(
         [_deterministic_plane(j, dim) for j in range(n_planes)], dtype=np.float64
     ).T  # (dim, n_planes)
@@ -319,8 +327,8 @@ def lsh_bucketed_pairs(
         bits = (m @ planes) > 0  # (n, n_planes)
         sigs = np.zeros((m.shape[0], bands), dtype=np.int32)
         for b in range(bands):
-            for r in range(bits_per_band):
-                sigs[:, b] |= bits[:, b * bits_per_band + r].astype(np.int32) << r
+            for r in range(sig_bits):
+                sigs[:, b] |= bits[:, b * sig_bits + r].astype(np.int32) << r
         return pd.Series(list(sigs))
 
     sc = df.sparkSession.sparkContext
@@ -341,6 +349,18 @@ def lsh_bucketed_pairs(
     banded = v.select(
         id_col, F.posexplode(band_sigs("emb")).alias("band_id", "band_sig")
     ).localCheckpoint(eager=True)
+    # Corpus size from the checkpoint's materialized blocks (posexplode
+    # emits exactly `bands` rows per vector) — no second source scan.
+    n_vectors = banded.count() // bands
+    if auto:
+        bits_per_band = min(
+            16, max(8, math.ceil(math.log2(max(n_vectors, 16) / 16)))
+        )
+        if bits_per_band < sig_bits:
+            banded = banded.withColumn(
+                "band_sig",
+                F.col("band_sig").bitwiseAND(F.lit((1 << bits_per_band) - 1)),
+            )
     a = banded.select(F.col(id_col).alias("vid_a"), "band_id", "band_sig")
     b = banded.select(F.col(id_col).alias("vid_b"), "band_id", "band_sig")
     # Explicit-count repartition on the dedup keys: candidate pairs are

@@ -437,14 +437,15 @@ def src_pysource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_pointintime_join",
     """
     WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+    late AS (SELECT CAST(1001 + max(doc_id) AS BIGINT) AS ts FROM base),
     v AS (
         SELECT CAST(500 AS BIGINT) AS probe_ts, FALSE AS is_v2, n_chars
         FROM base
         UNION ALL
-        SELECT CAST(10000000 AS BIGINT), FALSE, n_chars
+        SELECT (SELECT ts FROM late), FALSE, n_chars
         FROM base WHERE doc_id % 2 = 1
         UNION ALL
-        SELECT CAST(10000000 AS BIGINT), TRUE, n_chars + 1
+        SELECT (SELECT ts FROM late), TRUE, n_chars + 1
         FROM base WHERE doc_id % 2 = 0
     )
     SELECT probe_ts, is_v2,
@@ -460,7 +461,9 @@ def src_pysource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(valid_from <= t < coalesce(valid_to, inf)) — the AS OF join every "
     "warehouse needs to reconstruct 'what did the dimension say when "
     "this fact happened'. Probes at t=500 must see only original "
-    "versions; probes at t=10^7 must see v2 for even docs and the "
+    "versions; the late probe is DERIVED from the data "
+    "(1001 + max(doc_id), strictly after every v2 valid_from at any "
+    "scale factor) and must see v2 for even docs and the "
     "original for odd — so the writer's interval chaining AND the "
     "range-predicate join are both hash-checked. Plan shape: equi-join "
     "on the key with the interval predicate as residual — the fact "
@@ -489,10 +492,15 @@ def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert_scd2_parquet(spark, path, updates, keys=["doc_id"], ts_col="ts")
 
     dim = spark.read.parquet(path)
+    # Late probe derived from the data: strictly after every v2
+    # valid_from (1000 + doc_id), so the v2-visibility assertion holds at
+    # any scale factor (a fixed 10^7 literal broke once doc_id could
+    # reach 9,999,000).
+    late_ts = 1001 + d.agg(F.max("doc_id")).first()[0]
     probes = d.select(
         "doc_id",
         F.explode(
-            F.array(F.lit(500).cast("long"), F.lit(10_000_000).cast("long"))
+            F.array(F.lit(500).cast("long"), F.lit(late_ts).cast("long"))
         ).alias("probe_ts"),
     )
     joined = probes.join(

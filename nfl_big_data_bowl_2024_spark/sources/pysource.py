@@ -129,9 +129,17 @@ class SynthEventsStreamReader(DataSourceStreamReader):
     ids per trigger, so a bounded feed drains as a deterministic SEQUENCE
     of micro-batches (offset log entries 0 -> batch -> 2*batch -> ...)
     rather than one giant batch — the property that bounds per-trigger
-    work on an unbounded production feed. ``commit`` is a no-op: the
-    generator is stateless and any offset range is replayable, which is
-    what makes the source exactly-once under checkpoint recovery."""
+    work on an unbounded production feed.
+
+    Recovery contract: the generator is stateless, so any offset range is
+    replayable — but the admission counter ``self.pos`` is in-memory and
+    would restart at 0 on a new driver. Every offset Spark hands back
+    (``partitions``/``commit``, both replayed from the checkpointed offset
+    log during recovery) therefore FAST-FORWARDS ``self.pos``, so
+    ``latestOffset`` never regresses below a committed offset and no id
+    range is ever re-admitted as a new micro-batch. With that,
+    replayability + the offset log give exactly-once under checkpoint
+    recovery."""
 
     def __init__(self, options):
         self.total = int(options.get("rows", 100_000))
@@ -148,6 +156,9 @@ class SynthEventsStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["next"], end["next"]
+        # Recovery fast-forward: `end` comes from Spark's offset log, which
+        # survives driver restarts while self.pos does not.
+        self.pos = max(self.pos, hi)
         if hi <= lo:
             return [IdRangePartition(lo, lo)]
         step = max(1, (hi - lo + self.n_parts - 1) // self.n_parts)
@@ -159,7 +170,9 @@ class SynthEventsStreamReader(DataSourceStreamReader):
         yield _generate_batch(part.start, part.end)
 
     def commit(self, end):
-        pass
+        # No data-side work (stateless replayable generator), but keep the
+        # admission counter monotone w.r.t. the committed offset as well.
+        self.pos = max(self.pos, end["next"])
 
 
 class SynthEventsSource(DataSource):
@@ -207,7 +220,15 @@ class PyJsonlArrowWriter(DataSourceArrowWriter):
     publishes the manifest. This is the Iceberg-style
     write-new-files-then-swap-pointer protocol in miniature — the same
     shape ``sources/writers.py:write_snapshot`` uses for versioned
-    tables, here at the connector extension point."""
+    tables, here at the connector extension point.
+
+    Filesystem contract: ``path`` must be a filesystem SHARED between
+    executors and driver (local mode, NFS, FUSE-mounted object store) —
+    ``commit()`` runs driver-side and ``os.replace``\ s the staging files
+    the tasks wrote, and ``abort()`` reaps them by path. On a multi-node
+    cluster with executor-local disks, route ``path`` to a shared mount;
+    the protocol itself (stage-unique names -> manifest swap) carries
+    over unchanged, only the byte transport is out of scope here."""
 
     def __init__(self, path: str):
         self.path = path

@@ -515,12 +515,16 @@ def test_scd2_pointintime_join_is_keyed_not_cartesian(spark, queries):
     assert "BroadcastNestedLoopJoin" not in plan
     rows = {(r["probe_ts"], r["is_v2"]): (r["n"], r["total_chars"])
             for r in df.collect()}
-    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    # late probe is data-derived (1001 + max doc_id) so the v2-visibility
+    # assertion holds at any scale factor
+    late_ts = 1001 + docs.agg(F.max("doc_id")).first()[0]
     # t=500: every doc on its original version; no v2 visible
     assert rows[(500, False)][0] == n_docs
     assert (500, True) not in rows
-    # t=1e7: even docs re-versioned, odd untouched
-    assert rows[(10_000_000, True)][0] + rows[(10_000_000, False)][0] == n_docs
+    # late probe: even docs re-versioned, odd untouched
+    assert rows[(late_ts, True)][0] + rows[(late_ts, False)][0] == n_docs
 
 
 def test_cogroup_reconcile_matches_relational_twin(spark, queries):
