@@ -15,45 +15,79 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
+# ---------------------------------------------------------------------------
+# CORE: the PINNED benchmark set — never rotates (round-6 verdict item: only
+# 35 of 68 r6 headline queries overlapped r5, making round-over-round
+# regression detection lossy). One entry per family: the E1/E2/flagship
+# pipelines, a TPC-H spread, and each pipeline-operator family's
+# representative. CORE_PREV carries the last driver-recorded value per core
+# query (BENCH_r06.json; e1_max_params newly pinned, no r6 row) so every
+# future BENCH_rN reads against a stable comparison column
+# (core_prev_total on the printed line, per-query map in BENCH_SAMPLES).
+# ---------------------------------------------------------------------------
+CORE = [
     "flagship_bounded_max",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "temporal_self_join",
-    "pivot_priority_by_nation",
-    "tpch_q18_large_orders",
-    "tpch_q8_market_share",
-    "tpch_q21_waiting_supplier",
-    "dedup_minhash_lsh",
-    "sim_topk_bruteforce",
-    "sim_lsh_bucketed",
+    "e1_max_params",
     "e2_yap",
     "e2_yap_scale",
-    "txt_tfidf_topterms",
-    "doc_pack_context_windows",
-    "grouped_percentiles",
-    "cube_order_profile",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_supplier",
+    "dedup_minhash_lsh",
     "dedup_cluster_representative",
-    "emb_kmeans_lloyd",
+    "dedup_semantic",
+    "sim_topk_bruteforce",
+    "sim_lsh_bucketed",
     "sim_knn_join",
-    "ml_quality_classifier_train",
+    "emb_kmeans_lloyd",
     "emb_pca_power_iteration",
+    "ml_quality_classifier_train",
+    "txt_tfidf_topterms",
+    "txt_bpe_train",
+    "txt_heavy_hitters",
+    "mm_video_frame_decode",
+    "doc_pack_context_windows",
+    "doc_dsir_select",
+    "grouped_percentiles",
+    "stream_session_stats",
+    "stream_window_stats",
+    "graph_pagerank_trading",
+]
+
+CORE_PREV = {  # BENCH_r06.json driver values (sf0.1, min of reps)
+    "flagship_bounded_max": 0.76, "e1_max_params": None, "e2_yap": 1.71,
+    "e2_yap_scale": 2.08, "tpch_q1_pricing_summary": 0.47,
+    "tpch_q3_shipping_priority": 0.88, "tpch_q6_forecast_revenue": 0.26,
+    "tpch_q8_market_share": 0.98, "tpch_q10_returned_items": 0.78,
+    "tpch_q18_large_orders": 0.6, "tpch_q21_waiting_supplier": 0.74,
+    "dedup_minhash_lsh": 2.49, "dedup_cluster_representative": 4.46,
+    "dedup_semantic": 2.23, "sim_topk_bruteforce": 0.27,
+    "sim_lsh_bucketed": 2.12, "sim_knn_join": 0.34,
+    "emb_kmeans_lloyd": 1.54, "emb_pca_power_iteration": 0.41,
+    "ml_quality_classifier_train": 0.37, "txt_tfidf_topterms": 0.67,
+    "txt_bpe_train": 0.74, "txt_heavy_hitters": 0.51,
+    "mm_video_frame_decode": 1.19, "doc_pack_context_windows": 0.2,
+    "doc_dsir_select": 0.76, "grouped_percentiles": 1.04,
+    "stream_session_stats": 4.37, "stream_window_stats": 4.76,
+    "graph_pagerank_trading": 3.12,
+}
+
+# ROTATING: everything else currently benched; entries here may rotate to
+# BENCH_SAMPLES-only to respect the 2000-char line budget (history below).
+ROTATING = [
+    "tpch_q5_local_supplier_volume",
+    "temporal_self_join",
+    "pivot_priority_by_nation",
+    "cube_order_profile",
     # round-4 additions: the previously-unbenchmarked paths (the
     # e2_yap_closed_form correctness artifact is NOT here — e2_yap and
     # e2_yap_scale already measure the kernel; bench stays perf-focused)
     "mm_decode_features",
-    "mm_video_frame_decode",
-    "txt_bpe_train",
-    "stream_session_stats",
-    "stream_window_stats",
     "doc_select_token_budget",
-    "doc_dsir_select",
-    "txt_heavy_hitters",
-    # round-5 addition
-    "dedup_semantic",
     # round-6 additions: bigram LM, time-hierarchy rollup + incremental
     # refresh, integer PageRank, and the three format round-trips
     # (write+read cycles, so they measure sink+source).
@@ -66,7 +100,6 @@ HEADLINE = [
     "txt_bigram_lm_surprisal",
     "src_zorder_pruned_scan",
     "evt_rollup_incremental_refresh",
-    "graph_pagerank_trading",
     # round-6 API-surface additions (VARIANT, Arrow UDTF lateral,
     # GROUPED_AGG pandas UDAF, Observation telemetry). Same line-budget
     # rotation as above: four flat map-only-or-tiny entries whose timings
@@ -101,7 +134,8 @@ HEADLINE = [
     "evt_gap_fill_locf",
     "txt_fuzzy_blocked_levenshtein",
     "agg_hll_shard_union",
-    "ml_linreg_closed_form",
+    # (ml_linreg_closed_form 0.24s flat in r6 rotated to samples-only for
+    # the round-7 core_total/core_prev_total line-budget keys)
     "src_binaryfile_scan",
     "src_xml_roundtrip",
     # round-6 third batch: bounded-depth BFS reachability (the frontier
@@ -130,7 +164,8 @@ HEADLINE = [
     # mm_audio_features 0.36s — flat across r3-r6 — moved to
     # BENCH_SAMPLES-only.
     "txt_token_lift_pairs",
-    "txt_simpson_diversity",
+    # (txt_simpson_diversity 0.22s flat in r6 rotated to samples-only for
+    # the round-7 line-budget keys)
     "doc_winsorized_stats",
     # round-6 sixth batch: fixed-round k-core peeling, naive-Bayes
     # training, the referential-integrity audit, autocovariance
@@ -151,6 +186,8 @@ HEADLINE = [
     # txt_unigram_surprisal 0.18s (flat r3-r6) to BENCH_SAMPLES-only.
     "agg_gini_per_nation",
 ]
+
+HEADLINE = CORE + ROTATING
 
 # Queries that showed multi-second shared-box spikes in past driver runs
 # (BENCH_r03: sim_topk_bruteforce x4.7, doc_pack_context_windows x2.9 — both
@@ -264,6 +301,12 @@ def main() -> None:
     timings[name] = min(samples[name])
 
     total = round(sum(timings.values()), 2)
+    # Totals over the COMPARABLE core (pins with a recorded prev value),
+    # so core_total/core_prev_total is a like-for-like ratio even while a
+    # newly pinned query (e1_max_params this round) builds up history.
+    comparable = [n for n in CORE if CORE_PREV[n] is not None]
+    core_total = round(sum(timings[n] for n in comparable), 2)
+    core_prev_total = round(sum(CORE_PREV[n] for n in comparable), 2)
 
     # The driver's artifact keeps only the LAST 2000 characters of stdout and
     # parses the JSON document out of that window — round 4 recorded every
@@ -284,6 +327,12 @@ def main() -> None:
                     for n, r in samples.items()
                     if len(r) > 1
                 },
+                # the pinned regression-detection core: this round's min
+                # next to the last driver-recorded value per core query
+                "core": {
+                    n: {"now": timings[n], "prev": CORE_PREV[n]}
+                    for n in CORE
+                },
             },
             fh,
             indent=1,
@@ -295,6 +344,12 @@ def main() -> None:
             "metric": "headline_queries_total",
             "value": total,
             "unit": "sec",
+            # pinned-core totals: core_prev_total sums the SAME core
+            # queries' last driver-recorded values (minus never-before-
+            # benched pins), so core_total/core_prev_total is a stable
+            # round-over-round regression ratio immune to rotation
+            "core_total": core_total,
+            "core_prev_total": core_prev_total,
             "queries": {
                 n: (round(v, 2) if v < 10 else int(round(v)))
                 for n, v in timings.items()

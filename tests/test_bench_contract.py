@@ -16,10 +16,17 @@ from pathlib import Path
 BENCH_SRC = Path(__file__).resolve().parent.parent / "bench.py"
 
 
+def _bench_module():
+    import sys
+
+    sys.path.insert(0, str(BENCH_SRC.parent))
+    import bench
+
+    return bench
+
+
 def _headline_names() -> list[str]:
-    src = BENCH_SRC.read_text()
-    body = src[src.index("HEADLINE = [") : src.index("]", src.index("HEADLINE = ["))]
-    return re.findall(r'"([a-z0-9_]+)"', body)
+    return list(_bench_module().HEADLINE)
 
 
 def test_worst_case_bench_line_fits_driver_window():
@@ -33,6 +40,8 @@ def test_worst_case_bench_line_fits_driver_window():
             "metric": "headline_queries_total",
             "value": 99999.99,
             "unit": "sec",
+            "core_total": 99999.99,
+            "core_prev_total": 99999.99,
             "queries": {n: 9999 for n in names},
             "sf": 0.1,
         },
@@ -42,6 +51,18 @@ def test_worst_case_bench_line_fits_driver_window():
         f"worst-case bench line is {len(line)} chars; the driver window is "
         "2000 — drop or rename a headline entry"
     )
+
+
+def test_core_is_pinned_and_comparable():
+    """The regression core must stay a subset of HEADLINE with a prev
+    entry per pin (None only for newly pinned queries), so the
+    core_total/core_prev_total ratio stays meaningful round over round."""
+    bench = _bench_module()
+    assert len(bench.CORE) >= 25
+    assert set(bench.CORE) <= set(bench.HEADLINE)
+    assert set(bench.CORE_PREV) == set(bench.CORE)
+    comparable = [n for n in bench.CORE if bench.CORE_PREV[n] is not None]
+    assert len(comparable) >= 0.8 * len(bench.CORE)
 
 
 def test_bench_registry_names_resolve():

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from nfl_big_data_bowl_2024_spark.operators.dedup import (
     minhash_lsh_candidates,
@@ -369,3 +370,64 @@ def test_fuzzy_blocked_levenshtein_adversarial_fixture(spark):
     assert set(got) == {(1, 2), (1, 3), (2, 3)}
     assert got[(1, 2)] == (2, 99)
     assert got[(1, 3)][0] == 0 and got[(1, 3)][1] == 100
+
+
+def test_aqe_skew_split_triggers_on_hot_band(spark):
+    """The 100 TB story for the banded LSH joins cites AQE skew handling
+    for hot buckets ("hot buckets split via AQE skew-join",
+    operators/similarity.py:lsh_bucketed_pairs docstring). Prove it fires:
+    a deliberately hot (band_id, band_sig) bucket joined id-only, with the
+    skew thresholds scaled to fixture bytes, must (a) show the skew split
+    in the final adaptive plan (SortMergeJoin(skew=true) over AQEShuffleRead
+    skewed) and (b) still produce the exact pair set — the split only
+    re-partitions work, never changes the join result."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # scale the detector to fixture bytes (defaults are 256 MB-class)
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # force the shuffle join path the LSH candidate join takes at scale
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # skew is detected RELATIVE to the median shuffle partition: with
+        # the test session's 4 partitions the cold keys pool into
+        # hot-sized partitions and nothing is skewed; 32 spreads them thin
+        # like a real cluster's partition count would
+        "spark.sql.shuffle.partitions": "32",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(1200).select(
+            F.col("id").alias("vid"),
+            F.lit(0).alias("band_id"),
+            F.lit(0).alias("band_sig"),
+        )
+        cold = spark.range(10_000).select(
+            (F.col("id") + 100_000).alias("vid"),
+            (F.col("id") % 16).alias("band_id"),
+            (F.col("id") % 200 + 1).alias("band_sig"),
+        )
+        banded = hot.unionByName(cold).localCheckpoint(eager=True)
+        a = banded.select(F.col("vid").alias("vid_a"), "band_id", "band_sig")
+        b = banded.select(F.col("vid").alias("vid_b"), "band_id", "band_sig")
+        pairs = (
+            a.join(b, ["band_id", "band_sig"])
+            .filter(F.col("vid_a") < F.col("vid_b"))
+            .select("vid_a", "vid_b")
+        )
+        n = len(pairs.collect())  # same QueryExecution finalizes the AQE plan
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan
+        # exact expected pair count: hot C(1200,2) + cold buckets' pairs
+        # (cold key space: (id%16, id%200+1) -> lcm(16,200)=400 distinct
+        # combos, 10000/400 = 25 ids per combo -> 400 * C(25,2))
+        assert n == 1200 * 1199 // 2 + 400 * (25 * 24 // 2)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
