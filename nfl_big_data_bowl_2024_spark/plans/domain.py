@@ -498,6 +498,28 @@ def single_play_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def single_play_animation_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered trajectory plus the compass headings the animation's
+    orientation arrows need (reference animate_play quivers (sin th, cos th)
+    unit vectors per marker, optimal_pursuit.py:379,419-421). Kept separate
+    from the oracle-backed ``single_play_trajectory`` so the gate schema
+    stays frozen; the sink consumes either shape."""
+    tr = fixtures.tracking_df(spark).filter(
+        (F.col("gameId") == 1) & (F.col("playId") == 101)
+    )
+    cdir = tr.filter(F.col("nflId") == 1001).select(
+        "frameId", F.col("dir").alias("cdir")
+    )
+    tdir = tr.filter(F.col("nflId") == 2001).select(
+        "frameId", F.col("dir").alias("tdir")
+    )
+    return (
+        single_play_trajectory(spark, sf_dir)
+        .join(cdir, "frameId")
+        .join(tdir, "frameId")
+    )
+
+
 # Deterministic oracle for the STREAMING sessionization: gap-based sessions
 # (the general lag/running-sum formulation of session_window) over the same
 # fixture, INCLUDING the watermark emission rule — append mode only emits a

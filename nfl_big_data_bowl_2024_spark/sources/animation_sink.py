@@ -155,6 +155,39 @@ def _dot(canvas: np.ndarray, px: int, py: int, r: int, color: int):
     canvas[max(0, py - r) : min(h, py + r + 1), max(0, px - r) : min(w, px + r + 1)] = color
 
 
+def _edged_dots(canvas: np.ndarray, dots: list[tuple[int, int, int, int]]):
+    """Filled square markers with 1-px black edges — the reference's
+    ``markeredgecolor='k'`` club markers (optimal_pursuit.py:376-378).
+    ALL edges paint before ANY fill so overlapping markers (carrier and
+    tackler inside the vicinity radius) occlude each other's edges, not
+    each other's fills."""
+    for px, py, r, _ in dots:
+        _dot(canvas, px, py, r + 1, 8)
+    for px, py, r, color in dots:
+        _dot(canvas, px, py, r, color)
+
+
+def _arrow(canvas: np.ndarray, px: int, py: int, dir_deg: float, color: int,
+           length: int = 7):
+    """Orientation arrow from a compass heading (0 = +y, clockwise) — the
+    reference's quiver of (sin th, cos th) unit vectors
+    (optimal_pursuit.py:379,419-421). Raster y grows DOWN, so the y
+    component negates."""
+    if dir_deg is None or dir_deg != dir_deg:  # NaN heading: no arrow
+        return
+    th = np.radians(dir_deg)
+    ux, uy = np.sin(th), -np.cos(th)
+    for step in range(1, length + 1):
+        _dot(canvas, int(round(px + ux * step)), int(round(py + uy * step)),
+             0, color)
+
+
+# NFL hash marks sit 70'9" from each sideline (the two y ticks the
+# reference pins at (70+3/4)*(1/3) and 53.3 minus that,
+# optimal_pursuit.py:372).
+_HASH_Y = (70.0 + 3.0 / 4.0) * (1.0 / 3.0)
+
+
 def rasterize_play_frames(
     pdf,
     scale: float = 3.0,
@@ -162,8 +195,14 @@ def rasterize_play_frames(
     field_y: float = 53.3,
 ) -> list[np.ndarray]:
     """Per-frame palette-index rasters from a ``single_play_trajectory``-shaped
-    pandas frame (frameId, cx, cy, tx, ty, in_vicinity): field + 10-yd grid,
-    fading trails, carrier/tackler dots, vicinity highlight ring."""
+    pandas frame (frameId, cx, cy, tx, ty, in_vicinity [, cdir, tdir]).
+
+    Field-marking parity with the reference plot (optimal_pursuit.py:
+    367-380): 5-yd minor / 10-yd major yard lines, the two hash-mark rows
+    at 70'9" from each sideline, sideline border; club-colored square
+    markers with black edges; orientation arrows from the compass
+    headings when ``cdir``/``tdir`` columns are present; prefix-path
+    trails; vicinity highlight ring."""
     pdf = pdf.sort_values("frameId").reset_index(drop=True)
     w, h = int(field_x * scale) + 1, int(field_y * scale) + 1
 
@@ -174,13 +213,20 @@ def rasterize_play_frames(
         )
 
     base = np.full((h, w), 1, dtype=np.uint8)  # field green
-    for ten in range(0, int(field_x) + 1, 10):  # yard gridlines
+    for five in range(0, int(field_x) + 1, 5):  # 5-yd minor yard lines
+        base[:: 2, int(five * scale)] = 2
+    for ten in range(0, int(field_x) + 1, 10):  # 10-yd major yard lines
         base[:, int(ten * scale)] = 2
+    for hy in (_HASH_Y, field_y - _HASH_Y):  # hash-mark rows, 1-yd ticks
+        py = int(round((field_y - hy) * scale))
+        for yard in range(10, int(field_x) - 9):
+            base[py, int(yard * scale)] = 2
     base[0, :] = 8
     base[-1, :] = 8
     base[:, 0] = 8
     base[:, -1] = 8
 
+    has_dirs = "cdir" in pdf.columns and "tdir" in pdf.columns
     frames = []
     for i in range(len(pdf)):
         canvas = base.copy()
@@ -194,8 +240,10 @@ def rasterize_play_frames(
         tpx, tpy = to_px(row["tx"], row["ty"])
         if "in_vicinity" in pdf.columns and row["in_vicinity"]:
             _dot(canvas, cpx, cpy, 4, 7)
-        _dot(canvas, cpx, cpy, 2, 3)
-        _dot(canvas, tpx, tpy, 2, 4)
+        if has_dirs:
+            _arrow(canvas, cpx, cpy, row["cdir"], 14)
+            _arrow(canvas, tpx, tpy, row["tdir"], 14)
+        _edged_dots(canvas, [(cpx, cpy, 2, 3), (tpx, tpy, 2, 4)])
         frames.append(canvas)
     return frames
 

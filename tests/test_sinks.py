@@ -579,3 +579,46 @@ def test_snapshot_versions_time_travel_and_vacuum(spark):
         assert vacuum_snapshots(spark, path, keep=0) == []
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_animation_field_markings_and_arrows(spark):
+    """Field-marking parity with the reference plot (optimal_pursuit.py:
+    367-380): hash-mark rows at 70'9\" from each sideline, 5-yd minor yard
+    lines, black marker edges, and orientation arrows when the input
+    carries compass headings (single_play_animation_input)."""
+    import numpy as np
+
+    from nfl_big_data_bowl_2024_spark.plans.domain import (
+        single_play_animation_input,
+        single_play_trajectory,
+    )
+    from nfl_big_data_bowl_2024_spark.sources.animation_sink import (
+        _HASH_Y,
+        rasterize_play_frames,
+    )
+
+    scale, field_y = 3.0, 53.3
+    with_dirs = rasterize_play_frames(
+        single_play_animation_input(spark, "/root/testdata/sf0.001").toPandas(),
+        scale=scale,
+    )
+    without = rasterize_play_frames(
+        single_play_trajectory(spark, "/root/testdata/sf0.001").toPandas(),
+        scale=scale,
+    )
+    assert len(with_dirs) == len(without) > 0
+    # hash-mark rows: gridline ticks at a non-yard-line x on both hash rows
+    f0 = with_dirs[0]
+    probe_x = int(12 * scale)  # 12-yd column: not a 5- or 10-yd line
+    for hy in (_HASH_Y, field_y - _HASH_Y):
+        py = int(round((field_y - hy) * scale))
+        assert f0[py, probe_x] == 2, (py, probe_x, int(f0[py, probe_x]))
+    # 5-yd minor line present (dashed: every other pixel) at x=15
+    col15 = f0[:, int(15 * scale)]
+    assert (col15 == 2).sum() >= col15.size // 3
+    # orientation arrows (palette 14) appear ONLY when headings are given
+    assert any((fr == 14).any() for fr in with_dirs)
+    assert not any((fr == 14).any() for fr in without)
+    # black-edged markers: some border-color pixels beyond the frame edges
+    inner = with_dirs[0][2:-2, 2:-2]
+    assert (inner == 8).any()

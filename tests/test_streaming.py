@@ -461,3 +461,49 @@ def test_map_only_curation_ops_compose_into_streams(spark):
         assert {r[0]: r[2] for r in want} == {1: 2, 2: 2, 3: 0}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rate_micro_batch_source_smoke(spark):
+    """External-connector-shaped streaming smoke (SURVEY §2.9 names
+    file/Kafka sources; no broker exists in this sandbox, so Spark's
+    built-in rate-micro-batch source stands in as the unbounded
+    always-more-data connector): deterministic per-trigger admission
+    (rowsPerBatch) -> event-time tumbling windows -> complete-mode sink.
+    Asserts the admission contract (every commit is a whole batch: total
+    rows ≡ 0 mod rowsPerBatch) and the window math (1 s batch advance
+    into 2 s windows -> every window holds one or two whole batches)."""
+    import time as _time
+
+    rows_per_batch = 100
+    q = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+        .groupBy(F.window("timestamp", "2 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .writeStream.format("memory")
+        .queryName("rate_smoke_q")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            rows = spark.table("rate_smoke_q").collect()
+            if sum(r["n"] for r in rows) >= 3 * rows_per_batch:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.table("rate_smoke_q").collect()
+    total = sum(r["n"] for r in rows)
+    assert total >= 3 * rows_per_batch
+    assert total % rows_per_batch == 0  # whole batches only
+    for r in rows:
+        assert r["n"] in (rows_per_batch, 2 * rows_per_batch)
+    # rate values are the global sequence 0..total-1: the window sums must
+    # partition the arithmetic series exactly
+    assert sum(r["sv"] for r in rows) == total * (total - 1) // 2
