@@ -131,7 +131,9 @@ ROTATING = [
     # BENCH_r05.json/BENCH_SAMPLES.json).
     "graph_triangle_count",
     "stat_ks_two_sample",
-    "evt_gap_fill_locf",
+    # (evt_gap_fill_locf 0.41s flat r6 rotated to samples-only; its slot
+    # goes to the round-7 iterative LPA query)
+    "graph_label_propagation",
     "txt_fuzzy_blocked_levenshtein",
     "agg_hll_shard_union",
     # (ml_linreg_closed_form 0.24s flat in r6 rotated to samples-only for

@@ -333,3 +333,53 @@ def kcore_peel(
         e.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
+
+
+def label_propagation_mode(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+) -> DataFrame:
+    """Synchronous mode-based Label Propagation (community detection) —
+    the FREQUENCY fixpoint next to connected_components (min-label),
+    pagerank_integer (numeric mass), bfs_min_hops (reachability) and
+    kcore_peel (monotone peeling): after ``iters`` rounds each node holds
+    the most frequent label among its in-neighbors, ties broken to the
+    LOWEST label (Raghavan et al. 2007's LPA, synchronized and made
+    deterministic so a fixed-round unrolled SQL oracle replays it
+    bit-exactly; classic async LPA visits nodes in random order, which no
+    cross-engine hash could ever match).
+
+    Labels start as the node id. Per round: one shuffle join of the
+    (static, caller-symmetrized) edge relation with the label vector on
+    ``src``, one (node, label) count aggregate with map-side partials,
+    and one ``max_by``-shaped argmax per node — ``max(struct(cnt,
+    -label))`` needs no window, so the round is two keyed exchanges with
+    no per-node sort. Isolated nodes (no in-edges) keep their own label
+    via a left join against the node universe. ``localCheckpoint``
+    truncates lineage per round, same discipline as the other fixpoints.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    lab = nodes.select("node", F.col("node").alias("lab"))
+    for _ in range(iters):
+        arriving = (
+            e.join(lab.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax by (count desc, label asc): max of (cnt, -lab) structs
+        winner = (
+            arriving.groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("lab")).alias("neg"))).alias("w"))
+            .select("node", (-F.col("w.neg")).alias("lab"))
+        )
+        lab = (
+            nodes.join(winner, "node", "left")
+            .select("node", F.coalesce(F.col("lab"), F.col("node")).alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    return lab.select("node", F.col("lab").alias("community"))

@@ -6031,3 +6031,250 @@ def agg_gini_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions: LPA community detection, fixed-point one-way ANOVA,
+# CUSUM changepoint detection.
+# ---------------------------------------------------------------------------
+
+
+def _lpa_iter_sql(prev: str, cnt: str, out: str) -> str:
+    """One unrolled synchronous mode-LPA round (see operators/graph.py:
+    label_propagation_mode — argmax by (count desc, label asc))."""
+    return f"""{cnt} AS (
+        SELECT e.dst AS node, l.lab, count(*) AS cnt
+        FROM edges e JOIN {prev} l ON e.src = l.node
+        GROUP BY e.dst, l.lab
+    ),
+    {out} AS (
+        SELECT n.node, coalesce(w.lab, n.node) AS lab
+        FROM nodes n LEFT JOIN (
+            SELECT node, lab FROM (
+                SELECT node, lab, row_number() OVER (
+                    PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rn
+                FROM {cnt}) t
+            WHERE rn = 1
+        ) w ON n.node = w.node
+    )"""
+
+
+@register(
+    "graph_label_propagation",
+    f"""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+        SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+        UNION ALL
+        SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    lab0 AS (SELECT node, node AS lab FROM nodes),
+    {_lpa_iter_sql("lab0", "cnt1", "lab1")},
+    {_lpa_iter_sql("lab1", "cnt2", "lab2")}
+    SELECT CAST(node % 2 AS INTEGER)  AS is_supplier,
+           CAST(node // 2 AS BIGINT)  AS entity_id,
+           CAST(lab AS BIGINT)        AS community
+    FROM lab2
+    """,
+    doc="Community detection via synchronous mode-based Label Propagation "
+    "over the customer<->supplier trading graph — the FREQUENCY fixpoint "
+    "completing the iterative-graph family (CC=min-label, PageRank="
+    "numeric mass, BFS=reachability, k-core=monotone peeling, triangles="
+    "wedge counting): 2 fixed rounds, each one edge-x-label shuffle join "
+    "+ one (node,label) count aggregate + a max_by-shaped argmax "
+    "(max(struct(cnt,-lab)) — no per-node window/sort), ties to the "
+    "lowest label so the unrolled row_number oracle replays every round "
+    "deterministically. Classic async LPA visits nodes in random order; "
+    "the synchronized deterministic variant is what makes a cross-engine "
+    "hash possible at all (operators/graph.py:label_propagation_mode).",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation_mode
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+    ).unionAll(
+        pairs.select(
+            (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
+        )
+    )
+    lab = label_propagation_mode(edges, iters=2)
+    return lab.select(
+        (F.col("node") % 2).cast("int").alias("is_supplier"),
+        F.expr("node div 2").cast("long").alias("entity_id"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
+@register(
+    "stat_anova_oneway",
+    """
+    WITH x AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, count(*) AS n_i,
+               CAST(sum(cents) AS BIGINT) AS t_i,
+               CAST(sum(cents * cents) AS BIGINT) AS q_i
+        FROM x GROUP BY event_type
+    ),
+    parts AS (
+        SELECT count(*) AS k, sum(n_i) AS n,
+               sum(CAST(t_i AS HUGEINT) * t_i // n_i) AS sum_a,
+               sum(t_i) AS t, sum(q_i) AS q
+        FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           CAST(sum_a - (CAST(t AS HUGEINT) * t // n) AS BIGINT) AS ssb_cents2,
+           CAST(q - sum_a AS BIGINT) AS ssw_cents2,
+           CAST((CAST(1000 AS HUGEINT) * (sum_a - CAST(t AS HUGEINT) * t // n)
+                 * (n - k))
+                // ((q - sum_a) * (k - 1)) AS BIGINT) AS f_milli
+    FROM parts
+    """,
+    doc="One-way ANOVA across event types (does mean event value differ "
+    "by type?) in EXACT fixed point — the omnibus location test "
+    "completing the stats family (KS=distribution drift, chi2="
+    "independence, Mann-Whitney=two-sample location, Gini/winsorized="
+    "dispersion): values quantized to integer cents, per-group exact "
+    "sufficient statistics (n_i, sum, sum-of-squares) in ONE aggregate "
+    "pass with map-side partials, then SSB/SSW via the computational "
+    "formula with DEFINED floor division (sum T_i^2 div n_i in 128-bit "
+    "intermediates — DECIMAL(38) on Spark, HUGEINT in DuckDB — since "
+    "T_i^2 overflows int64 beyond sf0.01) and the F statistic emitted in "
+    "integer milli-units. The <=1-cent^2 flooring slack per group is part "
+    "of the defined semantics, identical on both engines — no float ever "
+    "enters, so the hash check is exact at any scale factor.",
+)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    g = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum("cents").cast("long").alias("t_i"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("q_i"),
+    )
+    parts = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_i").alias("n"),
+        F.sum(
+            F.expr(
+                "CAST(floor(CAST(t_i AS DECIMAL(19,0)) * t_i / n_i)"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("sum_a"),
+        F.sum("t_i").alias("t"),
+        F.sum("q_i").alias("q"),
+    )
+    return parts.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            "CAST(sum_a - floor(CAST(t AS DECIMAL(19,0)) * t / n)"
+            " AS BIGINT)"
+        ).alias("ssb_cents2"),
+        F.expr("CAST(q - sum_a AS BIGINT)").alias("ssw_cents2"),
+        F.expr(
+            "CAST(floor(1000 * (sum_a - floor(CAST(t AS DECIMAL(19,0)) * t / n))"
+            " * (n - k) / ((q - sum_a) * (k - 1))) AS BIGINT)"
+        ).alias("f_milli"),
+    )
+
+
+@register(
+    "evt_changepoint_cusum",
+    """
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS hour,
+               count(*) AS x
+        FROM events GROUP BY event_type, hour
+    ),
+    ref AS (
+        SELECT event_type,
+               CAST(sum(x) AS BIGINT) // count(*) AS ref_x
+        FROM hourly GROUP BY event_type
+    ),
+    dev AS (
+        SELECT h.event_type, h.hour, h.x, r.ref_x,
+               sum(h.x - r.ref_x) OVER (
+                   PARTITION BY h.event_type ORDER BY h.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        FROM hourly h JOIN ref r ON h.event_type = r.event_type
+    ),
+    cusum AS (
+        SELECT event_type, hour, ref_x,
+               p - least(CAST(0 AS BIGINT), min(p) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+        FROM dev
+    )
+    SELECT event_type,
+           CAST(max(s) AS BIGINT)                    AS max_cusum,
+           CAST(min(CASE WHEN s > 5 * ref_x THEN hour END) AS BIGINT)
+                                                     AS first_alarm_hour,
+           CAST(sum(CASE WHEN s > 5 * ref_x THEN 1 ELSE 0 END) AS BIGINT)
+                                                     AS n_alarm_hours
+    FROM cusum GROUP BY event_type
+    """,
+    doc="CUSUM changepoint detection over the hourly per-type event "
+    "stream — the sequential drift detector next to the EWMA smoother "
+    "and the KS drift statistic: the recursive page form S_t = max(0, "
+    "S_{t-1} + (x_t - ref)) is rewritten NON-recursively as P_t - "
+    "min(0, running-min of P) (P = running sum of deviations), so two "
+    "partition-local ordered windows over the tiny hourly rollup replace "
+    "an un-expressible recursion; alarm threshold 5x the per-type "
+    "reference rate, first alarm hour + alarm-hour count + peak CUSUM "
+    "emitted per type. All arithmetic is exact integers (counts, floor-"
+    "div reference), so the oracle hash-matches at any scale. Scale "
+    "shape: raw events collapse in the ONE hourly hash aggregate "
+    "(map-side partials); the windows run over event_type partitions "
+    "bounded by distinct hours, never raw rows.",
+)
+def evt_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    ref = hourly.groupBy("event_type").agg(
+        F.expr("CAST(sum(x) AS BIGINT) div count(*)").alias("ref_x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = hourly.join(ref, "event_type").withColumn(
+        "p", F.sum(F.col("x") - F.col("ref_x")).over(w)
+    )
+    cusum = dev.withColumn(
+        "s", F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(w))
+    )
+    alarm = F.col("s") > 5 * F.col("ref_x")
+    return cusum.groupBy("event_type").agg(
+        F.max("s").cast("long").alias("max_cusum"),
+        F.min(F.when(alarm, F.col("hour"))).cast("long").alias("first_alarm_hour"),
+        F.sum(F.when(alarm, 1).otherwise(0)).cast("long").alias("n_alarm_hours"),
+    )

@@ -261,6 +261,11 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_interval_join_stats",
     "stream_stateful_running_max",
     "mm_byte_features",
+    # --- round-7 registrations (locally verified green; lead round 8's
+    # window together with the r4/r5 slice above)
+    "graph_label_propagation",
+    "stat_anova_oneway",
+    "evt_changepoint_cusum",
 ]
 
 

@@ -221,6 +221,31 @@ SHOWCASE = [
         "value-level doubled-midrank relation re-enters as a "
         "BroadcastHashJoin build side onto the fact scan.",
     ),
+    (
+        "graph_label_propagation",
+        "Final LPA round (round 1 ran as its own job behind an eager "
+        "checkpoint): the label vector is a Scan ExistingRDD joined to "
+        "the static edge relation on src, the (node, label) count "
+        "collapses map-side, and the per-node argmax is "
+        "max(struct(cnt, -lab)) — an ordinary hash aggregate, no "
+        "per-node Window/sort anywhere.",
+    ),
+    (
+        "stat_anova_oneway",
+        "One fact scan: the per-group sufficient statistics collapse in "
+        "a single partial+final hash aggregate; everything above the "
+        "group relation (SSB/SSW decimals, milli-F) is arithmetic over "
+        "a k-row relation. The only SinglePartition step is the final "
+        "k-row roll-up — bounded by the group count, not the data.",
+    ),
+    (
+        "evt_changepoint_cusum",
+        "Raw events collapse in the hourly hash aggregate (map-side "
+        "partials); both CUSUM windows (running sum, running min) share "
+        "ONE event_type exchange and sort — partition-local, bounded by "
+        "distinct hours — and the reference-rate relation re-enters as "
+        "a broadcast.",
+    ),
 ]
 
 

@@ -260,3 +260,53 @@ def test_kcore_fixed_rounds_is_superset_of_fixpoint(spark):
     assert set(got) == {4, 5, 6, 7}
     got5 = _core(spark, edges, k=2, rounds=5)
     assert got5 == {}
+
+
+def test_label_propagation_mode_hand_graph(spark):
+    """Two 3-cliques joined by one bridge edge: after 2 synchronous
+    mode rounds every member of each triangle carries its clique's
+    minimum id; the deterministic tie rule (count desc, label asc) is
+    what the hand-computation exercises."""
+    from nfl_big_data_bowl_2024_spark.operators.graph import (
+        label_propagation_mode,
+    )
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(3, 10)]
+    und = tri1 + tri2 + bridge
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation_mode(edges, iters=2).collect()
+    }
+    # Round 1: all neighbor counts are 1, so the tie rule gives every
+    # node its min neighbor label: {1:2, 2:1, 3:1, 10:3, 11:10, 12:10}.
+    # Round 2 (hand-traced over those labels):
+    #   1: nbrs {2->1, 3->1}            -> 1 (count 2)
+    #   2: nbrs {1->2, 3->1}   tie      -> 1 (lowest label)
+    #   3: nbrs {1->2, 2->1, 10->3} tie -> 1
+    #   10: nbrs {3->1, 11->10, 12->10} -> 10 (count 2)
+    #   11: nbrs {10->3, 12->10}  tie   -> 3
+    #   12: nbrs {10->3, 11->10}  tie   -> 3
+    assert set(got) == {1, 2, 3, 10, 11, 12}
+    assert got[1] == 1 and got[2] == 1 and got[3] == 1
+    assert got[10] == 10 and got[11] == 3 and got[12] == 3
+
+
+def test_label_propagation_isolated_node_keeps_self_label(spark):
+    from nfl_big_data_bowl_2024_spark.operators.graph import (
+        label_propagation_mode,
+    )
+
+    # node 7 only EMITS (no in-edges): it must survive with its own label
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (7, 1)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation_mode(edges, iters=2).collect()
+    }
+    assert got[7] == 7

@@ -92,3 +92,78 @@ def test_banded_running_sum_ascending_matches_global_window(spark):
         cum += n
         expect[v] = cum
     assert got == expect
+
+
+def test_anova_matches_numpy_float_reference(spark):
+    """The fixed-point ANOVA's defined floor-division slack must stay
+    negligible: F in milli-units vs the float F computed by numpy from
+    the same cents quantization, within 2 milli (flooring slack bound)."""
+    import numpy as np
+
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+
+    SF = "/root/testdata/sf0.01"
+    row = all_queries()["stat_anova_oneway"].fn(spark, SF).collect()[0]
+    pdf = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+    groups = [cents[(pdf["event_type"] == t).to_numpy()]
+              for t in pdf["event_type"].unique()]
+    k, n = len(groups), len(cents)
+    grand = cents.mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["k"] == k and row["n"] == n
+    assert abs(row["f_milli"] - round(f_ref * 1000)) <= 2, (
+        row["f_milli"], f_ref * 1000
+    )
+    # the exact integer SS decomposition must re-add to the total SS
+    # (floor slack cancels: ssb + ssw uses sum_a with opposite signs)
+    total_ss = int((cents.astype(object) ** 2).sum()) - \
+        int(cents.astype(object).sum()) ** 2 // n
+    assert abs(int(row["ssb_cents2"]) + int(row["ssw_cents2"]) - total_ss) <= 1
+
+
+def test_cusum_matches_recursive_reference(spark):
+    """The window formulation S_t = P_t - min(0, cummin P) must equal the
+    textbook recursion S_t = max(0, S_{t-1} + dev_t) replayed in Python
+    over the same hourly rollup."""
+    import collections
+
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+
+    SF = "/root/testdata/sf0.01"
+    got = {r["event_type"]: r for r in
+           all_queries()["evt_changepoint_cusum"].fn(spark, SF).collect()}
+    from nfl_big_data_bowl_2024_spark.sources.readers import (
+        read_testdata_table,
+    )
+
+    ev = (
+        read_testdata_table(spark, SF, "events")
+        .selectExpr("event_type", "unix_micros(ts) div 3600000000 AS hour")
+        .toPandas()
+    )
+    counts = collections.Counter(zip(ev["event_type"], ev["hour"]))
+    by_type = collections.defaultdict(dict)
+    for (t, h), c in counts.items():
+        by_type[t][h] = c
+    for t, hours in by_type.items():
+        xs = [hours[h] for h in sorted(hours)]
+        ref = sum(xs) // len(xs)
+        s, smax, alarms, first = 0, 0, 0, None
+        for h, x in zip(sorted(hours), xs):
+            s = max(0, s + (x - ref))
+            smax = max(smax, s)
+            if s > 5 * ref:
+                alarms += 1
+                if first is None:
+                    first = h
+        r = got[t]
+        assert r["max_cusum"] == smax, (t, r["max_cusum"], smax)
+        assert r["n_alarm_hours"] == alarms
+        assert r["first_alarm_hour"] == first
