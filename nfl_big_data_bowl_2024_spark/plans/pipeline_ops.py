@@ -6278,3 +6278,212 @@ def evt_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(alarm, F.col("hour"))).cast("long").alias("first_alarm_hour"),
         F.sum(F.when(alarm, 1).otherwise(0)).cast("long").alias("n_alarm_hours"),
     )
+
+
+@register(
+    "evt_last_touch_attribution",
+    """
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, ts,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    seq AS (
+        SELECT *,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS touch_channel,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN epoch_us(ts) END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS touch_us
+        FROM ev
+    )
+    SELECT coalesce(CASE WHEN epoch_us(ts) - touch_us
+                              <= CAST(604800000000 AS BIGINT)
+                         THEN touch_channel END, 'organic') AS channel,
+           CAST(count(*) AS BIGINT)     AS n_purchases,
+           CAST(sum(cents) AS BIGINT)   AS revenue_cents
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY channel
+    """,
+    doc="Last-touch marketing attribution: every purchase is credited to "
+    "the user's most recent non-purchase event within a 7-day lookback "
+    "(older or absent touches fall to 'organic') — the sessionless "
+    "attribution shape next to evt_funnel_conversion (ordered funnel) "
+    "and evt_cohort_retention (cohort triangles). One user-keyed ordered "
+    "window carries BOTH the channel and its timestamp via "
+    "last_value(...) IGNORE NULLS over an unbounded-to-1-preceding "
+    "frame; ties at identical timestamps break on event_id so the "
+    "cross-engine replay is deterministic. Exact integer cents. Scale "
+    "shape: one exchange on user_id (partition-local sort bounded by "
+    "per-user event counts), then a channel-keyed aggregate over "
+    "purchases only.",
+)
+def evt_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    seq = ev.withColumn(
+        "touch_channel",
+        F.last(F.when(non_purchase, F.col("event_type")), ignorenulls=True).over(w),
+    ).withColumn(
+        "touch_us",
+        F.last(
+            F.when(non_purchase, F.unix_micros("ts")), ignorenulls=True
+        ).over(w),
+    )
+    in_window = (
+        F.unix_micros("ts") - F.col("touch_us") <= 7 * 86400 * 1_000_000
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(in_window, F.col("touch_channel")), F.lit("organic")
+            ).alias("channel"),
+            "cents",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "scd2_bitemporal_asof",
+    """
+    WITH base AS (SELECT doc_id, n_chars FROM documents),
+    mx AS (SELECT max(doc_id) AS m FROM base),
+    -- Standard bitemporal correction protocol: the original belief row
+    -- (A: valid [0,inf), believed [0,inf)) gets its TRANSACTION
+    -- interval closed at the correction instant 2000+doc_id, and two
+    -- rows open believed-from that instant: the restated history
+    -- (B: original value, valid [0, 1000+doc_id)) and the correction
+    -- (C: new value, valid [1000+doc_id, inf)). Valid-time history is
+    -- never destroyed; earlier beliefs remain queryable by tx.
+    versions AS (
+        SELECT doc_id, n_chars,
+               CAST(0 AS BIGINT) AS valid_from,
+               CAST(NULL AS BIGINT) AS valid_to,
+               CAST(0 AS BIGINT) AS tx_from,
+               CASE WHEN doc_id % 2 = 0 THEN 2000 + doc_id END AS tx_to
+        FROM base
+        UNION ALL
+        SELECT doc_id, n_chars,
+               0, 1000 + doc_id,
+               2000 + doc_id, NULL
+        FROM base WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, n_chars + 1,
+               1000 + doc_id, NULL,
+               2000 + doc_id, NULL
+        FROM base WHERE doc_id % 2 = 0
+    ),
+    probes AS (
+        SELECT CAST(500 AS BIGINT) AS tx_at, 1501 + m AS valid_at, m
+        FROM mx
+        UNION ALL
+        SELECT 2501 + m, 1501 + m, m FROM mx
+        UNION ALL
+        SELECT 2501 + m, CAST(500 AS BIGINT), m FROM mx
+    ),
+    hits AS (
+        SELECT p.tx_at, p.valid_at, v.doc_id, v.n_chars
+        FROM probes p JOIN versions v
+          ON v.tx_from <= p.tx_at
+         AND (v.tx_to IS NULL OR p.tx_at < v.tx_to)
+         AND v.valid_from <= p.valid_at
+         AND (v.valid_to IS NULL OR p.valid_at < v.valid_to)
+    )
+    SELECT tx_at, valid_at,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)  AS total_chars
+    FROM hits GROUP BY tx_at, valid_at
+    """,
+    doc="BITEMPORAL as-of join — the two-axis extension of "
+    "scd2_pointintime_join: every version carries a VALID-time interval "
+    "(when the fact was true in the world) AND a TRANSACTION-time "
+    "interval (when the warehouse believed it), so 'what did we know at "
+    "tx=T about time V' is answerable after late corrections without "
+    "rewriting history. The correction protocol closes the original "
+    "row's TRANSACTION interval at tx=2000+doc_id and opens two rows "
+    "believed from that instant — restated history (original value, "
+    "valid to 1000+doc_id) and the correction (new value, valid "
+    "onward) — so probe (tx=500, V=late) sees the ORIGINAL values "
+    "everywhere (the correction was not yet known: every doc present), "
+    "probe (tx=late, V=late) sees the corrected values for even docs, "
+    "and probe (tx=late, V=500) reaches back to the restated original "
+    "validity — all probes data-derived (offsets past max(doc_id)) so "
+    "the assertions hold at any scale factor. Plan shape: the probe "
+    "side is "
+    "3 rows, so Catalyst broadcasts it and the residual double-interval "
+    "predicate evaluates on the dimension scan — never a cartesian "
+    "product; at warehouse scale the dimension shuffles once on the "
+    "equi-key (doc_id when probing per-document) exactly like the SCD-2 "
+    "single-axis case.",
+)
+def scd2_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m = d.agg(F.max("doc_id")).first()[0]
+    even = F.col("doc_id") % 2 == 0
+    null_l = F.lit(None).cast("long")
+    # A: original belief — valid forever, believed until the correction
+    va = d.select(
+        "doc_id",
+        "n_chars",
+        F.lit(0).cast("long").alias("valid_from"),
+        null_l.alias("valid_to"),
+        F.lit(0).cast("long").alias("tx_from"),
+        F.when(even, F.col("doc_id") + 2000).cast("long").alias("tx_to"),
+    )
+    # B: restated history — original value, validity closed at the
+    # correction's effective time, believed from the correction instant
+    vb = d.filter(even).select(
+        "doc_id",
+        "n_chars",
+        F.lit(0).cast("long").alias("valid_from"),
+        (F.col("doc_id") + 1000).cast("long").alias("valid_to"),
+        (F.col("doc_id") + 2000).cast("long").alias("tx_from"),
+        null_l.alias("tx_to"),
+    )
+    # C: the correction itself
+    vc = d.filter(even).select(
+        "doc_id",
+        (F.col("n_chars") + 1).alias("n_chars"),
+        (F.col("doc_id") + 1000).cast("long").alias("valid_from"),
+        null_l.alias("valid_to"),
+        (F.col("doc_id") + 2000).cast("long").alias("tx_from"),
+        null_l.alias("tx_to"),
+    )
+    versions = va.unionByName(vb).unionByName(vc)
+    probes = d.sparkSession.createDataFrame(
+        [(500, 1501 + m), (2501 + m, 1501 + m), (2501 + m, 500)],
+        "tx_at long, valid_at long",
+    )
+    hits = probes.join(
+        versions,
+        (F.col("tx_from") <= F.col("tx_at"))
+        & (F.col("tx_to").isNull() | (F.col("tx_at") < F.col("tx_to")))
+        & (F.col("valid_from") <= F.col("valid_at"))
+        & (F.col("valid_to").isNull() | (F.col("valid_at") < F.col("valid_to"))),
+    )
+    return hits.groupBy("tx_at", "valid_at").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -266,6 +266,8 @@ _DRIVER_PRIORITY: list[str] = [
     "graph_label_propagation",
     "stat_anova_oneway",
     "evt_changepoint_cusum",
+    "evt_last_touch_attribution",
+    "scd2_bitemporal_asof",
 ]
 
 

@@ -68,3 +68,89 @@ def test_range_join_plan_is_equi_hash(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan  # bucketing made it an equi-join
+
+
+def test_bitemporal_probe_semantics(spark):
+    """The three bitemporal probes must realize the correction protocol:
+    before the correction's tx instant EVERY doc shows original values;
+    after it, valid-time-late probes show corrections while
+    valid-time-early probes reach the restated original history."""
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+    from nfl_big_data_bowl_2024_spark.sources.readers import (
+        read_testdata_table,
+    )
+
+    SF = "/root/testdata/sf0.01"
+    d = read_testdata_table(spark, SF, "documents")
+    n_docs = d.count()
+    totals = d.agg(
+        F.sum("n_chars").alias("t"),
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("even"),
+    ).first()
+    rows = {
+        (r["tx_at"], r["valid_at"]): r
+        for r in all_queries()["scd2_bitemporal_asof"].fn(spark, SF).collect()
+    }
+    assert len(rows) == 3
+    early_tx = min(k[0] for k in rows)
+    late_tx = max(k[0] for k in rows)
+    early_v = min(k[1] for k in rows)
+    late_v = max(k[1] for k in rows)
+    # (tx early, V late): correction unknown -> all docs, original total
+    r1 = rows[(early_tx, late_v)]
+    assert r1["n_docs"] == n_docs and r1["total_chars"] == totals["t"]
+    # (tx late, V late): corrected -> even docs +1 char each
+    r2 = rows[(late_tx, late_v)]
+    assert r2["n_docs"] == n_docs
+    assert r2["total_chars"] == totals["t"] + totals["even"]
+    # (tx late, V early): restated history -> original values again
+    r3 = rows[(late_tx, early_v)]
+    assert r3["n_docs"] == n_docs and r3["total_chars"] == totals["t"]
+
+
+def test_last_touch_attribution_hand_case(spark):
+    """Hand-checkable attribution: lookback, organic fallback, and the
+    event_id tie-break at identical timestamps."""
+    import datetime as dt
+
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+    import os
+    import tempfile
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(days, secs=0):
+        return t0 + dt.timedelta(days=days, seconds=secs)
+
+    rows = [
+        # user 1: view then purchase 1 day later -> 'view'
+        (1, 100, "view", ts(0), 0.0),
+        (2, 100, "purchase", ts(1), 10.0),
+        # user 2: click 10 days before purchase -> outside 7d -> organic
+        (3, 200, "click", ts(0), 0.0),
+        (4, 200, "purchase", ts(10), 20.0),
+        # user 3: purchase with no prior event -> organic
+        (5, 300, "purchase", ts(2), 40.0),
+        # user 4: click and signup at the SAME instant then purchase ->
+        # tie breaks on event_id: the LAST by (ts, event_id) wins
+        (6, 400, "click", ts(3), 0.0),
+        (7, 400, "signup", ts(3), 0.0),
+        (8, 400, "purchase", ts(3, 60), 80.0),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, "
+            "ts timestamp, value double",
+        ).write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r["channel"]: (r["n_purchases"], r["revenue_cents"])
+            for r in all_queries()["evt_last_touch_attribution"]
+            .fn(spark, td)
+            .collect()
+        }
+    assert got == {
+        "view": (1, 1000),
+        "organic": (2, 6000),
+        "signup": (1, 8000),
+    }
