@@ -29,6 +29,32 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+def _edges_on_disk(df: DataFrame) -> tuple[DataFrame, int]:
+    """Materialize an edge relation DISK_ONLY and return (df, row_count).
+
+    Bulk edge relations must NOT occupy the in-memory storage pool: cached
+    blocks inside the protected storage fraction cannot be evicted by
+    execution memory, and the fixpoint rounds' wide joins/aggregates then
+    die with UNABLE_TO_ACQUIRE_MEMORY (measured on the generated sf10
+    trading graph — 117M edges — on the 16 GB local box). Sequential disk
+    reads of a compact two-column relation are cheap next to the shuffles
+    they feed. The count both forces materialization and sizes downstream
+    exchange widths; it is one long to the driver.
+    """
+    e = df.persist(StorageLevel.DISK_ONLY)
+    return e, e.count()
+
+
+def _exchange_width(sc, n_rows: int, target_rows: int = 1_000_000) -> int:
+    """Partition count for exchanges whose per-task state scales with the
+    edge count: defaultParallelism at small inputs, ~target_rows per task
+    at scale. Conf-fixed widths (32) put ~3.7M-row hash maps in every
+    concurrent task at sf10 — the measured OOM; the repartitions sized by
+    this helper replace exchanges the join/groupBy would perform anyway,
+    so round structure is unchanged, only width scales."""
+    return max(sc.defaultParallelism, int(n_rows // target_rows) + 1)
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
 ) -> DataFrame:
@@ -40,17 +66,21 @@ def connected_components(
     # both union branches — for an LSH-derived edge source that meant the
     # whole candidate-verify subtree ran twice inside the first job
     # (measured at the generated sf10: 211 s -> 97 s for
-    # dedup_cluster_assign after this checkpoint).
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
-        eager=True
+    # dedup_cluster_assign after this checkpoint). DISK_ONLY + size-aware
+    # widths per _edges_on_disk/_exchange_width.
+    sc = edges.sparkSession.sparkContext
+    e, _ = _edges_on_disk(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     )
     # Symmetrize once; both directions are needed so a min label entering a
     # cluster anywhere can flow along every edge. Duplicate edges are left
     # in place — min() is idempotent over them, and a distinct() here would
     # add a full shuffle of the edge set before the first round.
-    sym = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sym, n_sym = _edges_on_disk(
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    )
+    e.unpersist()
+    width = _exchange_width(sc, n_sym)
     labels = (
         sym.select(F.col("src").alias("node")).distinct().withColumn(
             "lbl", F.col("node")
@@ -60,7 +90,9 @@ def connected_components(
     prev_sum = None
     for _ in range(max_iter):
         nbr_min = (
-            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            sym.repartition(width, "src")
+            .join(labels.withColumnRenamed("node", "src"), "src")
+            .repartition(width, "dst")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
@@ -121,13 +153,19 @@ def pagerank_integer(
     are every distinct ``src`` (callers wanting dangling-node handling
     add the reverse edges, which also guarantees every node receives
     mass). N (node count) is a bounded scalar fetch, same class as the
-    k-means seed collect.
+    k-means seed collect. Bulk relations persist DISK_ONLY and exchange
+    widths scale with the edge count (_edges_on_disk/_exchange_width).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
-        eager=True
+    sc = edges.sparkSession.sparkContext
+    e, n_edges = _edges_on_disk(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    width = _exchange_width(sc, n_edges)
+    deg = e.repartition(width, "src").groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    ed, _ = _edges_on_disk(e.repartition(width, "src").join(deg, "src"))
+    e.unpersist()
     n = deg.count()  # bounded scalar: one long to the driver
     base = (100 - damping_pct) * 1_000_000 // (100 * n)
     r = deg.select(
@@ -135,8 +173,10 @@ def pagerank_integer(
     ).localCheckpoint(eager=True)
     for _ in range(iters):
         contrib = (
-            ed.join(r.withColumnRenamed("node", "src"), "src")
+            ed.repartition(width, "src")
+            .join(r.withColumnRenamed("node", "src"), "src")
             .select("dst", F.expr("r div outdeg").alias("c"))
+            .repartition(width, "dst")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("s"))
         )
@@ -261,9 +301,10 @@ def bfs_min_hops(
     """
     # Materialize the edge relation once: every round's frontier join and
     # the anti-join probe reread it, and without this the caller's edge
-    # subtree (often a join+distinct) replans per round.
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # subtree (often a join+distinct) replans per round. DISK_ONLY so the
+    # bulk relation never squeezes execution memory (_edges_on_disk).
+    e, _ = _edges_on_disk(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     )
     visited = seeds.select(
         F.col("node").cast("long").alias("node"), F.lit(0).cast("int").alias("hops")
@@ -308,12 +349,19 @@ def kcore_peel(
     Per round: one grouped degree count + one semi-join of the edge
     relation against surviving nodes on EACH endpoint — all keyed
     shuffles, edge set only ever shrinks, lineage truncated per round.
+    Edge generations persist DISK_ONLY with size-aware exchange widths
+    (_edges_on_disk/_exchange_width); each generation unpersists once its
+    successor is materialized, so at most two live at a time.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
-        eager=True
+    sc = edges.sparkSession.sparkContext
+    e, n_e = _edges_on_disk(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     )
     for _ in range(rounds):
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        width = _exchange_width(sc, n_e)
+        deg = e.repartition(width, "src").groupBy("src").agg(
+            F.count(F.lit(1)).alias("deg")
+        )
         keep = deg.filter(F.col("deg") >= k).select("src").localCheckpoint(eager=True)
         # Monotone fixpoint early-stop: if no node fell below k this round,
         # none ever will (degrees only drop when a neighbor peels), so the
@@ -323,12 +371,15 @@ def kcore_peel(
         # the full edge set every round.
         if keep.count() == deg.count():
             break
-        e = (
-            e.join(keep, "src")
+        nxt, n_e = _edges_on_disk(
+            e.repartition(width, "src")
+            .join(keep, "src")
+            .repartition(width, "dst")
             .join(keep.withColumnRenamed("src", "dst"), "dst")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
         )
+        e.unpersist()
+        e = nxt
     return (
         e.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
@@ -359,21 +410,48 @@ def label_propagation_mode(
     no per-node sort. Isolated nodes (no in-edges) keep their own label
     via a left join against the node universe. ``localCheckpoint``
     truncates lineage per round, same discipline as the other fixpoints.
+
+    Memory discipline, measured on the generated sf10 trading graph
+    (117M edges, 16 GB local box):
+      - The static edge relation persists DISK_ONLY, not in-memory: an
+        in-memory checkpoint pins gigabytes inside the protected
+        storage fraction, and the round's wide joins/aggregates then
+        die with UNABLE_TO_ACQUIRE_MEMORY. Edges are scanned once per
+        round sequentially from local disk — cheap — while execution
+        memory stays whole. (Lineage above the edges is one join +
+        distinct, so persist suffices; only the iteratively GROWING
+        label vector needs true lineage truncation, and it is small —
+        one row per node.)
+      - Exchange widths are SIZE-AWARE, not conf-fixed: the (node,
+        label) aggregate's pre-partial cardinality is the edge count,
+        so at 32 shuffle partitions sf10 means ~3.7M-row hash maps in
+        every concurrent task. The edge count comes from the persist's
+        materializing count() and sizes explicit repartitions to ~1M
+        rows/task; the groupBys reuse those exchanges (matching hash
+        keys), so the number of exchanges per round is unchanged —
+        only their width scales with the data.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
-        eager=True
+    sc = edges.sparkSession.sparkContext
+    e, n_edges = _edges_on_disk(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     )
+    parts = _exchange_width(sc, n_edges)
     nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     lab = nodes.select("node", F.col("node").alias("lab"))
     for _ in range(iters):
         arriving = (
-            e.join(lab.withColumnRenamed("node", "src"), "src")
+            # the join exchanges both sides regardless; repartition only
+            # WIDENS that exchange to the size-aware count
+            e.repartition(parts, "src")
+            .join(lab.withColumnRenamed("node", "src"), "src")
+            .repartition(parts, "dst", "lab")
             .groupBy(F.col("dst").alias("node"), "lab")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         # argmax by (count desc, label asc): max of (cnt, -lab) structs
         winner = (
-            arriving.groupBy("node")
+            arriving.repartition(parts, "node")
+            .groupBy("node")
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("lab")).alias("neg"))).alias("w"))
             .select("node", (-F.col("w.neg")).alias("lab"))
         )
@@ -382,4 +460,5 @@ def label_propagation_mode(
             .select("node", F.coalesce(F.col("lab"), F.col("node")).alias("lab"))
             .localCheckpoint(eager=True)
         )
+    e.unpersist()
     return lab.select("node", F.col("lab").alias("community"))
