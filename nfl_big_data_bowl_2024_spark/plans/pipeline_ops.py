@@ -6494,3 +6494,307 @@ def scd2_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# Benford first-digit expected probabilities log10(1+1/d) in micro-units
+# (fixed literals on BOTH engines — no float log at query time).
+_BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@register(
+    "dq_benford_first_digit",
+    f"""
+    WITH cents AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        FROM orders
+    ),
+    digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM cents WHERE c > 0
+    ),
+    obs AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+    tot AS (SELECT sum(n) AS t FROM obs),
+    exp_tbl AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_MICRO.items()))}
+        ) AS e(digit, p_micro)
+    )
+    SELECT e.digit,
+           CAST(coalesce(o.n, 0) AS BIGINT)            AS n,
+           CAST(t.t * e.p_micro // 1000000 AS BIGINT)  AS expected_n,
+           CAST(abs(coalesce(o.n, 0) * 1000000 - t.t * e.p_micro)
+                // t.t AS BIGINT)                      AS abs_dev_micro
+    FROM exp_tbl e LEFT JOIN obs o ON e.digit = o.digit CROSS JOIN tot t
+    """,
+    doc="Benford's-law first-digit audit over order totals — the "
+    "fraud/fabrication screen in the data-quality family (expectations "
+    "gate, referential integrity, column profile, try_* absorption): "
+    "first digits come from exact integer cents via string head (no "
+    "float log at query time), observed counts vs the Benford expected "
+    "distribution with log10(1+1/d) pinned as integer micro-unit "
+    "LITERALS identical in both engines, deviations in exact micro "
+    "units via integer floor division. One aggregate pass collapses the "
+    "fact table to <= 9 rows; the expected table is a 9-row literal "
+    "relation broadcast onto it.",
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("c")
+    )
+    obs = (
+        c.filter(F.col("c") > 0)
+        .select(F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exp_tbl = spark.createDataFrame(
+        sorted(_BENFORD_MICRO.items()), "digit long, p_micro long"
+    )
+    tot = obs.agg(F.sum("n").alias("t"))
+    return (
+        exp_tbl.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.expr("CAST((t * p_micro) div 1000000 AS BIGINT)").alias("expected_n"),
+            F.expr(
+                "CAST(abs(coalesce(n, 0) * 1000000 - t * p_micro) div t AS BIGINT)"
+            ).alias("abs_dev_micro"),
+        )
+    )
+
+
+@register(
+    "evt_rfm_segmentation",
+    """
+    WITH rfm AS (
+        SELECT o_custkey,
+               CAST((SELECT max(epoch_us(o_orderdate)) FROM orders)
+                    // 86400000000
+                    - max(epoch_us(o_orderdate)) // 86400000000
+                    AS BIGINT)                                  AS recency_days,
+               count(*)                                         AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT)                                  AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+        SELECT
+            floor(quantile_cont(recency_days,   0.2) * 1000000 + 0.5) / 1000000 AS r1,
+            floor(quantile_cont(recency_days,   0.4) * 1000000 + 0.5) / 1000000 AS r2,
+            floor(quantile_cont(recency_days,   0.6) * 1000000 + 0.5) / 1000000 AS r3,
+            floor(quantile_cont(recency_days,   0.8) * 1000000 + 0.5) / 1000000 AS r4,
+            floor(quantile_cont(n_orders,       0.2) * 1000000 + 0.5) / 1000000 AS f1,
+            floor(quantile_cont(n_orders,       0.4) * 1000000 + 0.5) / 1000000 AS f2,
+            floor(quantile_cont(n_orders,       0.6) * 1000000 + 0.5) / 1000000 AS f3,
+            floor(quantile_cont(n_orders,       0.8) * 1000000 + 0.5) / 1000000 AS f4,
+            floor(quantile_cont(monetary_cents, 0.2) * 1000000 + 0.5) / 1000000 AS m1,
+            floor(quantile_cont(monetary_cents, 0.4) * 1000000 + 0.5) / 1000000 AS m2,
+            floor(quantile_cont(monetary_cents, 0.6) * 1000000 + 0.5) / 1000000 AS m3,
+            floor(quantile_cont(monetary_cents, 0.8) * 1000000 + 0.5) / 1000000 AS m4
+        FROM rfm
+    )
+    SELECT CAST(1 + CAST(recency_days > r1 AS INTEGER)
+                  + CAST(recency_days > r2 AS INTEGER)
+                  + CAST(recency_days > r3 AS INTEGER)
+                  + CAST(recency_days > r4 AS INTEGER) AS BIGINT)       AS r_seg,
+           CAST(1 + CAST(n_orders > f1 AS INTEGER)
+                  + CAST(n_orders > f2 AS INTEGER)
+                  + CAST(n_orders > f3 AS INTEGER)
+                  + CAST(n_orders > f4 AS INTEGER) AS BIGINT)           AS f_seg,
+           CAST(1 + CAST(monetary_cents > m1 AS INTEGER)
+                  + CAST(monetary_cents > m2 AS INTEGER)
+                  + CAST(monetary_cents > m3 AS INTEGER)
+                  + CAST(monetary_cents > m4 AS INTEGER) AS BIGINT)     AS m_seg,
+           CAST(count(*) AS BIGINT)              AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT)   AS total_monetary_cents
+    FROM rfm CROSS JOIN cuts
+    GROUP BY r_seg, f_seg, m_seg
+    """,
+    doc="RFM (recency/frequency/monetary) customer segmentation — the "
+    "classic warehouse cohorting shape next to funnel/retention/"
+    "attribution: per-customer exact integer metrics (days since last "
+    "order, order count, lifetime cents) in one keyed aggregate, "
+    "quintile cutoffs via ONE scalar percentile aggregate (Spark "
+    "percentile == DuckDB quantile_cont, rounded 6 dp half-up on both "
+    "engines) broadcast back, and each quintile index computed as "
+    "1 + sum of strict-threshold exceedances — boolean integer adds, "
+    "no window, no ntile (a global ntile would funnel every customer "
+    "through one task; the threshold form keeps the relation "
+    "partitioned). Output is the 125-cell segment cube with customer "
+    "counts and monetary totals. Exact-percentile cutoffs materialize "
+    "the metric vector per agg buffer — correct here, with the "
+    "approx_quantiles sketch as the documented 100 TB path (same "
+    "caveat as grouped_percentiles).",
+)
+def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("day").alias("last_day"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("long").alias("monetary_cents"),
+    )
+    global_last = rfm.agg(F.max("last_day").alias("g")).first()["g"]
+    rfm = rfm.withColumn(
+        "recency_days", (F.lit(global_last) - F.col("last_day")).cast("long")
+    )
+
+    def q(col):
+        return F.percentile(
+            col, F.array(F.lit(0.2), F.lit(0.4), F.lit(0.6), F.lit(0.8))
+        )
+
+    cuts = rfm.agg(
+        q("recency_days").alias("rq"),
+        q("n_orders").alias("fq"),
+        q("monetary_cents").alias("mq"),
+    ).select(
+        *[
+            (F.floor(F.col(c)[i] * 1_000_000 + 0.5) / 1_000_000).alias(f"{c[0]}{i+1}")
+            for c in ("rq", "fq", "mq")
+            for i in range(4)
+        ]
+    )
+
+    def seg(metric, pfx):
+        s = F.lit(1)
+        for i in range(1, 5):
+            s = s + (F.col(metric) > F.col(f"{pfx}{i}")).cast("int")
+        return s.cast("long")
+
+    return (
+        rfm.crossJoin(F.broadcast(cuts))
+        .select(
+            seg("recency_days", "r").alias("r_seg"),
+            seg("n_orders", "f").alias("f_seg"),
+            seg("monetary_cents", "m").alias("m_seg"),
+            "monetary_cents",
+        )
+        .groupBy("r_seg", "f_seg", "m_seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary_cents").cast("long").alias("total_monetary_cents"),
+        )
+    )
+
+
+@register(
+    "graph_adamic_adar_links",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+        SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+        UNION ALL
+        SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+    -- low-degree connector apexes only (<= 64): bounds the wedge
+    -- fan-out AND matches Adamic-Adar's rationale (hubs carry little
+    -- link signal; their inverse-degree weight is near zero anyway)
+    adj AS (
+        SELECT e.src AS x, e.dst AS nbr, d.d
+        FROM edges e JOIN deg d ON e.src = d.node WHERE d.d <= 64
+    ),
+    wedge AS (
+        SELECT a.nbr AS ya, b.nbr AS yb, a.d
+        FROM adj a JOIN adj b ON a.x = b.x AND a.nbr < b.nbr
+    ),
+    scored AS (
+        SELECT ya, yb,
+               CAST(sum(1000000 // d) AS BIGINT) AS aa_micro,
+               count(*) AS n_common
+        FROM wedge GROUP BY ya, yb
+    ),
+    non_edges AS (
+        SELECT sc.* FROM scored sc
+        LEFT JOIN edges e ON sc.ya = e.src AND sc.yb = e.dst
+        WHERE e.src IS NULL
+    )
+    SELECT CAST(ya AS BIGINT) AS node_a, CAST(yb AS BIGINT) AS node_b,
+           aa_micro, CAST(n_common AS BIGINT) AS n_common
+    FROM non_edges
+    ORDER BY aa_micro DESC, node_a, node_b LIMIT 25
+    """,
+    doc="Link prediction via Adamic-Adar common-neighbor scoring over the "
+    "trading graph — the predictive-analytics member of the graph family "
+    "(CC/PageRank/BFS/k-core/LPA/triangles describe the graph; this "
+    "predicts its next edges): candidate pairs are generated by a wedge "
+    "self-join restricted to connector apexes of degree <= 64 — the "
+    "hub guard bounding the quadratic fan-out (the same cap idiom as the "
+    "token-lift basket and the fuzzy-match block), which HERE also "
+    "matches the measure's own rationale: Adamic-Adar weights each "
+    "common neighbor by inverse degree, so excluded hubs contribute "
+    "near-zero signal by construction. Weights are integer micro-units "
+    "(1000000 div degree — float-free), existing edges drop via an "
+    "anti-join on the symmetrized edge set, and the top 25 predicted "
+    "links break ties on the node pair so the hash check is exact.",
+)
+def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import _edges_on_disk, _exchange_width
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    # DISK_ONLY + size-aware widths (operators/graph.py memory
+    # discipline): the wedge relation is ~sum(deg_capped^2) rows — ~1B at
+    # the sf10 trading graph — so its aggregate exchange must scale with
+    # the data, and the edge relation must not pin execution memory.
+    edges, n_edges = _edges_on_disk(
+        pairs.select(
+            (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+        ).unionAll(
+            pairs.select(
+                (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
+            )
+        )
+    )
+    sc = spark.sparkContext
+    width = _exchange_width(sc, n_edges)
+    # wedge volume ~ capped-degree^2 per apex; width accordingly wider
+    wedge_width = _exchange_width(sc, n_edges * 40)
+    deg = edges.repartition(width, "src").groupBy(
+        F.col("src").alias("node")
+    ).agg(F.count(F.lit(1)).alias("d"))
+    adj = (
+        edges.repartition(width, "src")
+        .join(deg, edges["src"] == deg["node"])
+        .filter(F.col("d") <= 64)
+        .select(F.col("src").alias("x"), F.col("dst").alias("nbr"), "d")
+    )
+    a = adj.select(F.col("x"), F.col("nbr").alias("ya"), "d")
+    b = adj.select(F.col("x"), F.col("nbr").alias("yb"))
+    wedge = a.join(b, "x").filter(F.col("ya") < F.col("yb"))
+    scored = wedge.repartition(wedge_width, "ya", "yb").groupBy("ya", "yb").agg(
+        F.sum(F.expr("1000000 div d")).cast("long").alias("aa_micro"),
+        F.count(F.lit(1)).alias("n_common"),
+    )
+    non_edges = scored.join(
+        edges,
+        (scored["ya"] == edges["src"]) & (scored["yb"] == edges["dst"]),
+        "left_anti",
+    )
+    return (
+        non_edges.select(
+            F.col("ya").cast("long").alias("node_a"),
+            F.col("yb").cast("long").alias("node_b"),
+            "aa_micro",
+            F.col("n_common").cast("long").alias("n_common"),
+        )
+        .orderBy(F.col("aa_micro").desc(), "node_a", "node_b")
+        .limit(25)
+    )

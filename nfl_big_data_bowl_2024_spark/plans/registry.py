@@ -268,6 +268,9 @@ _DRIVER_PRIORITY: list[str] = [
     "evt_changepoint_cusum",
     "evt_last_touch_attribution",
     "scd2_bitemporal_asof",
+    "dq_benford_first_digit",
+    "evt_rfm_segmentation",
+    "graph_adamic_adar_links",
 ]
 
 

@@ -167,3 +167,30 @@ def test_cusum_matches_recursive_reference(spark):
         assert r["max_cusum"] == smax, (t, r["max_cusum"], smax)
         assert r["n_alarm_hours"] == alarms
         assert r["first_alarm_hour"] == first
+
+
+def test_benford_and_rfm_invariants(spark):
+    """Cheap structural invariants on the round-7 DQ/segmentation pair:
+    Benford digit rows partition the order count; RFM cells partition the
+    customer set and its monetary total."""
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+    from nfl_big_data_bowl_2024_spark.sources.readers import (
+        read_testdata_table,
+    )
+
+    SF = "/root/testdata/sf0.01"
+    qs = all_queries()
+    orders = read_testdata_table(spark, SF, "orders")
+
+    ben = qs["dq_benford_first_digit"].fn(spark, SF).collect()
+    assert sorted(r["digit"] for r in ben) == list(range(1, 10))
+    assert sum(r["n"] for r in ben) == orders.count()
+    # expected counts are a probability distribution scaled by the total
+    total = sum(r["n"] for r in ben)
+    assert abs(sum(r["expected_n"] for r in ben) - total) <= 9  # floor slack
+
+    rfm = qs["evt_rfm_segmentation"].fn(spark, SF).collect()
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rfm) == n_cust
+    for r in rfm:
+        assert 1 <= r["r_seg"] <= 5 and 1 <= r["f_seg"] <= 5 and 1 <= r["m_seg"] <= 5
