@@ -310,3 +310,27 @@ def test_label_propagation_isolated_node_keeps_self_label(spark):
         for r in label_propagation_mode(edges, iters=2).collect()
     }
     assert got[7] == 7
+
+
+def test_memory_discipline_helpers(spark):
+    """_edges_on_disk must persist DISK_ONLY (never pinning the in-memory
+    storage pool) and report the exact count; _exchange_width must stay
+    at defaultParallelism for small inputs and scale ~1M rows/task."""
+    from pyspark.storagelevel import StorageLevel
+
+    from nfl_big_data_bowl_2024_spark.operators.graph import (
+        _edges_on_disk,
+        _exchange_width,
+    )
+
+    e, n = _edges_on_disk(
+        spark.range(1000).selectExpr("id AS src", "id + 1 AS dst")
+    )
+    try:
+        assert n == 1000
+        assert e.storageLevel == StorageLevel.DISK_ONLY
+    finally:
+        e.unpersist()
+    sc = spark.sparkContext
+    assert _exchange_width(sc, 1_000) == sc.defaultParallelism
+    assert _exchange_width(sc, 250_000_000) == 251
