@@ -6798,3 +6798,92 @@ def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_micro").desc(), "node_a", "node_b")
         .limit(25)
     )
+
+
+@register(
+    "spatial_proximity_pairs",
+    """
+    WITH pts AS (
+        SELECT vec_id,
+               CAST(embedding[1] AS DOUBLE) * 100 AS x,
+               CAST(embedding[2] AS DOUBLE) * 100 AS y
+        FROM embeddings
+    ),
+    offs AS (SELECT unnest(generate_series(-1, 1)) AS o),
+    a AS (
+        SELECT p.vec_id, p.x, p.y,
+               CAST(floor(p.x / 5.0) AS BIGINT) + ox.o AS cx,
+               CAST(floor(p.y / 5.0) AS BIGINT) + oy.o AS cy
+        FROM pts p CROSS JOIN offs ox CROSS JOIN offs oy
+    ),
+    b AS (
+        SELECT vec_id, x, y,
+               CAST(floor(x / 5.0) AS BIGINT) AS cx,
+               CAST(floor(y / 5.0) AS BIGINT) AS cy
+        FROM pts
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+                   AS dist
+        FROM a JOIN b ON a.cx = b.cx AND a.cy = b.cy
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           floor(dist * 10000 + 0.5) / 10000 AS dist
+    FROM pairs WHERE dist <= 5.0
+    """,
+    doc="Spatial proximity self-join (all point pairs within radius 5) "
+    "via 2-D grid bucketing — the SPATIAL JOIN operator Spark lacks "
+    "natively, built the same way the engine builds every all-pairs "
+    "shape: bucket to kill the quadratic, exact predicate to finish. "
+    "Cell size equals the radius, so |dx|<=r implies a cell delta of at "
+    "most 1: ONE side replicates to its 3x3 cell neighborhood (a 9x "
+    "map-side explode of ids+coords, no shuffle amplification beyond "
+    "it) and joins the other side's unique home cell — which also means "
+    "every qualifying pair meets EXACTLY once (the home cell is unique), "
+    "so no distinct pass is needed. The equi-join on (cx, cy) is an "
+    "ordinary hash join: skew from dense cells splits via AQE exactly "
+    "like the LSH band buckets. Points derive deterministically from "
+    "the embedding table's first two components scaled to a field-sized "
+    "span; distances emitted at the engine's 4 dp half-up contract.",
+)
+def spatial_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = 5.0
+    pts = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("embedding")[0].cast("double") * 100).alias("x"),
+        (F.col("embedding")[1].cast("double") * 100).alias("y"),
+    )
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    a = (
+        pts.withColumn("ox", off)
+        .withColumn("oy", off)
+        .select(
+            F.col("vec_id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.floor(F.col("x") / r).cast("long") + F.col("ox")).alias("cx"),
+            (F.floor(F.col("y") / r).cast("long") + F.col("oy")).alias("cy"),
+        )
+    )
+    b = pts.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.floor(F.col("x") / r).cast("long").alias("cx"),
+        F.floor(F.col("y") / r).cast("long").alias("cy"),
+    )
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    dist = F.sqrt(dx * dx + dy * dy)
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= r)
+        .select(
+            "id_a", "id_b",
+            (F.floor(F.col("dist") * 10000 + 0.5) / 10000).alias("dist"),
+        )
+    )

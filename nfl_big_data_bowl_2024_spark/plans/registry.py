@@ -271,6 +271,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dq_benford_first_digit",
     "evt_rfm_segmentation",
     "graph_adamic_adar_links",
+    "spatial_proximity_pairs",
 ]
 
 

@@ -154,3 +154,34 @@ def test_last_touch_attribution_hand_case(spark):
         "organic": (2, 6000),
         "signup": (1, 8000),
     }
+
+
+def test_spatial_proximity_matches_bruteforce(spark):
+    """The grid-bucketed spatial join must equal the quadratic
+    brute-force pair set exactly (cell size == radius -> 3x3 coverage
+    complete; home-cell join -> no duplicate pairs)."""
+    import itertools
+    import math
+
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+    from nfl_big_data_bowl_2024_spark.sources.readers import (
+        read_testdata_table,
+    )
+
+    SF = "/root/testdata/sf0.01"
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in all_queries()["spatial_proximity_pairs"].fn(spark, SF).collect()
+    }
+    pts = {
+        r["vec_id"]: (float(r["embedding"][0]) * 100, float(r["embedding"][1]) * 100)
+        for r in read_testdata_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(pts), 2):
+        d = math.dist(pts[a], pts[b])
+        if d <= 5.0:
+            want[(a, b)] = math.floor(d * 10000 + 0.5) / 10000
+    assert got == want
