@@ -272,6 +272,7 @@ _DRIVER_PRIORITY: list[str] = [
     "evt_rfm_segmentation",
     "graph_adamic_adar_links",
     "spatial_proximity_pairs",
+    "agg_hll_overlap_estimate",
 ]
 
 
