@@ -255,10 +255,10 @@ def arr_top_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_dimension_stats",
     """
     SELECT i AS dim_idx,
-           round(avg(embedding[i]), 4)    AS mean_v,
-           round(stddev(embedding[i]), 4) AS std_v,
-           min(embedding[i])              AS min_v,
-           max(embedding[i])              AS max_v
+           round(avg(embedding[i]), 4) + 0.0 AS mean_v,
+           round(stddev(embedding[i]), 4)    AS std_v,
+           min(embedding[i])                 AS min_v,
+           max(embedding[i])                 AS max_v
     FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
     GROUP BY i
     """,
@@ -266,13 +266,16 @@ def arr_top_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mean/std/min/max): the feature-normalization pass of a training "
     "pipeline. One Expand-style generate + one hash aggregate keyed on the "
     "64 dimension indices — output is O(dim), so the final agg is a "
-    "broadcast-sized normalization table no matter the corpus size.",
+    "broadcast-sized normalization table no matter the corpus size. "
+    "`+ 0.0` on both sides canonicalizes IEEE negative zero: zero-centered "
+    "dims round to -0.0 in DuckDB but 0.0 in Spark (repr-level hash "
+    "mismatch at sf0.1 even though -0.0 == 0.0 — the round-7 scale find).",
 )
 def emb_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     ex = e.select(F.posexplode("embedding").alias("pos", "v"))
     return ex.groupBy((F.col("pos") + 1).cast("long").alias("dim_idx")).agg(
-        F.round(F.avg("v"), 4).alias("mean_v"),
+        (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("mean_v"),
         F.round(F.stddev("v"), 4).alias("std_v"),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
@@ -472,22 +475,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM norm a JOIN norm b ON a.toks = b.toks AND a.doc_id < b.doc_id
     """,
-    doc="SimHash at the oracle-checkable operating point: the 64-bit "
-    "signature is a pure function of the DISTINCT TOKEN SET, so "
-    "equal-signature pairs are exactly the identical-token-set pairs "
-    "(collision probability ~2^-64 per unequal pair) — which DuckDB "
-    "computes directly from sorted distinct token lists. The banded "
+    doc="SimHash as the BLOCKING step with exact verification — the "
+    "bucket-then-verify shape every sketch dedup path here uses. The "
+    "64-bit signature is a pure function of the DISTINCT TOKEN SET, so "
+    "every identical-token-set pair shares a signature and the "
+    "signature join loses nothing; but simhash bits are majority votes, "
+    "so NEAR-identical token sets also collide (measured: 439 of 36045 "
+    "sf0.1 candidate pairs differ in a few tokens yet share all 64 "
+    "bits — the round-7 scale find). Candidates are therefore verified "
+    "on an md5 fingerprint of the sorted distinct token list (32 chars "
+    "carried through the join instead of the full token array). DuckDB "
+    "computes the identical-token-set pairs directly. The banded "
     "near-dup buckets (dedup_simhash) stay rows-only: Hamming-near "
     "pairs have no engine-independent definition.",
 )
 def dedup_simhash_identical(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
+    tok_fp = F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(F.split(F.col("text"), " ")))
+        ).cast("binary")
+    )
     sig = simhash_signatures(d, "doc_id", "text").select("doc_id", "simhash")
-    a = sig.select(F.col("doc_id").alias("doc_a"), "simhash")
-    b = sig.select(F.col("doc_id").alias("doc_b"), "simhash")
+    sig = sig.join(d.select("doc_id", tok_fp.alias("tok_fp")), "doc_id")
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), "simhash", F.col("tok_fp").alias("fp_a")
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), "simhash", F.col("tok_fp").alias("fp_b")
+    )
     return (
         a.join(b, "simhash")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("fp_a") == F.col("fp_b")))
         .select("doc_a", "doc_b")
     )
 
@@ -1588,8 +1607,8 @@ def txt_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_label_centroids",
     """
     SELECT label, i AS dim_idx,
-           round(avg(embedding[i]), 4) AS centroid_v,
-           count(*)                    AS n_members
+           round(avg(embedding[i]), 4) + 0.0 AS centroid_v,
+           count(*)                          AS n_members
     FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
     GROUP BY label, i
     """,
@@ -1597,7 +1616,8 @@ def txt_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "class-balance diagnostic for labeled embedding data): posexplode -> "
     "one hash aggregate keyed on (label, dim). Output is O(labels x dim) "
     "— a broadcast-sized model no matter the corpus size; map-side "
-    "partials do the heavy reduction.",
+    "partials do the heavy reduction. `+ 0.0` canonicalizes IEEE "
+    "negative zero on both sides (see emb_dimension_stats).",
 )
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
@@ -1605,7 +1625,7 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy(
         "label", (F.col("pos") + 1).cast("long").alias("dim_idx")
     ).agg(
-        F.round(F.avg("v"), 4).alias("centroid_v"),
+        (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("centroid_v"),
         F.count(F.lit(1)).alias("n_members"),
     )
 

@@ -801,20 +801,35 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "grouped_having_sort",
     """
-    SELECT user_id, count(*) AS n_events, round(avg(value), 4) AS mean_value,
+    SELECT user_id, count(*) AS n_events,
+           floor((200.0 * sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  + count(*)) / (2.0 * count(*))) / 10000.0 AS mean_value,
            max(value) AS max_value
     FROM events GROUP BY user_id HAVING count(*) >= 20
     """,
     doc="A3 per-key stats + O2 having-threshold + O1 sort (reference plot_YAP.py:72-75). "
-    "Replaces the reference's concat-accumulator loop with one hash aggregate.",
+    "Replaces the reference's concat-accumulator loop with one hash aggregate. "
+    "The mean is integer-exact: events.value is 2dp, so both engines sum "
+    "exact cent-integers; the 4dp rounding is done in INTEGER space "
+    "(floor((200*S + n)/(2n)) = half-up of 100*S/n) because a float avg() "
+    "accumulates in engine-specific order AND the engines' round() "
+    "functions disagree on exact half-boundaries — at sf0.1 one group's "
+    "mean is exactly 49.19125: Spark HALF_UPs the shortest decimal repr "
+    "to 49.1913, DuckDB rounds the binary double to 49.1912 (the round-7 "
+    "scale find). floor on an identical IEEE quotient is unambiguous.",
 )
 def grouped_having_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    n = F.count(F.lit(1))
     return (
         e.groupBy("user_id")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("mean_value"),
+            n.alias("n_events"),
+            (
+                F.floor((F.lit(200.0) * F.sum(cents) + n) / (F.lit(2.0) * n))
+                / F.lit(10000.0)
+            ).alias("mean_value"),
             F.max("value").alias("max_value"),
         )
         .filter(F.col("n_events") >= 20)
