@@ -104,6 +104,98 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_df: int | None = 256,
+) -> DataFrame:
+    """Exact word-token Jaccard join via PPJoin-style prefix filtering
+    (Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08 — public algorithms).
+
+    The prefix-filtering principle: order every document's token set by ONE
+    global total order (here: ascending document frequency, ties on the
+    token string — rarest first) and keep only the first
+    ``n - ceil(threshold * n) + 1`` tokens as join keys. Any pair with
+    Jaccard >= threshold MUST share a token inside these prefixes, so
+    joining on prefix tokens alone loses no pairs — while the candidate
+    volume drops from the inverted index's sum(df^2) over ALL tokens to a
+    sum over only the RAREST slice of each document (which is tiny by
+    construction: rare tokens have small df, and common tokens never enter
+    a prefix). Candidates are then verified exactly on the full token sets
+    (array_intersect on candidate pairs only — the MinHash verify shape).
+
+    ``max_df`` mirrors ngram_jaccard_pairs' hot-token guard: tokens above
+    the document-frequency cap are dropped from the token space on both
+    the join and the counts (stopword removal, in effect), which is what
+    keeps the VERIFY stage's set arrays bounded too. Jaccard is computed
+    over the filtered space; an oracle must apply the identical filter.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold,
+    jaccard floor-parity-rounded to 4dp (engine-agnostic: integer overlap
+    counts -> one double division -> floor).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_tok"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df_tok") <= max_df)
+    kept = toks.join(dfreq, "tok")
+
+    w_ord = Window.partitionBy(id_col).orderBy("df_tok", "tok")
+    w_all = Window.partitionBy(id_col)
+    ranked = kept.select(
+        id_col,
+        "tok",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_tok"),
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1
+    )
+
+    cands = (
+        prefix.select(F.col(id_col).alias("doc_a"), "tok")
+        .join(prefix.select(F.col(id_col).alias("doc_b"), "tok"), "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    toksets = kept.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("tok")).alias("toks"),
+        F.count(F.lit(1)).alias("n_tok"),
+    )
+    a = toksets.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n_tok").alias("n_a"),
+    )
+    b = toksets.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n_tok").alias("n_b"),
+    )
+    n_common = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = n_common * 1.0 / (F.col("n_a") + F.col("n_b") - n_common)
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(jac * 10000 + F.lit(0.5)) / 10000.0).alias("jaccard"),
+        )
+    )
+
+
 _MH_SENTINEL = (1 << 63) - 1  # "empty set" signature value (max int64)
 
 

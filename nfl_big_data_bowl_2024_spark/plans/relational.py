@@ -840,17 +840,57 @@ def grouped_having_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corr_per_group",
     """
-    SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
-           count(*) AS n
-    FROM lineitem GROUP BY l_returnflag
+    WITH s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(CAST(l_quantity AS BIGINT)) AS sx,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+               sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
+               sum(CAST(l_quantity AS BIGINT)
+                   * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) * 10000 + 0.5)
+               / 10000.0 AS qty_price_corr,
+           n
+    FROM s
     """,
-    doc="A4 Pearson correlation per group (reference plot_max_parameters.py:37-40).",
+    doc="A4 Pearson correlation per group (reference plot_max_parameters.py:37-40). "
+    "Computed from EXACT integer sufficient statistics (l_quantity is "
+    "integer-valued, l_extendedprice exactly 2dp): Spark sums in "
+    "decimal(38,0), DuckDB in HUGEINT, so accumulation order cannot drift "
+    "the moments; one identical double formula + floor-parity rounding on "
+    "both sides. A float corr() differs between engines at the ulp level "
+    "(different co-moment recurrences), which flips the 4th decimal when a "
+    "group's corr lands near a rounding boundary at larger scale factors.",
 )
 def corr_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+    dec = "decimal(38,0)"
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    s = l.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum((y * y).cast(dec)).alias("syy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "l_returnflag",
+        (
+            F.floor(num / F.sqrt(varx * vary) * 10000 + F.lit(0.5)) / 10000.0
+        ).alias("qty_price_corr"),
+        "n",
     )
 
 

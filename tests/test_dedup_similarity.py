@@ -431,3 +431,55 @@ def test_aqe_skew_split_triggers_on_hot_band(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_prefix_filter_jaccard_equals_inverted_index(spark, documents):
+    """Prefix filtering is LOSSLESS for Jaccard >= t: the PPJoin-style path
+    (explode only the rarest n - ceil(t*n) + 1 tokens per doc) must return
+    exactly the pairs a full inverted-index join finds, with equal jaccard."""
+    from nfl_big_data_bowl_2024_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    t = 0.5
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(
+            documents, "doc_id", "text", threshold=t, max_df=256
+        ).collect()
+    }
+
+    # In-test oracle: full inverted index over the same filtered token space.
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+    )
+    rare = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") <= 256)
+        .select("tok")
+    )
+    kept = toks.join(rare, "tok")
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    overlap = (
+        kept.select(F.col("doc_id").alias("a"), "tok")
+        .join(kept.select(F.col("doc_id").alias("b"), "tok"), "tok")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    want = {}
+    for r in overlap:
+        union = counts[r["a"]] + counts[r["b"]] - r["c"]
+        j = r["c"] / union
+        if j >= t:
+            import math
+
+            want[(r["a"], r["b"])] = math.floor(j * 10000 + 0.5) / 10000.0
+    assert got == want
+    assert want, "fixture must contain at least one qualifying pair"
