@@ -138,3 +138,30 @@ def count_min_estimate(keys_df, counters, key: str, width: int = 64, depth: int 
         .groupBy(key)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cms_n"))
     )
+
+
+def cms_join_size_estimate(r_df, s_df, key: str, width: int = 64, depth: int = 4):
+    """Equi-join cardinality estimation via the Count-Min inner product
+    (Cormode & Muthukrishnan 2005, §4.3; same estimator family as AMS F2):
+    |R JOIN S on key| = sum_k fR(k) * fS(k), estimated per depth row as
+    sum_b cntR[d,b] * cntS[d,b] and taking the MIN over rows. Collisions
+    only ADD mass, so the estimate is a guaranteed OVERestimate — the safe
+    direction for an optimizer deciding whether a join is broadcast-able.
+
+    The scale contract is the CMS one: each input collapses to a d x w
+    counter grid via map-side partials (no raw-key shuffle), and the
+    inner product itself is a d*w-row join — O(1) work regardless of
+    input size. Returns a single-row DataFrame (d rows reduced to min).
+    """
+    from pyspark.sql import functions as F
+
+    cr = count_min_counters(r_df, key, width, depth)
+    cs = count_min_counters(s_df, key, width, depth).select(
+        "d", "bucket", F.col("cnt").alias("cnt_s")
+    )
+    per_depth = (
+        cr.join(cs, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_s")).cast("long").alias("ip"))
+    )
+    return per_depth.agg(F.min("ip").cast("long").alias("cms_join_size"))

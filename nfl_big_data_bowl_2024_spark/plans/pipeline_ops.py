@@ -5193,6 +5193,125 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "evt_seasonal_decompose",
+    """
+    WITH b AS (
+        SELECT event_type,
+               CAST((epoch_us(ts) // 3600000000) % 24 AS INTEGER) AS hour_of_day,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, hour_of_day, count(*) AS n, sum(cents) AS s
+        FROM b GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, sum(n) AS tn, sum(s) AS ss FROM g GROUP BY 1)
+    SELECT g.event_type, g.hour_of_day, CAST(g.n AS BIGINT) AS n,
+           floor((200.0 * g.s + g.n) / (2.0 * g.n)) / 10000.0 AS hourly_mean,
+           floor((200.0 * g.s + g.n) / (2.0 * g.n)) / 10000.0
+           - floor((200.0 * t.ss + t.tn) / (2.0 * t.tn)) / 10000.0
+               AS seasonal_delta
+    FROM g JOIN t USING (event_type)
+    """,
+    doc="Seasonal decomposition of the event stream: per (event_type, "
+    "hour-of-day) mean vs the type's overall mean — the additive seasonal "
+    "index of a classical decomposition, the load-shaping/anomaly "
+    "baseline for ops telemetry. Hour-of-day is epoch-derived "
+    "((epoch_us div 3600e6) mod 24), so it is timezone-free and "
+    "identical across engines regardless of session TZ. One groupBy onto "
+    "the FIXED types x 24 grid (map-side partials collapse every task to "
+    "<= 120 rows — the CMS shape), then a window over that tiny "
+    "aggregate for the per-type totals: zero additional full-data "
+    "shuffles. Means are integer-exact over cent sums (floor-parity).",
+)
+def evt_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hod = (F.expr("unix_micros(ts) div 3600000000") % 24).cast("int")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    g = ev.groupBy(
+        "event_type", hod.alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("s"))
+    w = Window.partitionBy("event_type")
+    tn = F.sum("n").over(w)
+    ss = F.sum("s").over(w)
+    hourly = F.floor(
+        (F.lit(200.0) * F.col("s") + F.col("n")) / (F.lit(2.0) * F.col("n"))
+    ) / 10000.0
+    overall = F.floor((F.lit(200.0) * ss + tn) / (F.lit(2.0) * tn)) / 10000.0
+    return g.select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        hourly.alias("hourly_mean"),
+        (hourly - overall).alias("seasonal_delta"),
+    )
+
+
+@register(
+    "agg_cms_join_size",
+    """
+    WITH h(d, a, b) AS (
+        VALUES (0, 3079, 1531), (1, 4093, 2389),
+               (2, 5351, 3271), (3, 6151, 4447)
+    ),
+    r AS (SELECT user_id FROM events WHERE event_type = 'click'),
+    s AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+    cr AS (
+        SELECT h.d, ((h.a * r.user_id + h.b) % 8191) % 64 AS bucket,
+               count(*) AS cnt
+        FROM r CROSS JOIN h GROUP BY 1, 2
+    ),
+    cs AS (
+        SELECT h.d, ((h.a * s.user_id + h.b) % 8191) % 64 AS bucket,
+               count(*) AS cnt
+        FROM s CROSS JOIN h GROUP BY 1, 2
+    ),
+    ip AS (
+        SELECT cr.d, sum(cr.cnt * cs.cnt) AS ip
+        FROM cr JOIN cs USING (d, bucket) GROUP BY 1
+    ),
+    est AS (SELECT min(ip) AS cms_join_size FROM ip),
+    exact AS (
+        SELECT count(*) AS exact_join_size FROM r JOIN s USING (user_id)
+    )
+    SELECT CAST(exact_join_size AS BIGINT)                 AS exact_join_size,
+           CAST(cms_join_size AS BIGINT)                   AS cms_join_size,
+           CAST(cms_join_size - exact_join_size AS BIGINT) AS overcount
+    FROM exact CROSS JOIN est
+    """,
+    doc="Equi-join cardinality estimation from two Count-Min sketches via "
+    "their inner product (Cormode & Muthukrishnan 2005 §4.3): "
+    "|R JOIN S| = sum_k fR(k)*fS(k), estimated as min over depth rows of "
+    "sum_b cntR[d,b]*cntS[d,b] — the optimizer-side primitive for "
+    "deciding broadcast vs shuffle WITHOUT executing the join. Each side "
+    "collapses to a fixed 4x64 counter grid through map-side partials "
+    "(no raw-key shuffle; operators/sketches.py:cms_join_size_estimate), "
+    "and the inner product is a 256-row join — O(1) beyond the scans. "
+    "Collisions only add mass, so the estimate provably OVERcounts (safe "
+    "direction); the exact join size rides along as the audit twin.",
+)
+def agg_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_join_size_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    r = ev.filter(F.col("event_type") == "click").select("user_id")
+    s = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    est = cms_join_size_estimate(r, s, "user_id", width=64, depth=4)
+    exact = r.join(s, "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_join_size")
+    )
+    return exact.crossJoin(est).select(
+        "exact_join_size",
+        "cms_join_size",
+        (F.col("cms_join_size") - F.col("exact_join_size"))
+        .cast("long")
+        .alias("overcount"),
+    )
+
+
+@register(
     "evt_ewma_fixed_point",
     """
     WITH e AS (
