@@ -5942,6 +5942,68 @@ def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_table_checksum",
+    """
+    WITH rows_h AS (
+        SELECT o_orderkey % 8 AS shard,
+               CAST(concat('0x', substr(md5(
+                   concat_ws('|',
+                       CAST(o_orderkey AS VARCHAR),
+                       CAST(o_custkey AS VARCHAR),
+                       CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                            AS VARCHAR),
+                       CAST(epoch_us(o_orderdate) AS VARCHAR),
+                       o_orderpriority)
+               ), 1, 12)) AS BIGINT) AS row_h
+        FROM orders
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           count(*) AS n_rows,
+           CAST(sum(row_h) % 4611686018427387904 AS BIGINT) AS checksum
+    FROM rows_h GROUP BY shard
+    """,
+    doc="Order-insensitive, mergeable table checksum (the content "
+    "verification primitive for replicated / migrated datasets): each row "
+    "canonicalizes to a '|'-joined string of engine-stable renderings "
+    "(integer keys, cent-scaled price, epoch-us date), hashes through "
+    "md5 (12 hex chars -> int, < 2^48 so a DECIMAL(38,0)/HUGEINT sum "
+    "stays exact for ~1e23 rows), and SUMS per shard mod 2^62. Sum is "
+    "commutative, so the checksum is independent of row order and "
+    "partitioning, shard checksums merge by addition across files or "
+    "clusters, and a CDC delta patches it incrementally (add inserts, "
+    "subtract deletes) without rescanning. Map-only -> fixed 8-cell "
+    "grid: map-side partials collapse every task to <= 8 rows, the "
+    "cheapest possible audit shape at 100 TB.",
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+        F.unix_micros("o_orderdate").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    row_h = F.conv(F.substring(F.md5(canon.cast("binary")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    return (
+        o.select((F.col("o_orderkey") % 8).alias("shard"), row_h.alias("row_h"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(F.col("row_h").cast("decimal(38,0)")) % F.lit(4611686018427387904))
+            .cast("long")
+            .alias("checksum"),
+        )
+        .select(F.col("shard").cast("long").alias("shard"), "n_rows", "checksum")
+    )
+
+
+@register(
     "dq_referential_integrity",
     """
     SELECT 'lineitem->orders' AS fk_edge,

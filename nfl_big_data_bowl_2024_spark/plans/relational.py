@@ -838,6 +838,80 @@ def grouped_having_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "opt_pareto_frontier",
+    """
+    WITH g AS (
+        SELECT p_retailprice AS price, max(p_size) AS max_sz
+        FROM part GROUP BY p_retailprice
+    ),
+    pm AS (
+        SELECT price, max_sz,
+               max(max_sz) OVER (ORDER BY price
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS prev_max
+        FROM g
+    )
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p JOIN pm ON p.p_retailprice = pm.price
+    WHERE NOT (coalesce(pm.prev_max >= p.p_size, FALSE)
+               OR pm.max_sz > p.p_size)
+    """,
+    doc="Pareto frontier / skyline query (Borzsony et al. ICDE'01 — public "
+    "algorithm family): the parts no other part dominates on (maximize "
+    "p_size, minimize p_retailprice). The naive form is an O(n^2) "
+    "dominance self-join; this plan is the sort-based O(n log n) "
+    "skyline: collapse to per-price max size (one hash aggregate), "
+    "prefix-max over the price-ordered aggregate (one window over "
+    "DISTINCT prices only — far smaller than the table), and one keyed "
+    "join back to emit surviving rows. p is dominated iff a strictly "
+    "cheaper part reaches its size (prev_max >= size) or an equal-price "
+    "part strictly beats it (max_sz > size). The prefix max itself is "
+    "BANDED on integer dollars (operators/prefix.py discipline): "
+    "per-band maxima + a triangular join over the tiny band relation "
+    "for each band's exclusive offset + a band-partitioned window — no "
+    "single-partition global window at any scale; the oracle states the "
+    "semantics as the plain global window this decomposes. A unit test "
+    "cross-checks against the quadratic dominance join on the small "
+    "fixture.",
+)
+def opt_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    g = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("max_sz")
+    )
+    g = g.withColumn("band", F.floor("price").cast("long"))
+    bands = g.groupBy("band").agg(F.max("max_sz").alias("band_max"))
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    offsets = (
+        b1.join(b2, F.col("b2.band") < F.col("b1.band"), "left")
+        .groupBy(F.col("b1.band").alias("band"))
+        .agg(F.max(F.col("b2.band_max")).alias("band_offset"))
+    )
+    w_in = (
+        Window.partitionBy("band")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pm = (
+        g.join(F.broadcast(offsets), "band")
+        .withColumn("in_band_prev", F.max("max_sz").over(w_in))
+        .select(
+            "price",
+            "max_sz",
+            F.greatest("band_offset", "in_band_prev").alias("prev_max"),
+        )
+    )
+    dominated = F.coalesce(
+        F.col("prev_max") >= F.col("p_size"), F.lit(False)
+    ) | (F.col("max_sz") > F.col("p_size"))
+    return (
+        p.join(pm, p["p_retailprice"] == pm["price"])
+        .filter(~dominated)
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+
+
+@register(
     "corr_per_group",
     """
     WITH s AS (

@@ -194,3 +194,33 @@ def test_benford_and_rfm_invariants(spark):
     assert sum(r["n_customers"] for r in rfm) == n_cust
     for r in rfm:
         assert 1 <= r["r_seg"] <= 5 and 1 <= r["f_seg"] <= 5 and 1 <= r["m_seg"] <= 5
+
+
+def test_pareto_frontier_matches_quadratic_dominance(spark):
+    """The banded sort-based skyline must equal the O(n^2) dominance
+    definition: p survives iff no q has (price <= p.price AND size >=
+    p.size) with at least one strict inequality."""
+    from nfl_big_data_bowl_2024_spark.plans.registry import all_queries
+    from nfl_big_data_bowl_2024_spark.sources.readers import read_testdata_table
+
+    SF = "/root/testdata/sf0.001"
+    got = {
+        (r["p_partkey"], r["p_size"], r["p_retailprice"])
+        for r in all_queries()["opt_pareto_frontier"].fn(spark, SF).collect()
+    }
+    parts = [
+        (r["p_partkey"], r["p_size"], r["p_retailprice"])
+        for r in read_testdata_table(spark, SF, "part")
+        .select("p_partkey", "p_size", "p_retailprice")
+        .collect()
+    ]
+    want = {
+        p
+        for p in parts
+        if not any(
+            q[2] <= p[2] and q[1] >= p[1] and (q[2] < p[2] or q[1] > p[1])
+            for q in parts
+        )
+    }
+    assert got == want
+    assert want, "fixture must have a non-empty frontier"
