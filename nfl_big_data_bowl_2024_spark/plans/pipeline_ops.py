@@ -5250,6 +5250,80 @@ def evt_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_kmv_distinct",
+    """
+    WITH d AS (
+        SELECT DISTINCT event_type,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM d
+    ),
+    s AS (
+        SELECT event_type, max(h) AS h_k, count(*) AS k_eff
+        FROM r WHERE rn <= 64 GROUP BY 1
+    ),
+    x AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT s.event_type,
+           CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(CASE WHEN s.k_eff < 64 THEN s.k_eff
+                     ELSE floor(63.0 * 1152921504606846976 / s.h_k)
+                END AS BIGINT) AS kmv_estimate
+    FROM s JOIN x USING (event_type)
+    """,
+    doc="Per-group distinct-count estimation via the KMV (k-minimum-values "
+    "/ bottom-k) sketch, Bar-Yossef et al. 2002: keep the k=64 smallest "
+    "md5-derived hash values per group; estimate D ~ (k-1)/u_k where u_k "
+    "is the k-th smallest hash normalized to [0,1) (here 2^60 since 15 "
+    "hex chars). Rounds out the sketch family — HLL (union-mergeable "
+    "distinct), CMS (frequency, join size), Misra-Gries (heavy hitters), "
+    "KMV (distinct + set operations on sketches). The rank filter "
+    "rn <= k compiles to Catalyst's WindowGroupLimit, which keeps only "
+    "k rows per group in EACH map task before the exchange — the "
+    "bottom-k merge IS the distributed sketch union, no full per-group "
+    "sort ever materializes. md5 keeps both engines' hash spaces "
+    "identical, so the sketch itself is deterministic and the gate "
+    "checks it exactly; the exact distinct rides along as audit twin.",
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    K = 64
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    d = ev.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    s = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("k_eff"))
+    )
+    x = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.when(F.col("k_eff") < K, F.col("k_eff")).otherwise(
+        F.floor(F.lit(63.0) * F.lit(1152921504606846976) / F.col("h_k"))
+    )
+    return s.join(x, "event_type").select(
+        "event_type",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        est.cast("long").alias("kmv_estimate"),
+    )
+
+
+@register(
     "agg_cms_join_size",
     """
     WITH h(d, a, b) AS (

@@ -671,3 +671,18 @@ def test_bitemporal_probe_join_is_broadcast_not_cartesian(spark, queries):
     # probes enter as the LEFT relation, so the pinned build side prints
     # as BuildLeft — the versions relation is always the streamed side
     assert "BroadcastNestedLoopJoin BuildLeft" in plan
+
+
+def test_kmv_sketch_uses_window_group_limit(spark, queries):
+    """agg_kmv_distinct's rank filter must compile to WindowGroupLimit so
+    each map task keeps only k rows per group BEFORE the exchange — the
+    distributed bottom-k merge that makes the sketch scale."""
+    plan = _plan(queries["agg_kmv_distinct"].fn(spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_table_checksum_is_fixed_grid(spark, queries):
+    """dq_table_checksum reduces onto the fixed 8-shard grid: exactly one
+    exchange (on the shard key), with partial aggregation before it."""
+    plan = _plan(queries["dq_table_checksum"].fn(spark, SF))
+    assert plan.count("Exchange") == 1
