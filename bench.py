@@ -80,7 +80,8 @@ CORE_PREV = {  # BENCH_r06.json driver values (sf0.1, min of reps)
 # BENCH_SAMPLES-only to respect the 2000-char line budget (history below).
 ROTATING = [
     "tpch_q5_local_supplier_volume",
-    "temporal_self_join",
+    # (temporal_self_join 0.37s flat r2-r7 rotated to samples-only for
+    # the round-7 prefix-filter/KMV/checksum batch below)
     "pivot_priority_by_nation",
     "cube_order_profile",
     # round-4 additions: the previously-unbenchmarked paths (the
@@ -150,7 +151,8 @@ ROTATING = [
     "graph_khop_reachability",
     "agg_countmin_sketch",
     "evt_ewma_fixed_point",
-    "evt_sequence_match",
+    # (evt_sequence_match 0.37s flat in r6-r7 rotated to samples-only for
+    # the round-7 batch below)
     # round-6 fourth batch: mergeSchema evolution scan (write+read
     # cycle), fixed-point chi-squared, exact sliding-window distinct.
     # Rotation (same line-budget rule): batch_sessionize 0.30s,
@@ -167,8 +169,8 @@ ROTATING = [
     # BENCH_SAMPLES-only.
     "txt_token_lift_pairs",
     # (txt_simpson_diversity 0.22s flat in r6 rotated to samples-only for
-    # the round-7 line-budget keys)
-    "doc_winsorized_stats",
+    # the round-7 line-budget keys; doc_winsorized_stats 0.29s flat
+    # likewise for the round-7 batch below)
     # round-6 sixth batch: fixed-round k-core peeling, naive-Bayes
     # training, the referential-integrity audit, autocovariance
     # sufficient stats. Rotation (line-budget rule): txt_span_dedup
@@ -187,6 +189,13 @@ ROTATING = [
     # round-6 eighth batch: exact per-nation Gini. Rotation:
     # txt_unigram_surprisal 0.18s (flat r3-r6) to BENCH_SAMPLES-only.
     "agg_gini_per_nation",
+    # round-7 batch: PPJoin prefix-filtered exact Jaccard (the new heavy
+    # dedup path — measures the prefix join + candidate verify), the KMV
+    # bottom-k distinct sketch (WindowGroupLimit partial bottom-k), and
+    # the mergeable table checksum (map-only fixed-grid audit).
+    "dedup_prefix_filter_jaccard",
+    "agg_kmv_distinct",
+    "dq_table_checksum",
 ]
 
 HEADLINE = CORE + ROTATING
