@@ -5250,6 +5250,91 @@ def evt_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_bitmap_audience_overlap",
+    """
+    WITH s AS (
+        SELECT event_type, user_id // 63 AS word,
+               (1::BIGINT << (user_id % 63)) AS bits
+        FROM events
+    ),
+    bm AS (SELECT event_type, word, bit_or(bits) AS bm FROM s GROUP BY 1, 2),
+    sz AS (SELECT event_type, sum(bit_count(bm)) AS n FROM bm GROUP BY 1),
+    inter AS (
+        SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+               sum(bit_count(a.bm & b.bm)) AS n_common
+        FROM bm a JOIN bm b ON a.word = b.word AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT seg_a, seg_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           floor(n_common * 1.0 / (sa.n + sb.n - n_common) * 10000 + 0.5)
+               / 10000.0 AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.event_type = seg_a
+    JOIN sz sb ON sb.event_type = seg_b
+    """,
+    doc="EXACT audience overlap between every pair of event-type segments "
+    "via positional bitmaps — the precise twin of the round-7 HLL "
+    "inclusion-exclusion ESTIMATE, and the Druid/ClickHouse-style bitmap "
+    "index technique re-expressed in pure DataFrame ops: pack users into "
+    "63-bit words (word = user_id div 63; 63 not 64 because a signed "
+    "1<<63 overflows ANSI engines), bit_or per (segment, word) — "
+    "duplicate events are idempotent under OR, so NO distinct "
+    "pre-shuffle is needed and map-side partials compress 63 users into "
+    "one long before the exchange. Intersections are then a "
+    "word-aligned join + popcount sum: |A & B| exact, 64x less shuffle "
+    "than shuffling user sets. Spark's bit_or/bit_count/bitwiseAND are "
+    "JVM codegen'd; DuckDB mirrors them 1:1.",
+)
+def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    sel = ev.select(
+        "event_type",
+        F.expr("user_id div 63").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").alias(
+            "bits"
+        ),
+    )
+    bm = sel.groupBy("event_type", "word").agg(F.bit_or("bits").alias("bm"))
+    sz = bm.groupBy("event_type").agg(
+        F.sum(F.bit_count("bm")).cast("long").alias("n")
+    )
+    a = bm.select(
+        F.col("event_type").alias("seg_a"), "word", F.col("bm").alias("bm_a")
+    )
+    b = bm.select(
+        F.col("event_type").alias("seg_b"), "word", F.col("bm").alias("bm_b")
+    )
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(
+            F.sum(F.bit_count(F.col("bm_a").bitwiseAND(F.col("bm_b"))))
+            .cast("long")
+            .alias("n_common")
+        )
+    )
+    sa = sz.select(F.col("event_type").alias("seg_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("seg_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "seg_a")
+        .join(F.broadcast(sb), "seg_b")
+        .select(
+            "seg_a",
+            "seg_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (F.floor(jac * 10000 + F.lit(0.5)) / 10000.0).alias("jaccard"),
+        )
+    )
+
+
+@register(
     "agg_kmv_distinct",
     """
     WITH d AS (

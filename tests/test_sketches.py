@@ -133,3 +133,23 @@ def test_cms_counters_partitioning_invariant(spark):
         for r in count_min_counters(base.repartition(17), "k").collect()
     }
     assert a == b  # additive merge: same counters under any partitioning
+
+
+def test_bitmap_overlap_equals_hll_exact_twin(spark):
+    """The positional-bitmap intersection (exact by construction) must agree
+    pair-for-pair with the exact-overlap twin the HLL estimate query emits —
+    two independent constructions of |A intersect B| over the same segments."""
+    from nfl_big_data_bowl_2024_spark.plans.registry import all_queries
+
+    SF = "/root/testdata/sf0.001"
+    qs = all_queries()
+    bitmap = {
+        (r["seg_a"], r["seg_b"]): r["n_common"]
+        for r in qs["agg_bitmap_audience_overlap"].fn(spark, SF).collect()
+    }
+    hll = {
+        (r["type_a"], r["type_b"]): r["exact_overlap"]
+        for r in qs["agg_hll_overlap_estimate"].fn(spark, SF).collect()
+    }
+    assert bitmap == hll
+    assert len(bitmap) == 10  # C(5,2) segment pairs
