@@ -462,3 +462,72 @@ def label_propagation_mode(
         )
     e.unpersist()
     return lab.select("node", F.col("lab").alias("community"))
+
+
+def bellman_ford_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths, bounded to ``rounds`` edges:
+    (node, cost) = the minimum total edge weight over any path of at most
+    ``rounds`` edges from the seed set (integer weights).
+
+    Synchronous Bellman-Ford with delta propagation — the weighted sibling
+    of ``bfs_min_hops``: each round relaxes ONLY the nodes whose distance
+    improved last round (after k rounds dist(v) is exact over <= k-edge
+    paths: a j-edge path improves its endpoint no later than round j), so
+    the join is driven by the improving wavefront, never the full node
+    set. Per round: one keyed frontier-x-edges shuffle join + a min
+    aggregate + a left join against the current distances to keep strict
+    improvements. Distances change in place (unlike BFS's append-only
+    layers), so the dist relation is re-aggregated and lineage-truncated
+    per round — two bounded materializations per round, acceptable at a
+    contract-bounded depth. Edge relation persists DISK_ONLY
+    (_edges_on_disk memory discipline). Integer set/min algebra
+    throughout: a DuckDB recursive CTE replays the same fixpoint
+    bit-for-bit, so the registered query is hash-checkable.
+    """
+    e, _ = _edges_on_disk(
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(w).cast("long").alias("w"),
+        )
+    )
+    dist = seeds.select(
+        F.col("node").cast("long").alias("node"),
+        F.lit(0).cast("long").alias("cost"),
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _k in range(rounds):
+        cand = (
+            frontier.withColumnRenamed("node", "src")
+            .join(e, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("w")).alias("cand_cost"),
+            )
+            .groupBy("node")
+            .agg(F.min("cand_cost").alias("cand_cost"))
+        )
+        improved = (
+            cand.join(dist, "node", "left")
+            .filter(F.col("cost").isNull() | (F.col("cand_cost") < F.col("cost")))
+            .select("node", F.col("cand_cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    e.unpersist()
+    return dist

@@ -5132,6 +5132,79 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_weighted_sssp",
+    """
+    WITH RECURSIVE
+    pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+        SELECT c * 2 AS src, s * 2 + 1 AS dst, 1 + (c + s) % 5 AS w FROM pairs
+        UNION ALL
+        SELECT s * 2 + 1 AS src, c * 2 AS dst, 1 + (c + s) % 5 AS w FROM pairs
+    ),
+    seeds AS (
+        SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_suppkey % 10 = 0
+    ),
+    walk AS (
+        SELECT node, CAST(0 AS BIGINT) AS cost, 0 AS hops FROM seeds
+        UNION
+        SELECT e.dst AS node, wk.cost + e.w AS cost, wk.hops + 1 AS hops
+        FROM walk wk JOIN edges e ON e.src = wk.node
+        WHERE wk.hops < 4
+    )
+    SELECT CAST(node % 2 AS INTEGER) AS is_supplier,
+           CAST(node // 2 AS BIGINT)  AS entity_id,
+           CAST(min(cost) AS BIGINT) AS cost
+    FROM walk GROUP BY node
+    """,
+    doc="Bounded-round multi-source WEIGHTED shortest paths over the "
+    "customer<->supplier trading graph (integer edge weights "
+    "1 + (c+s) % 5): minimum path cost within <= 4 edges of the seeded "
+    "supplier cohort, via synchronous Bellman-Ford with delta "
+    "propagation (operators/graph.py:bellman_ford_bounded) — the "
+    "weighted sibling of graph_khop_reachability's BFS. Only nodes "
+    "whose distance improved last round drive each relaxation join, so "
+    "per-round cost tracks the improving wavefront; lineage truncated "
+    "and edges DISK_ONLY per the graph memory discipline. Pure integer "
+    "min-plus algebra: the DuckDB recursive CTE replays the fixpoint "
+    "bit-for-bit — the fourth hash-checked iterative algorithm next to "
+    "CC (label fixpoint), PageRank (numeric fixpoint), and BFS "
+    "(frontier fixpoint): this one is the min-plus relaxation fixpoint.",
+)
+def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bellman_ford_bounded
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    wcol = (F.lit(1) + (F.col("c") + F.col("s")) % 5).alias("w")
+    edges = pairs.select(
+        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst"), wcol
+    ).unionAll(
+        pairs.select(
+            (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"), wcol
+        )
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 0)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    dist = bellman_ford_bounded(edges, seeds, rounds=4)
+    return dist.select(
+        (F.col("node") % 2).cast("int").alias("is_supplier"),
+        F.expr("node div 2").cast("long").alias("entity_id"),
+        F.col("cost").cast("long").alias("cost"),
+    )
+
+
+@register(
     "agg_countmin_sketch",
     """
     WITH h(d, a, b) AS (

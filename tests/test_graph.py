@@ -334,3 +334,36 @@ def test_memory_discipline_helpers(spark):
     sc = spark.sparkContext
     assert _exchange_width(sc, 1_000) == sc.defaultParallelism
     assert _exchange_width(sc, 250_000_000) == 251
+
+
+def test_bellman_ford_bounded_on_known_graph(spark):
+    """Hand-checkable weighted graph: the bounded Bellman-Ford must return
+    min path cost over <= rounds edges, including the case where a longer
+    (more edges) path is cheaper and a node beyond the round budget keeps
+    the best within-budget cost."""
+    from pyspark.sql import functions as F
+
+    from nfl_big_data_bowl_2024_spark.operators.graph import bellman_ford_bounded
+
+    #   0 -5-> 1 -1-> 2 -1-> 3
+    #   0 ----------10-----> 3        (direct but expensive)
+    #   3 -1-> 4
+    edges = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 1), (2, 3, 1), (0, 3, 10), (3, 4, 1)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+
+    got3 = {
+        r["node"]: r["cost"]
+        for r in bellman_ford_bounded(edges, seeds, rounds=3).collect()
+    }
+    # within 3 edges: 0->1->2->3 costs 7 (beats direct 10); 4 needs 4 edges
+    # via the cheap path, so its best <=3-edge cost is 10+1=11
+    assert got3 == {0: 0, 1: 5, 2: 6, 3: 7, 4: 11}
+
+    got4 = {
+        r["node"]: r["cost"]
+        for r in bellman_ford_bounded(edges, seeds, rounds=4).collect()
+    }
+    assert got4[4] == 8  # cheap path reaches 4 within the 4-edge budget
