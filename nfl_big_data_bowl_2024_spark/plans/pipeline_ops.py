@@ -5266,6 +5266,88 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "evt_interval_union_time",
+    """
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prev_max_e
+        FROM iv
+    ),
+    seg AS (
+        SELECT user_id, s, e,
+               sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS seg_id
+        FROM m
+    ),
+    per_seg AS (
+        SELECT user_id, seg_id, min(s) AS seg_s, max(e) AS seg_e
+        FROM seg GROUP BY user_id, seg_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(seg_e - seg_s) AS BIGINT) AS covered_us
+    FROM per_seg GROUP BY user_id
+    """,
+    doc="Interval-union length per user (the sweep-line 'merge overlapping "
+    "intervals' pattern): each event opens a 30-minute activity interval; "
+    "the covered time is the total length of the UNION of those "
+    "intervals — overlapping intervals must not double-count, which "
+    "plain sessionization (gap-based) does not answer when intervals "
+    "have fixed extents. Decomposition: per-user exclusive running max "
+    "of interval ends (one window) -> a new segment opens exactly where "
+    "an interval starts past every previous end -> running sum of those "
+    "flags numbers the segments -> per-segment min/max + one sum. Two "
+    "windows + one aggregate, all partitioned by user_id (one shuffle "
+    "key, reused); pure integer epoch-us arithmetic.",
+)
+def evt_interval_union_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(1_800_000_000)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = iv.withColumn("prev_max_e", F.max("e").over(w_prev))
+    seg = m.withColumn(
+        "seg_id",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    per_seg = seg.groupBy("user_id", "seg_id").agg(
+        F.min("s").alias("seg_s"), F.max("e").alias("seg_e")
+    )
+    return per_seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("seg_e") - F.col("seg_s")).cast("long").alias("covered_us"),
+    )
+
+
+@register(
     "evt_seasonal_decompose",
     """
     WITH b AS (
