@@ -246,6 +246,33 @@ SHOWCASE = [
         "distinct hours — and the reference-rate relation re-enters as "
         "a broadcast.",
     ),
+    (
+        "agg_kmv_distinct",
+        "Bottom-k sketch: the rank filter compiles to WindowGroupLimit "
+        "on BOTH sides of the group exchange — each map task keeps only "
+        "k rows per group before shuffling, so the per-group sort never "
+        "sees more than k x tasks rows.",
+    ),
+    (
+        "agg_bitmap_audience_overlap",
+        "Positional-bitmap overlap: users pack into 63-bit words via "
+        "bit_or with map-side partials (63 users -> one long before the "
+        "exchange); intersections are a word-keyed join + popcount sum, "
+        "and the per-segment size relation re-enters broadcast.",
+    ),
+    (
+        "dq_table_checksum",
+        "Order-insensitive audit at minimum cost: md5 + conv inside one "
+        "WholeStageCodegen over the scan, then ONE exchange on the fixed "
+        "8-shard grid with partial sums already collapsed map-side.",
+    ),
+    (
+        "opt_pareto_frontier",
+        "Sort-based skyline with no global window: per-price max "
+        "aggregate, banded prefix max (triangular join over the tiny "
+        "integer-dollar band relation broadcast back), and one keyed "
+        "join to emit survivors.",
+    ),
 ]
 
 
