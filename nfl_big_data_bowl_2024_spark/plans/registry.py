@@ -110,13 +110,25 @@ _DRIVER_PRIORITY: list[str] = [
     "txt_token_quality",
     "txt_vocab_topk",
     "txt_winnow_fingerprint",
+    # --- round-7 NEW registrations with zero driver evidence take the
+    # final four slots (the window's own never-attested-first principle;
+    # the four r3-r5-green fillers they displace move just below the
+    # cutoff). The remaining round-7 registrations (agg_cms_join_size,
+    # evt_seasonal_decompose, evt_interval_union_time, dq_table_checksum,
+    # opt_pareto_frontier, agg_hll_overlap_estimate and friends) are
+    # locally gate-verified at sf0.01/sf0.1/sf1 and join the r8 window.
+    "dedup_prefix_filter_jaccard",
+    "agg_kmv_distinct",
+    "agg_bitmap_audience_overlap",
+    "graph_weighted_sssp",
+    # ---------------- position 50 cutoff ----------------
+    # Below: displaced fillers, then the r4/r5-green slice (continue
+    # rotation in round 8), then the round-6-green window (fresh
+    # evidence), then the remainder.
     "dq_footer_profile",
     "doc_mix_weights",
     "ml_quality_classifier_train",
     "e2_yap_closed_form_curved",
-    # ---------------- position 50 cutoff ----------------
-    # Below: r4/r5-green slice (continue rotation in round 8), then the
-    # round-6-green window (fresh evidence), then the remainder.
     "dedup_semantic",
     "e1_max_params",
     "e2_yap",
