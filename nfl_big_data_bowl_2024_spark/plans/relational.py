@@ -20,6 +20,50 @@ from .registry import register
 
 
 # ---------------------------------------------------------------------------
+# Exact money arithmetic (round-7 determinism sweep)
+#
+# Money columns in the testdata are exact fixed-point decimals (prices and
+# balances 2dp, so 2dp x 2dp products are 4dp, triple products 6dp). Summing
+# them as doubles diverges across engines with accumulation order, and even
+# DECIMAL-cast sums diverge once the scaled integer exceeds 2^53: DuckDB
+# converts decimal->double via int128->double THEN /10^s (two roundings)
+# while Spark's BigDecimal.doubleValue rounds once — at an exact half-cent
+# boundary the 1-ulp gap flips floor(x*100+0.5) (tpch_q9's sf1 failure).
+# The cure: per-row exact SCALED-INTEGER addends, decimal(38,0)/HUGEINT
+# sums, and final rounding via true integer division ((S + half) div scale;
+# ratios via (2A + B) div (2B) = half-up of A/B) — no float exists anywhere
+# until one final exact cents/10^k division both engines share. Spark's
+# `div` on decimals is true integral division (returns LONG); the matching
+# DuckDB operator is `//` on HUGEINT.
+# ---------------------------------------------------------------------------
+
+_D38 = "decimal(38,0)"
+
+
+def _scaled(expr: F.Column, dp: int) -> F.Column:
+    """Exact scaled-integer addend: recover the dp-decimal value as an
+    integer via floor(x*10^dp + 0.5) (double ulp error is orders of
+    magnitude inside the 0.5 recovery margin for these magnitudes), then
+    widen to decimal(38,0) so sums never overflow or round."""
+    return (
+        F.floor(expr * (10 ** dp) + F.lit(0.5)).cast("long").cast(_D38)
+    )
+
+
+def _money2(sum_col: F.Column, dp_in: int) -> F.Column:
+    """Exact 2dp money from a decimal(38,0) sum of 10^-dp_in addends:
+    half-up to cents in exact decimal arithmetic, then one correctly
+    rounded double division both engines share. For dp_in == 2 the sum
+    already IS cents."""
+    if dp_in == 2:
+        return sum_col.cast("long") / 100.0
+    scale = 10 ** (dp_in - 2)
+    return (
+        F.floor((sum_col + F.lit(scale // 2)) / scale).cast("long") / 100.0
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship: E1 shape on the events table
 # ---------------------------------------------------------------------------
 
@@ -125,20 +169,39 @@ def flagship_bounded_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q1_pricing_summary",
     """
+    WITH s AS (
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               sum(CAST(l_quantity AS BIGINT)) AS sq,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sbp,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                              * 10000 + 0.5) AS BIGINT)) AS sdp,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              * 1000000 + 0.5) AS BIGINT)) AS sch,
+               sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS sd
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
-           count(*)                                                         AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
+           CAST(sq AS DOUBLE)                                  AS sum_qty,
+           CAST(sbp AS BIGINT) / 100.0                         AS sum_base_price,
+           CAST((sdp + 50) // 100 AS BIGINT) / 100.0           AS sum_disc_price,
+           CAST((sch + 5000) // 10000 AS BIGINT) / 100.0       AS sum_charge,
+           CAST((20000 * sq + n) // (2 * n) AS BIGINT) / 10000.0 AS avg_qty,
+           CAST((200 * sbp + n) // (2 * n) AS BIGINT) / 10000.0  AS avg_price,
+           CAST((200 * sd + n) // (2 * n) AS BIGINT) / 10000.0   AS avg_disc,
+           n AS count_order
+    FROM s
     """,
-    doc="A2/A3 full-scan aggregate; partial+final hash agg, 6 groups (TPC-H Q1 shape).",
+    doc="A2/A3 full-scan aggregate; partial+final hash agg, 6 groups (TPC-H "
+    "Q1 shape). All eight statistics derive from exact scaled-integer "
+    "sufficient statistics (quantity integral, price/discount 2dp, "
+    "disc_price 4dp, charge 6dp): sums in decimal(38,0)/HUGEINT, 2dp/4dp "
+    "outputs via true integer division ((S + half) div scale; averages "
+    "via (2A + B) div (2B) = half-up of A/B) — no float accumulates and "
+    "no engine round() is ever called, so the six group rows stay "
+    "hash-identical at any scale factor.",
 )
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
@@ -147,14 +210,33 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long").cast(_D38)).alias("sq"),
+            F.sum(_scaled(F.col("l_extendedprice"), 2)).alias("sbp"),
+            F.sum(_scaled(disc_price, 4)).alias("sdp"),
+            F.sum(_scaled(disc_price * (1 + F.col("l_tax")), 6)).alias("sch"),
+            F.sum(_scaled(F.col("l_discount"), 2)).alias("sd"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("sq").cast("double").alias("sum_qty"),
+            (F.col("sbp").cast("long") / 100.0).alias("sum_base_price"),
+            _money2(F.col("sdp"), 4).alias("sum_disc_price"),
+            _money2(F.col("sch"), 6).alias("sum_charge"),
+            (
+                F.expr("CAST((20000 * sq + n) div (2 * n) AS BIGINT)")
+                / 10000.0
+            ).alias("avg_qty"),
+            (
+                F.expr("CAST((200 * sbp + n) div (2 * n) AS BIGINT)")
+                / 10000.0
+            ).alias("avg_price"),
+            (
+                F.expr("CAST((200 * sd + n) div (2 * n) AS BIGINT)")
+                / 10000.0
+            ).alias("avg_disc"),
+            F.col("n").alias("count_order"),
         )
     )
 
@@ -163,8 +245,9 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     """
     SELECT l_orderkey,
-           floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,10)))
-                      AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+           CAST((sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                * 10000 + 0.5) AS BIGINT)) + 50) // 100
+                AS BIGINT) / 100.0 AS revenue,
            epoch_us(o_orderdate)                             AS orderdate_us,
            o_orderpriority
     FROM customer, orders, lineitem
@@ -174,10 +257,14 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    HAVING floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,10)))
-                      AS DOUBLE) * 100 + 0.5) / 100 > 1000.0
+    HAVING CAST((sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                * 10000 + 0.5) AS BIGINT)) + 50) // 100
+                AS BIGINT) / 100.0 > 1000.0
     """,
-    doc="J1/J2 broadcast dim join + A3 grouped sum + HAVING (TPC-H Q3 shape).",
+    doc="J1/J2 broadcast dim join + A3 grouped sum + HAVING (TPC-H Q3 shape). "
+    "Revenue follows the exact scaled-integer money protocol (see the "
+    "module banner): 4dp addends as integers, decimal(38,0)/HUGEINT sums, "
+    "half-up to cents by integer division.",
 )
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -187,20 +274,12 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
     )
-    # The per-group sum runs over exact decimals so partial-aggregation order
-    # (Spark) vs sequential order (DuckDB oracle) cannot move the value, and
-    # the final rounding is floor(x*100+0.5)/100 — pure IEEE ops that both
-    # engines evaluate bit-identically (Spark's round() rounds the shortest
-    # decimal repr while C engines round the binary value; on exact .xx5
-    # boundaries the two disagree, so neither is used here).
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,10)")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            (F.floor(F.sum(disc_price).cast("double") * 100 + 0.5) / 100).alias("revenue"),
-        )
+        .agg(_money2(F.sum(_scaled(disc_price, 4)), 4).alias("revenue"))
         .filter(F.col("revenue") > 1000.0)
         .select(
             "l_orderkey",
@@ -214,7 +293,10 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q5_local_supplier_volume",
     """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT n_name,
+           CAST((sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                * 10000 + 0.5) AS BIGINT)) + 50) // 100
+                AS BIGINT) / 100.0 AS revenue,
            count(*) AS n_items
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
@@ -226,7 +308,9 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n_name
     """,
-    doc="Multi-way star join (region->nation->customer->orders->lineitem), all dims broadcast.",
+    doc="Multi-way star join (region->nation->customer->orders->lineitem), "
+    "all dims broadcast. Nation-level revenue grows with scale, so it uses "
+    "the exact scaled-integer money protocol (module banner).",
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -246,9 +330,14 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            _money2(
+                F.sum(
+                    _scaled(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                    )
+                ),
+                4,
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -289,8 +378,9 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6_forecast_revenue",
     """
-    SELECT floor(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,10)))
-                 AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+    SELECT CAST((sum(CAST(floor(l_extendedprice * l_discount
+                                * 10000 + 0.5) AS BIGINT)) + 50) // 100
+                AS BIGINT) / 100.0 AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -303,7 +393,7 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(24,10)")
+    rev = F.col("l_extendedprice") * F.col("l_discount")
     return (
         l.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -312,7 +402,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            (F.floor(F.sum(rev).cast("double") * 100 + 0.5) / 100).alias("revenue"),
+            _money2(F.sum(_scaled(rev, 4)), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -323,8 +413,9 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH agg AS (
         SELECT c_custkey, c_name, n_name,
-               floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,10)))
-                     AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+               CAST((sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                    * 10000 + 0.5) AS BIGINT)) + 50) // 100
+                    AS BIGINT) / 100.0 AS revenue
         FROM customer
         JOIN nation   ON c_nationkey = n_nationkey
         JOIN orders   ON o_custkey = c_custkey
@@ -349,13 +440,13 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,10)")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg((F.floor(F.sum(rev).cast("double") * 100 + 0.5) / 100).alias("revenue"))
+        .agg(_money2(F.sum(_scaled(rev, 4)), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -399,20 +490,28 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q14_promo_revenue",
     """
-    SELECT floor(
-             100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
-                                   THEN CAST(l_extendedprice * (1 - l_discount)
-                                             AS DECIMAL(24,10))
-                                   ELSE 0 END) AS DOUBLE)
-             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,10)))
-                    AS DOUBLE) * 10000 + 0.5) / 10000 AS promo_revenue_pct,
-           count(*) AS n_items
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    WITH s AS (
+        SELECT sum(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                                        * 10000 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS promo,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                              * 10000 + 0.5) AS BIGINT)) AS total,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    )
+    SELECT CAST((2000000 * promo + total) // (2 * total) AS BIGINT) / 10000.0
+               AS promo_revenue_pct,
+           n_items
+    FROM s
     """,
     doc="Promo revenue share (TPC-H Q14 shape): fact-to-dim broadcast join + "
-    "conditional ratio aggregate over exact decimal sums.",
+    "conditional ratio aggregate. The 4dp percentage is "
+    "(2k*num + den) div (2*den) over exact scaled-integer sums — half-up "
+    "rounding entirely in integer arithmetic, no float ratio (module "
+    "banner).",
 )
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
@@ -420,18 +519,27 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
     )
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,10)")
-    promo = F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))).cast(
-        "double"
+    rev4 = _scaled(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    promo = F.sum(
+        F.when(F.col("p_type").like("PROMO%"), rev4).otherwise(
+            F.lit(0).cast(_D38)
+        )
     )
-    total = F.sum(rev).cast("double")
     return (
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            (F.floor(100.0 * promo / total * 10000 + 0.5) / 10000).alias(
-                "promo_revenue_pct"
-            ),
+            promo.alias("promo"),
+            F.sum(rev4).alias("total"),
             F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            (
+                F.expr(
+                    "CAST((2000000 * promo + total) div (2 * total) AS BIGINT)"
+                )
+                / 10000.0
+            ).alias("promo_revenue_pct"),
+            "n_items",
         )
     )
 
@@ -510,8 +618,8 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q17_small_qty_revenue",
     """
-    SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,10)))
-                 AS DOUBLE) / 7.0 * 100 + 0.5) / 100 AS avg_yearly,
+    SELECT CAST((2 * sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 + 7) // 14 AS BIGINT) / 100.0 AS avg_yearly,
            count(*) AS n_small
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND p_size <= 10
@@ -539,13 +647,15 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.withColumn("qty_lim", qty_lim)
         .filter(F.col("l_quantity") < F.col("qty_lim"))
         .agg(
-            (
-                F.floor(
-                    F.sum(F.col("l_extendedprice").cast("decimal(24,10)"))
-                    .cast("double") / 7.0 * 100 + 0.5
-                ) / 100
-            ).alias("avg_yearly"),
+            F.sum(_scaled(F.col("l_extendedprice"), 2)).alias("sc"),
             F.count(F.lit(1)).alias("n_small"),
+        )
+        .select(
+            # avg_yearly = cents-sum / 7 half-up to cents: (2S + 7) div 14
+            (F.expr("CAST((2 * sc + 7) div 14 AS BIGINT)") / 100.0).alias(
+                "avg_yearly"
+            ),
+            "n_small",
         )
     )
 
@@ -553,8 +663,9 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q19_disjunctive_join",
     """
-    SELECT floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                 AS DECIMAL(24,10))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+    SELECT CAST((sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                * 10000 + 0.5) AS BIGINT)) + 50) // 100
+                AS BIGINT) / 100.0 AS revenue,
            count(*) AS n_items
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND (
@@ -583,12 +694,12 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") == "Brand#19")
         & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40)
     )
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,10)")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
-            (F.floor(F.sum(rev).cast("double") * 100 + 0.5) / 100).alias("revenue"),
+            _money2(F.sum(_scaled(rev, 4)), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -654,12 +765,16 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q22_dormant_accounts",
     """
+    WITH thr AS (
+        SELECT CAST((200 * sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                     + count(*)) // (2 * count(*)) AS BIGINT) AS t
+        FROM customer WHERE c_acctbal > 0
+    )
     SELECT c_mktsegment, count(*) AS numcust,
-           floor(CAST(sum(CAST(c_acctbal AS DECIMAL(24,10)))
-                 AS DOUBLE) * 100 + 0.5) / 100 AS totacctbal
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               / 100.0 AS totacctbal
     FROM customer c
-    WHERE c_acctbal > (SELECT floor(avg(c_acctbal) * 10000 + 0.5) / 10000
-                       FROM customer WHERE c_acctbal > 0)
+    WHERE 100 * CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) > (SELECT t FROM thr)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderpriority = '1-URGENT')
@@ -668,30 +783,29 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Scalar aggregate subquery + NOT EXISTS (TPC-H Q22 shape): the "
     "above-average-balance customers with no urgent orders. The scalar avg "
     "is a broadcast single-row join; NOT EXISTS is a left_anti against the "
-    "filtered orders. The threshold is floor-rounded to 4dp on both sides "
-    "so the comparison is cross-engine deterministic.",
+    "filtered orders. The 4dp threshold is (2A + B) div (2B) over exact "
+    "cent sums and the membership test compares scaled INTEGERS (100 * "
+    "cents > threshold), so no float average or comparison exists to "
+    "diverge (module banner); totacctbal is the exact cent sum.",
 )
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    cents = _scaled(F.col("c_acctbal"), 2)
     thr = (
         c.filter(F.col("c_acctbal") > 0)
-        .agg((F.floor(F.avg("c_acctbal") * 10000 + 0.5) / 10000).alias("bal_thr"))
+        .agg(F.sum(cents).alias("sc"), F.count(F.lit(1)).alias("n"))
+        .select(F.expr("CAST((200 * sc + n) div (2 * n) AS BIGINT)").alias("t"))
     )
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     return (
         c.join(F.broadcast(thr))
-        .filter(F.col("c_acctbal") > F.col("bal_thr"))
+        .filter(cents * 100 > F.col("t"))
         .join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            (
-                F.floor(
-                    F.sum(F.col("c_acctbal").cast("decimal(24,10)")).cast("double")
-                    * 100 + 0.5
-                ) / 100
-            ).alias("totacctbal"),
+            _money2(F.sum(cents), 2).alias("totacctbal"),
         )
     )
 
@@ -1088,7 +1202,8 @@ def trig_heading_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN event_type IN ('signup', 'purchase') THEN 'conversion'
                 ELSE 'other' END AS event_class,
            count(*) AS n,
-           round(sum(greatest(value - 20.0, 0.0)), 2) AS clipped_sum
+           CAST(sum(CAST(floor(greatest(value - 20.0, 0.0) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) / 100.0 AS clipped_sum
     FROM events
     GROUP BY CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
                   WHEN event_type IN ('signup', 'purchase') THEN 'conversion'
@@ -1109,9 +1224,10 @@ def conditional_recode_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_class")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.greatest(F.col("value") - 20.0, F.lit(0.0))), 2).alias(
-                "clipped_sum"
-            ),
+            _money2(
+                F.sum(_scaled(F.greatest(F.col("value") - 20.0, F.lit(0.0)), 2)),
+                2,
+            ).alias("clipped_sum"),
         )
     )
 
@@ -1126,7 +1242,9 @@ def conditional_recode_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            CASE WHEN weight IS NULL THEN 'error' ELSE 'ok' END AS status,
            count(*) AS n,
-           round(sum(o_totalprice * coalesce(weight, 0.0)), 2) AS weighted_price
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                    * CAST(coalesce(weight, 0.0) AS BIGINT)) AS BIGINT)
+               / 100.0 AS weighted_price
     FROM orders LEFT JOIN prio ON o_orderpriority = priority
     GROUP BY o_orderpriority, CASE WHEN weight IS NULL THEN 'error' ELSE 'ok' END
     """,
@@ -1144,9 +1262,15 @@ def case_lookup_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "status")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("o_totalprice") * F.coalesce("weight", F.lit(0.0))), 2).alias(
-                "weighted_price"
-            ),
+            # weights are whole numbers, so cents x weight stays an exact
+            # integer and the sum never rounds
+            _money2(
+                F.sum(
+                    _scaled(F.col("o_totalprice"), 2)
+                    * F.coalesce("weight", F.lit(0.0)).cast("long")
+                ),
+                2,
+            ).alias("weighted_price"),
         )
     )
 
@@ -1157,17 +1281,20 @@ def case_lookup_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
            CAST(month(o_orderdate) AS INTEGER) AS mo,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               / 100.0 AS total
     FROM orders GROUP BY 1, 2
     """,
-    doc="F5 timestamp decomposition + calendar aggregation.",
+    doc="F5 timestamp decomposition + calendar aggregation; exact cent sums "
+    "(module banner).",
 )
 def timestamp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.groupBy(
         F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
     ).agg(
-        F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count(F.lit(1)).alias("n_orders"),
+        _money2(F.sum(_scaled(F.col("o_totalprice"), 2)), 2).alias("total"),
     )
 
 
@@ -1482,8 +1609,8 @@ def first_crossing_after_start(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(r_name, 'ALL') AS region_name,
            coalesce(n_name, 'ALL') AS nation_name,
            count(*) AS n_suppliers,
-           floor(CAST(sum(CAST(s_acctbal AS DECIMAL(24,10))) AS DOUBLE) * 100 + 0.5)
-               / 100 AS total_bal
+           CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               / 100.0 AS total_bal
     FROM supplier
     JOIN nation ON s_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -1503,10 +1630,7 @@ def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            (
-                F.floor(F.sum(F.col("s_acctbal").cast("decimal(24,10)")).cast("double") * 100 + 0.5)
-                / 100
-            ).alias("total_bal"),
+            _money2(F.sum(_scaled(F.col("s_acctbal"), 2)), 2).alias("total_bal"),
         )
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
@@ -1523,8 +1647,8 @@ def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderstatus, 'ALL')   AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
            count(*) AS n_orders,
-           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(24,10))) AS DOUBLE) * 100 + 0.5)
-               / 100 AS total_price
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               / 100.0 AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -1542,14 +1666,9 @@ def cube_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            (
-                F.floor(
-                    F.sum(F.col("o_totalprice").cast("decimal(24,10)")).cast("double")
-                    * 100
-                    + 0.5
-                )
-                / 100
-            ).alias("total_price"),
+            _money2(F.sum(_scaled(F.col("o_totalprice"), 2)), 2).alias(
+                "total_price"
+            ),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -1660,7 +1779,7 @@ def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skew_salted_agg",
     """
     SELECT event_type, count(*) AS n,
-           floor(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE) * 100 + 0.5) / 100
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
                AS total_value,
            max(value) AS max_value
     FROM events GROUP BY event_type
@@ -1674,18 +1793,18 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_agg
 
     e = _t(spark, sf_dir, "events").withColumn(
-        "value_dec", F.col("value").cast("decimal(24,10)")
+        "value_cents", _scaled(F.col("value"), 2)
     )
     out = salted_agg(
         e,
         ["event_type"],
-        {"n": ("count", "*"), "total_dec": ("sum", "value_dec"), "max_value": ("max", "value")},
+        {"n": ("count", "*"), "total_cents": ("sum", "value_cents"), "max_value": ("max", "value")},
         n_salts=16,
     )
     return out.select(
         "event_type",
         "n",
-        (F.floor(F.col("total_dec").cast("double") * 100 + 0.5) / 100).alias("total_value"),
+        _money2(F.col("total_cents"), 2).alias("total_value"),
         "max_value",
     )
 
@@ -1694,8 +1813,8 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_interface",
     """
     SELECT c_mktsegment, count(*) AS n_orders,
-           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(24,10))) AS DOUBLE) * 100 + 0.5)
-               / 100 AS total_price
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               / 100.0 AS total_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -1708,8 +1827,11 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c_mktsegment, count(*) AS n_orders,
-               floor(CAST(sum(CAST(o_totalprice AS DECIMAL(24,10))) AS DOUBLE)
-                     * 100 + 0.5) / 100 AS total_price
+               -- CAST AS DOUBLE before /100.0: Spark SQL parses the 100.0
+               -- literal as DECIMAL(4,1), and bigint/decimal would emit a
+               -- decimal column where the oracle emits double
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total_price
         FROM v_orders JOIN v_customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         """

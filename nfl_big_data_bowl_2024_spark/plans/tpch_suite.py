@@ -8,10 +8,20 @@ decorrelation, scalar-subquery thresholds, NOT IN anti-joins, semi-join
 promotion chains, multi-role dimension joins) are preserved exactly; only the
 fact table feeding them differs.
 
-Cross-engine determinism follows the repo cookbook: double sums go through
-DECIMAL(24,10) addend casts; derived floats round via floor(x*10^n+0.5)/10^n
-on both sides; equality comparisons (Q15's max-revenue match) happen on the
-exact decimal sums, never on rounded doubles.
+Cross-engine determinism follows the repo cookbook, upgraded in round 7 to
+SCALED-INTEGER money sums: the revenue addend l_extendedprice*(1-l_discount)
+is exactly 4dp (2dp x 2dp), so each row contributes an exact ten-thousandths
+integer and sums accumulate in DECIMAL(38,0)/HUGEINT with no float anywhere.
+The previous DECIMAL(24,10)-cast pattern was correct until a group's
+scale-10 integer crossed 2^53 (~ sums above 9e5): DuckDB then converts
+decimal->double by int128->double THEN /1e10 (two roundings) while Spark's
+BigDecimal.doubleValue rounds once, and at an exact half-cent boundary the
+1-ulp gap flips floor(x*100+0.5) — tpch_q9's nation x year sums (~2.3e8,
+probability ~1/100 per group of a trailing-"50" boundary) hit it 3 times in
+175 groups at sf1. Final 2dp rounding is now (S + 50) div 100 in exact
+integer arithmetic; ratios (Q8) use the (2k*num + den) div (2*den) form.
+Equality comparisons (Q15's max-revenue match) happen on the exact integer
+sums, never on rounded doubles.
 """
 
 from __future__ import annotations
@@ -22,15 +32,30 @@ from pyspark.sql import functions as F
 from ..sources.readers import read_testdata_table as _t
 from .registry import register
 
-_DEC = "decimal(24,10)"
+_DEC = "decimal(38,0)"
 
 
 def _rev() -> F.Column:
-    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    """Revenue addend as an EXACT scaled integer (1e-4 units): the 4dp
+    product recovered by floor(x*1e4 + 0.5) — the double's ulp error is
+    ~1e-7 at these magnitudes, far inside the 0.5 recovery margin — then
+    widened to decimal(38,0) so sums never overflow or round."""
+    return (
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .cast(_DEC)
+    )
 
 
 def _round2(c: F.Column) -> F.Column:
-    return F.floor(c.cast("double") * 100 + 0.5) / 100
+    """Exact 2dp money from a decimal(38,0) sum of 1e-4-scaled addends:
+    (S + 50) / 100 is an exact-2dp decimal quotient (Spark represents it
+    exactly at result scale 6), floor gives integer cents, and the final
+    /100.0 is one correctly-rounded double op both engines share."""
+    return F.floor((c + F.lit(50)) / 100).cast("long") / 100.0
 
 
 @register(
@@ -82,8 +107,9 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            year(l.l_shipdate) AS l_year,
-           floor(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                 AS DECIMAL(24,10))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+           CAST((sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000 + 0.5) AS BIGINT)) + 50) // 100
+                AS BIGINT) / 100.0 AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -139,8 +165,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH vol AS (
         SELECT year(o.o_orderdate) AS o_year,
-               CAST(l.l_extendedprice * (1 - l.l_discount)
-                    AS DECIMAL(24,10)) AS volume,
+               CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                          * 10000 + 0.5) AS BIGINT) AS volume,
                n1.n_name AS supp_nation
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -155,18 +181,20 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
     )
     SELECT o_year,
-           floor(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
-                               THEN volume ELSE 0 END) AS DOUBLE)
-                 / CAST(sum(volume) AS DOUBLE) * 1000000 + 0.5) / 1000000
+           CAST((2000000 * sum(CASE WHEN supp_nation = 'NATION_3'
+                                    THEN volume ELSE 0 END)
+                 + sum(volume)) // (2 * sum(volume)) AS BIGINT) / 1000000.0
                AS mkt_share,
            count(*) AS n_items
     FROM vol GROUP BY o_year
     """,
     doc="TPC-H Q8: national market share — conditional share-of-total over a "
     "seven-table star join. Numerator and denominator come out of ONE "
-    "aggregate (conditional sum), not two scans. Exact decimal sums divide "
-    "as doubles then round to 6dp, keeping the ratio cross-engine stable. "
-    "Six broadcast dims; zero fact-table shuffles before the final groupBy.",
+    "aggregate (conditional sum), not two scans. Exact scaled-integer sums; "
+    "the 6dp share is (2k*num + den) div (2*den) — half-up rounding done "
+    "entirely in integer arithmetic, so no float ratio ever exists to "
+    "diverge. Six broadcast dims; zero fact-table shuffles before the "
+    "final groupBy.",
 )
 def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
@@ -208,13 +236,21 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast(_DEC)
         )
     )
-    return vol.groupBy("o_year").agg(
-        (
-            F.floor(
-                nat.cast("double") / F.sum("volume").cast("double") * 1000000 + 0.5
-            ) / 1000000
-        ).alias("mkt_share"),
-        F.count(F.lit(1)).alias("n_items"),
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            nat.alias("nat"),
+            F.sum("volume").alias("den"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "o_year",
+            (
+                F.expr("CAST((2000000 * nat + den) div (2 * den) AS BIGINT)")
+                / 1000000.0
+            ).alias("mkt_share"),
+            "n_items",
+        )
     )
 
 
@@ -222,8 +258,9 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q9_nation_profit",
     """
     SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-           floor(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                 AS DECIMAL(24,10))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_profit
+           CAST((sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000 + 0.5) AS BIGINT)) + 50) // 100
+                AS BIGINT) / 100.0 AS sum_profit
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -263,14 +300,14 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH val AS (
         SELECT l.l_partkey,
-               sum(CAST(l.l_extendedprice AS DECIMAL(24,10))) AS v
+               sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS v
         FROM lineitem l
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         WHERE s.s_nationkey IN (0, 1, 2)
         GROUP BY l.l_partkey
     )
     SELECT l_partkey,
-           floor(CAST(v AS DOUBLE) * 100 + 0.5) / 100 AS part_value
+           CAST(v AS BIGINT) / 100.0 AS part_value
     FROM val
     WHERE v * 1000 > (SELECT sum(v) FROM val)
     """,
@@ -294,16 +331,21 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     from ..operators.scalars import checkpoint_with_scalar
 
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+        "long"
+    ).cast(_DEC)
     val, total = checkpoint_with_scalar(
         l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice").cast(_DEC)).alias("v")),
+        .agg(F.sum(cents).alias("v")),
         F.sum("v").alias("total"),
     )
     return (
         val.crossJoin(total)
         .filter(F.col("v") * 1000 > F.col("total"))
-        .select("l_partkey", _round2(F.col("v")).alias("part_value"))
+        .select(
+            "l_partkey", (F.col("v").cast("long") / 100.0).alias("part_value")
+        )
     )
 
 
@@ -312,15 +354,15 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
         SELECT l_suppkey,
-               sum(CAST(l_extendedprice * (1 - l_discount)
-                   AS DECIMAL(24,10))) AS total_rev
+               sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                              * 10000 + 0.5) AS BIGINT)) AS total_rev
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
         GROUP BY l_suppkey
     )
     SELECT s.s_suppkey, s.s_name,
-           floor(CAST(r.total_rev AS DOUBLE) * 100 + 0.5) / 100 AS total_rev
+           CAST((r.total_rev + 50) // 100 AS BIGINT) / 100.0 AS total_rev
     FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
     WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
     """,
