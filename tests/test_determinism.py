@@ -131,3 +131,33 @@ def test_log_micro_terms_survive_libm_ulp_differences():
         if m[0] == 0.5:
             continue  # exact power of two: log2 exact in every libm
         assert floors_stable(-math.log2(p), 1e6), (n, tot)
+
+
+def test_money_protocol_exact_at_half_cent_boundary(spark):
+    """Reproduce the tpch_q9 sf1 failure class and prove the scaled-integer
+    money protocol immune to it: a group whose 4dp sum lands EXACTLY on a
+    half-cent boundary at a magnitude where the scale-10 integer exceeds
+    2^53 (DuckDB's decimal->double is int128->double THEN /1e10 — two
+    roundings — while Spark's BigDecimal.doubleValue rounds once, so the
+    old DECIMAL(24,10)-cast pattern could disagree by one cent here)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from nfl_big_data_bowl_2024_spark.plans.relational import _money2, _scaled
+
+    # 2,000,000 x 114,893.16193 would be the shape; emulate with few rows:
+    # values are exact 4dp, sum = 229,786,323.8650 exactly (trailing "50").
+    vals = [114893161.9325, 114893161.9325]  # 4dp each, sum ends in .8650
+    sdf = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = (
+        sdf.agg(_money2(F.sum(_scaled(F.col("v"), 4)), 4).alias("m"))
+        .collect()[0]["m"]
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT CAST((sum(CAST(floor(v * 10000 + 0.5) AS BIGINT)) + 50) // 100"
+        "       AS BIGINT) / 100.0 FROM (VALUES (114893161.9325),"
+        "       (114893161.9325)) t(v)"
+    ).fetchone()[0]
+    # half-up: ...23.865 -> ...23.87 (exactly, in both engines)
+    assert got == want == 229786323.87
