@@ -6256,6 +6256,104 @@ def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_skew_report",
+    """
+    WITH f AS (
+        SELECT 'orders.o_custkey' AS key_name, o_custkey AS k FROM orders
+        UNION ALL
+        SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+        UNION ALL
+        SELECT 'events.user_id', user_id FROM events
+    ),
+    freq AS (
+        SELECT key_name, k, count(*) AS c FROM f GROUP BY key_name, k
+    ),
+    ranked AS (
+        SELECT key_name, c,
+               row_number() OVER (PARTITION BY key_name
+                                  ORDER BY c DESC, k) AS rn
+        FROM freq
+    ),
+    agg AS (
+        SELECT key_name,
+               sum(c)   AS n_rows,
+               count(*) AS n_keys,
+               max(c)   AS max_freq
+        FROM freq GROUP BY key_name
+    ),
+    top10 AS (
+        SELECT key_name, sum(c) AS top10_rows
+        FROM ranked WHERE rn <= 10 GROUP BY key_name
+    )
+    SELECT a.key_name,
+           CAST(a.n_rows AS BIGINT)   AS n_rows,
+           CAST(a.n_keys AS BIGINT)   AS n_keys,
+           CAST(a.max_freq AS BIGINT) AS max_freq,
+           CAST(t.top10_rows AS BIGINT) AS top10_rows,
+           CAST((2000 * t.top10_rows + a.n_rows) // (2 * a.n_rows)
+                AS BIGINT) AS top10_per_mille,
+           CAST((2 * a.max_freq * a.n_keys + a.n_rows) // (2 * a.n_rows)
+                AS BIGINT) AS skew_x
+    FROM agg a JOIN top10 t USING (key_name)
+    """,
+    doc="Join-key skew diagnostics — the audit an optimizer (or an engineer "
+    "choosing between broadcast, salting, and AQE skew-join) runs before "
+    "committing a shuffle plan: per key column, cardinality, max key "
+    "frequency, the top-10-keys row share (per mille), and skew_x = "
+    "max_freq / (rows/keys), the hot key's multiple of the uniform load. "
+    "Everything is integer-exact — shares via (2A + B) div (2B) half-up, "
+    "no interpolated percentile — so the report hashes identically at any "
+    "scale. One count aggregate per key column plus a WindowGroupLimit "
+    "top-10 (partial per-task bottom-k), then O(keys) scalar rollups.",
+)
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    parts = []
+    for name, table, col in [
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("events.user_id", "events", "user_id"),
+    ]:
+        parts.append(
+            _t(spark, sf_dir, table).select(
+                F.lit(name).alias("key_name"), F.col(col).alias("k")
+            )
+        )
+    f = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    freq = f.groupBy("key_name", "k").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("key_name").orderBy(F.col("c").desc(), "k")
+    top10 = (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy("key_name")
+        .agg(F.sum("c").alias("top10_rows"))
+    )
+    agg = freq.groupBy("key_name").agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_freq"),
+    )
+    return (
+        agg.join(top10, "key_name")
+        .select(
+            "key_name",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "n_keys",
+            "max_freq",
+            "top10_rows",
+            F.expr(
+                "CAST((2000 * top10_rows + n_rows) div (2 * n_rows) AS BIGINT)"
+            ).alias("top10_per_mille"),
+            F.expr(
+                "CAST((2 * max_freq * n_keys + n_rows) div (2 * n_rows)"
+                " AS BIGINT)"
+            ).alias("skew_x"),
+        )
+    )
+
+
+@register(
     "dq_table_checksum",
     """
     WITH rows_h AS (
