@@ -5490,6 +5490,74 @@ def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_fixed_grid_quantiles",
+    """
+    WITH g AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, cents, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_c,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM g
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN 2 * cum_c >= n THEN cents END) / 100.0  AS p50,
+           min(CASE WHEN 10 * cum_c >= 9 * n THEN cents END) / 100.0 AS p90,
+           min(CASE WHEN 100 * cum_c >= 99 * n THEN cents END) / 100.0 AS p99
+    FROM cum GROUP BY event_type
+    """,
+    doc="Exact distributed quantiles WITHOUT a sort of the data: the value "
+    "domain is bounded fixed-point (2dp), so a counting-sort grid — one "
+    "hash aggregate onto (group, cents) with map-side partials — plus a "
+    "cumulative window over the DISTINCT cents (bounded by the domain, "
+    "not the row count) yields exact lower-nearest-rank order statistics "
+    "p50/p90/p99. The grid is mergeable across shards by addition, the "
+    "per-group state is O(domain) regardless of data size, and the rank "
+    "thresholds are integer cross-multiplications (k * cum >= q * n) — "
+    "no float rank arithmetic. The counting-sort dual of "
+    "grouped_percentiles' interpolated-percentile path.",
+)
+def agg_fixed_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = g.select(
+        "event_type",
+        "cents",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    def q(mult_cum, mult_n):
+        return F.min(
+            F.when(mult_cum * F.col("cum_c") >= mult_n * F.col("n"), F.col("cents"))
+        ) / 100.0
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        q(F.lit(2), F.lit(1)).alias("p50"),
+        q(F.lit(10), F.lit(9)).alias("p90"),
+        q(F.lit(100), F.lit(99)).alias("p99"),
+    )
+
+
+@register(
     "agg_kmv_distinct",
     """
     WITH d AS (
