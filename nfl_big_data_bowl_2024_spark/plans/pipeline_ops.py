@@ -485,6 +485,81 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_pairs",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS d FROM toks GROUP BY tok),
+    kept AS (
+        SELECT t.doc_id, t.tok FROM toks t JOIN freq USING (tok)
+        WHERE freq.d <= 256
+    ),
+    counts AS (SELECT doc_id, count(*) AS n_tok FROM kept GROUP BY doc_id),
+    pair_overlap AS (
+        SELECT a.doc_id AS doc_sub, b.doc_id AS doc_super, count(*) AS n_common
+        FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_sub, doc_super,
+           CAST((20000 * n_common + ca.n_tok) // (2 * ca.n_tok)
+                AS BIGINT) / 10000.0 AS containment
+    FROM pair_overlap
+    JOIN counts ca ON ca.doc_id = doc_sub
+    WHERE 10 * n_common >= 9 * ca.n_tok
+    """,
+    doc="DIRECTIONAL near-dup detection by set containment |A&B| / |A| >= "
+    "0.9 — the asymmetric relation Jaccard misses: a short document "
+    "quoted or templated inside a long one scores low symmetric Jaccard "
+    "but high containment, the boilerplate/quotation case a training-"
+    "corpus curator actually prunes. Same filtered word-token space and "
+    "df<=256 hot-token guard as the Jaccard paths (the guard bounds the "
+    "inverted-index join's sum(df^2)); the threshold test and 4dp output "
+    "are integer cross-multiplication / (2A+B) div (2B) — no float "
+    "ratio. Emits (doc_sub, doc_super) ordered pairs, BOTH directions "
+    "when two docs mutually contain each other.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+    )
+    rare = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df_tok"))
+        .filter(F.col("df_tok") <= 256)
+        .select("tok")
+    )
+    kept = toks.join(rare, "tok", "left_semi")
+    counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = kept.select(F.col("doc_id").alias("doc_sub"), "tok")
+    b = kept.select(F.col("doc_id").alias("doc_super"), "tok")
+    overlap = (
+        a.join(b, "tok")
+        .filter(F.col("doc_sub") != F.col("doc_super"))
+        .groupBy("doc_sub", "doc_super")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_sub"), "n_tok")
+    return (
+        overlap.join(F.broadcast(ca), "doc_sub")
+        .filter(10 * F.col("n_common") >= 9 * F.col("n_tok"))
+        .select(
+            "doc_sub",
+            "doc_super",
+            (
+                F.expr(
+                    "CAST((20000 * n_common + n_tok) div (2 * n_tok) AS BIGINT)"
+                )
+                / 10000.0
+            ).alias("containment"),
+        )
+    )
+
+
+@register(
     "dedup_minhash_lsh",
     None,
     doc="MinHash (32 perms) + banded LSH (8 bands x 4 rows) candidate pairs with exact "
