@@ -5341,6 +5341,77 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "evt_absence_churn",
+    """
+    WITH s AS (
+        SELECT user_id, min(epoch_us(ts)) AS signup_us
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (SELECT user_id, epoch_us(ts) AS pus
+          FROM events WHERE event_type = 'purchase'),
+    j AS (
+        SELECT s.user_id, s.signup_us,
+               min(CASE WHEN p.pus >= s.signup_us THEN p.pus END)
+                   AS first_purchase_us
+        FROM s LEFT JOIN p ON p.user_id = s.user_id
+        GROUP BY s.user_id, s.signup_us
+    )
+    SELECT user_id, signup_us, first_purchase_us,
+           CAST(CASE WHEN first_purchase_us IS NOT NULL
+                      AND first_purchase_us - signup_us <= 604800000000
+                     THEN 1 ELSE 0 END AS INTEGER) AS converted_7d,
+           CAST((first_purchase_us - signup_us) // 86400000000
+                AS BIGINT) AS days_to_convert
+    FROM j
+    """,
+    doc="Absence/churn detection — the NEGATIVE-evidence query funnels "
+    "don't answer: for every signed-up user, did a purchase FOLLOW the "
+    "first signup, and within the 7-day window? Users with no subsequent "
+    "purchase surface with NULL first_purchase_us (the churn cohort). "
+    "One user-keyed left join + conditional min — the absence test is "
+    "the NULL of a conditional aggregate, not an anti-join, so the "
+    "convert-lag rides along in the same pass. Pure integer epoch-us "
+    "arithmetic; day lag via integer division.",
+)
+def evt_absence_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("signup_us"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("pus")
+    )
+    j = (
+        s.join(p, "user_id", "left")
+        .groupBy("user_id", "signup_us")
+        .agg(
+            F.min(
+                F.when(F.col("pus") >= F.col("signup_us"), F.col("pus"))
+            ).alias("first_purchase_us")
+        )
+    )
+    lag = F.col("first_purchase_us") - F.col("signup_us")
+    return j.select(
+        "user_id",
+        "signup_us",
+        "first_purchase_us",
+        F.when(
+            F.col("first_purchase_us").isNotNull()
+            & (lag <= F.lit(604_800_000_000)),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("converted_7d"),
+        F.expr(
+            "CAST((first_purchase_us - signup_us) div 86400000000 AS BIGINT)"
+        ).alias("days_to_convert"),
+    )
+
+
+@register(
     "evt_interval_union_time",
     """
     WITH iv AS (
