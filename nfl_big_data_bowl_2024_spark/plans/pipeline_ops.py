@@ -5551,6 +5551,142 @@ def evt_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ml_eval_confusion",
+    """
+    WITH ex AS (
+        SELECT vec_id, label, i AS pos,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
+                    AS BIGINT) AS vq
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    cent AS (
+        SELECT label AS clabel, pos,
+               CAST((2 * sum(vq) + count(*)) // (2 * count(*)) AS BIGINT) AS c4
+        FROM ex GROUP BY label, pos
+    ),
+    dist AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               sum((e.vq - c.c4) * (e.vq - c.c4)) AS d2
+        FROM ex e JOIN cent c ON e.pos = c.pos
+        GROUP BY e.vec_id, e.label, c.clabel
+    ),
+    pred AS (
+        SELECT vec_id, label,
+               CAST(min(d2 * 16 + clabel) % 16 AS INTEGER) AS pred_label
+        FROM dist GROUP BY vec_id, label
+    ),
+    m AS (
+        SELECT t.label,
+               t.n_true, coalesce(p.n_pred, 0) AS n_pred,
+               coalesce(tp.tp, 0) AS tp
+        FROM (SELECT label, count(*) AS n_true FROM pred GROUP BY label) t
+        LEFT JOIN (SELECT pred_label, count(*) AS n_pred
+                   FROM pred GROUP BY pred_label) p ON p.pred_label = t.label
+        LEFT JOIN (SELECT label, count(*) AS tp FROM pred
+                   WHERE label = pred_label GROUP BY label) tp
+               ON tp.label = t.label
+    )
+    SELECT label, CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+           CAST(CASE WHEN n_pred = 0 THEN 0
+                ELSE (2000 * tp + n_pred) // (2 * n_pred) END AS BIGINT)
+               AS precision_milli,
+           CAST((2000 * tp + n_true) // (2 * n_true) AS BIGINT)
+               AS recall_milli,
+           CAST((2 * 2000 * tp + (n_true + n_pred)) // (2 * (n_true + n_pred))
+                AS BIGINT) AS f1_milli
+    FROM m
+    """,
+    doc="Classifier EVALUATION — the metrics pass the ml_* training "
+    "queries feed: a nearest-centroid classifier over the labeled "
+    "embeddings, scored with the per-label confusion diagonal, "
+    "precision, recall, and F1 (per mille). Entirely in exact integer "
+    "space: embeddings quantize to 1e-4 grid ints, centroids are "
+    "(2S + n) div (2n) integer half-up means, squared distances are "
+    "integer sums (no float accumulation can flip an argmin near a "
+    "tie), the argmin is min over the packed key d2*16 + label (a total "
+    "order with the label as deterministic tie-break; labels are 0-9), "
+    "and the metric ratios are (2A + B) div (2B). Shapes: one "
+    "posexplode, the 640-row centroid model broadcast back, one "
+    "(vec, candidate-label) aggregate, O(labels) rollups. F1 per label "
+    "is exactly 2*TP/(n_true + n_pred) — no float harmonic mean.",
+)
+def ml_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        # cast float32 -> double BEFORE scaling: engines promote a
+        # float * int differently, and a single-precision product can
+        # quantize to a different grid cell
+        F.floor(F.col("v").cast("double") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("vq"),
+    )
+    cent = (
+        ex.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(F.sum("vq").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "clabel",
+            "pos",
+            F.expr("CAST((2 * s + n) div (2 * n) AS BIGINT)").alias("c4"),
+        )
+    )
+    diff = F.col("vq") - F.col("c4")
+    dist = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    pred = dist.groupBy("vec_id", "label").agg(
+        (F.min(F.col("d2") * 16 + F.col("clabel")) % 16)
+        .cast("int")
+        .alias("pred_label")
+    )
+    t = pred.groupBy("label").agg(F.count(F.lit(1)).alias("n_true"))
+    p = pred.groupBy(F.col("pred_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    tp = (
+        pred.filter(F.col("label") == F.col("pred_label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    m = (
+        t.join(p, "label", "left")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            "n_true",
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    return m.select(
+        "label",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.expr(
+            "CAST(CASE WHEN n_pred = 0 THEN 0"
+            " ELSE (2000 * tp + n_pred) div (2 * n_pred) END AS BIGINT)"
+        ).alias("precision_milli"),
+        F.expr("CAST((2000 * tp + n_true) div (2 * n_true) AS BIGINT)").alias(
+            "recall_milli"
+        ),
+        F.expr(
+            "CAST((2 * 2000 * tp + (n_true + n_pred))"
+            " div (2 * (n_true + n_pred)) AS BIGINT)"
+        ).alias("f1_milli"),
+    )
+
+
+@register(
     "agg_bitmap_audience_overlap",
     """
     WITH s AS (
