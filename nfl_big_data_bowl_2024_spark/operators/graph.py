@@ -531,3 +531,66 @@ def bellman_ford_bounded(
         frontier = improved
     e.unpersist()
     return dist
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    t: str = "t",
+) -> DataFrame:
+    """Time-respecting reachability (temporal-network min arrival): for
+    every node within ``rounds`` edges of the seed set, the EARLIEST
+    arrival time over paths whose edge timestamps never decrease — an
+    edge (u, v, t) is usable only if t >= arrival(u). Seeds arrive at 0.
+
+    The min-plus scaffolding of ``bellman_ford_bounded`` with the relax
+    rule swapped: cand_arrival(v) = min over usable edges of t. The
+    semiring is still monotone (an EARLIER arrival at u enables a
+    SUPERSET of outgoing edges), so delta propagation — only nodes whose
+    arrival improved drive the next round — remains exact for <= rounds
+    edges. Integer timestamps throughout; a DuckDB recursive CTE replays
+    the fixpoint bit-for-bit.
+    """
+    e, _ = _edges_on_disk(
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(t).cast("long").alias("t"),
+        )
+    )
+    arr = seeds.select(
+        F.col("node").cast("long").alias("node"),
+        F.lit(0).cast("long").alias("arrival"),
+    ).localCheckpoint(eager=True)
+    frontier = arr
+    for _k in range(rounds):
+        cand = (
+            frontier.withColumnRenamed("node", "src")
+            .join(e, "src")
+            .filter(F.col("t") >= F.col("arrival"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("t").alias("cand_arr"))
+        )
+        improved = (
+            cand.join(arr, "node", "left")
+            .filter(
+                F.col("arrival").isNull()
+                | (F.col("cand_arr") < F.col("arrival"))
+            )
+            .select("node", F.col("cand_arr").alias("arrival"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        arr = (
+            arr.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("arrival").alias("arrival"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    e.unpersist()
+    return arr

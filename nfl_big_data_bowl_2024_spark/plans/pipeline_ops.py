@@ -5207,6 +5207,87 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_temporal_reachability",
+    """
+    WITH RECURSIVE
+    pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s,
+               CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS d
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+        SELECT c * 2 AS src, s * 2 + 1 AS dst, d AS t FROM pairs
+        UNION ALL
+        SELECT s * 2 + 1 AS src, c * 2 AS dst, d AS t FROM pairs
+    ),
+    seeds AS (
+        SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_suppkey % 10 = 0
+    ),
+    walk AS (
+        SELECT node, CAST(0 AS BIGINT) AS arr, 0 AS hops FROM seeds
+        UNION
+        SELECT e.dst AS node, e.t AS arr, w.hops + 1 AS hops
+        FROM walk w JOIN edges e ON e.src = w.node AND e.t >= w.arr
+        WHERE w.hops < 3
+    )
+    SELECT CAST(node % 2 AS INTEGER) AS is_supplier,
+           CAST(node // 2 AS BIGINT)  AS entity_id,
+           CAST(min(arr) AS BIGINT)  AS arrival_day
+    FROM walk GROUP BY node
+    """,
+    doc="TIME-RESPECTING reachability over the trading graph (temporal-"
+    "network semantics, Holme & Saramaki 2012): an edge dated day d is "
+    "usable only if d >= the arrival time at its source, and the answer "
+    "is the EARLIEST arrival day within <= 3 edges of the seeded "
+    "supplier cohort — who could a signal emitted by these suppliers "
+    "actually have reached, given transaction ordering? Plain BFS "
+    "overcounts (it ignores that influence cannot flow backward in "
+    "time). Same delta-propagating fixpoint scaffolding as "
+    "graph_weighted_sssp with the relax rule swapped to min-arrival "
+    "(operators/graph.py:temporal_reachability) — monotone because an "
+    "earlier arrival enables a superset of edges. Integer epoch-days; "
+    "the recursive-CTE oracle replays the fixpoint exactly — the FIFTH "
+    "hash-checked iterative algorithm in the graph family.",
+)
+def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import temporal_reachability
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+            F.expr("unix_micros(o_orderdate) div 86400000000").alias("d"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        (F.col("c") * 2).alias("src"),
+        (F.col("s") * 2 + 1).alias("dst"),
+        F.col("d").alias("t"),
+    ).unionAll(
+        pairs.select(
+            (F.col("s") * 2 + 1).alias("src"),
+            (F.col("c") * 2).alias("dst"),
+            F.col("d").alias("t"),
+        )
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 0)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    arr = temporal_reachability(edges, seeds, rounds=3)
+    return arr.select(
+        (F.col("node") % 2).cast("int").alias("is_supplier"),
+        F.expr("node div 2").cast("long").alias("entity_id"),
+        F.col("arrival").cast("long").alias("arrival_day"),
+    )
+
+
+@register(
     "graph_weighted_sssp",
     """
     WITH RECURSIVE
