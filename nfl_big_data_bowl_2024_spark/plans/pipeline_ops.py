@@ -5853,6 +5853,141 @@ def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stat_mad_outliers",
+    """
+    WITH g AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type,
+               min(CASE WHEN 2 * cum_c >= n THEN cents END) AS med_c,
+               max(n) AS n
+        FROM (
+            SELECT event_type, cents, c,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum_c,
+                   sum(c) OVER (PARTITION BY event_type) AS n
+            FROM g
+        ) GROUP BY event_type
+    ),
+    dev AS (
+        SELECT g.event_type, abs(g.cents - m.med_c) AS d, sum(g.c) AS c
+        FROM g JOIN med m USING (event_type)
+        GROUP BY 1, 2
+    ),
+    mad AS (
+        SELECT event_type,
+               min(CASE WHEN 2 * cum_c >= n THEN d END) AS mad_c
+        FROM (
+            SELECT event_type, d, c,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum_c,
+                   sum(c) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ) GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(m.n AS BIGINT) AS n,
+           m.med_c / 100.0 AS median_v,
+           a.mad_c / 100.0 AS mad_v,
+           CAST(coalesce(sum(g.c) FILTER (
+               WHERE abs(g.cents - m.med_c) > 3 * a.mad_c), 0) AS BIGINT)
+               AS n_outliers
+    FROM med m
+    JOIN mad a USING (event_type)
+    JOIN g USING (event_type)
+    GROUP BY m.event_type, m.n, m.med_c, a.mad_c
+    """,
+    doc="Robust outlier detection by median absolute deviation — the "
+    "breakdown-resistant alternative to the z-score path "
+    "(evt_user_zscore_outliers): per group, median, MAD, and the count "
+    "of values beyond 3 MADs. BOTH medians come from the fixed cents "
+    "counting grid (agg_fixed_grid_quantiles' shape), and the deviation "
+    "median is computed from the GRID re-keyed by |cents - median| — "
+    "counts re-aggregate, so the raw data is scanned ONCE and every "
+    "later stage is O(distinct cents). Lower-nearest-rank medians via "
+    "integer cross-multiplication; all arithmetic integer.",
+)
+def stat_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    g = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _grid_median(grid, key_col):
+        w_cum = (
+            Window.partitionBy("event_type")
+            .orderBy(key_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy("event_type")
+        cum = grid.select(
+            "event_type",
+            key_col,
+            F.sum("c").over(w_cum).alias("cum_c"),
+            F.sum("c").over(w_all).alias("n"),
+        )
+        return cum.groupBy("event_type").agg(
+            F.min(
+                F.when(2 * F.col("cum_c") >= F.col("n"), F.col(key_col))
+            ).alias("med"),
+            F.max("n").alias("n"),
+        )
+
+    med = _grid_median(g, "cents").select(
+        "event_type", F.col("med").alias("med_c"), "n"
+    )
+    dev = (
+        g.join(F.broadcast(med.select("event_type", "med_c")), "event_type")
+        .groupBy("event_type", F.abs(F.col("cents") - F.col("med_c")).alias("d"))
+        .agg(F.sum("c").alias("c"))
+    )
+    mad = _grid_median(dev, "d").select(
+        "event_type", F.col("med").alias("mad_c")
+    )
+    out = (
+        g.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med_c", "mad_c")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("cents") - F.col("med_c"))
+                        > 3 * F.col("mad_c"),
+                        F.col("c"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("med_c") / 100.0).alias("median_v"),
+        (F.col("mad_c") / 100.0).alias("mad_v"),
+        "n_outliers",
+    )
+
+
+@register(
     "agg_fixed_grid_quantiles",
     """
     WITH g AS (
