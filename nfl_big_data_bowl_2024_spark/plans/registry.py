@@ -115,8 +115,11 @@ _DRIVER_PRIORITY: list[str] = [
     # the four r3-r5-green fillers they displace move just below the
     # cutoff). The remaining round-7 registrations (agg_cms_join_size,
     # evt_seasonal_decompose, evt_interval_union_time, dq_table_checksum,
-    # opt_pareto_frontier, agg_hll_overlap_estimate and friends) are
-    # locally gate-verified at sf0.01/sf0.1/sf1 and join the r8 window.
+    # opt_pareto_frontier, dq_skew_report, agg_fixed_grid_quantiles,
+    # dedup_containment_pairs, evt_absence_churn, ml_eval_confusion,
+    # graph_temporal_reachability, stat_mad_outliers, and
+    # agg_hll_overlap_estimate) are locally gate-verified at
+    # sf0.01/sf0.1/sf1 and join the r8 window.
     "dedup_prefix_filter_jaccard",
     "agg_kmv_distinct",
     "agg_bitmap_audience_overlap",
