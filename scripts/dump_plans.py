@@ -273,6 +273,21 @@ SHOWCASE = [
         "integer-dollar band relation broadcast back), and one keyed "
         "join to emit survivors.",
     ),
+    (
+        "ml_eval_confusion",
+        "Nearest-centroid evaluation in exact integer space: one "
+        "posexplode, the 640-row centroid model re-enters broadcast, "
+        "integer squared distances collapse per (vec, candidate) and "
+        "the packed-key argmin is an ordinary hash aggregate — no "
+        "float accumulation anywhere near the decision boundary.",
+    ),
+    (
+        "stat_mad_outliers",
+        "Both medians from ONE raw-data scan: the cents counting grid "
+        "is an eager checkpoint (Scan ExistingRDD below), the deviation "
+        "grid re-keys it by |cents - median|, and every window runs "
+        "over O(distinct cents), never rows.",
+    ),
 ]
 
 
