@@ -35,6 +35,14 @@ BOUNDARY_QUERIES = [
     "emb_pca_power_iteration",
     "txt_vocab_coverage",
     "e3_position_params",
+    # round-7 integer-exact pipelines: the scaled-int money protocol
+    # (tpch_q1), integer argmin near decision boundaries (ml_eval),
+    # grid medians (MAD), and integer ratio rounding (KMV estimate)
+    "tpch_q1_pricing_summary",
+    "ml_eval_confusion",
+    "stat_mad_outliers",
+    "agg_kmv_distinct",
+    "agg_fixed_grid_quantiles",
 ]
 
 
