@@ -5422,6 +5422,42 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_quota_sample",
+    """
+    SELECT doc_id, lang, rn AS sample_rank
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= 25
+    """,
+    doc="Exact-k quota sampling: EXACTLY 25 documents per language by md5 "
+    "hash priority — the reproducible eval-set/debug-slice primitive "
+    "rate-based sampling (doc_stratified_sample) cannot provide: a rate "
+    "gives binomial-varying counts, a quota gives a fixed-size, "
+    "engine-independent, rerun-stable slice (adding documents only "
+    "replaces members whose hash priority loses). The rank filter "
+    "compiles to WindowGroupLimit, so each map task keeps at most k "
+    "rows per language before the exchange — the same distributed "
+    "bottom-k as the KMV sketch, here over hash priorities.",
+)
+def doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 25)
+    )
+
+
+@register(
     "evt_absence_churn",
     """
     WITH s AS (
