@@ -14,6 +14,8 @@ tests/ against exact Jaccard / exact cosine instead.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -7432,9 +7434,17 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = g.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("n_i").alias("n"),
+        # True integral division (`div`, truncate-toward-zero) — NOT
+        # floor(a / b): Spark decimal `/` rounds HALF_UP at result scale
+        # before floor, so a quotient within ~5e-7 of an integer floors one
+        # high vs DuckDB's exact `//`. Both `div` and `//` truncate toward
+        # zero, so the engines agree bit-for-bit (relational.py money
+        # protocol). Each per-group quotient T_i^2/n_i ~ n_i*mean^2 fits
+        # int64 (Spark `div` returns BIGINT) up to ~3e9 rows/group; the SUM
+        # across groups is carried in DECIMAL(38,0).
         F.sum(
             F.expr(
-                "CAST(floor(CAST(t_i AS DECIMAL(19,0)) * t_i / n_i)"
+                "CAST(CAST(t_i AS DECIMAL(19,0)) * t_i div n_i"
                 " AS DECIMAL(38,0))"
             )
         ).alias("sum_a"),
@@ -7445,13 +7455,12 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("k"),
         F.col("n").cast("long").alias("n"),
         F.expr(
-            "CAST(sum_a - floor(CAST(t AS DECIMAL(19,0)) * t / n)"
-            " AS BIGINT)"
+            "CAST(sum_a - CAST(t AS DECIMAL(19,0)) * t div n AS BIGINT)"
         ).alias("ssb_cents2"),
         F.expr("CAST(q - sum_a AS BIGINT)").alias("ssw_cents2"),
         F.expr(
-            "CAST(floor(1000 * (sum_a - floor(CAST(t AS DECIMAL(19,0)) * t / n))"
-            " * (n - k) / ((q - sum_a) * (k - 1))) AS BIGINT)"
+            "CAST(1000 * (sum_a - CAST(t AS DECIMAL(19,0)) * t div n)"
+            " * (n - k) div ((q - sum_a) * (k - 1)) AS BIGINT)"
         ).alias("f_milli"),
     )
 
@@ -7842,21 +7851,43 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT)                                  AS monetary_cents
         FROM orders GROUP BY o_custkey
     ),
+    m AS (
+        SELECT 'r' AS met, recency_days AS v FROM rfm
+        UNION ALL SELECT 'f' AS met, CAST(n_orders AS BIGINT) AS v FROM rfm
+        UNION ALL SELECT 'm' AS met, monetary_cents AS v FROM rfm
+    ),
+    grid AS (SELECT met, v, count(*) AS c FROM m GROUP BY met, v),
+    cum AS (
+        SELECT met, v,
+               sum(c) OVER (PARTITION BY met ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_c,
+               sum(c) OVER (PARTITION BY met) AS n
+        FROM grid
+    ),
+    cl AS (
+        SELECT met,
+               min(CASE WHEN 5 * cum_c >= 1 * n THEN v END) AS c1,
+               min(CASE WHEN 5 * cum_c >= 2 * n THEN v END) AS c2,
+               min(CASE WHEN 5 * cum_c >= 3 * n THEN v END) AS c3,
+               min(CASE WHEN 5 * cum_c >= 4 * n THEN v END) AS c4
+        FROM cum GROUP BY met
+    ),
     cuts AS (
         SELECT
-            floor(quantile_cont(recency_days,   0.2) * 1000000 + 0.5) / 1000000 AS r1,
-            floor(quantile_cont(recency_days,   0.4) * 1000000 + 0.5) / 1000000 AS r2,
-            floor(quantile_cont(recency_days,   0.6) * 1000000 + 0.5) / 1000000 AS r3,
-            floor(quantile_cont(recency_days,   0.8) * 1000000 + 0.5) / 1000000 AS r4,
-            floor(quantile_cont(n_orders,       0.2) * 1000000 + 0.5) / 1000000 AS f1,
-            floor(quantile_cont(n_orders,       0.4) * 1000000 + 0.5) / 1000000 AS f2,
-            floor(quantile_cont(n_orders,       0.6) * 1000000 + 0.5) / 1000000 AS f3,
-            floor(quantile_cont(n_orders,       0.8) * 1000000 + 0.5) / 1000000 AS f4,
-            floor(quantile_cont(monetary_cents, 0.2) * 1000000 + 0.5) / 1000000 AS m1,
-            floor(quantile_cont(monetary_cents, 0.4) * 1000000 + 0.5) / 1000000 AS m2,
-            floor(quantile_cont(monetary_cents, 0.6) * 1000000 + 0.5) / 1000000 AS m3,
-            floor(quantile_cont(monetary_cents, 0.8) * 1000000 + 0.5) / 1000000 AS m4
-        FROM rfm
+            min(CASE WHEN met = 'r' THEN c1 END) AS r1,
+            min(CASE WHEN met = 'r' THEN c2 END) AS r2,
+            min(CASE WHEN met = 'r' THEN c3 END) AS r3,
+            min(CASE WHEN met = 'r' THEN c4 END) AS r4,
+            min(CASE WHEN met = 'f' THEN c1 END) AS f1,
+            min(CASE WHEN met = 'f' THEN c2 END) AS f2,
+            min(CASE WHEN met = 'f' THEN c3 END) AS f3,
+            min(CASE WHEN met = 'f' THEN c4 END) AS f4,
+            min(CASE WHEN met = 'm' THEN c1 END) AS m1,
+            min(CASE WHEN met = 'm' THEN c2 END) AS m2,
+            min(CASE WHEN met = 'm' THEN c3 END) AS m3,
+            min(CASE WHEN met = 'm' THEN c4 END) AS m4
+        FROM cl
     )
     SELECT CAST(1 + CAST(recency_days > r1 AS INTEGER)
                   + CAST(recency_days > r2 AS INTEGER)
@@ -7879,17 +7910,21 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "classic warehouse cohorting shape next to funnel/retention/"
     "attribution: per-customer exact integer metrics (days since last "
     "order, order count, lifetime cents) in one keyed aggregate, "
-    "quintile cutoffs via ONE scalar percentile aggregate (Spark "
-    "percentile == DuckDB quantile_cont, rounded 6 dp half-up on both "
-    "engines) broadcast back, and each quintile index computed as "
-    "1 + sum of strict-threshold exceedances — boolean integer adds, "
-    "no window, no ntile (a global ntile would funnel every customer "
-    "through one task; the threshold form keeps the relation "
-    "partitioned). Output is the 125-cell segment cube with customer "
-    "counts and monetary totals. Exact-percentile cutoffs materialize "
-    "the metric vector per agg buffer — correct here, with the "
-    "approx_quantiles sketch as the documented 100 TB path (same "
-    "caveat as grouped_percentiles).",
+    "quintile cutoffs from EXACT counting-grid order statistics (the "
+    "agg_fixed_grid_quantiles lower-nearest-rank pattern: unpivot the "
+    "three integer metrics, count per distinct value, cumulative window "
+    "over the bounded value domain, then min value whose 5*cum >= k*n — "
+    "integer cross-multiplication, no interpolation, so the cuts are "
+    "integer-exact on both engines; interpolated percentile() vs "
+    "quantile_cont() can differ by 1 ulp and reclassify every customer "
+    "sitting on a boundary) broadcast back, and each quintile index "
+    "computed as 1 + sum of strict-threshold exceedances — boolean "
+    "integer adds, no window over customers, no ntile (a global ntile "
+    "would funnel every customer through one task; the threshold form "
+    "keeps the relation partitioned). Output is the 125-cell segment "
+    "cube with customer counts and monetary totals. The grid state is "
+    "O(distinct metric values), mergeable by addition — the 100 TB "
+    "path, no per-buffer value vector.",
 )
 def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
@@ -7907,20 +7942,42 @@ def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recency_days", (F.lit(global_last) - F.col("last_day")).cast("long")
     )
 
-    def q(col):
-        return F.percentile(
-            col, F.array(F.lit(0.2), F.lit(0.4), F.lit(0.6), F.lit(0.8))
+    # Exact lower-nearest-rank quintile cuts via the counting-grid pattern
+    # (agg_fixed_grid_quantiles): integer-exact on both engines, O(distinct
+    # values) state, no interpolation arithmetic to diverge by 1 ulp.
+    m = rfm.select(
+        F.expr(
+            "stack(3, 'r', recency_days, 'f', CAST(n_orders AS BIGINT),"
+            " 'm', monetary_cents) AS (met, v)"
         )
-
-    cuts = rfm.agg(
-        q("recency_days").alias("rq"),
-        q("n_orders").alias("fq"),
-        q("monetary_cents").alias("mq"),
-    ).select(
+    )
+    grid = m.groupBy("met", "v").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("met")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "met",
+        "v",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(Window.partitionBy("met")).alias("n"),
+    )
+    cl = cum.groupBy("met").agg(
         *[
-            (F.floor(F.col(c)[i] * 1_000_000 + 0.5) / 1_000_000).alias(f"{c[0]}{i+1}")
-            for c in ("rq", "fq", "mq")
-            for i in range(4)
+            F.min(
+                F.when(5 * F.col("cum_c") >= k * F.col("n"), F.col("v"))
+            ).alias(f"c{k}")
+            for k in range(1, 5)
+        ]
+    )
+    cuts = cl.agg(
+        *[
+            F.min(F.when(F.col("met") == met, F.col(f"c{k}"))).alias(
+                f"{met}{k}"
+            )
+            for met in ("r", "f", "m")
+            for k in range(1, 5)
         ]
     )
 
@@ -7946,9 +8003,20 @@ def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Adamic-Adar inverse-log-degree weights in integer micro-units, as a
+# 64-entry fixed-point table so no float arithmetic reaches either engine:
+# position d (1-based) = round(1e6 / log2(d)). Wedge apexes always have
+# degree >= 2 (a wedge needs two distinct neighbors), so position 1 is an
+# unused 0; the adjacency filter caps degree at 64.
+_AA_LOG2_MICRO: list[int] = [0] + [
+    round(1_000_000 / math.log2(d)) for d in range(2, 65)
+]
+_AA_LOG2_MICRO_SQL = ", ".join(str(w) for w in _AA_LOG2_MICRO)
+
+
 @register(
     "graph_adamic_adar_links",
-    """
+    f"""
     WITH pairs AS (
         SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -7972,7 +8040,7 @@ def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT ya, yb,
-               CAST(sum(1000000 // d) AS BIGINT) AS aa_micro,
+               CAST(sum(([{_AA_LOG2_MICRO_SQL}])[d]) AS BIGINT) AS aa_micro,
                count(*) AS n_common
         FROM wedge GROUP BY ya, yb
     ),
@@ -7994,11 +8062,13 @@ def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hub guard bounding the quadratic fan-out (the same cap idiom as the "
     "token-lift basket and the fuzzy-match block), which HERE also "
     "matches the measure's own rationale: Adamic-Adar weights each "
-    "common neighbor by inverse degree, so excluded hubs contribute "
-    "near-zero signal by construction. Weights are integer micro-units "
-    "(1000000 div degree — float-free), existing edges drop via an "
-    "anti-join on the symmetrized edge set, and the top 25 predicted "
-    "links break ties on the node pair so the hash check is exact.",
+    "common neighbor by 1/log(degree), so excluded hubs contribute "
+    "little signal by construction. Weights come from a 64-entry "
+    "fixed-point table (round(1e6/log2(d)), identical integer literal "
+    "array on both engines — no float arithmetic in either plan), "
+    "existing edges drop via an anti-join on the symmetrized edge set, "
+    "and the top 25 predicted links break ties on the node pair so the "
+    "hash check is exact.",
 )
 def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import _edges_on_disk, _exchange_width
@@ -8040,7 +8110,13 @@ def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = adj.select(F.col("x"), F.col("nbr").alias("yb"))
     wedge = a.join(b, "x").filter(F.col("ya") < F.col("yb"))
     scored = wedge.repartition(wedge_width, "ya", "yb").groupBy("ya", "yb").agg(
-        F.sum(F.expr("1000000 div d")).cast("long").alias("aa_micro"),
+        F.sum(
+            F.expr(
+                f"element_at(array({_AA_LOG2_MICRO_SQL}), CAST(d AS INT))"
+            )
+        )
+        .cast("long")
+        .alias("aa_micro"),
         F.count(F.lit(1)).alias("n_common"),
     )
     non_edges = scored.join(
@@ -8162,7 +8238,7 @@ def spatial_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.event_type, b.event_type
     )
     SELECT type_a, type_b, CAST(exact_overlap AS BIGINT) AS exact_overlap,
-           TRUE AS sketch_within_5pct
+           TRUE AS sketch_within_tol
     FROM ov
     """,
     doc="Audience-overlap estimation via HLL sketch algebra — the "
@@ -8174,10 +8250,13 @@ def spatial_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scans; a new segment means ONE new sketch. Per the registry's "
     "sketch idiom the emitted columns are the EXACT overlap (one "
     "distinct (user,type) relation self-joined on user, keyed shuffle) "
-    "plus a Spark-computed within-5%-of-exact bound boolean the oracle "
-    "emits as literal TRUE (inclusion-exclusion compounds the ~0.8% "
-    "lgK=14 error of three estimates; 5% absorbs it at these "
-    "cardinalities).",
+    "plus a Spark-computed tolerance boolean the oracle emits as literal "
+    "TRUE. The tolerance is max(5% of exact overlap, 5% of |A|+|B|): "
+    "inclusion-exclusion error is ABSOLUTE in the set sizes (std ~ "
+    "1.04/sqrt(2^14) ~ 0.81% per term, <= ~1.6% of |A|+|B| combined, so "
+    "5% is ~3 sigma), while a purely relative 5%-of-overlap check would "
+    "false-fail any low-overlap pair at larger scale factors where the "
+    "exact intersection is small relative to the audiences.",
 )
 def agg_hll_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ut = (
@@ -8214,6 +8293,8 @@ def agg_hll_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "type_a",
             "type_b",
+            "n_a",
+            "n_b",
             (
                 F.expr("hll_sketch_estimate(sk_a)")
                 + F.expr("hll_sketch_estimate(sk_b)")
@@ -8225,8 +8306,13 @@ def agg_hll_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_a",
         "type_b",
         "exact_overlap",
+        # absolute floor: HLL error compounds absolutely in |A|+|B|, not
+        # relative to the (possibly tiny) intersection
         (
             F.abs(F.col("est_overlap") - F.col("exact_overlap"))
-            <= 0.05 * F.col("exact_overlap")
-        ).alias("sketch_within_5pct"),
+            <= F.greatest(
+                0.05 * F.col("exact_overlap"),
+                0.05 * (F.col("n_a") + F.col("n_b")),
+            )
+        ).alias("sketch_within_tol"),
     )

@@ -1243,7 +1243,8 @@ def conditional_recode_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN weight IS NULL THEN 'error' ELSE 'ok' END AS status,
            count(*) AS n,
            CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                    * CAST(coalesce(weight, 0.0) AS BIGINT)) AS BIGINT)
+                    * CAST(floor(coalesce(weight, 0.0) + 0.5) AS BIGINT))
+                AS BIGINT)
                / 100.0 AS weighted_price
     FROM orders LEFT JOIN prio ON o_orderpriority = priority
     GROUP BY o_orderpriority, CASE WHEN weight IS NULL THEN 'error' ELSE 'ok' END
@@ -1262,12 +1263,17 @@ def case_lookup_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "status")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            # weights are whole numbers, so cents x weight stays an exact
-            # integer and the sum never rounds
+            # weight is rounded half-up to an integer with the SAME
+            # floor(x + 0.5) expression as the oracle — a bare long cast
+            # truncates toward zero on Spark but rounds to nearest in
+            # DuckDB, so the engines would diverge on any future
+            # fractional weight
             _money2(
                 F.sum(
                     _scaled(F.col("o_totalprice"), 2)
-                    * F.coalesce("weight", F.lit(0.0)).cast("long")
+                    * F.floor(F.coalesce("weight", F.lit(0.0)) + 0.5).cast(
+                        "long"
+                    )
                 ),
                 2,
             ).alias("weighted_price"),
