@@ -1250,6 +1250,104 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_pairs(e, bands=16, bits_per_band="auto", min_cosine=0.45)
 
 
+@register(
+    "sim_lsh_recall",
+    """
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings WHERE vec_id < 2000
+    ),
+    seed AS (SELECT vec_id, emb FROM base WHERE vec_id < 200),
+    planted AS (
+        SELECT vec_id, list_concat([emb[1] + 0.1], emb[2:64]) AS emb2
+        FROM seed
+    ),
+    truth AS (
+        SELECT s.vec_id FROM seed s JOIN planted p USING (vec_id)
+        WHERE list_dot_product(s.emb, p.emb2)
+              / (sqrt(list_dot_product(s.emb, s.emb))
+                 * sqrt(list_dot_product(p.emb2, p.emb2))) >= 0.95
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_90
+    FROM truth
+    """,
+    doc="Recall LEDGER for the sign-LSH ANN path — the driver-attested "
+    "quality twin of the rows-only sim_lsh_bucketed (the same idiom that "
+    "gave MinHash/SimHash their oracle-backed operating-point twins): "
+    "plant one near-duplicate per seed vector DETERMINISTICALLY inside "
+    "the query (first component += 0.1, cosine ~0.999 — identical IEEE "
+    "double arithmetic on both engines via the same prepend+slice "
+    "expression), run the REAL lsh_bucketed_pairs operator (16 bands, "
+    "auto bits) over base+planted at the near-dup threshold 0.95 where "
+    "the operating point guarantees recall ~1.0, and report (a) the "
+    "exact ground-truth pair count — hash-checked against DuckDB "
+    "computing the identical construction — and (b) recall >= 90% as a "
+    "boolean the oracle emits as literal TRUE. Any pair at cosine >= "
+    "0.95 is necessarily a planted pair (the natural corpus maxes out "
+    "near 0.6), so the recall denominator is exactly the planted truth "
+    "set. The hash-seeded signatures never reach the output — only "
+    "their QUALITY does, which is what makes ANN recall driver-visible "
+    "instead of pytest-only (tests/test_dedup_similarity.py keeps the "
+    "planted-pair recall >= 0.9 assertion).",
+)
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_bucketed_pairs
+
+    base = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 2000)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+    )
+    seed = base.filter(F.col("vec_id") < 200)
+    # planted twin: first component += 0.1, rest unchanged — the same
+    # prepend+slice expression as the oracle (list_concat([emb[1]+0.1],
+    # emb[2:64])), so the exact-cosine ground truth matches bit-for-bit
+    twin_emb = F.concat(
+        F.array(F.element_at(F.col("emb"), 1) + F.lit(0.1)),
+        F.slice(F.col("emb"), 2, 63),
+    )
+    planted = seed.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        twin_emb.alias("emb"),
+    )
+    from ..operators.similarity import cosine_col
+
+    truth = (
+        seed.alias("s")
+        .join(
+            planted.select(
+                (F.col("vec_id") - F.lit(10_000_000)).alias("vec_id"),
+                F.col("emb").alias("emb2"),
+            ).alias("p"),
+            "vec_id",
+        )
+        .filter(cosine_col("emb", "emb2") >= 0.95)
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    corpus = base.unionByName(planted).select(
+        "vec_id", F.col("emb").alias("embedding")
+    )
+    cand = lsh_bucketed_pairs(
+        corpus, bands=16, bits_per_band="auto", min_cosine=0.95
+    )
+    found = cand.filter(
+        F.col("vid_b") == F.col("vid_a") + F.lit(10_000_000)
+    ).join(truth.withColumnRenamed("vec_id", "vid_a"), "vid_a", "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+        .select(
+            "n_true",
+            (10 * F.col("n_found") >= 9 * F.col("n_true")).alias(
+                "recall_ge_90"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-2 additions: dedup clustering, deterministic sampling, TF-IDF
 # ---------------------------------------------------------------------------

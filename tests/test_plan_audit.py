@@ -71,6 +71,10 @@ def test_flagship_shuffles_only_on_group_key(spark, queries):
 # everywhere.
 _ARROW_KERNEL_ALLOWLIST = {
     "sim_ivf_probeall_topk",  # BLAS centroid assignment (operators/similarity.py)
+    "sim_lsh_recall",  # runs the REAL lsh_bucketed_pairs operator whose
+    # Arrow-batched pair-cosine re-rank is the documented vectorization
+    # exception (operators/similarity.py) — the ledger must exercise the
+    # production path, not a JVM-only stand-in
     "txt_chunk_udtf",  # ArrowEvalPythonUDTF — the table-function extension
     # point (functions/chunking.py); chunk-content emission is the part
     # sequence()-based JVM plans cannot express
