@@ -21,6 +21,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Hard cap on what this module will explicitly broadcast, in REAL bytes
+# (estimated from row counts x true widths, not Catalyst stats): a
+# broadcast is collected to the driver and counts against
+# spark.driver.maxResultSize (1 GiB default), so 256 MiB leaves 4x
+# headroom while still letting the signature/embedding dimension tables
+# broadcast at the measured sf10 operating points.
+_BROADCAST_BYTES_CAP = 256 * 1024 * 1024
+
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
     """Hash-repartition on the id before CPU-heavy shingling/hashing.
@@ -360,11 +368,24 @@ def minhash_lsh_candidates(
     )
 
     # Estimated Jaccard = fraction of agreeing permutations, via two joins
-    # of the id pairs against the cached signature index. Up to a few
-    # million docs the signature table (num_perm longs per doc) is the
-    # SMALL side — broadcast it so the pair rows never shuffle for the
-    # attach (same finding as the LSH re-rank in similarity.py).
-    sig_side = F.broadcast(sig) if n_docs <= 2_000_000 else sig
+    # of the id pairs against the cached signature index. While the
+    # signature table is genuinely small it is the SMALL side — broadcast
+    # it so the pair rows never shuffle for the attach (same finding as
+    # the LSH re-rank in similarity.py). The bound is in BYTES, not docs:
+    # a broadcast is collected to the driver and counts against
+    # spark.driver.maxResultSize (1 GiB default), so the real size
+    # n_docs x (num_perm longs + row overhead) must stay comfortably
+    # under it. When the table is too big to broadcast, the join is
+    # HINTED to sort-merge: Catalyst's size estimate for a projected
+    # array column is ~one element per row (ArrayType.defaultSize), so
+    # without the hint the static planner "discovers" a tiny build side
+    # and broadcasts the full array table anyway — the measured 1.03 GiB
+    # driver collect that killed the generated-sf10 run.
+    sig_bytes = n_docs * (num_perm * 8 + 48)
+    if sig_bytes <= _BROADCAST_BYTES_CAP:
+        sig_side = F.broadcast(sig)
+    else:
+        sig_side = sig.hint("merge")
     sa = sig_side.select(F.col(id_col).alias("doc_a"), F.col("mh").alias("mh_a"))
     sb = sig_side.select(F.col(id_col).alias("doc_b"), F.col("mh").alias("mh_b"))
     agree = F.size(
@@ -422,12 +443,32 @@ def minhash_lsh_candidates(
         F.transform(shingle_array(text_col, n), lambda s: F.xxhash64(s)).alias("sh"),
     )
     # Candidate-doc count is bounded by 2x the pair count, and the pair
-    # table is already materialized — one cheap count decides whether the
-    # pruned shingle table fits a broadcast (it usually does: dup-rate x
-    # corpus), which keeps the est-pair rows from shuffling twice for the
-    # attach.
-    if cand_docs.count() <= 200_000:
+    # table is already materialized — but the broadcast decision must be
+    # made in BYTES, not docs: each row carries the doc's WHOLE shingle
+    # set (8 B x (len(text)-n+1)), so a doc-count bound was a ~1 GiB
+    # driver collect that tripped spark.driver.maxResultSize at the
+    # generated sf10 point. One cheap length scan of the pruned docs
+    # estimates the shingle bytes; a small table broadcasts, anything
+    # else falls back to HINTED sort-merge attach joins — hinted because
+    # Catalyst's ArrayType size estimate (~one element/row) would
+    # otherwise let the static planner broadcast the full array table on
+    # its own (see sig_side above), which is the same 1 GiB failure with
+    # nobody asking for it.
+    tot_sh = (
+        df.join(F.broadcast(cand_docs), id_col, "left_semi")
+        .agg(
+            F.sum(
+                F.greatest(F.length(text_col) - n + 1, F.lit(1))
+            ).alias("t"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .first()
+    )
+    sh_bytes = (tot_sh["t"] or 0) * 8 + (tot_sh["c"] or 0) * 48
+    if sh_bytes <= _BROADCAST_BYTES_CAP:
         sh_arr = F.broadcast(sh_arr)
+    else:
+        sh_arr = sh_arr.hint("merge")
     pa = sh_arr.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     pb = sh_arr.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))

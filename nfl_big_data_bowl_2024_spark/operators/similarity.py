@@ -390,14 +390,21 @@ def lsh_bucketed_pairs(
     # Attaching dim-sized arrays to MILLIONS of pair rows through two
     # shuffle joins moves pairs x ~0.5 KB x 2 of exchange — measured as the
     # actual re-rank bottleneck at the generated sf10 (the cosine math is
-    # ~3 s once vectorized). Up to a few million vectors the embedding
-    # table itself is the small side (~0.5 KB x n), so BROADCAST it and
-    # keep the pair rows where they are; past that, fall back to shuffle
-    # joins (at that scale the pair volume per partition is what you tune,
-    # via bands/bits).
+    # ~3 s once vectorized). While the embedding table is the genuinely
+    # small side (~0.5 KB x n), BROADCAST it and keep the pair rows where
+    # they are. The bound is in BYTES (n x (dim doubles + overhead)), not
+    # vectors: a broadcast collect counts against
+    # spark.driver.maxResultSize, and 2M x 64-dim rows is ~1.1 GiB — over
+    # the 1 GiB default (the same byte-blind-bound class that killed the
+    # sf10 MinHash verify, operators/dedup.py). Past the cap the attach
+    # is HINTED to sort-merge, because Catalyst's ArrayType size estimate
+    # (~one element per row) would otherwise let the static planner
+    # broadcast the full array table on its own.
     vn = df.select(id_col, F.col(vec_col).cast("array<double>").alias("emb"))
-    if n_vectors <= 2_000_000:
+    if n_vectors * (dim * 8 + 48) <= 256 * 1024 * 1024:
         vn = F.broadcast(vn)
+    else:
+        vn = vn.hint("merge")
     ea = vn.select(F.col(id_col).alias("vid_a"), F.col("emb").alias("emb_a"))
     eb = vn.select(F.col(id_col).alias("vid_b"), F.col("emb").alias("emb_b"))
     return (
