@@ -29,8 +29,18 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
-def _edges_on_disk(df: DataFrame) -> tuple[DataFrame, int]:
-    """Materialize an edge relation DISK_ONLY and return (df, row_count).
+# Edge relations at or above this row count persist DISK_ONLY; below it
+# they keep the in-memory path (columnar cache ~16-25 B/row: 20M rows is a
+# few hundred MB, far inside the storage pool, while the sf10 trading
+# graph's 117M-row generations must stay off-heap-of-storage or the
+# fixpoint rounds OOM — the measured 85ee508 failure).
+_IN_MEM_EDGE_ROWS = 20_000_000
+
+
+def _edges_on_disk(
+    df: DataFrame, expected_rows: "int | None" = None
+) -> tuple[DataFrame, int]:
+    """Materialize an edge relation and return (df, row_count).
 
     Bulk edge relations must NOT occupy the in-memory storage pool: cached
     blocks inside the protected storage fraction cannot be evicted by
@@ -40,8 +50,21 @@ def _edges_on_disk(df: DataFrame) -> tuple[DataFrame, int]:
     reads of a compact two-column relation are cheap next to the shuffles
     they feed. The count both forces materialization and sizes downstream
     exchange widths; it is one long to the driver.
+
+    ``expected_rows`` gates the storage level: when the caller already
+    knows an upper bound on this relation's size (a peel loop knows the
+    previous generation's count; a derived relation knows its source's),
+    a bound under ``_IN_MEM_EDGE_ROWS`` keeps the relation in memory
+    (MEMORY_AND_DISK_DESER) so sf0.1-sized graphs skip the per-round disk
+    round-trips. Unknown sizes default to DISK_ONLY — the safe level at
+    the 100 TB design point.
     """
-    e = df.persist(StorageLevel.DISK_ONLY)
+    level = (
+        StorageLevel.MEMORY_AND_DISK_DESER
+        if expected_rows is not None and expected_rows < _IN_MEM_EDGE_ROWS
+        else StorageLevel.DISK_ONLY
+    )
+    e = df.persist(level)
     return e, e.count()
 
 
@@ -69,15 +92,18 @@ def connected_components(
     # dedup_cluster_assign after this checkpoint). DISK_ONLY + size-aware
     # widths per _edges_on_disk/_exchange_width.
     sc = edges.sparkSession.sparkContext
-    e, _ = _edges_on_disk(
+    e, n_e0 = _edges_on_disk(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     )
     # Symmetrize once; both directions are needed so a min label entering a
     # cluster anywhere can flow along every edge. Duplicate edges are left
     # in place — min() is idempotent over them, and a distinct() here would
-    # add a full shuffle of the edge set before the first round.
+    # add a full shuffle of the edge set before the first round. Size is
+    # known exactly (2x the materialized input), so small graphs keep the
+    # in-memory path.
     sym, n_sym = _edges_on_disk(
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+        expected_rows=2 * n_e0,
     )
     e.unpersist()
     width = _exchange_width(sc, n_sym)
@@ -161,20 +187,32 @@ def pagerank_integer(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     )
     width = _exchange_width(sc, n_edges)
-    deg = e.repartition(width, "src").groupBy("src").agg(
-        F.count(F.lit(1)).alias("outdeg")
+    # The out-degree relation is STATIC and node-sized (one row per node,
+    # bounded by the edge count): persist it once so the annotated-edge
+    # build, the node count, and the initial rank vector all read the
+    # same materialization instead of re-aggregating the edge set.
+    deg = (
+        e.repartition(width, "src")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
-    ed, _ = _edges_on_disk(e.repartition(width, "src").join(deg, "src"))
-    e.unpersist()
     n = deg.count()  # bounded scalar: one long to the driver
+    ed, _ = _edges_on_disk(
+        e.repartition(width, "src").join(deg, "src"), expected_rows=n_edges
+    )
+    e.unpersist()
     base = (100 - damping_pct) * 1_000_000 // (100 * n)
     r = deg.select(
         F.col("src").alias("node"), F.lit(1_000_000 // n).cast("long").alias("r")
     ).localCheckpoint(eager=True)
+    deg.unpersist()
     for _ in range(iters):
+        # ed is persisted ALREADY hash-partitioned by src (the build join's
+        # exchange), so the per-iteration join needs no edge-side shuffle —
+        # only the node-sized rank vector moves each round.
         contrib = (
-            ed.repartition(width, "src")
-            .join(r.withColumnRenamed("node", "src"), "src")
+            ed.join(r.withColumnRenamed("node", "src"), "src")
             .select("dst", F.expr("r div outdeg").alias("c"))
             .repartition(width, "dst")
             .groupBy(F.col("dst").alias("node"))
@@ -346,12 +384,18 @@ def kcore_peel(
     whenever the peeling converges within r (and a superset otherwise,
     with survivors' degrees reported from the last surviving edge set).
 
-    Per round: one grouped degree count + one semi-join of the edge
-    relation against surviving nodes on EACH endpoint — all keyed
-    shuffles, edge set only ever shrinks, lineage truncated per round.
-    Edge generations persist DISK_ONLY with size-aware exchange widths
-    (_edges_on_disk/_exchange_width); each generation unpersists once its
-    successor is materialized, so at most two live at a time.
+    Per round: ONE grouped degree pass (the peel set — nodes below k —
+    is checkpointed directly, so the old keep-vs-node-count probe's
+    second degree aggregate is gone) + the complement anti-join of the
+    edge relation against the peel set on EACH endpoint. The peel set is
+    typically a small fraction of the nodes, so when it is (<= 5M rows)
+    the anti-joins broadcast it and the edge set is filtered MAP-SIDE —
+    no edge shuffle at all that round; a larger peel set falls back to
+    keyed shuffle anti-joins with size-aware widths. Edge generations
+    persist via _edges_on_disk — DISK_ONLY at unknown/large sizes,
+    in-memory when the previous generation's count bounds this one under
+    the threshold — and each generation unpersists once its successor is
+    materialized, so at most two live at a time.
     """
     sc = edges.sparkSession.sparkContext
     e, n_e = _edges_on_disk(
@@ -362,21 +406,32 @@ def kcore_peel(
         deg = e.repartition(width, "src").groupBy("src").agg(
             F.count(F.lit(1)).alias("deg")
         )
-        keep = deg.filter(F.col("deg") >= k).select("src").localCheckpoint(eager=True)
+        drop = (
+            deg.filter(F.col("deg") < k).select("src").localCheckpoint(eager=True)
+        )
         # Monotone fixpoint early-stop: if no node fell below k this round,
         # none ever will (degrees only drop when a neighbor peels), so the
         # remaining rounds are no-ops and the unrolled-SQL oracle still
-        # matches exactly. Two bounded scalar counts per round — this is
-        # what keeps the dense-graph case (nothing peels) from rewriting
-        # the full edge set every round.
-        if keep.count() == deg.count():
+        # matches exactly.
+        n_drop = drop.count()
+        if n_drop == 0:
             break
+        if n_drop <= 5_000_000:
+            # small peel set: broadcast anti-joins, edges filtered map-side
+            nxt_plan = e.join(F.broadcast(drop), "src", "left_anti").join(
+                F.broadcast(drop.withColumnRenamed("src", "dst")),
+                "dst",
+                "left_anti",
+            )
+        else:
+            nxt_plan = (
+                e.repartition(width, "src")
+                .join(drop, "src", "left_anti")
+                .repartition(width, "dst")
+                .join(drop.withColumnRenamed("src", "dst"), "dst", "left_anti")
+            )
         nxt, n_e = _edges_on_disk(
-            e.repartition(width, "src")
-            .join(keep, "src")
-            .repartition(width, "dst")
-            .join(keep.withColumnRenamed("src", "dst"), "dst")
-            .select("src", "dst")
+            nxt_plan.select("src", "dst"), expected_rows=n_e
         )
         e.unpersist()
         e = nxt
@@ -436,14 +491,20 @@ def label_propagation_mode(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     )
     parts = _exchange_width(sc, n_edges)
-    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    # Re-persist the static edge relation ALREADY hash-partitioned by src
+    # (in-memory when the now-known count is small): every round's
+    # label join then needs no edge-side exchange — only the node-sized
+    # label vector moves. One extra materialization upfront buys `iters`
+    # saved shuffles of the edge set.
+    ep, _ = _edges_on_disk(e.repartition(parts, "src"), expected_rows=n_edges)
+    e.unpersist()
+    nodes = ep.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
     lab = nodes.select("node", F.col("node").alias("lab"))
     for _ in range(iters):
         arriving = (
-            # the join exchanges both sides regardless; repartition only
-            # WIDENS that exchange to the size-aware count
-            e.repartition(parts, "src")
-            .join(lab.withColumnRenamed("node", "src"), "src")
+            ep.join(lab.withColumnRenamed("node", "src"), "src")
             .repartition(parts, "dst", "lab")
             .groupBy(F.col("dst").alias("node"), "lab")
             .agg(F.count(F.lit(1)).alias("cnt"))
@@ -460,7 +521,7 @@ def label_propagation_mode(
             .select("node", F.coalesce(F.col("lab"), F.col("node")).alias("lab"))
             .localCheckpoint(eager=True)
         )
-    e.unpersist()
+    ep.unpersist()
     return lab.select("node", F.col("lab").alias("community"))
 
 
