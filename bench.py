@@ -234,6 +234,82 @@ NOISY = {
 }
 
 
+# The iterative-graph family measured at the generated sf10 point by
+# `python bench.py --sf10-graph` (round-7 verdict item 6: the sf10 numbers
+# lived only in PERF.md prose). One run each — these are multi-minute
+# fixpoints; the mode exists to make the scale evidence machine-readable
+# in BENCH_SAMPLES.json, not to be a steady-state microbenchmark.
+SF10_GRAPH = [
+    "graph_label_propagation",
+    "graph_kcore_peel",
+    "graph_khop_reachability",
+    "graph_pagerank_trading",
+    "dedup_cluster_assign",
+]
+
+
+def _merge_bench_samples(extra: dict) -> None:
+    """Merge keys into BENCH_SAMPLES.json without dropping existing ones
+    (main() owns sf/samples/spread_sec/core; --sf10-graph owns sf10_graph)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"
+    )
+    doc: dict = {}
+    try:
+        with open(path) as fh:
+            doc = json.load(fh)
+    except (OSError, ValueError):
+        doc = {}
+    doc.update(extra)
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+
+
+def sf10_graph_mode() -> None:
+    """Run the graph fixpoints once each at the generated sf10 point and
+    record machine-readable timings into BENCH_SAMPLES.json."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/scaledata/sf10")
+    if not os.path.isdir(sf_dir):
+        print(json.dumps({"metric": "sf10_graph_total", "value": None,
+                          "unit": "sec", "error": f"no sf10 tree at {sf_dir} "
+                          "(generate with scripts/gen_scale_data.py)"}))
+        return
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+    from nfl_big_data_bowl_2024_spark.session import get_spark
+
+    spark = get_spark("bench-sf10-graph")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in SF10_GRAPH:
+        print(f"[sf10-graph] running {name}", file=sys.stderr, flush=True)
+        t0 = time.time()
+        try:
+            registry[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.time() - t0, 1)
+        except Exception as exc:  # record, keep measuring the rest
+            errors[name] = str(exc).split("\n")[0][:200]
+        print(
+            f"[sf10-graph] {name}: "
+            f"{timings.get(name, 'FAILED')}",
+            file=sys.stderr,
+            flush=True,
+        )
+    total = round(sum(timings.values()), 1)
+    rec: dict = {"sf_dir": sf_dir, "total_sec": total, "timings": timings}
+    if errors:
+        rec["errors"] = errors
+    _merge_bench_samples({"sf10_graph": rec})
+    line: dict = {"metric": "sf10_graph_total", "value": total,
+                  "unit": "sec", "queries": timings}
+    if errors:
+        line["errors"] = errors
+    print(json.dumps(line, separators=(",", ":")))
+
+
 def bench_scd2_upsert(spark, sf_dir: str) -> float:
     """Time one SCD-2 history-preserving upsert cycle over the documents
     dimension: snapshot write -> updates batch for half the keys ->
@@ -341,28 +417,23 @@ def main() -> None:
     # (whole seconds past 10 s), asserted <= 2000 chars (worst-case width is
     # pinned by tests/test_bench_contract.py); the full per-run samples go
     # to a sidecar file for spread/noise analysis instead.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_SAMPLES.json"), "w") as fh:
-        json.dump(
-            {
-                "sf": sf,
-                "samples": samples,
-                "spread_sec": {
-                    n: round(max(r) - min(r), 3)
-                    for n, r in samples.items()
-                    if len(r) > 1
-                },
-                # the pinned regression-detection core: this round's min
-                # next to the last driver-recorded value per core query
-                "core": {
-                    n: {"now": timings[n], "prev": CORE_PREV[n]}
-                    for n in CORE
-                },
+    _merge_bench_samples(
+        {
+            "sf": sf,
+            "samples": samples,
+            "spread_sec": {
+                n: round(max(r) - min(r), 3)
+                for n, r in samples.items()
+                if len(r) > 1
             },
-            fh,
-            indent=1,
-            sort_keys=True,
-        )
+            # the pinned regression-detection core: this round's min
+            # next to the last driver-recorded value per core query
+            "core": {
+                n: {"now": timings[n], "prev": CORE_PREV[n]}
+                for n in CORE
+            },
+        }
+    )
 
     line = json.dumps(
         {
@@ -401,4 +472,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--sf10-graph" in sys.argv:
+        sf10_graph_mode()
+    else:
+        main()
