@@ -10,6 +10,16 @@ Scale notes: the state store is keyed by (gameId, playId[, nflId]) — the same
 keys the batch plans shuffle on; watermarks bound state size so a
 1000-executor cluster ingesting every stadium feed holds state only for
 in-flight plays, not the season.
+
+Broker integration: every operator here takes an already-constructed
+streaming DataFrame, so a Kafka deployment swaps only the source expression
+— ``spark.readStream.format("kafka")`` + ``from_json(value, schemas.
+TRACKING)`` — per the mapping specified in SURVEY §2.9 ("Broker
+integration"). Kafka's checkpointed offset ranges supply the same
+whole-batch admission / exactly-once contract the custom Python Data Source
+implements brokerlessly in sources/pysource.py:137-175; this sandbox has no
+broker, so that source stays specification-only while file/rate/pysource
+feeds carry the tests.
 """
 
 from __future__ import annotations
