@@ -42,29 +42,83 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries.
-# Rounds 2-6 cumulatively hash-checked all 191 pre-round-6-late
-# registrations (round 6: 50/50 green). Rows-only-by-design set:
-# dedup_minhash_lsh / dedup_simhash / sim_ivf_topk / sim_lsh_bucketed /
-# e2_yap (+ scale twin), each pinned by an oracle-backed deterministic
-# operating-point twin. Everything outside the current window stays
-# locally verified via scripts/verify_local.py (pandas canonicalization,
-# driver-realistic).
-# Round-7 window: rotate driver evidence to the STALEST slice (the judge's
-# top next-round item). Leads: the two post-window round-6 registrations
-# (stat_mann_whitney_u, agg_gini_per_nation — never driver-attested), then
-# the ten queries whose only driver-green row is round 2
-# (argmax_per_group..timestamp_parts), then the 34-query round-3-era
-# re-confirmation slice, then dq_footer_profile + doc_mix_weights +
-# ml_quality_classifier_train + e2_yap_closed_form_curved — exactly 50.
-# Everything
-# displaced (the round-6 window) is driver-green from round 6 with unchanged
-# code; the rotation continues in round 8 with the r4/r5 slice below the
-# cutoff until all 193 entries carry round->=6 driver evidence.
+# Rounds 2-7 cumulatively hash-checked 197 of the 221 registrations
+# (r7: 50/50 green). Rows-only-by-design set: dedup_minhash_lsh /
+# dedup_simhash / sim_ivf_topk / sim_lsh_bucketed / e2_yap (+ scale twin),
+# each pinned by an oracle-backed deterministic operating-point twin
+# (sim_lsh_bucketed additionally by the sim_lsh_recall ledger as of round
+# 8). Everything outside the current window stays locally verified via
+# scripts/verify_local.py (pandas canonicalization, driver-realistic).
+#
+# Round-8 window (verdict r7 item 1): positions 1-23 are the 23 round-7
+# registrations that had never been driver-attested; 24-28 the five
+# r3-stale entries; 29-32 the queries whose code changed this round
+# (sim_lsh_recall is NEW — the ANN recall ledger; case_lookup_dim_join,
+# graph_kcore_peel and graph_pagerank_trading changed plans/expressions);
+# 33-50 the oldest r4-evidence slice in registry order. Everything
+# displaced is driver-green at round >= 4 with unchanged code; round 9
+# continues with the remaining 25 r4 entries below the cutoff, then the
+# r5 slice.
 _DRIVER_PRIORITY: list[str] = [
-    # --- registered after the round-6 window filled; never driver-attested
+    # --- round-7 registrations, never driver-attested (23)
+    "graph_label_propagation",
+    "stat_anova_oneway",
+    "evt_changepoint_cusum",
+    "evt_last_touch_attribution",
+    "scd2_bitemporal_asof",
+    "dq_benford_first_digit",
+    "evt_rfm_segmentation",
+    "graph_adamic_adar_links",
+    "spatial_proximity_pairs",
+    "agg_hll_overlap_estimate",
+    "opt_pareto_frontier",
+    "dedup_containment_pairs",
+    "graph_temporal_reachability",
+    "doc_quota_sample",
+    "evt_absence_churn",
+    "evt_interval_union_time",
+    "evt_seasonal_decompose",
+    "ml_eval_confusion",
+    "stat_mad_outliers",
+    "agg_fixed_grid_quantiles",
+    "agg_cms_join_size",
+    "dq_skew_report",
+    "dq_table_checksum",
+    # --- r3-stale entries (rows-only twins + scale twin)
+    "dedup_minhash_exact_dups",
+    "dedup_simhash_identical",
+    "e2_yap_scale",
+    "sim_ivf_probeall_topk",
+    "sim_lsh_bucketed",
+    # --- changed or new this round (re-attestation)
+    "sim_lsh_recall",
+    "case_lookup_dim_join",
+    "graph_kcore_peel",
+    "graph_pagerank_trading",
+    # --- oldest r4-evidence slice (18)
+    "e2_yap_closed_form",
+    "e3_player_stats",
+    "e3_position_params",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_ivf_topk",
+    "dedup_cluster_assign",
+    "dedup_cluster_representative",
+    "txt_lang_id",
+    "txt_regex_extract",
+    "json_build_extract",
+    "arr_top_components",
+    "pipeline_curation_funnel",
+    "mm_decode_features",
+    "mm_video_frame_decode",
+    "mm_resize_features",
+    "mm_audio_features",
+    "doc_quota_per_source",
+    # ---------------- position 50 cutoff ----------------
+    # Below: the remaining r4 slice (leads round 9), then the r5/r6/r7
+    # fresh-evidence remainder in prior-round order.
     "stat_mann_whitney_u",
     "agg_gini_per_nation",
-    # --- round-2-only evidence (four rounds old)
     "argmax_per_group",
     "distinct_keys",
     "filter_project_pushdown",
@@ -75,7 +129,6 @@ _DRIVER_PRIORITY: list[str] = [
     "skew_salted_join",
     "summary_stats",
     "timestamp_parts",
-    # --- round-3-era re-confirmation slice
     "approx_quantiles",
     "dedup_embedding_cosine",
     "dedup_incremental_batch",
@@ -110,24 +163,10 @@ _DRIVER_PRIORITY: list[str] = [
     "txt_token_quality",
     "txt_vocab_topk",
     "txt_winnow_fingerprint",
-    # --- round-7 NEW registrations with zero driver evidence take the
-    # final four slots (the window's own never-attested-first principle;
-    # the four r3-r5-green fillers they displace move just below the
-    # cutoff). The remaining round-7 registrations (agg_cms_join_size,
-    # evt_seasonal_decompose, evt_interval_union_time, dq_table_checksum,
-    # opt_pareto_frontier, dq_skew_report, agg_fixed_grid_quantiles,
-    # dedup_containment_pairs, evt_absence_churn, ml_eval_confusion,
-    # graph_temporal_reachability, stat_mad_outliers, and
-    # agg_hll_overlap_estimate) are locally gate-verified at
-    # sf0.01/sf0.1/sf1 and join the r8 window.
     "dedup_prefix_filter_jaccard",
     "agg_kmv_distinct",
     "agg_bitmap_audience_overlap",
     "graph_weighted_sssp",
-    # ---------------- position 50 cutoff ----------------
-    # Below: displaced fillers, then the r4/r5-green slice (continue
-    # rotation in round 8), then the round-6-green window (fresh
-    # evidence), then the remainder.
     "dq_footer_profile",
     "doc_mix_weights",
     "ml_quality_classifier_train",
@@ -160,7 +199,6 @@ _DRIVER_PRIORITY: list[str] = [
     "histogram_bins",
     "trig_heading_wrap",
     "conditional_recode_clip",
-    "case_lookup_dim_join",
     "join_multi_key",
     "temporal_self_join",
     "batch_sessionize",
@@ -177,28 +215,6 @@ _DRIVER_PRIORITY: list[str] = [
     "approx_count_distinct",
     "skew_salted_agg",
     "sql_interface",
-    "e2_yap_closed_form",
-    "e3_player_stats",
-    "e3_position_params",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_ivf_topk",
-    "dedup_minhash_exact_dups",
-    "dedup_simhash_identical",
-    "sim_ivf_probeall_topk",
-    "dedup_cluster_assign",
-    "dedup_cluster_representative",
-    "txt_lang_id",
-    "txt_regex_extract",
-    "json_build_extract",
-    "arr_top_components",
-    "pipeline_curation_funnel",
-    "mm_decode_features",
-    "mm_video_frame_decode",
-    "mm_resize_features",
-    "mm_audio_features",
-    "sim_lsh_bucketed",
-    "doc_quota_per_source",
     "txt_bpe_train",
     "txt_bpe_pretokenize",
     "txt_bpe_pair_counts",
@@ -220,12 +236,10 @@ _DRIVER_PRIORITY: list[str] = [
     "txt_bpe_encode",
     "doc_dsir_select",
     "dedup_multi_signal_clusters",
-    "e2_yap_scale",
     "tpch_q11_important_parts",
     "tpch_q15_top_revenue_supplier",
     "tpch_q16_supplier_cnt",
     "tpch_q20_promotion_suppliers",
-    # --- round-6 driver window (all 50 green in CORRECTNESS_r06.json)
     "graph_khop_reachability",
     "agg_countmin_sketch",
     "evt_ewma_fixed_point",
@@ -236,7 +250,6 @@ _DRIVER_PRIORITY: list[str] = [
     "txt_token_lift_pairs",
     "txt_simpson_diversity",
     "doc_winsorized_stats",
-    "graph_kcore_peel",
     "ml_naive_bayes_train",
     "dq_referential_integrity",
     "evt_autocovariance_lags",
@@ -272,22 +285,9 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_enrich_window_stats",
     "src_snapshot_time_travel",
     "evt_rollup_incremental_refresh",
-    "graph_pagerank_trading",
     "stream_interval_join_stats",
     "stream_stateful_running_max",
     "mm_byte_features",
-    # --- round-7 registrations (locally verified green; lead round 8's
-    # window together with the r4/r5 slice above)
-    "graph_label_propagation",
-    "stat_anova_oneway",
-    "evt_changepoint_cusum",
-    "evt_last_touch_attribution",
-    "scd2_bitemporal_asof",
-    "dq_benford_first_digit",
-    "evt_rfm_segmentation",
-    "graph_adamic_adar_links",
-    "spatial_proximity_pairs",
-    "agg_hll_overlap_estimate",
 ]
 
 
