@@ -277,12 +277,21 @@ def sf10_graph_mode() -> None:
     from nfl_big_data_bowl_2024_spark.plans import all_queries
     from nfl_big_data_bowl_2024_spark.session import get_spark
 
-    spark = get_spark("bench-sf10-graph")
-    spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in SF10_GRAPH:
+        # ONE SparkSession PER QUERY: these are iterative fixpoints that
+        # each re-exchange a 100M-row edge relation dozens of times, and
+        # shuffle files are only deleted when the driver GC collects the
+        # ShuffleDependency — across a five-query sweep in one session
+        # that retention exceeded the box's free disk (measured: the
+        # fifth query died with 'No space left on device' while the
+        # first four held ~70 GB of dead shuffle blocks). Session
+        # teardown removes the app's block-manager dirs, bounding peak
+        # disk to one query's live footprint.
+        spark = get_spark("bench-sf10-graph")
+        spark.sparkContext.setLogLevel("ERROR")
         print(f"[sf10-graph] running {name}", file=sys.stderr, flush=True)
         t0 = time.time()
         try:
@@ -298,6 +307,7 @@ def sf10_graph_mode() -> None:
             file=sys.stderr,
             flush=True,
         )
+        spark.stop()
     total = round(sum(timings.values()), 1)
     rec: dict = {"sf_dir": sf_dir, "total_sec": total, "timings": timings}
     if errors:

@@ -113,6 +113,21 @@ def main() -> int:
 
     for t, keys in KEY_COLS.items():
         df = read_testdata_table(spark, src_dir, t)
+        # Composition guard: replicating an ALREADY-REPLICATED tree collides
+        # keys pairwise — replica r2 of a key carrying r1*OFFSET lands on
+        # (r1+r2)*OFFSET, so a 10x-of-10x run yields 19 distinct shift sums
+        # instead of 100 (measured: the first sf10 tree had 500k document
+        # rows over 95k = 5k x 19 distinct doc_ids, and every id-join in the
+        # dedup family multiplied ~5x per side on the corrupt data). Always
+        # generate every scale point directly from the driver tree.
+        max_key = df.select(*[F.max(F.col(k)) for k in keys]).first()
+        if any(v is not None and v >= OFFSET for v in max_key):
+            raise SystemExit(
+                f"{t}: source keys exceed OFFSET={OFFSET} — {src_dir} is "
+                "itself a replicated tree; re-run against the original "
+                "driver testdata (e.g. --src=/root/testdata/sf0.1) with a "
+                "single combined --factor instead of stacking replications."
+            )
         # Repartition BEFORE the explode: the shuffle moves the small source
         # rows (n), the factor-x blowup then happens in place per partition
         # and streams straight to the writer — no post-explode shuffle of
