@@ -484,6 +484,109 @@ def minhash_lsh_candidates(
     )
 
 
+def global_sort_rank(
+    df: DataFrame, sort_cols: list[str], rank_col: str = "_g"
+) -> DataFrame:
+    """Distributed dense global row_number over ``sort_cols`` — the
+    scale-correct form of ``row_number() OVER (ORDER BY ...)``, which in
+    Spark would otherwise collapse the whole relation into ONE window
+    partition.
+
+    Range-partition + local sort puts partition i strictly before
+    partition i+1 in key order (RangePartitioner assigns ascending key
+    ranges to ascending partition ids), local row_number ranks within
+    each partition, and the per-partition row counts — ONE long per
+    partition, the only driver-side state — turn local ranks into global
+    ones via broadcast offsets. Callers must make ``sort_cols`` a total
+    order (append the id column); equal keys could otherwise straddle a
+    range boundary and the within-partition rank would split them
+    arbitrarily.
+    """
+    from pyspark.sql import Window
+
+    sc = df.sparkSession.sparkContext
+    parts = sc.defaultParallelism
+    s = (
+        df.repartitionByRange(parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        # The pid->offset map must come from the SAME materialization the
+        # ranks are computed on: spark_partition_id is only stable within
+        # one evaluation of the range exchange (its sampled boundaries are
+        # not re-derived identically across jobs).
+        .localCheckpoint(eager=True)
+    )
+    counts = s.groupBy("_pid").count().collect()
+    offs, acc = {}, 0
+    for pid, c in sorted((r["_pid"], r["count"]) for r in counts):
+        offs[pid] = acc
+        acc += c
+    off_df = df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offs.items()], "_pid int, _off long"
+    )
+    w_loc = Window.partitionBy("_pid").orderBy(*sort_cols)
+    return (
+        s.withColumn("_rn", F.row_number().over(w_loc))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sort_cols: list[str] | None = None,
+    window: int = 4,
+    max_distance: int = 60,
+) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernandez & Stolfo 1995 merge/purge):
+    sort the corpus by a blocking key, compare each record only with its
+    ``window`` successors in sort order, keep pairs within edit distance
+    ``max_distance``. Returns (doc_a, doc_b, gap, lev) with doc_a/doc_b
+    the sort-adjacent ids, gap the rank distance (1..window).
+
+    Complexity is O(n log n + n*window) comparisons instead of the
+    all-pairs O(n^2) — the classic record-linkage alternative to LSH
+    when near-duplicates agree on a sortable prefix. Scale shape: one
+    range exchange for the global sort (global_sort_rank), then the
+    neighbor pairing is an EQUI-join on the rank (rank_b = rank_a + j,
+    j exploded 1..window) — every shuffle is keyed and balanced; no
+    global window, no driver data paths beyond the partition-count
+    offsets. The edit-distance filter uses the bounded variant
+    (levenshtein(a, b, threshold)), which abandons a pair early once the
+    distance provably exceeds the bound.
+    """
+    cols = sort_cols if sort_cols is not None else [text_col, id_col]
+    ranked = global_sort_rank(
+        df.select(id_col, text_col), cols, rank_col="_g"
+    ).select(
+        F.col(id_col).alias("doc_a"),
+        F.col(text_col).alias("_ta"),
+        "_g",
+    )
+    right = ranked.select(
+        F.col("doc_a").alias("doc_b"),
+        F.col("_ta").alias("_tb"),
+        F.col("_g").alias("_gb"),
+    )
+    probes = ranked.select(
+        "doc_a",
+        "_ta",
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("gap"),
+        "_g",
+    ).withColumn("_gb", F.col("_g") + F.col("gap"))
+    lev = F.levenshtein("_ta", "_tb", max_distance)
+    return (
+        probes.join(right, "_gb")
+        .withColumn("lev", lev)
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= max_distance))
+        .select("doc_a", "doc_b", F.col("gap").cast("int").alias("gap"),
+                F.col("lev").cast("long").alias("lev"))
+    )
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document over whitespace tokens (xxhash64), plus four
     16-bit band columns for bucketed near-dup joins (two docs within Hamming

@@ -8414,3 +8414,289 @@ def agg_hll_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sketch_within_tol"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions: sorted-neighborhood dedup, weighted sampling,
+# hard-negative mining, histogram split finding
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    """
+    WITH ranked AS (
+        SELECT doc_id, text,
+               row_number() OVER (ORDER BY text, doc_id) AS g
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(b.g - a.g AS INTEGER) AS gap,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+    FROM ranked a JOIN ranked b ON b.g > a.g AND b.g <= a.g + 4
+    WHERE levenshtein(a.text, b.text) <= 60
+    """,
+    doc="Sorted-neighborhood dedup (Hernandez & Stolfo 1995 merge/purge) — "
+    "the third near-dup METHOD family next to MinHash-LSH and SimHash: "
+    "sort by a blocking key (here the text itself + id tiebreak, a total "
+    "order identical under Spark's and DuckDB's binary string collation), "
+    "compare each record with only its 4 sort-successors, keep pairs "
+    "within Levenshtein 60. O(n log n + 4n) comparisons, no signature "
+    "state. The distributed global rank comes from global_sort_rank "
+    "(operators/dedup.py): ONE range exchange + per-partition row_number "
+    "+ broadcast partition-count offsets (the only driver state, one long "
+    "per partition) — never a single-partition global window; neighbor "
+    "pairing is then a keyed EQUI-join on rank (rank_b = rank_a + j, j "
+    "exploded 1..4), balanced at any scale. The edit-distance filter uses "
+    "Spark's bounded levenshtein(a, b, threshold) which abandons a pair "
+    "early once the bound is exceeded.",
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import sorted_neighborhood_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        d, "doc_id", "text", window=4, max_distance=60
+    )
+
+
+@register(
+    "doc_sequential_poisson_sample",
+    """
+    WITH w AS (
+        SELECT source, doc_id,
+               CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+                   // greatest(n_chars, 1) AS priority
+        FROM documents
+    )
+    SELECT source, doc_id, CAST(priority AS BIGINT) AS priority
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY priority, doc_id) AS rk
+          FROM w) t
+    WHERE rk <= 20
+    """,
+    doc="Weighted sampling without replacement via sequential Poisson "
+    "sampling (Ohlsson 1998, the order-sampling approximation of "
+    "probability-proportional-to-size used by statistics agencies): each "
+    "doc draws priority u/w where u is a 60-bit uniform derived from the "
+    "CONTENT (md5 hex prefix -> integer, the portable-hash cookbook rule) "
+    "and w = n_chars is the size weight; the k=20 smallest priorities per "
+    "source stratum are the sample, so longer documents are "
+    "proportionally more likely to be drawn. The division stays in exact "
+    "integer arithmetic (Spark `div` = DuckDB `//`) with doc_id "
+    "tiebreaks, so the draw is reproducible across engines, runs, and "
+    "partitionings — the weighted complement of doc_quota_sample's "
+    "uniform hash-priority draw. Map-only scoring at the scan, then one "
+    "per-stratum top-k window that Spark 3.5+ executes as "
+    "WindowGroupLimit (partial per-partition top-k before the exchange, "
+    "never a full sort of the corpus).",
+)
+def doc_sequential_poisson_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(text AS BINARY)), 1, 15), 16, 10)"
+            " AS BIGINT) div greatest(n_chars, 1L)"
+        ).alias("priority"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy("priority", "doc_id")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 20)
+        .select("source", "doc_id", "priority")
+    )
+
+
+@register(
+    "sim_hard_negatives",
+    """
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ),
+    a AS (SELECT * FROM v WHERE vec_id < 100),
+    scored AS (
+        SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+               round(list_dot_product(a.emb, c.emb)
+                     / (sqrt(list_dot_product(a.emb, a.emb))
+                        * sqrt(list_dot_product(c.emb, c.emb))), 4) AS cosine
+        FROM a JOIN v c ON c.label <> a.label
+    )
+    SELECT anchor_id, cand_id AS negative_id, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                       ORDER BY cosine DESC, cand_id) AS rk
+          FROM scored) t
+    WHERE rk <= 1
+    """,
+    doc="Hard-negative mining for contrastive training: for each anchor "
+    "(vec_id < 100) the single most-similar vector with a DIFFERENT "
+    "label — the negatives that actually move a contrastive loss. "
+    "Exact top-1 by rounded cosine with vec_id tiebreak (ties broken on "
+    "the 4-dp ROUNDED value so both engines break the same ties). Plan: "
+    "anchors broadcast against the corpus (BroadcastNestedLoopJoin on "
+    "the label inequality — the anchor batch is the bounded side by "
+    "contract), cosine JVM-side via zip_with/aggregate, then ONE "
+    "partial-aggregated max_by struct per anchor, so only |anchors| "
+    "rows reach the exchange. At corpus scale the same contract as "
+    "sim_topk_bruteforce applies: this is the exact baseline; the ANN "
+    "path for unbounded anchor sets is label-filtered sim_knn_join / "
+    "IVF probing.",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    anchors = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("emb").alias("a_emb"),
+    )
+    cos4 = F.round(cosine_col("a_emb", "emb"), 4)
+    scored = (
+        F.broadcast(anchors)
+        .join(e, F.col("label") != F.col("a_label"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("cand_id"),
+            cos4.alias("cosine"),
+        )
+    )
+    best = scored.groupBy("anchor_id").agg(
+        F.max(
+            F.struct(
+                F.col("cosine").alias("c"),
+                (-F.col("cand_id")).alias("neg_vid"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "anchor_id",
+        (-F.col("b.neg_vid")).cast("long").alias("negative_id"),
+        F.col("b.c").alias("cosine"),
+    )
+
+
+@register(
+    "ml_stump_split_finding",
+    """
+    WITH pts AS (
+        SELECT CAST(l_quantity AS BIGINT) AS qty,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    melted AS (
+        SELECT 'quantity' AS feature, qty AS val, y FROM pts
+        UNION ALL
+        SELECT 'discount' AS feature, disc AS val, y FROM pts
+    ),
+    hist AS (
+        SELECT feature, val,
+               count(*) AS n_b,
+               CAST(sum(y) AS HUGEINT) AS s_b
+        FROM melted GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT feature, val,
+               sum(n_b) OVER w AS n_l,
+               sum(s_b) OVER w AS s_l,
+               sum(n_b) OVER (PARTITION BY feature) AS n_t,
+               sum(s_b) OVER (PARTITION BY feature) AS s_t
+        FROM hist
+        WINDOW w AS (PARTITION BY feature ORDER BY val
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    gains AS (
+        SELECT feature, val AS threshold,
+               (s_l * s_l) // n_l
+                 + ((s_t - s_l) * (s_t - s_l)) // (n_t - n_l)
+                 - (s_t * s_t) // n_t AS gain
+        FROM cum WHERE n_l < n_t
+    )
+    SELECT feature, CAST(threshold AS BIGINT) AS threshold,
+           CAST(gain // 1000000000 AS BIGINT) AS gain_1e9
+    FROM (SELECT *, row_number() OVER (PARTITION BY feature
+                                       ORDER BY gain DESC, threshold) AS rk
+          FROM gains) t
+    WHERE rk <= 1
+    """,
+    doc="Histogram-based best-split finding — one round of the split "
+    "search inside every gradient-boosted-tree trainer (XGBoost/LightGBM "
+    "hist mode): for each feature (l_quantity; l_discount in integer "
+    "percent) and each candidate threshold t, the SSE reduction of "
+    "splitting at val <= t, computed from per-bin (count, sum) "
+    "histograms only — gain = S_L^2/n_L + S_R^2/n_R - S^2/n needs no "
+    "sum of squares. All arithmetic exact: y in integer cents, sums as "
+    "DECIMAL(38,0)/HUGEINT, quotients via true integer division (Spark "
+    "`div` = DuckDB `//`), ties to the lowest threshold. Scale shape is "
+    "the gradient-histogram pattern: ONE shuffle builds the per-(feature,"
+    "bin) histogram (map-side partial agg collapses 100 TB of rows to "
+    "#bins rows), the cumulative-sum window then runs over <=61 bins per "
+    "feature — bounded regardless of data size.",
+)
+def ml_stump_split_finding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("disc"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("y"),
+    )
+    melted = pts.select(
+        F.expr("stack(2, 'quantity', qty, 'discount', disc)").alias(
+            "feature", "val"
+        ),
+        "y",
+    )
+    hist = melted.groupBy("feature", "val").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum("y").cast("decimal(38,0)").alias("s_b"),
+    )
+    w_cum = (
+        Window.partitionBy("feature")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("feature")
+    cum = hist.select(
+        "feature",
+        "val",
+        F.sum("n_b").over(w_cum).alias("n_l"),
+        F.sum("s_b").over(w_cum).alias("s_l"),
+        F.sum("n_b").over(w_tot).alias("n_t"),
+        F.sum("s_b").over(w_tot).alias("s_t"),
+    )
+    gains = cum.filter(F.col("n_l") < F.col("n_t")).select(
+        "feature",
+        F.col("val").alias("threshold"),
+        F.expr(
+            "(s_l * s_l) div n_l"
+            " + ((s_t - s_l) * (s_t - s_l)) div (n_t - n_l)"
+            " - (s_t * s_t) div n_t"
+        ).alias("gain"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("feature").orderBy(
+            F.col("gain").desc(), "threshold"
+        )
+    )
+    return (
+        gains.withColumn("rk", rk)
+        .filter(F.col("rk") <= 1)
+        .select(
+            "feature",
+            F.col("threshold").cast("long").alias("threshold"),
+            # The argmax ranks on the FULL-precision integer gain; only the
+            # reported value is coarsened (div 1e9) so it fits BIGINT on
+            # both engines at any scale (gain <= S^2/n ~ 8e24 cents^2 at
+            # the 100 TB point -> 8e15 after the div, inside 2^53 and
+            # int64 alike — no decimal->double conversion, the tpch_q9
+            # 1-ulp divergence class never arises).
+            F.expr("gain div 1000000000").cast("long").alias("gain_1e9"),
+        )
+    )

@@ -115,8 +115,13 @@ _DRIVER_PRIORITY: list[str] = [
     "mm_audio_features",
     "doc_quota_per_source",
     # ---------------- position 50 cutoff ----------------
-    # Below: the remaining r4 slice (leads round 9), then the r5/r6/r7
+    # Below: the round-8 post-window registrations (never driver-attested;
+    # they lead round 9 with the remaining r4 slice), then the r5/r6/r7
     # fresh-evidence remainder in prior-round order.
+    "dedup_sorted_neighborhood",
+    "doc_sequential_poisson_sample",
+    "sim_hard_negatives",
+    "ml_stump_split_finding",
     "stat_mann_whitney_u",
     "agg_gini_per_nation",
     "argmax_per_group",

@@ -483,3 +483,124 @@ def test_prefix_filter_jaccard_equals_inverted_index(spark, documents):
             want[(r["a"], r["b"])] = math.floor(j * 10000 + 0.5) / 10000.0
     assert got == want
     assert want, "fixture must contain at least one qualifying pair"
+
+
+# ---------------------------------------------------------------------------
+# Round 8: sorted-neighborhood dedup + the distributed global rank under it
+# ---------------------------------------------------------------------------
+
+
+def test_global_sort_rank_matches_single_partition_row_number(spark):
+    from nfl_big_data_bowl_2024_spark.operators.dedup import global_sort_rank
+
+    rows = [(i, f"k{(i * 37) % 101:03d}") for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, key string").repartition(13)
+    got = {
+        r["id"]: r["_g"]
+        for r in global_sort_rank(df, ["key", "id"]).collect()
+    }
+    expect = {
+        rid: g + 1
+        for g, (_, rid) in enumerate(sorted((k, i) for i, k in rows))
+    }
+    assert got == expect
+
+
+def test_sorted_neighborhood_matches_bruteforce_model(spark):
+    """Pair set == the python model: global sort order, rank gap <= w,
+    levenshtein <= max_distance (planted near-dups share a sort prefix)."""
+    from nfl_big_data_bowl_2024_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    base = [
+        f"record {chr(97 + i % 17)}{i:04d} common body text here"
+        for i in range(160)
+    ]
+    # plant near-duplicates: same sort prefix, one-char edits
+    texts = base + [t[:-1] + "X" for t in base[:40]]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+
+    W, K = 4, 60
+    got = {
+        (r["doc_a"], r["doc_b"], r["gap"], r["lev"])
+        for r in sorted_neighborhood_pairs(
+            df, "doc_id", "text", window=W, max_distance=K
+        ).collect()
+    }
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[lb]
+
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    expect = set()
+    for i in range(len(order)):
+        for j in range(i + 1, min(i + W + 1, len(order))):
+            d = lev(order[i][1], order[j][1])
+            if d <= K:
+                expect.add((order[i][0], order[j][0], j - i, d))
+    assert got == expect
+    assert len(expect) > 40  # the planted edits are actually found
+
+
+def test_sorted_neighborhood_partitioning_invariant(spark):
+    from nfl_big_data_bowl_2024_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = {
+        tuple(r)
+        for r in sorted_neighborhood_pairs(
+            d.repartition(3), "doc_id", "text"
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in sorted_neighborhood_pairs(
+            d.repartition(17), "doc_id", "text"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_hard_negatives_match_numpy(spark, embeddings):
+    """sim_hard_negatives top-1 == a numpy argmax over rounded cosines with
+    the same (cosine desc, vec_id asc) tie order."""
+    from nfl_big_data_bowl_2024_spark.plans.pipeline_ops import (
+        sim_hard_negatives,
+    )
+
+    got = {
+        r["anchor_id"]: (r["negative_id"], r["cosine"])
+        for r in sim_hard_negatives(spark, SF_DIR).collect()
+    }
+    rows = embeddings.collect()
+    import numpy as np
+
+    ids = np.array([r["vec_id"] for r in rows])
+    labs = np.array([r["label"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    for a_idx in np.where(ids < 100)[0]:
+        cos = np.round(Vn @ Vn[a_idx], 4)
+        mask = labs != labs[a_idx]
+        # best = max cosine, tie -> smallest vec_id
+        cand = sorted(
+            zip(-cos[mask], ids[mask]), key=lambda t: (t[0], t[1])
+        )
+        want_id, want_cos = cand[0][1], -cand[0][0]
+        g_id, g_cos = got[ids[a_idx]]
+        assert g_id == want_id and abs(g_cos - want_cos) < 1e-9
