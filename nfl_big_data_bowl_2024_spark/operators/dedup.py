@@ -222,7 +222,12 @@ def _mh_coeffs(num_perm: int) -> tuple[list[int], list[int]]:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 8, num_perm: int = 32
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    num_perm: int = 32,
+    with_shingle_len: bool = False,
 ) -> DataFrame:
     """MinHash signature per document as ONE array column ``mh`` of length
     ``num_perm``: each shingle is hashed ONCE JVM-side (xxhash64), then the
@@ -291,9 +296,15 @@ def minhash_signatures(
     shingle_hashes = F.transform(
         shingle_array(text_col, n), lambda s: F.xxhash64(s)
     )
-    return _spread(df, id_col).select(
-        F.col(id_col), mh_from_hashes(shingle_hashes).alias("mh")
-    )
+    cols = [F.col(id_col), mh_from_hashes(shingle_hashes).alias("mh")]
+    if with_shingle_len:
+        # Shingle-count upper bound rides along (one int per row) so the
+        # cache-warming pass can double as the verify stage's broadcast
+        # byte-sizing job — no separate corpus length scan.
+        cols.append(
+            F.greatest(F.length(text_col) - (n - 1), F.lit(1)).alias("shl")
+        )
+    return _spread(df, id_col).select(*cols)
 
 
 def minhash_lsh_candidates(
@@ -323,15 +334,21 @@ def minhash_lsh_candidates(
     # composed sessions (asserted in tests/test_dedup_similarity.py).
     from pyspark.storagelevel import StorageLevel
 
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sig = minhash_signatures(
+        df, id_col, text_col, n, num_perm, with_shingle_len=True
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # Warm the cache with ONE pass before the pair job: sig sits below
     # THREE independent shuffle stages (band explode + both estimate join
     # sides), which Spark schedules concurrently — without this, each
     # stage races the cold cache and the signature computation runs up to
-    # 3x (measured: band+est 38 s -> ~12 s at the generated sf10).
-    n_docs = sig.count()
+    # 3x (measured: band+est 38 s -> ~12 s at the generated sf10). The
+    # same pass returns the corpus shingle count, so the verify stage's
+    # broadcast byte-sizing needs no separate scan (a per-call extra job
+    # measured as the round-8 dedup bench regression).
+    warm = sig.agg(
+        F.count(F.lit(1)).alias("c"), F.sum("shl").alias("t")
+    ).first()
+    n_docs, tot_shingles = warm["c"], warm["t"] or 0
 
     # Band hashes from array slices — the signature array is referenced once
     # inside the generator expression, so it is computed once per row.
@@ -413,7 +430,6 @@ def minhash_lsh_candidates(
         # never sig — which is released immediately below.
         .localCheckpoint(eager=True)
     )
-    sig.unpersist()
 
     # Exact verification on the candidate PAIRS via array_intersect — LSH has
     # already pruned to ~O(n x dup-rate) pairs, so attaching each side's
@@ -454,17 +470,23 @@ def minhash_lsh_candidates(
     # otherwise let the static planner broadcast the full array table on
     # its own (see sig_side above), which is the same 1 GiB failure with
     # nobody asking for it.
-    tot_sh = (
-        df.join(F.broadcast(cand_docs), id_col, "left_semi")
-        .agg(
-            F.sum(
-                F.greatest(F.length(text_col) - n + 1, F.lit(1))
-            ).alias("t"),
-            F.count(F.lit(1)).alias("c"),
+    # Two-tier sizing, both tiers free of any extra table scan: the WHOLE
+    # corpus's shingle bytes (returned by the cache-warm pass above) are
+    # an upper bound on the candidate subset's — when even the bound fits
+    # the cap (every local/sf0.1-class corpus), decide with no extra job
+    # at all; only a corpus too big for the bound pays an exact semi-join
+    # length sum, and that reads the still-cached signature table (shl
+    # rides in it for exactly this), where the cost is amortized by the
+    # verify volume it sizes.
+    sh_bytes = tot_shingles * 8 + n_docs * 48
+    if sh_bytes > _BROADCAST_BYTES_CAP:
+        tot_sh = (
+            sig.join(F.broadcast(cand_docs), id_col, "left_semi")
+            .agg(F.sum("shl").alias("t"), F.count(F.lit(1)).alias("c"))
+            .first()
         )
-        .first()
-    )
-    sh_bytes = (tot_sh["t"] or 0) * 8 + (tot_sh["c"] or 0) * 48
+        sh_bytes = (tot_sh["t"] or 0) * 8 + (tot_sh["c"] or 0) * 48
+    sig.unpersist()
     if sh_bytes <= _BROADCAST_BYTES_CAP:
         sh_arr = F.broadcast(sh_arr)
     else:

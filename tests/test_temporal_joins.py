@@ -158,8 +158,10 @@ def test_last_touch_attribution_hand_case(spark):
 
 def test_spatial_proximity_matches_bruteforce(spark):
     """The grid-bucketed spatial join must equal the quadratic
-    brute-force pair set exactly (cell size == radius -> 3x3 coverage
-    complete; home-cell join -> no duplicate pairs)."""
+    brute-force pair set exactly (cell size == radius -> the forward
+    half-neighborhood {home, E, NE, N, NW} covers every offset pair
+    once; same-cell id order + cross-cell least/greatest -> no
+    duplicates)."""
     import itertools
     import math
 
