@@ -8734,3 +8734,107 @@ def ml_stump_split_finding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("gain div 1000000000").cast("long").alias("gain_1e9"),
         )
     )
+
+
+@register(
+    "txt_bm25_topk",
+    """
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM d
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents) t
+        WHERE term IN ('hash', 'join', 'scan')
+        GROUP BY doc_id, term
+    ),
+    per AS (
+        SELECT f.doc_id,
+               CAST(floor(
+                   (s.n * 1.0 / count(*) OVER (PARTITION BY f.term))
+                   * (f.tf * 2.2)
+                   / (f.tf + 1.2 * (0.25 + 0.75 * (d.dl * 1.0 / s.avgdl)))
+                   * 10000 + 0.5) AS BIGINT) AS s4
+        FROM tf f JOIN d USING (doc_id) CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(sum(s4) AS BIGINT) AS score_1e4,
+           CAST(count(*) AS INTEGER) AS n_terms
+    FROM per GROUP BY doc_id
+    ORDER BY score_1e4 DESC, doc_id
+    LIMIT 25
+    """,
+    doc="BM25 relevance scoring (Robertson-Sparck Jones, k1=1.2 b=0.75) "
+    "for a fixed query — the retrieval-grade ranker behind "
+    "query-relevance data curation, one step past txt_tfidf_topterms: "
+    "tf saturation via k1 and length normalization via b*dl/avgdl. "
+    "Ratio idf (N/df) keeps the whole score inside exactly-rounded IEEE "
+    "ops — no ln(), no libm divergence — and each (doc, term) score is "
+    "fixed-pointed to 1e-4 BEFORE the per-doc sum, so the cross-row "
+    "aggregation is an order-free exact INTEGER sum (a float sum's "
+    "addend order is partitioning-dependent). Scale shape: document "
+    "length is size(split(...)) map-side (the corpus never explodes for "
+    "it); only query-term tokens survive the explode into the ONE "
+    "(doc, term) shuffle; df comes from count() OVER (PARTITION BY "
+    "term) on that tf relation so the tf subtree is computed once (the "
+    "tfidf CSE finding); N/avgdl arrive as a broadcast one-row join; "
+    "the final top-25 is TakeOrderedAndProject (distributed top-k, "
+    "never a global sort).",
+)
+def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    TERMS = ["hash", "join", "scan"]
+    # constants written EXACTLY as the oracle writes them (2.2, not
+    # k1 + 1.0: the python fold happens to round to the same double, but
+    # the equality is a literal-for-literal contract, not an accident)
+    K1, K1P1, B = 1.2, 2.2, 0.75
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    d = docs.select("doc_id", F.size("toks").alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    per = (
+        tf.withColumn("df", dfq)
+        .join(d, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                (F.col("n") * 1.0 / F.col("df"))
+                * (F.col("tf") * K1P1)
+                / (
+                    F.col("tf")
+                    + K1
+                    * (
+                        (1.0 - B)
+                        + B * (F.col("dl") * 1.0 / F.col("avgdl"))
+                    )
+                )
+                * 10000
+                + 0.5
+            )
+            .cast("long")
+            .alias("s4"),
+        )
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("s4").cast("long").alias("score_1e4"),
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+        )
+        .orderBy(F.col("score_1e4").desc(), "doc_id")
+        .limit(25)
+    )

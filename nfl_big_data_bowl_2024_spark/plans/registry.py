@@ -122,6 +122,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_sequential_poisson_sample",
     "sim_hard_negatives",
     "ml_stump_split_finding",
+    "txt_bm25_topk",
     "stat_mann_whitney_u",
     "agg_gini_per_nation",
     "argmax_per_group",

@@ -71,3 +71,51 @@ def test_sequential_poisson_prefers_heavy_docs(spark):
     a = {r["doc_id"] for r in samp.collect()}
     b = {r["doc_id"] for r in doc_sequential_poisson_sample(spark, SF_DIR).collect()}
     assert a == b
+
+
+def test_bm25_matches_python_model_and_partitioning(spark):
+    """Fixed-point BM25 == a python float model computed with the same
+    IEEE op order, and the integer per-term scores make the ranking
+    partitioning-invariant (a float sum would not be)."""
+    import math
+
+    from nfl_big_data_bowl_2024_spark.plans.pipeline_ops import txt_bm25_topk
+
+    got = [
+        (r["doc_id"], r["score_1e4"], r["n_terms"])
+        for r in txt_bm25_topk(spark, SF_DIR).collect()
+    ]
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    toks = {r["doc_id"]: r["text"].split(" ") for r in docs}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) * 1.0 / n
+    TERMS = ["hash", "join", "scan"]
+    df = {
+        q: sum(1 for t in toks.values() if q in t) for q in TERMS
+    }
+    scores = {}
+    for d, ts in toks.items():
+        s, k = 0, 0
+        for q in TERMS:
+            tf = ts.count(q)
+            if tf == 0 or df[q] == 0:
+                continue
+            val = (
+                (n * 1.0 / df[q])
+                * (tf * 2.2)
+                / (tf + 1.2 * (0.25 + 0.75 * (len(ts) * 1.0 / avgdl)))
+                * 10000
+                + 0.5
+            )
+            s += math.floor(val)
+            k += 1
+        if k:
+            scores[d] = (s, k)
+    want = sorted(
+        ((d, s, k) for d, (s, k) in scores.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:25]
+    assert got == want
