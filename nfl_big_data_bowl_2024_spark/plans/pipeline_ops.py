@@ -8705,13 +8705,24 @@ def ml_stump_split_finding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_b").over(w_tot).alias("n_t"),
         F.sum("s_b").over(w_tot).alias("s_t"),
     )
+    # Floor division in PURE decimal: Spark's `div` operator always
+    # returns BIGINT, and S^2/n already exceeds int64 at sf0.1 (~8e18).
+    # For nonnegative decimals a div b == (a - a % b) / b, and that
+    # division's result is exactly integral, so the decimal divide's
+    # HALF_UP rounding is the identity — exact floor division with no
+    # long anywhere.
+    def _idiv(a: str, b: str) -> str:
+        return f"CAST((({a}) - ({a}) % ({b})) / ({b}) AS DECIMAL(38,0))"
+
     gains = cum.filter(F.col("n_l") < F.col("n_t")).select(
         "feature",
         F.col("val").alias("threshold"),
         F.expr(
-            "(s_l * s_l) div n_l"
-            " + ((s_t - s_l) * (s_t - s_l)) div (n_t - n_l)"
-            " - (s_t * s_t) div n_t"
+            _idiv("s_l * s_l", "n_l")
+            + " + "
+            + _idiv("(s_t - s_l) * (s_t - s_l)", "n_t - n_l")
+            + " - "
+            + _idiv("s_t * s_t", "n_t")
         ).alias("gain"),
     )
     rk = F.row_number().over(
@@ -8726,12 +8737,14 @@ def ml_stump_split_finding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feature",
             F.col("threshold").cast("long").alias("threshold"),
             # The argmax ranks on the FULL-precision integer gain; only the
-            # reported value is coarsened (div 1e9) so it fits BIGINT on
+            # reported value is coarsened (// 1e9) so it fits BIGINT on
             # both engines at any scale (gain <= S^2/n ~ 8e24 cents^2 at
-            # the 100 TB point -> 8e15 after the div, inside 2^53 and
+            # the 100 TB point -> 8e15 after the division, inside 2^53 and
             # int64 alike — no decimal->double conversion, the tpch_q9
             # 1-ulp divergence class never arises).
-            F.expr("gain div 1000000000").cast("long").alias("gain_1e9"),
+            F.expr(
+                "CAST((gain - gain % 1000000000) / 1000000000 AS BIGINT)"
+            ).alias("gain_1e9"),
         )
     )
 
@@ -8837,4 +8850,104 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score_1e4").desc(), "doc_id")
         .limit(25)
+    )
+
+
+@register(
+    "evt_survival_hazard",
+    """
+    WITH b AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+    u AS (
+        SELECT user_id, min(epoch_us(ts)) AS entry_us,
+               max(epoch_us(ts)) AS last_us
+        FROM events GROUP BY user_id
+    ),
+    t AS (
+        SELECT CASE WHEN u.last_us < b.end_us - 86400000000
+                    THEN (u.last_us - u.entry_us) // 86400000000
+                    ELSE (b.end_us - u.entry_us) // 86400000000 END AS t_day,
+               CASE WHEN u.last_us < b.end_us - 86400000000
+                    THEN 1 ELSE 0 END AS died
+        FROM u CROSS JOIN b
+    ),
+    per AS (
+        SELECT t_day, count(*) AS n_all, sum(died) AS d FROM t GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS n FROM t),
+    cum AS (
+        SELECT t_day, n_all, d,
+               sum(n_all) OVER (ORDER BY t_day
+                                ROWS UNBOUNDED PRECEDING) AS cle
+        FROM per
+    )
+    SELECT t_day, CAST(n - (cle - n_all) AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d_events,
+           CAST(1000000 * d // (n - (cle - n_all)) AS BIGINT) AS hazard_ppm
+    FROM cum CROSS JOIN tot
+    WHERE d > 0
+    """,
+    doc="Kaplan-Meier-style survival/hazard table with right censoring — "
+    "the at-risk accounting cohort retention and absence/churn queries "
+    "skip: a user's lifetime runs from first to last event; users last "
+    "seen within 24 hours of the study end are CENSORED at study end "
+    "(still alive, exit the risk set without an event), everyone else "
+    "churns at their last-seen day. For each event day t: n_risk = "
+    "users whose lifetime >= t, d = churns at t, hazard in exact ppm "
+    "(1e6*d div n_risk — the discrete KM increment; the survival curve "
+    "is the running product of (1 - h_t), left to the consumer because "
+    "a cross-row float PRODUCT is exactly the order-dependence this "
+    "engine's determinism contract bans). Pure epoch-us integer "
+    "arithmetic throughout. Scale shape: one user-keyed aggregate, one "
+    "day-keyed aggregate (map-side combined), then the at-risk "
+    "complement comes from banded_running_sum — the banded prefix-sum "
+    "pattern, never a single-partition global window — plus two "
+    "broadcast one-row joins (study end, cohort size).",
+)
+def evt_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    b = ev.agg(F.max("us").alias("end_us"))
+    u = ev.groupBy("user_id").agg(
+        F.min("us").alias("entry_us"), F.max("us").alias("last_us")
+    )
+    HORIZON_US, DAY_US = 86_400_000_000, 86_400_000_000
+    t = u.crossJoin(F.broadcast(b)).select(
+        F.when(
+            F.col("last_us") < F.col("end_us") - HORIZON_US,
+            F.expr(f"(last_us - entry_us) div {DAY_US}"),
+        )
+        .otherwise(F.expr(f"(end_us - entry_us) div {DAY_US}"))
+        .alias("t_day"),
+        F.when(
+            F.col("last_us") < F.col("end_us") - HORIZON_US, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("died"),
+    )
+    per = t.groupBy("t_day").agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("died").alias("d")
+    )
+    tot = t.agg(F.count(F.lit(1)).alias("n"))
+    cum = banded_running_sum(
+        per.withColumn("_band", F.expr("t_day div 32")),
+        "_band",
+        [F.col("t_day").asc()],
+        "n_all",
+        out_col="cle",
+        descending=False,
+    ).drop("_band")
+    n_risk = F.col("n") - (F.col("cle") - F.col("n_all"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("d") > 0)
+        .select(
+            "t_day",
+            n_risk.cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("d_events"),
+            F.expr(
+                "CAST(1000000 * d div "
+                "(n - (cle - n_all)) AS BIGINT)"
+            ).alias("hazard_ppm"),
+        )
     )

@@ -123,6 +123,7 @@ _DRIVER_PRIORITY: list[str] = [
     "sim_hard_negatives",
     "ml_stump_split_finding",
     "txt_bm25_topk",
+    "evt_survival_hazard",
     "stat_mann_whitney_u",
     "agg_gini_per_nation",
     "argmax_per_group",
