@@ -8951,3 +8951,104 @@ def evt_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hazard_ppm"),
         )
     )
+
+
+@register(
+    "graph_clustering_coeff",
+    """
+    WITH lo AS (
+        SELECT l_orderkey AS ok, l_partkey AS p
+        FROM lineitem WHERE l_orderkey % 4 = 0
+    ),
+    canon AS (
+        SELECT DISTINCT a.p AS a, b.p AS b
+        FROM lo a JOIN lo b ON a.ok = b.ok AND a.p < b.p
+    ),
+    deg AS (
+        SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM canon
+            UNION ALL
+            SELECT b AS node FROM canon
+        ) GROUP BY node
+    ),
+    oriented AS (
+        SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND c.a < c.b)
+                    THEN c.a ELSE c.b END AS lo,
+               CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND c.a < c.b)
+                    THEN c.b ELSE c.a END AS hi
+        FROM canon c
+        JOIN deg da ON c.a = da.node
+        JOIN deg db ON c.b = db.node
+    ),
+    tri AS (
+        SELECT w1.lo AS x, w1.hi AS y, w2.hi AS z
+        FROM oriented w1
+        JOIN oriented w2 ON w1.lo = w2.lo AND w1.hi <> w2.hi
+        JOIN oriented e ON e.lo = w1.hi AND e.hi = w2.hi
+    ),
+    pt AS (
+        SELECT node, count(*) AS n_tri
+        FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y AS node FROM tri
+            UNION ALL SELECT z AS node FROM tri
+        )
+        GROUP BY node
+    )
+    SELECT d.node AS part_id, CAST(d.deg AS BIGINT) AS deg,
+           CAST(coalesce(pt.n_tri, 0) AS BIGINT) AS n_triangles,
+           CAST(2000000 * coalesce(pt.n_tri, 0) // (d.deg * (d.deg - 1))
+                AS BIGINT) AS lcc_ppm
+    FROM deg d LEFT JOIN pt ON d.node = pt.node
+    WHERE d.deg >= 2
+    """,
+    doc="Local clustering coefficient per node — 2*triangles(v) / "
+    "(deg(v)*(deg(v)-1)) in exact ppm over the part co-purchase graph: "
+    "the standard 'how clique-like is this node's neighborhood' metric "
+    "(Watts-Strogatz), and the canonical CONSUMER of per-node triangle "
+    "counts. Rides graph_triangle_count's degree-oriented enumeration "
+    "(out-degree capped at O(sqrt(E)), hot hubs contribute zero wedges "
+    "at their center) plus one left join back to the degree relation so "
+    "triangle-free nodes report lcc = 0 instead of vanishing. Integer "
+    "arithmetic end-to-end (ppm via exact integer division), so the "
+    "oracle replays bit-exactly.",
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    lo = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+    )
+    pairs = (
+        lo.alias("x")
+        .join(
+            lo.alias("y"),
+            (F.col("x.ok") == F.col("y.ok")) & (F.col("x.p") < F.col("y.p")),
+        )
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("src").alias("node"))
+        .unionAll(pairs.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(pairs)
+    return (
+        deg.join(tri, "node", "left")
+        .filter(F.col("deg") >= 2)
+        .select(
+            F.col("node").alias("part_id"),
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            F.expr(
+                "CAST(2000000 * coalesce(n_triangles, 0) div "
+                "(deg * (deg - 1)) AS BIGINT)"
+            ).alias("lcc_ppm"),
+        )
+    )

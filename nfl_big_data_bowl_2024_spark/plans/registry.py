@@ -124,6 +124,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ml_stump_split_finding",
     "txt_bm25_topk",
     "evt_survival_hazard",
+    "graph_clustering_coeff",
     "stat_mann_whitney_u",
     "agg_gini_per_nation",
     "argmax_per_group",
