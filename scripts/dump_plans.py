@@ -288,6 +288,30 @@ SHOWCASE = [
         "grid re-keys it by |cents - median|, and every window runs "
         "over O(distinct cents), never rows.",
     ),
+    (
+        "dedup_sorted_neighborhood",
+        "Distributed global rank with NO single-partition window: one "
+        "range exchange (checkpointed — Scan ExistingRDD below), "
+        "per-partition row_number windows keyed by partition id, "
+        "broadcast offset attach, then the neighbor pairing is a keyed "
+        "equi-join on rank with the gap exploded map-side.",
+    ),
+    (
+        "ml_stump_split_finding",
+        "The gradient-histogram shape: stack() melts features map-side, "
+        "ONE hash exchange builds the per-(feature,bin) histogram with "
+        "partial aggregation, and every window (cumsum, totals, argmax "
+        "rank) runs over O(bins) rows partitioned by feature — row "
+        "volume never reaches a window.",
+    ),
+    (
+        "txt_bm25_topk",
+        "Document length computed map-side (size(split), no explode); "
+        "only query-term tokens survive into the one (doc, term) "
+        "exchange; df as a window on the tf relation (subtree computed "
+        "once); N/avgdl broadcast one-row; top-25 is "
+        "TakeOrderedAndProject, never a global sort.",
+    ),
 ]
 
 
