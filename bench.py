@@ -97,7 +97,6 @@ ROTATING = [
     # (temporal_self_join 0.37s flat r2-r7 rotated to samples-only for
     # the round-7 prefix-filter/KMV/checksum batch below)
     "pivot_priority_by_nation",
-    "cube_order_profile",
     # round-4 additions: the previously-unbenchmarked paths (the
     # e2_yap_closed_form correctness artifact is NOT here — e2_yap and
     # e2_yap_scale already measure the kernel; bench stays perf-focused)
@@ -154,7 +153,6 @@ ROTATING = [
     # (ml_linreg_closed_form 0.24s flat in r6 rotated to samples-only for
     # the round-7 core_total/core_prev_total line-budget keys)
     "src_binaryfile_scan",
-    "src_xml_roundtrip",
     # round-6 third batch: bounded-depth BFS reachability (the frontier
     # fixpoint), the Count-Min sketch + exact audit twin, the fixed-point
     # EWMA smoothing kernel, and strict-contiguity sequence matching.
@@ -174,7 +172,6 @@ ROTATING = [
     # evt_user_zscore_outliers 0.26s — flat across r2-r6 — moved
     # to BENCH_SAMPLES-only.
     "src_schema_evolution_scan",
-    "stat_chi2_independence",
     "evt_sliding_distinct_users",
     # round-6 fifth batch: association-lift pairs, Simpson diversity,
     # winsorized robust stats. Rotation (line-budget rule):
@@ -210,6 +207,17 @@ ROTATING = [
     "dedup_prefix_filter_jaccard",
     "agg_kmv_distinct",
     "dq_table_checksum",
+    # round-8 batch: the sorted-neighborhood dedup (range exchange +
+    # distributed rank + gap equi-join — the method family's heavy
+    # path), BM25 ranking (query-pruned explode + windowed df +
+    # TakeOrderedAndProject), and the stump split search (the
+    # gradient-histogram single-exchange shape over 600k rows).
+    # Line-budget rotation: cube_order_profile 0.29s, src_xml_roundtrip
+    # 0.25s and stat_chi2_independence 0.25s (all flat r3-r7) to
+    # BENCH_SAMPLES-only.
+    "dedup_sorted_neighborhood",
+    "txt_bm25_topk",
+    "ml_stump_split_finding",
 ]
 
 HEADLINE = CORE + ROTATING
