@@ -461,3 +461,164 @@ def arrow_sq_norms(df, id_col: str, vec_col: str, keep: list[str]):
             yield pa.record_batch(cols)
 
     return df.select(id_col, *keep, vec_col).mapInArrow(kernel, out_schema)
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_id: int = 0,
+    k: int = 25,
+    m: int = 16,
+    n_cent: int = 16,
+    dim: int = 64,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """Product-quantization ANN at the oracle-checkable operating point:
+    Jegou et al. 2011's PQ with asymmetric distance computation (ADC),
+    trained by a FIXED, UNROLLED number of integer-arithmetic Lloyd
+    rounds from order-statistic seeds, so the whole structure — seeds,
+    refinement, codes, ADC — replays bit-exactly as SQL CTEs (the PQ
+    analog of sim_ivf_probeall_topk's probe-all twin).
+
+    Structure: vectors are fixed-pointed to integers (floor(x*1e6+0.5),
+    exact on both engines), split into ``m`` subspaces of dim/m
+    components; seed centroids are the vectors at ranks
+    (i+1)*n/(n_cent+1) of the (subspace-norm, id) order;
+    ``lloyd_iters`` refinement rounds reassign (exact integer squared-
+    L2, ties to the lowest centroid id) and re-center on the
+    component-wise INTEGER mean floor(sum/count); every vector encodes
+    against the final codebook; the query's ADC table (n_cent x m
+    integer distances) is broadcast and the approximate distance is the
+    exact integer SUM of table lookups. All arithmetic is
+    integer-valued end-to-end (dot products of 1e6-scaled ints stay
+    below 2^53, so even a double-typed engine computes them exactly) —
+    no float enters any ordering.
+
+    Scale shape: one narrow shuffle ranks each subspace (partitioned BY
+    SUBSPACE — never a single-partition window); assignment is a join
+    against the m x n_cent broadcast codebook with a partial-aggregated
+    min(struct) argmin, so only (n x m) code rows reach the exchange;
+    ADC is a broadcast lookup + integer sum; the top-k is
+    TakeOrderedAndProject. Production PQ would Lloyd-refine the
+    codebooks (emb_kmeans_lloyd) and store codes columnar; the
+    fixed-rank codebook is the operating point that makes recall and
+    ranking driver-attestable.
+    """
+    from pyspark.sql import Window
+
+    sub_w = dim // m
+    ints = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * 1_000_000 + 0.5).cast("long"),
+        ).alias("a"),
+    )
+    subs = ints.select(
+        id_col,
+        "a",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    ).select(
+        id_col,
+        "sub",
+        F.expr(f"slice(a, sub * {sub_w} + 1, {sub_w})").alias("sv"),
+    )
+
+    def idot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    ranked = subs.select(
+        id_col,
+        "sub",
+        "sv",
+        F.row_number()
+        .over(
+            Window.partitionBy("sub").orderBy(
+                idot("sv", "sv").asc(), F.col(id_col).asc()
+            )
+        )
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("sub")).alias("n"),
+    )
+    cent = (
+        ranked.select("sub", "sv", "rk", "n")
+        .join(
+            F.broadcast(
+                ranked.sparkSession.range(n_cent).select(
+                    F.col("id").cast("int").alias("cid")
+                )
+            ),
+            F.expr(f"rk = ((cid + 1) * n) div {n_cent + 1}"),
+        )
+        .select("sub", "cid", F.col("sv").alias("cv"))
+    )
+    dist = (
+        idot("sv", "sv")
+        - 2 * idot("sv", "cv")
+        + idot("cv", "cv")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        return (
+            subs.join(F.broadcast(centroids), "sub")
+            .select(
+                id_col,
+                "sub",
+                "sv",
+                F.struct(
+                    dist.alias("d"), F.col("cid").alias("cid")
+                ).alias("dc"),
+            )
+            .groupBy(id_col, "sub", "sv")
+            .agg(F.min("dc").alias("best"))
+            .select(id_col, "sub", "sv", F.col("best.cid").alias("cid"))
+        )
+
+    # Lloyd refinement with INTEGER centroids, unrolled a fixed number of
+    # rounds so a SQL oracle replays it CTE-for-CTE: the new centroid is
+    # floor(component_sum / count) per component. The floor is computed
+    # in double — exact here, because the sums are 1e6-scaled ints below
+    # 2^53 and a non-integer quotient's fractional part is >= 1/count,
+    # orders of magnitude above the division's ~2e-16 relative error, so
+    # the floor can never land on the wrong side of an integer. (A
+    # truncating integer `div` would disagree with SQL floor division on
+    # negative sums, which embedding components produce freely.)
+    for _ in range(lloyd_iters):
+        asg = assign(cent)
+        cent = asg.groupBy("sub", "cid").agg(
+            F.array(
+                *[
+                    F.floor(
+                        F.sum(F.element_at("sv", i + 1)) * 1.0
+                        / F.count(F.lit(1))
+                    ).cast("long")
+                    for i in range(sub_w)
+                ]
+            ).alias("cv")
+        )
+    codes = assign(cent).select(id_col, "sub", "cid")
+    qsub = subs.filter(F.col(id_col) == query_vec_id).select(
+        "sub", F.col("sv").alias("qv")
+    )
+    qdist = (
+        idot("qv", "qv")
+        - 2 * idot("qv", "cv")
+        + idot("cv", "cv")
+    )
+    dt = (
+        cent.join(F.broadcast(qsub), "sub")
+        .select("sub", "cid", qdist.cast("long").alias("qd"))
+    )
+    return (
+        codes.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(dt), ["sub", "cid"])
+        .groupBy(id_col)
+        .agg(F.sum("qd").cast("long").alias("adc_dist2"))
+        .orderBy(F.col("adc_dist2").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -125,6 +125,7 @@ _DRIVER_PRIORITY: list[str] = [
     "txt_bm25_topk",
     "evt_survival_hazard",
     "graph_clustering_coeff",
+    "sim_pq_adc_topk",
     "stat_mann_whitney_u",
     "agg_gini_per_nation",
     "argmax_per_group",

@@ -604,3 +604,24 @@ def test_hard_negatives_match_numpy(spark, embeddings):
         want_id, want_cos = cand[0][1], -cand[0][0]
         g_id, g_cos = got[ids[a_idx]]
         assert g_id == want_id and abs(g_cos - want_cos) < 1e-9
+
+
+def test_pq_adc_recall_against_exact_l2(spark):
+    """PQ-ADC (16x16 codebook, 2 integer-Lloyd rounds) must place >= 7 of
+    the exact-L2 top-10 inside its top-25 on the sf0.01 corpus — the
+    measured operating point (8/10); the floor guards against a quality
+    regression in the codebook construction."""
+    import numpy as np
+
+    from nfl_big_data_bowl_2024_spark.operators.similarity import pq_adc_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    rows = e.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = V[ids == 0][0]
+    d2 = ((V - q) ** 2).sum(1)
+    mask = ids != 0
+    exact10 = {int(i) for _, i in sorted(zip(d2[mask], ids[mask]))[:10]}
+    got = {r["vec_id"] for r in pq_adc_topk(e, k=25).collect()}
+    assert len(got & exact10) >= 7
