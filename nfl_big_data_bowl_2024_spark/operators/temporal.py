@@ -130,3 +130,112 @@ def range_join_count(
         .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias(agg_alias))
         .withColumnRenamed("_p_us", f"{probe_ts}_us")
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Nearest as-of join (pandas merge_asof direction='nearest'): for
+    every left row, the right row minimizing |right_ts - left_ts| within
+    the same key, optionally within ``tolerance_us`` microseconds; ties
+    between an equally-near predecessor and successor go BACKWARD (the
+    predecessor), and an exact-timestamp match is a backward match with
+    dt 0. Appends ``asof_<col>`` for each value column plus ``asof_dt_us``
+    (signed: negative = matched row precedes, positive = follows; NULL =
+    no match in tolerance).
+
+    Right rows must be unique per (by, right_ts) — pre-aggregate ties.
+
+    Shape: the same union + single (by, ts)-sorted exchange as the
+    backward asof_join, but with TWO window frames over that one sort —
+    a backward last(ignorenulls) carry and a forward first(ignorenulls)
+    carry — then a per-row integer-microsecond argmin between the two
+    candidates. Still one shuffle + one sort per key; never an
+    inequality join.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (by, right_ts)
+    ]
+
+    l_tag = left.select(
+        F.col(by),
+        F.unix_micros(F.col(left_ts)).alias("_us"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in left.columns if c not in (by, left_ts)],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in value_cols
+        ],
+        F.lit(None).cast("long").alias("_rus"),
+    )
+    r_tag = right.select(
+        F.col(by),
+        F.unix_micros(F.col(right_ts)).alias("_us"),
+        F.lit(0).alias("_is_left"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in (by, left_ts)
+        ],
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.unix_micros(F.col(right_ts)).alias("_rus"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # Right rows sort BEFORE left rows on timestamp ties, so the backward
+    # frame sees an equal-timestamp right row (dt 0) and the forward frame
+    # (currentRow onward) does not double-count it.
+    w_back = (
+        Window.partitionBy(by)
+        .orderBy("_us", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(by)
+        .orderBy("_us", "_is_left")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "*",
+        F.last("_rus", ignorenulls=True).over(w_back).alias("_bus"),
+        F.first("_rus", ignorenulls=True).over(w_fwd).alias("_fus"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w_back).alias(f"_b_{c}")
+            for c in value_cols
+        ],
+        *[
+            F.first(f"_r_{c}", ignorenulls=True).over(w_fwd).alias(f"_f_{c}")
+            for c in value_cols
+        ],
+    ).filter(F.col("_is_left") == 1)
+    bdt = F.col("_us") - F.col("_bus")  # >= 0 when backward exists
+    fdt = F.col("_fus") - F.col("_us")  # >= 0 when forward exists
+    b_ok = F.col("_bus").isNotNull() & (
+        F.lit(True) if tolerance_us is None else (bdt <= tolerance_us)
+    )
+    f_ok = F.col("_fus").isNotNull() & (
+        F.lit(True) if tolerance_us is None else (fdt <= tolerance_us)
+    )
+    take_back = b_ok & (~f_ok | (bdt <= fdt))
+    take_fwd = f_ok & ~take_back
+    picked = carried.select(
+        by,
+        "_us",
+        *[c for c in left.columns if c not in (by, left_ts)],
+        *[
+            F.when(take_back, F.col(f"_b_{c}"))
+            .when(take_fwd, F.col(f"_f_{c}"))
+            .alias(f"asof_{c}")
+            for c in value_cols
+        ],
+        F.when(take_back, -bdt)
+        .when(take_fwd, fdt)
+        .cast("long")
+        .alias("asof_dt_us"),
+    )
+    return picked.withColumnRenamed("_us", f"{left_ts}_us")

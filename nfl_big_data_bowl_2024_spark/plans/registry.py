@@ -126,6 +126,7 @@ _DRIVER_PRIORITY: list[str] = [
     "evt_survival_hazard",
     "graph_clustering_coeff",
     "sim_pq_adc_topk",
+    "asof_nearest_purchase",
     "stat_mann_whitney_u",
     "agg_gini_per_nation",
     "argmax_per_group",

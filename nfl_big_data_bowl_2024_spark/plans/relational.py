@@ -2214,3 +2214,80 @@ def dq_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "big_mul"
         ),
     )
+
+
+@register(
+    "asof_nearest_purchase",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         purch AS (SELECT user_id, ts, max(value) AS pvalue FROM events
+                   WHERE event_type = 'purchase' GROUP BY user_id, ts),
+         back AS (
+             SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+                    p.pvalue AS bv, epoch_us(p.ts) AS bus
+             FROM clicks c ASOF LEFT JOIN purch p
+               ON c.user_id = p.user_id AND c.ts >= p.ts
+         ),
+         fwd AS (
+             SELECT c.event_id, p.pvalue AS fv, epoch_us(p.ts) AS fus
+             FROM clicks c ASOF LEFT JOIN purch p
+               ON c.user_id = p.user_id AND c.ts <= p.ts
+         ),
+         j AS (
+             SELECT b.event_id, b.user_id, b.ts_us,
+                    (b.bus IS NOT NULL
+                     AND b.ts_us - b.bus <= 1800000000) AS b_ok,
+                    (f.fus IS NOT NULL
+                     AND f.fus - b.ts_us <= 1800000000) AS f_ok,
+                    b.bv, b.bus, f.fv, f.fus
+             FROM back b JOIN fwd f USING (event_id)
+         )
+    SELECT event_id, user_id, ts_us,
+           CASE WHEN b_ok AND (NOT f_ok OR ts_us - bus <= fus - ts_us)
+                THEN bv
+                WHEN f_ok THEN fv END AS nearest_purchase_value,
+           CAST(CASE WHEN b_ok AND (NOT f_ok OR ts_us - bus <= fus - ts_us)
+                     THEN -(ts_us - bus)
+                     WHEN f_ok THEN fus - ts_us END AS BIGINT) AS asof_dt_us
+    FROM j
+    """,
+    doc="NEAREST as-of join with tolerance (pandas merge_asof "
+    "direction='nearest'): each click matched to the CLOSEST purchase in "
+    "either direction within 30 minutes, ties to the predecessor — the "
+    "directional completion of asof_last_purchase's backward-only carry. "
+    "Built on the same union + one (key, ts)-sorted exchange, with TWO "
+    "window frames over that single sort (backward last-carry + forward "
+    "first-carry) and an integer-microsecond argmin between the "
+    "candidates (operators/temporal.py:asof_join_nearest) — never an "
+    "inequality join, one shuffle total. The signed asof_dt_us column "
+    "makes the direction choice hash-attested, not just the value. "
+    "Oracle: two native DuckDB ASOF joins (>= and <=) + the same "
+    "integer CASE.",
+)
+def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join_nearest
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = asof_join_nearest(
+        clicks,
+        purch,
+        by="user_id",
+        value_cols=["pvalue"],
+        tolerance_us=1_800_000_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("asof_pvalue").alias("nearest_purchase_value"),
+        "asof_dt_us",
+    )

@@ -187,3 +187,58 @@ def test_spatial_proximity_matches_bruteforce(spark):
         if d <= 5.0:
             want[(a, b)] = math.floor(d * 10000 + 0.5) / 10000
     assert got == want
+
+
+def test_asof_nearest_matches_python_model(spark):
+    """asof_join_nearest == a per-key python model: closest right row by
+    |dt| within tolerance, ties to the predecessor, exact-ts match = dt 0
+    backward."""
+    import datetime as dt
+
+    from nfl_big_data_bowl_2024_spark.operators.temporal import (
+        asof_join_nearest,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    left_rows = [
+        # (id, key, ts_sec) — includes exact match, equidistant tie,
+        # out-of-tolerance, and no-right-row keys
+        (1, "a", 100), (2, "a", 150), (3, "a", 205),
+        (4, "b", 50), (5, "b", 1000), (6, "c", 10),
+    ]
+    right_rows = [
+        ("a", 100, 1.0), ("a", 200, 2.0), ("a", 210, 3.0),
+        ("b", 55, 4.0),
+    ]
+    left = spark.createDataFrame(
+        [(i, k, t(s)) for i, k, s in left_rows],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, t(s), v) for k, s, v in right_rows],
+        "user_id string, ts timestamp, pvalue double",
+    )
+    TOL = 60 * 1_000_000
+    got = {
+        r["event_id"]: (r["asof_pvalue"], r["asof_dt_us"])
+        for r in asof_join_nearest(
+            left, right, by="user_id", value_cols=["pvalue"],
+            tolerance_us=TOL,
+        ).collect()
+    }
+
+    def model(key, s):
+        cands = [(abs(rs - s), rs <= s, rs, v)
+                 for k, rs, v in right_rows if k == key
+                 if abs(rs - s) * 1_000_000 <= TOL]
+        if not cands:
+            return (None, None)
+        # min |dt|, tie -> backward (rs <= s sorts True first via not-)
+        d, is_back, rs, v = min(cands, key=lambda c: (c[0], not c[1]))
+        return (v, (rs - s) * 1_000_000)
+
+    expect = {i: model(k, s) for i, k, s in left_rows}
+    assert got == expect
+    # the equidistant case (205 between 200 and 210) went backward
+    assert got[3] == (2.0, -5_000_000)
