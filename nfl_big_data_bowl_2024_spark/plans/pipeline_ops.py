@@ -9166,3 +9166,309 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return pq_adc_topk(e, "vec_id", "embedding", query_vec_id=0, k=25)
+
+
+@register(
+    "stat_spearman_rank_corr",
+    """
+    WITH c AS (
+        SELECT c.c_nationkey AS nation, c.c_custkey,
+               CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+               count(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, c.c_custkey, c.c_acctbal
+    ),
+    r AS (
+        SELECT nation, c_custkey,
+               2 * rank() OVER (PARTITION BY nation ORDER BY bal)
+                 + count(*) OVER (PARTITION BY nation, bal) - 1 AS rx2,
+               2 * rank() OVER (PARTITION BY nation ORDER BY n_orders)
+                 + count(*) OVER (PARTITION BY nation, n_orders) - 1 AS ry2
+        FROM c
+    ),
+    s AS (
+        SELECT nation, count(*) AS n,
+               sum(CAST(rx2 AS HUGEINT)) AS sx,
+               sum(CAST(ry2 AS HUGEINT)) AS sy,
+               sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+               sum(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+               sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy
+        FROM r GROUP BY nation
+    )
+    SELECT nation, CAST(n AS BIGINT) AS n,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) * 10000 + 0.5)
+               / 10000.0 AS spearman_rho
+    FROM s
+    """,
+    doc="Spearman rank correlation per nation (account balance vs order "
+    "count) — the RANK-based robust sibling of corr_per_group's Pearson: "
+    "monotone association, insensitive to outliers and to any monotone "
+    "rescaling of either variable. Ties are handled exactly via "
+    "DOUBLED average ranks (2*avg_rank = 2*rank + tie_count - 1, an "
+    "INTEGER — the halves introduced by midranks never materialize as "
+    "floats), then Pearson over the doubled ranks from exact integer "
+    "sufficient statistics (decimal/HUGEINT sums), one identical double "
+    "formula + floor-parity rounding at 4 dp on both engines. Scale "
+    "shape: one customer-keyed outer join + count, rank windows "
+    "partitioned BY NATION (never single-partition), one grouped "
+    "moment aggregate — 25 output rows regardless of data size.",
+)
+def stat_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    c = (
+        cu.join(o, cu["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("bal"),
+        )
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    rx2 = (
+        2 * F.rank().over(Window.partitionBy("nation").orderBy("bal"))
+        + F.count(F.lit(1)).over(Window.partitionBy("nation", "bal"))
+        - 1
+    ).cast("long")
+    ry2 = (
+        2 * F.rank().over(Window.partitionBy("nation").orderBy("n_orders"))
+        + F.count(F.lit(1)).over(Window.partitionBy("nation", "n_orders"))
+        - 1
+    ).cast("long")
+    r = c.select("nation", rx2.alias("rx2"), ry2.alias("ry2"))
+    dec = "decimal(38,0)"
+    s = r.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx2").cast(dec)).alias("sx"),
+        F.sum(F.col("ry2").cast(dec)).alias("sy"),
+        F.sum((F.col("rx2").cast(dec) * F.col("rx2"))).alias("sxx"),
+        F.sum((F.col("ry2").cast(dec) * F.col("ry2"))).alias("syy"),
+        F.sum((F.col("rx2").cast(dec) * F.col("ry2"))).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "nation",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.floor(num / F.sqrt(varx * vary) * 10000 + F.lit(0.5)) / 10000.0
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "evt_burstiness_fano",
+    """
+    WITH h AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, count(*) AS n,
+               sum(CAST(c AS HUGEINT)) AS sc,
+               sum(CAST(c AS HUGEINT) * c) AS scc
+        FROM h GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           CAST(sc AS BIGINT) AS n_events,
+           CAST(1000 * (n * scc - sc * sc) // (n * sc) AS BIGINT)
+               AS fano_milli
+    FROM s
+    """,
+    doc="Burstiness per event type via the Fano factor (variance-to-mean "
+    "ratio of hourly event counts over observed hours; ~1000 milli = "
+    "Poisson-like arrivals, above = bursty, below = regular) — the "
+    "dispersion diagnostic next to evt_autocovariance_lags' serial "
+    "dependence. Exact integer arithmetic end-to-end: var/mean = "
+    "(n*Sum(c^2) - Sum(c)^2) / (n*Sum(c)) in milli via true integer "
+    "division on HUGEINT/decimal sums (counts are integers, so no "
+    "float ever appears). Two grouped aggregates, both map-side "
+    "combined; output is one row per event type.",
+)
+def evt_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    h = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    s = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c").cast(dec)).alias("sc"),
+        F.sum(F.col("c").cast(dec) * F.col("c")).alias("scc"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("sc").cast("long").alias("n_events"),
+        F.expr(
+            "CAST((1000 * (n * scc - sc * sc)"
+            " - (1000 * (n * scc - sc * sc)) % (n * sc)) / (n * sc)"
+            " AS BIGINT)"
+        ).alias("fano_milli"),
+    )
+
+
+@register(
+    "evt_position_attribution",
+    """
+    WITH t AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS rc
+        FROM events
+        WHERE event_type IN ('click', 'view', 'signup', 'purchase')
+    ),
+    carried AS (
+        SELECT *,
+               first_value(CASE WHEN is_p = 1 THEN us END IGNORE NULLS)
+                   OVER w AS p_us,
+               first_value(CASE WHEN is_p = 1 THEN event_id END IGNORE NULLS)
+                   OVER w AS p_key
+        FROM t
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, is_p, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    credited AS (
+        SELECT user_id, event_id, event_type, us, p_key,
+               count(*) OVER pw AS k,
+               row_number() OVER (PARTITION BY p_key
+                                  ORDER BY us, event_id) AS rn
+        FROM carried
+        WHERE is_p = 0 AND p_us IS NOT NULL
+          AND p_us - us <= 604800000000
+        WINDOW pw AS (PARTITION BY p_key)
+    ),
+    purch AS (SELECT event_id AS p_key, rc FROM t WHERE is_p = 1),
+    weighted AS (
+        SELECT c.event_type AS channel,
+               CASE WHEN c.k = 1 THEN 10000
+                    WHEN c.k = 2 THEN 5000
+                    WHEN c.rn = 1 OR c.rn = c.k THEN 4000
+                    ELSE 2000 // (c.k - 2) END AS w_bp,
+               p.rc
+        FROM credited c JOIN purch p USING (p_key)
+    ),
+    touch_credit AS (
+        SELECT channel, count(*) AS n_touches,
+               sum(rc * w_bp // 10000) AS credited_cents
+        FROM weighted GROUP BY channel
+    ),
+    organic AS (
+        SELECT 'organic' AS channel, count(*) AS n_touches,
+               sum(rc) AS credited_cents
+        FROM purch p
+        WHERE NOT EXISTS (SELECT 1 FROM credited c WHERE c.p_key = p.p_key)
+    )
+    SELECT channel, CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(credited_cents AS BIGINT) AS credited_cents
+    FROM (SELECT * FROM touch_credit UNION ALL
+          SELECT * FROM organic WHERE n_touches > 0) u
+    """,
+    doc="Position-based (U-shaped) multi-touch attribution — the "
+    "fractional-credit completion of evt_last_touch_attribution's "
+    "winner-take-all: each touch credits the FIRST purchase following "
+    "it within 7 days; within a purchase's touch sequence the first and "
+    "last touch get 40% each and the middles split the remaining 20% "
+    "(single touch 100%, two touches 50/50); purchases with no eligible "
+    "touch fall to 'organic'. All credit arithmetic in integer basis "
+    "points with true integer division (truncation toward the house is "
+    "the documented convention), revenue in exact cents — "
+    "hash-identical on both engines. Scale shape: ONE forward-carry "
+    "window per user (min-over-following of the packed purchase key — "
+    "the asof-forward idiom), one window per purchase sequence for "
+    "position ranks, then grouped sums; the purchase key packs "
+    "(us, event_id) into one long so the carry is a single column.",
+)
+def evt_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "signup", "purchase")
+    )
+    t = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        ).alias("rc"),
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "is_p", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    # first-in-frame-order non-null = the FIRST following purchase (the
+    # frame order IS (us, is_p, event_id)); both carried columns come
+    # from that same row — no packed key, no overflow-prone arithmetic
+    carried = t.select(
+        "*",
+        F.first(F.when(F.col("is_p") == 1, F.col("us")), ignorenulls=True)
+        .over(w_fwd)
+        .alias("p_us"),
+        F.first(
+            F.when(F.col("is_p") == 1, F.col("event_id")), ignorenulls=True
+        )
+        .over(w_fwd)
+        .alias("p_key"),
+    )
+    credited = (
+        carried.filter(
+            (F.col("is_p") == 0)
+            & F.col("p_us").isNotNull()
+            & (F.col("p_us") - F.col("us") <= 604_800_000_000)
+        )
+        .select(
+            "event_type",
+            "us",
+            "event_id",
+            "p_key",
+            F.count(F.lit(1)).over(Window.partitionBy("p_key")).alias("k"),
+            F.row_number()
+            .over(Window.partitionBy("p_key").orderBy("us", "event_id"))
+            .alias("rn"),
+        )
+    )
+    purch = t.filter(F.col("is_p") == 1).select(
+        F.col("event_id").alias("p_key"), "rc"
+    )
+    w_bp = (
+        F.when(F.col("k") == 1, 10000)
+        .when(F.col("k") == 2, 5000)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("k")), 4000)
+        .otherwise(F.expr("2000 div (k - 2)"))
+    )
+    weighted = credited.join(purch, "p_key").select(
+        F.col("event_type").alias("channel"),
+        w_bp.alias("w_bp"),
+        "rc",
+    )
+    touch_credit = weighted.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum(F.expr("rc * w_bp div 10000")).alias("credited_cents"),
+    )
+    organic = (
+        purch.join(credited.select("p_key"), "p_key", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("rc").alias("credited_cents"),
+        )
+        .select(
+            F.lit("organic").alias("channel"), "n_touches", "credited_cents"
+        )
+        .filter(F.col("n_touches") > 0)
+    )
+    return touch_credit.unionByName(organic).select(
+        "channel",
+        F.col("n_touches").cast("long").alias("n_touches"),
+        F.col("credited_cents").cast("long").alias("credited_cents"),
+    )

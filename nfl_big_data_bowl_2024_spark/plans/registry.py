@@ -127,6 +127,9 @@ _DRIVER_PRIORITY: list[str] = [
     "graph_clustering_coeff",
     "sim_pq_adc_topk",
     "asof_nearest_purchase",
+    "stat_spearman_rank_corr",
+    "evt_burstiness_fano",
+    "evt_position_attribution",
     "stat_mann_whitney_u",
     "agg_gini_per_nation",
     "argmax_per_group",

@@ -242,3 +242,61 @@ def test_asof_nearest_matches_python_model(spark):
     assert got == expect
     # the equidistant case (205 between 200 and 210) went backward
     assert got[3] == (2.0, -5_000_000)
+
+
+def test_position_attribution_hand_case(spark):
+    """Hand-checkable U-shaped credit: 40/40/20-split, two-touch 50/50,
+    single-touch 100%, organic fallback, and the truncating integer
+    division convention."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(days, secs=0):
+        return t0 + dt.timedelta(days=days, seconds=secs)
+
+    rows = [
+        # user 1: view, click, click, signup -> purchase 100.00
+        #   view first 40%, signup last 40%, two middle clicks 10% each
+        (1, 100, "view", ts(0), 0.0),
+        (2, 100, "click", ts(0, 60), 0.0),
+        (3, 100, "click", ts(0, 120), 0.0),
+        (4, 100, "signup", ts(0, 180), 0.0),
+        (5, 100, "purchase", ts(1), 100.0),
+        # user 2: single click -> purchase 20.00: click gets 100%
+        (6, 200, "click", ts(0), 0.0),
+        (7, 200, "purchase", ts(1), 20.0),
+        # user 3: view + click -> purchase 10.01: 50/50 with truncation
+        #   (1001 cents * 5000 div 10000 = 500 each; 1 cent evaporates)
+        (8, 300, "view", ts(0), 0.0),
+        (9, 300, "click", ts(0, 30), 0.0),
+        (10, 300, "purchase", ts(1), 10.01),
+        # user 4: touch outside the 7-day window -> organic
+        (11, 400, "click", ts(0), 0.0),
+        (12, 400, "purchase", ts(10), 40.0),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, "
+            "ts timestamp, value double",
+        ).write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r["channel"]: (r["n_touches"], r["credited_cents"])
+            for r in all_queries()["evt_position_attribution"]
+            .fn(spark, td)
+            .collect()
+        }
+    assert got == {
+        # view: 40% of 10000 + 50% of 1001 = 4000 + 500
+        "view": (2, 4500),
+        # clicks: two middles 10% each of 10000 + 100% of 2000 + 50% of 1001
+        "click": (4, 1000 + 1000 + 2000 + 500),
+        # signup: last-touch 40% of 10000
+        "signup": (1, 4000),
+        "organic": (1, 4000),
+    }
