@@ -43,6 +43,17 @@ BOUNDARY_QUERIES = [
     "stat_mad_outliers",
     "agg_kmv_distinct",
     "agg_fixed_grid_quantiles",
+    # round-8 boundary-sensitive pipelines: the BM25 per-term fixed-point
+    # (the per-doc sum is an exact integer BY DESIGN — this pins it), the
+    # PQ integer-Lloyd codebook train (floor(sum/count) re-centering),
+    # the stump's decimal floor-division gains, Spearman's doubled-rank
+    # moments, and the distributed global rank under the
+    # sorted-neighborhood join
+    "txt_bm25_topk",
+    "sim_pq_adc_topk",
+    "ml_stump_split_finding",
+    "stat_spearman_rank_corr",
+    "dedup_sorted_neighborhood",
 ]
 
 
