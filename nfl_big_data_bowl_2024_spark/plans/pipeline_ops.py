@@ -9472,3 +9472,128 @@ def evt_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_touches").cast("long").alias("n_touches"),
         F.col("credited_cents").cast("long").alias("credited_cents"),
     )
+
+
+@register(
+    "dq_drift_population",
+    """
+    WITH b AS (
+        SELECT min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts)))
+                   // 2 AS mid_us
+        FROM events
+    ),
+    binned AS (
+        SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin,
+               CASE WHEN epoch_us(ts) < b.mid_us THEN 1 ELSE 0 END
+                   AS is_first
+        FROM events CROSS JOIN b
+    ),
+    per AS (
+        SELECT bin,
+               CAST(sum(is_first) AS HUGEINT) AS a,
+               CAST(sum(1 - is_first) AS HUGEINT) AS bq
+        FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(a) AS ta, sum(bq) AS tb FROM per),
+    probs AS (
+        SELECT p.bin, p.a, p.bq,
+               1000000 * p.a // t.ta AS pm,
+               1000000 * p.bq // t.tb AS qm
+        FROM per p CROSS JOIN tot t
+    ),
+    terms AS (
+        SELECT bin, a, bq,
+               CASE WHEN pm + qm > 0
+                    THEN (pm - qm) * (pm - qm) // (pm + qm)
+                    ELSE 0 END AS drift_micro
+        FROM probs
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(a AS BIGINT) AS n_first,
+           CAST(bq AS BIGINT) AS n_second,
+           CAST(drift_micro AS BIGINT) AS drift_micro
+    FROM terms
+    UNION ALL
+    SELECT NULL, CAST(sum(a) AS BIGINT), CAST(sum(bq) AS BIGINT),
+           CAST(sum(drift_micro) AS BIGINT)
+    FROM terms
+    """,
+    doc="Population drift monitor between the first and second half of "
+    "the observation window (split at the midpoint timestamp): per "
+    "value-bin counts for both periods plus the TRIANGULAR "
+    "DISCRIMINATION contribution sum((p-q)^2/(p+q)) in exact micro "
+    "units — the rational drift divergence chosen over the industry PSI "
+    "because PSI's ln() is not correctly rounded in either engine's "
+    "libm while this statistic stays in EXACT integer arithmetic — "
+    "probabilities fixed-pointed to micro first (so every operand stays "
+    "bounded by 1e6 at ANY corpus size), then (p-q)^2 // (p+q) per bin "
+    "— and the drift score hash-matches bit-for-bit; a NULL-bin total row "
+    "aggregates the corpus-level score (0 = identical distributions, "
+    "2e6 = disjoint). Scale shape: one map-side binning pass + one "
+    "grouped count + a broadcast one-row totals join — bins are "
+    "bounded, rows never re-shuffle.",
+)
+def dq_drift_population(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us"), "value"
+    )
+    b = ev.agg(
+        (
+            F.min("us") + F.expr("(max(us) - min(us)) div 2")
+        ).alias("mid_us")
+    )
+    dec = "decimal(38,0)"
+    per = (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            F.floor(F.col("value") / 5.0).cast("long").alias("bin"),
+            F.when(F.col("us") < F.col("mid_us"), 1).otherwise(0).alias("f"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("f").cast(dec).alias("a"),
+            F.sum(1 - F.col("f")).cast(dec).alias("bq"),
+        )
+    )
+    tot = per.agg(
+        F.sum("a").cast(dec).alias("ta"), F.sum("bq").cast(dec).alias("tb")
+    )
+    # probabilities fixed-pointed to micro FIRST (identical floor on both
+    # engines), so every later operand is bounded by 1e6 regardless of
+    # corpus size — the cross-multiplied exact form (aB-bA)^2/(AB(aB+bA))
+    # would exceed decimal(38) once counts pass ~1e12 rows
+    probs = per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "a",
+        "bq",
+        F.expr("CAST(1000000 * a div ta AS BIGINT)").alias("pm"),
+        F.expr("CAST(1000000 * bq div tb AS BIGINT)").alias("qm"),
+    )
+    terms = probs.select(
+        "bin",
+        "a",
+        "bq",
+        F.when(
+            F.col("pm") + F.col("qm") > 0,
+            F.expr("(pm - qm) * (pm - qm) div (pm + qm)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("drift_micro"),
+    )
+    per_bin = terms.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("a").cast("long").alias("n_first"),
+        F.col("bq").cast("long").alias("n_second"),
+        F.col("drift_micro").cast("long").alias("drift_micro"),
+    )
+    total = terms.agg(
+        F.sum("a").cast("long").alias("n_first"),
+        F.sum("bq").cast("long").alias("n_second"),
+        F.sum("drift_micro").cast("long").alias("drift_micro"),
+    ).select(
+        F.lit(None).cast("long").alias("bin"),
+        "n_first",
+        "n_second",
+        "drift_micro",
+    )
+    return per_bin.unionByName(total)

@@ -130,6 +130,7 @@ _DRIVER_PRIORITY: list[str] = [
     "stat_spearman_rank_corr",
     "evt_burstiness_fano",
     "evt_position_attribution",
+    "dq_drift_population",
     "stat_mann_whitney_u",
     "agg_gini_per_nation",
     "argmax_per_group",
