@@ -8500,7 +8500,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
         SELECT source, doc_id,
                CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
-                   // greatest(n_chars, 1) AS priority
+                   // greatest(coalesce(n_chars, 1), 1) AS priority
         FROM documents
     )
     SELECT source, doc_id, CAST(priority AS BIGINT) AS priority
@@ -8532,7 +8532,7 @@ def doc_sequential_poisson_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id",
         F.expr(
             "CAST(conv(substring(md5(CAST(text AS BINARY)), 1, 15), 16, 10)"
-            " AS BIGINT) div greatest(n_chars, 1L)"
+            " AS BIGINT) div greatest(coalesce(n_chars, 1L), 1L)"
         ).alias("priority"),
     )
     rk = F.row_number().over(
