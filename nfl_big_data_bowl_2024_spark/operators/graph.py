@@ -655,3 +655,93 @@ def temporal_reachability(
         frontier = improved
     e.unpersist()
     return arr
+
+
+def pagerank_personalized_integer(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Personalized (random-walk-with-restart) integer PageRank: the
+    restart mass teleports to the SEED SET instead of uniformly — the
+    locality/recommendation scorer ("importance relative to these
+    nodes") next to pagerank_integer's global importance.
+
+    Same float-free micro-unit contract as pagerank_integer (positive
+    integer div only, every iteration bit-replayable in SQL), with two
+    deliberate sparsity semantics: the initial vector puts 1e6 div |S|
+    on each seed and nothing anywhere else, and a node only OWNS a rank
+    row once walk mass has reached it (the per-iteration contribution
+    join is sparse — distant nodes are implicit zeros, which is also
+    what keeps early iterations frontier-sized at 100 TB instead of
+    node-count-sized). Each iteration: one join of the static annotated
+    edge relation against the CURRENT (sparse) rank vector, one grouped
+    sum, a full outer join with the broadcast seed-base vector (seeds
+    must regain restart mass even with zero in-contributions).
+
+    ``seeds``: one column ``seed_col`` of node ids (bounded by contract
+    — it is collected-size-class like the k-means seed set and
+    broadcast).
+    """
+    sc = edges.sparkSession.sparkContext
+    e, n_edges = _edges_on_disk(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    width = _exchange_width(sc, n_edges)
+    deg = (
+        e.repartition(width, "src")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    # seeds outside the graph carry restart mass but never emit (no
+    # out-degree row) — keep only real nodes so |S| matches the oracle's
+    sd = sd.join(
+        deg.select(F.col("src").alias("node")), "node", "left_semi"
+    ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    n_seeds = sd.count()  # bounded scalar
+    if n_seeds == 0:
+        raise ValueError("personalized PageRank needs >= 1 seed node")
+    ed, _ = _edges_on_disk(
+        e.repartition(width, "src").join(deg, "src"), expected_rows=n_edges
+    )
+    e.unpersist()
+    deg.unpersist()
+    base = (100 - damping_pct) * 1_000_000 // (100 * n_seeds)
+    seed_base = sd.select(
+        "node", F.lit(base).cast("long").alias("b")
+    )
+    r = sd.select(
+        "node", F.lit(1_000_000 // n_seeds).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            ed.join(r.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("r div outdeg").alias("c"))
+            .repartition(width, "dst")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            contrib.join(F.broadcast(seed_base), "node", "full")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("b"), F.lit(0))
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, 0L)) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ed.unpersist()
+    sd.unpersist()
+    return r.select("node", F.col("r").alias("rank_micro"))

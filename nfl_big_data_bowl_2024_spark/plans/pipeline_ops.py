@@ -9597,3 +9597,94 @@ def dq_drift_population(spark: SparkSession, sf_dir: str) -> DataFrame:
         "drift_micro",
     )
     return per_bin.unionByName(total)
+
+
+def _ppr_iter_sql(prev: str, out: str) -> str:
+    """One unrolled personalized-PageRank iteration: sparse contribution
+    join + FULL join against the seed restart vector (seeds regain their
+    restart mass even with zero in-contributions; reached non-seeds get
+    damped mass only)."""
+    return f"""{out} AS (
+        SELECT coalesce(c.node, sb.node) AS node,
+               coalesce(sb.b, 0) + (85 * coalesce(c.s, 0)) // 100 AS r
+        FROM (SELECT e.dst AS node, sum(p.r // e.outdeg) AS s
+              FROM ed e JOIN {prev} p ON e.src = p.node
+              GROUP BY e.dst) c
+        FULL JOIN seed_base sb ON c.node = sb.node
+    )"""
+
+
+@register(
+    "graph_pagerank_personalized",
+    f"""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+        SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+        UNION ALL
+        SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src),
+    seeds AS (
+        SELECT DISTINCT c.c_custkey * 2 AS node
+        FROM customer c
+        WHERE c.c_nationkey = 0
+          AND EXISTS (SELECT 1 FROM deg d WHERE d.src = c.c_custkey * 2)
+    ),
+    ns AS (SELECT count(*) AS ns FROM seeds),
+    seed_base AS (
+        SELECT node, (15 * 1000000) // (100 * ns.ns) AS b
+        FROM seeds CROSS JOIN ns
+    ),
+    r0 AS (SELECT node, 1000000 // ns.ns AS r FROM seeds CROSS JOIN ns),
+    {_ppr_iter_sql("r0", "r1")},
+    {_ppr_iter_sql("r1", "r2")},
+    {_ppr_iter_sql("r2", "r3")}
+    SELECT CAST(node % 2 AS INTEGER) AS is_supplier,
+           CAST(node // 2 AS BIGINT) AS entity_id,
+           CAST(r AS BIGINT) AS rank_micro
+    FROM r3
+    """,
+    doc="Personalized PageRank (random walk with restart) over the "
+    "trading graph, seeded on nation-0 customers — importance RELATIVE "
+    "to a query set, the locality/recommendation scorer next to "
+    "graph_pagerank_trading's global rank. Same float-free micro-unit "
+    "contract (positive integer div only), with sparse-frontier "
+    "semantics: mass starts on the seeds and a node owns a rank row "
+    "only once the walk reaches it — early iterations stay "
+    "frontier-sized at 100 TB instead of node-count-sized; seeds regain "
+    "restart mass through a FULL join with the broadcast seed-base "
+    "vector each round. 3 unrolled iterations replayed bit-exactly by "
+    "the oracle (operators/graph.py:pagerank_personalized_integer).",
+)
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_personalized_integer
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+    ).unionAll(
+        pairs.select(
+            (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
+        )
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    r = pagerank_personalized_integer(edges, seeds, iters=3)
+    return r.select(
+        (F.col("node") % 2).cast("int").alias("is_supplier"),
+        F.expr("node div 2").cast("long").alias("entity_id"),
+        F.col("rank_micro").cast("long").alias("rank_micro"),
+    )

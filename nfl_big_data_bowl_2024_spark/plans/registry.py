@@ -131,6 +131,7 @@ _DRIVER_PRIORITY: list[str] = [
     "evt_burstiness_fano",
     "evt_position_attribution",
     "dq_drift_population",
+    "graph_pagerank_personalized",
     "stat_mann_whitney_u",
     "agg_gini_per_nation",
     "argmax_per_group",
