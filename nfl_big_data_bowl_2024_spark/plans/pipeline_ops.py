@@ -9688,3 +9688,79 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node div 2").cast("long").alias("entity_id"),
         F.col("rank_micro").cast("long").alias("rank_micro"),
     )
+
+
+@register(
+    "graph_degree_distribution",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT c * 2 AS node FROM pairs
+            UNION ALL
+            SELECT s * 2 + 1 AS node FROM pairs
+        ) GROUP BY node
+    ),
+    pow2 AS (
+        SELECT CAST(b AS INTEGER) AS bucket,
+               CAST(2 ** b AS BIGINT) AS lo,
+               CAST(2 ** (b + 1) AS BIGINT) AS hi
+        FROM (SELECT unnest(generate_series(0, 40)) AS b) t
+    )
+    SELECT p.bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(deg.d) AS BIGINT) AS min_deg,
+           CAST(max(deg.d) AS BIGINT) AS max_deg,
+           CAST(sum(deg.d) AS BIGINT) AS degree_mass
+    FROM deg JOIN pow2 p ON deg.d >= p.lo AND deg.d < p.hi
+    GROUP BY p.bucket
+    """,
+    doc="Degree-distribution histogram of the trading graph in "
+    "powers-of-two buckets — the power-law/skew diagnostic that sizes "
+    "every other graph plan (hub mass tells you whether AQE skew "
+    "splitting, degree-oriented triangle orientation, and salting are "
+    "load-bearing). The log2 bucket comes from an exact integer range "
+    "join against a broadcast 41-row powers-of-two table (2^b <= d < "
+    "2^(b+1)) — no libm log2, whose value at exact powers is not "
+    "guaranteed correctly rounded, so the bucket edges are "
+    "hash-identical by construction. One distinct-pair build, one "
+    "degree aggregate, one broadcast band join; output is <= 41 rows "
+    "at any scale.",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = (
+        pairs.select((F.col("c") * 2).alias("node"))
+        .unionAll(pairs.select((F.col("s") * 2 + 1).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    pow2 = spark.range(41).select(
+        F.col("id").cast("int").alias("bucket"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").alias("lo"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(id + 1 AS INT))"
+        ).alias("hi"),
+    )
+    return (
+        deg.join(
+            F.broadcast(pow2),
+            (F.col("d") >= F.col("lo")) & (F.col("d") < F.col("hi")),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").cast("long").alias("min_deg"),
+            F.max("d").cast("long").alias("max_deg"),
+            F.sum("d").cast("long").alias("degree_mass"),
+        )
+    )

@@ -132,6 +132,7 @@ _DRIVER_PRIORITY: list[str] = [
     "evt_position_attribution",
     "dq_drift_population",
     "graph_pagerank_personalized",
+    "graph_degree_distribution",
     "stat_mann_whitney_u",
     "agg_gini_per_nation",
     "argmax_per_group",
