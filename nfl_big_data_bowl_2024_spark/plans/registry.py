@@ -50,74 +50,14 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # 8). Everything outside the current window stays locally verified via
 # scripts/verify_local.py (pandas canonicalization, driver-realistic).
 #
-# Round-8 window (verdict r7 item 1): positions 1-23 are the 23 round-7
-# registrations that had never been driver-attested; 24-28 the five
-# r3-stale entries; 29-32 the queries whose code changed this round
-# (sim_lsh_recall is NEW — the ANN recall ledger; case_lookup_dim_join,
-# graph_kcore_peel and graph_pagerank_trading changed plans/expressions);
-# 33-50 the oldest r4-evidence slice in registry order. Everything
-# displaced is driver-green at round >= 4 with unchanged code; round 9
-# continues with the remaining 25 r4 entries below the cutoff, then the
-# r5 slice.
+# Round-9 window (verdict r8 item 1): positions 1-15 are the 15 round-8
+# registrations that had never been driver-attested; 16-40 the 25 entries
+# whose latest driver evidence is r4; 41-44 the queries whose code changes
+# this round (CC large-star/small-star, streaming fixed-cost trim); 45-50
+# the oldest r5-evidence slice. Everything below the cutoff is ordered
+# stalest-evidence-first (r5, r6, r7, r8) so round 10 continues naturally.
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-7 registrations, never driver-attested (23)
-    "graph_label_propagation",
-    "stat_anova_oneway",
-    "evt_changepoint_cusum",
-    "evt_last_touch_attribution",
-    "scd2_bitemporal_asof",
-    "dq_benford_first_digit",
-    "evt_rfm_segmentation",
-    "graph_adamic_adar_links",
-    "spatial_proximity_pairs",
-    "agg_hll_overlap_estimate",
-    "opt_pareto_frontier",
-    "dedup_containment_pairs",
-    "graph_temporal_reachability",
-    "doc_quota_sample",
-    "evt_absence_churn",
-    "evt_interval_union_time",
-    "evt_seasonal_decompose",
-    "ml_eval_confusion",
-    "stat_mad_outliers",
-    "agg_fixed_grid_quantiles",
-    "agg_cms_join_size",
-    "dq_skew_report",
-    "dq_table_checksum",
-    # --- r3-stale entries (rows-only twins + scale twin)
-    "dedup_minhash_exact_dups",
-    "dedup_simhash_identical",
-    "e2_yap_scale",
-    "sim_ivf_probeall_topk",
-    "sim_lsh_bucketed",
-    # --- changed or new this round (re-attestation)
-    "sim_lsh_recall",
-    "case_lookup_dim_join",
-    "graph_kcore_peel",
-    "graph_pagerank_trading",
-    # --- oldest r4-evidence slice (18)
-    "e2_yap_closed_form",
-    "e3_player_stats",
-    "e3_position_params",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_ivf_topk",
-    "dedup_cluster_assign",
-    "dedup_cluster_representative",
-    "txt_lang_id",
-    "txt_regex_extract",
-    "json_build_extract",
-    "arr_top_components",
-    "pipeline_curation_funnel",
-    "mm_decode_features",
-    "mm_video_frame_decode",
-    "mm_resize_features",
-    "mm_audio_features",
-    "doc_quota_per_source",
-    # ---------------- position 50 cutoff ----------------
-    # Below: the round-8 post-window registrations (never driver-attested;
-    # they lead round 9 with the remaining r4 slice), then the r5/r6/r7
-    # fresh-evidence remainder in prior-round order.
+    # --- round-8 registrations, never driver-attested (15)
     "dedup_sorted_neighborhood",
     "doc_sequential_poisson_sample",
     "sim_hard_negatives",
@@ -133,6 +73,134 @@ _DRIVER_PRIORITY: list[str] = [
     "dq_drift_population",
     "graph_pagerank_personalized",
     "graph_degree_distribution",
+    # --- r4-stale entries (25)
+    "txt_bpe_train",
+    "txt_bpe_pretokenize",
+    "txt_bpe_pair_counts",
+    "dq_column_profile",
+    "evt_rolling_24h",
+    "txt_unigram_surprisal",
+    "doc_quality_zscore_bucket",
+    "doc_length_batches",
+    "emb_pca_power_iteration",
+    "doc_training_order",
+    "evt_transition_matrix",
+    "evt_user_zscore_outliers",
+    "txt_vocab_coverage",
+    "dq_split_leakage_audit",
+    "txt_pii_redact",
+    "doc_select_token_budget",
+    "doc_dsir_importance",
+    "txt_heavy_hitters",
+    "txt_bpe_encode",
+    "doc_dsir_select",
+    "dedup_multi_signal_clusters",
+    "tpch_q11_important_parts",
+    "tpch_q15_top_revenue_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_promotion_suppliers",
+    # --- code changed this round (re-attestation)
+    "dedup_cluster_assign",
+    "dedup_cluster_representative",
+    "stream_session_stats",
+    "stream_window_stats",
+    # --- oldest r5-evidence slice (fills; displaced by any new r9 registrations)
+    "dq_footer_profile",
+    "doc_mix_weights",
+    "ml_quality_classifier_train",
+    "e2_yap_closed_form_curved",
+    "dedup_semantic",
+    "e1_max_params",
+    # ---------------- position 50 cutoff ----------------
+    # Below: stalest-evidence-first (r5 remainder, then r6/r7/r8).
+    "e2_yap",
+    "stream_dedup_frames",
+    "flagship_bounded_max",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q12_shipmode_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_orders",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_join",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_dormant_accounts",
+    "pivot_priority_by_nation",
+    "unpivot_part_metrics",
+    "grouped_having_sort",
+    "corr_per_group",
+    "histogram_bins",
+    "trig_heading_wrap",
+    "conditional_recode_clip",
+    "join_multi_key",
+    "temporal_self_join",
+    "batch_sessionize",
+    "asof_last_purchase",
+    "range_join_near_events",
+    "semi_anti_join",
+    "union_dedup_sorted",
+    "offset_from_first",
+    "first_crossing_after_start",
+    "rollup_hierarchy",
+    "cube_order_profile",
+    "set_ops_intersect_except",
+    "window_rank_family",
+    "approx_count_distinct",
+    "skew_salted_agg",
+    "sql_interface",
+    "graph_khop_reachability",
+    "agg_countmin_sketch",
+    "evt_ewma_fixed_point",
+    "evt_sequence_match",
+    "src_schema_evolution_scan",
+    "stat_chi2_independence",
+    "evt_sliding_distinct_users",
+    "txt_token_lift_pairs",
+    "txt_simpson_diversity",
+    "doc_winsorized_stats",
+    "ml_naive_bayes_train",
+    "dq_referential_integrity",
+    "evt_autocovariance_lags",
+    "stream_sliding_window_stats",
+    "graph_triangle_count",
+    "evt_gap_fill_locf",
+    "txt_fuzzy_blocked_levenshtein",
+    "agg_hll_shard_union",
+    "ml_linreg_closed_form",
+    "stat_ks_two_sample",
+    "src_binaryfile_scan",
+    "src_xml_roundtrip",
+    "agg_grouping_sets",
+    "dq_try_arithmetic",
+    "evt_session_window_batch",
+    "cdc_apply_changelog",
+    "json_variant_extract",
+    "txt_chunk_udtf",
+    "agg_weighted_median",
+    "dq_observe_metrics",
+    "src_pysource_generate",
+    "stream_state_introspection",
+    "emb_arrow_norm_audit",
+    "src_pysource_write_roundtrip",
+    "src_pysource_stream_agg",
+    "scd2_pointintime_join",
+    "cogroup_order_reconcile",
+    "src_jsonl_roundtrip",
+    "src_orc_roundtrip",
+    "src_zorder_pruned_scan",
+    "evt_hypertable_rollup",
+    "txt_bigram_lm_surprisal",
+    "stream_enrich_window_stats",
+    "src_snapshot_time_travel",
+    "evt_rollup_incremental_refresh",
+    "stream_interval_join_stats",
+    "stream_stateful_running_max",
+    "mm_byte_features",
     "stat_mann_whitney_u",
     "agg_gini_per_nation",
     "argmax_per_group",
@@ -183,127 +251,54 @@ _DRIVER_PRIORITY: list[str] = [
     "agg_kmv_distinct",
     "agg_bitmap_audience_overlap",
     "graph_weighted_sssp",
-    "dq_footer_profile",
-    "doc_mix_weights",
-    "ml_quality_classifier_train",
-    "e2_yap_closed_form_curved",
-    "dedup_semantic",
-    "e1_max_params",
-    "e2_yap",
-    "stream_session_stats",
-    "stream_window_stats",
-    "stream_dedup_frames",
-    "flagship_bounded_max",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q12_shipmode_priority",
-    "tpch_q14_promo_revenue",
-    "tpch_q13_customer_distribution",
-    "tpch_q18_large_orders",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_join",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_dormant_accounts",
-    "pivot_priority_by_nation",
-    "unpivot_part_metrics",
-    "grouped_having_sort",
-    "corr_per_group",
-    "histogram_bins",
-    "trig_heading_wrap",
-    "conditional_recode_clip",
-    "join_multi_key",
-    "temporal_self_join",
-    "batch_sessionize",
-    "asof_last_purchase",
-    "range_join_near_events",
-    "semi_anti_join",
-    "union_dedup_sorted",
-    "offset_from_first",
-    "first_crossing_after_start",
-    "rollup_hierarchy",
-    "cube_order_profile",
-    "set_ops_intersect_except",
-    "window_rank_family",
-    "approx_count_distinct",
-    "skew_salted_agg",
-    "sql_interface",
-    "txt_bpe_train",
-    "txt_bpe_pretokenize",
-    "txt_bpe_pair_counts",
-    "dq_column_profile",
-    "evt_rolling_24h",
-    "txt_unigram_surprisal",
-    "doc_quality_zscore_bucket",
-    "doc_length_batches",
-    "emb_pca_power_iteration",
-    "doc_training_order",
-    "evt_transition_matrix",
-    "evt_user_zscore_outliers",
-    "txt_vocab_coverage",
-    "dq_split_leakage_audit",
-    "txt_pii_redact",
-    "doc_select_token_budget",
-    "doc_dsir_importance",
-    "txt_heavy_hitters",
-    "txt_bpe_encode",
-    "doc_dsir_select",
-    "dedup_multi_signal_clusters",
-    "tpch_q11_important_parts",
-    "tpch_q15_top_revenue_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q20_promotion_suppliers",
-    "graph_khop_reachability",
-    "agg_countmin_sketch",
-    "evt_ewma_fixed_point",
-    "evt_sequence_match",
-    "src_schema_evolution_scan",
-    "stat_chi2_independence",
-    "evt_sliding_distinct_users",
-    "txt_token_lift_pairs",
-    "txt_simpson_diversity",
-    "doc_winsorized_stats",
-    "ml_naive_bayes_train",
-    "dq_referential_integrity",
-    "evt_autocovariance_lags",
-    "stream_sliding_window_stats",
-    "graph_triangle_count",
-    "evt_gap_fill_locf",
-    "txt_fuzzy_blocked_levenshtein",
-    "agg_hll_shard_union",
-    "ml_linreg_closed_form",
-    "stat_ks_two_sample",
-    "src_binaryfile_scan",
-    "src_xml_roundtrip",
-    "agg_grouping_sets",
-    "dq_try_arithmetic",
-    "evt_session_window_batch",
-    "cdc_apply_changelog",
-    "json_variant_extract",
-    "txt_chunk_udtf",
-    "agg_weighted_median",
-    "dq_observe_metrics",
-    "src_pysource_generate",
-    "stream_state_introspection",
-    "emb_arrow_norm_audit",
-    "src_pysource_write_roundtrip",
-    "src_pysource_stream_agg",
-    "scd2_pointintime_join",
-    "cogroup_order_reconcile",
-    "src_jsonl_roundtrip",
-    "src_orc_roundtrip",
-    "src_zorder_pruned_scan",
-    "evt_hypertable_rollup",
-    "txt_bigram_lm_surprisal",
-    "stream_enrich_window_stats",
-    "src_snapshot_time_travel",
-    "evt_rollup_incremental_refresh",
-    "stream_interval_join_stats",
-    "stream_stateful_running_max",
-    "mm_byte_features",
+    "graph_label_propagation",
+    "stat_anova_oneway",
+    "evt_changepoint_cusum",
+    "evt_last_touch_attribution",
+    "scd2_bitemporal_asof",
+    "dq_benford_first_digit",
+    "evt_rfm_segmentation",
+    "graph_adamic_adar_links",
+    "spatial_proximity_pairs",
+    "agg_hll_overlap_estimate",
+    "opt_pareto_frontier",
+    "dedup_containment_pairs",
+    "graph_temporal_reachability",
+    "doc_quota_sample",
+    "evt_absence_churn",
+    "evt_interval_union_time",
+    "evt_seasonal_decompose",
+    "ml_eval_confusion",
+    "stat_mad_outliers",
+    "agg_fixed_grid_quantiles",
+    "agg_cms_join_size",
+    "dq_skew_report",
+    "dq_table_checksum",
+    "dedup_minhash_exact_dups",
+    "dedup_simhash_identical",
+    "e2_yap_scale",
+    "sim_ivf_probeall_topk",
+    "sim_lsh_bucketed",
+    "sim_lsh_recall",
+    "case_lookup_dim_join",
+    "graph_kcore_peel",
+    "graph_pagerank_trading",
+    "e2_yap_closed_form",
+    "e3_player_stats",
+    "e3_position_params",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_ivf_topk",
+    "txt_lang_id",
+    "txt_regex_extract",
+    "json_build_extract",
+    "arr_top_components",
+    "pipeline_curation_funnel",
+    "mm_decode_features",
+    "mm_video_frame_decode",
+    "mm_resize_features",
+    "mm_audio_features",
+    "doc_quota_per_source",
 ]
 
 
