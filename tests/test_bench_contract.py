@@ -42,6 +42,8 @@ def test_worst_case_bench_line_fits_driver_window():
             "unit": "sec",
             "core_total": 99999.99,
             "core_prev_total": 99999.99,
+            "calibration_sec": 9999.999,
+            "core_total_normalized": 99999.99,
             "queries": {n: 9999 for n in names},
             "sf": 0.1,
         },
@@ -63,6 +65,23 @@ def test_core_is_pinned_and_comparable():
     assert set(bench.CORE_PREV) == set(bench.CORE)
     comparable = [n for n in bench.CORE if bench.CORE_PREV[n] is not None]
     assert len(comparable) >= 0.8 * len(bench.CORE)
+
+
+def test_calibration_probe_is_frozen():
+    """The box-speed probe only works if NO round edits it: pin the exact
+    source of calibration_probe's workload so a diff here is loud. If you
+    hit this assert, you changed the probe — revert; the probe's whole
+    value is that its timing shifts measure the box, never the code."""
+    import hashlib
+    import inspect
+
+    bench = _bench_module()
+    src = inspect.getsource(bench.calibration_probe)
+    digest = hashlib.sha256(src.encode()).hexdigest()[:16]
+    assert digest == "59899ec0317f7f92", (
+        f"calibration_probe source changed (sha {digest}) — the probe is "
+        "frozen by contract; revert the edit"
+    )
 
 
 def test_bench_registry_names_resolve():
