@@ -463,6 +463,91 @@ def arrow_sq_norms(df, id_col: str, vec_col: str, keep: list[str]):
     return df.select(id_col, *keep, vec_col).mapInArrow(kernel, out_schema)
 
 
+def _collect_codebook(cent: DataFrame) -> dict[int, list[tuple[int, list[int]]]]:
+    """Materialize a PQ codebook DataFrame (sub, cid, cv) to the driver.
+
+    Bounded by contract: m x n_cent rows of sub_w longs (16x16x4 = 8 KiB
+    at the registered operating point) — the same bounded-model-collect
+    class as the k-means centroid collects in operators/clustering.py.
+    Returned as {sub: [(cid, cv), ...] sorted by cid} so downstream argmin
+    tie-breaks to the LOWEST centroid id exactly like min(struct(d, cid)).
+    """
+    by_sub: dict[int, list[tuple[int, list[int]]]] = {}
+    for r in cent.select("sub", "cid", "cv").collect():
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["cid"]), [int(v) for v in r["cv"]])
+        )
+    for v in by_sub.values():
+        v.sort()
+    return by_sub
+
+
+def _pq_assign_arrow(
+    subs: DataFrame,
+    id_col: str,
+    sub_w: int,
+    codebook: dict[int, list[tuple[int, list[int]]]],
+) -> DataFrame:
+    """PQ code assignment as a ``mapInArrow`` kernel — the production path
+    (round-8 verdict item 3: the interpreted HOF form spent 93 s on the
+    one-shot sf10 index build; per-element Catalyst lambdas evaluate
+    3 x sub_w x n_cent interpreted ops per row).
+
+    One numpy matmul per Arrow batch computes every (row, centroid)
+    squared-L2 in EXACT int64 (components are 1e6-scaled ints: products
+    <= ~1e14, sums far below 2^63) and ``argmin`` over the cid-sorted
+    centroid matrix reproduces the HOF/SQL ``min(struct(dist, cid))``
+    tie-break bit-for-bit — the ||sv||^2 term is constant per row and
+    drops out of the argmin, everything else is the same integer. The
+    HOF form stays available as the oracle twin (``assign_mode="hof"``)
+    with code-set equality asserted in tests. Map-only: the plan is a
+    single MapInArrow over the subvector rows; the codebook ships in the
+    task closure (KB-sized by contract).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    tables = {
+        s: (
+            np.array([c for c, _ in v], dtype=np.int64),
+            np.array([cv for _, cv in v], dtype=np.int64),
+        )
+        for s, v in codebook.items()
+    }
+    out_schema = f"{id_col} bigint, sub int, sv array<bigint>, cid int"
+
+    def kernel(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            sub_np = b.column("sub").to_numpy(zero_copy_only=False)
+            sv = b.column("sv")
+            vals = np.asarray(sv.values, dtype="int64")
+            offs = np.asarray(sv.offsets, dtype="int64")
+            if not ((offs[1:] - offs[:-1]) == sub_w).all():
+                raise ValueError("ragged PQ subvector; dim must be m*sub_w")
+            # gather through offsets (handles sliced batches where the
+            # values buffer does not start at offset 0)
+            x = vals[offs[:-1, None] + np.arange(sub_w)[None, :]]
+            cids = np.empty(n, dtype=np.int32)
+            for s in np.unique(sub_np):
+                cid_arr, cv = tables[int(s)]
+                mask = sub_np == s
+                d = -2 * (x[mask] @ cv.T) + (cv * cv).sum(axis=1)[None, :]
+                cids[mask] = cid_arr[np.argmin(d, axis=1)]
+            yield pa.record_batch(
+                {
+                    id_col: b.column(id_col).cast(pa.int64()),
+                    "sub": b.column("sub").cast(pa.int32()),
+                    "sv": sv.cast(pa.list_(pa.int64())),
+                    "cid": pa.array(cids, type=pa.int32()),
+                }
+            )
+
+    return subs.select(id_col, "sub", "sv").mapInArrow(kernel, out_schema)
+
+
 def pq_adc_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -473,6 +558,7 @@ def pq_adc_topk(
     n_cent: int = 16,
     dim: int = 64,
     lloyd_iters: int = 2,
+    assign_mode: str = "arrow",
 ) -> DataFrame:
     """Product-quantization ANN at the oracle-checkable operating point:
     Jegou et al. 2011's PQ with asymmetric distance computation (ADC),
@@ -496,14 +582,16 @@ def pq_adc_topk(
     no float enters any ordering.
 
     Scale shape: one narrow shuffle ranks each subspace (partitioned BY
-    SUBSPACE — never a single-partition window); assignment is a join
-    against the m x n_cent broadcast codebook with a partial-aggregated
-    min(struct) argmin, so only (n x m) code rows reach the exchange;
-    ADC is a broadcast lookup + integer sum; the top-k is
-    TakeOrderedAndProject. Production PQ would Lloyd-refine the
-    codebooks (emb_kmeans_lloyd) and store codes columnar; the
-    fixed-rank codebook is the operating point that makes recall and
-    ranking driver-attestable.
+    SUBSPACE — never a single-partition window); assignment is the
+    PRODUCTION ``mapInArrow`` kernel (``assign_mode="arrow"``, default):
+    the KB-sized codebook is collected per Lloyd round (bounded-model
+    collect, flattening the iteration lineage) and one numpy int64
+    matmul per batch computes every squared-L2 — map-only, no join, no
+    interpreted per-element lambdas. ``assign_mode="hof"`` keeps the
+    pure-Catalyst broadcast-join + min(struct) argmin as the oracle twin
+    (bit-identical: same integers, same lowest-cid ties; equality
+    asserted in tests/test_dedup_similarity.py). ADC is a broadcast
+    lookup + integer sum; the top-k is TakeOrderedAndProject.
     """
     from pyspark.sql import Window
 
@@ -563,7 +651,7 @@ def pq_adc_topk(
         + idot("cv", "cv")
     )
 
-    def assign(centroids: DataFrame) -> DataFrame:
+    def assign_hof(centroids: DataFrame) -> DataFrame:
         return (
             subs.join(F.broadcast(centroids), "sub")
             .select(
@@ -577,6 +665,26 @@ def pq_adc_topk(
             .groupBy(id_col, "sub", "sv")
             .agg(F.min("dc").alias("best"))
             .select(id_col, "sub", "sv", F.col("best.cid").alias("cid"))
+        )
+
+    spark = df.sparkSession
+
+    def rebuild_cent(codebook) -> DataFrame:
+        # flatten the per-round lineage: the collected codebook becomes a
+        # fresh local relation (m x n_cent rows), so round i+1's plan does
+        # not re-run round i's assignment
+        rows = [
+            (s, cid, cv) for s, v in codebook.items() for cid, cv in v
+        ]
+        return spark.createDataFrame(
+            rows, "sub int, cid int, cv array<bigint>"
+        )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        if assign_mode == "hof":
+            return assign_hof(centroids)
+        return _pq_assign_arrow(
+            subs, id_col, sub_w, _collect_codebook(centroids)
         )
 
     # Lloyd refinement with INTEGER centroids, unrolled a fixed number of
@@ -601,7 +709,16 @@ def pq_adc_topk(
                 ]
             ).alias("cv")
         )
-    codes = assign(cent).select(id_col, "sub", "cid")
+    if assign_mode != "hof":
+        # one bounded collect serves both the final assignment kernel and
+        # the ADC table below (cent becomes a flat local relation)
+        final_cb = _collect_codebook(cent)
+        cent = rebuild_cent(final_cb)
+        codes = _pq_assign_arrow(subs, id_col, sub_w, final_cb).select(
+            id_col, "sub", "cid"
+        )
+    else:
+        codes = assign(cent).select(id_col, "sub", "cid")
     qsub = subs.filter(F.col(id_col) == query_vec_id).select(
         "sub", F.col("sv").alias("qv")
     )

@@ -625,3 +625,23 @@ def test_pq_adc_recall_against_exact_l2(spark):
     exact10 = {int(i) for _, i in sorted(zip(d2[mask], ids[mask]))[:10]}
     got = {r["vec_id"] for r in pq_adc_topk(e, k=25).collect()}
     assert len(got & exact10) >= 7
+
+
+def test_pq_arrow_assignment_matches_hof_twin(spark):
+    """The production mapInArrow code-assignment must be BIT-IDENTICAL to
+    the pure-Catalyst HOF oracle twin: same integer distances, same
+    lowest-cid tie-break — so the full ranked result (ids AND adc_dist2)
+    of both modes is equal, and the registered query's SQL oracle keeps
+    holding for the arrow path."""
+    from nfl_big_data_bowl_2024_spark.operators.similarity import pq_adc_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    arrow = [
+        (r["vec_id"], r["adc_dist2"])
+        for r in pq_adc_topk(e, k=25, assign_mode="arrow").collect()
+    ]
+    hof = [
+        (r["vec_id"], r["adc_dist2"])
+        for r in pq_adc_topk(e, k=25, assign_mode="hof").collect()
+    ]
+    assert arrow == hof
