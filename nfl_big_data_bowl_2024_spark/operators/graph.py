@@ -657,6 +657,56 @@ def temporal_reachability(
     return arr
 
 
+def _ppr_step(
+    ed: DataFrame,
+    r: DataFrame,
+    seed_base: DataFrame,
+    width: int,
+    damping_pct: int,
+) -> DataFrame:
+    """One personalized-PageRank iteration, pre-checkpoint (split out so
+    tests can plan-assert it — the post-checkpoint lineage is flattened).
+
+    The seed restart used to be ``contrib FULL OUTER broadcast(seeds)``;
+    a broadcast hint on a full outer join is UNSUPPORTED — Spark logs a
+    HintErrorLogger WARN per iteration and silently sort-merges, shuffling
+    the frontier-sized contrib relation every round (round-8 verdict item
+    4). Restructured as three joins that all keep the KB-sized seed side
+    broadcast and contrib where it is:
+
+      reached   = contrib LEFT JOIN broadcast(seed_base)   -- restart mass
+                  for seeds that also received walk mass
+      unreached = seed_base ANTI broadcast(contrib SEMI broadcast(seeds))
+                  -- seeds with zero in-contributions regain base mass
+      next r    = reached UNION ALL unreached
+
+    contrib is localCheckpoint-ed eagerly: both branches read it, and the
+    checkpoint bounds the cost to one materialization of the (sparse,
+    frontier-sized) aggregated vector — the same per-iteration
+    materialization the loop already paid on ``r``.
+    """
+    contrib = (
+        ed.join(r.withColumnRenamed("node", "src"), "src")
+        .select("dst", F.expr("r div outdeg").alias("c"))
+        .repartition(width, "dst")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("c").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    damped = F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+    reached = contrib.join(F.broadcast(seed_base), "node", "left").select(
+        "node",
+        (F.coalesce(F.col("b"), F.lit(0)) + damped).cast("long").alias("r"),
+    )
+    reached_seed_ids = contrib.join(
+        F.broadcast(seed_base.select("node")), "node", "left_semi"
+    ).select("node")
+    unreached = seed_base.join(
+        F.broadcast(reached_seed_ids), "node", "left_anti"
+    ).select("node", F.col("b").cast("long").alias("r"))
+    return reached.unionByName(unreached)
+
+
 def pagerank_personalized_integer(
     edges: DataFrame,
     seeds: DataFrame,
@@ -680,8 +730,10 @@ def pagerank_personalized_integer(
     what keeps early iterations frontier-sized at 100 TB instead of
     node-count-sized). Each iteration: one join of the static annotated
     edge relation against the CURRENT (sparse) rank vector, one grouped
-    sum, a full outer join with the broadcast seed-base vector (seeds
-    must regain restart mass even with zero in-contributions).
+    sum, then the seed-restart union of ``_ppr_step`` (left/semi/anti
+    joins, every one with the KB-sized seed side broadcast — seeds must
+    regain restart mass even with zero in-contributions, and a broadcast
+    full-outer join is not a plan Spark supports).
 
     ``seeds``: one column ``seed_col`` of node ids (bounded by contract
     — it is collected-size-class like the k-means seed set and
@@ -720,27 +772,8 @@ def pagerank_personalized_integer(
         "node", F.lit(1_000_000 // n_seeds).cast("long").alias("r")
     ).localCheckpoint(eager=True)
     for _ in range(iters):
-        contrib = (
-            ed.join(r.withColumnRenamed("node", "src"), "src")
-            .select("dst", F.expr("r div outdeg").alias("c"))
-            .repartition(width, "dst")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("c").alias("s"))
-        )
-        r = (
-            contrib.join(F.broadcast(seed_base), "node", "full")
-            .select(
-                "node",
-                (
-                    F.coalesce(F.col("b"), F.lit(0))
-                    + F.expr(
-                        f"({damping_pct} * coalesce(s, 0L)) div 100"
-                    )
-                )
-                .cast("long")
-                .alias("r"),
-            )
-            .localCheckpoint(eager=True)
+        r = _ppr_step(ed, r, seed_base, width, damping_pct).localCheckpoint(
+            eager=True
         )
     ed.unpersist()
     sd.unpersist()

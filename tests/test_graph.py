@@ -367,3 +367,69 @@ def test_bellman_ford_bounded_on_known_graph(spark):
         for r in bellman_ford_bounded(edges, seeds, rounds=4).collect()
     }
     assert got4[4] == 8  # cheap path reaches 4 within the 4-edge budget
+
+
+def test_ppr_hand_replay_and_broadcast_seed_plan(spark):
+    """Personalized PageRank: (a) exact integer hand-replay on a small
+    graph, (b) the round-8 verdict item-4 plan fix — every seed-restart
+    join in one iteration's pre-checkpoint plan must broadcast the seed
+    side (the old FULL OUTER broadcast hint was unsupported: Spark logged
+    a HintErrorLogger WARN and sort-merged both sides, shuffling the
+    frontier-sized contrib relation every round)."""
+    from nfl_big_data_bowl_2024_spark.operators.graph import (
+        _ppr_step,
+        pagerank_personalized_integer,
+    )
+
+    random.seed(9)
+    edge_list = list(
+        {(random.randrange(30), random.randrange(30)) for _ in range(120)}
+    )
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    edges = spark.createDataFrame(edge_list, "src: long, dst: long")
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "node: long")
+
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_personalized_integer(
+            edges, seeds, iters=3, damping_pct=85
+        ).collect()
+    }
+
+    # pure-python integer replay (positive values: // == SQL div)
+    outdeg: dict[int, int] = {}
+    for a, _ in edge_list:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    seed_ids = [s for s in (1, 2, 3) if s in outdeg]
+    n_seeds = len(seed_ids)
+    base = (100 - 85) * 1_000_000 // (100 * n_seeds)
+    r = {s: 1_000_000 // n_seeds for s in seed_ids}
+    for _ in range(3):
+        contrib: dict[int, int] = {}
+        for a, b in edge_list:
+            if a in r:
+                contrib[b] = contrib.get(b, 0) + r[a] // outdeg[a]
+        nxt = {}
+        for node, s in contrib.items():
+            nxt[node] = (base if node in seed_ids else 0) + (85 * s) // 100
+        for s in seed_ids:
+            if s not in contrib:
+                nxt[s] = base
+        r = nxt
+    assert got == r
+
+    # plan audit on the pre-checkpoint step: seed joins broadcast, and no
+    # sort-merge join anywhere (the old full-outer fallback)
+    from pyspark.sql.functions import broadcast as _b
+
+    ed = edges.join(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src"
+    )
+    seed_base = seeds.select("node", F.lit(base).cast("long").alias("b"))
+    rv = seeds.select(
+        "node", F.lit(1_000_000 // 3).cast("long").alias("r")
+    )
+    step = _ppr_step(ed, rv, seed_base, width=4, damping_pct=85)
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
