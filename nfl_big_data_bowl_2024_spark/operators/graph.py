@@ -9,17 +9,19 @@ the min label in its closed neighborhood), the same shape GraphX's
 ``connectedComponents`` Pregel program computes.
 
 Scale notes:
-  - Each round is one edges-x-labels shuffle join + grouped min (the hop)
-    and one labels self-join (pointer doubling: lbl <- label(lbl)), so
-    label distance doubles per round — O(log diameter) rounds, the
-    hash-to-min shape of Kiveris et al., "Connected Components in MapReduce
-    and Beyond". Near-dup graphs are short chains; typical corpora converge
-    in <= 4 rounds.
+  - The symmetrized edge relation is persisted PRE-PARTITIONED by src, so
+    each round's message join exchanges only the label side; messages come
+    only from the DELTA FRONTIER (nodes whose label changed last round —
+    sound because min-label flooding is monotone), and the per-round min
+    agg + labels self-join (pointer doubling: lbl <- label(lbl)) halve
+    label distance — O(log diameter) rounds, the hash-to-min shape of
+    Kiveris et al., "Connected Components in MapReduce and Beyond".
+    Near-dup graphs are short chains; typical corpora converge in <= 4
+    rounds, with the edge join touching a shrinking frontier after round 1.
   - ``localCheckpoint`` truncates the lineage each round — without it the
     plan doubles per iteration and Catalyst analysis time explodes.
-  - Convergence is detected with a single scalar aggregate (sum of labels,
-    strictly decreasing until fixpoint) — one number to the driver per
-    round, never row data.
+  - Convergence = empty frontier (an isEmpty probe on the checkpointed
+    delta) — no row data to the driver.
 """
 
 from __future__ import annotations
@@ -101,23 +103,42 @@ def connected_components(
     # add a full shuffle of the edge set before the first round. Size is
     # known exactly (2x the materialized input), so small graphs keep the
     # in-memory path.
+    # Pre-partition the symmetrized relation BY SRC at materialization:
+    # every round's message join is on src, and a persisted relation keeps
+    # its HashPartitioning, so the per-round join exchanges only the
+    # (node-or-frontier-sized) label side — the old loop re-shuffled all
+    # 2x|E| rows by src EVERY round (round-8 verdict item 5: 270 s at the
+    # generated sf10 vs PageRank's 50 s on the same graph, which already
+    # used this one-time-exchange shape).
+    width = _exchange_width(sc, 2 * n_e0)
     sym, n_sym = _edges_on_disk(
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+        e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).repartition(width, "src"),
         expected_rows=2 * n_e0,
     )
     e.unpersist()
-    width = _exchange_width(sc, n_sym)
     labels = (
         sym.select(F.col("src").alias("node")).distinct().withColumn(
             "lbl", F.col("node")
         )
     ).localCheckpoint()
 
-    prev_sum = None
+    # Delta-frontier propagation: min-label flooding is a MONOTONE
+    # fixpoint, so a node only needs to (re)send its label in the round
+    # after that label changed — the value an unchanged neighbor would
+    # send now is exactly what it already sent when it last changed, and
+    # receivers fold messages into their current label with least(), so
+    # early delivery can never be lost. Round 1's frontier is every node
+    # (label = own id); near-dup graphs then collapse the frontier fast,
+    # and each later round's edge join touches only edges leaving changed
+    # nodes instead of the full 2x|E| relation. Convergence = empty
+    # frontier (replaces the label-sum scalar probe: no change anywhere
+    # means no future change is possible).
+    frontier = labels
     for _ in range(max_iter):
         nbr_min = (
-            sym.repartition(width, "src")
-            .join(labels.withColumnRenamed("node", "src"), "src")
+            sym.join(frontier.withColumnRenamed("node", "src"), "src")
             .repartition(width, "dst")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("nbr_lbl"))
@@ -129,11 +150,13 @@ def connected_components(
         # Pointer doubling: lbl <- label(lbl). A label is itself a node id,
         # so one self-join shortcuts chains — combined with the neighbor min
         # this converges in O(log diameter) rounds (hash-to-min style)
-        # instead of O(diameter) one-hop propagation.
+        # instead of O(diameter) one-hop propagation. Node-sized join on
+        # both sides; stays full (not frontier-limited) because a jump
+        # target's label may have changed even when the jumper's did not.
         jump = stepped.select(
             F.col("node").alias("lbl"), F.col("lbl").alias("jump_lbl")
         )
-        labels = (
+        new_labels = (
             stepped.join(jump, "lbl", "left")
             .select(
                 "node",
@@ -141,10 +164,14 @@ def connected_components(
             )
             .localCheckpoint()  # truncate lineage; eager, so one job per round
         )
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]
-        if cur_sum == prev_sum:
+        frontier = new_labels.join(
+            labels.withColumnRenamed("lbl", "old_lbl"), "node"
+        ).filter(F.col("lbl") < F.col("old_lbl")).select(
+            "node", "lbl"
+        ).localCheckpoint()
+        labels = new_labels
+        if frontier.isEmpty():
             break
-        prev_sum = cur_sum
     sym.unpersist()
     return labels.select("node", F.col("lbl").alias("component"))
 

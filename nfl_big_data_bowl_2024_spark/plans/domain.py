@@ -674,11 +674,20 @@ def stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tr.coalesce(2).write.mode("overwrite").parquet(d)
         schema = spark.read.parquet(d).schema
-        stream = st.read_tracking_stream(spark, d, schema, max_files_per_trigger=1)
-        q = st.run_to_memory_sink(
-            st.windowed_play_stats(stream), "stream_window_stats_q", "append"
+        # No per-file trigger throttle: the attested semantics here are the
+        # watermark + append-mode emission cutoff, which the final
+        # watermark-commit batch provides identically whether the feed
+        # arrives as one data batch or several (multi-micro-batch behavior
+        # is attested by stream_dedup_frames' redelivery feed). Dropping
+        # the forced batch boundary + pinning 4 state partitions took the
+        # fixed cost from 5.4 s to 3.1 s at sf0.1 (round-8 verdict item 6).
+        stream = st.read_tracking_stream(spark, d, schema)
+        st.drain_to_memory_sink(
+            st.windowed_play_stats(stream),
+            "stream_window_stats_q",
+            "append",
+            state_partitions=4,
         )
-        q.awaitTermination(300)
         return spark.table("stream_window_stats_q").select(
             "gameId", "playId",
             F.unix_micros("win_start").alias("win_start_us"),
@@ -692,8 +701,8 @@ def stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_stats",
     _STREAM_SESS_ORACLE,
     doc="Structured Streaming end-to-end (§2.9 extension): fixture tracking "
-    "frames written as two parquet files -> file-source readStream (1 file "
-    "per micro-batch) -> watermark + session_window per play -> memory sink "
+    "frames written as a two-file parquet feed -> file-source readStream "
+    "-> watermark + session_window per play -> memory sink "
     "drained with trigger(availableNow). ORACLE-CHECKED including the "
     "watermark semantics: the oracle computes gap-sessionization with the "
     "general lag/running-sum formulation and applies the same append-mode "
@@ -719,11 +728,16 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tr.coalesce(2).write.mode("overwrite").parquet(d)
         schema = spark.read.parquet(d).schema
-        stream = st.read_tracking_stream(spark, d, schema, max_files_per_trigger=1)
-        q = st.run_to_memory_sink(
-            st.sessionized_play_stats(stream), "stream_session_stats_q", "append"
+        # Same fixed-cost trim as stream_window_stats: no forced batch
+        # boundary (the emission cutoff is what this query attests) and 4
+        # pinned state partitions for the fixture-scale feed.
+        stream = st.read_tracking_stream(spark, d, schema)
+        st.drain_to_memory_sink(
+            st.sessionized_play_stats(stream),
+            "stream_session_stats_q",
+            "append",
+            state_partitions=4,
         )
-        q.awaitTermination(300)
         # The memory sink holds the emitted batches in the driver's table
         # registry — the returned plan scans those batches, never the source
         # files, so the temp dir can be removed with no collect/recreate
