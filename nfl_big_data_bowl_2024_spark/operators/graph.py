@@ -805,3 +805,75 @@ def pagerank_personalized_integer(
     ed.unpersist()
     sd.unpersist()
     return r.select("node", F.col("r").alias("rank_micro"))
+
+
+def hits_integer(
+    pairs: DataFrame,
+    hub_col: str = "c",
+    auth_col: str = "s",
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic integer HITS (Kleinberg 1999) over a bipartite
+    hub -> authority pair relation: hubs accumulate the authority scores
+    they point at, authorities the hub scores pointing at them, each side
+    re-normalized to ~1e6 total mass per round.
+
+    Float-free like pagerank_integer: scores live in integer micro-units;
+    the per-round normalization is ``score div greatest(S div 1e6, 1)``
+    with S the side's raw sum — dividing by the PRE-scaled scalar instead
+    of multiplying by 1e6 first keeps every intermediate below 2^63 even
+    at billion-node scale (raw sums reach ~1e15 there; a *1e6 before the
+    div would overflow). Positive-int div only, so a SQL oracle replays
+    all rounds bit-exactly. Each round is two shuffle joins of the pair
+    relation against the node-sized score vectors plus two grouped sums
+    and two 1-row scalar aggregates (broadcast crossJoin attach, the
+    repo's scalar idiom); ``iters`` is small and fixed, so lineage stays
+    bounded without checkpoints.
+
+    Returns (is_supplier, entity_id, score_micro): hubs with flag 0 and
+    their final hub score, authorities with flag 1 and their final
+    authority score.
+    """
+    p = pairs.select(F.col(hub_col).alias("c"), F.col(auth_col).alias("s"))
+    h = p.select("c").distinct().withColumn(
+        "h", F.lit(1_000_000).cast("long")
+    )
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            p.join(h, "c")
+            .groupBy("s")
+            .agg(F.sum("h").alias("raw"))
+        )
+        a_div = a_raw.agg(
+            F.greatest(
+                F.expr("sum(raw) div 1000000"), F.lit(1).cast("long")
+            ).alias("d")
+        )
+        a = a_raw.crossJoin(F.broadcast(a_div)).select(
+            "s", F.expr("raw div d").cast("long").alias("a")
+        )
+        h_raw = (
+            p.join(a, "s")
+            .groupBy("c")
+            .agg(F.sum("a").alias("raw"))
+        )
+        h_div = h_raw.agg(
+            F.greatest(
+                F.expr("sum(raw) div 1000000"), F.lit(1).cast("long")
+            ).alias("d")
+        )
+        h = h_raw.crossJoin(F.broadcast(h_div)).select(
+            "c", F.expr("raw div d").cast("long").alias("h")
+        )
+    hubs = h.select(
+        F.lit(0).cast("int").alias("is_supplier"),
+        F.col("c").cast("long").alias("entity_id"),
+        F.col("h").cast("long").alias("score_micro"),
+    )
+    auths = a.select(
+        F.lit(1).cast("int").alias("is_supplier"),
+        F.col("s").cast("long").alias("entity_id"),
+        F.col("a").cast("long").alias("score_micro"),
+    )
+    return hubs.unionByName(auths)

@@ -739,3 +739,100 @@ def pq_adc_topk(
         .orderBy(F.col("adc_dist2").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mmr_diversified_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_id: int = 0,
+    pool_k: int = 25,
+    k: int = 5,
+    lambda_num: int = 7,
+    lambda_den_minus: int = 3,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) diversified
+    retrieval: greedily pick ``k`` results maximizing
+    ``7*relevance - 3*max_similarity_to_already_selected`` (lambda = 0.7
+    as an exact integer 7/3 split) — the de-dup-aware retrieval shape a
+    training-data pipeline uses to avoid filling a context window with
+    near-identical passages.
+
+    Integer-exact end-to-end: vectors fixed-pointed to 1e6-scaled longs
+    (the PQ idiom), relevance and pairwise similarity are integer dot
+    products (<= 64 * (1e6-scale)^2 ~ 1.6e15, below 2^53, so DuckDB's
+    double-typed list_dot_product replays them exactly), ties break to
+    the lowest vec_id. The SQL oracle unrolls the k greedy steps as CTEs.
+
+    Scale shape: the DISTRIBUTED stage is relevance scoring + top-``pool_k``
+    (TakeOrderedAndProject over the corpus, the only pass that touches all
+    n vectors); the greedy re-rank runs over the bounded pool via ``k``
+    limit-1 driver steps (the BPE-train bounded-driver-state class: one
+    (id, score) row to the driver per step, pool stays a 25-row broadcast
+    relation). MMR is inherently sequential in k — the greedy argmax
+    depends on every prior pick — so k tiny jobs over a KB-sized pool IS
+    the distributed formulation; only pool selection scales with data.
+    """
+    spark = df.sparkSession
+    ints = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * 1_000_000 + 0.5).cast("long"),
+        ).alias("a"),
+    )
+
+    def idot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    q = F.broadcast(
+        ints.filter(F.col(id_col) == query_vec_id).select(
+            F.col("a").alias("qa")
+        )
+    )
+    pool = (
+        ints.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(q)
+        .select(id_col, idot("a", "qa").alias("rel"), "a")
+        .orderBy(F.col("rel").desc(), F.col(id_col).asc())
+        .limit(pool_k)
+        .localCheckpoint(eager=True)  # one corpus pass; greedy reuses it
+    )
+    picks: list[tuple[int, int, int]] = []
+    sel_ids: list[int] = []
+    for step in range(1, k + 1):
+        if not sel_ids:
+            cand = pool.select(
+                id_col, (F.lit(lambda_num) * F.col("rel")).alias("score")
+            )
+        else:
+            sel_vecs = F.broadcast(
+                pool.filter(F.col(id_col).isin(sel_ids)).select(
+                    F.col("a").alias("sa")
+                )
+            )
+            cand = (
+                pool.filter(~F.col(id_col).isin(sel_ids))
+                .crossJoin(sel_vecs)
+                .groupBy(id_col, "rel")
+                .agg(F.max(idot("a", "sa")).alias("ms"))
+                .select(
+                    id_col,
+                    (
+                        F.lit(lambda_num) * F.col("rel")
+                        - F.lit(lambda_den_minus) * F.col("ms")
+                    ).alias("score"),
+                )
+            )
+        w = cand.orderBy(
+            F.col("score").desc(), F.col(id_col).asc()
+        ).first()
+        picks.append((step, int(w[id_col]), int(w["score"])))
+        sel_ids.append(int(w[id_col]))
+    return spark.createDataFrame(
+        picks, f"pick int, {id_col} long, mmr_score long"
+    )

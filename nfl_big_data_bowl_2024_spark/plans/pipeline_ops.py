@@ -9764,3 +9764,348 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("d").cast("long").alias("degree_mass"),
         )
     )
+
+
+@register(
+    "graph_hits_integer",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    h0 AS (
+        SELECT c, CAST(1000000 AS BIGINT) AS h
+        FROM (SELECT DISTINCT c FROM pairs)
+    ),
+    a1r AS (
+        SELECT p.s, CAST(sum(h0.h) AS BIGINT) AS raw
+        FROM pairs p JOIN h0 ON p.c = h0.c GROUP BY p.s
+    ),
+    a1d AS (SELECT greatest(CAST(sum(raw) AS BIGINT) // 1000000, 1) AS d FROM a1r),
+    a1 AS (SELECT s, CAST(raw // d AS BIGINT) AS a FROM a1r, a1d),
+    h1r AS (
+        SELECT p.c, CAST(sum(a1.a) AS BIGINT) AS raw
+        FROM pairs p JOIN a1 ON p.s = a1.s GROUP BY p.c
+    ),
+    h1d AS (SELECT greatest(CAST(sum(raw) AS BIGINT) // 1000000, 1) AS d FROM h1r),
+    h1 AS (SELECT c, CAST(raw // d AS BIGINT) AS h FROM h1r, h1d),
+    a2r AS (
+        SELECT p.s, CAST(sum(h1.h) AS BIGINT) AS raw
+        FROM pairs p JOIN h1 ON p.c = h1.c GROUP BY p.s
+    ),
+    a2d AS (SELECT greatest(CAST(sum(raw) AS BIGINT) // 1000000, 1) AS d FROM a2r),
+    a2 AS (SELECT s, CAST(raw // d AS BIGINT) AS a FROM a2r, a2d),
+    h2r AS (
+        SELECT p.c, CAST(sum(a2.a) AS BIGINT) AS raw
+        FROM pairs p JOIN a2 ON p.s = a2.s GROUP BY p.c
+    ),
+    h2d AS (SELECT greatest(CAST(sum(raw) AS BIGINT) // 1000000, 1) AS d FROM h2r),
+    h2 AS (SELECT c, CAST(raw // d AS BIGINT) AS h FROM h2r, h2d)
+    SELECT CAST(0 AS INTEGER) AS is_supplier, CAST(c AS BIGINT) AS entity_id,
+           h AS score_micro
+    FROM h2
+    UNION ALL
+    SELECT CAST(1 AS INTEGER), CAST(s AS BIGINT), a FROM a2
+    """,
+    doc="Deterministic integer HITS (Kleinberg 1999) over the directed "
+    "customer->supplier purchase graph: hubs (customers) accumulate the "
+    "authority mass of suppliers they buy from, authorities the hub mass "
+    "of their buyers, each side renormalized to ~1e6 total per round via "
+    "score div greatest(sum div 1e6, 1) — dividing by the PRE-scaled "
+    "scalar keeps every intermediate below 2^63 at billion-node scale "
+    "where a *1e6-first form would overflow. Two unrolled rounds, "
+    "positive-int div only, so the oracle replays hub and authority "
+    "vectors bit-exactly (the link-analysis sibling of "
+    "graph_pagerank_trading; operators/graph.py:hits_integer). Each "
+    "round: two shuffle joins of the pair relation against node-sized "
+    "score vectors + two grouped sums + two 1-row broadcast scalars.",
+)
+def graph_hits_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import hits_integer
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    return hits_integer(pairs, iters=2)
+
+
+@register(
+    "evt_markov_stationary",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ),
+    tc AS (
+        SELECT prev, event_type AS cur, count(*) AS c
+        FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+    ),
+    rs AS (SELECT prev, CAST(sum(c) AS BIGINT) AS rs FROM tc GROUP BY prev),
+    types AS (SELECT DISTINCT event_type AS t FROM events),
+    k AS (SELECT count(*) AS k FROM types),
+    p0 AS (SELECT t AS state, CAST(1000000 // k.k AS BIGINT) AS pi FROM types, k),
+    p1 AS (
+        SELECT tc.cur AS state, CAST(sum((p0.pi * tc.c) // rs.rs) AS BIGINT) AS pi
+        FROM p0 JOIN tc ON p0.state = tc.prev JOIN rs ON rs.prev = tc.prev
+        GROUP BY tc.cur
+    ),
+    p2 AS (
+        SELECT tc.cur AS state, CAST(sum((p1.pi * tc.c) // rs.rs) AS BIGINT) AS pi
+        FROM p1 JOIN tc ON p1.state = tc.prev JOIN rs ON rs.prev = tc.prev
+        GROUP BY tc.cur
+    ),
+    p3 AS (
+        SELECT tc.cur AS state, CAST(sum((p2.pi * tc.c) // rs.rs) AS BIGINT) AS pi
+        FROM p2 JOIN tc ON p2.state = tc.prev JOIN rs ON rs.prev = tc.prev
+        GROUP BY tc.cur
+    )
+    SELECT state AS event_type, pi AS pi_micro FROM p3
+    """,
+    doc="Stationary distribution of the per-user event-type Markov chain "
+    "by three unrolled integer power iterations: transition counts come "
+    "from one lag window per user (the only data-sized shuffle — the "
+    "chain itself is k x k = 25 cells), pi0 is uniform micro-units, and "
+    "each step is pi'_j = sum_i (pi_i * c_ij) div rowsum_i — positive-int "
+    "div, so the oracle replays all three steps bit-exactly (floor mass "
+    "leak is part of the defined semantics, identical on both engines). "
+    "The behavioral-model sibling of evt_transition_matrix: where that "
+    "query reports the one-step matrix, this one converges toward the "
+    "long-run occupancy a session simulator or mixing-time audit needs.",
+)
+def evt_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("ts").asc(), F.col("event_id").asc()
+            )
+        )
+        .alias("prev"),
+    )
+    tc = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("cur"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rs = tc.groupBy("prev").agg(F.sum("c").cast("long").alias("rs"))
+    tcr = F.broadcast(tc.join(rs, "prev"))
+    types = ev.select(F.col("event_type").alias("state")).distinct()
+    kk = types.agg(F.count(F.lit(1)).alias("k"))
+    pi = types.crossJoin(F.broadcast(kk)).select(
+        "state", F.expr("1000000 div k").cast("long").alias("pi")
+    )
+    for _ in range(3):
+        pi = (
+            pi.join(tcr, pi["state"] == tcr["prev"])
+            .select(
+                F.col("cur").alias("state"),
+                F.expr("(pi * c) div rs").alias("contrib"),
+            )
+            .groupBy("state")
+            .agg(F.sum("contrib").cast("long").alias("pi"))
+        )
+    return pi.select(F.col("state").alias("event_type"), F.col("pi").alias("pi_micro"))
+
+
+@register(
+    "stat_welch_ttest",
+    """
+    WITH cents AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    g AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS s1,
+               CAST(sum(cents * cents) AS BIGINT) AS s2
+        FROM cents GROUP BY event_type
+    ),
+    w AS (
+        SELECT a.n AS n_click, b.n AS n_view,
+               (a.s1 * 1.0 / a.n) AS m1, (b.s1 * 1.0 / b.n) AS m2,
+               (a.s2 - a.s1 * 1.0 / a.n * a.s1) / (a.n - 1) AS v1,
+               (b.s2 - b.s1 * 1.0 / b.n * b.s1) / (b.n - 1) AS v2
+        FROM (SELECT * FROM g WHERE event_type = 'click') a,
+             (SELECT * FROM g WHERE event_type = 'view') b
+    )
+    SELECT n_click, n_view,
+           CAST(floor((m1 - m2) / sqrt(v1 / n_click + v2 / n_view) * 1000000
+                      + 0.5) AS BIGINT) AS t_micro,
+           CAST(floor(
+               ((v1 / n_click + v2 / n_view) * (v1 / n_click + v2 / n_view))
+               / ((v1 / n_click) * (v1 / n_click) / (n_click - 1)
+                  + (v2 / n_view) * (v2 / n_view) / (n_view - 1)) * 1000
+               + 0.5) AS BIGINT) AS df_milli
+    FROM w
+    """,
+    doc="Welch's unequal-variance t-test (click vs view event values) "
+    "completing the hypothesis-testing family (ANOVA / chi2 / KS / "
+    "Mann-Whitney / Spearman): values are exact integer cents "
+    "(round(value*100)), per-group n / sum / sum-of-squares are exact "
+    "integer sufficient statistics from ONE partial-aggregated pass "
+    "(the 100 TB shape — two grouped sums, no second scan), and the t "
+    "statistic + Welch-Satterthwaite df are computed with the IDENTICAL "
+    "double expression tree on both engines, then fixed-pointed "
+    "(floor(x*1e6+0.5) / floor(x*1e3+0.5)) so no rounding-mode "
+    "difference can leak into the hash.",
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    cents = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    g = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("s2"),
+    )
+    a = g.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_click"),
+        F.col("s1").alias("a1"),
+        F.col("s2").alias("a2"),
+    )
+    b = g.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_view"),
+        F.col("s1").alias("b1"),
+        F.col("s2").alias("b2"),
+    )
+    w = a.crossJoin(F.broadcast(b)).select(
+        "n_click",
+        "n_view",
+        (F.col("a1") * 1.0 / F.col("n_click")).alias("m1"),
+        (F.col("b1") * 1.0 / F.col("n_view")).alias("m2"),
+        (
+            (F.col("a2") - F.col("a1") * 1.0 / F.col("n_click") * F.col("a1"))
+            / (F.col("n_click") - 1)
+        ).alias("v1"),
+        (
+            (F.col("b2") - F.col("b1") * 1.0 / F.col("n_view") * F.col("b1"))
+            / (F.col("n_view") - 1)
+        ).alias("v2"),
+    )
+    se2_1 = F.col("v1") / F.col("n_click")
+    se2_2 = F.col("v2") / F.col("n_view")
+    return w.select(
+        "n_click",
+        "n_view",
+        F.floor((F.col("m1") - F.col("m2")) / F.sqrt(se2_1 + se2_2) * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("t_micro"),
+        F.floor(
+            ((se2_1 + se2_2) * (se2_1 + se2_2))
+            / (
+                se2_1 * se2_1 / (F.col("n_click") - 1)
+                + se2_2 * se2_2 / (F.col("n_view") - 1)
+            )
+            * 1000
+            + 0.5
+        )
+        .cast("long")
+        .alias("df_milli"),
+    )
+
+
+@register(
+    "sim_mmr_diversified_topk",
+    """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))
+                   AS a
+        FROM embeddings
+    ),
+    q AS (SELECT a FROM v WHERE vec_id = 0),
+    rel AS (
+        SELECT v.vec_id, CAST(list_dot_product(v.a, q.a) AS BIGINT) AS rel, v.a
+        FROM v, q WHERE v.vec_id <> 0
+    ),
+    pool AS (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT 25),
+    s1 AS (
+        SELECT vec_id, a, CAST(7 * rel AS BIGINT) AS score
+        FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    c2 AS (
+        SELECT p.vec_id, p.a, p.rel,
+               max(CAST(list_dot_product(p.a, s.a) AS BIGINT)) AS ms
+        FROM pool p, s1 s
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM s1)
+        GROUP BY p.vec_id, p.a, p.rel
+    ),
+    s2 AS (
+        SELECT vec_id, a, CAST(7 * rel - 3 * ms AS BIGINT) AS score
+        FROM c2 ORDER BY score DESC, vec_id LIMIT 1
+    ),
+    sel2 AS (SELECT vec_id, a FROM s1 UNION ALL SELECT vec_id, a FROM s2),
+    c3 AS (
+        SELECT p.vec_id, p.a, p.rel,
+               max(CAST(list_dot_product(p.a, s.a) AS BIGINT)) AS ms
+        FROM pool p, sel2 s
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM sel2)
+        GROUP BY p.vec_id, p.a, p.rel
+    ),
+    s3 AS (
+        SELECT vec_id, a, CAST(7 * rel - 3 * ms AS BIGINT) AS score
+        FROM c3 ORDER BY score DESC, vec_id LIMIT 1
+    ),
+    sel3 AS (SELECT vec_id, a FROM sel2 UNION ALL SELECT vec_id, a FROM s3),
+    c4 AS (
+        SELECT p.vec_id, p.a, p.rel,
+               max(CAST(list_dot_product(p.a, s.a) AS BIGINT)) AS ms
+        FROM pool p, sel3 s
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM sel3)
+        GROUP BY p.vec_id, p.a, p.rel
+    ),
+    s4 AS (
+        SELECT vec_id, a, CAST(7 * rel - 3 * ms AS BIGINT) AS score
+        FROM c4 ORDER BY score DESC, vec_id LIMIT 1
+    ),
+    sel4 AS (SELECT vec_id, a FROM sel3 UNION ALL SELECT vec_id, a FROM s4),
+    c5 AS (
+        SELECT p.vec_id, p.a, p.rel,
+               max(CAST(list_dot_product(p.a, s.a) AS BIGINT)) AS ms
+        FROM pool p, sel4 s
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM sel4)
+        GROUP BY p.vec_id, p.a, p.rel
+    ),
+    s5 AS (
+        SELECT vec_id, a, CAST(7 * rel - 3 * ms AS BIGINT) AS score
+        FROM c5 ORDER BY score DESC, vec_id LIMIT 1
+    )
+    SELECT CAST(1 AS INTEGER) AS pick, vec_id, score AS mmr_score FROM s1
+    UNION ALL SELECT 2, vec_id, score FROM s2
+    UNION ALL SELECT 3, vec_id, score FROM s3
+    UNION ALL SELECT 4, vec_id, score FROM s4
+    UNION ALL SELECT 5, vec_id, score FROM s5
+    """,
+    doc="Maximal Marginal Relevance diversified retrieval (Carbonell & "
+    "Goldstein 1998): greedy top-5 from the relevance top-25 pool "
+    "maximizing 7*rel - 3*max_sim_to_selected (lambda=0.7 as an exact "
+    "integer split) — the dedup-aware retrieval a training pipeline uses "
+    "to keep near-identical passages out of one context window. "
+    "Integer-exact: 1e6-scaled fixed-point vectors, integer dot products "
+    "below 2^53 (DuckDB's double list_dot_product replays them exactly), "
+    "ties to the lowest vec_id; the oracle unrolls all five greedy steps "
+    "as CTEs. Distributed stage = relevance scoring + TakeOrdered pool "
+    "over the corpus; the greedy re-rank is five limit-1 driver steps "
+    "over the KB-sized checkpointed pool (the BPE bounded-driver-state "
+    "class) because MMR is sequential in k by definition "
+    "(operators/similarity.py:mmr_diversified_topk).",
+)
+def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mmr_diversified_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return mmr_diversified_topk(e, "vec_id", "embedding", query_vec_id=0, k=5)

@@ -104,15 +104,20 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_cluster_representative",
     "stream_session_stats",
     "stream_window_stats",
-    # --- oldest r5-evidence slice (fills; displaced by any new r9 registrations)
+    # --- new round-9 registrations (never attested — take the fill slots)
+    "graph_hits_integer",
+    "evt_markov_stationary",
+    "stat_welch_ttest",
+    "sim_mmr_diversified_topk",
+    # --- oldest r5-evidence slice (remaining fills)
     "dq_footer_profile",
     "doc_mix_weights",
+    # ---------------- position 50 cutoff ----------------
+    # Below: stalest-evidence-first (r5 remainder, then r6/r7/r8).
     "ml_quality_classifier_train",
     "e2_yap_closed_form_curved",
     "dedup_semantic",
     "e1_max_params",
-    # ---------------- position 50 cutoff ----------------
-    # Below: stalest-evidence-first (r5 remainder, then r6/r7/r8).
     "e2_yap",
     "stream_dedup_frames",
     "flagship_bounded_max",
