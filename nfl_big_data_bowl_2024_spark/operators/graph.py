@@ -827,23 +827,35 @@ def hits_integer(
     all rounds bit-exactly. Each round is two shuffle joins of the pair
     relation against the node-sized score vectors plus two grouped sums
     and two 1-row scalar aggregates (broadcast crossJoin attach, the
-    repo's scalar idiom); ``iters`` is small and fixed, so lineage stays
-    bounded without checkpoints.
+    repo's scalar idiom).
+
+    The pair relation is materialized ONCE via _edges_on_disk before the
+    loop: every round references it twice and the normalization scalars
+    reference each round's raw sums again — unmaterialized, a derived
+    pair source (orders x lineitem + distinct) re-executed ~10x across
+    the 2 unrolled rounds (measured 560 s at sf1.0; 13 s after). The
+    node-sized raw-sum relations persist in memory per round for the
+    same double-consumption (scalar + normalize join) and unpersist as
+    the next round lands.
 
     Returns (is_supplier, entity_id, score_micro): hubs with flag 0 and
     their final hub score, authorities with flag 1 and their final
     authority score.
     """
-    p = pairs.select(F.col(hub_col).alias("c"), F.col(auth_col).alias("s"))
+    p, _n_p = _edges_on_disk(
+        pairs.select(F.col(hub_col).alias("c"), F.col(auth_col).alias("s"))
+    )
     h = p.select("c").distinct().withColumn(
         "h", F.lit(1_000_000).cast("long")
     )
     a = None
+    to_unpersist: list[DataFrame] = []
     for _ in range(iters):
         a_raw = (
             p.join(h, "c")
             .groupBy("s")
             .agg(F.sum("h").alias("raw"))
+            .persist(StorageLevel.MEMORY_AND_DISK_DESER)
         )
         a_div = a_raw.agg(
             F.greatest(
@@ -857,6 +869,7 @@ def hits_integer(
             p.join(a, "s")
             .groupBy("c")
             .agg(F.sum("a").alias("raw"))
+            .persist(StorageLevel.MEMORY_AND_DISK_DESER)
         )
         h_div = h_raw.agg(
             F.greatest(
@@ -866,6 +879,15 @@ def hits_integer(
         h = h_raw.crossJoin(F.broadcast(h_div)).select(
             "c", F.expr("raw div d").cast("long").alias("h")
         )
+        to_unpersist.extend([a_raw, h_raw])
+    # final scores still read the last round's cached raw relations; force
+    # them once, then release every intermediate plus the pair relation
+    hubs_mat = h.localCheckpoint(eager=True)
+    auths_mat = a.localCheckpoint(eager=True)
+    for df_ in to_unpersist:
+        df_.unpersist()
+    p.unpersist()
+    h, a = hubs_mat, auths_mat
     hubs = h.select(
         F.lit(0).cast("int").alias("is_supplier"),
         F.col("c").cast("long").alias("entity_id"),

@@ -1,0 +1,464 @@
+"""Shared helpers, oracle-SQL fragments and constants for the
+pipeline_* family modules (split out of pipeline_ops.py, round 9).
+Every definition moved verbatim; see the family modules for the
+registered queries that use them."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    prefix_filter_jaccard_pairs,
+    simhash_signatures,
+)
+from ..operators.similarity import brute_force_topk, cosine_col
+from ..operators.prefix import banded_running_sum
+from ..sources.readers import read_testdata_table as _t
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# Curation add-ons: PII redaction, token-budget selection, DSIR importance
+# ---------------------------------------------------------------------------
+
+
+# The oracle interpolates the SAME pattern/token table the Spark side uses
+# (functions/text.py PII_PATTERNS) — the single source of truth, so a
+# pattern tweak cannot silently drift the query from its oracle.
+from ..functions.text import PII_PATTERNS as _PII_PATTERNS
+
+
+
+def _content_fingerprint():
+    """Canonical document fingerprint: md5 of the lower-trimmed text.
+
+    Single definition shared by every exact-dedup / incremental-dedup /
+    corpus-clean query; the oracle SQL mirrors it literally as
+    ``md5(lower(trim(text)))``. Change both together.
+    """
+    return F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+
+
+def _n_ws_tokens():
+    """Whitespace token count via the space-count identity (spaces + 1) —
+    the oracle-side form is ``length(text) - length(replace(text,' ','')) +
+    1``. Shared by every query that pairs a token count with that SQL
+    shape; equals ``size(split(text,' '))`` on this corpus (no
+    leading/trailing/double spaces)."""
+    return (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+
+
+def _mean_token_len():
+    """Per-doc quality score: mean token length — an exact integer ratio,
+    so Spark and DuckDB agree bit-for-bit. Shared by the z-score bucketer
+    and the classifier's x1 feature."""
+    return F.length("text") * 1.0 / F.size(F.split("text", " "))
+
+
+# ---------------------------------------------------------------------------
+# Dedup: n-gram Jaccard (oracle-checked), MinHash+LSH / SimHash (rows-only)
+# ---------------------------------------------------------------------------
+
+# The registered query runs at the PRODUCTION operating point of the guard
+# (max_df=256), mirrored EXACTLY in the oracle, so both engines compute
+# Jaccard over the identical filtered shingle space. Why the guard must be
+# on by default: the per-shingle self-join costs sum(df^2) pairs, and at
+# the generated sf1 point (50k docs, 130k distinct shingles, avg df 104)
+# the UNguarded join generates 2.8e9 candidate pairs (~99 s on local[32]);
+# df<=256 keeps near-dup discrimination (true near-dups share RARE
+# shingles) while cutting the pair volume ~50x. The unguarded exact form
+# stays available via max_df=None and is what the MinHash subset/equality
+# tests compare against.
+_JACCARD_ORACLE = """
+WITH shingles AS (
+    SELECT doc_id, unnest(list_distinct([substr(text, g, 8)
+           FOR g IN range(1, greatest(length(text) - 6, 2))])) AS sh
+    FROM documents
+),
+freq AS (SELECT sh, count(*) AS d FROM shingles GROUP BY sh),
+kept AS (
+    SELECT s.doc_id, s.sh FROM shingles s JOIN freq USING (sh)
+    WHERE freq.d <= 256
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+pair_overlap AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4) AS jaccard
+FROM pair_overlap
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.2
+"""
+
+
+_MINHASH_DUP_ORACLE = """
+WITH shingles AS (
+    SELECT doc_id, unnest(list_distinct([substr(text, g, 8)
+           FOR g IN range(1, greatest(length(text) - 6, 2))])) AS sh
+    FROM documents
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+pair_overlap AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4) AS jaccard
+FROM pair_overlap
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT e.vec_id, e.label,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+)
+SELECT vec_id, label, cosine
+FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+WHERE rk <= 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: dedup clustering, deterministic sampling, TF-IDF
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = """
+WITH RECURSIVE shingles AS (
+    SELECT doc_id, unnest(list_distinct([substr(text, g, 12)
+           FOR g IN range(1, greatest(length(text) - 10, 2))])) AS sh
+    FROM documents
+),
+freq AS (SELECT sh, count(*) AS d FROM shingles GROUP BY sh),
+kept AS (
+    SELECT s.doc_id, s.sh FROM shingles s JOIN freq USING (sh)
+    WHERE freq.d <= 256
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+pair_overlap AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM pair_overlap
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.2
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, lbl) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+"""
+
+
+def _cluster_pairs_lsh(d: DataFrame) -> DataFrame:
+    """Scale-path near-dup edge source shared by the two clustering
+    queries: banded MinHash-LSH candidates + exact verify. 16 bands x 2
+    rows => a J>=0.9 pair is missed with prob (1-J^2)^16 <= 3.3e-12."""
+    return minhash_lsh_candidates(
+        d, "doc_id", "text", n=12, num_perm=32, bands=16, verify_threshold=0.2
+    )
+
+
+def cluster_pairs_exact(d: DataFrame) -> DataFrame:
+    """Audit twin of ``_cluster_pairs_lsh``: the exact per-shingle
+    self-join pair generator (sum(df^2) fan-out — NOT the 100 TB path).
+    Kept callable so tests can assert the two compositions produce
+    identical edges and labels on the testdata; mirrors the max_df=256
+    hot-shingle operating point of the recursive-CTE oracles."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", n=12, threshold=0.2, max_df=256
+    )
+
+
+_BPE_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+# one sentinel char per merge round; verified absent from the corpus, so a
+# sentinel unambiguously denotes that round's merged symbol inside the
+# packed string representation
+_BPE_SENT = ["\x01", "\x02", "\x03"]
+
+
+def _bpe_train_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, str, int]]:
+    """Run the 3 BPE merge rounds and return ``[(packed_pair, sentinel,
+    count), ...]`` in train order. The merge table is the driver-held
+    bounded model (3 rows) shared by the trainer output query and the
+    encoder; packed pairs may contain earlier rounds' sentinel chars."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+            ).alias("s")
+        )
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)  # reused by all three rounds
+    )
+    cur = words
+    merges: list[tuple[str, str, int]] = []
+    for r in range(1, 4):
+        pairs = cur.filter(F.length("s") >= 2).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(s) - 1),"
+                    " i -> substring(s, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        sent = _BPE_SENT[r - 1]
+        merges.append((top["pair"], sent, int(top["n"])))
+        if r < 3:  # the final round's replaced vocab is never read
+            cur = cur.select(
+                F.replace(
+                    F.col("s"), F.lit(top["pair"]), F.lit(sent)
+                ).alias("s"),
+                "freq",
+            ).localCheckpoint(eager=True)
+    return merges
+
+
+_REP_TAIL = """
+,
+labeled AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id),
+joined AS (
+    SELECT l.component, l.doc_id, d.n_chars
+    FROM labeled l JOIN documents d USING (doc_id)
+),
+ranked AS (
+    SELECT component, doc_id,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, doc_id) AS rk,
+           count(*)    OVER (PARTITION BY component) AS n_members
+    FROM joined
+)
+SELECT component, doc_id AS rep_doc_id, n_members
+FROM ranked WHERE rk = 1
+"""
+
+# Share the recursive-CTE cluster derivation with dedup_cluster_assign's
+# oracle and swap only its final SELECT for the per-cluster argmax.
+_CLUSTER_FINAL = "SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id"
+assert _CLUSTER_FINAL in _CLUSTER_ORACLE
+_REP_ORACLE = _CLUSTER_ORACLE.replace(_CLUSTER_FINAL, "") .rstrip().rstrip(")") + ")" + _REP_TAIL
+
+
+# DuckDB replay of kmeans_lloyd(k=8, iters=2, lowest-id seeds) ending in an
+# ``a2(vec_id, e, cid)`` assignment relation — the same iteration the
+# emb_kmeans_lloyd oracle replays, re-used by the SemDeDup oracle below.
+_KMEANS_ASSIGN_CTE = """
+    emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    seeds AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, e
+      FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 8) s
+    ),
+    d1 AS (
+      SELECT emb.vec_id, emb.e, seeds.cid,
+             floor(list_distance(emb.e, seeds.e) * 1e9 + 0.5) / 1e9 AS d
+      FROM emb CROSS JOIN seeds
+    ),
+    a1 AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT vec_id, e, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d1) t WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT cid, list(cv ORDER BY pos) AS e FROM (
+        SELECT cid, pos, floor(avg(v) * 1e6 + 0.5) / 1e6 AS cv FROM (
+          SELECT cid, unnest(e) AS v, unnest(generate_series(1, len(e))) AS pos
+          FROM a1) u GROUP BY cid, pos) g GROUP BY cid
+    ),
+    d2 AS (
+      SELECT emb.vec_id, emb.e, c1.cid,
+             floor(list_distance(emb.e, c1.e) * 1e9 + 0.5) / 1e9 AS d
+      FROM emb CROSS JOIN c1
+    ),
+    a2 AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT vec_id, e, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d2) t WHERE rn = 1
+    )
+"""
+
+(_PII_EMAIL, _PII_EMAIL_TOK), (_PII_IP, _PII_IP_TOK), (_PII_PHONE, _PII_PHONE_TOK) = (
+    _PII_PATTERNS
+)
+
+
+def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR relation ``(doc_id, n_toks, dsir_weight_micro)`` —
+    shared by the weights query and the budgeted selection built on it."""
+    from ..operators.scalars import checkpoint_with_scalar
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    lm = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c_t"),
+    )
+    cp, consts = checkpoint_with_scalar(
+        lm,
+        F.sum("c_r").alias("n_r"),
+        F.sum("c_t").alias("n_t"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    ratio = cp.crossJoin(consts).select(
+        "term",
+        F.floor(
+            F.log(
+                ((F.col("c_t") + 1.0) * (F.col("n_r") + F.col("v")))
+                / ((F.col("c_r") + 1.0) * (F.col("n_t") + F.col("v")))
+            )
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    return (
+        toks.join(F.broadcast(ratio), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("lr_micro").cast("long").alias("dsir_weight_micro"),
+        )
+    )
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    """One unrolled integer-PageRank iteration (see operators/graph.py:
+    pagerank_integer — div of positive ints matches Spark's div exactly)."""
+    return f"""{out} AS (
+        SELECT e.dst AS node,
+               b.b + (85 * sum(p.r // e.outdeg)) // 100 AS r
+        FROM ed e JOIN {prev} p ON e.src = p.node CROSS JOIN base b
+        GROUP BY e.dst, b.b
+    )"""
+
+
+def _kcore_round_sql(e_in: str, e_out: str, k: int) -> str:
+    """One unrolled peel round (see operators/graph.py:kcore_peel)."""
+    return f"""d_{e_out} AS (
+        SELECT src, count(*) AS n FROM {e_in} GROUP BY src
+    ),
+    k_{e_out} AS (SELECT src FROM d_{e_out} WHERE n >= {k}),
+    {e_out} AS (
+        SELECT {e_in}.src, {e_in}.dst FROM {e_in}
+        JOIN k_{e_out} a ON {e_in}.src = a.src
+        JOIN k_{e_out} b ON {e_in}.dst = b.src
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions: LPA community detection, fixed-point one-way ANOVA,
+# CUSUM changepoint detection.
+# ---------------------------------------------------------------------------
+
+
+def _lpa_iter_sql(prev: str, cnt: str, out: str) -> str:
+    """One unrolled synchronous mode-LPA round (see operators/graph.py:
+    label_propagation_mode — argmax by (count desc, label asc))."""
+    return f"""{cnt} AS (
+        SELECT e.dst AS node, l.lab, count(*) AS cnt
+        FROM edges e JOIN {prev} l ON e.src = l.node
+        GROUP BY e.dst, l.lab
+    ),
+    {out} AS (
+        SELECT n.node, coalesce(w.lab, n.node) AS lab
+        FROM nodes n LEFT JOIN (
+            SELECT node, lab FROM (
+                SELECT node, lab, row_number() OVER (
+                    PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rn
+                FROM {cnt}) t
+            WHERE rn = 1
+        ) w ON n.node = w.node
+    )"""
+
+
+# Benford first-digit expected probabilities log10(1+1/d) in micro-units
+# (fixed literals on BOTH engines — no float log at query time).
+_BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+# Adamic-Adar inverse-log-degree weights in integer micro-units, as a
+# 64-entry fixed-point table so no float arithmetic reaches either engine:
+# position d (1-based) = round(1e6 / log2(d)). Wedge apexes always have
+# degree >= 2 (a wedge needs two distinct neighbors), so position 1 is an
+# unused 0; the adjacency filter caps degree at 64.
+_AA_LOG2_MICRO: list[int] = [0] + [
+    round(1_000_000 / math.log2(d)) for d in range(2, 65)
+]
+_AA_LOG2_MICRO_SQL = ", ".join(str(w) for w in _AA_LOG2_MICRO)
+
+
+def _ppr_iter_sql(prev: str, out: str) -> str:
+    """One unrolled personalized-PageRank iteration: sparse contribution
+    join + FULL join against the seed restart vector (seeds regain their
+    restart mass even with zero in-contributions; reached non-seeds get
+    damped mass only)."""
+    return f"""{out} AS (
+        SELECT coalesce(c.node, sb.node) AS node,
+               coalesce(sb.b, 0) + (85 * coalesce(c.s, 0)) // 100 AS r
+        FROM (SELECT e.dst AS node, sum(p.r // e.outdeg) AS s
+              FROM ed e JOIN {prev} p ON e.src = p.node
+              GROUP BY e.dst) c
+        FULL JOIN seed_base sb ON c.node = sb.node
+    )"""

@@ -1,0 +1,1939 @@
+"""Data-quality, statistics and sketch queries (dq_*, stat_*, agg_*): profiling, drift, hypothesis tests, HLL/CMS/KMV/bitmap sketches, grouped aggregates.
+
+Split out of plans/pipeline_ops.py along the registry's family seams
+(round-9; see pipeline_ops.py for the compatibility re-export and
+pipeline_common.py for shared helpers/oracle fragments). Original
+docstrings, oracle SQL and reference citations moved verbatim.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    prefix_filter_jaccard_pairs,
+    simhash_signatures,
+)
+from ..operators.similarity import brute_force_topk, cosine_col
+from ..operators.prefix import banded_running_sum
+from ..sources.readers import read_testdata_table as _t
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# Curation add-ons: PII redaction, token-budget selection, DSIR importance
+# ---------------------------------------------------------------------------
+
+
+# The oracle interpolates the SAME pattern/token table the Spark side uses
+# (functions/text.py PII_PATTERNS) — the single source of truth, so a
+# pattern tweak cannot silently drift the query from its oracle.
+from ..functions.text import PII_PATTERNS as _PII_PATTERNS
+
+from .pipeline_common import (  # noqa: F401
+    _BENFORD_MICRO,
+    _content_fingerprint,
+)
+
+
+
+@register(
+    "dq_footer_profile",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_orderkey) AS min_o_orderkey,
+           max(o_orderkey) AS max_o_orderkey,
+           min(o_totalprice) AS min_o_totalprice,
+           max(o_totalprice) AS max_o_totalprice
+    FROM orders
+    """,
+    doc="Metadata-only dataset profile: COUNT/MIN/MAX answered from "
+    "parquet FOOTER statistics via DSv2 aggregate pushdown "
+    "(PushedAggregation in the plan, asserted in tests/test_plan_audit) "
+    "— at 100 TB a footer pass instead of a full scan for the 'how many "
+    "rows, what key range' query every pipeline runs first. The V2 "
+    "reader is scoped to this call (sources/readers.py:"
+    "parquet_footer_stats); the session default stays V1 for bucketing.",
+)
+def dq_footer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import parquet_footer_stats
+
+    return parquet_footer_stats(
+        spark, f"{sf_dir}/orders.parquet", ["o_orderkey", "o_totalprice"]
+    )
+
+
+@register(
+    "dq_column_profile",
+    """
+    SELECT 'c_acctbal' AS col,
+           count(*) - count(c_acctbal) AS n_nulls,
+           count(DISTINCT c_acctbal)   AS n_distinct
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', count(*) - count(c_mktsegment),
+           count(DISTINCT c_mktsegment) FROM customer
+    UNION ALL
+    SELECT 'c_name', count(*) - count(c_name),
+           count(DISTINCT c_name) FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', count(*) - count(c_nationkey),
+           count(DISTINCT c_nationkey) FROM customer
+    """,
+    doc="Data-quality column profile (null counts + distinct cardinality "
+    "per column) — the audit that gates every ingest. The Spark plan "
+    "computes ALL columns' profiles in ONE scan + one aggregate (Spark "
+    "expands multi-distinct into one Expand pass), then unpivots the "
+    "single profile row with stack(); the 4-leg UNION in the oracle is "
+    "DuckDB-side only. At 100 TB: one pass over the fact table instead "
+    "of one scan per column.",
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    prof = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            x
+            for col in ("c_acctbal", "c_mktsegment", "c_name", "c_nationkey")
+            for x in (
+                F.count(col).alias(f"nn_{col}"),
+                F.countDistinct(col).alias(f"nd_{col}"),
+            )
+        ],
+    )
+    legs = ", ".join(
+        f"'{col}', n - nn_{col}, nd_{col}"
+        for col in ("c_acctbal", "c_mktsegment", "c_name", "c_nationkey")
+    )
+    return prof.selectExpr(
+        f"stack(4, {legs}) AS (col, n_nulls, n_distinct)"
+    )
+
+
+@register(
+    "dq_expectations_check",
+    """
+    WITH o AS (
+        SELECT count(*) AS n_rows,
+               count(DISTINCT o_orderkey) AS n_keys,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null_cust
+        FROM orders
+    ),
+    l AS (
+        SELECT sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                        THEN 1 ELSE 0 END) AS n_qty_oob,
+               sum(CASE WHEN l_shipdate <  TIMESTAMP '1992-01-01 00:00:00'
+                          OR l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+                        THEN 1 ELSE 0 END) AS n_date_oob
+        FROM lineitem
+    ),
+    fk AS (
+        SELECT count(*) AS n_orphans
+        FROM lineitem li LEFT JOIN orders oo ON li.l_orderkey = oo.o_orderkey
+        WHERE oo.o_orderkey IS NULL
+    )
+    SELECT 'orders.o_orderkey unique' AS expectation,
+           CAST(n_rows - n_keys AS BIGINT) AS violations,
+           n_rows = n_keys AS passed FROM o
+    UNION ALL
+    SELECT 'orders.o_custkey not null',
+           CAST(n_null_cust AS BIGINT), n_null_cust = 0 FROM o
+    UNION ALL
+    SELECT 'lineitem.l_quantity in [1,50]',
+           CAST(n_qty_oob AS BIGINT), n_qty_oob = 0 FROM l
+    UNION ALL
+    SELECT 'lineitem.l_shipdate in [1992,1999)',
+           CAST(n_date_oob AS BIGINT), n_date_oob = 0 FROM l
+    UNION ALL
+    SELECT 'lineitem.l_orderkey references orders',
+           CAST(n_orphans AS BIGINT), n_orphans = 0 FROM fk
+    """,
+    doc="Declarative data-quality gate (the Deequ/Great-Expectations "
+    "shape) — the admission check a training pipeline runs before a "
+    "batch enters the corpus: uniqueness, completeness, range, and "
+    "referential-integrity expectations evaluated to one row each with "
+    "the violation count. All per-table metrics for a table fuse into "
+    "ONE scan's aggregate (map-side partials, 1-row output); the FK "
+    "expectation is the only join — left-anti count against the orders "
+    "key set, which at dim-scale broadcasts and at fact-scale is one "
+    "key-only shuffle. The expectation rows themselves are 1-row "
+    "relations unioned driver-free.",
+)
+def dq_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    om = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "n_null_cust"
+        ),
+    ).localCheckpoint(eager=True)  # 1 row; reused by two union branches
+    lm = li.agg(
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            .otherwise(0)
+        ).alias("n_qty_oob"),
+        F.sum(
+            F.when(
+                (F.col("l_shipdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("n_date_oob"),
+    ).localCheckpoint(eager=True)  # 1 row; reused by two union branches
+    fk = (
+        li.select("l_orderkey")
+        .join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    row = F.lit  # brevity
+
+    def expect(src, name, violations, passed):
+        return src.select(
+            row(name).alias("expectation"),
+            violations.cast("bigint").alias("violations"),
+            passed.alias("passed"),
+        )
+
+    return (
+        expect(
+            om,
+            "orders.o_orderkey unique",
+            F.col("n_rows") - F.col("n_keys"),
+            F.col("n_rows") == F.col("n_keys"),
+        )
+        .unionAll(
+            expect(
+                om,
+                "orders.o_custkey not null",
+                F.col("n_null_cust"),
+                F.col("n_null_cust") == 0,
+            )
+        )
+        .unionAll(
+            expect(
+                lm,
+                "lineitem.l_quantity in [1,50]",
+                F.col("n_qty_oob"),
+                F.col("n_qty_oob") == 0,
+            )
+        )
+        .unionAll(
+            expect(
+                lm,
+                "lineitem.l_shipdate in [1992,1999)",
+                F.col("n_date_oob"),
+                F.col("n_date_oob") == 0,
+            )
+        )
+        .unionAll(
+            expect(
+                fk,
+                "lineitem.l_orderkey references orders",
+                F.col("n_orphans"),
+                F.col("n_orphans") == 0,
+            )
+        )
+    )
+
+
+@register(
+    "dq_split_leakage_audit",
+    """
+    WITH assigned AS (
+        SELECT md5(lower(trim(text))) AS fingerprint,
+               CASE WHEN substr(md5(md5(lower(trim(text)))), 1, 8) < 'cc000000'
+                    THEN 'train'
+                    WHEN substr(md5(md5(lower(trim(text)))), 1, 8) < 'e6000000'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    per_fp AS (
+        SELECT fingerprint,
+               count(*) AS n_copies,
+               count(DISTINCT split) AS n_splits
+        FROM assigned GROUP BY fingerprint
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_fingerprints,
+           CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_duplicated,
+           CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaking,
+           sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) = 0 AS leakage_free
+    FROM per_fp
+    """,
+    doc="Split-integrity audit — the invariant check a pipeline runs "
+    "before training: no content fingerprint may span more than one "
+    "train/val/test split. Re-derives doc_leakage_safe_split's "
+    "content-keyed assignment and aggregates per fingerprint "
+    "(n_splits must be 1 everywhere); n_duplicated reports how live the "
+    "check is (the sf0.1 corpus has 8 exact-duplicate rows; sf0.01 has "
+    "none) and leakage_free=TRUE is the proof the content-hash split "
+    "construction works. One shuffle on the fingerprint, 1-row output. "
+    "A doc_id-keyed split would FAIL this audit on the first duplicated "
+    "document.",
+)
+def dq_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    fp = _content_fingerprint()
+    split_key = F.substring(F.md5(fp.cast("binary")), 1, 8)
+    assigned = d.select(
+        fp.alias("fingerprint"),
+        F.when(split_key < "cc000000", "train")
+        .when(split_key < "e6000000", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    per_fp = assigned.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("split").alias("n_splits"),
+    )
+    leaking = F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+    return per_fp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_duplicated"),
+        leaking.cast("bigint").alias("n_leaking"),
+        (leaking == 0).alias("leakage_free"),
+    )
+
+
+@register(
+    "dq_observe_metrics",
+    """
+    SELECT source,
+           count(*)                                        AS n_kept,
+           CAST(sum(n_chars) AS BIGINT)                    AS kept_chars
+    FROM documents
+    WHERE n_chars >= 200 AND lang = 'en'
+    GROUP BY source
+    """,
+    doc="Single-pass in-flight pipeline telemetry via the Observation API "
+    "(CollectMetrics): the curation gate's admission metrics — rows "
+    "scanned, rows admitted, total chars scanned — are observed on the "
+    "SAME job that produces the per-source rollup, so at 100 TB the "
+    "monitoring costs zero extra scans (the naive form is a second "
+    "full-table aggregate). The observed values are asserted against "
+    "independently-computed aggregates in tests/test_modern_api.py; the "
+    "driver hash-checks the rollup itself. CollectMetrics is a "
+    "pass-through node: the plan below it is the same pushed-filter scan "
+    "+ single hash aggregate as an unobserved gate.",
+)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    d = _t(spark, sf_dir, "documents")
+    obs = Observation("curation_gate")
+    gated = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars_scanned"),
+        F.sum(
+            ((F.col("n_chars") >= 200) & (F.col("lang") == "en")).cast("long")
+        ).alias("rows_admitted"),
+    ).filter((F.col("n_chars") >= 200) & (F.col("lang") == "en"))
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("kept_chars"),
+    )
+
+
+@register(
+    "stat_ks_two_sample",
+    """
+    WITH e AS (
+        SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS i1,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i2
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    g AS (
+        SELECT c, CAST(sum(i1) AS BIGINT) AS d1,
+                  CAST(sum(i2) AS BIGINT) AS d2
+        FROM e GROUP BY c
+    ),
+    r AS (
+        SELECT c,
+               CAST(sum(d1) OVER (ORDER BY c) AS BIGINT) AS c1,
+               CAST(sum(d2) OVER (ORDER BY c) AS BIGINT) AS c2
+        FROM g
+    ),
+    t AS (
+        SELECT CAST(sum(d1) AS BIGINT) AS n1,
+               CAST(sum(d2) AS BIGINT) AS n2
+        FROM g
+    )
+    SELECT n1, n2,
+           CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_scaled,
+           CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) / (n1 * n2) AS ks_stat
+    FROM r, t GROUP BY n1, n2
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic between the 'view' and "
+    "'purchase' value distributions — distribution-drift detection, the "
+    "statistical gate a training pipeline runs between corpus versions / "
+    "shards before accepting new data. The KS statistic is "
+    "max|F1(x)-F2(x)| over the pooled support, i.e. a GLOBAL running "
+    "count — the oracle states it as the textbook unpartitioned window, "
+    "while the Spark plan rides banded_running_sum (per-band totals + "
+    "triangular band offsets + band-local windows; operators/prefix.py), "
+    "so no stage ever sorts the pooled sample on one task. Counts stay "
+    "integers and the deviation is computed CROSS-MULTIPLIED "
+    "(|C1*n2 - C2*n1|, exact BIGINT) rather than as float CDF "
+    "differences, so the max is engine-exact; the only float is the "
+    "final scalar division.",
+)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import banded_running_sum
+    from ..operators.scalars import checkpoint_with_scalar
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("c"),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("i1"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("i2"),
+        )
+    )
+    g = e.groupBy("c").agg(
+        F.sum("i1").cast("long").alias("d1"),
+        F.sum("i2").cast("long").alias("d2"),
+    )
+    # Band DESC == global order, so ascending-c cumsums band on -(c div 1000).
+    g = g.withColumn("band", -F.expr("c div 1000"))
+    g = banded_running_sum(g, "band", [F.col("c").asc()], "d1", out_col="c1")
+    g = banded_running_sum(g, "band", [F.col("c").asc()], "d2", out_col="c2")
+    cp, tot = checkpoint_with_scalar(
+        g,
+        F.sum("d1").cast("long").alias("n1"),
+        F.sum("d2").cast("long").alias("n2"),
+    )
+    dev = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    return (
+        cp.join(tot)
+        .groupBy("n1", "n2")
+        .agg(F.max(dev).cast("long").alias("ks_scaled"))
+        .select(
+            "n1",
+            "n2",
+            "ks_scaled",
+            (F.col("ks_scaled") / (F.col("n1") * F.col("n2"))).alias(
+                "ks_stat"
+            ),
+        )
+    )
+
+
+@register(
+    "agg_countmin_sketch",
+    """
+    WITH h(d, a, b) AS (
+        VALUES (0, 3079, 1531), (1, 4093, 2389),
+               (2, 5351, 3271), (3, 6151, 4447)
+    ),
+    cnt AS (
+        SELECT h.d, ((h.a * e.user_id + h.b) % 8191) % 64 AS bucket,
+               count(*) AS cnt
+        FROM events e CROSS JOIN h
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id
+    ),
+    est AS (
+        SELECT x.user_id, min(coalesce(c.cnt, 0)) AS cms_n
+        FROM exact x CROSS JOIN h
+        LEFT JOIN cnt c
+          ON c.d = h.d
+         AND c.bucket = ((h.a * x.user_id + h.b) % 8191) % 64
+        GROUP BY x.user_id
+    )
+    SELECT CAST(x.user_id AS BIGINT)            AS user_id,
+           CAST(x.exact_n AS BIGINT)            AS exact_n,
+           CAST(e.cms_n AS BIGINT)              AS cms_n,
+           CAST(e.cms_n - x.exact_n AS BIGINT)  AS overcount
+    FROM exact x JOIN est e ON x.user_id = e.user_id
+    """,
+    doc="Count-Min sketch frequency estimation over the event stream "
+    "(d=4 x w=64, universal integer hashing mod the Mersenne prime 8191) "
+    "with the exact per-key count joined alongside as the audit twin — "
+    "rounding out the sketch family: HLL (distinct count), Misra-Gries "
+    "(heavy hitters), CMS (point frequency). CMS counters are additive "
+    "integer sums into a FIXED d x w grid, so map-side partials collapse "
+    "each task to <= 256 rows and the raw key column never shuffles — the "
+    "100 TB contract (operators/sketches.py:count_min_counters); the "
+    "estimate pass is a broadcast of the 256-row counter table, map-only. "
+    "Merge-order insensitivity makes the estimates deterministic, hence a "
+    "pure-SQL oracle replaying both the sketch and the exact twin.",
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import count_min_counters, count_min_estimate
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    counters = count_min_counters(ev, "user_id", width=64, depth=4)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    est = count_min_estimate(
+        exact.select("user_id"), counters, "user_id", width=64, depth=4
+    )
+    return exact.join(est, "user_id").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).cast("long").alias("overcount"),
+    )
+
+
+@register(
+    "agg_bitmap_audience_overlap",
+    """
+    WITH s AS (
+        SELECT event_type, user_id // 63 AS word,
+               (1::BIGINT << (user_id % 63)) AS bits
+        FROM events
+    ),
+    bm AS (SELECT event_type, word, bit_or(bits) AS bm FROM s GROUP BY 1, 2),
+    sz AS (SELECT event_type, sum(bit_count(bm)) AS n FROM bm GROUP BY 1),
+    inter AS (
+        SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+               sum(bit_count(a.bm & b.bm)) AS n_common
+        FROM bm a JOIN bm b ON a.word = b.word AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT seg_a, seg_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           floor(n_common * 1.0 / (sa.n + sb.n - n_common) * 10000 + 0.5)
+               / 10000.0 AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.event_type = seg_a
+    JOIN sz sb ON sb.event_type = seg_b
+    """,
+    doc="EXACT audience overlap between every pair of event-type segments "
+    "via positional bitmaps — the precise twin of the round-7 HLL "
+    "inclusion-exclusion ESTIMATE, and the Druid/ClickHouse-style bitmap "
+    "index technique re-expressed in pure DataFrame ops: pack users into "
+    "63-bit words (word = user_id div 63; 63 not 64 because a signed "
+    "1<<63 overflows ANSI engines), bit_or per (segment, word) — "
+    "duplicate events are idempotent under OR, so NO distinct "
+    "pre-shuffle is needed and map-side partials compress 63 users into "
+    "one long before the exchange. Intersections are then a "
+    "word-aligned join + popcount sum: |A & B| exact, 64x less shuffle "
+    "than shuffling user sets. Spark's bit_or/bit_count/bitwiseAND are "
+    "JVM codegen'd; DuckDB mirrors them 1:1.",
+)
+def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    sel = ev.select(
+        "event_type",
+        F.expr("user_id div 63").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").alias(
+            "bits"
+        ),
+    )
+    bm = sel.groupBy("event_type", "word").agg(F.bit_or("bits").alias("bm"))
+    sz = bm.groupBy("event_type").agg(
+        F.sum(F.bit_count("bm")).cast("long").alias("n")
+    )
+    a = bm.select(
+        F.col("event_type").alias("seg_a"), "word", F.col("bm").alias("bm_a")
+    )
+    b = bm.select(
+        F.col("event_type").alias("seg_b"), "word", F.col("bm").alias("bm_b")
+    )
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(
+            F.sum(F.bit_count(F.col("bm_a").bitwiseAND(F.col("bm_b"))))
+            .cast("long")
+            .alias("n_common")
+        )
+    )
+    sa = sz.select(F.col("event_type").alias("seg_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("seg_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "seg_a")
+        .join(F.broadcast(sb), "seg_b")
+        .select(
+            "seg_a",
+            "seg_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (F.floor(jac * 10000 + F.lit(0.5)) / 10000.0).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "stat_mad_outliers",
+    """
+    WITH g AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type,
+               min(CASE WHEN 2 * cum_c >= n THEN cents END) AS med_c,
+               max(n) AS n
+        FROM (
+            SELECT event_type, cents, c,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum_c,
+                   sum(c) OVER (PARTITION BY event_type) AS n
+            FROM g
+        ) GROUP BY event_type
+    ),
+    dev AS (
+        SELECT g.event_type, abs(g.cents - m.med_c) AS d, sum(g.c) AS c
+        FROM g JOIN med m USING (event_type)
+        GROUP BY 1, 2
+    ),
+    mad AS (
+        SELECT event_type,
+               min(CASE WHEN 2 * cum_c >= n THEN d END) AS mad_c
+        FROM (
+            SELECT event_type, d, c,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum_c,
+                   sum(c) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ) GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(m.n AS BIGINT) AS n,
+           m.med_c / 100.0 AS median_v,
+           a.mad_c / 100.0 AS mad_v,
+           CAST(coalesce(sum(g.c) FILTER (
+               WHERE abs(g.cents - m.med_c) > 3 * a.mad_c), 0) AS BIGINT)
+               AS n_outliers
+    FROM med m
+    JOIN mad a USING (event_type)
+    JOIN g USING (event_type)
+    GROUP BY m.event_type, m.n, m.med_c, a.mad_c
+    """,
+    doc="Robust outlier detection by median absolute deviation — the "
+    "breakdown-resistant alternative to the z-score path "
+    "(evt_user_zscore_outliers): per group, median, MAD, and the count "
+    "of values beyond 3 MADs. BOTH medians come from the fixed cents "
+    "counting grid (agg_fixed_grid_quantiles' shape), and the deviation "
+    "median is computed from the GRID re-keyed by |cents - median| — "
+    "counts re-aggregate, so the raw data is scanned ONCE and every "
+    "later stage is O(distinct cents). Lower-nearest-rank medians via "
+    "integer cross-multiplication; all arithmetic integer.",
+)
+def stat_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    g = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _grid_median(grid, key_col):
+        w_cum = (
+            Window.partitionBy("event_type")
+            .orderBy(key_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy("event_type")
+        cum = grid.select(
+            "event_type",
+            key_col,
+            F.sum("c").over(w_cum).alias("cum_c"),
+            F.sum("c").over(w_all).alias("n"),
+        )
+        return cum.groupBy("event_type").agg(
+            F.min(
+                F.when(2 * F.col("cum_c") >= F.col("n"), F.col(key_col))
+            ).alias("med"),
+            F.max("n").alias("n"),
+        )
+
+    med = _grid_median(g, "cents").select(
+        "event_type", F.col("med").alias("med_c"), "n"
+    )
+    dev = (
+        g.join(F.broadcast(med.select("event_type", "med_c")), "event_type")
+        .groupBy("event_type", F.abs(F.col("cents") - F.col("med_c")).alias("d"))
+        .agg(F.sum("c").alias("c"))
+    )
+    mad = _grid_median(dev, "d").select(
+        "event_type", F.col("med").alias("mad_c")
+    )
+    out = (
+        g.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med_c", "mad_c")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("cents") - F.col("med_c"))
+                        > 3 * F.col("mad_c"),
+                        F.col("c"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("med_c") / 100.0).alias("median_v"),
+        (F.col("mad_c") / 100.0).alias("mad_v"),
+        "n_outliers",
+    )
+
+
+@register(
+    "agg_fixed_grid_quantiles",
+    """
+    WITH g AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, cents, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_c,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM g
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN 2 * cum_c >= n THEN cents END) / 100.0  AS p50,
+           min(CASE WHEN 10 * cum_c >= 9 * n THEN cents END) / 100.0 AS p90,
+           min(CASE WHEN 100 * cum_c >= 99 * n THEN cents END) / 100.0 AS p99
+    FROM cum GROUP BY event_type
+    """,
+    doc="Exact distributed quantiles WITHOUT a sort of the data: the value "
+    "domain is bounded fixed-point (2dp), so a counting-sort grid — one "
+    "hash aggregate onto (group, cents) with map-side partials — plus a "
+    "cumulative window over the DISTINCT cents (bounded by the domain, "
+    "not the row count) yields exact lower-nearest-rank order statistics "
+    "p50/p90/p99. The grid is mergeable across shards by addition, the "
+    "per-group state is O(domain) regardless of data size, and the rank "
+    "thresholds are integer cross-multiplications (k * cum >= q * n) — "
+    "no float rank arithmetic. The counting-sort dual of "
+    "grouped_percentiles' interpolated-percentile path.",
+)
+def agg_fixed_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = g.select(
+        "event_type",
+        "cents",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    def q(mult_cum, mult_n):
+        return F.min(
+            F.when(mult_cum * F.col("cum_c") >= mult_n * F.col("n"), F.col("cents"))
+        ) / 100.0
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        q(F.lit(2), F.lit(1)).alias("p50"),
+        q(F.lit(10), F.lit(9)).alias("p90"),
+        q(F.lit(100), F.lit(99)).alias("p99"),
+    )
+
+
+@register(
+    "agg_kmv_distinct",
+    """
+    WITH d AS (
+        SELECT DISTINCT event_type,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM d
+    ),
+    s AS (
+        SELECT event_type, max(h) AS h_k, count(*) AS k_eff
+        FROM r WHERE rn <= 64 GROUP BY 1
+    ),
+    x AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT s.event_type,
+           CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(CASE WHEN s.k_eff < 64 THEN s.k_eff
+                     ELSE floor(63.0 * 1152921504606846976 / s.h_k)
+                END AS BIGINT) AS kmv_estimate
+    FROM s JOIN x USING (event_type)
+    """,
+    doc="Per-group distinct-count estimation via the KMV (k-minimum-values "
+    "/ bottom-k) sketch, Bar-Yossef et al. 2002: keep the k=64 smallest "
+    "md5-derived hash values per group; estimate D ~ (k-1)/u_k where u_k "
+    "is the k-th smallest hash normalized to [0,1) (here 2^60 since 15 "
+    "hex chars). Rounds out the sketch family — HLL (union-mergeable "
+    "distinct), CMS (frequency, join size), Misra-Gries (heavy hitters), "
+    "KMV (distinct + set operations on sketches). The rank filter "
+    "rn <= k compiles to Catalyst's WindowGroupLimit, which keeps only "
+    "k rows per group in EACH map task before the exchange — the "
+    "bottom-k merge IS the distributed sketch union, no full per-group "
+    "sort ever materializes. md5 keeps both engines' hash spaces "
+    "identical, so the sketch itself is deterministic and the gate "
+    "checks it exactly; the exact distinct rides along as audit twin.",
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    K = 64
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    d = ev.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    s = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("k_eff"))
+    )
+    x = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.when(F.col("k_eff") < K, F.col("k_eff")).otherwise(
+        F.floor(F.lit(63.0) * F.lit(1152921504606846976) / F.col("h_k"))
+    )
+    return s.join(x, "event_type").select(
+        "event_type",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        est.cast("long").alias("kmv_estimate"),
+    )
+
+
+@register(
+    "agg_cms_join_size",
+    """
+    WITH h(d, a, b) AS (
+        VALUES (0, 3079, 1531), (1, 4093, 2389),
+               (2, 5351, 3271), (3, 6151, 4447)
+    ),
+    r AS (SELECT user_id FROM events WHERE event_type = 'click'),
+    s AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+    cr AS (
+        SELECT h.d, ((h.a * r.user_id + h.b) % 8191) % 64 AS bucket,
+               count(*) AS cnt
+        FROM r CROSS JOIN h GROUP BY 1, 2
+    ),
+    cs AS (
+        SELECT h.d, ((h.a * s.user_id + h.b) % 8191) % 64 AS bucket,
+               count(*) AS cnt
+        FROM s CROSS JOIN h GROUP BY 1, 2
+    ),
+    ip AS (
+        SELECT cr.d, sum(cr.cnt * cs.cnt) AS ip
+        FROM cr JOIN cs USING (d, bucket) GROUP BY 1
+    ),
+    est AS (SELECT min(ip) AS cms_join_size FROM ip),
+    exact AS (
+        SELECT count(*) AS exact_join_size FROM r JOIN s USING (user_id)
+    )
+    SELECT CAST(exact_join_size AS BIGINT)                 AS exact_join_size,
+           CAST(cms_join_size AS BIGINT)                   AS cms_join_size,
+           CAST(cms_join_size - exact_join_size AS BIGINT) AS overcount
+    FROM exact CROSS JOIN est
+    """,
+    doc="Equi-join cardinality estimation from two Count-Min sketches via "
+    "their inner product (Cormode & Muthukrishnan 2005 §4.3): "
+    "|R JOIN S| = sum_k fR(k)*fS(k), estimated as min over depth rows of "
+    "sum_b cntR[d,b]*cntS[d,b] — the optimizer-side primitive for "
+    "deciding broadcast vs shuffle WITHOUT executing the join. Each side "
+    "collapses to a fixed 4x64 counter grid through map-side partials "
+    "(no raw-key shuffle; operators/sketches.py:cms_join_size_estimate), "
+    "and the inner product is a 256-row join — O(1) beyond the scans. "
+    "Collisions only add mass, so the estimate provably OVERcounts (safe "
+    "direction); the exact join size rides along as the audit twin.",
+)
+def agg_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_join_size_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    r = ev.filter(F.col("event_type") == "click").select("user_id")
+    s = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    est = cms_join_size_estimate(r, s, "user_id", width=64, depth=4)
+    exact = r.join(s, "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_join_size")
+    )
+    return exact.crossJoin(est).select(
+        "exact_join_size",
+        "cms_join_size",
+        (F.col("cms_join_size") - F.col("exact_join_size"))
+        .cast("long")
+        .alias("overcount"),
+    )
+
+
+@register(
+    "stat_chi2_independence",
+    """
+    WITH e AS (
+        SELECT event_type AS t, user_id % 4 AS c FROM events
+    ),
+    cells AS (SELECT t, c, count(*) AS o_n FROM e GROUP BY t, c),
+    rt AS (SELECT t, sum(o_n) AS rt FROM cells GROUP BY t),
+    ct AS (SELECT c, sum(o_n) AS ct FROM cells GROUP BY c),
+    n AS (SELECT sum(o_n) AS n FROM cells),
+    grid AS (
+        SELECT rt.t, ct.c, rt.rt, ct.ct, n.n,
+               coalesce(cells.o_n, 0) AS o_n
+        FROM rt CROSS JOIN ct CROSS JOIN n
+        LEFT JOIN cells ON cells.t = rt.t AND cells.c = ct.c
+    )
+    SELECT t AS event_type,
+           CAST(c AS BIGINT)                    AS cohort,
+           CAST(o_n AS BIGINT)                  AS o_n,
+           CAST((rt * ct * 1000) // n AS BIGINT) AS e_milli,
+           CAST(((o_n * 1000 - (rt * ct * 1000) // n)
+                 * (o_n * 1000 - (rt * ct * 1000) // n))
+                // (1000 * ((rt * ct * 1000) // n)) AS BIGINT)
+                                                AS chi2_term_milli
+    FROM grid
+    """,
+    doc="Chi-squared independence test (event_type x user cohort) in "
+    "exact fixed-point arithmetic: expected counts in milli-units "
+    "(E_milli = rt*ct*1000 div N, floor division DEFINED identically on "
+    "both engines), per-cell contribution dev^2/(1000*E_milli) — the "
+    "categorical-drift statistic next to the KS test's continuous one, "
+    "emitted per cell so the hash pins every intermediate, with zero "
+    "cells materialized via the rowtot x coltot grid (chi2 is wrong "
+    "without them). Plan: one hash aggregate over the (t,c) cells — "
+    "tiny, checkpointed — then row/col/grand totals all DERIVED from "
+    "the cell relation (no second fact scan) and broadcast back; at "
+    "100 TB the fact table is read once. Milli-scaling bounds "
+    "intermediates at (N*1000)^2, inside int64 through sf10-per-cell "
+    "~3e9 events; beyond that the documented move is micro->milli unit "
+    "drop, not silent float fallback.",
+)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"), (F.col("user_id") % 4).alias("c")
+    )
+    cells = (
+        ev.groupBy("t", "c")
+        .agg(F.count(F.lit(1)).alias("o_n"))
+        .localCheckpoint(eager=True)  # tiny: |types| x |cohorts| rows
+    )
+    rt = cells.groupBy("t").agg(F.sum("o_n").alias("rt"))
+    ct = cells.groupBy("c").agg(F.sum("o_n").alias("ct"))
+    n = cells.agg(F.sum("o_n").alias("n"))
+    grid = (
+        F.broadcast(rt)
+        .crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(cells), ["t", "c"], "left")
+        .withColumn("o_n", F.coalesce("o_n", F.lit(0)))
+    )
+    e_milli = F.expr("(rt * ct * 1000) div n")
+    dev = F.col("o_n") * 1000 - e_milli
+    return grid.select(
+        F.col("t").alias("event_type"),
+        F.col("c").cast("long").alias("cohort"),
+        F.col("o_n").cast("long").alias("o_n"),
+        e_milli.cast("long").alias("e_milli"),
+        (dev * dev).cast("long").alias("_d2"),
+    ).select(
+        "event_type",
+        "cohort",
+        "o_n",
+        "e_milli",
+        F.expr("_d2 div (1000 * e_milli)").cast("long").alias(
+            "chi2_term_milli"
+        ),
+    )
+
+
+@register(
+    "dq_skew_report",
+    """
+    WITH f AS (
+        SELECT 'orders.o_custkey' AS key_name, o_custkey AS k FROM orders
+        UNION ALL
+        SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+        UNION ALL
+        SELECT 'events.user_id', user_id FROM events
+    ),
+    freq AS (
+        SELECT key_name, k, count(*) AS c FROM f GROUP BY key_name, k
+    ),
+    ranked AS (
+        SELECT key_name, c,
+               row_number() OVER (PARTITION BY key_name
+                                  ORDER BY c DESC, k) AS rn
+        FROM freq
+    ),
+    agg AS (
+        SELECT key_name,
+               sum(c)   AS n_rows,
+               count(*) AS n_keys,
+               max(c)   AS max_freq
+        FROM freq GROUP BY key_name
+    ),
+    top10 AS (
+        SELECT key_name, sum(c) AS top10_rows
+        FROM ranked WHERE rn <= 10 GROUP BY key_name
+    )
+    SELECT a.key_name,
+           CAST(a.n_rows AS BIGINT)   AS n_rows,
+           CAST(a.n_keys AS BIGINT)   AS n_keys,
+           CAST(a.max_freq AS BIGINT) AS max_freq,
+           CAST(t.top10_rows AS BIGINT) AS top10_rows,
+           CAST((2000 * t.top10_rows + a.n_rows) // (2 * a.n_rows)
+                AS BIGINT) AS top10_per_mille,
+           CAST((2 * a.max_freq * a.n_keys + a.n_rows) // (2 * a.n_rows)
+                AS BIGINT) AS skew_x
+    FROM agg a JOIN top10 t USING (key_name)
+    """,
+    doc="Join-key skew diagnostics — the audit an optimizer (or an engineer "
+    "choosing between broadcast, salting, and AQE skew-join) runs before "
+    "committing a shuffle plan: per key column, cardinality, max key "
+    "frequency, the top-10-keys row share (per mille), and skew_x = "
+    "max_freq / (rows/keys), the hot key's multiple of the uniform load. "
+    "Everything is integer-exact — shares via (2A + B) div (2B) half-up, "
+    "no interpolated percentile — so the report hashes identically at any "
+    "scale. One count aggregate per key column plus a WindowGroupLimit "
+    "top-10 (partial per-task bottom-k), then O(keys) scalar rollups.",
+)
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    parts = []
+    for name, table, col in [
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("events.user_id", "events", "user_id"),
+    ]:
+        parts.append(
+            _t(spark, sf_dir, table).select(
+                F.lit(name).alias("key_name"), F.col(col).alias("k")
+            )
+        )
+    f = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    freq = f.groupBy("key_name", "k").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("key_name").orderBy(F.col("c").desc(), "k")
+    top10 = (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy("key_name")
+        .agg(F.sum("c").alias("top10_rows"))
+    )
+    agg = freq.groupBy("key_name").agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_freq"),
+    )
+    return (
+        agg.join(top10, "key_name")
+        .select(
+            "key_name",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "n_keys",
+            "max_freq",
+            "top10_rows",
+            F.expr(
+                "CAST((2000 * top10_rows + n_rows) div (2 * n_rows) AS BIGINT)"
+            ).alias("top10_per_mille"),
+            F.expr(
+                "CAST((2 * max_freq * n_keys + n_rows) div (2 * n_rows)"
+                " AS BIGINT)"
+            ).alias("skew_x"),
+        )
+    )
+
+
+@register(
+    "dq_table_checksum",
+    """
+    WITH rows_h AS (
+        SELECT o_orderkey % 8 AS shard,
+               CAST(concat('0x', substr(md5(
+                   concat_ws('|',
+                       CAST(o_orderkey AS VARCHAR),
+                       CAST(o_custkey AS VARCHAR),
+                       CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                            AS VARCHAR),
+                       CAST(epoch_us(o_orderdate) AS VARCHAR),
+                       o_orderpriority)
+               ), 1, 12)) AS BIGINT) AS row_h
+        FROM orders
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           count(*) AS n_rows,
+           CAST(sum(row_h) % 4611686018427387904 AS BIGINT) AS checksum
+    FROM rows_h GROUP BY shard
+    """,
+    doc="Order-insensitive, mergeable table checksum (the content "
+    "verification primitive for replicated / migrated datasets): each row "
+    "canonicalizes to a '|'-joined string of engine-stable renderings "
+    "(integer keys, cent-scaled price, epoch-us date), hashes through "
+    "md5 (12 hex chars -> int, < 2^48 so a DECIMAL(38,0)/HUGEINT sum "
+    "stays exact for ~1e23 rows), and SUMS per shard mod 2^62. Sum is "
+    "commutative, so the checksum is independent of row order and "
+    "partitioning, shard checksums merge by addition across files or "
+    "clusters, and a CDC delta patches it incrementally (add inserts, "
+    "subtract deletes) without rescanning. Map-only -> fixed 8-cell "
+    "grid: map-side partials collapse every task to <= 8 rows, the "
+    "cheapest possible audit shape at 100 TB.",
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+        F.unix_micros("o_orderdate").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    row_h = F.conv(F.substring(F.md5(canon.cast("binary")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    return (
+        o.select((F.col("o_orderkey") % 8).alias("shard"), row_h.alias("row_h"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(F.col("row_h").cast("decimal(38,0)")) % F.lit(4611686018427387904))
+            .cast("long")
+            .alias("checksum"),
+        )
+        .select(F.col("shard").cast("long").alias("shard"), "n_rows", "checksum")
+    )
+
+
+@register(
+    "dq_referential_integrity",
+    """
+    SELECT 'lineitem->orders' AS fk_edge,
+           (SELECT count(*) FROM lineitem)                     AS n_child,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey)) AS n_childless
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey))
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey)),
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_suppkey = s.s_suppkey))
+    """,
+    doc="Referential-integrity audit across three FK edges of the star "
+    "schema: orphaned children (FK with no parent — anti-join child vs "
+    "parent) and childless parents (reverse anti-join; customers with "
+    "no orders are the nonzero case in this corpus) — the DQ gate that "
+    "runs before any OLAP backfill, completing the data-quality family "
+    "(column profile, expectations, footer stats, observe, try_*). "
+    "Plan: each direction is one LeftAnti broadcast/shuffle join "
+    "feeding a count; parents broadcast (dimension-sized), the child "
+    "side is scanned with only the key column (pruned scan). At 100 TB "
+    "each audit is one pass over the fact's key column.",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+
+    def audit(name, child, ckey, parent, pkey):
+        n_child = child.count()
+        n_orphans = child.join(
+            parent, child[ckey] == parent[pkey], "left_anti"
+        ).count()
+        n_childless = parent.join(
+            child, parent[pkey] == child[ckey], "left_anti"
+        ).count()
+        return (name, n_child, n_orphans, n_childless)
+
+    rows = [
+        audit("lineitem->orders", li.select("l_orderkey"), "l_orderkey",
+              o.select("o_orderkey"), "o_orderkey"),
+        audit("orders->customer", o.select("o_custkey"), "o_custkey",
+              cu.select("c_custkey"), "c_custkey"),
+        audit("lineitem->supplier", li.select("l_suppkey"), "l_suppkey",
+              su.select("s_suppkey"), "s_suppkey"),
+    ]
+    return _t(spark, sf_dir, "region").sparkSession.createDataFrame(
+        rows, "fk_edge: string, n_child: long, n_orphans: long, n_childless: long"
+    )
+
+
+@register(
+    "stat_mann_whitney_u",
+    """
+    WITH v AS (SELECT source, n_chars FROM documents),
+    g AS (SELECT n_chars, count(*) AS dup FROM v GROUP BY n_chars),
+    c AS (
+        SELECT n_chars, dup,
+               sum(dup) OVER (ORDER BY n_chars
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+        FROM g
+    ),
+    r AS (SELECT n_chars, 2 * cum - dup + 1 AS r2 FROM c),
+    s AS (
+        SELECT v.source, count(*) AS n_s,
+               CAST(sum(r.r2) AS BIGINT) AS r2_sum
+        FROM v JOIN r USING (n_chars) GROUP BY v.source
+    )
+    SELECT source,
+           CAST(n_s AS BIGINT)                        AS n_docs,
+           r2_sum,
+           CAST(r2_sum - n_s * (n_s + 1) AS BIGINT)   AS u2_vs_rest
+    FROM s
+    """,
+    doc="Mann-Whitney rank-sum statistic (one-vs-rest per source, over "
+    "doc length): combined-sample midranks carried as INTEGER doubled "
+    "midranks (2*midrank = 2*cnt_less + dup + 1 — tie handling without "
+    "fractions), per-source rank sum R2 and U2 = 2U = R2 - n(n+1) — the "
+    "nonparametric location test next to the KS statistic (which "
+    "compares whole CDFs; MW tests stochastic dominance). Exact "
+    "integers end to end, so the oracle replays it bit-for-bit. Plan "
+    "discipline: the global cumulative count over the value-level "
+    "relation uses the banded prefix-sum operator (operators/prefix.py "
+    "— per-band totals + triangular band offsets + band-partitioned "
+    "window), NEVER a single-partition global window; the doubled-rank "
+    "relation is value-level (bounded by distinct lengths) and "
+    "re-enters broadcast.",
+)
+def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    g = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("dup")).withColumn(
+        "band", F.expr("n_chars div 128")
+    )
+    cum = banded_running_sum(
+        g, "band", [F.col("n_chars")], "dup", out_col="cum", descending=False
+    )
+    r = cum.select(
+        "n_chars", (F.lit(2) * F.col("cum") - F.col("dup") + 1).alias("r2")
+    )
+    s = (
+        d.join(F.broadcast(r), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_s"),
+            F.sum("r2").cast("long").alias("r2_sum"),
+        )
+    )
+    return s.select(
+        "source",
+        F.col("n_s").cast("long").alias("n_docs"),
+        "r2_sum",
+        (F.col("r2_sum") - F.col("n_s") * (F.col("n_s") + 1))
+        .cast("long")
+        .alias("u2_vs_rest"),
+    )
+
+
+@register(
+    "agg_gini_per_nation",
+    """
+    WITH v AS (
+        SELECT n.n_name AS nation,
+               CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+               o.o_orderkey
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    r AS (
+        SELECT nation, cents,
+               row_number() OVER (PARTITION BY nation
+                                  ORDER BY cents, o_orderkey) AS i
+        FROM v
+    ),
+    s AS (
+        SELECT nation, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS sum_x,
+               CAST(sum(i * cents) AS BIGINT) AS sum_ix
+        FROM r GROUP BY nation
+    )
+    SELECT nation,
+           CAST(n AS BIGINT) AS n_orders,
+           sum_x             AS total_cents,
+           CAST(((2 * sum_ix - (n + 1) * sum_x) // n) * 1000000
+                // sum_x AS BIGINT) AS gini_micro
+    FROM s
+    """,
+    doc="Exact Gini concentration index of order value per customer "
+    "nation, via the rank formulation G = (2*sum(i*x_i) - (n+1)*sum x) "
+    "/ (n*sum x) over the ascending-sorted group — the inequality/"
+    "concentration statistic (revenue concentration, whale detection) "
+    "in pure integer arithmetic: cent-quantized values, a deterministic "
+    "(cents, orderkey) tie-break, and micro-unit floor division, so "
+    "both engines agree bit-for-bit (the per-n floor division happens "
+    "BEFORE the micro scaling so the numerator never exceeds int64 — "
+    "relative floor error <= 1/(A/n) ~ 1e-10, part of the defined "
+    "semantics). Plan: one exchange on nation feeds "
+    "a partition-local ranking window and the grouped fold — no global "
+    "sort, no single-partition exchange (ranks are PER GROUP; for a "
+    "corpus-wide Gini the banded prefix-sum operator supplies the "
+    "global rank, as in stat_mann_whitney_u). Intermediates bound by "
+    "n*max_cents*n — inside int64 through ~10^5 orders/nation at these "
+    "prices; the documented scale move past that is milli-unit values.",
+)
+def agg_gini_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    v = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "cents", "o_orderkey")
+    )
+    w = Window.partitionBy("nation").orderBy("cents", "o_orderkey")
+    r = v.withColumn("i", F.row_number().over(w))
+    s = r.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("sum_x"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("sum_ix"),
+    )
+    return s.select(
+        "nation",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("sum_x").alias("total_cents"),
+        F.expr("((2 * sum_ix - (n + 1) * sum_x) div n) * 1000000 div sum_x")
+        .cast("long")
+        .alias("gini_micro"),
+    )
+
+
+@register(
+    "stat_anova_oneway",
+    """
+    WITH x AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, count(*) AS n_i,
+               CAST(sum(cents) AS BIGINT) AS t_i,
+               CAST(sum(cents * cents) AS BIGINT) AS q_i
+        FROM x GROUP BY event_type
+    ),
+    parts AS (
+        SELECT count(*) AS k, sum(n_i) AS n,
+               sum(CAST(t_i AS HUGEINT) * t_i // n_i) AS sum_a,
+               sum(t_i) AS t, sum(q_i) AS q
+        FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           CAST(sum_a - (CAST(t AS HUGEINT) * t // n) AS BIGINT) AS ssb_cents2,
+           CAST(q - sum_a AS BIGINT) AS ssw_cents2,
+           CAST((CAST(1000 AS HUGEINT) * (sum_a - CAST(t AS HUGEINT) * t // n)
+                 * (n - k))
+                // ((q - sum_a) * (k - 1)) AS BIGINT) AS f_milli
+    FROM parts
+    """,
+    doc="One-way ANOVA across event types (does mean event value differ "
+    "by type?) in EXACT fixed point — the omnibus location test "
+    "completing the stats family (KS=distribution drift, chi2="
+    "independence, Mann-Whitney=two-sample location, Gini/winsorized="
+    "dispersion): values quantized to integer cents, per-group exact "
+    "sufficient statistics (n_i, sum, sum-of-squares) in ONE aggregate "
+    "pass with map-side partials, then SSB/SSW via the computational "
+    "formula with DEFINED floor division (sum T_i^2 div n_i in 128-bit "
+    "intermediates — DECIMAL(38) on Spark, HUGEINT in DuckDB — since "
+    "T_i^2 overflows int64 beyond sf0.01) and the F statistic emitted in "
+    "integer milli-units. The <=1-cent^2 flooring slack per group is part "
+    "of the defined semantics, identical on both engines — no float ever "
+    "enters, so the hash check is exact at any scale factor.",
+)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    g = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum("cents").cast("long").alias("t_i"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("q_i"),
+    )
+    parts = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_i").alias("n"),
+        # True integral division (`div`, truncate-toward-zero) — NOT
+        # floor(a / b): Spark decimal `/` rounds HALF_UP at result scale
+        # before floor, so a quotient within ~5e-7 of an integer floors one
+        # high vs DuckDB's exact `//`. Both `div` and `//` truncate toward
+        # zero, so the engines agree bit-for-bit (relational.py money
+        # protocol). Each per-group quotient T_i^2/n_i ~ n_i*mean^2 fits
+        # int64 (Spark `div` returns BIGINT) up to ~3e9 rows/group; the SUM
+        # across groups is carried in DECIMAL(38,0).
+        F.sum(
+            F.expr(
+                "CAST(CAST(t_i AS DECIMAL(19,0)) * t_i div n_i"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("sum_a"),
+        F.sum("t_i").alias("t"),
+        F.sum("q_i").alias("q"),
+    )
+    return parts.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            "CAST(sum_a - CAST(t AS DECIMAL(19,0)) * t div n AS BIGINT)"
+        ).alias("ssb_cents2"),
+        F.expr("CAST(q - sum_a AS BIGINT)").alias("ssw_cents2"),
+        F.expr(
+            "CAST(1000 * (sum_a - CAST(t AS DECIMAL(19,0)) * t div n)"
+            " * (n - k) div ((q - sum_a) * (k - 1)) AS BIGINT)"
+        ).alias("f_milli"),
+    )
+
+
+@register(
+    "dq_benford_first_digit",
+    f"""
+    WITH cents AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        FROM orders
+    ),
+    digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM cents WHERE c > 0
+    ),
+    obs AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+    tot AS (SELECT sum(n) AS t FROM obs),
+    exp_tbl AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_MICRO.items()))}
+        ) AS e(digit, p_micro)
+    )
+    SELECT e.digit,
+           CAST(coalesce(o.n, 0) AS BIGINT)            AS n,
+           CAST(t.t * e.p_micro // 1000000 AS BIGINT)  AS expected_n,
+           CAST(abs(coalesce(o.n, 0) * 1000000 - t.t * e.p_micro)
+                // t.t AS BIGINT)                      AS abs_dev_micro
+    FROM exp_tbl e LEFT JOIN obs o ON e.digit = o.digit CROSS JOIN tot t
+    """,
+    doc="Benford's-law first-digit audit over order totals — the "
+    "fraud/fabrication screen in the data-quality family (expectations "
+    "gate, referential integrity, column profile, try_* absorption): "
+    "first digits come from exact integer cents via string head (no "
+    "float log at query time), observed counts vs the Benford expected "
+    "distribution with log10(1+1/d) pinned as integer micro-unit "
+    "LITERALS identical in both engines, deviations in exact micro "
+    "units via integer floor division. One aggregate pass collapses the "
+    "fact table to <= 9 rows; the expected table is a 9-row literal "
+    "relation broadcast onto it.",
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("c")
+    )
+    obs = (
+        c.filter(F.col("c") > 0)
+        .select(F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exp_tbl = spark.createDataFrame(
+        sorted(_BENFORD_MICRO.items()), "digit long, p_micro long"
+    )
+    tot = obs.agg(F.sum("n").alias("t"))
+    return (
+        exp_tbl.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.expr("CAST((t * p_micro) div 1000000 AS BIGINT)").alias("expected_n"),
+            F.expr(
+                "CAST(abs(coalesce(n, 0) * 1000000 - t * p_micro) div t AS BIGINT)"
+            ).alias("abs_dev_micro"),
+        )
+    )
+
+
+@register(
+    "agg_hll_overlap_estimate",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    a AS (SELECT event_type, user_id FROM ut),
+    b AS (SELECT event_type, user_id FROM ut),
+    ov AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS exact_overlap
+        FROM a JOIN b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, CAST(exact_overlap AS BIGINT) AS exact_overlap,
+           TRUE AS sketch_within_tol
+    FROM ov
+    """,
+    doc="Audience-overlap estimation via HLL sketch algebra — the "
+    "set-INTERSECTION sibling of agg_hll_shard_union: |A intersect B| = "
+    "|A| + |B| - |A union B| by inclusion-exclusion, where each term is "
+    "an HLL estimate and the union comes from hll_union of the two "
+    "per-type sketches — so pairwise audience overlaps across N "
+    "segments need N sketches (16 KB each), not N^2 distinct-count "
+    "scans; a new segment means ONE new sketch. Per the registry's "
+    "sketch idiom the emitted columns are the EXACT overlap (one "
+    "distinct (user,type) relation self-joined on user, keyed shuffle) "
+    "plus a Spark-computed tolerance boolean the oracle emits as literal "
+    "TRUE. The tolerance is max(5% of exact overlap, 5% of |A|+|B|): "
+    "inclusion-exclusion error is ABSOLUTE in the set sizes (std ~ "
+    "1.04/sqrt(2^14) ~ 0.81% per term, <= ~1.6% of |A|+|B| combined, so "
+    "5% is ~3 sigma), while a purely relative 5%-of-overlap check would "
+    "false-fail any low-overlap pair at larger scale factors where the "
+    "exact intersection is small relative to the audiences.",
+)
+def agg_hll_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ut = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = ut.select(F.col("event_type").alias("type_a"), "user_id")
+    b = ut.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+    sk = ut.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    ska = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n").alias("n_a"),
+    )
+    skb = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n").alias("n_b"),
+    )
+    est = (
+        ska.crossJoin(skb)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            (
+                F.expr("hll_sketch_estimate(sk_a)")
+                + F.expr("hll_sketch_estimate(sk_b)")
+                - F.expr("hll_sketch_estimate(hll_union(sk_a, sk_b))")
+            ).alias("est_overlap"),
+        )
+    )
+    return exact.join(F.broadcast(est), ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_overlap",
+        # absolute floor: HLL error compounds absolutely in |A|+|B|, not
+        # relative to the (possibly tiny) intersection
+        (
+            F.abs(F.col("est_overlap") - F.col("exact_overlap"))
+            <= F.greatest(
+                0.05 * F.col("exact_overlap"),
+                0.05 * (F.col("n_a") + F.col("n_b")),
+            )
+        ).alias("sketch_within_tol"),
+    )
+
+
+@register(
+    "stat_spearman_rank_corr",
+    """
+    WITH c AS (
+        SELECT c.c_nationkey AS nation, c.c_custkey,
+               CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+               count(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, c.c_custkey, c.c_acctbal
+    ),
+    r AS (
+        SELECT nation, c_custkey,
+               2 * rank() OVER (PARTITION BY nation ORDER BY bal)
+                 + count(*) OVER (PARTITION BY nation, bal) - 1 AS rx2,
+               2 * rank() OVER (PARTITION BY nation ORDER BY n_orders)
+                 + count(*) OVER (PARTITION BY nation, n_orders) - 1 AS ry2
+        FROM c
+    ),
+    s AS (
+        SELECT nation, count(*) AS n,
+               sum(CAST(rx2 AS HUGEINT)) AS sx,
+               sum(CAST(ry2 AS HUGEINT)) AS sy,
+               sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+               sum(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+               sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy
+        FROM r GROUP BY nation
+    )
+    SELECT nation, CAST(n AS BIGINT) AS n,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) * 10000 + 0.5)
+               / 10000.0 AS spearman_rho
+    FROM s
+    """,
+    doc="Spearman rank correlation per nation (account balance vs order "
+    "count) — the RANK-based robust sibling of corr_per_group's Pearson: "
+    "monotone association, insensitive to outliers and to any monotone "
+    "rescaling of either variable. Ties are handled exactly via "
+    "DOUBLED average ranks (2*avg_rank = 2*rank + tie_count - 1, an "
+    "INTEGER — the halves introduced by midranks never materialize as "
+    "floats), then Pearson over the doubled ranks from exact integer "
+    "sufficient statistics (decimal/HUGEINT sums), one identical double "
+    "formula + floor-parity rounding at 4 dp on both engines. Scale "
+    "shape: one customer-keyed outer join + count, rank windows "
+    "partitioned BY NATION (never single-partition), one grouped "
+    "moment aggregate — 25 output rows regardless of data size.",
+)
+def stat_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    c = (
+        cu.join(o, cu["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("bal"),
+        )
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    rx2 = (
+        2 * F.rank().over(Window.partitionBy("nation").orderBy("bal"))
+        + F.count(F.lit(1)).over(Window.partitionBy("nation", "bal"))
+        - 1
+    ).cast("long")
+    ry2 = (
+        2 * F.rank().over(Window.partitionBy("nation").orderBy("n_orders"))
+        + F.count(F.lit(1)).over(Window.partitionBy("nation", "n_orders"))
+        - 1
+    ).cast("long")
+    r = c.select("nation", rx2.alias("rx2"), ry2.alias("ry2"))
+    dec = "decimal(38,0)"
+    s = r.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx2").cast(dec)).alias("sx"),
+        F.sum(F.col("ry2").cast(dec)).alias("sy"),
+        F.sum((F.col("rx2").cast(dec) * F.col("rx2"))).alias("sxx"),
+        F.sum((F.col("ry2").cast(dec) * F.col("ry2"))).alias("syy"),
+        F.sum((F.col("rx2").cast(dec) * F.col("ry2"))).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "nation",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.floor(num / F.sqrt(varx * vary) * 10000 + F.lit(0.5)) / 10000.0
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "dq_drift_population",
+    """
+    WITH b AS (
+        SELECT min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts)))
+                   // 2 AS mid_us
+        FROM events
+    ),
+    binned AS (
+        SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin,
+               CASE WHEN epoch_us(ts) < b.mid_us THEN 1 ELSE 0 END
+                   AS is_first
+        FROM events CROSS JOIN b
+    ),
+    per AS (
+        SELECT bin,
+               CAST(sum(is_first) AS HUGEINT) AS a,
+               CAST(sum(1 - is_first) AS HUGEINT) AS bq
+        FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(a) AS ta, sum(bq) AS tb FROM per),
+    probs AS (
+        SELECT p.bin, p.a, p.bq,
+               1000000 * p.a // t.ta AS pm,
+               1000000 * p.bq // t.tb AS qm
+        FROM per p CROSS JOIN tot t
+    ),
+    terms AS (
+        SELECT bin, a, bq,
+               CASE WHEN pm + qm > 0
+                    THEN (pm - qm) * (pm - qm) // (pm + qm)
+                    ELSE 0 END AS drift_micro
+        FROM probs
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(a AS BIGINT) AS n_first,
+           CAST(bq AS BIGINT) AS n_second,
+           CAST(drift_micro AS BIGINT) AS drift_micro
+    FROM terms
+    UNION ALL
+    SELECT NULL, CAST(sum(a) AS BIGINT), CAST(sum(bq) AS BIGINT),
+           CAST(sum(drift_micro) AS BIGINT)
+    FROM terms
+    """,
+    doc="Population drift monitor between the first and second half of "
+    "the observation window (split at the midpoint timestamp): per "
+    "value-bin counts for both periods plus the TRIANGULAR "
+    "DISCRIMINATION contribution sum((p-q)^2/(p+q)) in exact micro "
+    "units — the rational drift divergence chosen over the industry PSI "
+    "because PSI's ln() is not correctly rounded in either engine's "
+    "libm while this statistic stays in EXACT integer arithmetic — "
+    "probabilities fixed-pointed to micro first (so every operand stays "
+    "bounded by 1e6 at ANY corpus size), then (p-q)^2 // (p+q) per bin "
+    "— and the drift score hash-matches bit-for-bit; a NULL-bin total row "
+    "aggregates the corpus-level score (0 = identical distributions, "
+    "2e6 = disjoint). Scale shape: one map-side binning pass + one "
+    "grouped count + a broadcast one-row totals join — bins are "
+    "bounded, rows never re-shuffle.",
+)
+def dq_drift_population(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us"), "value"
+    )
+    b = ev.agg(
+        (
+            F.min("us") + F.expr("(max(us) - min(us)) div 2")
+        ).alias("mid_us")
+    )
+    dec = "decimal(38,0)"
+    per = (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            F.floor(F.col("value") / 5.0).cast("long").alias("bin"),
+            F.when(F.col("us") < F.col("mid_us"), 1).otherwise(0).alias("f"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("f").cast(dec).alias("a"),
+            F.sum(1 - F.col("f")).cast(dec).alias("bq"),
+        )
+    )
+    tot = per.agg(
+        F.sum("a").cast(dec).alias("ta"), F.sum("bq").cast(dec).alias("tb")
+    )
+    # probabilities fixed-pointed to micro FIRST (identical floor on both
+    # engines), so every later operand is bounded by 1e6 regardless of
+    # corpus size — the cross-multiplied exact form (aB-bA)^2/(AB(aB+bA))
+    # would exceed decimal(38) once counts pass ~1e12 rows
+    probs = per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "a",
+        "bq",
+        F.expr("CAST(1000000 * a div ta AS BIGINT)").alias("pm"),
+        F.expr("CAST(1000000 * bq div tb AS BIGINT)").alias("qm"),
+    )
+    terms = probs.select(
+        "bin",
+        "a",
+        "bq",
+        F.when(
+            F.col("pm") + F.col("qm") > 0,
+            F.expr("(pm - qm) * (pm - qm) div (pm + qm)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("drift_micro"),
+    )
+    per_bin = terms.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("a").cast("long").alias("n_first"),
+        F.col("bq").cast("long").alias("n_second"),
+        F.col("drift_micro").cast("long").alias("drift_micro"),
+    )
+    total = terms.agg(
+        F.sum("a").cast("long").alias("n_first"),
+        F.sum("bq").cast("long").alias("n_second"),
+        F.sum("drift_micro").cast("long").alias("drift_micro"),
+    ).select(
+        F.lit(None).cast("long").alias("bin"),
+        "n_first",
+        "n_second",
+        "drift_micro",
+    )
+    return per_bin.unionByName(total)
+
+
+@register(
+    "stat_welch_ttest",
+    """
+    WITH cents AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    g AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS s1,
+               CAST(sum(cents * cents) AS BIGINT) AS s2
+        FROM cents GROUP BY event_type
+    ),
+    w AS (
+        SELECT a.n AS n_click, b.n AS n_view,
+               (a.s1 * 1.0 / a.n) AS m1, (b.s1 * 1.0 / b.n) AS m2,
+               (a.s2 - a.s1 * 1.0 / a.n * a.s1) / (a.n - 1) AS v1,
+               (b.s2 - b.s1 * 1.0 / b.n * b.s1) / (b.n - 1) AS v2
+        FROM (SELECT * FROM g WHERE event_type = 'click') a,
+             (SELECT * FROM g WHERE event_type = 'view') b
+    )
+    SELECT n_click, n_view,
+           CAST(floor((m1 - m2) / sqrt(v1 / n_click + v2 / n_view) * 1000000
+                      + 0.5) AS BIGINT) AS t_micro,
+           CAST(floor(
+               ((v1 / n_click + v2 / n_view) * (v1 / n_click + v2 / n_view))
+               / ((v1 / n_click) * (v1 / n_click) / (n_click - 1)
+                  + (v2 / n_view) * (v2 / n_view) / (n_view - 1)) * 1000
+               + 0.5) AS BIGINT) AS df_milli
+    FROM w
+    """,
+    doc="Welch's unequal-variance t-test (click vs view event values) "
+    "completing the hypothesis-testing family (ANOVA / chi2 / KS / "
+    "Mann-Whitney / Spearman): values are exact integer cents "
+    "(round(value*100)), per-group n / sum / sum-of-squares are exact "
+    "integer sufficient statistics from ONE partial-aggregated pass "
+    "(the 100 TB shape — two grouped sums, no second scan), and the t "
+    "statistic + Welch-Satterthwaite df are computed with the IDENTICAL "
+    "double expression tree on both engines, then fixed-pointed "
+    "(floor(x*1e6+0.5) / floor(x*1e3+0.5)) so no rounding-mode "
+    "difference can leak into the hash.",
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    cents = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    g = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("s2"),
+    )
+    a = g.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_click"),
+        F.col("s1").alias("a1"),
+        F.col("s2").alias("a2"),
+    )
+    b = g.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_view"),
+        F.col("s1").alias("b1"),
+        F.col("s2").alias("b2"),
+    )
+    w = a.crossJoin(F.broadcast(b)).select(
+        "n_click",
+        "n_view",
+        (F.col("a1") * 1.0 / F.col("n_click")).alias("m1"),
+        (F.col("b1") * 1.0 / F.col("n_view")).alias("m2"),
+        (
+            (F.col("a2") - F.col("a1") * 1.0 / F.col("n_click") * F.col("a1"))
+            / (F.col("n_click") - 1)
+        ).alias("v1"),
+        (
+            (F.col("b2") - F.col("b1") * 1.0 / F.col("n_view") * F.col("b1"))
+            / (F.col("n_view") - 1)
+        ).alias("v2"),
+    )
+    se2_1 = F.col("v1") / F.col("n_click")
+    se2_2 = F.col("v2") / F.col("n_view")
+    return w.select(
+        "n_click",
+        "n_view",
+        F.floor((F.col("m1") - F.col("m2")) / F.sqrt(se2_1 + se2_2) * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("t_micro"),
+        F.floor(
+            ((se2_1 + se2_2) * (se2_1 + se2_2))
+            / (
+                se2_1 * se2_1 / (F.col("n_click") - 1)
+                + se2_2 * se2_2 / (F.col("n_view") - 1)
+            )
+            * 1000
+            + 0.5
+        )
+        .cast("long")
+        .alias("df_milli"),
+    )

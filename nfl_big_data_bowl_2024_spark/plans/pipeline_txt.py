@@ -1,0 +1,2403 @@
+"""Text-analysis and document-curation queries (txt_*, doc_*): language ID, quality scoring, tokenization/BPE, fingerprinting, sampling/packing/splits/mixing.
+
+Split out of plans/pipeline_ops.py along the registry's family seams
+(round-9; see pipeline_ops.py for the compatibility re-export and
+pipeline_common.py for shared helpers/oracle fragments). Original
+docstrings, oracle SQL and reference citations moved verbatim.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    prefix_filter_jaccard_pairs,
+    simhash_signatures,
+)
+from ..operators.similarity import brute_force_topk, cosine_col
+from ..operators.prefix import banded_running_sum
+from ..sources.readers import read_testdata_table as _t
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# Curation add-ons: PII redaction, token-budget selection, DSIR importance
+# ---------------------------------------------------------------------------
+
+
+# The oracle interpolates the SAME pattern/token table the Spark side uses
+# (functions/text.py PII_PATTERNS) — the single source of truth, so a
+# pattern tweak cannot silently drift the query from its oracle.
+from ..functions.text import PII_PATTERNS as _PII_PATTERNS
+
+from .pipeline_common import (  # noqa: F401
+    _BPE_RE,
+    _BPE_SENT,
+    _PII_EMAIL,
+    _PII_EMAIL_TOK,
+    _PII_IP,
+    _PII_IP_TOK,
+    _PII_PHONE,
+    _PII_PHONE_TOK,
+    _bpe_train_merges,
+    _content_fingerprint,
+    _dsir_doc_weights,
+    _n_ws_tokens,
+)
+
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txt_token_quality",
+    """
+    SELECT doc_id, lang,
+           length(text) AS n_chars_actual,
+           length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+           round((length(text) - length(replace(text, ' ', '')) + 1) * 1.0
+                 / (length(text) + 1), 4) AS token_density,
+           CAST(length(text) - length(replace(text, 'the', ''))
+                AS BIGINT) // 3 AS stopword_hits,
+           CASE WHEN length(text) BETWEEN 100 AND 5000
+                 AND length(text) - length(replace(text, ' ', '')) + 1 >= 10
+                THEN 'keep' ELSE 'drop' END AS quality_gate
+    FROM documents
+    """,
+    doc="Token counting + quality scoring (length/stopword heuristics) — pure JVM "
+    "string expressions, no UDF; the keep/drop gate is the standard corpus filter shape.",
+)
+def txt_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = n_chars - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    stop_hits = (
+        (n_chars - F.length(F.replace(F.col("text"), F.lit("the"), F.lit("")))) / 3
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_chars.cast("long").alias("n_chars_actual"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(n_tokens * 1.0 / (n_chars + 1), 4).alias("token_density"),
+        stop_hits.alias("stopword_hits"),
+        F.when(n_chars.between(100, 5000) & (n_tokens >= 10), "keep")
+        .otherwise("drop")
+        .alias("quality_gate"),
+    )
+
+
+@register(
+    "txt_lang_id",
+    """
+    WITH scores AS (
+        SELECT doc_id, lang,
+               (length(text) - length(replace(text, ' the ', ''))) // 5 AS en_score,
+               (length(text) - length(replace(text, ' data ', ''))) // 6 AS data_score,
+               (length(text) - length(replace(text, ' spark ', ''))) // 7 AS spark_score
+        FROM documents
+    )
+    SELECT doc_id, lang, en_score, data_score, spark_score,
+           CASE WHEN en_score >= data_score AND en_score >= spark_score THEN 'marker_the'
+                WHEN data_score >= spark_score THEN 'marker_data'
+                ELSE 'marker_spark' END AS dominant_marker
+    FROM scores
+    """,
+    doc="Language-ID-style n-gram marker scoring with argmax classification "
+    "(deterministic tie-break) — the distributed lang-ID shape; real marker tables "
+    "drop in as a broadcast dim.",
+)
+def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+
+    def marker(m: str):
+        return (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(m), F.lit(""))))
+            / len(m)
+        ).cast("long")
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        marker(" the ").alias("en_score"),
+        marker(" data ").alias("data_score"),
+        marker(" spark ").alias("spark_score"),
+    )
+    dominant = (
+        F.when(
+            (F.col("en_score") >= F.col("data_score"))
+            & (F.col("en_score") >= F.col("spark_score")),
+            "marker_the",
+        )
+        .when(F.col("data_score") >= F.col("spark_score"), "marker_data")
+        .otherwise("marker_spark")
+    )
+    return scored.withColumn("dominant_marker", dominant)
+
+
+@register(
+    "txt_fingerprint_exact_dedup",
+    """
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+    doc="Document fingerprinting + exact dedup: hash-groupBy keeping the smallest id "
+    "as canonical. At 100 TB this is one shuffle on the fingerprint.",
+)
+def txt_fingerprint_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No pre-repartition here: md5 is cheaper than a shuffle of the raw text,
+    # and the testdata parquet is single-row-group (serial scan either way).
+    # At 100 TB the scan itself arrives in thousands of splits.
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        _content_fingerprint().alias("fingerprint")
+    ).agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+
+
+@register(
+    "txt_regex_extract",
+    """
+    SELECT doc_id,
+           regexp_extract(text, 's[a-z]*k')                 AS first_sk_word,
+           len(regexp_extract_all(text, '\\bthe\\b'))       AS n_the,
+           len(regexp_extract_all(text, '[a-z]+'))          AS n_words,
+           CAST(regexp_matches(text, 'spark') AS INT)       AS has_spark
+    FROM documents
+    """,
+    doc="Regex extraction/counting over documents (first-match extract, "
+    "word-boundary count, token count, predicate) — JVM-side regexp_* "
+    "expressions; patterns stay in the RE2-compatible subset so the same "
+    "query text runs on either engine.",
+)
+def txt_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "s[a-z]*k", 0).alias("first_sk_word"),
+        F.regexp_count("text", F.lit(r"\bthe\b")).cast("long").alias("n_the"),
+        F.regexp_count("text", F.lit("[a-z]+")).cast("long").alias("n_words"),
+        F.regexp_like("text", F.lit("spark")).cast("int").alias("has_spark"),
+    )
+
+
+@register(
+    "txt_winnow_fingerprint",
+    """
+    WITH h AS (
+        SELECT doc_id,
+               [md5(substr(text, i, 8))
+                FOR i IN range(1, greatest(length(text) - 6, 2))] AS hashes
+        FROM documents
+    ), w AS (
+        SELECT doc_id, hashes,
+               [list_min(hashes[j:j+3])
+                FOR j IN range(1, greatest(len(hashes) - 2, 2))] AS fps
+        FROM h
+    )
+    SELECT doc_id,
+           len(hashes) AS n_kgrams,
+           len(list_distinct(fps)) AS n_fingerprints,
+           list_min(fps) AS min_fp
+    FROM w
+    """,
+    doc="Document fingerprinting by winnowing (Schleimer et al. 2003): rolling "
+    "k-gram hashes (k=8), min-hash per sliding window (w=4), distinct minima are "
+    "the document's fingerprints. All JVM-side higher-order array functions — no "
+    "UDF; the only exchange is the _spread raw-text repartition that buys "
+    "full-cluster parallelism for the CPU-heavy hashing (on a real 100 TB scan "
+    "the splits already arrive spread, and the pass is map-only). Fingerprints "
+    "feed the same inverted-index bucket join as MinHash (operators/dedup.py). "
+    "The reference has no fingerprinting; training-data-pipeline extension.",
+)
+def txt_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, W = 8, 4
+    from ..operators.dedup import _spread
+
+    # ~len(text) md5 calls per document: CPU-heavy enough that the raw-text
+    # shuffle in _spread pays for itself (unlike the single-md5 exact-dedup
+    # path). Measured 2.9s -> 0.4s at sf0.1 on local[32].
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    n = F.length("text")
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (K - 1), F.lit(1))),
+        lambda i: F.md5(F.substr(F.col("text"), i, F.lit(K)).cast("binary")),
+    )
+    with_h = d.select("doc_id", hashes.alias("hashes"))
+    # least(element_at...) instead of array_min(slice(...)): no per-window
+    # array allocation — measured 2x on the window stage. Indices clamp to
+    # the array end so short documents (< W hashes) read duplicated elements
+    # — same minimum as the truncated-slice semantics.
+    m = F.size("hashes")
+    fps = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - (W - 1), F.lit(1))),
+        lambda j: F.least(
+            *[F.element_at(F.col("hashes"), F.least(j + k, m)) for k in range(W)]
+        ),
+    )
+    return with_h.select(
+        "doc_id",
+        F.size("hashes").cast("long").alias("n_kgrams"),
+        F.size(F.array_distinct(fps)).cast("long").alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fp"),
+    )
+
+
+@register(
+    "doc_stratified_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(text), 1, 8) <
+          CASE lang WHEN 'en' THEN '40000000' ELSE '80000000' END
+    """,
+    doc="Deterministic stratified sampling — the training-data downsampling "
+    "primitive (e.g. downweight overrepresented English). The sample "
+    "decision is a pure function of the CONTENT (md5 hex prefix under a "
+    "per-stratum threshold: en 25%, others 50%), so it is reproducible "
+    "across engines, runs, and partitionings — unlike TABLESAMPLE/rand(), "
+    "which are seed- and split-dependent. Map-only: filter evaluates at "
+    "the scan, no shuffle, trivially 100 TB-parallel; md5 hex compares "
+    "identically in Spark and DuckDB (portable-hash cookbook rule).",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    thr = F.when(F.col("lang") == "en", "40000000").otherwise("80000000")
+    return d.filter(
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 8) < thr
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "txt_tfidf_topterms",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS dfq FROM tf GROUP BY term),
+    scored AS (
+        SELECT t.doc_id, t.term,
+               t.tf * (SELECT count(*) FROM documents) * 1.0 / d.dfq AS score
+        FROM tf t JOIN dfreq d ON t.term = d.term
+    )
+    SELECT doc_id, term, floor(score * 10000 + 0.5) / 10000 AS score, rk
+    FROM (SELECT doc_id, term, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+    doc="TF-IDF characteristic terms: top-3 terms per document by "
+    "tf * N/df (ratio idf — ln() differs in last-ULP between libm "
+    "implementations, so the portable score keeps to exactly-rounded "
+    "IEEE ops: int multiply, one double divide). Tokenize -> per-doc "
+    "term counts (ONE shuffle on doc_id+term) -> doc-frequency as "
+    "count() OVER (PARTITION BY term) on the tf relation: a join against "
+    "a separate dfreq aggregate would make Catalyst compute the whole "
+    "explode+aggregate tf subtree TWICE (DataFrame subtree reuse is not "
+    "CSE'd — same finding as the Q21 rewrite; measured 27 s -> 6 s at "
+    "the generated sf10) -> per-doc window top-3 (partitioned by doc_id "
+    "— no global window). N arrives as a broadcast one-row join, not a "
+    "collected literal.",
+)
+def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    scored = (
+        tf.withColumn("dfq", dfq)
+        .join(F.broadcast(ndocs))
+        .withColumn(
+            "score", F.col("tf") * F.col("n_docs") * F.lit(1.0) / F.col("dfq")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id", "term",
+            (F.floor(F.col("score") * 10000 + 0.5) / 10000).alias("score"),
+            "rk",
+        )
+    )
+
+
+@register(
+    "doc_quota_per_source",
+    """
+    SELECT doc_id, source, lang
+    FROM (SELECT doc_id, source, lang,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY md5(text), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 40
+    """,
+    doc="Quota sampling: at most K docs per source, selected by content-hash "
+    "order — the domain-mixing primitive (cap any one crawl/source's "
+    "contribution to the training mix). Hash order makes the quota a "
+    "uniform-without-replacement draw that is reproducible across engines "
+    "and partitionings; the window partitions by source, so no global "
+    "ordering bottleneck.",
+)
+def doc_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("text").cast("binary")), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .select("doc_id", "source", "lang")
+    )
+
+
+@register(
+    "doc_pack_context_windows",
+    """
+    WITH sized AS (
+        SELECT doc_id, source,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+                           ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                           - n_tokens) / 256) AS BIGINT) AS bin_id
+        FROM sized
+    )
+    SELECT source, bin_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY source, bin_id
+    """,
+    doc="Sequence packing: assign docs to ~256-token context windows by "
+    "running token count within each source (bin = floor(prefix_sum/budget) "
+    "— the streaming-greedy approximation of bin packing used by training "
+    "pipelines). Deterministic doc order (doc_id) makes the layout "
+    "reproducible; the window partitions by source so packing parallelizes "
+    "per stratum, and the ROWS frame makes the running sum one pass.",
+)
+def doc_pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.select(
+        "doc_id", "source", n_tokens.alias("n_tokens")
+    ).withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 256).cast(
+            "long"
+        ),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
+@register(
+    "txt_bpe_train",
+    rf"""
+    WITH words AS (
+        SELECT tok AS s0, count(*) AS freq FROM (
+            SELECT unnest(regexp_extract_all(text, '{_BPE_RE}')) AS tok
+            FROM documents) GROUP BY tok
+    ),
+    p1 AS (
+        SELECT s0[i:i+1] AS pair, CAST(sum(freq) AS BIGINT) AS n
+        FROM words, unnest(generate_series(1, length(s0) - 1)) AS t(i)
+        GROUP BY pair
+    ),
+    m1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair LIMIT 1),
+    w1 AS (SELECT replace(s0, (SELECT pair FROM m1), chr(1)) AS s1, freq
+           FROM words),
+    p2 AS (
+        SELECT s1[i:i+1] AS pair, CAST(sum(freq) AS BIGINT) AS n
+        FROM w1, unnest(generate_series(1, length(s1) - 1)) AS t(i)
+        GROUP BY pair
+    ),
+    m2 AS (SELECT pair, n FROM p2 ORDER BY n DESC, pair LIMIT 1),
+    w2 AS (SELECT replace(s1, (SELECT pair FROM m2), chr(2)) AS s2, freq
+           FROM w1),
+    p3 AS (
+        SELECT s2[i:i+1] AS pair, CAST(sum(freq) AS BIGINT) AS n
+        FROM w2, unnest(generate_series(1, length(s2) - 1)) AS t(i)
+        GROUP BY pair
+    ),
+    m3 AS (SELECT pair, n FROM p3 ORDER BY n DESC, pair LIMIT 1),
+    raw AS (
+        SELECT 1 AS round, pair, n FROM m1
+        UNION ALL SELECT 2, pair, n FROM m2
+        UNION ALL SELECT 3, pair, n FROM m3
+    )
+    -- sentinels only ever reference EARLIER rounds, so expanding round-3's
+    -- marker first, then round-2's, then round-1's resolves every symbol
+    SELECT round,
+           replace(replace(replace(pair[1:1],
+               chr(3), replace(replace((SELECT pair FROM m3),
+                   chr(2), (SELECT pair FROM m2)),
+                   chr(1), (SELECT pair FROM m1))),
+               chr(2), replace((SELECT pair FROM m2),
+                   chr(1), (SELECT pair FROM m1))),
+               chr(1), (SELECT pair FROM m1)) AS sym_a,
+           replace(replace(replace(pair[2:2],
+               chr(3), replace(replace((SELECT pair FROM m3),
+                   chr(2), (SELECT pair FROM m2)),
+                   chr(1), (SELECT pair FROM m1))),
+               chr(2), replace((SELECT pair FROM m2),
+                   chr(1), (SELECT pair FROM m1))),
+               chr(1), (SELECT pair FROM m1)) AS sym_b,
+           n
+    FROM raw
+    """,
+    doc="Distributed BPE TRAINER (3 merge rounds) — the tokenizer-build "
+    "loop itself, not just one pair count. Per round: adjacent-pair "
+    "counts over the word-frequency table (classic BPE trains on "
+    "distinct words x freq — vocab-sized, not corpus-sized), argmax with "
+    "a deterministic (count DESC, pair ASC) tiebreak collected as ONE "
+    "driver row (the bounded-model pattern of kmeans/logreg), then the "
+    "merge applied via replace(word, a||b, sentinel) — string replace is "
+    "leftmost-non-overlapping on both engines, which IS the greedy BPE "
+    "merge order, and one reserved sentinel char per round keeps merged "
+    "symbols atomic inside the packed string. The oracle replays all "
+    "three rounds in SQL (same counts, same argmax, same replace "
+    "semantics) and expands sentinels back to concrete symbol strings. "
+    "Scale: the words table is built once (one corpus shuffle) and each "
+    "round adds one vocab-sized aggregate + a map-only replace.",
+)
+
+def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _bpe_train_merges(spark, sf_dir)
+    sent_to_pair = {sent: pair for pair, sent, _ in merges}
+    out_rows = []
+    for r, (pair, _sent, n) in enumerate(merges, start=1):
+
+        def expand(sym: str) -> str:
+            # sentinels reference earlier rounds only -> expand newest first
+            for s_ch in reversed(_BPE_SENT[:r]):
+                if s_ch in sent_to_pair:
+                    sym = sym.replace(s_ch, sent_to_pair[s_ch])
+            return sym
+
+        out_rows.append((r, expand(pair[0]), expand(pair[1]), n))
+    return spark.createDataFrame(
+        out_rows, "round int, sym_a string, sym_b string, n long"
+    )
+
+
+
+@register(
+    "txt_bpe_pretokenize",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')
+                   AS bpe_toks,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_ws_tokens
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           len(bpe_toks)                 AS n_bpe_tokens,
+           len(list_distinct(bpe_toks))  AS n_distinct_tokens,
+           n_ws_tokens,
+           floor(len(bpe_toks) * 1.0 / n_ws_tokens * 10000 + 0.5) / 10000
+               AS bpe_per_ws
+    FROM toks
+    """,
+    doc="BPE-style pre-tokenization (the GPT-2 pre-tokenizer shape: "
+    "space-prefixed letter runs | digit runs | punctuation runs) via "
+    "regexp_extract_all — the token-budget estimator that runs BEFORE a "
+    "real BPE merge table. Pure JVM regex (the pattern stays in the "
+    "RE2-and-Java-compatible subset so the DuckDB oracle matches "
+    "byte-for-byte); map-only, no shuffle. A real tokenizer's merge "
+    "step would consume these pre-tokens through a Pandas UDF.",
+)
+def txt_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(
+        F.col("text"), F.lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), F.lit(0)
+    )
+    n_ws = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).cast("long").alias("n_distinct_tokens"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        (
+            F.floor(F.size(bpe) * 1.0 / n_ws * 10000 + 0.5) / 10000
+        ).alias("bpe_per_ws"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/test hygiene, quantization, output sharding
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_leakage_safe_split",
+    """
+    SELECT doc_id, lang,
+           md5(lower(trim(text))) AS fingerprint,
+           CASE WHEN substr(md5(md5(lower(trim(text)))), 1, 8) < 'cc000000'
+                THEN 'train'
+                WHEN substr(md5(md5(lower(trim(text)))), 1, 8) < 'e6000000'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Leakage-safe train/val/test split: the split is a function of the "
+    "content FINGERPRINT, not the doc_id, so every exact duplicate of a "
+    "document lands in the same split — the standard guard against "
+    "train/test contamination. Entirely map-side (two md5 calls per row, "
+    "zero shuffles, zero joins): group identity is content-derived, so "
+    "no groupBy is needed to agree on a group's split. Thresholds on the "
+    "first 8 hex chars give ~80/10/10 (0xcc/0x100, 0xe6/0x100). At 100 TB "
+    "this is a pure scan->project — the cheapest possible shape.",
+)
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    fp = _content_fingerprint()
+    bucket = F.substring(F.md5(fp.cast("binary")), 1, 8)
+    return d.select(
+        "doc_id",
+        "lang",
+        fp.alias("fingerprint"),
+        F.when(bucket < "cc000000", "train")
+        .when(bucket < "e6000000", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "doc_shard_manifest",
+    """
+    WITH sharded AS (
+        SELECT doc_id, n_chars,
+               strpos('0123456789abcdef',
+                      substr(md5(lower(trim(text))), 1, 1)) - 1 AS shard
+        FROM documents
+    )
+    SELECT CAST(shard AS BIGINT)        AS shard,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id)                  AS min_doc,
+           max(doc_id)                  AS max_doc
+    FROM sharded
+    GROUP BY shard
+    """,
+    doc="Deterministic 16-way shard manifest for training-data output: "
+    "shard = first hex nibble of the content fingerprint (engine-portable, "
+    "unlike hash()%16), manifest = per-shard doc count / byte volume / "
+    "doc_id range proving the shards are balanced. At scale this is the "
+    "audit table written next to repartition(shard).write: one scan, one "
+    "16-group hash aggregate with map-side partials, O(shards) output.",
+)
+def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    fp = _content_fingerprint()
+    shard = (
+        F.expr(
+            "instr('0123456789abcdef', substring("
+            "md5(cast(lower(trim(text)) as binary)), 1, 1)) - 1"
+        )
+    ).cast("long")
+    return (
+        d.select(shard.alias("shard"), "doc_id", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "txt_vocab_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    )
+    SELECT term, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM toks
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 50
+    """,
+    doc="Corpus vocabulary head: global top-50 terms by frequency (the "
+    "wordcount that seeds tokenizer training / stopword lists). "
+    "Explode -> one hash aggregate on term (map-side partials collapse "
+    "the per-partition duplicates before the shuffle) -> distributed "
+    "top-k via TakeOrderedAndProject: each partition keeps its local 50, "
+    "the driver merges O(partitions x 50) rows — no global sort, no "
+    "single-partition window, ties broken on the term itself so LIMIT "
+    "is deterministic.",
+)
+def txt_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n"), "term")
+        .limit(50)
+    )
+
+
+@register(
+    "txt_bpe_pair_counts",
+    r"""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+               AS tok
+        FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+                                     i -> tok[i:i+1])) AS pair
+        FROM toks
+        WHERE length(tok) >= 2
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 50
+    """,
+    doc="The first BPE merge iteration at corpus scale: count every "
+    "adjacent symbol pair inside the pre-tokens (same GPT-2-style "
+    "pre-tokenizer as txt_bpe_pretokenize) and take the most frequent "
+    "pairs — the argmax of this table IS the next merge rule a BPE "
+    "trainer would add. Pre-tokenize and pair-expand are JVM regex + "
+    "higher-order functions (no UDF); the pair counts collapse map-side "
+    "before the single shuffle, and the top-k is the distributed "
+    "TakeOrdered merge with ties broken on the pair itself. Re-running "
+    "per merge round gives full distributed BPE training.",
+)
+def txt_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), F.lit(0)
+            )
+        ).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: repetition quality, contamination, mixing, cluster reps
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txt_repetition_filter",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    uni AS (
+        SELECT doc_id, len(w) AS n_words,
+               len(list_distinct(w)) AS n_distinct
+        FROM w
+    ),
+    bg AS (
+        SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+        FROM w, unnest(range(1, len(w))) AS t(i)
+    ),
+    c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+    t AS (SELECT doc_id, max(c) AS top_bg FROM c GROUP BY doc_id)
+    SELECT u.doc_id, u.n_words,
+           round(u.n_distinct * 1.0 / u.n_words, 4) AS distinct_ratio,
+           round(t.top_bg * 1.0 / (u.n_words - 1), 4) AS top_bigram_frac,
+           CASE WHEN round(u.n_distinct * 1.0 / u.n_words, 4) >= 0.4
+                 AND round(t.top_bg * 1.0 / (u.n_words - 1), 4) <= 0.05
+                THEN 'keep' ELSE 'drop' END AS gate
+    FROM uni u JOIN t USING (doc_id)
+    """,
+    doc="Gopher-style repetition quality filter (type-token ratio + "
+    "most-repeated-bigram fraction + keep/drop gate). The Spark side is "
+    "MAP-ONLY: the per-doc top-bigram count is a max-run-length fold over "
+    "the SORTED bigram array (array_sort + aggregate HOF) — equal "
+    "elements group under any total order, so no collation sensitivity — "
+    "meaning the whole corpus filter is scan -> project with ZERO "
+    "shuffles at 100 TB (plan-asserted). The oracle takes the "
+    "explode + group-by route, which computes the same max bigram "
+    "multiplicity. Gates compare the ROUNDED metrics in both engines so "
+    "the keep/drop boundary cannot flip on last-ULP division noise.",
+)
+def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bga = F.array_sort(
+        F.expr(
+            "transform(sequence(1, size(w) - 1),"
+            " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"
+        )
+    )
+    # Max run length of equal adjacent elements in the sorted bigram array
+    # == max multiplicity of any bigram. Guard the size<2 sequence()
+    # descending-range footgun explicitly.
+    top_bg = F.expr(
+        "if(size(bga) < 2, size(bga), aggregate("
+        "  sequence(2, size(bga)),"
+        "  named_struct('run', 1, 'best', 1),"
+        "  (acc, i) -> if(element_at(bga, i) = element_at(bga, i - 1),"
+        "    named_struct('run', acc.run + 1,"
+        "                 'best', greatest(acc.best, acc.run + 1)),"
+        "    named_struct('run', 1, 'best', acc.best)),"
+        "  acc -> acc.best))"
+    )
+    m = base.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        bga.alias("bga"),
+    ).select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("n_distinct") / F.col("n_words"), 4).alias(
+            "distinct_ratio"
+        ),
+        F.round(top_bg / (F.col("n_words") - 1), 4).alias("top_bigram_frac"),
+    )
+    gate = F.when(
+        (F.col("distinct_ratio") >= 0.4) & (F.col("top_bigram_frac") <= 0.05),
+        "keep",
+    ).otherwise("drop")
+    return m.withColumn("gate", gate)
+
+
+@register(
+    "txt_contamination_check",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 4
+    ),
+    e AS (
+        SELECT doc_id,
+               unnest(list_distinct([list_aggregate(w[i:i+3], 'string_agg', ' ')
+                                     FOR i IN range(1, len(w) - 2)])) AS sh
+        FROM w
+    ),
+    bench AS (SELECT doc_id AS bid, sh FROM e WHERE doc_id % 23 = 0),
+    corpus AS (SELECT doc_id, sh FROM e WHERE doc_id % 23 <> 0)
+    SELECT c.doc_id,
+           count(DISTINCT c.sh)  AS n_hit_shingles,
+           count(DISTINCT b.bid) AS n_bench_docs
+    FROM corpus c JOIN bench b USING (sh)
+    GROUP BY c.doc_id
+    """,
+    doc="Benchmark-contamination check: word-4-gram overlap between the "
+    "training corpus and a held-out benchmark set (deterministically "
+    "keyed here as doc_id %% 23 == 0 so both engines agree). The "
+    "decontamination pass every serious training pipeline runs before "
+    "training. Scale shape: the benchmark side is a SMALL fixed suite -> "
+    "its shingle set broadcasts; the corpus side is shingled map-side "
+    "and never shuffles before the per-doc aggregate of HIT rows only — "
+    "at 100 TB the join is a broadcast-hash probe at scan speed, and "
+    "only contaminated (doc, shingle, bench) rows enter the exchange. "
+    "(Here both sides derive from one table, so the plan shows two "
+    "scans; in production the benchmark suite is its own tiny table and "
+    "the corpus is scanned exactly once.)",
+)
+def txt_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 4)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(w) - 3),"
+                        " i -> concat_ws(' ', slice(w, i, 4)))"
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
+    bench = sh.filter(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("bid"), "sh"
+    )
+    corpus = sh.filter(F.col("doc_id") % 23 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_hit_shingles"),
+            F.countDistinct("bid").alias("n_bench_docs"),
+        )
+    )
+
+
+@register(
+    "doc_mix_weights",
+    """
+    WITH s AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    s2 AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(floor(sqrt(n_tokens) * 1000000 + 0.5) AS BIGINT) AS num_i
+        FROM s
+    ),
+    tot AS (SELECT CAST(sum(num_i) AS BIGINT) AS z_i FROM s2)
+    SELECT source, n_docs, n_tokens,
+           floor(CAST(num_i AS DOUBLE) / CAST(z_i AS DOUBLE) * 1000000 + 0.5)
+               / 1000000 AS mix_weight
+    FROM s2, tot
+    """,
+    doc="Temperature-scaled source mixing weights (alpha = 0.5): "
+    "w_s = sqrt(tokens_s) / sum_s' sqrt(tokens_s') — the domain-mixing "
+    "knob that upweights small high-quality sources relative to raw "
+    "proportional sampling. sqrt is IEEE-754 exactly rounded (unlike "
+    "pow/ln, which differ between libm builds — same portability rule as "
+    "the TF-IDF ratio idf), so both engines compute bit-identical "
+    "per-source terms.  Cross-engine determinism: each term is first "
+    "half-up rounded to integer micro-units (num_i BIGINT); the "
+    "denominator z is the EXACT integer sum of those units, so its value "
+    "cannot depend on accumulation order (the round-3 driver flake was a "
+    "~1-ulp float-sum z flipping the 1e-6 half-up floor); the final "
+    "weight is one exactly-rounded double division of two <2^53 "
+    "integers.  One agg on source (tiny group count); the denominator "
+    "attaches via the shared checkpointed-grand-total idiom "
+    "(operators/scalars.py) — one fact scan, and the registry-wide "
+    "sweep audit stays at ZERO global windows with no exceptions.",
+)
+def doc_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scalars import checkpoint_with_scalar
+
+    d = _t(spark, sf_dir, "documents")
+    s, z = checkpoint_with_scalar(
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        )
+        .withColumn(
+            # half-up-rounded micro-sqrt units: BIGINT, so the grand total
+            # below is an order-independent integer sum on both engines
+            "num_i",
+            F.floor(F.sqrt("n_tokens") * 1000000 + F.lit(0.5)),
+        ),
+        F.sum("num_i").alias("z_i"),
+    )
+    return s.crossJoin(z).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.floor(
+                F.col("num_i").cast("double")
+                / F.col("z_i").cast("double")
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("mix_weight"),
+    )
+
+
+@register(
+    "txt_unigram_surprisal",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    model AS (
+        SELECT term, count(*) AS n FROM toks GROUP BY term
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM model),
+    model_p AS (
+        SELECT term,
+               CAST(floor(-log2(n * 1.0 / tot) * 1000000 + 0.5) AS BIGINT)
+                   AS surprisal_micro
+        FROM model, tot
+    )
+    SELECT t.doc_id, count(*) AS n_toks,
+           floor(CAST(sum(m.surprisal_micro) AS BIGINT)
+                 / (count(*) * 100.0) + 0.5) / 10000 AS mean_surprisal,
+           floor(max(m.surprisal_micro) / 100.0 + 0.5) / 10000
+               AS max_surprisal
+    FROM toks t JOIN model_p m USING (term)
+    GROUP BY t.doc_id
+    """,
+    doc="Perplexity-proxy quality score: train a corpus unigram LM (one "
+    "token aggregate, materialized once via eager localCheckpoint; the "
+    "normalizer is a distributed scalar aggregate over the checkpointed "
+    "vocab — never a single-partition window sort, which would break "
+    "when web-scale token vocab reaches billions of rows), broadcast "
+    "it, and score every document's mean/max token surprisal in a "
+    "second pass. The classic two-pass train-then-score shape: the "
+    "model is O(vocab), so scoring is a broadcast hash join + one "
+    "doc-keyed aggregate (past broadcast size, drop the hint and AQE "
+    "keeps it a shuffle join on term). Gibberish and boilerplate land "
+    "in the distribution tails, which is how CCNet-style pipelines "
+    "bucket quality.",
+)
+def txt_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    from ..operators.scalars import checkpoint_with_scalar
+
+    model, total = checkpoint_with_scalar(
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("n")),
+        F.sum("n").alias("tot"),
+    )
+    # Per-term surprisal is rounded to BIGINT micro-units BEFORE the
+    # per-doc aggregation, so the mean comes from an order-independent
+    # integer sum (the r3 doc_mix_weights lesson: a float avg's
+    # accumulation order differs across partitionings and engines, and a
+    # floor at the 1e-4 boundary can flip on a ~ulp difference).
+    model_p = model.crossJoin(total).select(
+        "term",
+        F.floor(-F.log2(F.col("n") * 1.0 / F.col("tot")) * 1000000 + 0.5)
+        .cast("long")
+        .alias("surprisal_micro"),
+    )
+    return (
+        toks.join(F.broadcast(model_p), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("surprisal_micro").alias("sum_micro"),
+            F.max("surprisal_micro").alias("max_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            (
+                F.floor(
+                    F.col("sum_micro") / (F.col("n_toks") * 100.0) + 0.5
+                )
+                / 10000
+            ).alias("mean_surprisal"),
+            (F.floor(F.col("max_micro") / 100.0 + 0.5) / 10000).alias(
+                "max_surprisal"
+            ),
+        )
+    )
+
+
+@register(
+    "txt_bigram_lm_surprisal",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+        SELECT unnest(t) AS term FROM toks
+    ),
+    uc AS (SELECT term, count(*) AS n FROM uni GROUP BY term),
+    vocab AS (SELECT count(*) AS v FROM uc),
+    pairs AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(range(1, len(t))) AS u(i)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS nb FROM pairs GROUP BY w1, w2),
+    model AS (
+        SELECT bc.w1, bc.w2,
+               CAST(floor(-log2((bc.nb + 1.0) / (uc.n + vocab.v))
+                          * 1000000 + 0.5) AS BIGINT) AS s_micro
+        FROM bc JOIN uc ON bc.w1 = uc.term CROSS JOIN vocab
+    )
+    SELECT p.doc_id, count(*) AS n_bigrams,
+           floor(CAST(sum(m.s_micro) AS BIGINT)
+                 / (count(*) * 100.0) + 0.5) / 10000 AS mean_surprisal,
+           floor(max(m.s_micro) / 100.0 + 0.5) / 10000 AS max_surprisal
+    FROM pairs p JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
+    GROUP BY p.doc_id
+    """,
+    doc="Bigram-LM perplexity proxy with add-one smoothing — the stronger "
+    "sibling of txt_unigram_surprisal (a unigram LM scores word CHOICE; "
+    "the bigram model scores word ORDER, so shuffled/boilerplate text "
+    "that fools unigram stats lands in this tail). p(w2|w1) = "
+    "(c(w1,w2)+1)/(c(w1)+V). Bigram extraction is MAP-ONLY: the token "
+    "array is sliced and zipped per row (no posexplode self-join, no "
+    "lead() window — a window would shuffle the whole corpus on doc_id "
+    "just to pair adjacent tokens). Model build is two hash aggregates "
+    "(term; (w1,w2) pair); V is a distributed scalar over the "
+    "checkpointed vocab (never a single-partition window). Scoring "
+    "re-joins pairs to the model on (w1,w2) — the model side is already "
+    "hashed on that key from its own aggregate, so the exchange is "
+    "reused; at web scale the bigram model outgrows broadcast, and the "
+    "shuffle join is the right default (AQE flips small models back to "
+    "broadcast at runtime). Per-pair surprisal is rounded to integer "
+    "micros in the MODEL (once per distinct bigram), so per-doc sums are "
+    "order-independent integer sums; only the ~1-ulp cross-libm log2 "
+    "exposure remains, same accepted class as txt_unigram_surprisal. "
+    "Docs under 2 tokens have no bigrams and emit no row on either "
+    "engine (inner-join semantics).",
+)
+def txt_bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scalars import checkpoint_with_scalar
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    uc_base = (
+        toks.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    uc, vocab = checkpoint_with_scalar(uc_base, F.count(F.lit(1)).alias("v"))
+    # map-only adjacent-pair extraction: zip the array against itself
+    # shifted by one — no join, no window
+    pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                    F.slice("t", 2, F.size("t") - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
+    model = (
+        bc.join(F.broadcast(uc.withColumnRenamed("term", "w1")), "w1")
+        .crossJoin(vocab)
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                -F.log2((F.col("nb") + 1.0) / (F.col("n") + F.col("v")))
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("s_micro"),
+        )
+    )
+    return (
+        pairs.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("s_micro").alias("sum_micro"),
+            F.max("s_micro").alias("max_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.floor(F.col("sum_micro") / (F.col("n_bigrams") * 100.0) + 0.5)
+                / 10000
+            ).alias("mean_surprisal"),
+            (F.floor(F.col("max_micro") / 100.0 + 0.5) / 10000).alias(
+                "max_surprisal"
+            ),
+        )
+    )
+
+
+@register(
+    "txt_span_dedup",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, toks,
+               unnest(range(CAST(ceil(len(toks) / 5.0) AS BIGINT))) AS span_idx
+        FROM toks
+    ),
+    spans AS (
+        SELECT doc_id, span_idx,
+               array_to_string(toks[span_idx * 5 + 1 : span_idx * 5 + 5], ' ')
+                   AS span
+        FROM idx
+    ),
+    ranked AS (
+        SELECT doc_id, span_idx,
+               row_number() OVER (
+                   PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+        FROM spans
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY doc_id
+    """,
+    doc="Sub-document (span-level) exact dedup, the C4/CCNet line-dedup "
+    "shape: chunk every document into consecutive 5-token spans, keep "
+    "each distinct span's FIRST occurrence corpus-wide (ordered by "
+    "doc_id, then position), and report kept/dropped span counts per "
+    "document. Chunking is map-only (one transform+posexplode, no UDF); "
+    "first-occurrence selection is one window keyed on the span itself — "
+    "partitioned by span, so boilerplate-heavy corpora shard across the "
+    "cluster by span hash rather than funneling anywhere. At 100 TB the "
+    "span relation is corpus-sized but the shuffle carries (hash, doc_id, "
+    "idx) only; swap the span string for xxhash64(span) to shrink the "
+    "exchange further (kept as text here so the oracle is "
+    "engine-portable).",
+)
+def txt_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    spans = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(toks) / 5.0) as int) - 1), "
+                "i -> array_join(slice(toks, i * 5 + 1, 5), ' '))"
+            )
+        ).alias("span_idx", "span"),
+    )
+    w = Window.partitionBy("span").orderBy("doc_id", "span_idx")
+    ranked = spans.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+
+
+@register(
+    "doc_quality_zscore_bucket",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(floor(length(text) * 1000.0 /
+                    len(string_split(text, ' '))) AS BIGINT) AS s
+        FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS n,
+               CAST(sum(s) AS BIGINT) AS s1,
+               CAST(sum(s * s) AS BIGINT) AS s2
+        FROM scored
+    )
+    SELECT doc_id, z,
+           CASE WHEN z < -1.0 THEN 'head'
+                WHEN z > 1.0 THEN 'tail'
+                ELSE 'middle' END AS bucket
+    FROM (
+        SELECT doc_id,
+               floor((s - s1 * 1.0 / n) /
+                     sqrt((s2 - s1 * 1.0 * s1 / n) / (n - 1.0))
+                     * 10000 + 0.5) / 10000 AS z
+        FROM scored, stats
+    )
+    """,
+    doc="Corpus-relative quality bucketing (the CCNet head/middle/tail "
+    "cut): score each document (mean token length in exact integer "
+    "milli-units), compute the corpus moments (n, sum, sum-of-squares) as "
+    "EXACT integer sums in one distributed scalar aggregate — so mu/sigma "
+    "and every z are bit-identical across partitionings and engines, "
+    "never a summation-order-dependent float accumulation — broadcast "
+    "that single row back, and bucket every document by z-score. Two source scans by design: "
+    "re-scanning the SOURCE table is the cheap branch of the "
+    "single-subtree rule (the stats subtree is scan+agg, nothing "
+    "expensive to re-derive), and the per-doc pass stays map-only — "
+    "scan, broadcast-attach one row, project. No shuffle of the corpus "
+    "at all.",
+)
+def doc_quality_zscore_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    # Integer milli-unit score -> the corpus moments (n, S1, S2) are EXACT
+    # integer sums, so mu/sigma — and therefore every z and bucket — are
+    # bit-identical regardless of partitioning or engine. The r3
+    # doc_mix_weights lesson applied: never round a float ACCUMULATION;
+    # accumulate integers and derive the float once, deterministically.
+    # Bounds: s ~ 5e3 milli-units -> s^2 ~ 2.5e7, so S2 stays inside
+    # BIGINT up to ~1e11 documents; past that, combine per-shard moments
+    # as decimals.
+    s_int = F.floor(
+        F.length("text") * 1000.0 / F.size(F.split("text", " "))
+    ).cast("long")
+    scored = d.select("doc_id", s_int.alias("s"))
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("s1"),
+        F.sum(F.col("s") * F.col("s")).alias("s2"),
+    )
+    mu = F.col("s1") * 1.0 / F.col("n")
+    sigma = F.sqrt(
+        (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1.0)
+    )
+    z4 = F.floor((F.col("s") - mu) / sigma * 10000 + 0.5) / 10000
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .select("doc_id", z4.alias("z"))
+        .select(
+            "doc_id",
+            "z",
+            F.when(F.col("z") < -1.0, "head")
+            .when(F.col("z") > 1.0, "tail")
+            .otherwise("middle")
+            .alias("bucket"),
+        )
+    )
+
+
+@register(
+    "doc_length_batches",
+    """
+    WITH sized AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_toks
+        FROM documents
+    ),
+    banded AS (
+        SELECT doc_id, n_toks,
+               CAST(floor(n_toks / 8) AS BIGINT) AS band,
+               row_number() OVER (
+                   PARTITION BY CAST(floor(n_toks / 8) AS BIGINT)
+                   ORDER BY n_toks, doc_id) AS rn
+        FROM sized
+    )
+    SELECT band,
+           CAST(floor((rn - 1) / 16) AS BIGINT) AS batch_idx,
+           count(*) AS n_docs,
+           max(n_toks) AS max_toks,
+           CAST(count(*) * max(n_toks) - sum(n_toks) AS BIGINT) AS pad_waste
+    FROM banded
+    GROUP BY band, floor((rn - 1) / 16)
+    """,
+    doc="Sequence-length-bucketed batching — group documents of similar "
+    "token count into fixed-size batches so per-batch padding (to the "
+    "batch max) is minimized; pad_waste is the padding-token bill the "
+    "trainer pays per batch. One shuffle on the length band for the "
+    "within-band ordering window, one AQE-coalesced aggregate on "
+    "(band, batch_idx). Bands (width 8) bound both the padding per batch "
+    "AND the window partition size; at 100 TB the band width is the "
+    "parallelism/padding trade knob — narrower bands shard finer and pad "
+    "less (a length histogram picks the width; skewed corpora sub-salt "
+    "the dominant band). Deterministic: ordering key (n_toks, doc_id) is "
+    "unique, all outputs integer.",
+)
+def doc_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    band = F.floor(F.col("n_toks") / 8).cast("bigint")
+    w = Window.partitionBy(band).orderBy("n_toks", "doc_id")
+    banded = sized.select(
+        "doc_id",
+        "n_toks",
+        band.alias("band"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        banded.groupBy(
+            "band",
+            F.floor((F.col("rn") - 1) / 16).cast("bigint").alias("batch_idx"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_toks").alias("max_toks"),
+            (F.count(F.lit(1)) * F.max("n_toks") - F.sum("n_toks"))
+            .cast("bigint")
+            .alias("pad_waste"),
+        )
+    )
+
+
+@register(
+    "doc_training_order",
+    """
+    WITH keyed AS (
+        SELECT doc_id,
+               strpos('0123456789abcdef',
+                      substr(md5(lower(trim(text))), 1, 1)) - 1 AS shard,
+               substr(md5(lower(trim(text))), 2, 16) AS ord_key
+        FROM documents
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           row_number() OVER (
+               PARTITION BY shard ORDER BY ord_key, doc_id) AS position
+    FROM keyed
+    """,
+    doc="Deterministic global training-order shuffle: every document gets "
+    "a reproducible (shard, position) — shard from the content "
+    "fingerprint's first nibble (same layout as doc_shard_manifest), "
+    "position by the next 16 hex digits (tie-broken on doc_id). "
+    "Content-keyed, so the order is stable across runs, engines, and "
+    "input partitionings — unlike orderBy(rand(seed)), whose result "
+    "depends on the physical split layout. One window per shard (hash-"
+    "keyed, so the corpus shards across the cluster); readers stream "
+    "shard files in position order and get the same epoch permutation "
+    "everywhere. For a different epoch, salt the md5 input with the "
+    "epoch number.",
+)
+def doc_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    keyed = d.select(
+        "doc_id",
+        (
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+        ).cast("bigint").alias("shard"),
+        F.substring(h, 2, 16).alias("ord_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).alias("position")
+    )
+
+
+@register(
+    "txt_vocab_coverage",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    vocab AS (
+        SELECT term FROM (
+            SELECT term, count(*) AS n FROM toks GROUP BY term
+            ORDER BY n DESC, term LIMIT 20
+        )
+    )
+    SELECT t.doc_id,
+           count(*) AS n_toks,
+           CAST(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_in_vocab,
+           floor(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*) * 10000 + 0.5) / 10000 AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (term)
+    GROUP BY t.doc_id
+    """,
+    doc="Tokenizer-fit metric: apply a trained vocabulary (here the "
+    "corpus top-20 terms — deterministic ties-on-term top-k, the "
+    "txt_vocab_topk machinery) to every document and report its "
+    "out-of-vocabulary rate — the number that tells you a tokenizer or "
+    "stopword list does not fit a new corpus before you pay for "
+    "training on it. The vocab is bounded (top-k), so the apply step is "
+    "a broadcast left join onto the token stream + one doc-keyed "
+    "aggregate; two corpus passes total (vocab build, vocab apply) — "
+    "the same train-then-score shape as the unigram LM.",
+)
+def txt_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(20)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.when(F.col("in_vocab").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_in_vocab"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                    * 1.0
+                    / F.count(F.lit(1))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@register(
+    "txt_pii_redact",
+    f"""
+    WITH aug AS (
+        SELECT doc_id, text,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@ex' || CAST(doc_id % 10 AS VARCHAR) || '.org or call 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST(doc_id % 200 AS VARCHAR) AS pii_text
+        FROM documents
+    ),
+    steps AS (
+        SELECT doc_id, text, pii_text,
+               regexp_replace(pii_text,
+                   '{_PII_EMAIL}', '{_PII_EMAIL_TOK}', 'g') AS r1
+        FROM aug
+    ),
+    steps2 AS (
+        SELECT doc_id, text, pii_text, r1,
+               regexp_replace(r1,
+                   '{_PII_IP}', '{_PII_IP_TOK}', 'g') AS r2
+        FROM steps
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(pii_text,
+                    '{_PII_EMAIL}'))
+              + len(regexp_extract_all(r1,
+                    '{_PII_IP}'))
+              + len(regexp_extract_all(r2, '{_PII_PHONE}')) AS BIGINT) AS n_pii,
+           substr(regexp_replace(r2, '{_PII_PHONE}', '{_PII_PHONE_TOK}', 'g'),
+                  length(text) + 2) AS redacted_tail
+    FROM steps2
+    """,
+    doc="PII scrub as a map-only column expression (functions/text.py "
+    "redact_pii/count_pii): email -> IPv4 -> phone regexp_replace chain, "
+    "counts taken against the same sequential order so a digit-bearing "
+    "email local-part is never double-counted. The synthetic corpus has "
+    "no organic PII, so the query plants a deterministic doc_id-derived "
+    "email/IP/phone per document and proves all three are found and "
+    "replaced. Patterns stay in the RE2<->Java-regex common subset so the "
+    "oracle interpolates functions/text.py PII_PATTERNS directly — one "
+    "source of truth, no hand-copied regex to drift. Zero exchanges, zero Python: whole-stage codegen "
+    "keeps the scrub inside the scan projection at 100 TB.",
+)
+def txt_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import count_pii, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    s = lambda c: c.cast("string")  # noqa: E731
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), s(F.col("doc_id")),
+        F.lit("@ex"), s(F.col("doc_id") % 10), F.lit(".org or call 555-"),
+        F.lpad(s(F.col("doc_id") % 10000), 4, "0"),
+        F.lit(" from 10.0."), s(F.col("doc_id") % 256),
+        F.lit("."), s(F.col("doc_id") % 200),
+    )
+    return d.select(
+        "doc_id",
+        count_pii(pii_text).alias("n_pii"),
+        F.substring(
+            redact_pii(pii_text), F.length("text") + 2, 1 << 30
+        ).alias("redacted_tail"),
+    )
+
+
+@register(
+    "doc_select_token_budget",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS n_tokens,
+               CAST(floor(length(text) * 1000.0 /
+                    (length(text) - length(replace(text, ' ', '')) + 1))
+                    AS BIGINT) AS score_milli
+        FROM documents
+    ),
+    b AS (SELECT CAST(floor(sum(n_tokens) * 0.4) AS BIGINT) AS budget FROM d),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   ORDER BY score_milli DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+        FROM d
+    )
+    SELECT doc_id, n_tokens, cum_tokens FROM c, b WHERE cum_tokens <= budget
+    """,
+    doc="Token-budget corpus selection: rank documents by a quality score "
+    "(mean token length in exact integer milli-units) and keep the best "
+    "prefix whose cumulative token count fits 40% of the corpus. The "
+    "oracle's global running sum is the semantics; the Spark plan is the "
+    "SCALE form — a distributed prefix sum: per-band (score value) token "
+    "totals, a triangular band-level self-join for each band's exclusive "
+    "offset (bands are bounded: scores are quantized to 1e-3, so the "
+    "band relation is tiny and fully distributed — no driver collect, no "
+    "single-partition window), then one band-partitioned window adds the "
+    "in-band running sum. The corpus-wide budget scalar rides the same "
+    "eager checkpoint (operators/scalars.py), so the documents scan "
+    "happens exactly once.",
+)
+def doc_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scalars import checkpoint_with_scalar
+
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = _n_ws_tokens().cast("long")
+    docs = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.floor(F.length("text") * 1000.0 / n_tokens).cast("long").alias(
+            "score_milli"
+        ),
+    )
+    cp, tot = checkpoint_with_scalar(docs, F.sum("n_tokens").alias("tot"))
+    cum = banded_running_sum(
+        cp, "score_milli", [F.col("doc_id")], "n_tokens", "cum_tokens"
+    )
+    return (
+        cum.crossJoin(tot)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "cum_tokens",
+            F.floor(F.col("tot") * 0.4).cast("long").alias("budget"),
+        )
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "n_tokens", "cum_tokens")
+    )
+
+
+@register(
+    "doc_dsir_importance",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    lm AS (
+        SELECT term, count(*) AS c_r,
+               CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_t
+        FROM toks GROUP BY term
+    ),
+    consts AS (
+        SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+               CAST(sum(c_t) AS BIGINT) AS n_t,
+               count(*) AS v
+        FROM lm
+    ),
+    ratio AS (
+        SELECT term,
+               CAST(floor(ln(((c_t + 1.0) * (n_r + v)) /
+                             ((c_r + 1.0) * (n_t + v)))
+                          * 1000000.0 + 0.5) AS BIGINT) AS lr_micro
+        FROM lm, consts
+    )
+    SELECT t.doc_id, count(*) AS n_toks,
+           CAST(sum(r.lr_micro) AS BIGINT) AS dsir_weight_micro
+    FROM toks t JOIN ratio r USING (term)
+    GROUP BY t.doc_id
+    """,
+    doc="DSIR-style importance weight (Xie et al. 2023, Data Selection via "
+    "Importance Resampling): per-document log-likelihood ratio of a "
+    "target-domain unigram LM (docs from source 'src0') vs the raw-corpus "
+    "LM, add-1 smoothed over the shared vocabulary. ONE token aggregate "
+    "builds both LMs (the target count is a conditional sum in the same "
+    "groupBy); the three normalizer scalars ride an eager checkpoint of "
+    "that vocab relation, never a single-partition window. Per-token log "
+    "ratios are half-up-rounded to BIGINT micro-units BEFORE the per-doc "
+    "sum so the total is an order-independent integer sum (the "
+    "doc_mix_weights lesson: never hash a float accumulation). Scale "
+    "shape: vocab is O(unique tokens) and broadcasts back onto the token "
+    "stream; the only corpus-sized exchanges are the term groupBy and the "
+    "doc_id groupBy.",
+)
+def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsir_doc_weights(spark, sf_dir)
+
+
+@register(
+    "txt_heavy_hitters",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tot AS (SELECT count(*) AS n_total FROM toks)
+    SELECT term, count(*) AS n
+    FROM toks, tot
+    GROUP BY term, n_total
+    HAVING count(*) * 50 >= n_total
+    """,
+    doc="Exact heavy hitters (terms holding >= 2% of all tokens) via the "
+    "2-pass Misra-Gries pattern (operators/sketches.py): per-partition "
+    "k=256-counter MG summaries produce a bounded candidate relation "
+    "(any term above N/256 globally is guaranteed in it, and the 2% "
+    "threshold is far above that), then the candidates broadcast back "
+    "onto the token stream for an EXACT count + integer threshold "
+    "(n * 50 >= N, no floats anywhere). The oracle is a plain GROUP "
+    "BY/HAVING: the sketch only bounds the candidate set, never the "
+    "answer. At 100 TB the full vocabulary (billions of rare terms) "
+    "never enters an exchange — only candidate tokens shuffle; the "
+    "total-token scalar comes from a doc-level length aggregate on a "
+    "separate cheap scan, not from the exploded stream.",
+)
+def txt_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import misra_gries_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("term"))
+    cands = (
+        misra_gries_candidates(toks, "term", k=256)
+        .select("term")
+        .distinct()
+    )
+    n_tokens = _n_ws_tokens().cast("long")
+    total = F.broadcast(d.agg(F.sum(n_tokens).alias("n_total")))
+    return (
+        toks.join(F.broadcast(cands), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(total)
+        .filter(F.col("n") * 50 >= F.col("n_total"))
+        .select("term", "n")
+    )
+
+
+@register(
+    "txt_bpe_encode",
+    rf"""
+    WITH words AS (
+        SELECT tok AS s0, count(*) AS freq FROM (
+            SELECT unnest(regexp_extract_all(text, '{_BPE_RE}')) AS tok
+            FROM documents) GROUP BY tok
+    ),
+    p1 AS (
+        SELECT s0[i:i+1] AS pair, CAST(sum(freq) AS BIGINT) AS n
+        FROM words, unnest(generate_series(1, length(s0) - 1)) AS t(i)
+        GROUP BY pair
+    ),
+    m1 AS (SELECT pair FROM p1 ORDER BY n DESC, pair LIMIT 1),
+    w1 AS (SELECT replace(s0, (SELECT pair FROM m1), chr(1)) AS s1, freq
+           FROM words),
+    p2 AS (
+        SELECT s1[i:i+1] AS pair, CAST(sum(freq) AS BIGINT) AS n
+        FROM w1, unnest(generate_series(1, length(s1) - 1)) AS t(i)
+        GROUP BY pair
+    ),
+    m2 AS (SELECT pair FROM p2 ORDER BY n DESC, pair LIMIT 1),
+    w2 AS (SELECT replace(s1, (SELECT pair FROM m2), chr(2)) AS s2, freq
+           FROM w1),
+    p3 AS (
+        SELECT s2[i:i+1] AS pair, CAST(sum(freq) AS BIGINT) AS n
+        FROM w2, unnest(generate_series(1, length(s2) - 1)) AS t(i)
+        GROUP BY pair
+    ),
+    m3 AS (SELECT pair FROM p3 ORDER BY n DESC, pair LIMIT 1),
+    doc_toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '{_BPE_RE}')) AS tok
+        FROM documents
+    ),
+    enc AS (
+        SELECT doc_id, tok,
+               replace(replace(replace(tok,
+                   (SELECT pair FROM m1), chr(1)),
+                   (SELECT pair FROM m2), chr(2)),
+                   (SELECT pair FROM m3), chr(3)) AS e
+        FROM doc_toks
+    )
+    SELECT doc_id,
+           count(*) AS n_bpe_tokens,
+           CAST(sum(length(e)) AS BIGINT) AS n_syms,
+           floor(CAST(sum(length(e)) AS BIGINT) * 1.0
+                 / CAST(sum(length(tok)) AS BIGINT) * 10000 + 0.5) / 10000
+               AS compression
+    FROM enc GROUP BY doc_id
+    """,
+    doc="BPE ENCODER — apply the trained merge table to every document "
+    "(the tokenize-the-corpus pass that follows txt_bpe_train): the 3 "
+    "merges are re-derived by the shared _bpe_train_merges driver-held "
+    "bounded model (3 rows), then encoding is a map-only chain of "
+    "replace(tok, pair_r, sentinel_r) in train order — leftmost-non-"
+    "overlapping replace IS greedy BPE application, identical on both "
+    "engines. Emits per-doc symbol counts and the compression ratio "
+    "(symbols per input char, single float division over exact integer "
+    "sums). Scale: training cost is vocab-sized (see txt_bpe_train); "
+    "encoding is one corpus scan with literal merge strings baked into "
+    "the projection — zero Python, zero joins, one doc_id aggregate.",
+)
+def txt_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _bpe_train_merges(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+        ).alias("tok"),
+    )
+    enc = F.col("tok")
+    for pair, sent, _n in merges:
+        enc = F.replace(enc, F.lit(pair), F.lit(sent))
+    return (
+        toks.withColumn("e", enc)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bpe_tokens"),
+            F.sum(F.length("e")).cast("long").alias("n_syms"),
+            (
+                F.floor(
+                    F.sum(F.length("e")).cast("long")
+                    * 1.0
+                    / F.sum(F.length("tok")).cast("long")
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("compression"),
+        )
+    )
+
+
+@register(
+    "doc_dsir_select",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    lm AS (
+        SELECT term, count(*) AS c_r,
+               CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_t
+        FROM toks GROUP BY term
+    ),
+    consts AS (
+        SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+               CAST(sum(c_t) AS BIGINT) AS n_t,
+               count(*) AS v
+        FROM lm
+    ),
+    ratio AS (
+        SELECT term,
+               CAST(floor(ln(((c_t + 1.0) * (n_r + v)) /
+                             ((c_r + 1.0) * (n_t + v)))
+                          * 1000000.0 + 0.5) AS BIGINT) AS lr_micro
+        FROM lm, consts
+    ),
+    w AS (
+        SELECT t.doc_id, count(*) AS n_toks,
+               CAST(sum(r.lr_micro) AS BIGINT) AS dsir_weight_micro
+        FROM toks t JOIN ratio r USING (term)
+        GROUP BY t.doc_id
+    ),
+    b AS (SELECT CAST(floor(sum(n_toks) * 0.3) AS BIGINT) AS budget FROM w),
+    c AS (
+        SELECT doc_id, n_toks, dsir_weight_micro,
+               CAST(sum(n_toks) OVER (
+                   ORDER BY dsir_weight_micro DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+        FROM w
+    )
+    SELECT doc_id, n_toks, dsir_weight_micro, cum_tokens
+    FROM c, b WHERE cum_tokens <= budget
+    """,
+    doc="DSIR SELECTION — the method's actual output (Xie et al. 2023): "
+    "keep the highest-importance documents whose cumulative token count "
+    "fits 30% of the corpus. The oracle's global running sum over "
+    "(weight DESC, doc_id) is the semantics; the Spark plan is the SCALE "
+    "form — the same distributed prefix sum as doc_select_token_budget, "
+    "banded on floor(weight/1000) (monotone in weight, so band-major "
+    "order equals the global order; the band relation is bounded by the "
+    "log-ratio range over milli-steps, not by corpus size): per-band "
+    "token totals, triangular band self-join for exclusive offsets, one "
+    "band-partitioned window. Weights ride the exact-integer micro-unit "
+    "machinery of doc_dsir_importance, so the ordering has no float "
+    "ties to flip.",
+)
+def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scalars import checkpoint_with_scalar
+
+    w, tot = checkpoint_with_scalar(
+        _dsir_doc_weights(spark, sf_dir), F.sum("n_toks").alias("tot")
+    )
+    banded = w.withColumn(
+        "band", F.floor(F.col("dsir_weight_micro") / 1000.0).cast("long")
+    )
+    cum = banded_running_sum(
+        banded,
+        "band",
+        [F.desc("dsir_weight_micro"), F.col("doc_id")],
+        "n_toks",
+        "cum_tokens",
+    )
+    return (
+        cum.crossJoin(tot)
+        .select(
+            "doc_id",
+            "n_toks",
+            "dsir_weight_micro",
+            "cum_tokens",
+            F.floor(F.col("tot") * 0.3).cast("long").alias("budget"),
+        )
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "n_toks", "dsir_weight_micro", "cum_tokens")
+    )
+
+
+@register(
+    "txt_chunk_udtf",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    c AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0, len(t) - 1, 48)) AS start
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(start / 48 AS INTEGER)                   AS chunk_idx,
+           CAST(least(len(t) - start, 64) AS INTEGER)    AS n_toks,
+           t[start + 1]                                  AS first_tok,
+           t[least(start + 64, len(t))]                  AS last_tok
+    FROM c
+    """,
+    doc="Overlapping token-window chunking (size 64 / stride 48) via a "
+    "Spark 4 Python UDTF in a LATERAL join — the table-function extension "
+    "point: one document row yields a variable number of chunk rows whose "
+    "columns (chunk content endpoints) only the chunker can derive. "
+    "Arrow-batched (ArrowEvalPythonUDTF, allowlisted as a documented "
+    "vectorized kernel — never row-at-a-time pickling) and map-only: the "
+    "explode shuffles nothing, and the doc_id filter is pushed below the "
+    "lateral to the parquet scan. The DuckDB oracle mirrors the chunk rule "
+    "with generate_series over the same empty-preserving space-split, so "
+    "the UDTF's emission logic is hash-checked end to end.",
+)
+def txt_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.chunking import register_token_chunks
+
+    fn = register_token_chunks(spark)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    d.select("doc_id", "text").createOrReplaceTempView("_chunk_udtf_docs")
+    return spark.sql(
+        f"""
+        SELECT doc_id, c.chunk_idx, c.n_toks, c.first_tok, c.last_tok
+        FROM _chunk_udtf_docs, LATERAL {fn}(text) AS c
+        """
+    )
+
+
+@register(
+    "txt_fuzzy_blocked_levenshtein",
+    """
+    WITH d AS (
+        SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 120) AS p
+        FROM documents
+        WHERE length(text) = strlen(text)  -- ASCII guard: see doc
+    ),
+    ok_blk AS (
+        SELECT blk FROM d GROUP BY blk
+        HAVING count(*) BETWEEN 2 AND 64
+    ),
+    b AS (SELECT d.* FROM d JOIN ok_blk USING (blk))
+    SELECT x.doc_id AS doc_a,
+           y.doc_id AS doc_b,
+           CAST(levenshtein(x.p, y.p) AS INTEGER) AS edit_dist,
+           CAST(100 - (100 * levenshtein(x.p, y.p))
+                      // greatest(length(x.p), length(y.p)) AS INTEGER)
+               AS sim_pct
+    FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+    WHERE levenshtein(x.p, y.p) <= 10
+    """,
+    doc="Blocked fuzzy matching by edit distance — the dedup family's "
+    "character-level member (exact/MinHash/SimHash/Jaccard/cosine see "
+    "token or vector space; OCR noise, typo variants and boilerplate "
+    "drift need true Levenshtein). Prefix-16 blocking turns the "
+    "quadratic all-pairs into per-block candidate sets; a 2..64 "
+    "block-size band is the hot-block guard (same discipline as the "
+    "n-gram Jaccard hot-shingle cap) so one boilerplate prefix cannot "
+    "explode the self-join at 100 TB; the distance itself runs on a "
+    "120-char prefix, capping per-pair cost at O(120^2) inside "
+    "whole-stage codegen (JVM levenshtein, no UDF). Spark's levenshtein "
+    "counts codepoints while DuckDB's counts bytes, so candidates are "
+    "restricted to byte-pure strings via length=octet_length — a "
+    "predicate both engines evaluate identically (on this corpus it "
+    "keeps everything).",
+)
+def txt_fuzzy_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") == F.octet_length("text"))
+        .select(
+            "doc_id",
+            F.substring("text", 1, 16).alias("blk"),
+            F.substring("text", 1, 120).alias("p"),
+        )
+    )
+    ok_blk = (
+        d.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= 64))
+        .select("blk")
+    )
+    b = d.join(F.broadcast(ok_blk), "blk")
+    x = b.alias("x")
+    y = b.alias("y")
+    dist = F.levenshtein(F.col("x.p"), F.col("y.p"))
+    return (
+        x.join(
+            y,
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .filter(dist <= 10)
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            dist.cast("int").alias("edit_dist"),
+            (
+                F.lit(100)
+                - F.expr(
+                    "(100 * levenshtein(x.p, y.p))"
+                    " div greatest(length(x.p), length(y.p))"
+                )
+            )
+            .cast("int")
+            .alias("sim_pct"),
+        )
+    )
+
+
+@register(
+    "doc_quota_sample",
+    """
+    SELECT doc_id, lang, rn AS sample_rank
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= 25
+    """,
+    doc="Exact-k quota sampling: EXACTLY 25 documents per language by md5 "
+    "hash priority — the reproducible eval-set/debug-slice primitive "
+    "rate-based sampling (doc_stratified_sample) cannot provide: a rate "
+    "gives binomial-varying counts, a quota gives a fixed-size, "
+    "engine-independent, rerun-stable slice (adding documents only "
+    "replaces members whose hash priority loses). The rank filter "
+    "compiles to WindowGroupLimit, so each map task keeps at most k "
+    "rows per language before the exchange — the same distributed "
+    "bottom-k as the KMV sketch, here over hash priorities.",
+)
+def doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 25)
+    )
+
+
+@register(
+    "txt_token_lift_pairs",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) WHERE length(tok) >= 4
+    ),
+    kept AS (
+        SELECT doc_id FROM toks GROUP BY doc_id HAVING count(*) <= 64
+    ),
+    t AS (SELECT toks.* FROM toks JOIN kept USING (doc_id)),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM t),
+    df AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+    pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+        FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+        HAVING count(*) >= 5
+    )
+    SELECT p.tok_a, p.tok_b,
+           CAST(p.n_ab AS BIGINT)  AS n_ab,
+           CAST(da.n AS BIGINT)    AS n_a,
+           CAST(db.n AS BIGINT)    AS n_b,
+           CAST((p.n_ab * n.n_docs * 1000) // (da.n * db.n) AS BIGINT)
+                                   AS lift_milli
+    FROM pairs p
+    JOIN df da ON da.tok = p.tok_a
+    JOIN df db ON db.tok = p.tok_b
+    CROSS JOIN n
+    """,
+    doc="Association mining (market-basket lift) over token co-occurrence: "
+    "each document is a basket of its distinct >=4-char tokens; pairs "
+    "co-occurring in >= 5 baskets are scored by lift = P(ab)/(P(a)P(b)) "
+    "in exact integer milli-units (n_ab*N*1000 div (n_a*n_b)) — the "
+    "A-priori association statistic, log-free so both engines agree "
+    "bit-for-bit (PMI is this with a log around it). Scale guards: the "
+    "per-doc basket is capped at 64 distinct tokens (the quadratic "
+    "fan-out driver — same discipline as the hot-shingle guard), the "
+    "pair join is keyed on doc_id with BOTH sides sharing one "
+    "partitioning, and the document-frequency relation re-enters "
+    "broadcast. The basket-universe count N is derived from the SAME "
+    "guarded relation the frequencies come from, so the lift "
+    "denominator is consistent at any scale.",
+)
+def txt_token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") >= 4)
+        .distinct()
+    )
+    kept = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")).filter(
+        F.col("sz") <= 64
+    )
+    t = toks.join(kept.select("doc_id"), "doc_id").localCheckpoint(eager=True)
+    n_docs = t.select("doc_id").distinct().count()  # bounded scalar
+    df_rel = t.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    a = t.select("doc_id", F.col("tok").alias("tok_a"))
+    b = t.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    da = df_rel.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a"))
+    db = df_rel.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr(f"(n_ab * {n_docs} * 1000) div (n_a * n_b)")
+            .cast("long")
+            .alias("lift_milli"),
+        )
+    )
+
+
+@register(
+    "txt_simpson_diversity",
+    """
+    WITH t AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    c AS (
+        SELECT source, tok, count(*) AS n FROM t
+        WHERE tok <> '' GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT)                           AS n_tokens,
+           CAST(count(*) AS BIGINT)                         AS n_vocab,
+           CAST(sum(n * (n - 1)) * 1000
+                // (sum(n) * (sum(n) - 1)) AS BIGINT)       AS simpson_conc_milli
+    FROM c GROUP BY source
+    """,
+    doc="Simpson concentration index per source (the log-free diversity "
+    "statistic): sum n_i(n_i-1) / (N(N-1)) — the probability two tokens "
+    "drawn without replacement coincide; 1 - it is Simpson diversity, "
+    "and its reciprocal the effective vocabulary size. Purely rational, "
+    "so milli-unit integer floor division replays exactly cross-engine "
+    "where Shannon entropy would drag float logs into the hash. Plan: "
+    "one (source, tok) aggregate (map-side partials absorb the token "
+    "stream) then one per-source fold of the count relation — the "
+    "vocabulary shuffles once, raw tokens never do. Milli-scaling keeps "
+    "sum(n^2) * 1000 inside int64 through ~10^15 tokens per source.",
+)
+def txt_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    c = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.expr("sum(n * (n - 1)) * 1000 div (sum(n) * (sum(n) - 1))")
+        .cast("long")
+        .alias("simpson_conc_milli"),
+    )
+
+
+@register(
+    "doc_winsorized_stats",
+    """
+    WITH r AS (
+        SELECT source, n_chars, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS cnt
+        FROM documents
+    ),
+    th AS (
+        SELECT source,
+               min(CASE WHEN rn = ((cnt - 1) * 10) // 100 + 1
+                        THEN n_chars END) AS p10,
+               min(CASE WHEN rn = ((cnt - 1) * 90) // 100 + 1
+                        THEN n_chars END) AS p90
+        FROM r GROUP BY source
+    )
+    SELECT r.source,
+           CAST(max(r.cnt) AS BIGINT)                     AS n_docs,
+           CAST(max(th.p10) AS BIGINT)                    AS p10_chars,
+           CAST(max(th.p90) AS BIGINT)                    AS p90_chars,
+           CAST(sum(least(greatest(r.n_chars, th.p10), th.p90))
+                AS BIGINT)                                AS sum_winsorized,
+           CAST(sum(CASE WHEN r.n_chars < th.p10 THEN 1 ELSE 0 END)
+                AS BIGINT)                                AS n_clipped_low,
+           CAST(sum(CASE WHEN r.n_chars > th.p90 THEN 1 ELSE 0 END)
+                AS BIGINT)                                AS n_clipped_high
+    FROM r JOIN th ON r.source = th.source
+    GROUP BY r.source
+    """,
+    doc="Winsorized robust statistics per source: exact discrete "
+    "p10/p90 thresholds (rank-based — index ((cnt-1)*q) div 100 + 1 on "
+    "the (n_chars, doc_id)-ordered group, integer-only so both engines "
+    "pick the identical element) clip the tails before aggregating — "
+    "the outlier-robust moment estimation feature pipelines apply "
+    "before normalization, complementing grouped_percentiles "
+    "(interpolated, reporting) and conditional_recode_clip (fixed "
+    "bounds): here the bounds are DATA-DERIVED per group. Plan: one "
+    "exchange on source feeds both the ranking window and the clipped "
+    "re-aggregate; thresholds re-enter as a broadcast of one row per "
+    "source — the fact relation is scanned once and never re-sorted.",
+)
+def doc_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("source", "n_chars", "doc_id")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    r = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    th = r.groupBy("source").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("((cnt - 1) * 10) div 100 + 1"),
+                F.col("n_chars"),
+            )
+        ).alias("p10"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("((cnt - 1) * 90) div 100 + 1"),
+                F.col("n_chars"),
+            )
+        ).alias("p90"),
+    )
+    clipped = r.join(F.broadcast(th), "source")
+    return clipped.groupBy("source").agg(
+        F.max("cnt").cast("long").alias("n_docs"),
+        F.max("p10").cast("long").alias("p10_chars"),
+        F.max("p90").cast("long").alias("p90_chars"),
+        F.sum(F.least(F.greatest("n_chars", "p10"), "p90"))
+        .cast("long")
+        .alias("sum_winsorized"),
+        F.sum(F.when(F.col("n_chars") < F.col("p10"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("n_chars") > F.col("p90"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_high"),
+    )
+
+
+@register(
+    "doc_sequential_poisson_sample",
+    """
+    WITH w AS (
+        SELECT source, doc_id,
+               CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+                   // greatest(coalesce(n_chars, 1), 1) AS priority
+        FROM documents
+    )
+    SELECT source, doc_id, CAST(priority AS BIGINT) AS priority
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY priority, doc_id) AS rk
+          FROM w) t
+    WHERE rk <= 20
+    """,
+    doc="Weighted sampling without replacement via sequential Poisson "
+    "sampling (Ohlsson 1998, the order-sampling approximation of "
+    "probability-proportional-to-size used by statistics agencies): each "
+    "doc draws priority u/w where u is a 60-bit uniform derived from the "
+    "CONTENT (md5 hex prefix -> integer, the portable-hash cookbook rule) "
+    "and w = n_chars is the size weight; the k=20 smallest priorities per "
+    "source stratum are the sample, so longer documents are "
+    "proportionally more likely to be drawn. The division stays in exact "
+    "integer arithmetic (Spark `div` = DuckDB `//`) with doc_id "
+    "tiebreaks, so the draw is reproducible across engines, runs, and "
+    "partitionings — the weighted complement of doc_quota_sample's "
+    "uniform hash-priority draw. Map-only scoring at the scan, then one "
+    "per-stratum top-k window that Spark 3.5+ executes as "
+    "WindowGroupLimit (partial per-partition top-k before the exchange, "
+    "never a full sort of the corpus).",
+)
+def doc_sequential_poisson_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(text AS BINARY)), 1, 15), 16, 10)"
+            " AS BIGINT) div greatest(coalesce(n_chars, 1L), 1L)"
+        ).alias("priority"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy("priority", "doc_id")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 20)
+        .select("source", "doc_id", "priority")
+    )
+
+
+@register(
+    "txt_bm25_topk",
+    """
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM d
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents) t
+        WHERE term IN ('hash', 'join', 'scan')
+        GROUP BY doc_id, term
+    ),
+    per AS (
+        SELECT f.doc_id,
+               CAST(floor(
+                   (s.n * 1.0 / count(*) OVER (PARTITION BY f.term))
+                   * (f.tf * 2.2)
+                   / (f.tf + 1.2 * (0.25 + 0.75 * (d.dl * 1.0 / s.avgdl)))
+                   * 10000 + 0.5) AS BIGINT) AS s4
+        FROM tf f JOIN d USING (doc_id) CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(sum(s4) AS BIGINT) AS score_1e4,
+           CAST(count(*) AS INTEGER) AS n_terms
+    FROM per GROUP BY doc_id
+    ORDER BY score_1e4 DESC, doc_id
+    LIMIT 25
+    """,
+    doc="BM25 relevance scoring (Robertson-Sparck Jones, k1=1.2 b=0.75) "
+    "for a fixed query — the retrieval-grade ranker behind "
+    "query-relevance data curation, one step past txt_tfidf_topterms: "
+    "tf saturation via k1 and length normalization via b*dl/avgdl. "
+    "Ratio idf (N/df) keeps the whole score inside exactly-rounded IEEE "
+    "ops — no ln(), no libm divergence — and each (doc, term) score is "
+    "fixed-pointed to 1e-4 BEFORE the per-doc sum, so the cross-row "
+    "aggregation is an order-free exact INTEGER sum (a float sum's "
+    "addend order is partitioning-dependent). Scale shape: document "
+    "length is size(split(...)) map-side (the corpus never explodes for "
+    "it); only query-term tokens survive the explode into the ONE "
+    "(doc, term) shuffle; df comes from count() OVER (PARTITION BY "
+    "term) on that tf relation so the tf subtree is computed once (the "
+    "tfidf CSE finding); N/avgdl arrive as a broadcast one-row join; "
+    "the final top-25 is TakeOrderedAndProject (distributed top-k, "
+    "never a global sort).",
+)
+def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    TERMS = ["hash", "join", "scan"]
+    # constants written EXACTLY as the oracle writes them (2.2, not
+    # k1 + 1.0: the python fold happens to round to the same double, but
+    # the equality is a literal-for-literal contract, not an accident)
+    K1, K1P1, B = 1.2, 2.2, 0.75
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    d = docs.select("doc_id", F.size("toks").alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    per = (
+        tf.withColumn("df", dfq)
+        .join(d, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                (F.col("n") * 1.0 / F.col("df"))
+                * (F.col("tf") * K1P1)
+                / (
+                    F.col("tf")
+                    + K1
+                    * (
+                        (1.0 - B)
+                        + B * (F.col("dl") * 1.0 / F.col("avgdl"))
+                    )
+                )
+                * 10000
+                + 0.5
+            )
+            .cast("long")
+            .alias("s4"),
+        )
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("s4").cast("long").alias("score_1e4"),
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+        )
+        .orderBy(F.col("score_1e4").desc(), "doc_id")
+        .limit(25)
+    )

@@ -308,9 +308,15 @@ _DRIVER_PRIORITY: list[str] = [
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    # Import side-effect modules that populate the registry.
+    # Import side-effect modules that populate the registry. The
+    # pipeline family modules (split out of pipeline_ops in round 9)
+    # register directly; pipeline_ops remains the compat re-export.
     from . import relational  # noqa: F401
-    from . import pipeline_ops  # noqa: F401
+    from . import pipeline_txt  # noqa: F401
+    from . import pipeline_evt  # noqa: F401
+    from . import pipeline_stats  # noqa: F401
+    from . import pipeline_graph  # noqa: F401
+    from . import pipeline_sim  # noqa: F401
     from . import domain  # noqa: F401
     from . import reporting  # noqa: F401
     from . import tpch_suite  # noqa: F401
