@@ -23,14 +23,8 @@ from ..sources.readers import read_testdata_table as _t
 from .registry import register
 
 
-# ---------------------------------------------------------------------------
-# Curation add-ons: PII redaction, token-budget selection, DSIR importance
-# ---------------------------------------------------------------------------
-
-
-# The oracle interpolates the SAME pattern/token table the Spark side uses
-# (functions/text.py PII_PATTERNS) — the single source of truth, so a
-# pattern tweak cannot silently drift the query from its oracle.
+# PII_PATTERNS is the single source of truth shared by the Spark side and
+# the interpolated oracle SQL (functions/text.py)
 from ..functions.text import PII_PATTERNS as _PII_PATTERNS
 
 
