@@ -1931,3 +1931,314 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("df_milli"),
     )
+
+
+@register(
+    "stat_kendall_tau",
+    """
+    WITH spend AS (
+        SELECT o_custkey AS ck,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    panel AS (
+        SELECT nation, ck, x, y FROM (
+            SELECT n.n_name AS nation, c.c_custkey AS ck,
+                   CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) AS x,
+                   s.y,
+                   row_number() OVER (PARTITION BY n.n_name
+                                      ORDER BY c.c_custkey) AS rn
+            FROM customer c
+            JOIN spend s ON s.ck = c.c_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+        ) WHERE rn <= 500
+    ),
+    pairs AS (
+        SELECT a.nation,
+               CASE WHEN a.x < b.x THEN -1 WHEN a.x > b.x THEN 1 ELSE 0 END
+                   AS dx,
+               CASE WHEN a.y < b.y THEN -1 WHEN a.y > b.y THEN 1 ELSE 0 END
+                   AS dy
+        FROM panel a JOIN panel b
+          ON a.nation = b.nation AND a.ck < b.ck
+    ),
+    agg AS (
+        SELECT nation,
+               CAST(count(*) AS BIGINT)                          AS n0,
+               CAST(sum(CASE WHEN dx * dy = 1  THEN 1 ELSE 0 END)
+                    AS BIGINT)                                    AS conc,
+               CAST(sum(CASE WHEN dx * dy = -1 THEN 1 ELSE 0 END)
+                    AS BIGINT)                                    AS disc,
+               CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT)                                    AS tx,
+               CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT)                                    AS ty
+        FROM pairs GROUP BY nation
+    )
+    SELECT nation, n0 AS n_pairs, conc, disc,
+           CAST(floor((conc - disc) * 1000000.0
+                      / sqrt((n0 - tx) * 1.0 * (n0 - ty)) + 0.5)
+                AS BIGINT) AS tau_b_micro
+    FROM agg
+    """,
+    doc="Kendall tau-b rank correlation (account balance vs lifetime "
+    "spend) per customer nation — the concordance-based sibling of "
+    "stat_spearman_rank_corr, robust to monotone transforms and exact "
+    "under ties. Pairwise concordance is inherently quadratic, so the "
+    "100 TB shape is a BOUNDED PANEL: a deterministic row_number<=500 "
+    "cap per group (lowest custkeys) fixes the per-group pair volume at "
+    "<=124,750 regardless of scale, the same bounded-group contract the "
+    "reference's per-play kernels rely on (all plays <= ~1,100 frames; "
+    "cf. /root/reference/optimal_pursuit.py batching). Plan: per-"
+    "customer spend is one grouped sum, the panel one exchange on "
+    "nation, and the pair generator a self-equi-join ON nation co-"
+    "partitioned by that same exchange (never a cross join); sign "
+    "products fold into five integer counters per group, tau-b = "
+    "(C-D)/sqrt((n0-tx)(n0-ty)) is fixed-pointed with the IEEE-exact "
+    "sqrt so both engines agree bit-for-bit.",
+)
+def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    spend = o.groupBy("o_custkey").agg(
+        F.sum("cents").cast("long").alias("y")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long").alias("x"),
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        c.join(spend, c.c_custkey == spend.o_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("c_custkey").alias("ck"), "x", "y")
+    )
+    w = Window.partitionBy("nation").orderBy("ck")
+    panel = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 500)
+        .drop("rn")
+    )
+    a = panel.alias("a")
+    b = panel.select(
+        F.col("nation").alias("nation_b"),
+        F.col("ck").alias("ck_b"),
+        F.col("x").alias("x_b"),
+        F.col("y").alias("y_b"),
+    ).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.nation") == F.col("nation_b")) & (F.col("a.ck") < F.col("ck_b")),
+    ).select(
+        "nation",
+        F.signum(F.col("x_b") - F.col("a.x")).cast("int").alias("dx"),
+        F.signum(F.col("y_b") - F.col("a.y")).cast("int").alias("dy"),
+    )
+    agg = pairs.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("dx") * F.col("dy") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("conc"),
+        F.sum(F.when(F.col("dx") * F.col("dy") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("disc"),
+        F.sum(F.when(F.col("dx") == 0, 1).otherwise(0)).cast("long").alias("tx"),
+        F.sum(F.when(F.col("dy") == 0, 1).otherwise(0)).cast("long").alias("ty"),
+    )
+    return agg.select(
+        "nation",
+        F.col("n0").alias("n_pairs"),
+        "conc",
+        "disc",
+        F.floor(
+            (F.col("conc") - F.col("disc"))
+            * 1_000_000.0
+            / F.sqrt((F.col("n0") - F.col("tx")) * 1.0 * (F.col("n0") - F.col("ty")))
+            + 0.5
+        )
+        .cast("long")
+        .alias("tau_b_micro"),
+    )
+
+
+@register(
+    "stat_wilson_ci",
+    """
+    WITH g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN value > 80.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM events GROUP BY event_type
+    ),
+    w AS (
+        SELECT event_type, n, k,
+               k * 1.0 / n AS p,
+               1.96 * 1.96 / n AS zz_n
+        FROM g
+    )
+    SELECT event_type, n, k,
+           CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS p_micro,
+           CAST(floor(((p + zz_n / 2) / (1 + zz_n)
+                       - 1.96 * sqrt(p * (1 - p) / n + zz_n / (4 * n))
+                         / (1 + zz_n)) * 1000000 + 0.5) AS BIGINT)
+               AS lo_micro,
+           CAST(floor(((p + zz_n / 2) / (1 + zz_n)
+                       + 1.96 * sqrt(p * (1 - p) / n + zz_n / (4 * n))
+                         / (1 + zz_n)) * 1000000 + 0.5) AS BIGINT)
+               AS hi_micro
+    FROM w
+    """,
+    doc="Wilson 95% score interval for a per-segment success proportion "
+    "(share of high-value events, value > 80 ~ the 80th percentile) — "
+    "the interval estimation counterpart of the hypothesis-test family, "
+    "and the right proportion CI for small k (never escapes [0,1], "
+    "unlike the Wald interval). One partial-aggregated grouped pass "
+    "produces exact integer (n, k) sufficient statistics — the 100 TB "
+    "shape is identical to any grouped count — and the interval itself "
+    "is computed on the 5-row aggregate with the IDENTICAL double "
+    "expression tree on both engines (z = 1.96 literal, IEEE-exact "
+    "sqrt), then micro fixed-pointed so no rounding-mode difference can "
+    "leak into the hash.",
+)
+def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") > 80.0, 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    p = F.col("k") * 1.0 / F.col("n")
+    zz_n = F.lit(1.96) * 1.96 / F.col("n")
+    half = (
+        F.lit(1.96)
+        * F.sqrt(p * (1 - p) / F.col("n") + zz_n / (4 * F.col("n")))
+        / (1 + zz_n)
+    )
+    center = (p + zz_n / 2) / (1 + zz_n)
+    return g.select(
+        "event_type",
+        "n",
+        "k",
+        F.floor(p * 1_000_000 + 0.5).cast("long").alias("p_micro"),
+        F.floor((center - half) * 1_000_000 + 0.5).cast("long").alias("lo_micro"),
+        F.floor((center + half) * 1_000_000 + 0.5).cast("long").alias("hi_micro"),
+    )
+
+
+@register(
+    "agg_bloom_prefilter_join",
+    """
+    WITH early AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderdate < TIMESTAMP '1995-06-01'
+    ),
+    pos AS (
+        SELECT unnest([(k * 2654435761) % 32768,
+                       (k * 2246822519 + 1013904223) % 32768]) AS p
+        FROM early
+    ),
+    words AS (
+        SELECT p // 32 AS wd,
+               CAST(bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS BIGINT)
+                   AS word
+        FROM pos GROUP BY p // 32
+    ),
+    probe AS (
+        SELECT c_custkey AS ck,
+               (c_custkey * 2654435761) % 32768 AS p1,
+               (c_custkey * 2246822519 + 1013904223) % 32768 AS p2
+        FROM customer
+    ),
+    j AS (
+        SELECT pr.ck,
+               coalesce((w1.word >> CAST(pr.p1 % 32 AS INTEGER)) & 1, 0)
+                   AS b1,
+               coalesce((w2.word >> CAST(pr.p2 % 32 AS INTEGER)) & 1, 0)
+                   AS b2,
+               CASE WHEN e.k IS NULL THEN 0 ELSE 1 END AS has_early
+        FROM probe pr
+        LEFT JOIN words w1 ON w1.wd = pr.p1 // 32
+        LEFT JOIN words w2 ON w2.wd = pr.p2 // 32
+        LEFT JOIN early e ON e.k = pr.ck
+    )
+    SELECT has_early,
+           CAST(count(*) AS BIGINT)      AS n_cust,
+           CAST(sum(b1 * b2) AS BIGINT)  AS n_bloom_pass
+    FROM j GROUP BY has_early
+    """,
+    doc="Bloom-filter join prefilter with EXACT cross-engine semantics: "
+    "a 32,768-bit / 1,024-word blocked Bloom filter over the early-"
+    "window buyer keys, probed by every customer, reported as (truth, "
+    "bloom-pass) counts per cohort. Spark's built-in runtime bloom "
+    "pruning is opaque (bloom_filter_agg is not SQL-registered and its "
+    "xxhash layout is engine-private), so the filter here is built from "
+    "PORTABLE integer arithmetic — two Knuth/xxhash-prime multiplicative "
+    "probes (k*2654435761 and k*2246822519+1013904223, both mod 2^15; "
+    "products stay under 2^63 for keys < 3.4e9, the documented key-"
+    "space bound), 32-bit words via bit_or(1<<bit) — so the FALSE-"
+    "POSITIVE set itself is deterministic and the oracle hash covers it, "
+    "not just the no-false-negative invariant (which the has_early=1 "
+    "row attests structurally: n_bloom_pass = n_cust). The 100 TB "
+    "shape: the word table is KB-sized and broadcast to both probe "
+    "joins — a dim-side sketch that prunes a fact-side shuffle, exactly "
+    "how runtime row-group pruning earns its keep; build side is one "
+    "distinct + one grouped bit_or.",
+)
+def agg_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    early = (
+        o.filter(F.col("o_orderdate") < F.lit("1995-06-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    pos = early.select(
+        F.explode(
+            F.array(
+                (F.col("k") * 2654435761) % 32768,
+                (F.col("k") * 2246822519 + 1013904223) % 32768,
+            )
+        ).alias("p")
+    )
+    words = (
+        pos.select(
+            F.expr("p div 32").alias("wd"),
+            F.expr("CAST(p % 32 AS INT)").alias("b"),
+        )
+        .groupBy("wd")
+        .agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+            .cast("long")
+            .alias("word")
+        )
+    )
+    probe = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        ((F.col("c_custkey") * 2654435761) % 32768).alias("p1"),
+        ((F.col("c_custkey") * 2246822519 + 1013904223) % 32768).alias("p2"),
+    )
+    w1 = words.select(F.col("wd").alias("wd1"), F.col("word").alias("word1"))
+    w2 = words.select(F.col("wd").alias("wd2"), F.col("word").alias("word2"))
+    j = (
+        probe.join(F.broadcast(w1), F.expr("p1 div 32") == F.col("wd1"), "left")
+        .join(F.broadcast(w2), F.expr("p2 div 32") == F.col("wd2"), "left")
+        .join(F.broadcast(early), F.col("ck") == F.col("k"), "left")
+        .select(
+            F.coalesce(
+                F.expr("shiftright(word1, CAST(p1 % 32 AS INT)) & 1"), F.lit(0)
+            ).alias("b1"),
+            F.coalesce(
+                F.expr("shiftright(word2, CAST(p2 % 32 AS INT)) & 1"), F.lit(0)
+            ).alias("b2"),
+            F.when(F.col("k").isNull(), 0).otherwise(1).alias("has_early"),
+        )
+    )
+    return j.groupBy("has_early").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum(F.col("b1") * F.col("b2")).cast("long").alias("n_bloom_pass"),
+    )
