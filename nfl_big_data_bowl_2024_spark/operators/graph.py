@@ -143,8 +143,14 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # Carry the pre-step label through as old_lbl so the frontier can
+        # be derived from the SAME checkpointed relation below — computing
+        # it as new_labels-join-labels cost one extra node-sized join plus
+        # a second localCheckpoint job per round, pure fixed overhead that
+        # showed up as +2.4 s at sf0.1 without moving a byte less at sf10.
         stepped = labels.join(nbr_min, "node", "left").select(
             "node",
+            F.col("lbl").alias("old_lbl"),
             F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
         )
         # Pointer doubling: lbl <- label(lbl). A label is itself a node id,
@@ -156,20 +162,19 @@ def connected_components(
         jump = stepped.select(
             F.col("node").alias("lbl"), F.col("lbl").alias("jump_lbl")
         )
-        new_labels = (
+        new_full = (
             stepped.join(jump, "lbl", "left")
             .select(
                 "node",
+                "old_lbl",
                 F.least("lbl", F.coalesce("jump_lbl", "lbl")).alias("lbl"),
             )
             .localCheckpoint()  # truncate lineage; eager, so one job per round
         )
-        frontier = new_labels.join(
-            labels.withColumnRenamed("lbl", "old_lbl"), "node"
-        ).filter(F.col("lbl") < F.col("old_lbl")).select(
+        frontier = new_full.filter(F.col("lbl") < F.col("old_lbl")).select(
             "node", "lbl"
-        ).localCheckpoint()
-        labels = new_labels
+        )
+        labels = new_full.select("node", "lbl")
         if frontier.isEmpty():
             break
     sym.unpersist()

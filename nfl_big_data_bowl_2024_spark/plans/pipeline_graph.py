@@ -1082,3 +1082,61 @@ def graph_hits_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return hits_integer(pairs, iters=2)
+
+
+@register(
+    "graph_copurchase_projection",
+    """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    cooc AS (
+        SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_cooc
+        FROM pairs GROUP BY part_a, part_b
+    )
+    SELECT part_a, part_b, n_cooc
+    FROM cooc
+    WHERE n_cooc >= 2
+    ORDER BY n_cooc DESC, part_a, part_b
+    LIMIT 100
+    """,
+    doc="Bipartite projection of the order-part purchase graph onto the "
+    "part side: item-item co-occurrence counts (the edge list every "
+    "co-occurrence / association-mining / item-similarity pipeline "
+    "starts from), support-thresholded and emitted as a deterministic "
+    "top-100 (count DESC, then the unique pair key — no bare LIMIT on "
+    "ties). The quadratic danger in a bipartite projection is per-"
+    "basket fan-out, and the bound here is STRUCTURAL: baskets are "
+    "orders with <= 13 distinct parts (TPC-H lineitem shape), so the "
+    "within-basket self-equi-join on l_orderkey emits <= 78 pairs per "
+    "order — linear in orders, co-partitioned by the join key, one "
+    "exchange. For heavy-tailed baskets (users x documents) the "
+    "documented guard is the same hot-key cap dedup_ngram_jaccard "
+    "applies to shingles (drop baskets above a df ceiling before "
+    "pairing); the top-k is TakeOrderedAndProject, never a global "
+    "sort.",
+)
+def graph_copurchase_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = a.join(
+        b, (F.col("ok") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b"))
+    )
+    cooc = pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cooc")
+    )
+    return (
+        cooc.filter(F.col("n_cooc") >= 2)
+        .orderBy(F.col("n_cooc").desc(), "part_a", "part_b")
+        .limit(100)
+    )

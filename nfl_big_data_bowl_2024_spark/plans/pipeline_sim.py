@@ -2453,3 +2453,170 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return mmr_diversified_topk(e, "vec_id", "embedding", query_vec_id=0, k=5)
+
+
+@register(
+    "ml_roc_auc",
+    """
+    WITH pts AS (
+        SELECT source, n_chars,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cnt_pos
+        FROM documents GROUP BY source, n_chars
+    ),
+    rk AS (
+        SELECT source, cnt, cnt_pos,
+               2 * coalesce(sum(cnt) OVER (
+                       PARTITION BY source ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) + cnt + 1 AS r2
+        FROM pts
+    ),
+    agg AS (
+        SELECT source,
+               CAST(sum(cnt) AS BIGINT)           AS n_docs,
+               CAST(sum(cnt_pos) AS BIGINT)       AS n_pos,
+               CAST(sum(cnt_pos * r2) AS BIGINT)  AS r2_pos
+        FROM rk GROUP BY source
+    )
+    SELECT source, n_docs, n_pos,
+           CASE WHEN n_pos = 0 OR n_pos = n_docs THEN NULL
+                ELSE CAST((r2_pos - n_pos * (n_pos + 1)) * 1000000
+                          // (2 * n_pos * (n_docs - n_pos)) AS BIGINT)
+           END AS auc_micro
+    FROM agg
+    """,
+    doc="Per-source ROC-AUC of a score column (n_chars) against a binary "
+    "relevance label (lang = 'en'), via the rank statistic AUC = "
+    "(R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with midrank tie "
+    "handling — the threshold-free ranking-quality counterpart of "
+    "ml_eval_confusion's fixed-threshold precision/recall. EXACT in "
+    "integers end-to-end: ties collapse to per-(group, score) count "
+    "pairs first (the 100 TB move — the rank window runs over DISTINCT "
+    "scores per group, not rows, after one partial-aggregated shuffle), "
+    "the doubled midrank 2*cum_before + cnt + 1 keeps half-ranks "
+    "integral, and the final division is integer floor-div to micro "
+    "units. Degenerate groups (all-positive / all-negative) yield NULL "
+    "rather than a division error under ANSI mode. Plan: one exchange "
+    "on (source, n_chars) for the count pass, a per-source window over "
+    "the collapsed score points, one grouped fold.",
+)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pts = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_pos"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = pts.select(
+        "source",
+        "cnt",
+        "cnt_pos",
+        (2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col("cnt") + 1).alias(
+            "r2"
+        ),
+    )
+    agg = rk.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum("cnt_pos").cast("long").alias("n_pos"),
+        F.sum(F.col("cnt_pos") * F.col("r2")).cast("long").alias("r2_pos"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_pos",
+        F.when(
+            (F.col("n_pos") == 0) | (F.col("n_pos") == F.col("n_docs")), F.lit(None)
+        )
+        .otherwise(
+            F.expr(
+                "(r2_pos - n_pos * (n_pos + 1)) * 1000000"
+                " div (2 * n_pos * (n_docs - n_pos))"
+            )
+        )
+        .cast("long")
+        .alias("auc_micro"),
+    )
+
+
+@register(
+    "ml_calibration_bins",
+    """
+    WITH scored AS (
+        SELECT CAST(n_chars AS BIGINT) * 1000
+               // (length(text) - length(replace(text, ' ', '')) + 1)
+                   AS mtl_milli,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ),
+    binned AS (
+        SELECT least(greatest((mtl_milli - 2000) // 500, 0), 9) AS bin_id,
+               mtl_milli, pos
+        FROM scored
+    )
+    SELECT CAST(bin_id AS BIGINT)  AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST((2 * sum(mtl_milli) + count(*)) // (2 * count(*))
+                AS BIGINT) AS mean_score_milli,
+           CAST((2000 * sum(pos) + count(*)) // (2 * count(*))
+                AS BIGINT) AS pos_rate_milli
+    FROM binned GROUP BY bin_id
+    """,
+    doc="Calibration / reliability table for a deterministic integer "
+    "scorer (mean token length in milli-units = n_chars*1000 div "
+    "n_tokens, the x1 feature of the round-5 quality classifier) "
+    "against the lang='en' label: 10 fixed-width score bins, per-bin "
+    "count, empirical positive rate and mean score — the reliability-"
+    "diagram companion to ml_roc_auc (AUC measures ranking, this "
+    "measures probability calibration; both are pure relational "
+    "reductions). All-integer pipeline: the milli-unit score and both "
+    "per-bin ratios use the (2s+n) div (2n) round-half-up identity, so "
+    "the hash is engine-exact with no float in sight. One map-side "
+    "projection + one grouped fold over 10 keys — the flat 100 TB "
+    "shape; the fixed grid (vs data-dependent deciles) is what keeps "
+    "it single-pass (agg_fixed_grid_quantiles documents the exact-"
+    "order-stat alternative when adaptive bins are required).",
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    scored = d.select(
+        F.expr(
+            "CAST(n_chars AS BIGINT) * 1000"
+            " div (length(text) - length(replace(text, ' ', '')) + 1)"
+        ).alias("mtl_milli"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    binned = scored.select(
+        F.least(
+            F.greatest(F.expr("(mtl_milli - 2000) div 500"), F.lit(0)), F.lit(9)
+        ).alias("bin_id"),
+        "mtl_milli",
+        "pos",
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.expr("CAST((2 * sum(mtl_milli) + count(*)) div (2 * count(*)) AS BIGINT)")
+        .alias("mean_score_milli"),
+        F.expr("CAST((2000 * sum(pos) + count(*)) div (2 * count(*)) AS BIGINT)")
+        .alias("pos_rate_milli"),
+    ).select(
+        F.col("bin_id").cast("long").alias("bin_id"),
+        "n_docs",
+        "n_pos",
+        "mean_score_milli",
+        "pos_rate_milli",
+    )

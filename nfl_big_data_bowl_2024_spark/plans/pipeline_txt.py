@@ -2395,3 +2395,107 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_1e4").desc(), "doc_id")
         .limit(25)
     )
+
+
+@register(
+    "txt_zipf_fit",
+    """
+    WITH freq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY term
+    ),
+    top AS (
+        SELECT f, CAST(row_number() OVER (ORDER BY f DESC, term) AS BIGINT)
+                      AS i
+        FROM freq
+        ORDER BY f DESC, term LIMIT 100
+    ),
+    ln AS (
+        SELECT ((length(format('{:b}', i)) - 1) * 693147 + [7782, 23167, 38319, 53245, 67951, 82444, 96730, 110814, 124703, 138402, 151916, 165250, 178408, 191395, 204216, 216874, 229374, 241720, 253915, 265964, 277868, 289633, 301261, 312756, 324119, 335356, 346467, 357456, 368326, 379078, 389717, 400243, 410660, 420969, 431173, 441275, 451275, 461176, 470980, 480689, 490304, 499828, 509262, 518608, 527867, 537041, 546132, 555142, 564070, 572920, 581692, 590387, 599008, 607555, 616030, 624433, 632767, 641031, 649228, 657358, 665423, 673423, 681359, 689233][CAST(i * 64 // (1::BIGINT << (length(format('{:b}', i)) - 1)) AS INTEGER) - 63]) AS x, ((length(format('{:b}', f)) - 1) * 693147 + [7782, 23167, 38319, 53245, 67951, 82444, 96730, 110814, 124703, 138402, 151916, 165250, 178408, 191395, 204216, 216874, 229374, 241720, 253915, 265964, 277868, 289633, 301261, 312756, 324119, 335356, 346467, 357456, 368326, 379078, 389717, 400243, 410660, 420969, 431173, 441275, 451275, 461176, 470980, 480689, 490304, 499828, 509262, 518608, 527867, 537041, 546132, 555142, 564070, 572920, 581692, 590387, 599008, 607555, 616030, 624433, 632767, 641031, 649228, 657358, 665423, 673423, 681359, 689233][CAST(f * 64 // (1::BIGINT << (length(format('{:b}', f)) - 1)) AS INTEGER) - 63]) AS y
+        FROM top
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,   CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM ln
+    )
+    SELECT n AS n_ranks,
+           CAST(floor((n * sxy - sx * sy) * 1000000.0
+                      / (n * sxx - sx * sx) + 0.5) AS BIGINT)
+               AS zipf_slope_micro,
+           CAST(floor((sy * 1.0 / n
+                       - ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                         * sx / n) + 0.5) AS BIGINT)
+               AS intercept_micro
+    FROM s
+""",
+    doc="Zipf's-law diagnostic for the corpus token distribution: OLS slope of ln(frequency) on ln(rank) over the top-100 terms (a healthy natural-language corpus fits slope ~ -1; a slope collapsing toward 0 flags boilerplate/duplication, a core curation signal alongside txt_repetition_filter). Engine-exact WITHOUT evaluating any libm log: ln_micro(v) decomposes v into exponent (exact via binary-string bit length) and 6-bit mantissa cell, adds e*ln(2)*1e6 to a 64-entry midpoint table interpolated into BOTH the Spark expression and this oracle from the same Python constants — the adamic-adar fixed-point-table technique (plans/pipeline_graph.py) generalized to arbitrary-magnitude logs (~1.2e-4 max ln error, irrelevant to a slope over 5 decades). The regression reduces to five integer sums over 100 rows; the closing floor-division runs on int64 sums cast to double identically on both engines. Plan shape at 100 TB: one exchange for term counts (map-side partial), TakeOrderedAndProject for the top-100, scalar fold - the rank window never sees more than 100 rows.",
+)
+def txt_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    # Rank WITHOUT a global window: the top-100 is a bounded set, so the
+    # rank comes from array_sort(collect_list(...)) + posexplode over one
+    # 100-element aggregate row (TakeOrderedAndProject feeds a bounded
+    # ObjectHashAggregate — no SinglePartition window exchange anywhere).
+    arr = (
+        freq.orderBy(F.desc("f"), "term")
+        .limit(100)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("f")).alias("nf"),
+                        F.col("term").alias("term"),
+                        F.col("f").alias("f"),
+                    )
+                )
+            ).alias("a")
+        )
+    )
+    top = arr.select(F.posexplode("a").alias("pos", "s")).select(
+        (F.col("pos") + 1).cast("long").alias("i"), F.col("s.f").alias("f")
+    )
+    ln = top.select(
+        F.expr("CAST(((length(bin(i)) - 1) * 693147 + element_at(array(7782, 23167, 38319, 53245, 67951, 82444, 96730, 110814, 124703, 138402, 151916, 165250, 178408, 191395, 204216, 216874, 229374, 241720, 253915, 265964, 277868, 289633, 301261, 312756, 324119, 335356, 346467, 357456, 368326, 379078, 389717, 400243, 410660, 420969, 431173, 441275, 451275, 461176, 470980, 480689, 490304, 499828, 509262, 518608, 527867, 537041, 546132, 555142, 564070, 572920, 581692, 590387, 599008, 607555, 616030, 624433, 632767, 641031, 649228, 657358, 665423, 673423, 681359, 689233), CAST(i * 64 div shiftleft(CAST(1 AS BIGINT), CAST(length(bin(i)) - 1 AS INT)) AS INT) - 63)) AS BIGINT)").alias("x"),
+        F.expr("CAST(((length(bin(f)) - 1) * 693147 + element_at(array(7782, 23167, 38319, 53245, 67951, 82444, 96730, 110814, 124703, 138402, 151916, 165250, 178408, 191395, 204216, 216874, 229374, 241720, 253915, 265964, 277868, 289633, 301261, 312756, 324119, 335356, 346467, 357456, 368326, 379078, 389717, 400243, 410660, 420969, 431173, 441275, 451275, 461176, 470980, 480689, 490304, 499828, 509262, 518608, 527867, 537041, 546132, 555142, 564070, 572920, 581692, 590387, 599008, 607555, 616030, 624433, 632767, 641031, 649228, 657358, 665423, 673423, 681359, 689233), CAST(f * 64 div shiftleft(CAST(1 AS BIGINT), CAST(length(bin(f)) - 1 AS INT)) AS INT) - 63)) AS BIGINT)").alias("y"),
+    )
+    s = ln.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        F.floor(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * 1000000.0
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            + 0.5
+        )
+        .cast("long")
+        .alias("zipf_slope_micro"),
+        F.floor(
+            F.col("sy") * 1.0 / F.col("n")
+            - (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * 1.0
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            )
+            * F.col("sx")
+            / F.col("n")
+            + 0.5
+        )
+        .cast("long")
+        .alias("intercept_micro"),
+    )

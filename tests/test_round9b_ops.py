@@ -1,0 +1,307 @@
+"""Round-9 second batch: pure-Python replays of the integer/fixed-point
+semantics on the sf0.001 driver tree (Kendall tau-b, Wilson CI, portable
+Bloom prefilter, ROC-AUC, calibration bins, peak concurrency, co-purchase
+projection, Zipf fit)."""
+
+from __future__ import annotations
+
+import math
+
+SF = "/root/testdata/sf0.001"
+
+
+def _registry():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+
+    return all_queries()
+
+
+def _duck():
+    import duckdb
+
+    return duckdb.connect()
+
+
+def test_kendall_tau_hand_replay(spark):
+    got = {
+        r["nation"]: (r["n_pairs"], r["conc"], r["disc"], r["tau_b_micro"])
+        for r in _registry()["stat_kendall_tau"].fn(spark, SF).collect()
+    }
+    con = _duck()
+    rows = con.execute(
+        f"""SELECT n.n_name, c.c_custkey,
+                   CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT),
+                   s.y
+            FROM '{SF}/customer.parquet' c
+            JOIN (SELECT o_custkey,
+                         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                       AS BIGINT)) AS BIGINT) AS y
+                  FROM '{SF}/orders.parquet' GROUP BY o_custkey) s
+              ON s.o_custkey = c.c_custkey
+            JOIN '{SF}/nation.parquet' n
+              ON n.n_nationkey = c.c_nationkey
+            ORDER BY n.n_name, c.c_custkey"""
+    ).fetchall()
+    by_nation: dict = {}
+    for nat, ck, x, y in rows:
+        by_nation.setdefault(nat, []).append((ck, x, y))
+    want = {}
+    for nat, panel in by_nation.items():
+        panel = panel[:500]
+        n0 = conc = disc = tx = ty = 0
+        for i in range(len(panel)):
+            for j in range(i + 1, len(panel)):
+                _, xi, yi = panel[i]
+                _, xj, yj = panel[j]
+                dx = (xi < xj) - (xi > xj)
+                dy = (yi < yj) - (yi > yj)
+                n0 += 1
+                conc += dx * dy == 1
+                disc += dx * dy == -1
+                tx += dx == 0
+                ty += dy == 0
+        tau = math.floor(
+            (conc - disc) * 1_000_000.0 / math.sqrt((n0 - tx) * 1.0 * (n0 - ty))
+            + 0.5
+        )
+        want[nat] = (n0, conc, disc, tau)
+    assert got == want
+
+
+def test_wilson_ci_hand_replay(spark):
+    got = {
+        r["event_type"]: (r["n"], r["k"], r["p_micro"], r["lo_micro"], r["hi_micro"])
+        for r in _registry()["stat_wilson_ci"].fn(spark, SF).collect()
+    }
+    con = _duck()
+    rows = con.execute(
+        f"""SELECT event_type, count(*),
+                   sum(CASE WHEN value > 80.0 THEN 1 ELSE 0 END)
+            FROM '{SF}/events.parquet' GROUP BY event_type"""
+    ).fetchall()
+    want = {}
+    for t, n, k in rows:
+        p = k * 1.0 / n
+        zz_n = 1.96 * 1.96 / n
+        center = (p + zz_n / 2) / (1 + zz_n)
+        half = 1.96 * math.sqrt(p * (1 - p) / n + zz_n / (4 * n)) / (1 + zz_n)
+        want[t] = (
+            n,
+            k,
+            math.floor(p * 1_000_000 + 0.5),
+            math.floor((center - half) * 1_000_000 + 0.5),
+            math.floor((center + half) * 1_000_000 + 0.5),
+        )
+    assert got == want
+
+
+def test_bloom_prefilter_replay_and_no_false_negatives(spark):
+    rows = {
+        r["has_early"]: (r["n_cust"], r["n_bloom_pass"])
+        for r in _registry()["agg_bloom_prefilter_join"].fn(spark, SF).collect()
+    }
+    con = _duck()
+    early = {
+        k
+        for (k,) in con.execute(
+            f"""SELECT DISTINCT o_custkey FROM '{SF}/orders.parquet'
+                WHERE o_orderdate < TIMESTAMP '1995-06-01'"""
+        ).fetchall()
+    }
+    custs = [
+        k
+        for (k,) in con.execute(
+            f"SELECT c_custkey FROM '{SF}/customer.parquet'"
+        ).fetchall()
+    ]
+    words: dict = {}
+    for k in early:
+        for p in (
+            (k * 2654435761) % 32768,
+            (k * 2246822519 + 1013904223) % 32768,
+        ):
+            words[p // 32] = words.get(p // 32, 0) | (1 << (p % 32))
+    want: dict = {}
+    for ck in custs:
+        p1 = (ck * 2654435761) % 32768
+        p2 = (ck * 2246822519 + 1013904223) % 32768
+        hit = (words.get(p1 // 32, 0) >> (p1 % 32)) & 1 and (
+            words.get(p2 // 32, 0) >> (p2 % 32)
+        ) & 1
+        flag = 1 if ck in early else 0
+        n, np_ = want.get(flag, (0, 0))
+        want[flag] = (n + 1, np_ + (1 if hit else 0))
+    assert rows == want
+    # structural invariant: a Bloom filter has NO false negatives
+    if 1 in rows:
+        assert rows[1][1] == rows[1][0]
+
+
+def test_roc_auc_midrank_replay(spark):
+    got = {
+        r["source"]: (r["n_docs"], r["n_pos"], r["auc_micro"])
+        for r in _registry()["ml_roc_auc"].fn(spark, SF).collect()
+    }
+    con = _duck()
+    rows = con.execute(
+        f"""SELECT source, n_chars, lang = 'en'
+            FROM '{SF}/documents.parquet' ORDER BY source, n_chars"""
+    ).fetchall()
+    by_src: dict = {}
+    for s, x, pos in rows:
+        by_src.setdefault(s, []).append((x, pos))
+    want = {}
+    for s, vals in by_src.items():
+        n = len(vals)
+        n_pos = sum(1 for _, p in vals if p)
+        if n_pos == 0 or n_pos == n:
+            want[s] = (n, n_pos, None)
+            continue
+        # midranks over the sorted score list
+        r2_pos = 0  # doubled rank sum of positives
+        i = 0
+        vals.sort()
+        while i < n:
+            j = i
+            while j < n and vals[j][0] == vals[i][0]:
+                j += 1
+            r2 = (i + 1) + j  # 2 * midrank = (first + last) one-based
+            r2_pos += sum(r2 for k in range(i, j) if vals[k][1])
+            i = j
+        auc = (r2_pos - n_pos * (n_pos + 1)) * 1_000_000 // (
+            2 * n_pos * (n - n_pos)
+        )
+        want[s] = (n, n_pos, auc)
+    assert got == want
+
+
+def test_calibration_bins_replay(spark):
+    got = {
+        r["bin_id"]: (
+            r["n_docs"],
+            r["n_pos"],
+            r["mean_score_milli"],
+            r["pos_rate_milli"],
+        )
+        for r in _registry()["ml_calibration_bins"].fn(spark, SF).collect()
+    }
+    con = _duck()
+    rows = con.execute(
+        f"""SELECT n_chars,
+                   length(text) - length(replace(text, ' ', '')) + 1,
+                   lang = 'en'
+            FROM '{SF}/documents.parquet'"""
+    ).fetchall()
+    acc: dict = {}
+    for n_chars, n_tok, pos in rows:
+        mtl = n_chars * 1000 // n_tok
+        b = min(max((mtl - 2000) // 500, 0), 9)
+        n, np_, s = acc.get(b, (0, 0, 0))
+        acc[b] = (n + 1, np_ + (1 if pos else 0), s + mtl)
+    want = {
+        b: (n, np_, (2 * s + n) // (2 * n), (2000 * np_ + n) // (2 * n))
+        for b, (n, np_, s) in acc.items()
+    }
+    assert got == want
+
+
+def test_peak_concurrency_sweep_replay(spark):
+    got = {
+        r["event_type"]: (r["peak_concurrency"], r["first_peak_us"])
+        for r in _registry()["evt_peak_concurrency"].fn(spark, SF).collect()
+    }
+    con = _duck()
+    rows = con.execute(
+        f"""SELECT event_type, epoch_us(ts) FROM '{SF}/events.parquet'"""
+    ).fetchall()
+    by_type: dict = {}
+    for t, s in rows:
+        by_type.setdefault(t, []).append(s)
+    want = {}
+    for t, starts in by_type.items():
+        pts = [(s, 1) for s in starts] + [(s + 1_800_000_000, -1) for s in starts]
+        pts.sort(key=lambda p: (p[0], -p[1]))  # starts before ends at ties
+        conc = peak = 0
+        first = None
+        for ts, d in pts:
+            conc += d
+            if conc > peak:
+                peak = conc
+                first = ts
+        want[t] = (peak, first)
+    assert got == want
+
+
+def test_copurchase_projection_replay(spark):
+    got = [
+        (r["part_a"], r["part_b"], r["n_cooc"])
+        for r in _registry()["graph_copurchase_projection"].fn(spark, SF).collect()
+    ]
+    con = _duck()
+    rows = con.execute(
+        f"""SELECT DISTINCT l_orderkey, l_partkey
+            FROM '{SF}/lineitem.parquet'"""
+    ).fetchall()
+    by_order: dict = {}
+    for ok, pk in rows:
+        by_order.setdefault(ok, []).append(pk)
+    cooc: dict = {}
+    for parts in by_order.values():
+        parts.sort()
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                key = (parts[i], parts[j])
+                cooc[key] = cooc.get(key, 0) + 1
+    want = sorted(
+        ((a, b, n) for (a, b), n in cooc.items() if n >= 2),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:100]
+    assert got == want
+
+
+def _ln_micro(v: int) -> int:
+    e = v.bit_length() - 1
+    m = v * 64 // (1 << e) - 64
+    table = [
+        round(math.log(1.0 + (i + 0.5) / 64.0) * 1_000_000) for i in range(64)
+    ]
+    return e * 693147 + table[m]
+
+
+def test_zipf_fit_portable_ln_replay(spark):
+    row = _registry()["txt_zipf_fit"].fn(spark, SF).collect()[0]
+    con = _duck()
+    freqs = con.execute(
+        f"""SELECT term, CAST(count(*) AS BIGINT) AS f
+            FROM (SELECT unnest(string_split(text, ' ')) AS term
+                  FROM '{SF}/documents.parquet')
+            GROUP BY term ORDER BY f DESC, term LIMIT 100"""
+    ).fetchall()
+    pts = [
+        (_ln_micro(i + 1), _ln_micro(f)) for i, (_, f) in enumerate(freqs)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    slope = math.floor((n * sxy - sx * sy) * 1_000_000.0 / (n * sxx - sx * sx) + 0.5)
+    intercept = math.floor(
+        sy * 1.0 / n
+        - ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)) * sx / n
+        + 0.5
+    )
+    assert (row["n_ranks"], row["zipf_slope_micro"], row["intercept_micro"]) == (
+        n,
+        slope,
+        intercept,
+    )
+    # ln_micro accuracy contract: within 0.1% relative of true ln
+    for v in (1, 2, 3, 7, 64, 65, 1000, 123456):
+        if v > 1:
+            assert abs(_ln_micro(v) / 1e6 - math.log(v)) < max(
+                0.001 * math.log(v), 0.016
+            )
