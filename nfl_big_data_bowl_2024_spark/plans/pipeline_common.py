@@ -456,3 +456,40 @@ def _ppr_iter_sql(prev: str, out: str) -> str:
               GROUP BY e.dst) c
         FULL JOIN seed_base sb ON c.node = sb.node
     )"""
+
+
+# ---------------------------------------------------------------------------
+# Portable fixed-point natural log (shared by txt_zipf_fit and
+# txt_kl_source_divergence): ln_micro(v) = e*ln(2)*1e6 +
+# LN_MANTISSA_MICRO[m] for positive BIGINT v, where e = bit_length(v)-1
+# (exact on both engines via the binary-string length) and m indexes a
+# 64-cell midpoint table of ln(1 + (m+0.5)/64). No engine libm log is
+# ever evaluated, so the value is deterministic everywhere — the
+# adamic-adar fixed-point-table technique (pipeline_graph) generalized to
+# arbitrary-magnitude logs (max error ~1.2e-4 in ln).
+# ---------------------------------------------------------------------------
+
+LN2_MICRO = 693147
+LN_MANTISSA_MICRO = [
+    round(math.log(1.0 + (i + 0.5) / 64.0) * 1_000_000) for i in range(64)
+]
+_LN_TABLE_SQL = ", ".join(str(v) for v in LN_MANTISSA_MICRO)
+
+
+def ln_micro_duck(col: str) -> str:
+    """DuckDB SQL fragment: ln_micro of a positive BIGINT expression."""
+    e = f"(length(format('{{:b}}', {col})) - 1)"
+    return (
+        f"({e} * {LN2_MICRO} + [{_LN_TABLE_SQL}]"
+        f"[CAST({col} * 64 // (1::BIGINT << {e}) AS INTEGER) - 63])"
+    )
+
+
+def ln_micro_spark(col: str) -> str:
+    """Spark SQL fragment: ln_micro of a positive BIGINT expression."""
+    e = f"(length(bin({col})) - 1)"
+    return (
+        f"CAST(({e} * {LN2_MICRO} + element_at(array({_LN_TABLE_SQL}),"
+        f" CAST({col} * 64 div shiftleft(CAST(1 AS BIGINT),"
+        f" CAST({e} AS INT)) AS INT) - 63)) AS BIGINT)"
+    )

@@ -2620,3 +2620,191 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_score_milli",
         "pos_rate_milli",
     )
+
+
+def _best_stump_df(pts: DataFrame, val_col: str, y_col: str) -> DataFrame:
+    """One histogram-mode best-split search: 1-row DataFrame with
+    (threshold, n_l, n_r, s_l, s_r, gain) for splitting ``val_col <=
+    threshold`` to minimize SSE of ``y_col``. Same exact-decimal
+    arithmetic as ml_stump_split_finding (pure-decimal floor division;
+    sums may be negative — only their squares enter the gain)."""
+    hist = pts.groupBy(F.col(val_col).alias("val")).agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum(y_col).cast("decimal(38,0)").alias("s_b"),
+    )
+    # The histogram is bounded (<= #distinct bins, 61 for these grids);
+    # collapse it to ONE aggregate row and compute the prefix sums with
+    # array higher-order functions — no Window node at all, so the
+    # registry-wide no-global-window sweep holds with zero exceptions
+    # (a windowed formulation here plans an Exchange SinglePartition of
+    # the histogram rows; the O(bins^2) slice-aggregate over <= 61
+    # elements is noise by comparison).
+    arr = hist.agg(
+        F.array_sort(
+            F.collect_list(F.struct("val", "n_b", "s_b"))
+        ).alias("a")
+    )
+    cum_arr = arr.select(
+        F.expr(
+            "transform(a, (s, i) -> struct("
+            " s.val AS val,"
+            " aggregate(slice(a, 1, i + 1), 0L,"
+            "           (acc, t) -> acc + t.n_b) AS n_l,"
+            " aggregate(slice(a, 1, i + 1), CAST(0 AS DECIMAL(38,0)),"
+            "           (acc, t) -> CAST(acc + t.s_b AS DECIMAL(38,0)))"
+            "     AS s_l))"
+        ).alias("c"),
+        F.expr("aggregate(a, 0L, (acc, t) -> acc + t.n_b)").alias("n_t"),
+        F.expr(
+            "aggregate(a, CAST(0 AS DECIMAL(38,0)),"
+            " (acc, t) -> CAST(acc + t.s_b AS DECIMAL(38,0)))"
+        ).alias("s_t"),
+    )
+    cum = cum_arr.select(
+        F.explode("c").alias("s"), "n_t", "s_t"
+    ).select(
+        F.col("s.val").alias("val"),
+        F.col("s.n_l").alias("n_l"),
+        F.col("s.s_l").alias("s_l"),
+        "n_t",
+        "s_t",
+    )
+
+    def _idiv(a: str, b: str) -> str:
+        return f"CAST((({a}) - ({a}) % ({b})) / ({b}) AS DECIMAL(38,0))"
+
+    gains = cum.filter(F.col("n_l") < F.col("n_t")).select(
+        F.col("val").alias("threshold"),
+        "n_l",
+        (F.col("n_t") - F.col("n_l")).alias("n_r"),
+        "s_l",
+        (F.col("s_t") - F.col("s_l")).alias("s_r"),
+        F.expr(
+            _idiv("s_l * s_l", "n_l")
+            + " + "
+            + _idiv("(s_t - s_l) * (s_t - s_l)", "n_t - n_l")
+            + " - "
+            + _idiv("s_t * s_t", "n_t")
+        ).alias("gain"),
+    )
+    return (
+        gains.orderBy(F.col("gain").desc(), "threshold").limit(1)
+    )
+
+
+_STUMP_STAGE_SQL = """
+    h{i} AS (
+        SELECT {val} AS val, count(*) AS n_b,
+               CAST(sum({y}) AS HUGEINT) AS s_b
+        FROM {src} GROUP BY {val}
+    ),
+    c{i} AS (
+        SELECT val,
+               sum(n_b) OVER w AS n_l, sum(s_b) OVER w AS s_l,
+               sum(n_b) OVER () AS n_t, sum(s_b) OVER () AS s_t
+        FROM h{i}
+        WINDOW w AS (ORDER BY val ROWS UNBOUNDED PRECEDING)
+    ),
+    g{i} AS (
+        SELECT val AS threshold, n_l, n_t - n_l AS n_r,
+               s_l, s_t - s_l AS s_r,
+               (s_l * s_l) // n_l
+                 + ((s_t - s_l) * (s_t - s_l)) // (n_t - n_l)
+                 - (s_t * s_t) // n_t AS gain
+        FROM c{i} WHERE n_l < n_t
+    ),
+    b{i} AS (SELECT * FROM g{i} ORDER BY gain DESC, threshold LIMIT 1)"""
+
+_STUMP_EMIT_SQL = """
+    SELECT {stage} AS stage, '{feature}' AS feature,
+           CAST(threshold AS BIGINT)      AS threshold,
+           CAST(n_l AS BIGINT)            AS n_left,
+           CAST(n_r AS BIGINT)            AS n_right,
+           CAST(s_l AS BIGINT)            AS s_left_cents,
+           CAST(s_r AS BIGINT)            AS s_right_cents,
+           CAST(greatest(gain, 0) // 1000000000 AS BIGINT) AS gain_1e9
+    FROM b{i}"""
+
+
+@register(
+    "ml_boosted_stumps",
+    "WITH pts AS (\n"
+    "    SELECT CAST(l_quantity AS BIGINT) AS qty,\n"
+    "           CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc,\n"
+    "           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y\n"
+    "    FROM lineitem\n"
+    "),"
+    + _STUMP_STAGE_SQL.format(i=1, val="qty", y="y", src="pts")
+    + ",\n    p1 AS (SELECT threshold AS t1, s_l // n_l AS pl,"
+    " s_r // n_r AS pr FROM b1),\n"
+    "    resid AS (\n"
+    "        SELECT p.disc,\n"
+    "               CAST(p.y - CASE WHEN p.qty <= q.t1 THEN q.pl"
+    " ELSE q.pr END AS BIGINT) AS rr\n"
+    "        FROM pts p, p1 q\n"
+    "    ),"
+    + _STUMP_STAGE_SQL.format(i=2, val="disc", y="rr", src="resid")
+    + _STUMP_EMIT_SQL.format(stage=1, feature="quantity", i=1)
+    + "\n    UNION ALL"
+    + _STUMP_EMIT_SQL.format(stage=2, feature="discount", i=2),
+    doc="Two rounds of gradient boosting with histogram-mode decision "
+    "stumps (squared loss): stage 1 fits the best l_quantity split to "
+    "the price target, stage 2 fits the best l_discount split to the "
+    "stage-1 RESIDUALS — the functional-gradient sequencing that "
+    "distinguishes a boosted ensemble from ml_stump_split_finding's "
+    "independent per-feature search. Leaf predictions are exact floor-"
+    "division means of POSITIVE stage-1 sums (Spark div and DuckDB // "
+    "agree on nonnegative operands; stage-2 residual sums may be "
+    "negative and are only ever SQUARED in the gain, with the emitted "
+    "gain clamped at 0 before coarsening so the +-2 floor error can "
+    "never put a negative through the trunc-vs-floor divergence). All "
+    "sufficient statistics are DECIMAL(38,0)/HUGEINT; the per-stage "
+    "histogram is the only data-sized exchange (map-side partials "
+    "collapse rows to <=61 bins), the cumulative window runs over a "
+    "single bounded aggregate row (array_sort + posexplode, no "
+    "SinglePartition exchange of row data), and the stage-1 model "
+    "reaches stage 2 as a 1-row broadcast — two passes over the fact "
+    "table total, the gradient-histogram discipline of "
+    "XGBoost/LightGBM hist mode at any scale.",
+)
+def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("disc"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("y"),
+    )
+    b1 = _best_stump_df(pts, "qty", "y")
+    p1 = b1.select(
+        F.col("threshold").alias("t1"),
+        F.expr("CAST((s_l - s_l % n_l) / n_l AS BIGINT)").alias("pl"),
+        F.expr("CAST((s_r - s_r % n_r) / n_r AS BIGINT)").alias("pr"),
+    )
+    resid = pts.crossJoin(F.broadcast(p1)).select(
+        "disc",
+        (
+            F.col("y")
+            - F.when(F.col("qty") <= F.col("t1"), F.col("pl")).otherwise(
+                F.col("pr")
+            )
+        ).alias("rr"),
+    )
+    b2 = _best_stump_df(resid, "disc", "rr")
+
+    def _emit(b: DataFrame, stage: int, feature: str) -> DataFrame:
+        return b.select(
+            F.lit(stage).cast("int").alias("stage"),
+            F.lit(feature).alias("feature"),
+            F.col("threshold").cast("long").alias("threshold"),
+            F.col("n_l").cast("long").alias("n_left"),
+            F.col("n_r").cast("long").alias("n_right"),
+            F.col("s_l").cast("long").alias("s_left_cents"),
+            F.col("s_r").cast("long").alias("s_right_cents"),
+            F.expr(
+                "CAST((greatest(gain, CAST(0 AS DECIMAL(38,0)))"
+                " - greatest(gain, CAST(0 AS DECIMAL(38,0))) % 1000000000)"
+                " / 1000000000 AS BIGINT)"
+            ).alias("gain_1e9"),
+        )
+
+    return _emit(b1, 1, "quantity").unionByName(_emit(b2, 2, "discount"))

@@ -2395,11 +2395,12 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_1e4").desc(), "doc_id")
         .limit(25)
     )
+from .pipeline_common import ln_micro_duck as _lnd, ln_micro_spark as _lns
 
 
 @register(
     "txt_zipf_fit",
-    """
+    f"""
     WITH freq AS (
         SELECT term, CAST(count(*) AS BIGINT) AS f
         FROM (SELECT unnest(string_split(text, ' ')) AS term
@@ -2413,7 +2414,7 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY f DESC, term LIMIT 100
     ),
     ln AS (
-        SELECT ((length(format('{:b}', i)) - 1) * 693147 + [7782, 23167, 38319, 53245, 67951, 82444, 96730, 110814, 124703, 138402, 151916, 165250, 178408, 191395, 204216, 216874, 229374, 241720, 253915, 265964, 277868, 289633, 301261, 312756, 324119, 335356, 346467, 357456, 368326, 379078, 389717, 400243, 410660, 420969, 431173, 441275, 451275, 461176, 470980, 480689, 490304, 499828, 509262, 518608, 527867, 537041, 546132, 555142, 564070, 572920, 581692, 590387, 599008, 607555, 616030, 624433, 632767, 641031, 649228, 657358, 665423, 673423, 681359, 689233][CAST(i * 64 // (1::BIGINT << (length(format('{:b}', i)) - 1)) AS INTEGER) - 63]) AS x, ((length(format('{:b}', f)) - 1) * 693147 + [7782, 23167, 38319, 53245, 67951, 82444, 96730, 110814, 124703, 138402, 151916, 165250, 178408, 191395, 204216, 216874, 229374, 241720, 253915, 265964, 277868, 289633, 301261, 312756, 324119, 335356, 346467, 357456, 368326, 379078, 389717, 400243, 410660, 420969, 431173, 441275, 451275, 461176, 470980, 480689, 490304, 499828, 509262, 518608, 527867, 537041, 546132, 555142, 564070, 572920, 581692, 590387, 599008, 607555, 616030, 624433, 632767, 641031, 649228, 657358, 665423, 673423, 681359, 689233][CAST(f * 64 // (1::BIGINT << (length(format('{:b}', f)) - 1)) AS INTEGER) - 63]) AS y
+        SELECT {_lnd('i')} AS x, {_lnd('f')} AS y
         FROM top
     ),
     s AS (
@@ -2432,8 +2433,23 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          * sx / n) + 0.5) AS BIGINT)
                AS intercept_micro
     FROM s
-""",
-    doc="Zipf's-law diagnostic for the corpus token distribution: OLS slope of ln(frequency) on ln(rank) over the top-100 terms (a healthy natural-language corpus fits slope ~ -1; a slope collapsing toward 0 flags boilerplate/duplication, a core curation signal alongside txt_repetition_filter). Engine-exact WITHOUT evaluating any libm log: ln_micro(v) decomposes v into exponent (exact via binary-string bit length) and 6-bit mantissa cell, adds e*ln(2)*1e6 to a 64-entry midpoint table interpolated into BOTH the Spark expression and this oracle from the same Python constants — the adamic-adar fixed-point-table technique (plans/pipeline_graph.py) generalized to arbitrary-magnitude logs (~1.2e-4 max ln error, irrelevant to a slope over 5 decades). The regression reduces to five integer sums over 100 rows; the closing floor-division runs on int64 sums cast to double identically on both engines. Plan shape at 100 TB: one exchange for term counts (map-side partial), TakeOrderedAndProject for the top-100, scalar fold - the rank window never sees more than 100 rows.",
+    """,
+    doc="Zipf's-law diagnostic for the corpus token distribution: OLS "
+    "slope of ln(frequency) on ln(rank) over the top-100 terms (a "
+    "healthy natural-language corpus fits slope ~ -1; a slope collapsing "
+    "toward 0 flags boilerplate/duplication, a core curation signal "
+    "alongside txt_repetition_filter). Engine-exact WITHOUT evaluating "
+    "any libm log: the shared portable fixed-point ln "
+    "(pipeline_common.ln_micro_*, exact exponent from binary bit length "
+    "+ a 64-cell midpoint mantissa table emitted into BOTH engines from "
+    "the same Python constants). The regression reduces to five integer "
+    "sums over 100 rows; the closing floor-division runs on int64 sums "
+    "cast to double identically on both engines. The rank comes from "
+    "array_sort(collect_list) + posexplode over the bounded top-k "
+    "(TakeOrderedAndProject feeds a 100-element aggregate row), so the "
+    "registry-wide no-global-window sweep stays at zero exceptions. "
+    "Plan shape at 100 TB: one exchange for term counts (map-side "
+    "partial), TakeOrderedAndProject for the top-100, scalar fold.",
 )
 def txt_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -2442,10 +2458,6 @@ def txt_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
     )
-    # Rank WITHOUT a global window: the top-100 is a bounded set, so the
-    # rank comes from array_sort(collect_list(...)) + posexplode over one
-    # 100-element aggregate row (TakeOrderedAndProject feeds a bounded
-    # ObjectHashAggregate — no SinglePartition window exchange anywhere).
     arr = (
         freq.orderBy(F.desc("f"), "term")
         .limit(100)
@@ -2465,8 +2477,8 @@ def txt_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("long").alias("i"), F.col("s.f").alias("f")
     )
     ln = top.select(
-        F.expr("CAST(((length(bin(i)) - 1) * 693147 + element_at(array(7782, 23167, 38319, 53245, 67951, 82444, 96730, 110814, 124703, 138402, 151916, 165250, 178408, 191395, 204216, 216874, 229374, 241720, 253915, 265964, 277868, 289633, 301261, 312756, 324119, 335356, 346467, 357456, 368326, 379078, 389717, 400243, 410660, 420969, 431173, 441275, 451275, 461176, 470980, 480689, 490304, 499828, 509262, 518608, 527867, 537041, 546132, 555142, 564070, 572920, 581692, 590387, 599008, 607555, 616030, 624433, 632767, 641031, 649228, 657358, 665423, 673423, 681359, 689233), CAST(i * 64 div shiftleft(CAST(1 AS BIGINT), CAST(length(bin(i)) - 1 AS INT)) AS INT) - 63)) AS BIGINT)").alias("x"),
-        F.expr("CAST(((length(bin(f)) - 1) * 693147 + element_at(array(7782, 23167, 38319, 53245, 67951, 82444, 96730, 110814, 124703, 138402, 151916, 165250, 178408, 191395, 204216, 216874, 229374, 241720, 253915, 265964, 277868, 289633, 301261, 312756, 324119, 335356, 346467, 357456, 368326, 379078, 389717, 400243, 410660, 420969, 431173, 441275, 451275, 461176, 470980, 480689, 490304, 499828, 509262, 518608, 527867, 537041, 546132, 555142, 564070, 572920, 581692, 590387, 599008, 607555, 616030, 624433, 632767, 641031, 649228, 657358, 665423, 673423, 681359, 689233), CAST(f * 64 div shiftleft(CAST(1 AS BIGINT), CAST(length(bin(f)) - 1 AS INT)) AS INT) - 63)) AS BIGINT)").alias("y"),
+        F.expr(_lns("i")).alias("x"),
+        F.expr(_lns("f")).alias("y"),
     )
     s = ln.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -2498,4 +2510,126 @@ def txt_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("intercept_micro"),
+    )
+
+
+@register(
+    "txt_kl_source_divergence",
+    f"""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE lang IN ('en', 'de')
+    ),
+    counts AS (
+        SELECT term,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_p,
+               CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_q
+        FROM toks GROUP BY term
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS v,
+               CAST(sum(c_p) AS BIGINT) AS t_p,
+               CAST(sum(c_q) AS BIGINT) AS t_q
+        FROM counts
+    ),
+    terms AS (
+        SELECT c.c_p + 1 AS pn, c.c_q + 1 AS qn,
+               t.t_p + t.v AS pd, t.t_q + t.v AS qd,
+               t.v, t.t_p, t.t_q
+        FROM counts c, tot t
+    ),
+    contrib AS (
+        SELECT v, t_p, t_q, pd, qd,
+               pn * ({_lnd('pn')} - {_lnd('pd')}
+                     - {_lnd('qn')} + {_lnd('qd')}) AS c_pq,
+               qn * ({_lnd('qn')} - {_lnd('qd')}
+                     - {_lnd('pn')} + {_lnd('pd')}) AS c_qp
+        FROM terms
+    )
+    SELECT any_value(v)   AS n_vocab,
+           any_value(t_p) AS tokens_en,
+           any_value(t_q) AS tokens_de,
+           CAST(floor(CAST(sum(c_pq) AS DOUBLE) / any_value(pd) + 0.5)
+                AS BIGINT) AS kl_en_de_micro,
+           CAST(floor(CAST(sum(c_qp) AS DOUBLE) / any_value(qd) + 0.5)
+                AS BIGINT) AS kl_de_en_micro
+    FROM contrib
+    """,
+    doc="Domain-shift measurement between two language slices of the "
+    "corpus: add-one-smoothed KL divergence of the en vs de unigram "
+    "distributions, in BOTH directions (KL is asymmetric; the pair is "
+    "the standard drift report a mixture-reweighting pipeline consumes "
+    "— doc_dsir_importance's n-gram importance ratios are the per-doc "
+    "version of the same quantity). Deterministic cross-engine via the "
+    "shared portable fixed-point ln (pipeline_common.ln_micro_*): each "
+    "term contributes the INTEGER (c+1) * (ln_micro p - ln_micro q) "
+    "product, summed wide (DECIMAL/HUGEINT) and floor-divided by the "
+    "smoothed denominator once at the end — no libm log, no float until "
+    "the final scalar division, which both engines evaluate on the same "
+    "doubles. Plan: one exchange for per-term conditional counts "
+    "(map-side partials over the exploded token stream), a broadcast "
+    "1-row totals attach, one fold. The 100 TB shape is identical to "
+    "any grouped count; vocabulary size only widens the single "
+    "histogram exchange.",
+)
+def txt_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang").isin("en", "de"))
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("c_p"),
+        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0))
+        .cast("long")
+        .alias("c_q"),
+    )
+    tot = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("c_p").cast("long").alias("t_p"),
+        F.sum("c_q").cast("long").alias("t_q"),
+    )
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        (F.col("c_p") + 1).alias("pn"),
+        (F.col("c_q") + 1).alias("qn"),
+        (F.col("t_p") + F.col("v")).alias("pd"),
+        (F.col("t_q") + F.col("v")).alias("qd"),
+        "v",
+        "t_p",
+        "t_q",
+    )
+    contrib = terms.select(
+        "v",
+        "t_p",
+        "t_q",
+        "pd",
+        "qd",
+        F.expr(
+            f"pn * ({_lns('pn')} - {_lns('pd')}"
+            f" - {_lns('qn')} + {_lns('qd')})"
+        ).alias("c_pq"),
+        F.expr(
+            f"qn * ({_lns('qn')} - {_lns('qd')}"
+            f" - {_lns('pn')} + {_lns('pd')})"
+        ).alias("c_qp"),
+    )
+    return contrib.agg(
+        F.any_value("v").alias("n_vocab"),
+        F.any_value("t_p").alias("tokens_en"),
+        F.any_value("t_q").alias("tokens_de"),
+        F.floor(
+            F.sum("c_pq").cast("decimal(38,0)").cast("double")
+            / F.any_value("pd")
+            + 0.5
+        )
+        .cast("long")
+        .alias("kl_en_de_micro"),
+        F.floor(
+            F.sum("c_qp").cast("decimal(38,0)").cast("double")
+            / F.any_value("qd")
+            + 0.5
+        )
+        .cast("long")
+        .alias("kl_de_en_micro"),
     )

@@ -305,3 +305,140 @@ def test_zipf_fit_portable_ln_replay(spark):
             assert abs(_ln_micro(v) / 1e6 - math.log(v)) < max(
                 0.001 * math.log(v), 0.016
             )
+
+
+def test_sign_flip_permutation_replay(spark):
+    row = _registry()["stat_sign_flip_permutation"].fn(spark, SF).collect()[0]
+    con = _duck()
+    rows = con.execute(
+        f"""SELECT user_id, event_type, count(*),
+                   sum(CAST(round(value * 100) AS BIGINT))
+            FROM '{SF}/events.parquet'
+            WHERE event_type IN ('click', 'view')
+            GROUP BY user_id, event_type"""
+    ).fetchall()
+    means: dict = {}
+    for u, t, n, s in rows:
+        means.setdefault(u, {})[t] = (2 * s + n) // (2 * n)
+    diffs = {
+        u: m["click"] - m["view"]
+        for u, m in means.items()
+        if "click" in m and "view" in m
+    }
+    s_obs = sum(diffs.values())
+    n_ge = 0
+    for k in range(1, 65):
+        s_k = 0
+        for u, d in diffs.items():
+            h = u + 1 + k * 7919
+            sign = 1 - 2 * ((h * h // 1024) % 2)
+            s_k += sign * d
+        n_ge += abs(s_k) >= abs(s_obs)
+    assert (
+        row["n_users"],
+        row["s_obs_cents"],
+        row["n_flips"],
+        row["n_ge"],
+        row["p_milli"],
+    ) == (len(diffs), s_obs, 64, n_ge, (1 + n_ge) * 1000 // 65)
+
+
+def test_kl_divergence_replay(spark):
+    row = _registry()["txt_kl_source_divergence"].fn(spark, SF).collect()[0]
+    con = _duck()
+    rows = con.execute(
+        f"""SELECT lang, unnest(string_split(text, ' '))
+            FROM '{SF}/documents.parquet' WHERE lang IN ('en', 'de')"""
+    ).fetchall()
+    cp: dict = {}
+    cq: dict = {}
+    vocab = set()
+    for lang, t in rows:
+        vocab.add(t)
+        if lang == "en":
+            cp[t] = cp.get(t, 0) + 1
+        else:
+            cq[t] = cq.get(t, 0) + 1
+    v = len(vocab)
+    tp, tq = sum(cp.values()), sum(cq.values())
+    pd_, qd = tp + v, tq + v
+    s_pq = s_qp = 0
+    for t in vocab:
+        pn, qn = cp.get(t, 0) + 1, cq.get(t, 0) + 1
+        s_pq += pn * (_ln_micro(pn) - _ln_micro(pd_) - _ln_micro(qn) + _ln_micro(qd))
+        s_qp += qn * (_ln_micro(qn) - _ln_micro(qd) - _ln_micro(pn) + _ln_micro(pd_))
+    assert (
+        row["n_vocab"],
+        row["tokens_en"],
+        row["tokens_de"],
+        row["kl_en_de_micro"],
+        row["kl_de_en_micro"],
+    ) == (
+        v,
+        tp,
+        tq,
+        math.floor(s_pq / pd_ + 0.5),
+        math.floor(s_qp / qd + 0.5),
+    )
+    # both directions of a smoothed KL over real counts should be >= 0
+    # up to the documented ln-table error envelope
+    assert row["kl_en_de_micro"] > -2000 and row["kl_de_en_micro"] > -2000
+
+
+def _best_stump(points):
+    """points: list of (val, y). Returns (threshold, n_l, n_r, s_l, s_r,
+    gain) replaying the exact integer semantics."""
+    hist: dict = {}
+    for v, y in points:
+        n, s = hist.get(v, (0, 0))
+        hist[v] = (n + 1, s + y)
+    bins = sorted(hist.items())
+    n_t = sum(n for _, (n, _) in bins)
+    s_t = sum(s for _, (_, s) in bins)
+    best = None
+    n_l = s_l = 0
+    for v, (n, s) in bins:
+        n_l += n
+        s_l += s
+        if n_l >= n_t:
+            continue
+        gain = (
+            (s_l * s_l) // n_l
+            + ((s_t - s_l) * (s_t - s_l)) // (n_t - n_l)
+            - (s_t * s_t) // n_t
+        )
+        cand = (-gain, v, n_l, n_t - n_l, s_l, s_t - s_l)
+        if best is None or cand < best:
+            best = cand
+    g, v, n_l, n_r, s_l, s_r = best
+    return (v, n_l, n_r, s_l, s_r, -g)
+
+
+def test_boosted_stumps_replay(spark):
+    got = {
+        r["stage"]: (
+            r["feature"],
+            r["threshold"],
+            r["n_left"],
+            r["n_right"],
+            r["s_left_cents"],
+            r["s_right_cents"],
+            r["gain_1e9"],
+        )
+        for r in _registry()["ml_boosted_stumps"].fn(spark, SF).collect()
+    }
+    con = _duck()
+    pts = con.execute(
+        f"""SELECT CAST(l_quantity AS BIGINT),
+                   CAST(floor(l_discount * 100 + 0.5) AS BIGINT),
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+            FROM '{SF}/lineitem.parquet'"""
+    ).fetchall()
+    t1, n_l, n_r, s_l, s_r, g1 = _best_stump([(q, y) for q, _, y in pts])
+    pl, pr = s_l // n_l, s_r // n_r
+    resid = [(d, y - (pl if q <= t1 else pr)) for q, d, y in pts]
+    t2, n_l2, n_r2, s_l2, s_r2, g2 = _best_stump(resid)
+    assert got[1] == ("quantity", t1, n_l, n_r, s_l, s_r, max(g1, 0) // 10**9)
+    assert got[2] == ("discount", t2, n_l2, n_r2, s_l2, s_r2, max(g2, 0) // 10**9)
+    # boosting contract: stage-2 residual sums balance to ~0 across leaves
+    assert abs(s_l2 + s_r2) <= n_l2 + n_r2  # floor-mean leakage bound
