@@ -27,18 +27,23 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, the latest right row with
-    ``right_ts <= left_ts`` within the same ``by`` key (NULL values when no
-    right row precedes).
+    """As-of join: for every left row, the latest right row with
+    ``right_ts <= left_ts`` (direction='backward', the default) or the
+    EARLIEST right row with ``right_ts >= left_ts``
+    (direction='forward') within the same ``by`` key (NULL values when
+    no right row qualifies).
 
     Right rows must be unique per (by, right_ts) — pre-aggregate ties, since
     an as-of match against tied timestamps is engine-arbitrary.
 
     Shape: tag both sides, union, ONE window over (by, ts) with
-    ``last(value, ignorenulls)`` carrying the right values forward, keep the
-    left rows. Right rows order BEFORE left rows on timestamp ties so
-    equality matches (ASOF >= semantics).
+    ``last(value, ignorenulls)`` carrying the right values forward (or
+    ``first`` over the following frame for direction='forward'), keep
+    the left rows. On timestamp ties right rows order on the MATCHING
+    side of left rows (before for backward, after for forward) so
+    equality matches in both directions.
     """
     value_cols = value_cols or [c for c in right.columns if c not in (by, right_ts)]
 
@@ -58,18 +63,34 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
     )
     unioned = l_tag.unionByName(r_tag)
-    w = (
-        Window.partitionBy(by)
-        .orderBy("_ts", "_is_left")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
-    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy(by)
+            .orderBy("_ts", "_is_left")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned.select(
+            "*",
+            *[
+                F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+                for c in value_cols
+            ],
+        )
+    elif direction == "forward":
+        w = (
+            Window.partitionBy(by)
+            .orderBy("_ts", F.desc("_is_left"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = unioned.select(
+            "*",
+            *[
+                F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+                for c in value_cols
+            ],
+        )
+    else:
+        raise ValueError(f"direction must be backward|forward: {direction}")
     return (
         carried.filter(F.col("_is_left") == 1)
         .drop("_is_left", *[f"_r_{c}" for c in value_cols])

@@ -2052,3 +2052,96 @@ def evt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_peak_us"),
     )
+
+
+@register(
+    "evt_uplift_diff_in_diff",
+    """
+    WITH p AS (
+        SELECT CAST(user_id % 2 AS INTEGER) AS treated,
+               CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+                   AS period,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+        SELECT treated, period,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s
+        FROM p GROUP BY treated, period
+    ),
+    m AS (
+        SELECT
+          max(CASE WHEN treated=1 AND period=0
+                   THEN (2*s+n)//(2*n) END) AS m_t0,
+          max(CASE WHEN treated=1 AND period=1
+                   THEN (2*s+n)//(2*n) END) AS m_t1,
+          max(CASE WHEN treated=0 AND period=0
+                   THEN (2*s+n)//(2*n) END) AS m_c0,
+          max(CASE WHEN treated=0 AND period=1
+                   THEN (2*s+n)//(2*n) END) AS m_c1,
+          CAST(sum(n) AS BIGINT) AS n_purchases
+        FROM g
+    )
+    SELECT n_purchases,
+           CAST(m_t0 AS BIGINT) AS treat_before_centi,
+           CAST(m_t1 AS BIGINT) AS treat_after_centi,
+           CAST(m_c0 AS BIGINT) AS ctrl_before_centi,
+           CAST(m_c1 AS BIGINT) AS ctrl_after_centi,
+           CAST((m_t1 - m_t0) - (m_c1 - m_c0) AS BIGINT) AS did_centi
+    FROM m
+    """,
+    doc="Difference-in-differences uplift estimate for a hash-bucket A/B "
+    "assignment (treated = user_id % 2, the deterministic assignment "
+    "rule real experimentation platforms use) on purchase value around "
+    "a fixed intervention date: DiD = (treat_after - treat_before) - "
+    "(ctrl_after - ctrl_before), the causal-analysis primitive every "
+    "experimentation pipeline reduces to. Cell means are exact integer "
+    "round-half-up cents ((2s+n) div (2n), positive sums so Spark div "
+    "== DuckDB //); one partial-aggregated pass collapses the fact "
+    "table to 4 (treated, period) cells and the estimate is pure "
+    "integer arithmetic on the 4-cell pivot — the flat 100 TB shape. "
+    "Complements evt_position_attribution (observational credit) with "
+    "the experimental counterfactual contrast.",
+)
+def evt_uplift_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("treated"),
+        F.when(
+            F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("period"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = p.groupBy("treated", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+
+    def cell(t: int, pd: int):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("period") == pd),
+                F.expr("(2*s+n) div (2*n)"),
+            )
+        )
+
+    m = g.agg(
+        cell(1, 0).alias("m_t0"),
+        cell(1, 1).alias("m_t1"),
+        cell(0, 0).alias("m_c0"),
+        cell(0, 1).alias("m_c1"),
+        F.sum("n").cast("long").alias("n_purchases"),
+    )
+    return m.select(
+        "n_purchases",
+        F.col("m_t0").cast("long").alias("treat_before_centi"),
+        F.col("m_t1").cast("long").alias("treat_after_centi"),
+        F.col("m_c0").cast("long").alias("ctrl_before_centi"),
+        F.col("m_c1").cast("long").alias("ctrl_after_centi"),
+        ((F.col("m_t1") - F.col("m_t0")) - (F.col("m_c1") - F.col("m_c0")))
+        .cast("long")
+        .alias("did_centi"),
+    )

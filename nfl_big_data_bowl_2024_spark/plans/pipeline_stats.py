@@ -2361,3 +2361,71 @@ def stat_sign_flip_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ge",
         "p_milli",
     )
+
+
+@register(
+    "dq_sequential_gap_audit",
+    """
+    WITH a AS (
+        SELECT 'events' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+               CAST(min(event_id) AS BIGINT) AS id_min,
+               CAST(max(event_id) AS BIGINT) AS id_max
+        FROM events
+        UNION ALL
+        SELECT 'orders', CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT o_orderkey) AS BIGINT),
+               CAST(min(o_orderkey) AS BIGINT),
+               CAST(max(o_orderkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'customer', CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT c_custkey) AS BIGINT),
+               CAST(min(c_custkey) AS BIGINT),
+               CAST(max(c_custkey) AS BIGINT)
+        FROM customer
+    )
+    SELECT tbl, n_rows, n_distinct, id_min, id_max,
+           CAST(n_rows - n_distinct AS BIGINT)            AS n_duplicates,
+           CAST(id_max - id_min + 1 - n_distinct AS BIGINT) AS n_gaps
+    FROM a
+    """,
+    doc="Surrogate-key continuity audit across three fact/dim tables: "
+    "row count vs exact distinct, id range, duplicate count (n - "
+    "distinct) and gap count (range - distinct) — the CDC-ingestion "
+    "health check that catches dropped partitions (gaps) and double-"
+    "applied batches (duplicates) before they poison joins, "
+    "complementing dq_referential_integrity (cross-table) with the "
+    "within-key-space invariant. Each branch is one exact "
+    "count-distinct over the key (a single exchange with map-side "
+    "partials; at 100 TB the documented relaxation is the HLL sketch "
+    "of agg_hll_shard_union when +-2% suffices), and the three "
+    "branches union into one bounded 3-row report.",
+)
+def dq_sequential_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def branch(tbl: str, key: str) -> DataFrame:
+        t = _t(spark, sf_dir, tbl)
+        return t.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(key).cast("long").alias("n_distinct"),
+            F.min(key).cast("long").alias("id_min"),
+            F.max(key).cast("long").alias("id_max"),
+        )
+
+    a = (
+        branch("events", "event_id")
+        .unionByName(branch("orders", "o_orderkey"))
+        .unionByName(branch("customer", "c_custkey"))
+    )
+    return a.select(
+        "tbl",
+        "n_rows",
+        "n_distinct",
+        "id_min",
+        "id_max",
+        (F.col("n_rows") - F.col("n_distinct")).cast("long").alias("n_duplicates"),
+        (F.col("id_max") - F.col("id_min") + 1 - F.col("n_distinct"))
+        .cast("long")
+        .alias("n_gaps"),
+    )

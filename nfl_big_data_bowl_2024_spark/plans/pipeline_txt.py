@@ -2633,3 +2633,76 @@ def txt_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kl_de_en_micro"),
     )
+
+
+@register(
+    "txt_ngram_novelty",
+    """
+    WITH sh AS (
+        SELECT doc_id, source,
+               unnest(list_distinct([substr(text, g, 8)
+               FOR g IN range(1, greatest(length(text) - 6, 2))])) AS sh
+        FROM documents
+    ),
+    first_seen AS (
+        SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh
+    ),
+    per_doc AS (
+        SELECT s.doc_id, s.source,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM sh s JOIN first_seen f ON f.sh = s.sh
+        GROUP BY s.doc_id, s.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)          AS n_docs,
+           CAST(sum(n_shingles) AS BIGINT)   AS total_shingles,
+           CAST(sum(n_novel) AS BIGINT)      AS novel_shingles,
+           CAST(sum(n_novel) * 1000 // sum(n_shingles) AS BIGINT)
+               AS novelty_milli
+    FROM per_doc GROUP BY source
+    """,
+    doc="Corpus novelty curve by source: the fraction of each document's "
+    "distinct 8-gram shingles whose FIRST appearance (min doc_id over "
+    "the whole corpus) is that document — the additive-content metric "
+    "behind dedup-aware data valuation ('how much genuinely new text "
+    "does this source contribute?'), complementing pairwise dedup "
+    "(dedup_ngram_jaccard) with a corpus-global attribution. Shingles "
+    "reuse the exact operator/oracle definition of the Jaccard family "
+    "(operators/dedup.py:char_shingles == the list-comprehension "
+    "fragment here, short texts contributing themselves). Plan: one "
+    "exchange on shingle builds the min-doc table (map-side partial "
+    "min), the attribution join is co-partitioned on that same key, "
+    "then one grouped fold per doc and per source — linear in total "
+    "shingles, no self-join, no quadratic term anywhere; integer "
+    "floor-division milli at the end.",
+)
+def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import char_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = char_shingles(d, "doc_id", "text", 8).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    first_seen = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first_seen, "sh")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_shingles").cast("long").alias("total_shingles"),
+        F.sum("n_novel").cast("long").alias("novel_shingles"),
+        F.expr(
+            "CAST(sum(n_novel) * 1000 div sum(n_shingles) AS BIGINT)"
+        ).alias("novelty_milli"),
+    )

@@ -2291,3 +2291,59 @@ def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_pvalue").alias("nearest_purchase_value"),
         "asof_dt_us",
     )
+
+
+@register(
+    "asof_next_purchase",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         purch AS (SELECT user_id, ts, max(value) AS pvalue FROM events
+                   WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+           p.pvalue AS next_purchase_value,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS asof_dt_us
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+    doc="FORWARD as-of join (pandas merge_asof direction='forward'): "
+    "each click matched to the EARLIEST purchase at-or-after it per "
+    "user — the directional completion of asof_last_purchase "
+    "(backward) and asof_nearest_purchase (nearest): the temporal-join "
+    "family now covers all three merge_asof directions through one "
+    "operator (operators/temporal.py:asof_join, direction= param). "
+    "Same single-exchange shape: union both sides, ONE (user, ts)-"
+    "sorted window per key with first(value, ignorenulls) over the "
+    "FOLLOWING frame, right rows ordering AFTER left rows on ties so "
+    "ts-equality matches — never an inequality join, one shuffle "
+    "total. Oracle: DuckDB's native forward ASOF (ON c.ts <= p.ts).",
+)
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+        .withColumn("pts", F.col("ts"))
+    )
+    out = asof_join(
+        clicks,
+        purch,
+        by="user_id",
+        value_cols=["pvalue", "pts"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("asof_pvalue").alias("next_purchase_value"),
+        (F.unix_micros("asof_pts") - F.unix_micros("ts"))
+        .cast("long")
+        .alias("asof_dt_us"),
+    )

@@ -442,3 +442,118 @@ def test_boosted_stumps_replay(spark):
     assert got[2] == ("discount", t2, n_l2, n_r2, s_l2, s_r2, max(g2, 0) // 10**9)
     # boosting contract: stage-2 residual sums balance to ~0 across leaves
     assert abs(s_l2 + s_r2) <= n_l2 + n_r2  # floor-mean leakage bound
+
+
+def test_asof_forward_hand_replay(spark):
+    got = {
+        r["event_id"]: (r["next_purchase_value"], r["asof_dt_us"])
+        for r in _registry()["asof_next_purchase"].fn(spark, SF).collect()
+    }
+    con = _duck()
+    clicks = con.execute(
+        f"""SELECT event_id, user_id, epoch_us(ts)
+            FROM '{SF}/events.parquet' WHERE event_type = 'click'"""
+    ).fetchall()
+    purch = con.execute(
+        f"""SELECT user_id, epoch_us(ts), max(value)
+            FROM '{SF}/events.parquet' WHERE event_type = 'purchase'
+            GROUP BY user_id, ts"""
+    ).fetchall()
+    by_user: dict = {}
+    for u, t, v in purch:
+        by_user.setdefault(u, []).append((t, v))
+    want = {}
+    for eid, u, t in clicks:
+        nxt = min(
+            ((pt, pv) for pt, pv in by_user.get(u, []) if pt >= t),
+            default=None,
+        )
+        want[eid] = (nxt[1], nxt[0] - t) if nxt else (None, None)
+    assert got == want
+
+
+def test_ngram_novelty_replay(spark):
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["total_shingles"],
+            r["novel_shingles"],
+            r["novelty_milli"],
+        )
+        for r in _registry()["txt_ngram_novelty"].fn(spark, SF).collect()
+    }
+    con = _duck()
+    docs = con.execute(
+        f"SELECT doc_id, source, text FROM '{SF}/documents.parquet'"
+        " ORDER BY doc_id"
+    ).fetchall()
+    first: dict = {}
+    per_doc = []
+    for doc_id, source, text in docs:
+        n = max(len(text) - 7, 1)
+        shs = {text[g : g + 8] for g in range(n)}
+        per_doc.append((doc_id, source, shs))
+        for sh in shs:
+            if sh not in first or doc_id < first[sh]:
+                first[sh] = doc_id
+    acc: dict = {}
+    for doc_id, source, shs in per_doc:
+        novel = sum(1 for sh in shs if first[sh] == doc_id)
+        nd, tot, nov = acc.get(source, (0, 0, 0))
+        acc[source] = (nd + 1, tot + len(shs), nov + novel)
+    want = {
+        s: (nd, tot, nov, nov * 1000 // tot) for s, (nd, tot, nov) in acc.items()
+    }
+    assert got == want
+
+
+def test_uplift_did_replay(spark):
+    row = _registry()["evt_uplift_diff_in_diff"].fn(spark, SF).collect()[0]
+    con = _duck()
+    rows = con.execute(
+        f"""SELECT user_id % 2,
+                   CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END,
+                   CAST(round(value * 100) AS BIGINT)
+            FROM '{SF}/events.parquet' WHERE event_type = 'purchase'"""
+    ).fetchall()
+    cells: dict = {}
+    for t, p, c in rows:
+        n, s = cells.get((t, p), (0, 0))
+        cells[(t, p)] = (n + 1, s + c)
+    m = {k: (2 * s + n) // (2 * n) for k, (n, s) in cells.items()}
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    assert (
+        row["n_purchases"],
+        row["treat_before_centi"],
+        row["treat_after_centi"],
+        row["ctrl_before_centi"],
+        row["ctrl_after_centi"],
+        row["did_centi"],
+    ) == (len(rows), m[(1, 0)], m[(1, 1)], m[(0, 0)], m[(0, 1)], did)
+
+
+def test_gap_audit_replay(spark):
+    got = {
+        r["tbl"]: (
+            r["n_rows"],
+            r["n_distinct"],
+            r["id_min"],
+            r["id_max"],
+            r["n_duplicates"],
+            r["n_gaps"],
+        )
+        for r in _registry()["dq_sequential_gap_audit"].fn(spark, SF).collect()
+    }
+    con = _duck()
+    want = {}
+    for tbl, key in (
+        ("events", "event_id"),
+        ("orders", "o_orderkey"),
+        ("customer", "c_custkey"),
+    ):
+        n, d, lo, hi = con.execute(
+            f"""SELECT count(*), count(DISTINCT {key}), min({key}),
+                       max({key}) FROM '{SF}/{tbl}.parquet'"""
+        ).fetchall()[0]
+        want[tbl] = (n, d, lo, hi, n - d, hi - lo + 1 - d)
+    assert got == want
