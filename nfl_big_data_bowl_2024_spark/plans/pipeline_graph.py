@@ -1140,3 +1140,90 @@ def graph_copurchase_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_cooc").desc(), "part_a", "part_b")
         .limit(100)
     )
+
+
+@register(
+    "graph_degree_assortativity",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    dc AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM pairs GROUP BY c),
+    ds AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM pairs GROUP BY s),
+    e AS (
+        SELECT dc.d AS x, ds.d AS y
+        FROM pairs p JOIN dc ON dc.c = p.c JOIN ds ON ds.s = p.s
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS HUGEINT) AS m,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(x * x) AS HUGEINT) AS sxx,
+               CAST(sum(y * y) AS HUGEINT) AS syy,
+               CAST(sum(x * y) AS HUGEINT) AS sxy
+        FROM e
+    )
+    SELECT CAST(m AS BIGINT) AS n_edges,
+           CAST(floor(CAST(m * sxy - sx * sy AS DOUBLE) * 1000000.0
+                      / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                             * CAST(m * syy - sy * sy AS DOUBLE)) + 0.5)
+                AS BIGINT) AS assortativity_micro
+    FROM agg
+    """,
+    doc="Degree assortativity of the customer-supplier trading graph: "
+    "Pearson correlation of (customer degree, supplier degree) over the "
+    "distinct edge set — the one-number mixing diagnostic (negative = "
+    "hubs attach to leaves, the disassortative shape typical of "
+    "commerce graphs) that tells a partitioner whether degree-based "
+    "skew mitigation (operators/skew.py salting) will be needed before "
+    "the joins that graph_degree_distribution's histogram sizes. Exact "
+    "integer sufficient statistics: one exchange for the distinct edge "
+    "set, two node-sized degree aggregates joined back on their own "
+    "keys, five sums in DECIMAL(38,0)/HUGEINT (m*sxy overflows int64 "
+    "at ~1e9 edges, so the widening is load-bearing, same as "
+    "ml_stump_split_finding), and one closing sqrt on identical "
+    "doubles. The 100 TB shape is three hash exchanges, all partial-"
+    "aggregated, no iteration.",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    dc = pairs.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("dx"))
+    ds = pairs.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("dy"))
+    e = pairs.join(dc, "c").join(ds, "s").select(
+        F.col("dx").alias("x"), F.col("dy").alias("y")
+    )
+    agg = e.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    return agg.select(
+        F.col("m").cast("long").alias("n_edges"),
+        F.floor(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            * 1000000.0
+            / F.sqrt(
+                (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            )
+            + 0.5
+        )
+        .cast("long")
+        .alias("assortativity_micro"),
+    )

@@ -557,3 +557,34 @@ def test_gap_audit_replay(spark):
         ).fetchall()[0]
         want[tbl] = (n, d, lo, hi, n - d, hi - lo + 1 - d)
     assert got == want
+
+
+def test_degree_assortativity_replay(spark):
+    row = _registry()["graph_degree_assortativity"].fn(spark, SF).collect()[0]
+    con = _duck()
+    pairs = con.execute(
+        f"""SELECT DISTINCT o.o_custkey, l.l_suppkey
+            FROM '{SF}/orders.parquet' o
+            JOIN '{SF}/lineitem.parquet' l
+              ON o.o_orderkey = l.l_orderkey"""
+    ).fetchall()
+    dc: dict = {}
+    ds: dict = {}
+    for c, s in pairs:
+        dc[c] = dc.get(c, 0) + 1
+        ds[s] = ds.get(s, 0) + 1
+    m = len(pairs)
+    sx = sum(dc[c] for c, _ in pairs)
+    sy = sum(ds[s] for _, s in pairs)
+    sxx = sum(dc[c] ** 2 for c, _ in pairs)
+    syy = sum(ds[s] ** 2 for _, s in pairs)
+    sxy = sum(dc[c] * ds[s] for c, s in pairs)
+    r = math.floor(
+        float(m * sxy - sx * sy)
+        * 1_000_000.0
+        / math.sqrt(float(m * sxx - sx * sx) * float(m * syy - sy * sy))
+        + 0.5
+    )
+    assert (row["n_edges"], row["assortativity_micro"]) == (m, r)
+    # correlation bound (up to fixed-point rounding)
+    assert -1_000_001 <= r <= 1_000_001
