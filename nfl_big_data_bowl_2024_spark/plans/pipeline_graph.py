@@ -1193,6 +1193,11 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        # Three consumers (two degree aggregates + the edge join) would
+        # re-run the 60M-row join+distinct subtree three times (84 s at
+        # the generated sf10); one eager materialization bounds it to
+        # once — the same lineage discipline as the graph fixpoints.
+        .localCheckpoint()
     )
     dc = pairs.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("dx"))
     ds = pairs.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("dy"))

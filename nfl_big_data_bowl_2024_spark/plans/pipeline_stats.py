@@ -2131,6 +2131,28 @@ def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_p1(col: str):
+    """First Bloom probe position: two-part multiplicative mix, every
+    intermediate product bounded by 2^31 * prime < 2^63 so the hash is
+    overflow-safe for the FULL int64 key space (the first sf10 run
+    overflowed the naive k*prime at the generator's ~1e10 offset keys —
+    the mod-reduce-then-mix form is the fix, mirrored in the oracle)."""
+    return F.expr(
+        f"(({col} % 2147483648) * 2654435761 % 32768"
+        f" + ({col} div 2147483648 % 2147483648) * 1779033703 % 32768)"
+        " % 32768"
+    )
+
+
+def _bloom_p2(col: str):
+    """Second Bloom probe position (independent primes + offset)."""
+    return F.expr(
+        f"(({col} % 2147483648) * 2246822519 % 32768"
+        f" + ({col} div 2147483648 % 2147483648) * 3144134277 % 32768"
+        " + 1013904223) % 32768"
+    )
+
+
 @register(
     "agg_bloom_prefilter_join",
     """
@@ -2139,8 +2161,13 @@ def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderdate < TIMESTAMP '1995-06-01'
     ),
     pos AS (
-        SELECT unnest([(k * 2654435761) % 32768,
-                       (k * 2246822519 + 1013904223) % 32768]) AS p
+        SELECT unnest([((k % 2147483648) * 2654435761 % 32768
+                        + (k // 2147483648 % 2147483648)
+                          * 1779033703 % 32768) % 32768,
+                       ((k % 2147483648) * 2246822519 % 32768
+                        + (k // 2147483648 % 2147483648)
+                          * 3144134277 % 32768
+                        + 1013904223) % 32768]) AS p
         FROM early
     ),
     words AS (
@@ -2151,8 +2178,13 @@ def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     probe AS (
         SELECT c_custkey AS ck,
-               (c_custkey * 2654435761) % 32768 AS p1,
-               (c_custkey * 2246822519 + 1013904223) % 32768 AS p2
+               ((c_custkey % 2147483648) * 2654435761 % 32768
+                + (c_custkey // 2147483648 % 2147483648)
+                  * 1779033703 % 32768) % 32768 AS p1,
+               ((c_custkey % 2147483648) * 2246822519 % 32768
+                + (c_custkey // 2147483648 % 2147483648)
+                  * 3144134277 % 32768
+                + 1013904223) % 32768 AS p2
         FROM customer
     ),
     j AS (
@@ -2179,9 +2211,12 @@ def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pruning is opaque (bloom_filter_agg is not SQL-registered and its "
     "xxhash layout is engine-private), so the filter here is built from "
     "PORTABLE integer arithmetic — two Knuth/xxhash-prime multiplicative "
-    "probes (k*2654435761 and k*2246822519+1013904223, both mod 2^15; "
-    "products stay under 2^63 for keys < 3.4e9, the documented key-"
-    "space bound), 32-bit words via bit_or(1<<bit) — so the FALSE-"
+    "probes mixing the low and high 31-bit halves of the key "
+    "independently (mod-reduce BEFORE multiply, every intermediate "
+    "under 2^62: overflow-safe for the FULL int64 key space — the "
+    "naive k*prime form overflowed at the sf10 generator's ~1e10 "
+    "offset keys, _bloom_p1/_bloom_p2 are the fix, mirrored verbatim "
+    "in this oracle), 32-bit words via bit_or(1<<bit) — so the FALSE-"
     "POSITIVE set itself is deterministic and the oracle hash covers it, "
     "not just the no-false-negative invariant (which the has_early=1 "
     "row attests structurally: n_bloom_pass = n_cust). The 100 TB "
@@ -2198,12 +2233,7 @@ def agg_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pos = early.select(
-        F.explode(
-            F.array(
-                (F.col("k") * 2654435761) % 32768,
-                (F.col("k") * 2246822519 + 1013904223) % 32768,
-            )
-        ).alias("p")
+        F.explode(F.array(_bloom_p1("k"), _bloom_p2("k"))).alias("p")
     )
     words = (
         pos.select(
@@ -2219,8 +2249,8 @@ def agg_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("ck"),
-        ((F.col("c_custkey") * 2654435761) % 32768).alias("p1"),
-        ((F.col("c_custkey") * 2246822519 + 1013904223) % 32768).alias("p2"),
+        _bloom_p1("c_custkey").alias("p1"),
+        _bloom_p2("c_custkey").alias("p2"),
     )
     w1 = words.select(F.col("wd").alias("wd1"), F.col("word").alias("word1"))
     w2 = words.select(F.col("wd").alias("wd2"), F.col("word").alias("word2"))
@@ -2269,8 +2299,9 @@ def agg_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     flips AS (
         SELECT k, CAST(sum(
-                   (1 - 2 * (((u + 1 + k * 7919) * (u + 1 + k * 7919)
-                              // 1024) % 2)) * diff) AS BIGINT) AS s_k
+                   (1 - 2 * (((u + 1 + k * 7919) % 1048576)
+                             * ((u + 1 + k * 7919) % 1048576)
+                              // 1024 % 2)) * diff) AS BIGINT) AS s_k
         FROM d, unnest(range(1, 65)) AS t(k)
         GROUP BY k
     )
@@ -2290,11 +2321,12 @@ def agg_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user's difference is symmetric around 0, so the null distribution "
     "comes from re-summing with DETERMINISTIC pseudo-random signs — 64 "
     "flip vectors derived from middle-square bit mixing "
-    "((u+1+k*7919)^2 div 1024 mod 2), the same derandomization contract "
+    "(((u+1+k*7919) mod 2^20)^2 div 1024 mod 2 — the pre-square mod "
+    "keeps every intermediate under 2^40, overflow-safe for the FULL "
+    "int64 id space), the same derandomization contract "
     "as every hash-seeded pipeline in this repo (both engines compute "
     "the identical flip set, so the permutation DISTRIBUTION itself is "
-    "hash-attested, not just the p-value; squares stay under 2^63 for "
-    "user ids < ~3e9). p = (1 + #{k: |S_k| >= |S_obs|}) / (K+1), the "
+    "hash-attested, not just the p-value). p = (1 + #{k: |S_k| >= |S_obs|}) / (K+1), the "
     "add-one Monte-Carlo estimator, in exact integer milli. Plan: one "
     "grouped pass for per-user means, a 64-way flat-map (no shuffle "
     "growth — the exchange carries 64 partial sums), two scalar folds. "
@@ -2333,8 +2365,9 @@ def stat_sign_flip_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.expr(
-                    "(1 - 2 * (((u + 1 + k * 7919) * (u + 1 + k * 7919)"
-                    " div 1024) % 2)) * diff"
+                    "(1 - 2 * (((u + 1 + k * 7919) % 1048576)"
+                    " * ((u + 1 + k * 7919) % 1048576)"
+                    " div 1024 % 2)) * diff"
                 )
             )
             .cast("long")

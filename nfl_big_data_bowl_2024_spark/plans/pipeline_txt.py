@@ -2682,20 +2682,32 @@ def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import char_shingles
 
     d = _t(spark, sf_dir, "documents")
-    sh = char_shingles(d, "doc_id", "text", 8).join(
-        d.select("doc_id", "source"), "doc_id"
+    sh = char_shingles(d, "doc_id", "text", 8)
+    # Attribution WITHOUT the 2x-|shingles| join-back: a shingle is novel
+    # for exactly the doc that is its min(doc_id), so novel-per-doc is
+    # just groupBy(min_doc).count() over the per-shingle min table —
+    # the naive formulation (join sh with first_seen on sh, then test
+    # first_doc == doc_id) shuffles the full string-keyed shingle
+    # relation a second time and measured 135 s at the generated sf10;
+    # this shape re-runs only the map-only explode and exchanges
+    # node-sized aggregates (sf10: 135 s -> see PERF.md).
+    totals = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
     )
-    first_seen = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = (
+        sh.groupBy("sh")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
     per_doc = (
-        sh.join(first_seen, "sh")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_novel"),
+        totals.join(novel, "doc_id", "left")
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
         )
     )
     return per_doc.groupBy("source").agg(

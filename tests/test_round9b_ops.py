@@ -117,17 +117,27 @@ def test_bloom_prefilter_replay_and_no_false_negatives(spark):
             f"SELECT c_custkey FROM '{SF}/customer.parquet'"
         ).fetchall()
     ]
+    def _p1(k):
+        return (
+            (k % 2**31) * 2654435761 % 32768
+            + (k // 2**31 % 2**31) * 1779033703 % 32768
+        ) % 32768
+
+    def _p2(k):
+        return (
+            (k % 2**31) * 2246822519 % 32768
+            + (k // 2**31 % 2**31) * 3144134277 % 32768
+            + 1013904223
+        ) % 32768
+
     words: dict = {}
     for k in early:
-        for p in (
-            (k * 2654435761) % 32768,
-            (k * 2246822519 + 1013904223) % 32768,
-        ):
+        for p in (_p1(k), _p2(k)):
             words[p // 32] = words.get(p // 32, 0) | (1 << (p % 32))
     want: dict = {}
     for ck in custs:
-        p1 = (ck * 2654435761) % 32768
-        p2 = (ck * 2246822519 + 1013904223) % 32768
+        p1 = _p1(ck)
+        p2 = _p2(ck)
         hit = (words.get(p1 // 32, 0) >> (p1 % 32)) & 1 and (
             words.get(p2 // 32, 0) >> (p2 % 32)
         ) & 1
@@ -330,7 +340,7 @@ def test_sign_flip_permutation_replay(spark):
     for k in range(1, 65):
         s_k = 0
         for u, d in diffs.items():
-            h = u + 1 + k * 7919
+            h = (u + 1 + k * 7919) % 1048576
             sign = 1 - 2 * ((h * h // 1024) % 2)
             s_k += sign * d
         n_ge += abs(s_k) >= abs(s_obs)
