@@ -1313,13 +1313,13 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT nation, count(*) AS n,
-               CAST(sum(cents) AS BIGINT) AS sum_x,
-               CAST(sum(i * cents) AS BIGINT) AS sum_ix
+               CAST(sum(cents) AS HUGEINT) AS sum_x,
+               CAST(sum(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS sum_ix
         FROM r GROUP BY nation
     )
     SELECT nation,
            CAST(n AS BIGINT) AS n_orders,
-           sum_x             AS total_cents,
+           CAST(sum_x AS BIGINT) AS total_cents,
            CAST(((2 * sum_ix - (n + 1) * sum_x) // n) * 1000000
                 // sum_x AS BIGINT) AS gini_micro
     FROM s
@@ -1337,9 +1337,12 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a partition-local ranking window and the grouped fold — no global "
     "sort, no single-partition exchange (ranks are PER GROUP; for a "
     "corpus-wide Gini the banded prefix-sum operator supplies the "
-    "global rank, as in stat_mann_whitney_u). Intermediates bound by "
-    "n*max_cents*n — inside int64 through ~10^5 orders/nation at these "
-    "prices; the documented scale move past that is milli-unit values.",
+    "global rank, as in stat_mann_whitney_u). The rank-weighted sum is "
+    "DECIMAL(38,0)/HUGEINT on both engines — the int64 form ANSI-raised "
+    "at the generated sf10's 6e5 orders/nation (first full-registry "
+    "sf10 sweep, round 9), and the decimal floor-division identity "
+    "(a - a%b)/b keeps the quotient exact with values unchanged at "
+    "every previously attested scale point.",
 )
 def agg_gini_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
@@ -1358,16 +1361,33 @@ def agg_gini_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = v.withColumn("i", F.row_number().over(w))
     s = r.groupBy("nation").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("cents").cast("long").alias("sum_x"),
-        F.sum(F.col("i") * F.col("cents")).cast("long").alias("sum_ix"),
+        F.sum("cents").cast("decimal(38,0)").alias("sum_x"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("sum_ix"),
     )
-    return s.select(
+    # decimal floor-division identity (nonnegative operands), same as
+    # ml_stump_split_finding: Spark `div` is bigint-only, and the
+    # rank-weighted sum exceeds int64 at ~6e5 orders/nation (the first
+    # sf10 sweep ANSI-raised here); DECIMAL(38,0) end-to-end fixes it
+    # with values unchanged at every attested scale point.
+    g = s.select(
         "nation",
         F.col("n").cast("long").alias("n_orders"),
-        F.col("sum_x").alias("total_cents"),
-        F.expr("((2 * sum_ix - (n + 1) * sum_x) div n) * 1000000 div sum_x")
-        .cast("long")
-        .alias("gini_micro"),
+        "sum_x",
+        F.expr(
+            "CAST((((2 * sum_ix - (n + 1) * sum_x)"
+            " - (2 * sum_ix - (n + 1) * sum_x) % n) / n) * 1000000"
+            " AS DECIMAL(38,0))"
+        ).alias("_num"),
+    )
+    return g.select(
+        "nation",
+        "n_orders",
+        F.col("sum_x").cast("long").alias("total_cents"),
+        F.expr("CAST((_num - _num % sum_x) / sum_x AS BIGINT)").alias(
+            "gini_micro"
+        ),
     )
 
 
