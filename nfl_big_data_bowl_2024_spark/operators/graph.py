@@ -171,8 +171,17 @@ def connected_components(
             )
             .localCheckpoint()  # truncate lineage; eager, so one job per round
         )
-        frontier = new_full.filter(F.col("lbl") < F.col("old_lbl")).select(
-            "node", "lbl"
+        # The frontier MUST be its own materialized relation, not a lazy
+        # filter view over new_full: with a checkpointed (tiny) frontier
+        # the next round's message join broadcasts it against the
+        # pre-partitioned edge relation, while a filter view inherits the
+        # node-relation size estimate and the join falls back to a
+        # shuffle — measured 314 s vs 207 s for the sf10 doc-graph CC
+        # when this checkpoint was dropped (round-9 A/B, PERF.md).
+        frontier = (
+            new_full.filter(F.col("lbl") < F.col("old_lbl"))
+            .select("node", "lbl")
+            .localCheckpoint()
         )
         labels = new_full.select("node", "lbl")
         if frontier.isEmpty():
