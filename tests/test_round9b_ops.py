@@ -598,3 +598,21 @@ def test_degree_assortativity_replay(spark):
     assert (row["n_edges"], row["assortativity_micro"]) == (m, r)
     # correlation bound (up to fixed-point rounding)
     assert -1_000_001 <= r <= 1_000_001
+
+
+def test_autok_formula_parity_python_vs_duckdb():
+    """The auto-k rule must agree between the Spark driver (Python
+    int.bit_length) and the oracle (DuckDB binary-string length) for
+    every corpus size."""
+    con = _duck()
+    for n in [1, 7, 500, 2048, 2049, 16384, 16385, 200000, 5000000, 10**9]:
+        k_py = max(8, 1 << max((n - 1) // 2048, 1).bit_length())
+        k_sql = con.execute(
+            "SELECT greatest(8, 1::BIGINT << length(format('{:b}',"
+            f" greatest(({n} - 1) // 2048, 1))))"
+        ).fetchone()[0]
+        assert k_py == k_sql, (n, k_py, k_sql)
+        # k is a power of two and cluster size stays in (1024, 2048]
+        assert k_py & (k_py - 1) == 0
+        if n > 16384:
+            assert n / k_py <= 2048 and n / k_py > 512
