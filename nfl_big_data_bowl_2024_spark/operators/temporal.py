@@ -11,13 +11,27 @@ Both are implemented as compositions of built-in operators chosen for their
                (few) fixed-width buckets its window overlaps, the join is a
                plain EQUI-join on (key, bucket), and the exact predicate
                re-filters — turning BroadcastNestedLoopJoin into a hash join.
+
+Row-atomicity contract (advice r9): the right-side value columns are carried
+through the window as ONE struct, so every ``asof_<col>`` output comes from
+the SAME matched right row even when some of its value columns are NULL —
+matching true ASOF / DuckDB semantics. (A per-column carry would silently
+fill a NULL column from a different, further right row.)
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 from pyspark.sql.window import Window
+
+
+def _right_struct_type(right: DataFrame, value_cols: list[str]) -> StructType:
+    """Struct type bundling the right value columns (row-atomic carry)."""
+    return StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
 
 
 def asof_join(
@@ -39,20 +53,23 @@ def asof_join(
     an as-of match against tied timestamps is engine-arbitrary.
 
     Shape: tag both sides, union, ONE window over (by, ts) with
-    ``last(value, ignorenulls)`` carrying the right values forward (or
+    ``last(struct, ignorenulls)`` carrying the matched right ROW forward (or
     ``first`` over the following frame for direction='forward'), keep
     the left rows. On timestamp ties right rows order on the MATCHING
     side of left rows (before for backward, after for forward) so
-    equality matches in both directions.
+    equality matches in both directions. The carried struct is non-null
+    exactly when a right row matched, so NULLs inside individual right
+    value columns never mix rows.
     """
     value_cols = value_cols or [c for c in right.columns if c not in (by, right_ts)]
+    stype = _right_struct_type(right, value_cols)
 
     l_tag = left.select(
         F.col(by),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in left.columns if c not in (by, left_ts)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(stype).alias("_r"),
     )
     r_tag = right.select(
         F.col(by),
@@ -60,7 +77,7 @@ def asof_join(
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in (by, left_ts)],
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_r"),
     )
     unioned = l_tag.unionByName(r_tag)
     if direction == "backward":
@@ -70,11 +87,7 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = unioned.select(
-            "*",
-            *[
-                F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-                for c in value_cols
-            ],
+            "*", F.last("_r", ignorenulls=True).over(w).alias("_m")
         )
     elif direction == "forward":
         w = (
@@ -83,18 +96,15 @@ def asof_join(
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         carried = unioned.select(
-            "*",
-            *[
-                F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-                for c in value_cols
-            ],
+            "*", F.first("_r", ignorenulls=True).over(w).alias("_m")
         )
     else:
         raise ValueError(f"direction must be backward|forward: {direction}")
-    return (
-        carried.filter(F.col("_is_left") == 1)
-        .drop("_is_left", *[f"_r_{c}" for c in value_cols])
-        .withColumnRenamed("_ts", left_ts)
+    return carried.filter(F.col("_is_left") == 1).select(
+        F.col(by),
+        F.col("_ts").alias(left_ts),
+        *[F.col(c) for c in left.columns if c not in (by, left_ts)],
+        *[F.col("_m").getField(c).alias(f"asof_{c}") for c in value_cols],
     )
 
 
@@ -176,24 +186,28 @@ def asof_join_nearest(
     Shape: the same union + single (by, ts)-sorted exchange as the
     backward asof_join, but with TWO window frames over that one sort —
     a backward last(ignorenulls) carry and a forward first(ignorenulls)
-    carry — then a per-row integer-microsecond argmin between the two
-    candidates. Still one shuffle + one sort per key; never an
-    inequality join.
+    carry, each of ONE struct bundling the right timestamp and all value
+    columns (row-atomic) — then a per-row integer-microsecond argmin
+    between the two candidate rows. Still one shuffle + one sort per
+    key; never an inequality join.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (by, right_ts)
     ]
+    # The carried struct leads with the right timestamp in microseconds
+    # (long) followed by the value columns, so candidate-row distance and
+    # candidate-row values can never come from different rows.
+    stype = StructType(
+        [StructField("_rus", LongType())]
+        + [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
 
     l_tag = left.select(
         F.col(by),
         F.unix_micros(F.col(left_ts)).alias("_us"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in left.columns if c not in (by, left_ts)],
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-            for c in value_cols
-        ],
-        F.lit(None).cast("long").alias("_rus"),
+        F.lit(None).cast(stype).alias("_r"),
     )
     r_tag = right.select(
         F.col(by),
@@ -204,8 +218,10 @@ def asof_join_nearest(
             for c in left.columns
             if c not in (by, left_ts)
         ],
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.unix_micros(F.col(right_ts)).alias("_rus"),
+        F.struct(
+            F.unix_micros(F.col(right_ts)).alias("_rus"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("_r"),
     )
     unioned = l_tag.unionByName(r_tag)
     # Right rows sort BEFORE left rows on timestamp ties, so the backward
@@ -223,23 +239,17 @@ def asof_join_nearest(
     )
     carried = unioned.select(
         "*",
-        F.last("_rus", ignorenulls=True).over(w_back).alias("_bus"),
-        F.first("_rus", ignorenulls=True).over(w_fwd).alias("_fus"),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w_back).alias(f"_b_{c}")
-            for c in value_cols
-        ],
-        *[
-            F.first(f"_r_{c}", ignorenulls=True).over(w_fwd).alias(f"_f_{c}")
-            for c in value_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w_back).alias("_b"),
+        F.first("_r", ignorenulls=True).over(w_fwd).alias("_f"),
     ).filter(F.col("_is_left") == 1)
-    bdt = F.col("_us") - F.col("_bus")  # >= 0 when backward exists
-    fdt = F.col("_fus") - F.col("_us")  # >= 0 when forward exists
-    b_ok = F.col("_bus").isNotNull() & (
+    bus = F.col("_b").getField("_rus")
+    fus = F.col("_f").getField("_rus")
+    bdt = F.col("_us") - bus  # >= 0 when backward exists
+    fdt = fus - F.col("_us")  # >= 0 when forward exists
+    b_ok = bus.isNotNull() & (
         F.lit(True) if tolerance_us is None else (bdt <= tolerance_us)
     )
-    f_ok = F.col("_fus").isNotNull() & (
+    f_ok = fus.isNotNull() & (
         F.lit(True) if tolerance_us is None else (fdt <= tolerance_us)
     )
     take_back = b_ok & (~f_ok | (bdt <= fdt))
@@ -249,8 +259,8 @@ def asof_join_nearest(
         "_us",
         *[c for c in left.columns if c not in (by, left_ts)],
         *[
-            F.when(take_back, F.col(f"_b_{c}"))
-            .when(take_fwd, F.col(f"_f_{c}"))
+            F.when(take_back, F.col("_b").getField(c))
+            .when(take_fwd, F.col("_f").getField(c))
             .alias(f"asof_{c}")
             for c in value_cols
         ],

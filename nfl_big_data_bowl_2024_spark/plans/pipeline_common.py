@@ -466,7 +466,13 @@ def _ppr_iter_sql(prev: str, out: str) -> str:
 # 64-cell midpoint table of ln(1 + (m+0.5)/64). No engine libm log is
 # ever evaluated, so the value is deterministic everywhere — the
 # adamic-adar fixed-point-table technique (pipeline_graph) generalized to
-# arbitrary-magnitude logs (max error ~1.2e-4 in ln).
+# the full positive-BIGINT range. Error bound (advice r9, verified
+# numerically): ~6e-5 RELATIVE per mantissa bucket for large v, but up to
+# ~7.8e-3 ABSOLUTE for v < ~64 (worst at v=1, where ln_micro(1)=7782
+# micro vs true 0) — small arguments land on bucket midpoints far from
+# their true mantissa. Consumers that care about the small-v head
+# (txt_zipf_fit's rank-1 point) carry that bias; it is identical on both
+# engines so hash gates are unaffected.
 # ---------------------------------------------------------------------------
 
 LN2_MICRO = 693147
@@ -477,19 +483,39 @@ _LN_TABLE_SQL = ", ".join(str(v) for v in LN_MANTISSA_MICRO)
 
 
 def ln_micro_duck(col: str) -> str:
-    """DuckDB SQL fragment: ln_micro of a positive BIGINT expression."""
+    """DuckDB SQL fragment: ln_micro of a positive BIGINT expression.
+
+    The mantissa bucket is ``v*64 div 2^e``; for e >= 6 that is computed
+    as the overflow-free identity ``v div 2^(e-6)`` (shift right first,
+    multiply never — advice r9: ``v*64`` alone overflows int64 once
+    v >= 2^57, well inside the documented positive-BIGINT domain). The
+    ``v*64`` form survives only for v < 64 where it cannot overflow.
+    """
     e = f"(length(format('{{:b}}', {col})) - 1)"
+    m = (
+        f"(CASE WHEN {e} >= 6 THEN {col} // (1::BIGINT << ({e} - 6))"
+        f" ELSE ({col} * 64) // (1::BIGINT << {e}) END)"
+    )
     return (
         f"({e} * {LN2_MICRO} + [{_LN_TABLE_SQL}]"
-        f"[CAST({col} * 64 // (1::BIGINT << {e}) AS INTEGER) - 63])"
+        f"[CAST({m} AS INTEGER) - 63])"
     )
 
 
 def ln_micro_spark(col: str) -> str:
-    """Spark SQL fragment: ln_micro of a positive BIGINT expression."""
+    """Spark SQL fragment: ln_micro of a positive BIGINT expression.
+
+    Same overflow-free mantissa as ln_micro_duck: ``v div 2^(e-6)`` for
+    e >= 6 (never multiplies), ``v*64 div 2^e`` only for v < 64.
+    """
     e = f"(length(bin({col})) - 1)"
+    m = (
+        f"(CASE WHEN {e} >= 6 THEN {col} div shiftleft(CAST(1 AS BIGINT),"
+        f" CAST({e} - 6 AS INT))"
+        f" ELSE ({col} * 64) div shiftleft(CAST(1 AS BIGINT),"
+        f" CAST({e} AS INT)) END)"
+    )
     return (
         f"CAST(({e} * {LN2_MICRO} + element_at(array({_LN_TABLE_SQL}),"
-        f" CAST({col} * 64 div shiftleft(CAST(1 AS BIGINT),"
-        f" CAST({e} AS INT)) AS INT) - 63)) AS BIGINT)"
+        f" CAST({m} AS INT) - 63)) AS BIGINT)"
     )

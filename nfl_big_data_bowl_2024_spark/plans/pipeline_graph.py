@@ -1204,13 +1204,20 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = pairs.join(dc, "c").join(ds, "s").select(
         F.col("dx").alias("x"), F.col("dy").alias("y")
     )
+    # Widen BEFORE aggregating (advice r9): the five sums must accumulate
+    # in DECIMAL, matching the DuckDB oracle's HUGEINT accumulator — a
+    # post-hoc cast of a LongType sum would ANSI-raise (or wrap) first.
+    # decimal(19,0) operands make each product decimal(38,0); SUM over
+    # decimal stays decimal(38,0), so nothing ever touches int64.
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     agg = e.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
-        F.sum("x").cast("decimal(38,0)").alias("sx"),
-        F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
     )
     return agg.select(
         F.col("m").cast("long").alias("n_edges"),

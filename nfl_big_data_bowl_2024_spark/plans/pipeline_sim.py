@@ -2587,11 +2587,9 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    n_tokens = (
-        F.length("text")
-        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-        + 1
-    )
+    # Integer `div` keeps the score exact (no double rounding); the SQL
+    # string is the single definition — a prior Column-API duplicate of
+    # the same arithmetic was removed (advice r9) so the two cannot drift.
     scored = d.select(
         F.expr(
             "CAST(n_chars AS BIGINT) * 1000"
@@ -2630,7 +2628,11 @@ def _best_stump_df(pts: DataFrame, val_col: str, y_col: str) -> DataFrame:
     sums may be negative — only their squares enter the gain)."""
     hist = pts.groupBy(F.col(val_col).alias("val")).agg(
         F.count(F.lit(1)).alias("n_b"),
-        F.sum(y_col).cast("decimal(38,0)").alias("s_b"),
+        # Widen before aggregating (advice r9): sum decimal, not int64 —
+        # SUM(decimal(28,0)) accumulates directly in decimal(38,0).
+        F.sum(F.col(y_col).cast("decimal(28,0)"))
+        .cast("decimal(38,0)")
+        .alias("s_b"),
     )
     # The histogram is bounded (<= #distinct bins, 61 for these grids);
     # collapse it to ONE aggregate row and compute the prefix sums with

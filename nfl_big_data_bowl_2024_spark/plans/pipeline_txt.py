@@ -2618,15 +2618,18 @@ def txt_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("v").alias("n_vocab"),
         F.any_value("t_p").alias("tokens_en"),
         F.any_value("t_q").alias("tokens_de"),
+        # Widen before aggregating (advice r9): accumulate the per-term
+        # contributions in decimal(38,0) so the fold itself never runs in
+        # int64 — matching the oracle's HUGEINT sum, not just its result.
         F.floor(
-            F.sum("c_pq").cast("decimal(38,0)").cast("double")
+            F.sum(F.col("c_pq").cast("decimal(38,0)")).cast("double")
             / F.any_value("pd")
             + 0.5
         )
         .cast("long")
         .alias("kl_en_de_micro"),
         F.floor(
-            F.sum("c_qp").cast("decimal(38,0)").cast("double")
+            F.sum(F.col("c_qp").cast("decimal(38,0)")).cast("double")
             / F.any_value("qd")
             + 0.5
         )
