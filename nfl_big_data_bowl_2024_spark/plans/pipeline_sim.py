@@ -1296,10 +1296,76 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_ASSIGN_AUTOK_CTE = """
+    emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    kdef AS (
+      SELECT greatest(8, 1::BIGINT << length(format('{:b}',
+                 greatest((count(*) - 1) // 2048, 1)))) AS k
+      FROM emb
+    ),
+    seeds AS (
+      SELECT cid, e FROM (
+        SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, e
+        FROM emb
+      ) s, kdef WHERE s.cid < kdef.k
+    ),
+    d1 AS (
+      SELECT emb.vec_id, emb.e, seeds.cid,
+             floor(list_distance(emb.e, seeds.e) * 1e9 + 0.5) / 1e9 AS d
+      FROM emb CROSS JOIN seeds
+    ),
+    a1 AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT vec_id, e, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d1) t WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT cid, list(cv ORDER BY pos) AS e FROM (
+        SELECT cid, pos, floor(avg(v) * 1e6 + 0.5) / 1e6 AS cv FROM (
+          SELECT cid, unnest(e) AS v, unnest(generate_series(1, len(e))) AS pos
+          FROM a1) u GROUP BY cid, pos) g GROUP BY cid
+    ),
+    d2 AS (
+      SELECT emb.vec_id, emb.e, c1.cid,
+             floor(list_distance(emb.e, c1.e) * 1e9 + 0.5) / 1e9 AS d
+      FROM emb CROSS JOIN c1
+    ),
+    a2 AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT vec_id, e, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d2) t WHERE rn = 1
+    )
+"""
+
+
+# Scale-gated k for the PINNED-k SemDeDup twin (verdict r9 item 5): up to
+# the documented bound (n <= 32768 vectors — covers every oracle-gated
+# tree: sf0.01 through the generated sf1) k stays the attested constant 8,
+# so those hashes are bit-for-bit unchanged; above the bound the pinned
+# constant would make cluster size n/8 (quadratic within-cluster pair
+# volume — the 410 s sf10 sweep entry), so k switches to the SAME
+# next-pow2(n/2048) rule as dedup_semantic_autok on BOTH engines. The
+# gate is data-derived (count), not sf-flagged, so Spark and DuckDB
+# always agree at any tree.
+_SEMANTIC_K_GATE = 32768
+_KMEANS_ASSIGN_GATED_CTE = _KMEANS_ASSIGN_AUTOK_CTE.replace(
+    """SELECT greatest(8, 1::BIGINT << length(format('{:b}',
+                 greatest((count(*) - 1) // 2048, 1)))) AS k""",
+    f"""SELECT CASE WHEN count(*) <= {_SEMANTIC_K_GATE} THEN 8
+             ELSE greatest(8, 1::BIGINT << length(format('{{:b}}',
+                 greatest((count(*) - 1) // 2048, 1)))) END AS k""",
+)
+assert _KMEANS_ASSIGN_GATED_CTE != _KMEANS_ASSIGN_AUTOK_CTE
+
+
 @register(
     "dedup_semantic",
     f"""
-    WITH {_KMEANS_ASSIGN_CTE},
+    WITH {_KMEANS_ASSIGN_GATED_CTE},
     p AS (
       SELECT a.vec_id AS ia, b.vec_id AS ib,
              floor(list_cosine_similarity(a.e, b.e) * 1e6 + 0.5) / 1e6 AS c
@@ -1325,7 +1391,12 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rule); dup_of = that lowest id. Cosine half-up floored to 6 dp on "
     "both engines pre-threshold; 2-ulp accumulation margins asserted in "
     "tests/test_dedup_similarity.py "
-    "(operators/clustering.py:semantic_dedup).",
+    "(operators/clustering.py:semantic_dedup). Round 10: k is pinned at "
+    "8 only up to the 32768-vector gate (every oracle-attested tree); "
+    "beyond it both engines switch to the autok next-pow2(n/2048) rule "
+    "and the BLAS assignment twin, so this registration no longer costs "
+    "quadratic within-cluster pair volume at the sf10 sweep "
+    "(410 s pinned -> autok-shaped).",
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import semantic_dedup
@@ -1334,7 +1405,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    return semantic_dedup(e, tau=0.45, k=8, iters=2)
+    n = e.count()  # bounded scalar: one long to the driver (sizes k)
+    if n <= _SEMANTIC_K_GATE:
+        # attested operating point: pinned k, HOF assignment twin
+        return semantic_dedup(e, tau=0.45, k=8, iters=2)
+    k = max(8, 1 << max((n - 1) // 2048, 1).bit_length())
+    return semantic_dedup(e, tau=0.45, k=k, iters=2, vectorized_assign=True)
 
 
 @register(
@@ -2812,50 +2888,6 @@ def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _emit(b1, 1, "quantity").unionByName(_emit(b2, 2, "discount"))
 
 
-_KMEANS_ASSIGN_AUTOK_CTE = """
-    emb AS (
-      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-    ),
-    kdef AS (
-      SELECT greatest(8, 1::BIGINT << length(format('{:b}',
-                 greatest((count(*) - 1) // 2048, 1)))) AS k
-      FROM emb
-    ),
-    seeds AS (
-      SELECT cid, e FROM (
-        SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, e
-        FROM emb
-      ) s, kdef WHERE s.cid < kdef.k
-    ),
-    d1 AS (
-      SELECT emb.vec_id, emb.e, seeds.cid,
-             floor(list_distance(emb.e, seeds.e) * 1e9 + 0.5) / 1e9 AS d
-      FROM emb CROSS JOIN seeds
-    ),
-    a1 AS (
-      SELECT vec_id, e, cid FROM (
-        SELECT vec_id, e, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        FROM d1) t WHERE rn = 1
-    ),
-    c1 AS (
-      SELECT cid, list(cv ORDER BY pos) AS e FROM (
-        SELECT cid, pos, floor(avg(v) * 1e6 + 0.5) / 1e6 AS cv FROM (
-          SELECT cid, unnest(e) AS v, unnest(generate_series(1, len(e))) AS pos
-          FROM a1) u GROUP BY cid, pos) g GROUP BY cid
-    ),
-    d2 AS (
-      SELECT emb.vec_id, emb.e, c1.cid,
-             floor(list_distance(emb.e, c1.e) * 1e9 + 0.5) / 1e9 AS d
-      FROM emb CROSS JOIN c1
-    ),
-    a2 AS (
-      SELECT vec_id, e, cid FROM (
-        SELECT vec_id, e, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        FROM d2) t WHERE rn = 1
-    )
-"""
 
 
 @register(
