@@ -587,17 +587,25 @@ def agg_hll_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="binaryFile source — the ingest path for multimodal corpora "
     "(images/audio arrive as FILES, not rows): selected documents are "
-    "written one-file-per-doc by a DISTRIBUTED partitionBy text sink "
-    "(no driver-side file loop), then re-ingested with "
-    "spark.read.format('binaryFile') + pathGlobFilter + "
-    "recursiveFileLookup, the id recovered from the Hive-style "
-    "partition path and the payload checksummed JVM-side. The oracle "
-    "derives the same (length, md5) from the source rows (text sink "
-    "appends one LF), so file materialization, path recovery and byte "
-    "fidelity are all hash-checked. Scale: the scan plans one task per "
-    "file-batch (maxPartitionBytes packing), metadata columns prune "
-    "without reading payloads, and the 10 MB-per-row multimodal decode "
-    "path (operators/multimodal.py) consumes exactly this schema.",
+    "exported one-file-per-doc into a FLAT directory by a distributed "
+    "per-partition writer (id in the FILENAME, no driver-side file "
+    "loop), then re-ingested with spark.read.format('binaryFile') + "
+    "pathGlobFilter, the id recovered from the file name and the "
+    "payload checksummed JVM-side. The oracle derives the same "
+    "(length, md5) from the source rows (the export appends one LF, "
+    "matching the text-sink convention), so file materialization, path "
+    "recovery and byte fidelity are all hash-checked. The flat layout "
+    "is deliberate (round 10, verdict r9 item 6): the previous "
+    "Hive-style one-DIRECTORY-per-doc staging made the binaryFile "
+    "listing walk one filesystem dir per asset — 16 s of the measured "
+    "109 s at sf10 was enumeration of 25k single-file directories "
+    "(plus ~87 s one-time staging), vs 0.9 s listing the same 25k "
+    "files in one flat dir; object stores list flat prefixes the same "
+    "way, so this is also the 100 TB-correct ingest layout. Scale: the "
+    "scan plans one task per file-batch (maxPartitionBytes packing), "
+    "metadata columns prune without reading payloads, and the "
+    "10 MB-per-row multimodal decode path (operators/multimodal.py) "
+    "consumes exactly this schema.",
 )
 def src_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
@@ -605,28 +613,41 @@ def src_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 20 == 0)
         .select("doc_id", F.col("text").alias("value"))
     )
-    path = _fmt_dir(sf_dir, "binary_docs")
-    # Stage once per (sf, row-count): the one-file-per-doc layout IS the
-    # fixture being ingested (real multimodal corpora arrive as existing
-    # files), and creating hundreds of partition dirs dominated the
-    # measured time (3.7 s of the 3.8 s at sf0.1) while the operator
-    # under test — the binaryFile SCAN — took the remainder. The marker
-    # is count-stamped so a different sf or regenerated testdata
-    # restages; the source table is generator-deterministic, so equal
-    # count implies equal bytes.
+    path = _fmt_dir(sf_dir, "binary_docs_flat")
+    # Stage once per (sf, row-count). The marker is count-stamped so a
+    # different sf or regenerated testdata restages; the source table is
+    # generator-deterministic, so equal count implies equal bytes. The
+    # export runs ON THE EXECUTORS (mapInPandas side-effect writer with
+    # atomic per-file replace — idempotent under task retry), one pass,
+    # no shuffle, never a driver loop.
     n = d.count()
     marker = os.path.join(path, f"_STAGED_{n}")
     if not os.path.exists(marker):
-        d.write.mode("overwrite").partitionBy("doc_id").text(path)
+        os.makedirs(path, exist_ok=True)
+
+        def _export(batches):
+            import os as _os
+
+            import pandas as pd
+
+            for pdf in batches:
+                for did, text in zip(pdf["doc_id"], pdf["value"]):
+                    tmp = os.path.join(path, f".doc_{int(did)}.tmp")
+                    dst = os.path.join(path, f"doc_{int(did)}.txt")
+                    with open(tmp, "wb") as f:
+                        f.write(text.encode("utf-8") + b"\n")
+                    _os.replace(tmp, dst)
+                yield pd.DataFrame({"n": [len(pdf)]})
+
+        d.mapInPandas(_export, "n long").agg(F.sum("n")).collect()
         open(marker, "w").close()
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.txt")
-        .option("recursiveFileLookup", "true")
         .load(path)
     )
     return files.select(
-        F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("long").alias(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias(
             "doc_id"
         ),
         F.col("length").cast("long").alias("n_bytes"),
