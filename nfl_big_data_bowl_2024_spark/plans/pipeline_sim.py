@@ -1,14 +1,13 @@
-"""Dedup, similarity, embedding, ML-training and multimodal queries (dedup_*, sim_*, emb_*, ml_*, mm_*, pipeline_*, arr_*, json_*).
+"""Dedup, similarity, embedding and multimodal queries (dedup_*, sim_*, emb_*, mm_*, pipeline_*, arr_*, json_*).
 
 Split out of plans/pipeline_ops.py along the registry's family seams
 (round-9; see pipeline_ops.py for the compatibility re-export and
-pipeline_common.py for shared helpers/oracle fragments). Original
+pipeline_common.py for shared helpers/oracle fragments); the ml_*
+family moved on to pipeline_ml.py in round 10. Original
 docstrings, oracle SQL and reference citations moved verbatim.
 """
 
 from __future__ import annotations
-
-import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1522,89 +1521,6 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ml_quality_classifier_train",
-    """
-    WITH feat AS (
-        SELECT doc_id,
-               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-               length(text) * 1.0 / len(string_split(text, ' ')) AS x1,
-               len(string_split(text, ' ')) / 100.0 AS x2
-        FROM documents
-    ),
-    g1 AS (  -- round 1: w = 0, so p = 0.5 exactly (no exp needed)
-        SELECT avg(0.5 - y) AS g0,
-               avg((0.5 - y) * x1) AS g1,
-               avg((0.5 - y) * x2) AS g2
-        FROM feat
-    ),
-    w1 AS (
-        SELECT floor(-0.5 * g0 * 1e9 + 0.5) / 1e9 AS w0,
-               floor(-0.5 * g1 * 1e9 + 0.5) / 1e9 AS w1,
-               floor(-0.5 * g2 * 1e9 + 0.5) / 1e9 AS w2
-        FROM g1
-    ),
-    g2 AS (
-        SELECT avg(1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) - y) AS g0,
-               avg((1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) - y) * x1)
-                   AS g1,
-               avg((1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) - y) * x2)
-                   AS g2,
-               any_value(w0) AS pw0, any_value(w1) AS pw1, any_value(w2) AS pw2
-        FROM feat, w1
-    ),
-    w2 AS (
-        SELECT floor((pw0 - 0.5 * g0) * 1e9 + 0.5) / 1e9 AS w0,
-               floor((pw1 - 0.5 * g1) * 1e9 + 0.5) / 1e9 AS w1,
-               floor((pw2 - 0.5 * g2) * 1e9 + 0.5) / 1e9 AS w2
-        FROM g2
-    )
-    SELECT doc_id, p, p >= 0.5 AS pred, y FROM (
-        SELECT f.doc_id,
-               floor(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2)))
-                     * 1e6 + 0.5) / 1e6 AS p,
-               CAST(f.y AS BIGINT) AS y
-        FROM feat f, w2 w
-    )
-    """,
-    doc="Distributed quality-classifier training — the fasttext-style "
-    "linear gate LLM pipelines train to score crawl quality: full-batch "
-    "gradient-descent logistic regression (label: lang='en'; features: "
-    "mean token length, scaled token count — exact integer ratios). Each "
-    "GD round is ONE aggregate whose d+1-double gradient is the only "
-    "driver traffic (operators/clustering.py:logreg_train_gd, same "
-    "bounded-index contract as the k-means trainer); the feature "
-    "relation is checkpointed once so rounds re-read blocks, not text. "
-    "Weights round to 9 dp per round, which lets the oracle replay both "
-    "rounds bit-identically (round 1 needs no exp at all; round 2's "
-    "~1-ulp libm exp differences vanish under averaging + rounding). "
-    "Output: per-doc score, hard prediction, label.",
-)
-def ml_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.clustering import logreg_train_gd
-
-    d = _t(spark, sf_dir, "documents")
-    n_toks = F.size(F.split("text", " "))
-    feat = d.select(
-        "doc_id",
-        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
-        _mean_token_len().alias("x1"),
-        (n_toks / 100.0).alias("x2"),
-    ).localCheckpoint(eager=True)
-    w = logreg_train_gd(feat, ["x1", "x2"], "y", lr=0.5, iters=2)
-    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    # pred derives from the ROUNDED p (the value both engines hash), so a
-    # ~1-ulp libm exp() difference cannot flip a boundary prediction.
-    return feat.select(
-        "doc_id",
-        (F.floor(p * 1e6 + 0.5) / 1e6).alias("p"),
-        F.col("y").cast("bigint").alias("y"),
-    ).select(
-        "doc_id", "p", (F.col("p") >= 0.5).alias("pred"), "y"
-    ).select("doc_id", "p", "pred", "y")
-
-
-@register(
     "emb_pca_power_iteration",
     """
     WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -1798,290 +1714,6 @@ def emb_arrow_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ml_linreg_closed_form",
-    """
-    WITH f AS (
-        SELECT source,
-               CAST(length(text) - length(replace(text, ' ', '')) + 1
-                    AS BIGINT) AS x,
-               CAST(n_chars AS BIGINT) AS y
-        FROM documents
-    ),
-    s AS (
-        SELECT source,
-               CAST(count(*) AS BIGINT)    AS n,
-               CAST(sum(x) AS BIGINT)      AS sx,
-               CAST(sum(y) AS BIGINT)      AS sy,
-               CAST(sum(x * x) AS BIGINT)  AS sxx,
-               CAST(sum(y * y) AS BIGINT)  AS syy,
-               CAST(sum(x * y) AS BIGINT)  AS sxy
-        FROM f GROUP BY source
-    )
-    SELECT source,
-           n AS n_docs,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
-               AS intercept,
-           ((n * sxy - sx * sy) / (n * sxx - sx * sx))
-               * ((n * sxy - sx * sy) / (n * syy - sy * sy)) AS r2
-    FROM s
-    """,
-    doc="Closed-form OLS regression (chars-per-token fit per source) via "
-    "SUFFICIENT STATISTICS — the non-iterative sibling of "
-    "ml_quality_classifier_train's gradient loop: slope/intercept/r2 "
-    "derive entirely from {n, Sx, Sy, Sxx, Syy, Sxy}, so the whole fit "
-    "is ONE map-side-combined groupBy over the corpus — one shuffle of "
-    "six numbers per group, no iterations, no driver-side matrices, the "
-    "way a 100 TB calibration fit should run. Both x and y are integers, "
-    "so the six moments are EXACT BIGINTs; each engine then performs the "
-    "IDENTICAL scalar float expression on identical integers "
-    "(bigint/bigint division promotes to double in both Spark and "
-    "DuckDB), which is why a float regression can be hash-checked at all "
-    "— regr_slope/regr_r2 built-ins would accumulate in "
-    "partitioning-dependent order and could never cross-engine match.",
-)
-def ml_linreg_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f = _t(spark, sf_dir, "documents").select(
-        "source",
-        _n_ws_tokens().cast("long").alias("x"),
-        F.col("n_chars").cast("long").alias("y"),
-    )
-    s = f.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-    )
-    return s.select(
-        "source",
-        F.col("n").alias("n_docs"),
-        F.expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)").alias("slope"),
-        F.expr(
-            "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n"
-        ).alias("intercept"),
-        F.expr(
-            "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
-            " * ((n * sxy - sx * sy) / (n * syy - sy * sy))"
-        ).alias("r2"),
-    )
-
-
-@register(
-    "ml_eval_confusion",
-    """
-    WITH ex AS (
-        SELECT vec_id, label, i AS pos,
-               CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
-                    AS BIGINT) AS vq
-        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
-    ),
-    cent AS (
-        SELECT label AS clabel, pos,
-               CAST((2 * sum(vq) + count(*)) // (2 * count(*)) AS BIGINT) AS c4
-        FROM ex GROUP BY label, pos
-    ),
-    dist AS (
-        SELECT e.vec_id, e.label, c.clabel,
-               sum((e.vq - c.c4) * (e.vq - c.c4)) AS d2
-        FROM ex e JOIN cent c ON e.pos = c.pos
-        GROUP BY e.vec_id, e.label, c.clabel
-    ),
-    pred AS (
-        SELECT vec_id, label,
-               CAST(min(d2 * 16 + clabel) % 16 AS INTEGER) AS pred_label
-        FROM dist GROUP BY vec_id, label
-    ),
-    m AS (
-        SELECT t.label,
-               t.n_true, coalesce(p.n_pred, 0) AS n_pred,
-               coalesce(tp.tp, 0) AS tp
-        FROM (SELECT label, count(*) AS n_true FROM pred GROUP BY label) t
-        LEFT JOIN (SELECT pred_label, count(*) AS n_pred
-                   FROM pred GROUP BY pred_label) p ON p.pred_label = t.label
-        LEFT JOIN (SELECT label, count(*) AS tp FROM pred
-                   WHERE label = pred_label GROUP BY label) tp
-               ON tp.label = t.label
-    )
-    SELECT label, CAST(n_true AS BIGINT) AS n_true,
-           CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
-           CAST(CASE WHEN n_pred = 0 THEN 0
-                ELSE (2000 * tp + n_pred) // (2 * n_pred) END AS BIGINT)
-               AS precision_milli,
-           CAST((2000 * tp + n_true) // (2 * n_true) AS BIGINT)
-               AS recall_milli,
-           CAST((2 * 2000 * tp + (n_true + n_pred)) // (2 * (n_true + n_pred))
-                AS BIGINT) AS f1_milli
-    FROM m
-    """,
-    doc="Classifier EVALUATION — the metrics pass the ml_* training "
-    "queries feed: a nearest-centroid classifier over the labeled "
-    "embeddings, scored with the per-label confusion diagonal, "
-    "precision, recall, and F1 (per mille). Entirely in exact integer "
-    "space: embeddings quantize to 1e-4 grid ints, centroids are "
-    "(2S + n) div (2n) integer half-up means, squared distances are "
-    "integer sums (no float accumulation can flip an argmin near a "
-    "tie), the argmin is min over the packed key d2*16 + label (a total "
-    "order with the label as deterministic tie-break; labels are 0-9), "
-    "and the metric ratios are (2A + B) div (2B). Shapes: one "
-    "posexplode, the 640-row centroid model broadcast back, one "
-    "(vec, candidate-label) aggregate, O(labels) rollups. F1 per label "
-    "is exactly 2*TP/(n_true + n_pred) — no float harmonic mean.",
-)
-def ml_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
-    ex = e.select(
-        "vec_id",
-        "label",
-        F.posexplode("embedding").alias("pos", "v"),
-    ).select(
-        "vec_id",
-        "label",
-        "pos",
-        # cast float32 -> double BEFORE scaling: engines promote a
-        # float * int differently, and a single-precision product can
-        # quantize to a different grid cell
-        F.floor(F.col("v").cast("double") * 10000 + F.lit(0.5))
-        .cast("long")
-        .alias("vq"),
-    )
-    cent = (
-        ex.groupBy(F.col("label").alias("clabel"), "pos")
-        .agg(F.sum("vq").alias("s"), F.count(F.lit(1)).alias("n"))
-        .select(
-            "clabel",
-            "pos",
-            F.expr("CAST((2 * s + n) div (2 * n) AS BIGINT)").alias("c4"),
-        )
-    )
-    diff = F.col("vq") - F.col("c4")
-    dist = (
-        ex.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "label", "clabel")
-        .agg(F.sum(diff * diff).alias("d2"))
-    )
-    pred = dist.groupBy("vec_id", "label").agg(
-        (F.min(F.col("d2") * 16 + F.col("clabel")) % 16)
-        .cast("int")
-        .alias("pred_label")
-    )
-    t = pred.groupBy("label").agg(F.count(F.lit(1)).alias("n_true"))
-    p = pred.groupBy(F.col("pred_label").alias("label")).agg(
-        F.count(F.lit(1)).alias("n_pred")
-    )
-    tp = (
-        pred.filter(F.col("label") == F.col("pred_label"))
-        .groupBy("label")
-        .agg(F.count(F.lit(1)).alias("tp"))
-    )
-    m = (
-        t.join(p, "label", "left")
-        .join(tp, "label", "left")
-        .select(
-            "label",
-            "n_true",
-            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
-            F.coalesce("tp", F.lit(0)).alias("tp"),
-        )
-    )
-    return m.select(
-        "label",
-        "n_true",
-        "n_pred",
-        "tp",
-        F.expr(
-            "CAST(CASE WHEN n_pred = 0 THEN 0"
-            " ELSE (2000 * tp + n_pred) div (2 * n_pred) END AS BIGINT)"
-        ).alias("precision_milli"),
-        F.expr("CAST((2000 * tp + n_true) div (2 * n_true) AS BIGINT)").alias(
-            "recall_milli"
-        ),
-        F.expr(
-            "CAST((2 * 2000 * tp + (n_true + n_pred))"
-            " div (2 * (n_true + n_pred)) AS BIGINT)"
-        ).alias("f1_milli"),
-    )
-
-
-@register(
-    "ml_naive_bayes_train",
-    """
-    WITH t AS (
-        SELECT source AS label, unnest(string_split(text, ' ')) AS tok
-        FROM documents
-    ),
-    c AS (
-        SELECT label, tok, count(*) AS n_lt FROM t
-        WHERE tok <> '' GROUP BY label, tok
-    ),
-    lt AS (SELECT label, sum(n_lt) AS n_l FROM c GROUP BY label),
-    v AS (SELECT count(DISTINCT tok) AS v FROM c),
-    ld AS (SELECT source AS label, count(*) AS n_docs_l FROM documents
-           GROUP BY source),
-    nd AS (SELECT count(*) AS n_docs FROM documents)
-    SELECT c.label, c.tok,
-           CAST(c.n_lt AS BIGINT)                             AS n_lt,
-           CAST((c.n_lt + 1) * 1000000 // (lt.n_l + v.v)
-                AS BIGINT)                                    AS cond_micro,
-           CAST(ld.n_docs_l * 1000 // nd.n_docs AS BIGINT)    AS prior_milli
-    FROM c
-    JOIN lt ON lt.label = c.label
-    JOIN ld ON ld.label = c.label
-    CROSS JOIN v CROSS JOIN nd
-    """,
-    doc="Multinomial naive-Bayes training in exact fixed point: "
-    "class-conditional token probabilities with add-one smoothing "
-    "((n_lt+1)*1e6 div (n_l+V)) and class priors in milli-units — "
-    "count-based ML training is pure relational algebra, so unlike the "
-    "GD-trained classifier (ml_quality_classifier_train, replayed "
-    "round-by-round) the WHOLE training run is one hash-checked "
-    "aggregate pass. Plan: one (label, tok) aggregate absorbs the "
-    "token stream map-side; class totals and the vocabulary size "
-    "derive from the count relation (no second corpus scan) and "
-    "re-enter broadcast. Scoring is a broadcast-model join of these "
-    "micro-unit log-free weights (the txt_bigram_lm_surprisal pattern).",
-)
-def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    t = d.select(
-        F.col("source").alias("label"),
-        F.explode(F.split("text", " ")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    c = t.groupBy("label", "tok").agg(F.count(F.lit(1)).alias("n_lt"))
-    c = c.localCheckpoint(eager=True)  # bounded: |labels| x |vocab|
-    lt = c.groupBy("label").agg(F.sum("n_lt").alias("n_l"))
-    v = c.agg(F.countDistinct("tok").alias("v"))
-    ld = d.groupBy(F.col("source").alias("label")).agg(
-        F.count(F.lit(1)).alias("n_docs_l")
-    )
-    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
-        c.join(F.broadcast(lt), "label")
-        .join(F.broadcast(ld), "label")
-        .crossJoin(F.broadcast(v))
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "label",
-            "tok",
-            F.col("n_lt").cast("long").alias("n_lt"),
-            F.expr("(n_lt + 1) * 1000000 div (n_l + v)")
-            .cast("long")
-            .alias("cond_micro"),
-            F.expr("n_docs_l * 1000 div n_docs")
-            .cast("long")
-            .alias("prior_milli"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round-8 additions: sorted-neighborhood dedup, weighted sampling,
-# hard-negative mining, histogram split finding
-# ---------------------------------------------------------------------------
-
-
-@register(
     "dedup_sorted_neighborhood",
     """
     WITH ranked AS (
@@ -2185,141 +1817,6 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anchor_id",
         (-F.col("b.neg_vid")).cast("long").alias("negative_id"),
         F.col("b.c").alias("cosine"),
-    )
-
-
-@register(
-    "ml_stump_split_finding",
-    """
-    WITH pts AS (
-        SELECT CAST(l_quantity AS BIGINT) AS qty,
-               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc,
-               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
-        FROM lineitem
-    ),
-    melted AS (
-        SELECT 'quantity' AS feature, qty AS val, y FROM pts
-        UNION ALL
-        SELECT 'discount' AS feature, disc AS val, y FROM pts
-    ),
-    hist AS (
-        SELECT feature, val,
-               count(*) AS n_b,
-               CAST(sum(y) AS HUGEINT) AS s_b
-        FROM melted GROUP BY 1, 2
-    ),
-    cum AS (
-        SELECT feature, val,
-               sum(n_b) OVER w AS n_l,
-               sum(s_b) OVER w AS s_l,
-               sum(n_b) OVER (PARTITION BY feature) AS n_t,
-               sum(s_b) OVER (PARTITION BY feature) AS s_t
-        FROM hist
-        WINDOW w AS (PARTITION BY feature ORDER BY val
-                     ROWS UNBOUNDED PRECEDING)
-    ),
-    gains AS (
-        SELECT feature, val AS threshold,
-               (s_l * s_l) // n_l
-                 + ((s_t - s_l) * (s_t - s_l)) // (n_t - n_l)
-                 - (s_t * s_t) // n_t AS gain
-        FROM cum WHERE n_l < n_t
-    )
-    SELECT feature, CAST(threshold AS BIGINT) AS threshold,
-           CAST(gain // 1000000000 AS BIGINT) AS gain_1e9
-    FROM (SELECT *, row_number() OVER (PARTITION BY feature
-                                       ORDER BY gain DESC, threshold) AS rk
-          FROM gains) t
-    WHERE rk <= 1
-    """,
-    doc="Histogram-based best-split finding — one round of the split "
-    "search inside every gradient-boosted-tree trainer (XGBoost/LightGBM "
-    "hist mode): for each feature (l_quantity; l_discount in integer "
-    "percent) and each candidate threshold t, the SSE reduction of "
-    "splitting at val <= t, computed from per-bin (count, sum) "
-    "histograms only — gain = S_L^2/n_L + S_R^2/n_R - S^2/n needs no "
-    "sum of squares. All arithmetic exact: y in integer cents, sums as "
-    "DECIMAL(38,0)/HUGEINT, quotients via true integer division (Spark "
-    "`div` = DuckDB `//`), ties to the lowest threshold. Scale shape is "
-    "the gradient-histogram pattern: ONE shuffle builds the per-(feature,"
-    "bin) histogram (map-side partial agg collapses 100 TB of rows to "
-    "#bins rows), the cumulative-sum window then runs over <=61 bins per "
-    "feature — bounded regardless of data size.",
-)
-def ml_stump_split_finding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    pts = li.select(
-        F.col("l_quantity").cast("long").alias("qty"),
-        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("disc"),
-        F.floor(F.col("l_extendedprice") * 100 + 0.5)
-        .cast("long")
-        .alias("y"),
-    )
-    melted = pts.select(
-        F.expr("stack(2, 'quantity', qty, 'discount', disc)").alias(
-            "feature", "val"
-        ),
-        "y",
-    )
-    hist = melted.groupBy("feature", "val").agg(
-        F.count(F.lit(1)).alias("n_b"),
-        F.sum("y").cast("decimal(38,0)").alias("s_b"),
-    )
-    w_cum = (
-        Window.partitionBy("feature")
-        .orderBy("val")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_tot = Window.partitionBy("feature")
-    cum = hist.select(
-        "feature",
-        "val",
-        F.sum("n_b").over(w_cum).alias("n_l"),
-        F.sum("s_b").over(w_cum).alias("s_l"),
-        F.sum("n_b").over(w_tot).alias("n_t"),
-        F.sum("s_b").over(w_tot).alias("s_t"),
-    )
-    # Floor division in PURE decimal: Spark's `div` operator always
-    # returns BIGINT, and S^2/n already exceeds int64 at sf0.1 (~8e18).
-    # For nonnegative decimals a div b == (a - a % b) / b, and that
-    # division's result is exactly integral, so the decimal divide's
-    # HALF_UP rounding is the identity — exact floor division with no
-    # long anywhere.
-    def _idiv(a: str, b: str) -> str:
-        return f"CAST((({a}) - ({a}) % ({b})) / ({b}) AS DECIMAL(38,0))"
-
-    gains = cum.filter(F.col("n_l") < F.col("n_t")).select(
-        "feature",
-        F.col("val").alias("threshold"),
-        F.expr(
-            _idiv("s_l * s_l", "n_l")
-            + " + "
-            + _idiv("(s_t - s_l) * (s_t - s_l)", "n_t - n_l")
-            + " - "
-            + _idiv("s_t * s_t", "n_t")
-        ).alias("gain"),
-    )
-    rk = F.row_number().over(
-        Window.partitionBy("feature").orderBy(
-            F.col("gain").desc(), "threshold"
-        )
-    )
-    return (
-        gains.withColumn("rk", rk)
-        .filter(F.col("rk") <= 1)
-        .select(
-            "feature",
-            F.col("threshold").cast("long").alias("threshold"),
-            # The argmax ranks on the FULL-precision integer gain; only the
-            # reported value is coarsened (// 1e9) so it fits BIGINT on
-            # both engines at any scale (gain <= S^2/n ~ 8e24 cents^2 at
-            # the 100 TB point -> 8e15 after the division, inside 2^53 and
-            # int64 alike — no decimal->double conversion, the tpch_q9
-            # 1-ulp divergence class never arises).
-            F.expr(
-                "CAST((gain - gain % 1000000000) / 1000000000 AS BIGINT)"
-            ).alias("gain_1e9"),
-        )
     )
 
 
@@ -2529,365 +2026,6 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return mmr_diversified_topk(e, "vec_id", "embedding", query_vec_id=0, k=5)
-
-
-@register(
-    "ml_roc_auc",
-    """
-    WITH pts AS (
-        SELECT source, n_chars,
-               CAST(count(*) AS BIGINT) AS cnt,
-               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS cnt_pos
-        FROM documents GROUP BY source, n_chars
-    ),
-    rk AS (
-        SELECT source, cnt, cnt_pos,
-               2 * coalesce(sum(cnt) OVER (
-                       PARTITION BY source ORDER BY n_chars
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                   0) + cnt + 1 AS r2
-        FROM pts
-    ),
-    agg AS (
-        SELECT source,
-               CAST(sum(cnt) AS BIGINT)           AS n_docs,
-               CAST(sum(cnt_pos) AS BIGINT)       AS n_pos,
-               CAST(sum(cnt_pos * r2) AS BIGINT)  AS r2_pos
-        FROM rk GROUP BY source
-    )
-    SELECT source, n_docs, n_pos,
-           CASE WHEN n_pos = 0 OR n_pos = n_docs THEN NULL
-                ELSE CAST((r2_pos - n_pos * (n_pos + 1)) * 1000000
-                          // (2 * n_pos * (n_docs - n_pos)) AS BIGINT)
-           END AS auc_micro
-    FROM agg
-    """,
-    doc="Per-source ROC-AUC of a score column (n_chars) against a binary "
-    "relevance label (lang = 'en'), via the rank statistic AUC = "
-    "(R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with midrank tie "
-    "handling — the threshold-free ranking-quality counterpart of "
-    "ml_eval_confusion's fixed-threshold precision/recall. EXACT in "
-    "integers end-to-end: ties collapse to per-(group, score) count "
-    "pairs first (the 100 TB move — the rank window runs over DISTINCT "
-    "scores per group, not rows, after one partial-aggregated shuffle), "
-    "the doubled midrank 2*cum_before + cnt + 1 keeps half-ranks "
-    "integral, and the final division is integer floor-div to micro "
-    "units. Degenerate groups (all-positive / all-negative) yield NULL "
-    "rather than a division error under ANSI mode. Plan: one exchange "
-    "on (source, n_chars) for the count pass, a per-source window over "
-    "the collapsed score points, one grouped fold.",
-)
-def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    pts = d.groupBy("source", "n_chars").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-        .cast("long")
-        .alias("cnt_pos"),
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("n_chars")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    rk = pts.select(
-        "source",
-        "cnt",
-        "cnt_pos",
-        (2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col("cnt") + 1).alias(
-            "r2"
-        ),
-    )
-    agg = rk.groupBy("source").agg(
-        F.sum("cnt").cast("long").alias("n_docs"),
-        F.sum("cnt_pos").cast("long").alias("n_pos"),
-        F.sum(F.col("cnt_pos") * F.col("r2")).cast("long").alias("r2_pos"),
-    )
-    return agg.select(
-        "source",
-        "n_docs",
-        "n_pos",
-        F.when(
-            (F.col("n_pos") == 0) | (F.col("n_pos") == F.col("n_docs")), F.lit(None)
-        )
-        .otherwise(
-            F.expr(
-                "(r2_pos - n_pos * (n_pos + 1)) * 1000000"
-                " div (2 * n_pos * (n_docs - n_pos))"
-            )
-        )
-        .cast("long")
-        .alias("auc_micro"),
-    )
-
-
-@register(
-    "ml_calibration_bins",
-    """
-    WITH scored AS (
-        SELECT CAST(n_chars AS BIGINT) * 1000
-               // (length(text) - length(replace(text, ' ', '')) + 1)
-                   AS mtl_milli,
-               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-        FROM documents
-    ),
-    binned AS (
-        SELECT least(greatest((mtl_milli - 2000) // 500, 0), 9) AS bin_id,
-               mtl_milli, pos
-        FROM scored
-    )
-    SELECT CAST(bin_id AS BIGINT)  AS bin_id,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(pos) AS BIGINT) AS n_pos,
-           CAST((2 * sum(mtl_milli) + count(*)) // (2 * count(*))
-                AS BIGINT) AS mean_score_milli,
-           CAST((2000 * sum(pos) + count(*)) // (2 * count(*))
-                AS BIGINT) AS pos_rate_milli
-    FROM binned GROUP BY bin_id
-    """,
-    doc="Calibration / reliability table for a deterministic integer "
-    "scorer (mean token length in milli-units = n_chars*1000 div "
-    "n_tokens, the x1 feature of the round-5 quality classifier) "
-    "against the lang='en' label: 10 fixed-width score bins, per-bin "
-    "count, empirical positive rate and mean score — the reliability-"
-    "diagram companion to ml_roc_auc (AUC measures ranking, this "
-    "measures probability calibration; both are pure relational "
-    "reductions). All-integer pipeline: the milli-unit score and both "
-    "per-bin ratios use the (2s+n) div (2n) round-half-up identity, so "
-    "the hash is engine-exact with no float in sight. One map-side "
-    "projection + one grouped fold over 10 keys — the flat 100 TB "
-    "shape; the fixed grid (vs data-dependent deciles) is what keeps "
-    "it single-pass (agg_fixed_grid_quantiles documents the exact-"
-    "order-stat alternative when adaptive bins are required).",
-)
-def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    # Integer `div` keeps the score exact (no double rounding); the SQL
-    # string is the single definition — a prior Column-API duplicate of
-    # the same arithmetic was removed (advice r9) so the two cannot drift.
-    scored = d.select(
-        F.expr(
-            "CAST(n_chars AS BIGINT) * 1000"
-            " div (length(text) - length(replace(text, ' ', '')) + 1)"
-        ).alias("mtl_milli"),
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
-    )
-    binned = scored.select(
-        F.least(
-            F.greatest(F.expr("(mtl_milli - 2000) div 500"), F.lit(0)), F.lit(9)
-        ).alias("bin_id"),
-        "mtl_milli",
-        "pos",
-    )
-    return binned.groupBy("bin_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("pos").cast("long").alias("n_pos"),
-        F.expr("CAST((2 * sum(mtl_milli) + count(*)) div (2 * count(*)) AS BIGINT)")
-        .alias("mean_score_milli"),
-        F.expr("CAST((2000 * sum(pos) + count(*)) div (2 * count(*)) AS BIGINT)")
-        .alias("pos_rate_milli"),
-    ).select(
-        F.col("bin_id").cast("long").alias("bin_id"),
-        "n_docs",
-        "n_pos",
-        "mean_score_milli",
-        "pos_rate_milli",
-    )
-
-
-def _best_stump_df(pts: DataFrame, val_col: str, y_col: str) -> DataFrame:
-    """One histogram-mode best-split search: 1-row DataFrame with
-    (threshold, n_l, n_r, s_l, s_r, gain) for splitting ``val_col <=
-    threshold`` to minimize SSE of ``y_col``. Same exact-decimal
-    arithmetic as ml_stump_split_finding (pure-decimal floor division;
-    sums may be negative — only their squares enter the gain)."""
-    hist = pts.groupBy(F.col(val_col).alias("val")).agg(
-        F.count(F.lit(1)).alias("n_b"),
-        # Widen before aggregating (advice r9): sum decimal, not int64 —
-        # SUM(decimal(28,0)) accumulates directly in decimal(38,0).
-        F.sum(F.col(y_col).cast("decimal(28,0)"))
-        .cast("decimal(38,0)")
-        .alias("s_b"),
-    )
-    # The histogram is bounded (<= #distinct bins, 61 for these grids);
-    # collapse it to ONE aggregate row and compute the prefix sums with
-    # array higher-order functions — no Window node at all, so the
-    # registry-wide no-global-window sweep holds with zero exceptions
-    # (a windowed formulation here plans an Exchange SinglePartition of
-    # the histogram rows; the O(bins^2) slice-aggregate over <= 61
-    # elements is noise by comparison).
-    arr = hist.agg(
-        F.array_sort(
-            F.collect_list(F.struct("val", "n_b", "s_b"))
-        ).alias("a")
-    )
-    cum_arr = arr.select(
-        F.expr(
-            "transform(a, (s, i) -> struct("
-            " s.val AS val,"
-            " aggregate(slice(a, 1, i + 1), 0L,"
-            "           (acc, t) -> acc + t.n_b) AS n_l,"
-            " aggregate(slice(a, 1, i + 1), CAST(0 AS DECIMAL(38,0)),"
-            "           (acc, t) -> CAST(acc + t.s_b AS DECIMAL(38,0)))"
-            "     AS s_l))"
-        ).alias("c"),
-        F.expr("aggregate(a, 0L, (acc, t) -> acc + t.n_b)").alias("n_t"),
-        F.expr(
-            "aggregate(a, CAST(0 AS DECIMAL(38,0)),"
-            " (acc, t) -> CAST(acc + t.s_b AS DECIMAL(38,0)))"
-        ).alias("s_t"),
-    )
-    cum = cum_arr.select(
-        F.explode("c").alias("s"), "n_t", "s_t"
-    ).select(
-        F.col("s.val").alias("val"),
-        F.col("s.n_l").alias("n_l"),
-        F.col("s.s_l").alias("s_l"),
-        "n_t",
-        "s_t",
-    )
-
-    def _idiv(a: str, b: str) -> str:
-        return f"CAST((({a}) - ({a}) % ({b})) / ({b}) AS DECIMAL(38,0))"
-
-    gains = cum.filter(F.col("n_l") < F.col("n_t")).select(
-        F.col("val").alias("threshold"),
-        "n_l",
-        (F.col("n_t") - F.col("n_l")).alias("n_r"),
-        "s_l",
-        (F.col("s_t") - F.col("s_l")).alias("s_r"),
-        F.expr(
-            _idiv("s_l * s_l", "n_l")
-            + " + "
-            + _idiv("(s_t - s_l) * (s_t - s_l)", "n_t - n_l")
-            + " - "
-            + _idiv("s_t * s_t", "n_t")
-        ).alias("gain"),
-    )
-    return (
-        gains.orderBy(F.col("gain").desc(), "threshold").limit(1)
-    )
-
-
-_STUMP_STAGE_SQL = """
-    h{i} AS (
-        SELECT {val} AS val, count(*) AS n_b,
-               CAST(sum({y}) AS HUGEINT) AS s_b
-        FROM {src} GROUP BY {val}
-    ),
-    c{i} AS (
-        SELECT val,
-               sum(n_b) OVER w AS n_l, sum(s_b) OVER w AS s_l,
-               sum(n_b) OVER () AS n_t, sum(s_b) OVER () AS s_t
-        FROM h{i}
-        WINDOW w AS (ORDER BY val ROWS UNBOUNDED PRECEDING)
-    ),
-    g{i} AS (
-        SELECT val AS threshold, n_l, n_t - n_l AS n_r,
-               s_l, s_t - s_l AS s_r,
-               (s_l * s_l) // n_l
-                 + ((s_t - s_l) * (s_t - s_l)) // (n_t - n_l)
-                 - (s_t * s_t) // n_t AS gain
-        FROM c{i} WHERE n_l < n_t
-    ),
-    b{i} AS (SELECT * FROM g{i} ORDER BY gain DESC, threshold LIMIT 1)"""
-
-_STUMP_EMIT_SQL = """
-    SELECT {stage} AS stage, '{feature}' AS feature,
-           CAST(threshold AS BIGINT)      AS threshold,
-           CAST(n_l AS BIGINT)            AS n_left,
-           CAST(n_r AS BIGINT)            AS n_right,
-           CAST(s_l AS BIGINT)            AS s_left_cents,
-           CAST(s_r AS BIGINT)            AS s_right_cents,
-           CAST(greatest(gain, 0) // 1000000000 AS BIGINT) AS gain_1e9
-    FROM b{i}"""
-
-
-@register(
-    "ml_boosted_stumps",
-    "WITH pts AS (\n"
-    "    SELECT CAST(l_quantity AS BIGINT) AS qty,\n"
-    "           CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc,\n"
-    "           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y\n"
-    "    FROM lineitem\n"
-    "),"
-    + _STUMP_STAGE_SQL.format(i=1, val="qty", y="y", src="pts")
-    + ",\n    p1 AS (SELECT threshold AS t1, s_l // n_l AS pl,"
-    " s_r // n_r AS pr FROM b1),\n"
-    "    resid AS (\n"
-    "        SELECT p.disc,\n"
-    "               CAST(p.y - CASE WHEN p.qty <= q.t1 THEN q.pl"
-    " ELSE q.pr END AS BIGINT) AS rr\n"
-    "        FROM pts p, p1 q\n"
-    "    ),"
-    + _STUMP_STAGE_SQL.format(i=2, val="disc", y="rr", src="resid")
-    + _STUMP_EMIT_SQL.format(stage=1, feature="quantity", i=1)
-    + "\n    UNION ALL"
-    + _STUMP_EMIT_SQL.format(stage=2, feature="discount", i=2),
-    doc="Two rounds of gradient boosting with histogram-mode decision "
-    "stumps (squared loss): stage 1 fits the best l_quantity split to "
-    "the price target, stage 2 fits the best l_discount split to the "
-    "stage-1 RESIDUALS — the functional-gradient sequencing that "
-    "distinguishes a boosted ensemble from ml_stump_split_finding's "
-    "independent per-feature search. Leaf predictions are exact floor-"
-    "division means of POSITIVE stage-1 sums (Spark div and DuckDB // "
-    "agree on nonnegative operands; stage-2 residual sums may be "
-    "negative and are only ever SQUARED in the gain, with the emitted "
-    "gain clamped at 0 before coarsening so the +-2 floor error can "
-    "never put a negative through the trunc-vs-floor divergence). All "
-    "sufficient statistics are DECIMAL(38,0)/HUGEINT; the per-stage "
-    "histogram is the only data-sized exchange (map-side partials "
-    "collapse rows to <=61 bins), the cumulative window runs over a "
-    "single bounded aggregate row (array_sort + posexplode, no "
-    "SinglePartition exchange of row data), and the stage-1 model "
-    "reaches stage 2 as a 1-row broadcast — two passes over the fact "
-    "table total, the gradient-histogram discipline of "
-    "XGBoost/LightGBM hist mode at any scale.",
-)
-def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    pts = li.select(
-        F.col("l_quantity").cast("long").alias("qty"),
-        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("disc"),
-        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("y"),
-    )
-    b1 = _best_stump_df(pts, "qty", "y")
-    p1 = b1.select(
-        F.col("threshold").alias("t1"),
-        F.expr("CAST((s_l - s_l % n_l) / n_l AS BIGINT)").alias("pl"),
-        F.expr("CAST((s_r - s_r % n_r) / n_r AS BIGINT)").alias("pr"),
-    )
-    resid = pts.crossJoin(F.broadcast(p1)).select(
-        "disc",
-        (
-            F.col("y")
-            - F.when(F.col("qty") <= F.col("t1"), F.col("pl")).otherwise(
-                F.col("pr")
-            )
-        ).alias("rr"),
-    )
-    b2 = _best_stump_df(resid, "disc", "rr")
-
-    def _emit(b: DataFrame, stage: int, feature: str) -> DataFrame:
-        return b.select(
-            F.lit(stage).cast("int").alias("stage"),
-            F.lit(feature).alias("feature"),
-            F.col("threshold").cast("long").alias("threshold"),
-            F.col("n_l").cast("long").alias("n_left"),
-            F.col("n_r").cast("long").alias("n_right"),
-            F.col("s_l").cast("long").alias("s_left_cents"),
-            F.col("s_r").cast("long").alias("s_right_cents"),
-            F.expr(
-                "CAST((greatest(gain, CAST(0 AS DECIMAL(38,0)))"
-                " - greatest(gain, CAST(0 AS DECIMAL(38,0))) % 1000000000)"
-                " / 1000000000 AS BIGINT)"
-            ).alias("gain_1e9"),
-        )
-
-    return _emit(b1, 1, "quantity").unionByName(_emit(b2, 2, "discount"))
-
-
 
 
 @register(

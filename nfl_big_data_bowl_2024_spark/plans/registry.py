@@ -336,6 +336,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import pipeline_stats  # noqa: F401
     from . import pipeline_graph  # noqa: F401
     from . import pipeline_sim  # noqa: F401
+    from . import pipeline_ml  # noqa: F401
     from . import domain  # noqa: F401
     from . import reporting  # noqa: F401
     from . import tpch_suite  # noqa: F401
