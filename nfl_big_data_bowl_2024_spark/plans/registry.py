@@ -332,8 +332,10 @@ def all_queries() -> dict[str, QuerySpec]:
     # register directly; pipeline_ops remains the compat re-export.
     from . import relational  # noqa: F401
     from . import pipeline_txt  # noqa: F401
+    from . import pipeline_doc  # noqa: F401
     from . import pipeline_evt  # noqa: F401
     from . import pipeline_stats  # noqa: F401
+    from . import pipeline_dq  # noqa: F401
     from . import pipeline_graph  # noqa: F401
     from . import pipeline_sim  # noqa: F401
     from . import pipeline_ml  # noqa: F401
