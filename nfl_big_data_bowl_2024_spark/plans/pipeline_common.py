@@ -519,3 +519,51 @@ def ln_micro_spark(col: str) -> str:
         f"CAST(({e} * {LN2_MICRO} + element_at(array({_LN_TABLE_SQL}),"
         f" CAST({m} AS INT) - 63)) AS BIGINT)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable fixed-point exp(-x) (round 10; the ln_micro companion):
+# exp_neg_micro(x_micro) ~= round(exp(-x) * 1e6) for integer micro-unit
+# x >= 0, via exp(-x) = 2^(-x*log2(e)) split into integer and fractional
+# binary exponents: the integer part is an exact integer divide by 2^i,
+# the fractional part indexes a 64-cell midpoint table of 2^(-(b+0.5)/64).
+# No engine libm exp is ever evaluated, so the value is bit-identical on
+# Spark and DuckDB. Error: <= ~0.55% relative per mantissa bucket (the
+# midpoint half-width of 2^(1/128)), monotone non-increasing in x (the
+# bucketed mantissa decreases within each i and across the i boundary:
+# table[63]//2^i ~ 0.5031e6/2^i > table[0]//2^(i+1) ~ 0.4973e6/2^i).
+# Inputs >= 20e6 micro (x >= 20, exp(-20) ~ 2e-9) return 0 — below micro
+# resolution — BEFORE the log2(e) multiply, so the scaled product stays
+# under 2.9e13 and never approaches int64.
+# ---------------------------------------------------------------------------
+
+LOG2E_MICRO = 1442695
+EXP2_FRAC_MICRO = [
+    round(2.0 ** (-(b + 0.5) / 64.0) * 1_000_000) for b in range(64)
+]
+_EXP2_TABLE_SQL = ", ".join(str(v) for v in EXP2_FRAC_MICRO)
+
+
+def exp_neg_micro_duck(col: str) -> str:
+    """DuckDB SQL fragment: exp(-x) in micro units of a non-negative
+    BIGINT micro-unit expression ``col``."""
+    y = f"(CAST({col} AS BIGINT) * {LOG2E_MICRO} // 1000000)"
+    return (
+        f"(CASE WHEN {col} >= 20000000 THEN 0 ELSE"
+        f" [{_EXP2_TABLE_SQL}]"
+        f"[CAST({y} % 1000000 * 64 // 1000000 AS INTEGER) + 1]"
+        f" // (1::BIGINT << CAST({y} // 1000000 AS INTEGER)) END)"
+    )
+
+
+def exp_neg_micro_spark(col: str) -> str:
+    """Spark SQL fragment: exp(-x) in micro units of a non-negative
+    BIGINT micro-unit expression ``col``."""
+    y = f"(CAST({col} AS BIGINT) * {LOG2E_MICRO} div 1000000)"
+    return (
+        f"(CASE WHEN {col} >= 20000000 THEN CAST(0 AS BIGINT) ELSE"
+        f" element_at(array({_EXP2_TABLE_SQL}),"
+        f" CAST({y} % 1000000 * 64 div 1000000 AS INT) + 1)"
+        f" div shiftleft(CAST(1 AS BIGINT),"
+        f" CAST({y} div 1000000 AS INT)) END)"
+    )

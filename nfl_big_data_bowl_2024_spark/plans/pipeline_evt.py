@@ -2145,3 +2145,64 @@ def evt_uplift_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("did_centi"),
     )
+
+
+from .pipeline_common import exp_neg_micro_duck, exp_neg_micro_spark
+
+
+@register(
+    "evt_decayed_user_score",
+    f"""
+    WITH ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+    d AS (
+        SELECT user_id,
+               {exp_neg_micro_duck(
+                   "(((ref_us - epoch_us(ts)) // 1000000)"
+                   " * 693147 // 604800)"
+               )} AS decay_micro
+        FROM events CROSS JOIN ref
+    ),
+    s AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(decay_micro AS HUGEINT)) AS BIGINT)
+                   AS score_micro
+        FROM d GROUP BY user_id
+    )
+    SELECT user_id, n_events, score_micro FROM s
+    ORDER BY score_micro DESC, user_id LIMIT 25
+    """,
+    doc="Exponentially time-decayed per-user activity score (half-life "
+    "7 days, anchored at the corpus max timestamp): the recency-"
+    "weighted engagement feature every feature store derives before "
+    "ranking or churn models — sum over a user's events of "
+    "exp(-ln2 * age / halflife). The decay is evaluated with the "
+    "portable fixed-point exp_neg_micro (pipeline_common: 2^-frac "
+    "midpoint table + integer shift, no engine libm, bit-identical on "
+    "both engines); the exponent ln2*age/halflife is exact integer "
+    "micro arithmetic (age_sec * 693147 // 604800). 100 TB shape: one "
+    "map-side transform (the 1-row max-ts anchor broadcasts), one "
+    "partial-aggregated exchange on user_id with the sum widened to "
+    "HUGEINT/decimal before accumulating (micro weights x per-user "
+    "event counts pass int64 at corpus scale), then "
+    "TakeOrderedAndProject for the tie-broken top 25.",
+)
+def evt_decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    ref = e.agg(F.max(F.unix_micros("ts")).alias("ref_us"))
+    d = e.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.expr(
+            exp_neg_micro_spark(
+                "(((ref_us - unix_micros(ts)) div 1000000)"
+                " * 693147 div 604800)"
+            )
+        ).alias("decay_micro"),
+    )
+    s = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("decay_micro").cast("decimal(28,0)"))
+        .cast("long")
+        .alias("score_micro"),
+    )
+    return s.orderBy(F.col("score_micro").desc(), "user_id").limit(25)

@@ -879,3 +879,183 @@ def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+# NDCG@10 fixed-point discounts: w_i = round(1e6 / log2(i + 1)) reuses the
+# adamic-adar inverse-log table (pipeline_common._AA_LOG2_MICRO, position
+# i+1); _NDCG_CUM[j] = sum of the first j discounts is the ideal-DCG
+# lookup for a source with j <= 10 positives.
+from .pipeline_common import _AA_LOG2_MICRO
+
+_NDCG_K = 10
+_NDCG_W = [_AA_LOG2_MICRO[i] for i in range(1, _NDCG_K + 1)]
+_NDCG_CUM = [0]
+for _w in _NDCG_W:
+    _NDCG_CUM.append(_NDCG_CUM[-1] + _w)
+_NDCG_W_SQL = ", ".join(str(v) for v in _NDCG_W)
+_NDCG_CUM_SQL = ", ".join(str(v) for v in _NDCG_CUM)
+
+
+@register(
+    "ml_pr_auc",
+    """
+    WITH pts AS (
+        SELECT source, n_chars,
+               CAST(count(*) AS HUGEINT) AS cnt,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS cnt_pos
+        FROM documents GROUP BY source, n_chars
+    ),
+    cum AS (
+        SELECT source, cnt_pos,
+               sum(cnt) OVER (
+                   PARTITION BY source ORDER BY n_chars DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nk,
+               sum(cnt_pos) OVER (
+                   PARTITION BY source ORDER BY n_chars DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tpk
+        FROM pts
+    ),
+    agg AS (
+        SELECT source,
+               CAST(max(nk) AS BIGINT)  AS n_docs,
+               CAST(max(tpk) AS BIGINT) AS n_pos,
+               sum(cnt_pos * tpk * 1000000 // nk) AS s
+        FROM cum GROUP BY source
+    )
+    SELECT source, n_docs, n_pos,
+           CASE WHEN n_pos = 0 THEN NULL
+                ELSE CAST(s // n_pos AS BIGINT) END AS pr_auc_micro
+    FROM agg
+    """,
+    doc="Per-source precision-recall AUC (average precision with ties "
+    "collapsed to score points) of the n_chars score against the "
+    "lang='en' label — the imbalanced-label companion of ml_roc_auc "
+    "(ROC-AUC is inflated by abundant true negatives; AP weights by the "
+    "positive class only): AP = sum_k (R_k - R_(k-1)) * P_k over "
+    "distinct scores DESCENDING = sum_k cnt_pos_k * TP_k / N_k / n_pos. "
+    "EXACT in integers end-to-end with the same 100 TB shape as the ROC "
+    "twin: collapse to per-(source, score) count pairs first (one "
+    "partial-aggregated exchange), ONE per-source cumulative window "
+    "over the collapsed score points, per-term floor to micro units in "
+    "HUGEINT/decimal (widen-before-aggregate: cnt_pos*TP*1e6 exceeds "
+    "int64 at corpus scale), integer floor-div by n_pos at the end. "
+    "All-negative sources yield NULL rather than an ANSI error.",
+)
+def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pts = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("cnt_pos"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pts.select(
+        "source",
+        "cnt_pos",
+        F.sum("cnt").over(w).alias("nk"),
+        F.sum("cnt_pos").over(w).alias("tpk"),
+    )
+    agg = cum.groupBy("source").agg(
+        F.max("nk").cast("long").alias("n_docs"),
+        F.max("tpk").cast("long").alias("n_pos"),
+        F.sum(
+            F.expr(
+                "CAST((cnt_pos * tpk * 1000000"
+                " - (cnt_pos * tpk * 1000000) % nk) / nk AS DECIMAL(38,0))"
+            )
+        ).alias("s"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_pos",
+        F.when(F.col("n_pos") == 0, F.lit(None))
+        .otherwise(F.expr("CAST((s - s % n_pos) / n_pos AS BIGINT)"))
+        .cast("long")
+        .alias("pr_auc_micro"),
+    )
+
+
+@register(
+    "ml_ndcg_at_k",
+    f"""
+    WITH rk AS (
+        SELECT source,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS pos
+        FROM documents
+    ),
+    agg AS (
+        SELECT source,
+               CAST(sum(CASE WHEN pos <= {_NDCG_K} AND rel = 1 THEN
+                   ([{_NDCG_W_SQL}])[CAST(pos AS INTEGER)] ELSE 0 END)
+                   AS BIGINT) AS dcg_micro,
+               CAST(sum(rel) AS BIGINT) AS n_pos
+        FROM rk GROUP BY source
+    )
+    SELECT source, n_pos, dcg_micro,
+           CASE WHEN n_pos = 0 THEN NULL
+                ELSE CAST(dcg_micro * 1000000 // ([{_NDCG_CUM_SQL}])
+                     [CAST(least(n_pos, {_NDCG_K}) AS INTEGER) + 1]
+                     AS BIGINT) END AS ndcg_micro
+    FROM agg
+    """,
+    doc="Per-source NDCG@10 of the n_chars ranking against the lang='en' "
+    "relevance label — the position-discounted ranking metric (ROC/AP "
+    "are position-blind above the cut; NDCG pays most for the first "
+    "screens of results). Discounts 1/log2(i+1) come from the SAME "
+    "64-entry fixed-point table as Adamic-Adar (positions 2..11), so "
+    "no float log reaches either engine; the ideal DCG is a literal "
+    "11-entry prefix-sum lookup at min(n_pos, 10) — both are integer "
+    "micro units and the final ratio is integer floor-div. The ranking "
+    "breaks score ties on doc_id, so the per-source row_number window "
+    "(PARTITIONED — never global) is deterministic on both engines. "
+    "100 TB shape: one exchange on source for the window, one grouped "
+    "fold; at scale the window input can be pre-pruned to per-source "
+    "top-k by any per-partition k-selector since only ranks <= 10 "
+    "contribute.",
+)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    rk = d.select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("rel"),
+        F.row_number().over(w).alias("pos"),
+    )
+    agg = rk.groupBy("source").agg(
+        F.sum(
+            F.when(
+                (F.col("pos") <= _NDCG_K) & (F.col("rel") == 1),
+                F.expr(f"element_at(array({_NDCG_W_SQL}), CAST(pos AS INT))"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg_micro"),
+        F.sum("rel").cast("long").alias("n_pos"),
+    )
+    return agg.select(
+        "source",
+        "n_pos",
+        "dcg_micro",
+        F.when(F.col("n_pos") == 0, F.lit(None))
+        .otherwise(
+            F.expr(
+                f"dcg_micro * 1000000 div element_at("
+                f"array({_NDCG_CUM_SQL}),"
+                f" CAST(least(n_pos, {_NDCG_K}) AS INT) + 1)"
+            )
+        )
+        .cast("long")
+        .alias("ndcg_micro"),
+    )

@@ -1779,3 +1779,166 @@ def stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         d_micro.alias("cohens_d_micro"),
         (d_micro + corr_micro).alias("hedges_g_micro"),
     )
+
+
+from .pipeline_common import exp_neg_micro_duck, exp_neg_micro_spark
+
+
+@register(
+    "stat_benjamini_hochberg",
+    f"""
+    WITH cls AS (
+        SELECT c.c_nationkey AS n_nationkey,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0
+                    WHEN o.o_orderpriority = '3-MEDIUM' THEN 1
+                    ELSE 2 END AS cl
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    pern AS (
+        SELECT n_nationkey, cl, CAST(count(*) AS HUGEINT) AS o_c
+        FROM cls GROUP BY n_nationkey, cl
+    ),
+    ng AS (
+        SELECT n_nationkey, CAST(sum(o_c) AS HUGEINT) AS n_g
+        FROM pern GROUP BY n_nationkey
+    ),
+    gcls AS (
+        SELECT cl, CAST(sum(o_c) AS HUGEINT) AS c_c FROM pern GROUP BY cl
+    ),
+    tot AS (SELECT CAST(sum(c_c) AS HUGEINT) AS n FROM gcls),
+    contrib AS (
+        SELECT p.n_nationkey,
+               (p.o_c * 1000000 - (ng.n_g * g.c_c * 1000000 // t.n))
+               * (p.o_c * 1000000 - (ng.n_g * g.c_c * 1000000 // t.n))
+               // ((ng.n_g * g.c_c * 1000000 // t.n) * 1000000) AS x
+        FROM pern p
+        JOIN ng USING (n_nationkey)
+        JOIN gcls g ON g.cl = p.cl
+        CROSS JOIN tot t
+    ),
+    stats AS (
+        SELECT n_nationkey, CAST(sum(x) AS BIGINT) AS chi2_micro
+        FROM contrib GROUP BY n_nationkey
+    ),
+    pv AS (
+        SELECT n_nationkey, chi2_micro,
+               {exp_neg_micro_duck('(chi2_micro // 2)')} AS p_micro
+        FROM stats
+    ),
+    rk AS (
+        SELECT n_nationkey, chi2_micro, p_micro,
+               CAST(row_number() OVER (ORDER BY p_micro, n_nationkey)
+                    AS BIGINT) AS bh_rank,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM pv
+    ),
+    ks AS (
+        SELECT coalesce(max(CASE WHEN p_micro * m <= 100000 * bh_rank
+                                 THEN bh_rank END), 0) AS kstar
+        FROM rk
+    )
+    SELECT rk.n_nationkey, rk.chi2_micro, rk.p_micro, rk.bh_rank,
+           100000 * rk.bh_rank // rk.m AS bh_threshold_micro,
+           CASE WHEN rk.bh_rank <= ks.kstar THEN 1 ELSE 0 END AS rejected
+    FROM rk CROSS JOIN ks
+    """,
+    doc="Benjamini-Hochberg FDR control (alpha = 0.10) over a family of "
+    "per-nation chi-square goodness-of-fit tests: does a nation's order-"
+    "priority mix (urgent+high / medium / rest) deviate from the global "
+    "mix? The per-class statistic is computed with exact integer "
+    "arithmetic in micro units (expected counts via HUGEINT/decimal "
+    "floor division — the widen-before-aggregate discipline), df = "
+    "(3-1)x1 = 2, where the chi-square survival function is EXACTLY "
+    "exp(-x/2) — evaluated with the new portable fixed-point "
+    "exp_neg_micro (pipeline_common: a 64-cell 2^-frac midpoint table + "
+    "integer shift, no engine libm, bit-identical on Spark and DuckDB, "
+    "monotone so the BH ranking is order-faithful). The BH step-up "
+    "(max k with p_(k) <= alpha*k/m, reject ranks <= k) runs on a panel "
+    "BOUNDED by the nation count: Spark collapses it to one sorted "
+    "array and finds k* with array HOFs (no global window node — the "
+    "registry-wide sweep holds), DuckDB uses a plain window. 100 TB "
+    "shape: the only data-sized work is the grouped count (one "
+    "exchange, partial-aggregated); everything after runs on m rows. "
+    "The multiple-testing ledger every drift/quality audit family "
+    "needs before acting on per-segment alarms.",
+)
+def stat_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cls = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_nationkey").alias("n_nationkey"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0
+        )
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 1)
+        .otherwise(2)
+        .alias("cl"),
+    )
+    pern = cls.groupBy("n_nationkey", "cl").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("o_c")
+    )
+    ng = pern.groupBy("n_nationkey").agg(F.sum("o_c").alias("n_g"))
+    glob = pern.groupBy("cl").agg(F.sum("o_c").alias("c_c"))
+    tot = glob.agg(F.sum("c_c").alias("n"))
+    # expected count in micro units, exact decimal floor division via the
+    # mod-subtract identity (the _emit/gain_1e9 idiom): e = floor(a / b)
+    # with a = n_g * c_c * 1e6, b = n
+    joined = (
+        pern.join(ng, "n_nationkey")
+        .join(F.broadcast(glob), "cl")
+        .crossJoin(F.broadcast(tot))
+    )
+    contrib = joined.select(
+        "n_nationkey",
+        F.expr(
+            "CAST((o_c * 1000000"
+            " - ((n_g * c_c * 1000000 - (n_g * c_c * 1000000) % n) / n))"
+            " AS DECIMAL(38,0))"
+        ).alias("diff"),
+        F.expr(
+            "CAST(((n_g * c_c * 1000000 - (n_g * c_c * 1000000) % n) / n)"
+            " * 1000000 AS DECIMAL(38,0))"
+        ).alias("den"),
+    ).select(
+        "n_nationkey",
+        F.expr(
+            "CAST((diff * diff - (diff * diff) % den) / den"
+            " AS DECIMAL(38,0))"
+        ).alias("x"),
+    )
+    stats = contrib.groupBy("n_nationkey").agg(
+        F.sum("x").cast("long").alias("chi2_micro")
+    )
+    pv = stats.select(
+        "n_nationkey",
+        "chi2_micro",
+        F.expr(exp_neg_micro_spark("(chi2_micro div 2)")).alias("p_micro"),
+    )
+    # BH step-up on the bounded panel (|nations| rows): one sorted array,
+    # k* via HOFs — never a global window.
+    panel = pv.agg(
+        F.array_sort(
+            F.collect_list(F.struct("p_micro", "n_nationkey", "chi2_micro"))
+        ).alias("a")
+    ).select(
+        "a",
+        F.size("a").cast("long").alias("m"),
+        F.expr(
+            "aggregate(transform(a, (s, i) ->"
+            " CASE WHEN s.p_micro * size(a) <= 100000 * (CAST(i AS BIGINT) + 1)"
+            " THEN CAST(i AS BIGINT) + 1 ELSE CAST(0 AS BIGINT) END),"
+            " CAST(0 AS BIGINT), (acc, x) -> greatest(acc, x))"
+        ).alias("kstar"),
+    )
+    return panel.select(
+        "m", "kstar", F.posexplode("a").alias("pos", "s")
+    ).select(
+        F.col("s.n_nationkey").alias("n_nationkey"),
+        F.col("s.chi2_micro").alias("chi2_micro"),
+        F.col("s.p_micro").alias("p_micro"),
+        (F.col("pos") + 1).cast("long").alias("bh_rank"),
+        F.expr("100000 * (pos + 1) div m").alias("bh_threshold_micro"),
+        F.when(F.col("pos") + 1 <= F.col("kstar"), 1)
+        .otherwise(0)
+        .alias("rejected"),
+    )

@@ -114,6 +114,11 @@ _DRIVER_PRIORITY: list[str] = [
     # ---------------- position 50 cutoff ----------------
     # Below: stalest-evidence-first (r5 remainder, r6, r7, r8, r9),
     # rows-only-by-design entries last.
+    # round-10 registrations (never attested — first in the r11 window)
+    "stat_benjamini_hochberg",
+    "ml_pr_auc",
+    "ml_ndcg_at_k",
+    "evt_decayed_user_score",
     "approx_count_distinct",
     "batch_sessionize",
     "conditional_recode_clip",

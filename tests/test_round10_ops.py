@@ -1,0 +1,214 @@
+"""Round-10 batch: pure-Python replays of the integer/fixed-point
+semantics on the sf0.001 driver tree (portable exp_neg_micro,
+Benjamini-Hochberg FDR, PR-AUC / average precision, NDCG@10, the
+exponentially time-decayed user score)."""
+
+from __future__ import annotations
+
+import math
+
+SF = "/root/testdata/sf0.001"
+
+
+def _registry():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+
+    return all_queries()
+
+
+def _duck():
+    import duckdb
+
+    return duckdb.connect()
+
+
+def _exp_neg_micro_py(x: int) -> int:
+    """Reference replay of the pipeline_common fixed-point exp(-x)."""
+    from nfl_big_data_bowl_2024_spark.plans.pipeline_common import (
+        EXP2_FRAC_MICRO,
+        LOG2E_MICRO,
+    )
+
+    if x >= 20_000_000:
+        return 0
+    y = x * LOG2E_MICRO // 1_000_000
+    return EXP2_FRAC_MICRO[y % 1_000_000 * 64 // 1_000_000] // (
+        1 << (y // 1_000_000)
+    )
+
+
+def test_exp_neg_micro_accuracy_monotone_and_cross_engine():
+    """Accuracy bound (~1% rel), monotonicity, and Spark/DuckDB fragment
+    agreement with the Python replay on a dense grid."""
+    from nfl_big_data_bowl_2024_spark.plans.pipeline_common import (
+        exp_neg_micro_duck,
+    )
+
+    con = _duck()
+    xs = list(range(0, 25_000_000, 37_777)) + [1, 19_999_999, 20_000_000]
+    duck_vals = [
+        con.execute(f"SELECT {exp_neg_micro_duck(str(x))}").fetchone()[0]
+        for x in xs
+    ]
+    prev = None
+    for x, dv in zip(xs, duck_vals):
+        pv = _exp_neg_micro_py(x)
+        assert dv == pv, (x, dv, pv)
+        true = math.exp(-x / 1e6) * 1e6
+        if true >= 100:  # relative bound only where micro resolution holds
+            assert abs(pv - true) / true < 0.011, (x, pv, true)
+    ordered = sorted(range(len(xs)), key=lambda i: xs[i])
+    mono = [duck_vals[i] for i in ordered]
+    assert all(a >= b for a, b in zip(mono, mono[1:]))
+
+
+def test_benjamini_hochberg_replay(spark):
+    got = {
+        r["n_nationkey"]: (
+            r["chi2_micro"],
+            r["p_micro"],
+            r["bh_rank"],
+            r["bh_threshold_micro"],
+            r["rejected"],
+        )
+        for r in _registry()["stat_benjamini_hochberg"].fn(spark, SF).collect()
+    }
+    con = _duck()
+    rows = con.execute(
+        f"""SELECT c.c_nationkey,
+                   CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0
+                        WHEN o.o_orderpriority = '3-MEDIUM' THEN 1
+                        ELSE 2 END AS cl,
+                   count(*)
+            FROM '{SF}/orders.parquet' o
+            JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2"""
+    ).fetchall()
+    per = {}
+    cglob = {0: 0, 1: 0, 2: 0}
+    for nk, cl, n in rows:
+        per.setdefault(nk, {0: 0, 1: 0, 2: 0})[cl] = n
+        cglob[cl] += n
+    n_total = sum(cglob.values())
+    chi2 = {}
+    for nk, counts in per.items():
+        ng = sum(counts.values())
+        x = 0
+        for cl in (0, 1, 2):
+            e = ng * cglob[cl] * 1_000_000 // n_total
+            d = counts[cl] * 1_000_000 - e
+            x += d * d // (e * 1_000_000)
+        chi2[nk] = x
+    panel = sorted(
+        (( _exp_neg_micro_py(x // 2), nk, x) for nk, x in chi2.items())
+    )
+    m = len(panel)
+    kstar = 0
+    for k, (p, _, _) in enumerate(panel, start=1):
+        if p * m <= 100_000 * k:
+            kstar = max(kstar, k)
+    want = {}
+    for k, (p, nk, x) in enumerate(panel, start=1):
+        want[nk] = (x, p, k, 100_000 * k // m, 1 if k <= kstar else 0)
+    assert got == want
+    # the BH invariant itself: rejected set is exactly ranks 1..kstar
+    ranks_rejected = sorted(v[2] for v in got.values() if v[4] == 1)
+    assert ranks_rejected == list(range(1, kstar + 1))
+
+
+def test_pr_auc_replay(spark):
+    got = {
+        r["source"]: (r["n_docs"], r["n_pos"], r["pr_auc_micro"])
+        for r in _registry()["ml_pr_auc"].fn(spark, SF).collect()
+    }
+    con = _duck()
+    rows = con.execute(
+        f"""SELECT source, n_chars, count(*),
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+            FROM '{SF}/documents.parquet' GROUP BY 1, 2
+            ORDER BY source, n_chars DESC"""
+    ).fetchall()
+    per: dict = {}
+    for src, _score, cnt, cpos in rows:
+        per.setdefault(src, []).append((cnt, cpos))
+    want = {}
+    for src, pts in per.items():
+        nk = tp = s = 0
+        for cnt, cpos in pts:
+            nk += cnt
+            tp += cpos
+            s += cpos * tp * 1_000_000 // nk
+        want[src] = (nk, tp, s // tp if tp else None)
+    assert got == want
+    # AP of a random-ish score should sit near the positive prevalence
+    for src, (n, npos, ap) in want.items():
+        if npos:
+            assert 0 <= ap <= 1_000_000
+
+
+def test_ndcg_replay(spark):
+    from nfl_big_data_bowl_2024_spark.plans.pipeline_ml import (
+        _NDCG_CUM,
+        _NDCG_K,
+        _NDCG_W,
+    )
+
+    got = {
+        r["source"]: (r["n_pos"], r["dcg_micro"], r["ndcg_micro"])
+        for r in _registry()["ml_ndcg_at_k"].fn(spark, SF).collect()
+    }
+    con = _duck()
+    rows = con.execute(
+        f"""SELECT source, doc_id, n_chars,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+            FROM '{SF}/documents.parquet'
+            ORDER BY source, n_chars DESC, doc_id"""
+    ).fetchall()
+    per: dict = {}
+    for src, did, _nc, rel in rows:
+        per.setdefault(src, []).append(rel)
+    want = {}
+    for src, rels in per.items():
+        dcg = sum(
+            _NDCG_W[i] for i, rel in enumerate(rels[:_NDCG_K]) if rel
+        )
+        npos = sum(rels)
+        idcg = _NDCG_CUM[min(npos, _NDCG_K)]
+        want[src] = (
+            npos,
+            dcg,
+            dcg * 1_000_000 // idcg if npos else None,
+        )
+    assert got == want
+    # a perfect ranking would give exactly 1e6; sanity-bound everything
+    for npos, dcg, ndcg in want.values():
+        if npos:
+            assert 0 <= ndcg <= 1_000_000
+
+
+def test_decayed_user_score_replay(spark):
+    got = [
+        (r["user_id"], r["n_events"], r["score_micro"])
+        for r in _registry()["evt_decayed_user_score"].fn(spark, SF).collect()
+    ]
+    con = _duck()
+    rows = con.execute(
+        f"""SELECT user_id, epoch_us(ts) FROM '{SF}/events.parquet'"""
+    ).fetchall()
+    ref = max(us for _, us in rows)
+    per: dict = {}
+    for uid, us in rows:
+        x = (ref - us) // 1_000_000 * 693_147 // 604_800
+        n, s = per.get(uid, (0, 0))
+        per[uid] = (n + 1, s + _exp_neg_micro_py(x))
+    want = sorted(
+        ((uid, n, s) for uid, (n, s) in per.items()),
+        key=lambda t: (-t[2], t[0]),
+    )[:25]
+    assert got == want
+    # decay sanity: nobody's score exceeds their event count in full units
+    for _, n, s in want:
+        assert s <= n * 1_000_000
