@@ -1059,3 +1059,111 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ndcg_micro"),
     )
+
+
+from .pipeline_common import _KMEANS_ASSIGN_CTE
+
+
+@register(
+    "ml_kmeans_silhouette",
+    f"""
+    WITH {_KMEANS_ASSIGN_CTE},
+    d2all AS (
+        SELECT a2.vec_id, a2.cid AS own, c1.cid AS cand,
+               floor(list_distance(a2.e, c1.e) * 1e9 + 0.5) / 1e9 AS d
+        FROM a2 CROSS JOIN c1
+    ),
+    ranked AS (
+        SELECT vec_id, own, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cand)
+                   AS rn
+        FROM d2all
+    ),
+    ab AS (
+        SELECT vec_id, any_value(own) AS cid,
+               max(CASE WHEN rn = 1 THEN d END) AS a,
+               max(CASE WHEN rn = 2 THEN d END) AS b
+        FROM ranked GROUP BY vec_id
+    ),
+    s AS (
+        SELECT cid,
+               CASE WHEN greatest(a, b) = 0 THEN 0
+                    ELSE CAST(floor((b - a) * 1000000 / greatest(a, b)
+                              + 0.5) AS BIGINT) END AS s_micro
+        FROM ab
+    )
+    SELECT CAST(cid AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(s_micro) AS BIGINT) AS sum_s_micro
+    FROM s GROUP BY cid
+    """,
+    doc="Simplified (centroid-based) silhouette per k-means cluster — the "
+    "cluster-quality metric completing the k-means family (emb_kmeans_"
+    "lloyd trains, dedup_semantic consumes, this EVALUATES): for every "
+    "vector, a = distance to its own centroid, b = distance to the "
+    "second-nearest centroid, s = (b - a) / max(a, b) in [-1, 1] — the "
+    "classic silhouette with the O(n^2) mean-pairwise distances "
+    "replaced by centroid distances (Hruschka et al.'s simplified "
+    "form), which is what makes it computable in ONE map-side pass at "
+    "100 TB: the k x dim centroid model is driver-held (bounded by "
+    "contract, same as the trainer), each vector scores all k "
+    "centroids in a sorted literal array (a = element 0, b = element "
+    "1 — no window, no join), and the only exchange is the final "
+    "k-row grouped fold. Distances use the shared 9-dp half-up left-"
+    "fold convention so both engines rank identically; per-vector s "
+    "is floored to integer micro units BEFORE the cluster sum, so the "
+    "output is exact integers (sum emitted, not mean — integer "
+    "division of negative sums rounds differently across engines).",
+)
+def ml_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import (
+        _euclid,
+        assign_to_centroids,
+        refine_centroids,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    seeds = e.orderBy("vec_id").limit(8).collect()
+    c0 = {i: [float(v) for v in r["e"]] for i, r in enumerate(seeds)}
+    assigned = assign_to_centroids(e, c0, "e")
+    c1 = refine_centroids(assigned, "e")
+    near2 = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _euclid(F.col("e"), cent).alias("d"),
+                    F.lit(int(cid)).alias("cid"),
+                )
+                for cid, cent in sorted(c1.items())
+            ]
+        )
+    )
+    ab = e.select(
+        near2[0]["cid"].alias("cid"),
+        near2[0]["d"].alias("a"),
+        near2[1]["d"].alias("b"),
+    )
+    s = ab.select(
+        "cid",
+        F.when(F.greatest("a", "b") == 0.0, F.lit(0))
+        .otherwise(
+            F.floor(
+                (F.col("b") - F.col("a")) * 1000000.0
+                / F.greatest("a", "b")
+                + 0.5
+            )
+        )
+        .cast("long")
+        .alias("s_micro"),
+    )
+    return s.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("s_micro").cast("long").alias("sum_s_micro"),
+    ).select(
+        F.col("cid").cast("long").alias("cluster_id"),
+        "n_vecs",
+        "sum_s_micro",
+    )

@@ -119,6 +119,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ml_pr_auc",
     "ml_ndcg_at_k",
     "evt_decayed_user_score",
+    "ml_kmeans_silhouette",
     "approx_count_distinct",
     "batch_sessionize",
     "conditional_recode_clip",

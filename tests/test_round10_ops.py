@@ -212,3 +212,51 @@ def test_decayed_user_score_replay(spark):
     # decay sanity: nobody's score exceeds their event count in full units
     for _, n, s in want:
         assert s <= n * 1_000_000
+
+
+def test_kmeans_silhouette_replay(spark):
+    """Replay the simplified silhouette from the engine's own assignment
+    helpers plus hand math, and assert the invariants: s in [-1e6, 1e6],
+    b >= a for every vector (second-nearest can't beat own centroid when
+    the assignment argmin is correct)."""
+    got = {
+        r["cluster_id"]: (r["n_vecs"], r["sum_s_micro"])
+        for r in _registry()["ml_kmeans_silhouette"].fn(spark, SF).collect()
+    }
+    from nfl_big_data_bowl_2024_spark.operators.clustering import (
+        assign_to_centroids,
+        refine_centroids,
+    )
+    from nfl_big_data_bowl_2024_spark.sources.readers import (
+        read_testdata_table,
+    )
+    from pyspark.sql import functions as F
+
+    e = read_testdata_table(spark, SF, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    seeds = e.orderBy("vec_id").limit(8).collect()
+    c0 = {i: [float(v) for v in r["e"]] for i, r in enumerate(seeds)}
+    c1 = refine_centroids(assign_to_centroids(e, c0, "e"), "e")
+    rows = e.collect()
+
+    def dist(v, c):
+        s = 0.0
+        for x, y in zip(v, c):
+            s += (x - y) * (x - y)
+        return math.floor(math.sqrt(s) * 1e9 + 0.5) / 1e9
+
+    want: dict = {}
+    for r in rows:
+        ds = sorted(
+            (dist([float(x) for x in r["e"]], cent), cid)
+            for cid, cent in sorted(c1.items())
+        )
+        (a, cid), (b, _) = ds[0], ds[1]
+        assert b >= a
+        s = 0 if max(a, b) == 0 else math.floor((b - a) * 1e6 / max(a, b) + 0.5)
+        assert -1_000_000 <= s <= 1_000_000
+        n, tot = want.get(cid, (0, 0))
+        want[cid] = (n + 1, tot + int(s))
+    assert got == want
