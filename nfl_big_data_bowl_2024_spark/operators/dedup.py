@@ -93,14 +93,46 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(rare, "sh", "left_semi")
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
-    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
-    overlap = (
-        a.join(b, ["sh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if max_df is not None:
+        # Guarded path (round 10 — the adamic-adar wedge idiom): the
+        # per-shingle doc list is BOUNDED by max_df after the hot-shingle
+        # semi-join, so the d(d-1)/2 ordered pairs expand map-side from
+        # one sorted array — riding the semi-join's existing sh
+        # partitioning — instead of a d^2-row self-join filtered in half
+        # after a second full exchange of the shingle relation. Measured
+        # 168 -> 149.5 s at the generated sf10: the candidate-pair
+        # aggregation exchange (sum d(d-1)/2 rows, unchanged by this
+        # rewrite) dominates there, so the join-side saving is real but
+        # bounded; the structural win is one fewer full exchange of the
+        # shingle relation and no wasted half of the pair fan-out.
+        ids = sh.groupBy("sh").agg(
+            F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
+        )
+        overlap = (
+            ids.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (a, i) -> transform("
+                        f"slice(ids, i + 2, {int(max_df)}),"
+                        " b -> struct(a AS doc_a, b AS doc_b))))"
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        # Unguarded audit path: doc lists are unbounded (a hot shingle
+        # would OOM a collect_list task), so keep the plain self-join.
+        a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+        b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+        overlap = (
+            a.join(b, ["sh"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
