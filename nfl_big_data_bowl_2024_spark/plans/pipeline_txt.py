@@ -1982,3 +1982,77 @@ def txt_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("pairs_cross_source"),
     )
+
+
+# The txt_shannon_entropy oracle interpolates the portable fixed-point
+# ln fragments (pipeline_common.ln_micro_duck) into plain SQL at import
+# time; built with str.replace rather than an f-string because the
+# fragments themselves contain format braces.
+_ENTROPY_ORACLE = """
+    WITH t AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    c AS (
+        SELECT source, tok, count(*) AS n FROM t
+        WHERE tok <> '' GROUP BY source, tok
+    ),
+    s AS (
+        SELECT source,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_vocab,
+               CAST(sum(CAST(n * ((length(format('{:b}', n)) - 1) * 693147 + [7782, 23167, 38319, 53245, 67951, 82444, 96730, 110814, 124703, 138402, 151916, 165250, 178408, 191395, 204216, 216874, 229374, 241720, 253915, 265964, 277868, 289633, 301261, 312756, 324119, 335356, 346467, 357456, 368326, 379078, 389717, 400243, 410660, 420969, 431173, 441275, 451275, 461176, 470980, 480689, 490304, 499828, 509262, 518608, 527867, 537041, 546132, 555142, 564070, 572920, 581692, 590387, 599008, 607555, 616030, 624433, 632767, 641031, 649228, 657358, 665423, 673423, 681359, 689233][CAST((CASE WHEN (length(format('{:b}', n)) - 1) >= 6 THEN n // (1::BIGINT << ((length(format('{:b}', n)) - 1) - 6)) ELSE (n * 64) // (1::BIGINT << (length(format('{:b}', n)) - 1)) END) AS INTEGER) - 63]) AS HUGEINT)) AS HUGEINT)
+                   AS wsum
+        FROM c GROUP BY source
+    )
+    SELECT source, n_tokens, n_vocab,
+           CAST(((length(format('{:b}', n_tokens)) - 1) * 693147 + [7782, 23167, 38319, 53245, 67951, 82444, 96730, 110814, 124703, 138402, 151916, 165250, 178408, 191395, 204216, 216874, 229374, 241720, 253915, 265964, 277868, 289633, 301261, 312756, 324119, 335356, 346467, 357456, 368326, 379078, 389717, 400243, 410660, 420969, 431173, 441275, 451275, 461176, 470980, 480689, 490304, 499828, 509262, 518608, 527867, 537041, 546132, 555142, 564070, 572920, 581692, 590387, 599008, 607555, 616030, 624433, 632767, 641031, 649228, 657358, 665423, 673423, 681359, 689233][CAST((CASE WHEN (length(format('{:b}', n_tokens)) - 1) >= 6 THEN n_tokens // (1::BIGINT << ((length(format('{:b}', n_tokens)) - 1) - 6)) ELSE (n_tokens * 64) // (1::BIGINT << (length(format('{:b}', n_tokens)) - 1)) END) AS INTEGER) - 63]) - wsum // n_tokens AS BIGINT) AS entropy_micro
+    FROM s
+    """
+
+
+@register(
+    "txt_shannon_entropy",
+    _ENTROPY_ORACLE,
+    doc="Shannon vocabulary entropy per source in micro-nats — the "
+    "log-based companion of txt_simpson_diversity (Simpson answers "
+    "'collision probability', entropy answers 'effective information "
+    "per token'; exp(H) is the perplexity-style effective vocabulary): "
+    "H = ln(T) - (1/T) * sum_i c_i * ln(c_i), computed entirely on the "
+    "portable fixed-point ln (pipeline_common.ln_micro_*: binary-bit-"
+    "length exponent + 64-cell mantissa midpoint table, no engine libm, "
+    "bit-identical across engines) so the hash gate covers a LOG-based "
+    "statistic exactly. The per-token weight c*ln_micro(c) is widened "
+    "to HUGEINT/decimal BEFORE summing (c*ln(c) products pass int64 at "
+    "corpus scale — the round-10 widen-before-aggregate discipline). "
+    "Plan identical to the Simpson twin: one (source, tok) aggregate "
+    "with map-side partials, then one per-source fold of the count "
+    "relation; the vocabulary shuffles once, raw tokens never do.",
+)
+def txt_shannon_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline_common import ln_micro_spark
+
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    c = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum(
+            F.expr(f"CAST(n * {ln_micro_spark('n')} AS DECIMAL(38,0))")
+        ).alias("wsum"),
+    )
+    return s.select(
+        "source",
+        "n_tokens",
+        "n_vocab",
+        F.expr(
+            f"CAST({ln_micro_spark('n_tokens')}"
+            " - CAST((wsum - wsum % n_tokens) / n_tokens AS DECIMAL(38,0))"
+            " AS BIGINT)"
+        ).alias("entropy_micro"),
+    )

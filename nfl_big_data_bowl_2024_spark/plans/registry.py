@@ -120,6 +120,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ml_ndcg_at_k",
     "evt_decayed_user_score",
     "ml_kmeans_silhouette",
+    "txt_shannon_entropy",
     "approx_count_distinct",
     "batch_sessionize",
     "conditional_recode_clip",

@@ -260,3 +260,48 @@ def test_kmeans_silhouette_replay(spark):
         n, tot = want.get(cid, (0, 0))
         want[cid] = (n + 1, tot + int(s))
     assert got == want
+
+
+def test_shannon_entropy_replay(spark):
+    """Hand-replay H = ln(T) - (1/T) sum c*ln(c) on the fixed-point ln and
+    cross-check against the true float entropy within the table's bound."""
+    from nfl_big_data_bowl_2024_spark.plans.pipeline_common import (
+        LN2_MICRO,
+        LN_MANTISSA_MICRO,
+    )
+
+    def ln_micro_py(v: int) -> int:
+        e = v.bit_length() - 1
+        m = (v >> (e - 6)) if e >= 6 else (v * 64) >> e
+        return e * LN2_MICRO + LN_MANTISSA_MICRO[m - 64]
+
+    got = {
+        r["source"]: (r["n_tokens"], r["n_vocab"], r["entropy_micro"])
+        for r in _registry()["txt_shannon_entropy"].fn(spark, SF).collect()
+    }
+    con = _duck()
+    rows = con.execute(
+        f"""SELECT source, tok, count(*) FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS tok
+                FROM '{SF}/documents.parquet') t
+            WHERE tok <> '' GROUP BY 1, 2"""
+    ).fetchall()
+    per: dict = {}
+    for src, _tok, n in rows:
+        t, v, w = per.get(src, (0, 0, 0))
+        per[src] = (t + n, v + 1, w + n * ln_micro_py(n))
+    want = {
+        src: (t, v, ln_micro_py(t) - w // t) for src, (t, v, w) in per.items()
+    }
+    assert got == want
+    # cross-check vs true float entropy: the ln table is ~6e-5 relative
+    # for large args but up to ~7.8e-3 absolute near 1 (documented), and
+    # singleton tokens (c=1, true ln 0) dominate this corpus — allow the
+    # accumulated small-arg bias while pinning the order of magnitude.
+    agg: dict = {}
+    for src, _tok, n in rows:
+        t, s = agg.get(src, (0, 0.0))
+        agg[src] = (t + n, s + n * math.log(n))
+    for src, (t, s) in agg.items():
+        true_h = math.log(t) - s / t
+        assert abs(got[src][2] / 1e6 - true_h) < 0.02, (src, got[src][2], true_h)
