@@ -300,3 +300,89 @@ def test_position_attribution_hand_case(spark):
         "signup": (1, 4000),
         "organic": (1, 4000),
     }
+
+
+def test_asof_null_right_column_is_row_atomic(spark):
+    """Advice r9: a NULL inside ONE right value column must NOT be filled
+    from a different (further) right row — all asof_<col> values come
+    from the single matched row (struct carry), matching true ASOF /
+    DuckDB semantics."""
+    from nfl_big_data_bowl_2024_spark.operators.temporal import (
+        asof_join,
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200)], "k int, ts int"
+    ).selectExpr("k", "timestamp_micros(ts * 1000000) AS ts")
+    # right row at t=150 has v1 NULL; the earlier row at t=50 has v1=7.
+    # A per-column carry would emit (asof_v1=7, asof_v2=20) for the left
+    # row at t=200 — mixing two right rows. Row-atomic: (NULL, 20).
+    right = spark.createDataFrame(
+        [(1, 50, 7, 10), (1, 150, None, 20)],
+        "k int, ts int, v1 int, v2 int",
+    ).selectExpr("k", "timestamp_micros(ts * 1000000) AS ts", "v1", "v2")
+
+    back = {
+        r["ts"]: (r["asof_v1"], r["asof_v2"])
+        for r in asof_join(left, right, by="k").collect()
+    }
+    import datetime
+
+    t100 = datetime.datetime.fromtimestamp(100, datetime.timezone.utc)
+    vals = {t.timestamp(): v for t, v in ((k.replace(tzinfo=datetime.timezone.utc), v) for k, v in back.items())}
+    assert vals[100.0] == (7, 10)      # matched row t=50
+    assert vals[200.0] == (None, 20)   # matched row t=150, v1 stays NULL
+
+    fwd = {
+        r["ts_us"]: (r["asof_v1"], r["asof_v2"])
+        for r in asof_join_nearest(left, right, by="k").collect()
+    }
+    # t=100: |dt|=50 both ways — ties go BACKWARD (t=50), row-atomic (7,10)
+    assert fwd[100_000_000] == (7, 10)
+    # t=200: nearest is t=150; v1 stays NULL from that same row
+    assert fwd[200_000_000] == (None, 20)
+
+
+def test_adamic_adar_candidates_share_parity_never_edges(spark):
+    """Pins the round-10 bipartite-parity proof that let the Spark plan
+    drop the existing-edge anti-join: every predicted pair joins two
+    same-parity nodes (both customers or both suppliers), and none of
+    them is an existing trading edge."""
+    from pyspark.sql import functions as F
+
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+    from nfl_big_data_bowl_2024_spark.sources.readers import (
+        read_testdata_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = all_queries()["graph_adamic_adar_links"].fn(spark, sf)
+    rows = out.collect()
+    assert rows, "expected 25 predicted links"
+    for r in rows:
+        assert r["node_a"] % 2 == r["node_b"] % 2
+
+    o = read_testdata_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = read_testdata_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionAll(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    hits = (
+        out.join(
+            edges,
+            (out["node_a"] == edges["src"]) & (out["node_b"] == edges["dst"]),
+            "inner",
+        ).count()
+    )
+    assert hits == 0
