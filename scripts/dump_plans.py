@@ -312,6 +312,32 @@ SHOWCASE = [
         "once); N/avgdl broadcast one-row; top-25 is "
         "TakeOrderedAndProject, never a global sort.",
     ),
+    (
+        "graph_adamic_adar_links",
+        "Round-10 rewrite: wedges expand map-side from BOUNDED sorted "
+        "neighbor arrays (Generate over the collect_list riding the "
+        "adjacency join's src partitioning — no d^2 self-join), the "
+        "apex weight is a literal-array lookup BEFORE the one "
+        "data-sized exchange, the anti-join is gone (bipartite parity "
+        "proof, pinned in tests), and top-25 is TakeOrderedAndProject.",
+    ),
+    (
+        "stat_benjamini_hochberg",
+        "Only the grouped count touches data volume (partial-aggregated "
+        "exchange); expected counts and the chi-square fold run on the "
+        "(nation x 3) panel with decimal exact division; the BH step-up "
+        "is a sorted-array HOF over ONE collected row — no "
+        "SinglePartition window anywhere; p-values via the fixed-point "
+        "exp_neg_micro literal table.",
+    ),
+    (
+        "evt_decayed_user_score",
+        "Map-side decay (1-row max-ts anchor broadcast, literal "
+        "2^-frac table lookup), one partial-aggregated exchange on "
+        "user_id with the sum widened to decimal, "
+        "TakeOrderedAndProject top-25 — the flat recency-feature "
+        "shape.",
+    ),
 ]
 
 
