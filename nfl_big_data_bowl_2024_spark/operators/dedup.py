@@ -136,9 +136,16 @@ def ngram_jaccard_pairs(
     ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    # No broadcast HINT on the per-doc count attach (round 10): counts is
+    # CORPUS-sized (one row per document), so a forced broadcast is a
+    # driver OOM at the 100 TB design point. Unhinted, AQE broadcasts it
+    # whenever the runtime size is under the threshold (every local tree)
+    # and falls back to a shuffle join when it is not — exactly the
+    # size-aware behavior the byte-gated LSH verify path implements by
+    # hand for its array-carrying attach.
     return (
-        overlap.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        overlap.join(ca, "doc_a")
+        .join(cb, "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
