@@ -364,8 +364,13 @@ def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lr_micro"),
     )
+    # No broadcast HINT on the vocab-sized ratio relation: AQE broadcasts
+    # it while the vocabulary fits the threshold (every local tree) and
+    # falls back to a keyed shuffle join on the raw-token vocab of a
+    # 100 TB corpus (round 10; production DSIR additionally hash-buckets
+    # the vocab to a fixed width, which restores broadcastability).
     return (
-        toks.join(F.broadcast(ratio), "term")
+        toks.join(ratio, "term")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_toks"),

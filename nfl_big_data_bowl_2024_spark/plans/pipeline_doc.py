@@ -571,9 +571,10 @@ def doc_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ratios are half-up-rounded to BIGINT micro-units BEFORE the per-doc "
     "sum so the total is an order-independent integer sum (the "
     "doc_mix_weights lesson: never hash a float accumulation). Scale "
-    "shape: vocab is O(unique tokens) and broadcasts back onto the token "
-    "stream; the only corpus-sized exchanges are the term groupBy and the "
-    "doc_id groupBy.",
+    "shape: vocab is O(unique tokens) and attaches back onto the token "
+    "stream size-aware (AQE broadcast while it fits, keyed shuffle when "
+    "a 100 TB raw vocab does not); the only corpus-sized exchanges are "
+    "the term groupBy and the doc_id groupBy.",
 )
 def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dsir_doc_weights(spark, sf_dir)

@@ -265,8 +265,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     ca = counts.select(F.col("doc_id").alias("doc_sub"), "n_tok")
+    # No broadcast HINT: counts is corpus-sized (one row per doc); AQE
+    # broadcasts when the runtime size fits and shuffle-joins otherwise
+    # (round 10 — same fix as ngram_jaccard_pairs' count attach).
     return (
-        overlap.join(F.broadcast(ca), "doc_sub")
+        overlap.join(ca, "doc_sub")
         .filter(10 * F.col("n_common") >= 9 * F.col("n_tok"))
         .select(
             "doc_sub",
