@@ -136,13 +136,15 @@ def ngram_jaccard_pairs(
     ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    # No broadcast HINT on the per-doc count attach (round 10): counts is
-    # CORPUS-sized (one row per document), so a forced broadcast is a
-    # driver OOM at the 100 TB design point. Unhinted, AQE broadcasts it
-    # whenever the runtime size is under the threshold (every local tree)
-    # and falls back to a shuffle join when it is not — exactly the
-    # size-aware behavior the byte-gated LSH verify path implements by
-    # hand for its array-carrying attach.
+    # Count-gated broadcast of the per-doc count attach (round 10; the
+    # k-core <=5M-row rule): counts is CORPUS-sized, so an unconditional
+    # hint is a driver OOM at the 100 TB design point — but leaving the
+    # decision to AQE regressed the sf10 point (its ~10MB estimate sits
+    # right at this relation's size and a sort-merge join drags the huge
+    # overlap relation through an extra sort). One metadata-cheap count
+    # of the input picks the branch explicitly.
+    if df.count() <= 5_000_000:
+        ca, cb = F.broadcast(ca), F.broadcast(cb)
     return (
         overlap.join(ca, "doc_a")
         .join(cb, "doc_b")

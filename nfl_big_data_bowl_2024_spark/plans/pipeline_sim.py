@@ -265,9 +265,13 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     ca = counts.select(F.col("doc_id").alias("doc_sub"), "n_tok")
-    # No broadcast HINT: counts is corpus-sized (one row per doc); AQE
-    # broadcasts when the runtime size fits and shuffle-joins otherwise
-    # (round 10 — same fix as ngram_jaccard_pairs' count attach).
+    # Count-gated broadcast (round 10; the k-core <=5M-row rule): counts
+    # is corpus-sized so an unconditional hint is a 100 TB driver OOM;
+    # the gate decides explicitly from one cheap count (1.7 s at sf10)
+    # rather than trusting AQE's ~10MB estimate, which sits right at
+    # this relation's sf10 size.
+    if d.count() <= 5_000_000:
+        ca = F.broadcast(ca)
     return (
         overlap.join(ca, "doc_sub")
         .filter(10 * F.col("n_common") >= 9 * F.col("n_tok"))
