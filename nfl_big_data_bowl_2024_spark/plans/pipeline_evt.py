@@ -2206,3 +2206,124 @@ def evt_decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("score_micro"),
     )
     return s.orderBy(F.col("score_micro").desc(), "user_id").limit(25)
+
+
+@register(
+    "evt_ar1_fit",
+    """
+    WITH hr AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, c AS y,
+               lag(c) OVER (PARTITION BY event_type ORDER BY h) AS x,
+               h - lag(h) OVER (PARTITION BY event_type ORDER BY h) AS dh
+        FROM hr
+    ),
+    p AS (SELECT event_type, x, y FROM lagged WHERE dh = 1),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                    AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                    AS HUGEINT) AS sxx
+        FROM p GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST((n * sxy - sx * sy) * 1000000
+                          // (n * sxx - sx * sx) AS BIGINT) END
+               AS phi_micro,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST((sy * 1000000
+                           - ((n * sxy - sx * sy) * 1000000
+                              // (n * sxx - sx * sx)) * sx)
+                          // n AS BIGINT) END AS intercept_micro
+    FROM s
+    """,
+    doc="Per-event-type AR(1) fit on the hourly count series — the "
+    "forecasting primitive completing the time-series tier "
+    "(evt_autocovariance_lags measures memory, evt_seasonal_decompose "
+    "removes cycles, this FITS the recursion x_t = c + phi*x_(t-1)): "
+    "OLS of each hour's count on the previous hour's, restricted to "
+    "truly CONSECUTIVE hour pairs (the lag window also carries the "
+    "hour delta; gaps drop out rather than fabricating a transition "
+    "across them). phi and the intercept come from integer sufficient "
+    "statistics (n, Sx, Sy, Sxy, Sxx) accumulated in HUGEINT/decimal — "
+    "the widen-before-aggregate discipline — with the final ratios "
+    "truncated toward zero at micro units IDENTICALLY on both engines "
+    "(both DuckDB's // and Spark's mod-subtract identity truncate "
+    "toward zero for signed numerators; the denominator n*Sxx - Sx^2 "
+    "is >= 0 by Cauchy-Schwarz); the intercept reuses the TRUNCATED "
+    "phi so the two emitted coefficients are mutually consistent. "
+    "Degenerate series (constant x) yield NULL, never a division "
+    "error. 100 TB shape: the raw event stream collapses map-side into "
+    "the (type, hour) grid in ONE partial-aggregated exchange; the lag "
+    "window and the OLS fold run on grid rows (types x hours), corpus "
+    "volume never reaches a window.",
+)
+def evt_ar1_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("event_type", "ts")
+    hr = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hr.select(
+        "event_type",
+        F.col("c").alias("y"),
+        F.lag("c").over(w).alias("x"),
+        (F.col("h") - F.lag("h").over(w)).alias("dh"),
+    )
+    p = lagged.filter(F.col("dh") == 1)
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,0)")).cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,0)")).cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    # phi is defined ONCE as a named column and the intercept reads it —
+    # never a second copy of the same arithmetic (the ml_calibration_bins
+    # advice-r9 lesson). Both floor-ish divisions use the mod-subtract
+    # identity, which truncates toward zero exactly like DuckDB's //.
+    t = s.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        F.expr("(n * sxy - sx * sy) * 1000000").alias("cnum"),
+        F.expr("n * sxx - sx * sx").alias("cden"),
+    ).select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        F.when(F.col("cden") == 0, F.lit(None))
+        .otherwise(
+            F.expr("CAST((cnum - cnum % cden) / cden AS DECIMAL(38,0))")
+        )
+        .alias("phi"),
+    )
+    return t.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("phi").cast("long").alias("phi_micro"),
+        F.expr(
+            "CAST(((sy * 1000000 - phi * sx)"
+            " - (sy * 1000000 - phi * sx) % n) / n AS DECIMAL(38,0))"
+        )
+        .cast("long")
+        .alias("intercept_micro"),
+    )

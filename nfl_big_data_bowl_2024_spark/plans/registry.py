@@ -121,6 +121,7 @@ _DRIVER_PRIORITY: list[str] = [
     "evt_decayed_user_score",
     "ml_kmeans_silhouette",
     "txt_shannon_entropy",
+    "evt_ar1_fit",
     "approx_count_distinct",
     "batch_sessionize",
     "conditional_recode_clip",

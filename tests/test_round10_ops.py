@@ -357,3 +357,50 @@ def test_fixed_point_kernels_property_cross_engine():
 
     check_ln()
     check_exp()
+
+
+def test_ar1_fit_replay(spark):
+    """Replay the AR(1) sufficient-statistics fit in Python: consecutive-
+    hour pairs only, trunc-toward-zero micro ratios, intercept consistent
+    with the truncated phi."""
+    got = {
+        r["event_type"]: (r["n_pairs"], r["phi_micro"], r["intercept_micro"])
+        for r in _registry()["evt_ar1_fit"].fn(spark, SF).collect()
+    }
+    con = _duck()
+    rows = con.execute(
+        f"""SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*)
+            FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    per: dict = {}
+    for et, h, c in rows:
+        per.setdefault(et, []).append((h, c))
+
+    def tz(a, b):  # truncate toward zero
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    want = {}
+    for et, series in per.items():
+        pairs = [
+            (c0, c1)
+            for (h0, c0), (h1, c1) in zip(series, series[1:])
+            if h1 - h0 == 1
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        den = n * sxx - sx * sx
+        if den == 0:
+            want[et] = (n, None, None)
+            continue
+        phi = tz((n * sxy - sx * sy) * 1_000_000, den)
+        inter = tz(sy * 1_000_000 - phi * sx, n)
+        want[et] = (n, phi, inter)
+    assert got == want
+    # an hourly arrival process is mean-reverting noise: |phi| well below 1
+    for n, phi, _ in want.values():
+        if phi is not None:
+            assert abs(phi) < 1_000_000
