@@ -618,7 +618,11 @@ def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = spark.sparkContext
     width = _exchange_width(sc, n_edges)
     # wedge volume ~ capped-degree^2/2 per apex; width accordingly wider
-    wedge_width = _exchange_width(sc, n_edges * 20)
+    # 4M wedge rows per task (not the 1M default): wedge rows are a
+    # 20-byte (long, long, int) struct, so 4M rows is ~80 MB of exchange
+    # input per task — still far inside executor memory — and the
+    # aggregate runs 4x fewer tasks (A/B'd on the sf10 trading graph).
+    wedge_width = _exchange_width(sc, n_edges * 20, target_rows=4_000_000)
     deg = (
         edges.repartition(width, "src")
         .groupBy(F.col("src").alias("node"))
