@@ -1,7 +1,9 @@
 """Round-10 batch: pure-Python replays of the integer/fixed-point
-semantics on the sf0.001 driver tree (portable exp_neg_micro,
+semantics on the sf0.001 driver tree (the portable exp_neg_micro kernel
++ a full-BIGINT property test of both fixed-point kernels,
 Benjamini-Hochberg FDR, PR-AUC / average precision, NDCG@10, the
-exponentially time-decayed user score)."""
+exponentially time-decayed user score, the simplified k-means
+silhouette, Shannon vocabulary entropy, and the AR(1) hourly fit)."""
 
 from __future__ import annotations
 
