@@ -536,8 +536,23 @@ def minhash_lsh_candidates(
     pb = sh_arr.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_common * 1.0 / (F.size("sh_a") + F.size("sh_b") - n_common)
+    # Size the verify stage by the DATA, not the conf default (round 10;
+    # the graph ops' _exchange_width discipline): each surviving pair
+    # costs an array_intersect over two full shingle sets — the
+    # operator's dominant CPU — and a conf-fixed width both under-splits
+    # that map at scale and over-splits it on small corpora. The pair
+    # count is one cheap count of the already-checkpointed est relation;
+    # ~100k intersections per task keeps tasks in the seconds range at
+    # any scale. (sf10 A/Bs of this stage on the shared box swung
+    # 176-448 s under host steal — the data-sized width is kept on
+    # design grounds, matching every other data-sized exchange in the
+    # repo, not on a single-box timing claim.)
+    sc = df.sparkSession.sparkContext
+    n_pairs = est.count()
+    verify_width = max(sc.defaultParallelism, int(n_pairs // 100_000) + 1)
     return (
-        est.join(pa, "doc_a")
+        est.repartition(verify_width, "doc_a")
+        .join(pa, "doc_a")
         .join(pb, "doc_b")
         .filter(jac >= verify_threshold)  # threshold on the unrounded value,
         .withColumn("jaccard", F.round(jac, 4))  # as in ngram_jaccard_pairs
