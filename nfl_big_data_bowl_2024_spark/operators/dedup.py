@@ -82,6 +82,11 @@ def ngram_jaccard_pairs(
     counts (jaccard is then computed over the filtered shingle space — a
     documented approximation that only activates on corpus-scale data; any
     oracle must apply the identical filter). None disables the guard.
+
+    NOTE: building this plan runs ONE eager ``df.count()`` (the broadcast
+    gate below) — not a pure plan-builder. On a non-Parquet upstream that
+    count is a full scan; pass an already-materialized relation if that
+    matters at the call site.
     """
     sh = char_shingles(_spread(df, id_col), id_col, text_col, n)
     if max_df is not None:
@@ -93,7 +98,14 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(rare, "sh", "left_semi")
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    if max_df is not None:
+    # The in-memory array expansion below materializes up to d(d-1)/2
+    # structs in ONE array per shingle before explode; at the function's
+    # old default max_df=100k that is ~5e9 elements — past the JVM array
+    # limit. Route to it only when the cap keeps the worst-case array
+    # small (4096 -> ~8.4M structs, same bound class as the 64-cap
+    # adamic-adar wedge); larger caps fall back to the pair self-join,
+    # which is still bounded per-shingle by the semi-join above.
+    if max_df is not None and max_df <= 4096:
         # Guarded path (round 10 — the adamic-adar wedge idiom): the
         # per-shingle doc list is BOUNDED by max_df after the hot-shingle
         # semi-join, so the d(d-1)/2 ordered pairs expand map-side from
@@ -123,8 +135,10 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
     else:
-        # Unguarded audit path: doc lists are unbounded (a hot shingle
-        # would OOM a collect_list task), so keep the plain self-join.
+        # Self-join path: either unguarded (max_df=None — a hot shingle
+        # would OOM a collect_list task) or guarded with a cap too large
+        # for a safe in-memory array. The per-shingle fan-out is still
+        # bounded by max_df^2 when the semi-join above ran.
         a = sh.select(F.col(id_col).alias("doc_a"), "sh")
         b = sh.select(F.col(id_col).alias("doc_b"), "sh")
         overlap = (
@@ -365,6 +379,10 @@ def minhash_lsh_candidates(
     candidate documents' shingles, which is what keeps this linear-ish at
     100 TB.
     Returns (doc_a, doc_b, est_jaccard, jaccard).
+
+    NOTE: building this plan runs eager Spark jobs (signature cache warm,
+    candidate checkpoint, pair count for verify-stage sizing) — not a pure
+    plan-builder; the input is scanned when the function is CALLED.
     """
     rows_per_band = num_perm // bands
     # Signature lifecycle: persist the signature index while the pair table

@@ -62,6 +62,13 @@ def asof_join(
     value columns never mix rows.
     """
     value_cols = value_cols or [c for c in right.columns if c not in (by, right_ts)]
+    if not value_cols:
+        # F.struct() with zero fields raises; a right side with nothing to
+        # carry has no meaningful as-of output either — fail loudly.
+        raise ValueError(
+            "asof_join: right side has no value columns to carry "
+            f"(columns besides by={by!r} and right_ts={right_ts!r})"
+        )
     stype = _right_struct_type(right, value_cols)
 
     l_tag = left.select(

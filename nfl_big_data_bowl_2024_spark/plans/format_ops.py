@@ -17,6 +17,7 @@ cleanup in the query body).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -613,17 +614,41 @@ def src_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 20 == 0)
         .select("doc_id", F.col("text").alias("value"))
     )
-    path = _fmt_dir(sf_dir, "binary_docs_flat")
-    # Stage once per (sf, row-count). The marker is count-stamped so a
-    # different sf or regenerated testdata restages; the source table is
+    root = _fmt_dir(sf_dir, "binary_docs_flat")
+    # Stage once per (sf, row-count), into a COUNT-STAMPED subdirectory so
+    # each staging is self-contained: a regenerated testdata set with a
+    # different row count lands in a fresh dir and can never mix with
+    # stale doc_*.txt from a previous staging (advice r10). Older stagings
+    # are pruned so the dir does not accumulate. The source table is
     # generator-deterministic, so equal count implies equal bytes. The
     # export runs ON THE EXECUTORS (mapInPandas side-effect writer with
     # atomic per-file replace — idempotent under task retry), one pass,
-    # no shuffle, never a driver loop.
+    # no shuffle, never a driver loop. NOTE: executors write to a
+    # driver-computed local path — correct in local mode or on a shared
+    # filesystem (NFS / fuse-mounted object store); on a cluster with
+    # executor-local disks, stage via a distributed sink (df.write) to a
+    # shared URI instead.
     n = d.count()
+    path = os.path.join(root, f"staged_{n}")
     marker = os.path.join(path, f"_STAGED_{n}")
     if not os.path.exists(marker):
+        if os.path.isdir(root):
+            for prev in os.listdir(root):
+                full = os.path.join(root, prev)
+                if prev.startswith("staged_") and full != path:
+                    shutil.rmtree(full, ignore_errors=True)
+                elif os.path.isfile(full):  # pre-subdir legacy layout
+                    try:
+                        os.remove(full)
+                    except OSError:
+                        pass
         os.makedirs(path, exist_ok=True)
+        for stale in os.listdir(path):
+            if stale != f"_STAGED_{n}":
+                try:
+                    os.remove(os.path.join(path, stale))
+                except OSError:
+                    pass
 
         def _export(batches):
             import os as _os
