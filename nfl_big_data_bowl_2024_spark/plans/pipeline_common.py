@@ -192,6 +192,40 @@ def _cluster_pairs_lsh(d: DataFrame) -> DataFrame:
     )
 
 
+# Session-scoped memo of the CC label relation: (applicationId, sf_dir) ->
+# eagerly-checkpointed labels DataFrame. At 100 TB the duplicate-cluster
+# labels are THE intermediate you materialize exactly once and every dedup
+# decision consumes; recomputing the LSH + fixpoint per consumer pays the
+# dominant cost (~105 s of each sf10 run) once per query instead of once
+# per session (verdict r10 item 2). Keyed on applicationId so a fresh
+# session never sees a stale entry; the label relation is O(corpus docs)
+# rows of (long, long) — checkpoint-sized at any sf.
+_CC_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cluster_labels_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels (doc_id, component) over the banded-LSH
+    near-dup graph — built once per (session, sf_dir) and shared by
+    dedup_cluster_assign and dedup_cluster_representative. The first call
+    runs the LSH candidate generation + exact verify + min-label fixpoint
+    and eagerly localCheckpoints the result; later calls return the
+    materialized relation (no recompute, no re-scan)."""
+    from ..operators.graph import connected_components
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _CC_LABELS_CACHE.get(key)
+    if got is not None:
+        return got
+    d = _t(spark, sf_dir, "documents")
+    labels = (
+        connected_components(_cluster_pairs_lsh(d), "doc_a", "doc_b")
+        .withColumnRenamed("node", "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    _CC_LABELS_CACHE[key] = labels
+    return labels
+
+
 def cluster_pairs_exact(d: DataFrame) -> DataFrame:
     """Audit twin of ``_cluster_pairs_lsh``: the exact per-shingle
     self-join pair generator (sum(df^2) fan-out — NOT the 100 TB path).

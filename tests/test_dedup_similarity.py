@@ -245,6 +245,38 @@ def test_cluster_lsh_composition_matches_exact_audit_twin(spark):
     assert lsh_labels == exact_labels
 
 
+def test_cluster_labels_shared_across_consumers(spark):
+    """dedup_cluster_assign and dedup_cluster_representative consume ONE
+    session-scoped CC label materialization (verdict r10 item 2): the
+    second call to the shared builder must return the SAME checkpointed
+    DataFrame object (no recompute of the LSH + fixpoint), and the
+    representative query's labels must be exactly the assign output."""
+    from nfl_big_data_bowl_2024_spark.plans.pipeline_common import (
+        _CC_LABELS_CACHE,
+        cluster_labels_lsh,
+    )
+    from nfl_big_data_bowl_2024_spark.plans.pipeline_sim import (
+        dedup_cluster_assign,
+        dedup_cluster_representative,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    key = (spark.sparkContext.applicationId, sf)
+    _CC_LABELS_CACHE.pop(key, None)
+    first = cluster_labels_lsh(spark, sf)
+    assert cluster_labels_lsh(spark, sf) is first
+    assert dedup_cluster_assign(spark, sf) is first
+    labels = {(r.doc_id, r.component) for r in first.collect()}
+    reps = dedup_cluster_representative(spark, sf).collect()
+    comp_ids = {c for _, c in labels}
+    assert {r.component for r in reps} == comp_ids
+    # representative must be a member of its own component with max n_chars
+    assert all(
+        (r.rep_doc_id, r.component) in labels for r in reps
+    )
+    _CC_LABELS_CACHE.pop(key, None)
+
+
 def test_semantic_dedup_drops_planted_neighbors(spark):
     """SemDeDup semantics on planted geometry: two near-identical vectors
     land in the same cluster -> higher id dropped with dup_of = lower id;
