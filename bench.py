@@ -152,137 +152,124 @@ def calibration_probe(spark, sf_dir: str) -> float:
     return min(runs)
 
 # ROTATING: everything else currently benched; entries here may rotate to
-# BENCH_SAMPLES-only to respect the 2000-char line budget (history below).
+# BENCH_SAMPLES-only to respect the 2000-char line budget.
+#
+# Round-11 rotation (verdict r10 item 5): the non-CORE slice had been
+# static since r8, while the 26 round-9/10 registrations had never
+# appeared in a BENCH record. 24 flat entries with three-plus rounds of
+# recorded history each rotated to BENCH_SAMPLES-only
+# (tpch_q5_local_supplier_volume, pivot_priority_by_nation,
+# mm_decode_features, txt_bigram_lm_surprisal, src_zorder_pruned_scan,
+# evt_rollup_incremental_refresh, json_variant_extract,
+# agg_weighted_median, src_pysource_generate, stat_ks_two_sample,
+# txt_fuzzy_blocked_levenshtein, agg_hll_shard_union, agg_countmin_sketch,
+# evt_ewma_fixed_point, src_schema_evolution_scan,
+# evt_sliding_distinct_users, txt_token_lift_pairs, ml_naive_bayes_train,
+# dq_referential_integrity, evt_autocovariance_lags, stat_mann_whitney_u,
+# agg_gini_per_nation, agg_kmv_distinct, dq_table_checksum — all prior
+# numbers remain in BENCH_r05..r10.json / BENCH_SAMPLES.json). The full
+# pre-r11 slice history lives in BENCH_r10.json and the git history of
+# this file.
 ROTATING = [
-    "tpch_q5_local_supplier_volume",
-    # (temporal_self_join 0.37s flat r2-r7 rotated to samples-only for
-    # the round-7 prefix-filter/KMV/checksum batch below)
-    "pivot_priority_by_nation",
-    # round-4 additions: the previously-unbenchmarked paths (the
-    # e2_yap_closed_form correctness artifact is NOT here — e2_yap and
-    # e2_yap_scale already measure the kernel; bench stays perf-focused)
-    "mm_decode_features",
-    # (doc_select_token_budget 0.41s flat r4-r8 and emb_arrow_norm_audit
-    # 0.27s flat r6-r8 rotated to samples-only: the round-9 line-budget
-    # slots go to the calibration_sec/core_total_normalized keys)
-    # round-6 additions: bigram LM, time-hierarchy rollup + incremental
-    # refresh, integer PageRank, and the three format round-trips
-    # (write+read cycles, so they measure sink+source).
-    # To keep the printed line inside the driver's 2000-char tail window,
-    # six map-only sub-0.25s entries whose timings were flat across
-    # r2-r5 rotated out (txt_token_quality, emb_dimension_stats,
-    # mm_binary_stats, doc_training_order, doc_leakage_safe_split,
-    # doc_length_batches) — their r5 numbers remain in
-    # BENCH_r05.json/BENCH_SAMPLES.json.
-    "txt_bigram_lm_surprisal",
-    "src_zorder_pruned_scan",
-    "evt_rollup_incremental_refresh",
-    # round-6 API-surface additions (VARIANT, Arrow UDTF lateral,
-    # GROUPED_AGG pandas UDAF, Observation telemetry). Same line-budget
-    # rotation as above: four flat map-only-or-tiny entries whose timings
-    # were stable r2-r5 rotated to BENCH_SAMPLES-only (txt_pii_redact
-    # 0.47s, emb_int8_quantize 0.31s, doc_quality_zscore_bucket 0.36s,
-    # evt_rolling_24h 0.38s — r5 numbers in BENCH_r05.json).
-    "json_variant_extract",
-    "agg_weighted_median",
-    # Python Data Source connector scan (pushFilters pruning); rotated
-    # offset_from_first (0.27s flat since r2) to BENCH_SAMPLES-only for
-    # the line budget. stream_state_introspection is correctness-gated
-    # but not benched: it is a full streaming run + checkpoint scan
-    # (~10s fixed fixture cost), like the e2_yap_closed_form artifacts.
-    "src_pysource_generate",
-    # mapInArrow integer-exact norm kernel (txt_fingerprint_exact_dedup,
-    # 0.2s flat since r2, rotated to samples-only for the line budget;
-    # src_pysource_write_roundtrip is correctness-gated but not benched —
-    # its write+read cycle profile is already covered by
-    # src_jsonl_roundtrip).
-    # round-6 second batch: triangle counting (the quadratic-fan-out-risk
-    # plan), banded-prefix-sum KS drift, densify+LOCF gap fill, blocked
-    # Levenshtein fuzzy dedup, materialized HLL shard union, closed-form
-    # OLS, and the binaryFile/XML source cycles. Line-budget rotation:
-    # eight flat entries stable across r2-r6 moved to BENCH_SAMPLES-only
-    # (txt_winnow_fingerprint, evt_hypertable_rollup, dq_observe_metrics,
-    # src_jsonl_roundtrip, src_orc_roundtrip, txt_chunk_udtf,
-    # doc_dsir_importance, txt_vocab_coverage — r5/r6 numbers remain in
-    # BENCH_r05.json/BENCH_SAMPLES.json).
-    "graph_triangle_count",
-    "stat_ks_two_sample",
-    # (evt_gap_fill_locf 0.41s flat r6 rotated to samples-only; its slot
-    # goes to the round-7 iterative LPA query)
+    # retained heavies: the iterative graph fixpoints and the r7/r8 dedup
+    # / ranking / split-search paths — the non-CORE entries whose timings
+    # actually move when plans change (graph_triangle_count and
+    # dedup_prefix_filter_jaccard, flat across r6/r7-r10, also rotated to
+    # samples-only to fit the 2000-char line with the 26 new entries)
     "graph_label_propagation",
-    "txt_fuzzy_blocked_levenshtein",
-    "agg_hll_shard_union",
-    # (ml_linreg_closed_form 0.24s flat in r6 rotated to samples-only for
-    # the round-7 core_total/core_prev_total line-budget keys)
-    "src_binaryfile_scan",
-    # round-6 third batch: bounded-depth BFS reachability (the frontier
-    # fixpoint), the Count-Min sketch + exact audit twin, the fixed-point
-    # EWMA smoothing kernel, and strict-contiguity sequence matching.
-    # Line-budget rotation: four flat entries stable across r2-r6 moved
-    # to BENCH_SAMPLES-only (doc_mix_weights 0.20s, grouped_having_sort
-    # 0.22s, skew_salted_agg 0.23s, dedup_incremental_batch 0.23s —
-    # prior numbers remain in BENCH_r05.json/BENCH_SAMPLES.json).
     "graph_khop_reachability",
-    "agg_countmin_sketch",
-    "evt_ewma_fixed_point",
-    # (evt_sequence_match 0.37s flat in r6-r7 rotated to samples-only for
-    # the round-7 batch below)
-    # round-6 fourth batch: mergeSchema evolution scan (write+read
-    # cycle), fixed-point chi-squared, exact sliding-window distinct.
-    # Rotation (same line-budget rule): batch_sessionize 0.30s,
-    # evt_transition_matrix 0.30s, asof_last_purchase 0.33s,
-    # evt_user_zscore_outliers 0.26s — flat across r2-r6 — moved
-    # to BENCH_SAMPLES-only.
-    "src_schema_evolution_scan",
-    "evt_sliding_distinct_users",
-    # round-6 fifth batch: association-lift pairs, Simpson diversity,
-    # winsorized robust stats. Rotation (line-budget rule):
-    # txt_vocab_topk 0.33s, pipeline_curation_funnel 0.31s,
-    # mm_audio_features 0.36s — flat across r3-r6 — moved to
-    # BENCH_SAMPLES-only.
-    "txt_token_lift_pairs",
-    # (txt_simpson_diversity 0.22s flat in r6 rotated to samples-only for
-    # the round-7 line-budget keys; doc_winsorized_stats 0.29s flat
-    # likewise for the round-7 batch below)
-    # round-6 sixth batch: fixed-round k-core peeling, naive-Bayes
-    # training, the referential-integrity audit, autocovariance
-    # sufficient stats. Rotation (line-budget rule): txt_span_dedup
-    # 0.34s, mm_resize_features 0.15s, txt_bpe_encode 0.27s,
-    # dq_expectations_check 0.70s, txt_repetition_filter 0.40s —
-    # flat across r3-r6 — moved to
-    # BENCH_SAMPLES-only.
     "graph_kcore_peel",
-    "ml_naive_bayes_train",
-    "dq_referential_integrity",
-    "evt_autocovariance_lags",
-    # round-6 seventh batch: Mann-Whitney rank-sum via the ascending
-    # banded prefix sum. Rotation: txt_contamination_check 0.30s (flat
-    # r3-r6) to BENCH_SAMPLES-only.
-    "stat_mann_whitney_u",
-    # round-6 eighth batch: exact per-nation Gini. Rotation:
-    # txt_unigram_surprisal 0.18s (flat r3-r6) to BENCH_SAMPLES-only.
-    "agg_gini_per_nation",
-    # round-7 batch: PPJoin prefix-filtered exact Jaccard (the new heavy
-    # dedup path — measures the prefix join + candidate verify), the KMV
-    # bottom-k distinct sketch (WindowGroupLimit partial bottom-k), and
-    # the mergeable table checksum (map-only fixed-grid audit).
-    "dedup_prefix_filter_jaccard",
-    "agg_kmv_distinct",
-    "dq_table_checksum",
-    # round-8 batch: the sorted-neighborhood dedup (range exchange +
-    # distributed rank + gap equi-join — the method family's heavy
-    # path), BM25 ranking (query-pruned explode + windowed df +
-    # TakeOrderedAndProject), and the stump split search (the
-    # gradient-histogram single-exchange shape over 600k rows).
-    # Line-budget rotation: cube_order_profile 0.29s, src_xml_roundtrip
-    # 0.25s and stat_chi2_independence 0.25s (all flat r3-r7) to
-    # BENCH_SAMPLES-only.
     "dedup_sorted_neighborhood",
     "txt_bm25_topk",
     "ml_stump_split_finding",
+    # code changed round 11 (staging isolation / pair-exchange sizing /
+    # shared CC labels) — benched while the change beds in
+    "src_binaryfile_scan",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_assign",
+    # round-9 registrations, first BENCH appearance
+    "asof_next_purchase",
+    "txt_zipf_fit",
+    "txt_kl_source_divergence",
+    "txt_ngram_novelty",
+    "txt_cross_source_contamination",
+    "evt_peak_concurrency",
+    "evt_uplift_diff_in_diff",
+    "stat_kendall_tau",
+    "stat_wilson_ci",
+    "agg_bloom_prefilter_join",
+    "stat_sign_flip_permutation",
+    "dq_sequential_gap_audit",
+    "stat_cohens_d",
+    "graph_copurchase_projection",
+    "graph_degree_assortativity",
+    "ml_roc_auc",
+    "ml_calibration_bins",
+    "ml_boosted_stumps",
+    "dedup_semantic_autok",
+    # round-10 registrations, first BENCH appearance
+    "stat_benjamini_hochberg",
+    "ml_pr_auc",
+    "ml_ndcg_at_k",
+    "evt_decayed_user_score",
+    "ml_kmeans_silhouette",
+    "txt_shannon_entropy",
+    "evt_ar1_fit",
 ]
 
 HEADLINE = CORE + ROTATING
+
+
+def calibration_probes_multi(spark) -> dict[str, float]:
+    """Multi-shape box-speed probes (round-11, verdict r10 item 3) — the
+    single frozen scan-agg probe normalizes CPU+scan drift but is blind to
+    shuffle-service and Python-dispatch contention, the two other ways a
+    shared box can slow a query. Three FROZEN shapes, min of 3 runs each,
+    all on synthetic inputs so no round's engine code can touch them:
+
+      cpu      fixed arithmetic fold over spark.range (pure codegen CPU)
+      shuffle  fixed repartition + grouped agg (exchange write+read path)
+      pyudf    fixed pandas-UDF round-trip (Arrow + Python worker path)
+
+    Recorded in BENCH_SAMPLES.json (calibration_multi + a bounded history
+    list), never on the 2000-char line. The scalar ``calibration_probe``
+    stays the normalization basis for core_total_normalized — these
+    probes DIAGNOSE which resource moved when it shifts."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    out: dict[str, float] = {}
+
+    cpu_df = (
+        spark.range(0, 20_000_000, 1, 32)
+        .select(
+            F.sum(
+                F.col("id") * 2654435761 % 1000003 + (F.col("id") % 97) * 31
+            ).alias("s")
+        )
+    )
+    shuffle_df = (
+        spark.range(0, 4_000_000, 1, 32)
+        .withColumn("k", F.col("id") % 100_000)
+        .repartition(64, "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+    )
+
+    @pandas_udf("double")
+    def _probe_udf(v):
+        return (v * 1.0000001 + 3.0) % 1000.0
+
+    pyudf_df = spark.range(0, 2_000_000, 1, 32).select(_probe_udf("id").alias("x"))
+
+    for key, df in (("cpu", cpu_df), ("shuffle", shuffle_df), ("pyudf", pyudf_df)):
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        out[key] = min(runs)
+    return out
 
 # Queries that showed multi-second shared-box spikes in past driver runs
 # (BENCH_r03: sim_topk_bruteforce x4.7, doc_pack_context_windows x2.9 — both
@@ -390,6 +377,86 @@ def sf10_graph_mode() -> None:
     print(json.dumps(line, separators=(",", ":")))
 
 
+# Default query set for `--sf10-sweep`: the sf10 heavy tail (everything
+# that has ever exceeded ~30 s solo at the generated sf10) plus any query
+# whose code changed in the current round (edit per round). Each query
+# gets its OWN SparkSession (same rationale as sf10_graph_mode's
+# per-query sessions, extended per verdict r10 item 6: the r10 warm-sweep
+# inflated the CC family 2.3x over fresh-session solo numbers via
+# accumulated executor memory pressure — a sweep should measure the
+# operator, not the session history).
+SF10_SWEEP_DEFAULT = [
+    "dedup_cluster_assign",
+    "dedup_cluster_representative",
+    "dedup_ngram_jaccard",
+    "txt_ngram_novelty",
+    "graph_adamic_adar_links",
+    "src_binaryfile_scan",
+]
+
+
+def sf10_sweep_mode(names: list[str], key: str) -> None:
+    """Run each named query at the generated sf10 point, ONE FRESH
+    SparkSession per query, and merge {key: record} into
+    BENCH_SAMPLES.json. Queries that share a session-scoped
+    materialization (the dedup cluster pair) are additionally run in one
+    shared session afterwards so the record shows both operating points."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/scaledata/sf10")
+    if not os.path.isdir(sf_dir):
+        print(json.dumps({"metric": key, "value": None, "unit": "sec",
+                          "error": f"no sf10 tree at {sf_dir} "
+                          "(generate with scripts/gen_scale_data.py)"}))
+        return
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+    from nfl_big_data_bowl_2024_spark.session import get_spark
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        spark = get_spark("bench-sf10-sweep")
+        spark.sparkContext.setLogLevel("ERROR")
+        print(f"[sf10-sweep] running {name}", file=sys.stderr, flush=True)
+        t0 = time.time()
+        try:
+            all_queries()[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.time() - t0, 1)
+        except Exception as exc:
+            errors[name] = str(exc).split("\n")[0][:200]
+        print(f"[sf10-sweep] {name}: {timings.get(name, 'FAILED')}",
+              file=sys.stderr, flush=True)
+        spark.stop()
+    rec: dict = {"sf_dir": sf_dir, "protocol": "one fresh session per query",
+                 "total_sec": round(sum(timings.values()), 1),
+                 "timings": timings}
+    if errors:
+        rec["errors"] = errors
+    # Shared-label operating point: assign + representative in ONE session
+    # (the intended 100 TB composition — labels materialized once).
+    if {"dedup_cluster_assign", "dedup_cluster_representative"} <= set(names):
+        spark = get_spark("bench-sf10-sweep-shared")
+        spark.sparkContext.setLogLevel("ERROR")
+        shared: dict[str, float] = {}
+        try:
+            for name in ("dedup_cluster_assign", "dedup_cluster_representative"):
+                t0 = time.time()
+                all_queries()[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                shared[name] = round(time.time() - t0, 1)
+            rec["cluster_shared_session"] = shared
+        except Exception as exc:
+            rec["cluster_shared_session_error"] = str(exc).split("\n")[0][:200]
+        spark.stop()
+    _merge_bench_samples({key: rec})
+    line: dict = {"metric": key, "value": rec["total_sec"], "unit": "sec",
+                  "queries": timings}
+    if errors:
+        line["errors"] = errors
+    print(json.dumps(line, separators=(",", ":")))
+
+
 def bench_scd2_upsert(spark, sf_dir: str) -> float:
     """Time one SCD-2 history-preserving upsert cycle over the documents
     dimension: snapshot write -> updates batch for half the keys ->
@@ -465,6 +532,7 @@ def main() -> None:
     # be read with environment drift divided out.
     calib = calibration_probe(spark, sf_dir)
     calib_prev = _load_calib_prev()
+    calib_multi = calibration_probes_multi(spark)
 
     # min of N runs per query, ALL samples recorded: the min is the
     # steady-state number (first run can pay residual JIT), and the full
@@ -511,6 +579,22 @@ def main() -> None:
     # (whole seconds past 10 s), asserted <= 2000 chars (worst-case width is
     # pinned by tests/test_bench_contract.py); the full per-run samples go
     # to a sidecar file for spread/noise analysis instead.
+    # Bounded multi-probe history: append this run's probes so probe
+    # drift can be read across rounds even though only the scalar makes
+    # the printed line (the driver's BENCH_r{N}.json keeps just that).
+    prev_samples: dict = {}
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"
+            )
+        ) as fh:
+            prev_samples = json.load(fh)
+    except (OSError, ValueError):
+        prev_samples = {}
+    multi_hist = (prev_samples.get("calibration_multi_history") or [])[-19:]
+    multi_hist.append({"epoch": int(time.time()), **calib_multi})
+
     _merge_bench_samples(
         {
             "sf": sf,
@@ -527,6 +611,20 @@ def main() -> None:
                 for n in CORE
             },
             "calibration": {"now": calib, "prev": calib_prev},
+            "calibration_multi": calib_multi,
+            "calibration_multi_history": multi_hist,
+            # per-query calibration-normalized minimums (verdict r10
+            # item 3): this round's min x calib_prev/calib_now, i.e. the
+            # timing re-expressed at the PREVIOUS round's box speed so
+            # per-query round-over-round deltas read net of box drift
+            "queries_normalized": (
+                {
+                    n: round(v * calib_prev / calib, 3)
+                    for n, v in timings.items()
+                }
+                if (calib_prev is not None and calib > 0)
+                else {}
+            ),
         }
     )
 
@@ -574,5 +672,14 @@ def main() -> None:
 if __name__ == "__main__":
     if "--sf10-graph" in sys.argv:
         sf10_graph_mode()
+    elif "--sf10-sweep" in sys.argv:
+        _key = "sf10_sweep_latest"
+        for _a in sys.argv[1:]:
+            if _a.startswith("--key="):
+                _key = _a.split("=", 1)[1]
+        _names = [
+            a for a in sys.argv[1:] if not a.startswith("--")
+        ] or SF10_SWEEP_DEFAULT
+        sf10_sweep_mode(_names, _key)
     else:
         main()

@@ -42,79 +42,23 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries.
-# Round-10 window (verdict r9 item 1): positions 1-19 are the 19
-# oracle-backed round-9 registrations that had never been driver-attested
-# (each already green under scripts/verify_local.py and the r9 judge's
-# independent run); 20-21 re-attest the two queries whose code changed
-# this round before the window froze (asof struct-carry fix, adamic-adar
-# optimization); 22-50 are 29 of the 43 entries whose latest driver
-# evidence is r5 — the flagship pipeline (e1/e2/flagship), the full
-# r5-era TPC-H slice, and the relational core. Everything below the
-# cutoff is ordered stalest-evidence-first (r5 remainder, r6, r7, r8,
-# r9) so round 11 continues naturally; the rows-only-by-design set
+# Round-11 window (verdict r10 item 1): positions 1-7 are the 7 round-10
+# registrations that had never been driver-attested (each green under
+# scripts/verify_local.py, this round and in the r10 judge's independent
+# run); 8-11 re-attest the four queries whose code changed this round
+# before the window froze (the ngram-jaccard pair-exchange rewrite, the
+# shared CC label materialization behind both dedup cluster queries, and
+# the count-stamped binaryFile staging); 12-26 are the 15 entries whose
+# latest driver evidence is r5 (incl. the rows-only e2_yap); 27-50 are
+# the 24 stalest r6 rows, filling the window exactly. Below the cutoff
+# everything is ordered stalest-evidence-first (r6 remainder, r7, r8,
+# r9, r10) so round 12 continues naturally; the rows-only-by-design set
 # (dedup_minhash_lsh / dedup_simhash / sim_ivf_topk / sim_lsh_bucketed /
-# e2_yap (+ scale twin), each pinned by an oracle-backed deterministic
+# e2_yap_scale, each pinned by an oracle-backed deterministic
 # operating-point twin) sits at the very bottom. Everything outside the
 # current window stays locally verified via scripts/verify_local.py
 # (pandas canonicalization, driver-realistic).
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-9 registrations, never driver-attested (19)
-    "asof_next_purchase",
-    "txt_zipf_fit",
-    "txt_kl_source_divergence",
-    "txt_ngram_novelty",
-    "txt_cross_source_contamination",
-    "evt_peak_concurrency",
-    "evt_uplift_diff_in_diff",
-    "stat_kendall_tau",
-    "stat_wilson_ci",
-    "agg_bloom_prefilter_join",
-    "stat_sign_flip_permutation",
-    "dq_sequential_gap_audit",
-    "stat_cohens_d",
-    "graph_copurchase_projection",
-    "graph_degree_assortativity",
-    "ml_roc_auc",
-    "ml_calibration_bins",
-    "ml_boosted_stumps",
-    "dedup_semantic_autok",
-    # --- code changed this round (re-attestation)
-    "asof_nearest_purchase",
-    "graph_adamic_adar_links",
-    # --- stalest r5-evidence slice (29 fills)
-    "e1_max_params",
-    "flagship_bounded_max",
-    "e2_yap_closed_form_curved",
-    "dedup_semantic",
-    "ml_quality_classifier_train",
-    "stream_dedup_frames",
-    "asof_last_purchase",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q12_shipmode_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_join",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_dormant_accounts",
-    "temporal_self_join",
-    "range_join_near_events",
-    "semi_anti_join",
-    "join_multi_key",
-    "grouped_having_sort",
-    "corr_per_group",
-    "histogram_bins",
-    "sql_interface",
-    # ---------------- position 50 cutoff ----------------
-    # Below: stalest-evidence-first (r5 remainder, r6, r7, r8, r9),
-    # rows-only-by-design entries last.
-    # round-10 registrations (never attested — first in the r11 window)
     "stat_benjamini_hochberg",
     "ml_pr_auc",
     "ml_ndcg_at_k",
@@ -122,6 +66,10 @@ _DRIVER_PRIORITY: list[str] = [
     "ml_kmeans_silhouette",
     "txt_shannon_entropy",
     "evt_ar1_fit",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_assign",
+    "dedup_cluster_representative",
+    "src_binaryfile_scan",
     "approx_count_distinct",
     "batch_sessionize",
     "conditional_recode_clip",
@@ -136,6 +84,7 @@ _DRIVER_PRIORITY: list[str] = [
     "union_dedup_sorted",
     "unpivot_part_metrics",
     "window_rank_family",
+    "e2_yap",
     "agg_countmin_sketch",
     "agg_grouping_sets",
     "agg_hll_shard_union",
@@ -160,9 +109,19 @@ _DRIVER_PRIORITY: list[str] = [
     "json_variant_extract",
     "ml_linreg_closed_form",
     "ml_naive_bayes_train",
+    # ---------------- position 50 cutoff ----------------
+    # round-11 registrations (landed after the r11 window froze — first
+    # in the r12 window; locally verified via scripts/verify_local.py)
+    "stat_theil_sen_slope",
+    "stat_hartley_fmax",
+    "stat_grubbs_extreme",
+    "stat_jarque_bera",
+    "ml_cohen_kappa",
+    "ml_lift_gain_deciles",
+    "ml_brier_decomposition",
+    "txt_hapax_legomena",
     "mm_byte_features",
     "scd2_pointintime_join",
-    "src_binaryfile_scan",
     "src_jsonl_roundtrip",
     "src_orc_roundtrip",
     "src_pysource_generate",
@@ -191,7 +150,6 @@ _DRIVER_PRIORITY: list[str] = [
     "argmax_per_group",
     "dedup_embedding_cosine",
     "dedup_incremental_batch",
-    "dedup_ngram_jaccard",
     "dedup_prefix_filter_jaccard",
     "distinct_keys",
     "doc_leakage_safe_split",
@@ -276,8 +234,6 @@ _DRIVER_PRIORITY: list[str] = [
     "stat_mad_outliers",
     "txt_lang_id",
     "txt_regex_extract",
-    "dedup_cluster_assign",
-    "dedup_cluster_representative",
     "dedup_multi_signal_clusters",
     "dedup_sorted_neighborhood",
     "doc_dsir_importance",
@@ -325,9 +281,58 @@ _DRIVER_PRIORITY: list[str] = [
     "txt_pii_redact",
     "txt_unigram_surprisal",
     "txt_vocab_coverage",
+    "asof_next_purchase",
+    "txt_zipf_fit",
+    "txt_kl_source_divergence",
+    "txt_ngram_novelty",
+    "txt_cross_source_contamination",
+    "evt_peak_concurrency",
+    "evt_uplift_diff_in_diff",
+    "stat_kendall_tau",
+    "stat_wilson_ci",
+    "agg_bloom_prefilter_join",
+    "stat_sign_flip_permutation",
+    "dq_sequential_gap_audit",
+    "stat_cohens_d",
+    "graph_copurchase_projection",
+    "graph_degree_assortativity",
+    "ml_roc_auc",
+    "ml_calibration_bins",
+    "ml_boosted_stumps",
+    "dedup_semantic_autok",
+    "asof_nearest_purchase",
+    "graph_adamic_adar_links",
+    "e1_max_params",
+    "flagship_bounded_max",
+    "e2_yap_closed_form_curved",
+    "dedup_semantic",
+    "ml_quality_classifier_train",
+    "stream_dedup_frames",
+    "asof_last_purchase",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_join",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_dormant_accounts",
+    "temporal_self_join",
+    "range_join_near_events",
+    "semi_anti_join",
+    "join_multi_key",
+    "grouped_having_sort",
+    "corr_per_group",
+    "histogram_bins",
+    "sql_interface",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "e2_yap",
     "e2_yap_scale",
     "sim_ivf_topk",
     "sim_lsh_bucketed",
