@@ -1167,3 +1167,365 @@ def ml_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         "sum_s_micro",
     )
+
+
+@register(
+    "ml_cohen_kappa",
+    """
+    WITH scored AS (
+        SELECT CASE WHEN CAST(n_chars AS BIGINT) * 1000
+                    // (length(text) - length(replace(text, ' ', '')) + 1)
+                    >= 5500 THEN 1 ELSE 0 END AS pred,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ),
+    g AS (
+        SELECT count(*) AS n,
+               CAST(sum(pred * pos) AS BIGINT)             AS tp,
+               CAST(sum(pred * (1 - pos)) AS BIGINT)       AS fp,
+               CAST(sum((1 - pred) * pos) AS BIGINT)       AS fn
+        FROM scored
+    )
+    SELECT CAST(n AS BIGINT)            AS n_docs,
+           tp, fp, fn,
+           CAST(n - tp - fp - fn AS BIGINT) AS tn,
+           CAST(floor(
+               ((tp + (n - tp - fp - fn)) * 1.0 / n
+                - ((tp + fp) * 1.0 * (tp + fn)
+                   + (fn + (n - tp - fp - fn)) * 1.0 * (fp + (n - tp - fp - fn)))
+                  / (1.0 * n * n))
+               / (1 - ((tp + fp) * 1.0 * (tp + fn)
+                   + (fn + (n - tp - fp - fn)) * 1.0 * (fp + (n - tp - fp - fn)))
+                  / (1.0 * n * n))
+               * 1000000 + 0.5) AS BIGINT) AS kappa_micro
+    FROM g
+    """,
+    doc="Cohen's kappa chance-corrected agreement between the deterministic "
+    "mean-token-length classifier (mtl_milli >= 5500, the median split of "
+    "the round-5 quality scorer) and the lang='en' label (Cohen 1960, "
+    "public): kappa = (p_o - p_e)/(1 - p_e) with p_e from the marginal "
+    "products — the agreement metric that exposes when ml_eval_confusion's "
+    "raw accuracy is just class imbalance. ONE ungrouped "
+    "partial-aggregated fold produces the full confusion mass (tp/fp/fn, "
+    "tn by complement); kappa is identical-tree doubles over those exact "
+    "integers, micro-floored once. Map-side partials, one exchange of "
+    "four counters — the flattest possible 100 TB shape.",
+)
+def ml_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        F.when(
+            F.expr(
+                "CAST(n_chars AS BIGINT) * 1000"
+                " div (length(text) - length(replace(text, ' ', '')) + 1)"
+            )
+            >= 5500,
+            1,
+        )
+        .otherwise(0)
+        .alias("pred"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    g = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("pred") * F.col("pos")).cast("long").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("pos"))).cast("long").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("pos")).cast("long").alias("fn"),
+    )
+    n, tp, fp, fn = F.col("n"), F.col("tp"), F.col("fp"), F.col("fn")
+    tn = n - tp - fp - fn
+    po = (tp + tn) * 1.0 / n
+    pe = ((tp + fp) * 1.0 * (tp + fn) + (fn + tn) * 1.0 * (fp + tn)) / (
+        1.0 * n * n
+    )
+    return g.select(
+        n.cast("long").alias("n_docs"),
+        tp,
+        fp,
+        fn,
+        tn.cast("long").alias("tn"),
+        F.floor((po - pe) / (1 - pe) * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("kappa_micro"),
+    )
+
+
+@register(
+    "ml_lift_gain_deciles",
+    """
+    WITH scored AS (
+        SELECT CAST(n_chars AS BIGINT) * 1000
+               // (length(text) - length(replace(text, ' ', '')) + 1)
+                   AS mtl_milli,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ),
+    pts AS (
+        SELECT mtl_milli,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(pos) AS BIGINT) AS cnt_pos
+        FROM scored GROUP BY mtl_milli
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                   CAST(sum(cnt_pos) AS BIGINT) AS p FROM pts),
+    rk AS (
+        SELECT mtl_milli, cnt, cnt_pos,
+               coalesce(sum(cnt) OVER (ORDER BY mtl_milli DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM pts
+    ),
+    seg AS (
+        SELECT d, cnt, cnt_pos, cb, n, p,
+               greatest(cb + 1, (d * n + 9) // 10 + 1)      AS seg_lo,
+               least(cb + cnt, ((d + 1) * n + 9) // 10)     AS seg_hi
+        FROM rk, tot,
+             unnest(generate_series(CAST((10 * cb) // n AS BIGINT),
+                                    CAST((10 * (cb + cnt - 1)) // n
+                                         AS BIGINT))) AS t(d)
+    ),
+    byd AS (
+        SELECT d AS decile,
+               CAST(sum(seg_hi - seg_lo + 1) AS BIGINT) AS n_docs,
+               CAST(sum(greatest(least(seg_hi, cb + cnt_pos) - seg_lo + 1,
+                                 0)) AS BIGINT) AS n_pos,
+               max(n) AS n, max(p) AS p
+        FROM seg GROUP BY d
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos,
+           CAST(sum(n_pos) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_pos,
+           CAST((2000 * sum(n_pos) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + p)
+               // (2 * p) AS BIGINT) AS gain_milli,
+           CAST(floor(n_pos * 1.0 * n / (n_docs * 1.0 * p) * 1000 + 0.5)
+               AS BIGINT) AS lift_milli
+    FROM byd
+    """,
+    doc="Exact decile lift / cumulative-gains table for the deterministic "
+    "mtl_milli scorer against the lang='en' label — the campaign-"
+    "targeting companion of ml_roc_auc (AUC summarizes the whole "
+    "ranking; the gains table says what the TOP 10/20/...% buys). "
+    "Ranking ties inside one score value are broken POSITIVES-FIRST "
+    "(the optimistic-gains convention, stated in the contract), which "
+    "is what makes the table computable from collapsed (score, cnt, "
+    "cnt_pos) points by pure rank arithmetic: each score point spans "
+    "ranks [cb+1, cb+cnt], its positives the prefix [cb+1, cb+cnt_pos], "
+    "and each point is exploded to only the <= 10 deciles it overlaps. "
+    "NO row-level global sort exists anywhere: the cumulative-before "
+    "counts ride banded_running_sum's triangular band decomposition "
+    "(one row per distinct score = one band; the operator doc states "
+    "the global-window equivalence the oracle uses), and the final "
+    "10-row cumulative is another triangular self-join. Scale: one "
+    "partial-aggregated exchange collapses the corpus to distinct "
+    "scores (bounded by score granularity, not rows), everything after "
+    "is arithmetic over that bounded relation.",
+)
+def ml_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import banded_running_sum
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        F.expr(
+            "CAST(n_chars AS BIGINT) * 1000"
+            " div (length(text) - length(replace(text, ' ', '')) + 1)"
+        ).alias("mtl_milli"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    pts = scored.groupBy("mtl_milli").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("cnt_pos"),
+    )
+    tot = pts.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("cnt_pos").cast("long").alias("p"),
+    )
+    rk = banded_running_sum(
+        pts, "mtl_milli", [F.col("mtl_milli").desc()], "cnt",
+        out_col="cum", descending=True,
+    ).withColumn("cb", F.col("cum") - F.col("cnt"))
+    seg = (
+        rk.crossJoin(F.broadcast(tot))
+        .select(
+            "cnt", "cnt_pos", "cb", "n", "p",
+            F.explode(
+                F.sequence(
+                    F.expr("(10 * cb) div n"),
+                    F.expr("(10 * (cb + cnt - 1)) div n"),
+                )
+            ).alias("d"),
+        )
+        .select(
+            "d", "cnt_pos", "cb", "n", "p",
+            F.greatest(F.col("cb") + 1, F.expr("(d * n + 9) div 10 + 1")).alias(
+                "seg_lo"
+            ),
+            F.least(
+                F.col("cb") + F.col("cnt"), F.expr("((d + 1) * n + 9) div 10")
+            ).alias("seg_hi"),
+        )
+    )
+    byd = seg.groupBy(F.col("d").alias("decile")).agg(
+        F.sum(F.col("seg_hi") - F.col("seg_lo") + 1).cast("long").alias("n_docs"),
+        F.sum(
+            F.greatest(
+                F.least(F.col("seg_hi"), F.col("cb") + F.col("cnt_pos"))
+                - F.col("seg_lo")
+                + 1,
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("n_pos"),
+        F.max("n").alias("n"),
+        F.max("p").alias("p"),
+    )
+    # 10-row cumulative via the same triangular decomposition (one band
+    # per decile) — no SinglePartition window even here.
+    cum = banded_running_sum(
+        byd, "decile", [F.col("decile")], "n_pos",
+        out_col="cum_pos", descending=False,
+    )
+    return cum.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_docs",
+        "n_pos",
+        F.col("cum_pos").cast("long").alias("cum_pos"),
+        F.expr("CAST((2000 * cum_pos + p) div (2 * p) AS BIGINT)").alias(
+            "gain_milli"
+        ),
+        F.floor(
+            F.col("n_pos") * 1.0 * F.col("n") / (F.col("n_docs") * 1.0 * F.col("p"))
+            * 1000
+            + 0.5
+        )
+        .cast("long")
+        .alias("lift_milli"),
+    )
+
+
+@register(
+    "ml_brier_decomposition",
+    """
+    WITH scored AS (
+        SELECT least(greatest((CAST(n_chars AS BIGINT) * 1000
+                   // (length(text) - length(replace(text, ' ', '')) + 1)
+                   - 4500) // 20, 0), 100) AS p_centi,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    bins AS (
+        SELECT p_centi,
+               CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(y) AS BIGINT)   AS pos_b
+        FROM scored GROUP BY p_centi
+    ),
+    tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n,
+                   CAST(sum(pos_b) AS BIGINT) AS p FROM bins),
+    contrib AS (
+        SELECT n_b, pos_b, n, p,
+               p_centi * p_centi * n_b - 200 * p_centi * pos_b
+                   + 10000 * pos_b AS sq_term,
+               CAST(floor(100.0 * (p_centi * n_b - 100.0 * pos_b)
+                          * (p_centi * n_b - 100.0 * pos_b) / n_b)
+                    AS BIGINT) AS rel_b,
+               CAST(floor(1000000.0 * (pos_b - n_b * (p * 1.0 / n))
+                          * (pos_b - n_b * (p * 1.0 / n)) / n_b)
+                    AS BIGINT) AS res_b
+        FROM bins, tot
+    )
+    SELECT CAST(max(n) AS BIGINT)                    AS n_docs,
+           CAST(max(p) AS BIGINT)                    AS n_pos,
+           CAST(count(*) AS BIGINT)                  AS n_bins,
+           CAST((200 * sum(sq_term) + max(n)) // (2 * max(n)) AS BIGINT)
+               AS brier_micro,
+           CAST(sum(rel_b) // max(n) AS BIGINT)      AS reliability_micro,
+           CAST(sum(res_b) // max(n) AS BIGINT)      AS resolution_micro,
+           CAST(floor(1000000.0 * (max(p) * 1.0 / max(n))
+                      * (1 - max(p) * 1.0 / max(n)) + 0.5) AS BIGINT)
+               AS uncertainty_micro
+    FROM contrib
+    """,
+    doc="Brier score + Murphy (1973) reliability/resolution/uncertainty "
+    "decomposition for a deterministic centi-probability forecast "
+    "(p_centi = clamp((mtl_milli - 4500) div 20, 0, 100)) of lang='en' "
+    "— the proper-scoring-rule companion of ml_calibration_bins: the "
+    "same reliability the diagram shows, as one number, plus the "
+    "resolution the diagram can't. Cross-engine determinism: the Brier "
+    "term is EXACT integers end-to-end (per-bin sq_term, round-half-up "
+    "div); the two decomposition sums quantize PER BIN — each bin's "
+    "contribution is an identical-tree double floored to an integer "
+    "before summation, so the total is an order-free integer sum and "
+    "no float accumulation order can differ (the same move as "
+    "stat_benjamini_hochberg's per-row quantization). Shape: one "
+    "partial-aggregated exchange collapses the corpus to <= 101 "
+    "forecast bins; everything after is arithmetic on that bounded "
+    "relation (the grand totals re-enter as a broadcast).",
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        F.least(
+            F.greatest(
+                F.expr(
+                    "(CAST(n_chars AS BIGINT) * 1000"
+                    " div (length(text) - length(replace(text, ' ', '')) + 1)"
+                    " - 4500) div 20"
+                ),
+                F.lit(0),
+            ),
+            F.lit(100),
+        ).alias("p_centi"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    bins = scored.groupBy("p_centi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("y").cast("long").alias("pos_b"),
+    )
+    tot = bins.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.sum("pos_b").cast("long").alias("p"),
+    )
+    pc, nb, pb = F.col("p_centi"), F.col("n_b"), F.col("pos_b")
+    ybar = F.col("p") * 1.0 / F.col("n")
+    contrib = bins.crossJoin(F.broadcast(tot)).select(
+        "n_b",
+        "pos_b",
+        "n",
+        "p",
+        (pc * pc * nb - 200 * pc * pb + 10000 * pb).alias("sq_term"),
+        F.floor(
+            100.0
+            * (pc * nb - 100.0 * pb)
+            * (pc * nb - 100.0 * pb)
+            / nb
+        )
+        .cast("long")
+        .alias("rel_b"),
+        F.floor(
+            1_000_000.0 * (pb - nb * ybar) * (pb - nb * ybar) / nb
+        )
+        .cast("long")
+        .alias("res_b"),
+    )
+    return contrib.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.max("p").cast("long").alias("n_pos"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.expr("CAST((200 * sum(sq_term) + max(n)) div (2 * max(n)) AS BIGINT)")
+        .alias("brier_micro"),
+        F.expr("CAST(sum(rel_b) div max(n) AS BIGINT)").alias(
+            "reliability_micro"
+        ),
+        F.expr("CAST(sum(res_b) div max(n) AS BIGINT)").alias(
+            "resolution_micro"
+        ),
+        F.floor(
+            1_000_000.0
+            * (F.max("p") * 1.0 / F.max("n"))
+            * (1 - F.max("p") * 1.0 / F.max("n"))
+            + 0.5
+        )
+        .cast("long")
+        .alias("uncertainty_micro"),
+    )

@@ -1942,3 +1942,344 @@ def stat_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("rejected"),
     )
+
+
+@register(
+    "stat_theil_sen_slope",
+    """
+    WITH cents AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    daily AS (
+        SELECT event_type, day, CAST(sum(c) AS BIGINT) AS y
+        FROM cents GROUP BY event_type, day
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               (b.y - a.y) * 1.0 / (b.day - a.day) AS slope,
+               a.day AS x1, b.day AS x2
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    rk AS (
+        SELECT event_type, slope,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope, x1, x2) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM slopes
+    )
+    SELECT event_type,
+           CAST(cnt AS BIGINT) AS n_slopes,
+           CAST(floor(slope * 1000000 + 0.5) AS BIGINT) AS sen_slope_micro
+    FROM rk WHERE rn = (cnt + 1) // 2
+    """,
+    doc="Theil-Sen robust trend estimator per event type: the LOWER MEDIAN "
+    "of all pairwise slopes (y_j - y_i)/(x_j - x_i) over the daily value "
+    "series (x = epoch day, y = exact daily cents total) — the "
+    "breakdown-point-0.29 alternative to OLS trend that one corrupted "
+    "day cannot drag (Theil 1950 / Sen 1968, public). Exact and "
+    "engine-portable: the median is selected by RANK (rn = (cnt+1) div "
+    "2 over the total order slope, x1, x2), never interpolated, so no "
+    "float averaging exists to differ; slopes are identical doubles "
+    "from identical BIGINT operands. Scale: the pair fan-out is "
+    "O(days^2) per group — bounded by the CALENDAR (365 days -> 66k "
+    "pairs), not the corpus, after one partial-aggregated exchange "
+    "collapses events to daily points; the rank window runs per group "
+    "over those bounded pairs.",
+)
+def stat_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    daily = cents.groupBy("event_type", "day").agg(
+        F.sum("c").cast("long").alias("y")
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("x1"), F.col("y").alias("y1")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("x2"), F.col("y").alias("y2")
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("x1") < F.col("x2"))
+        .select(
+            "event_type",
+            ((F.col("y2") - F.col("y1")) * 1.0 / (F.col("x2") - F.col("x1"))).alias(
+                "slope"
+            ),
+            "x1",
+            "x2",
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "x1", "x2")
+    wc = Window.partitionBy("event_type")
+    rk = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    return rk.filter(F.col("rn") == (F.col("cnt") + 1) / 2).select(
+        "event_type",
+        F.col("cnt").cast("long").alias("n_slopes"),
+        F.floor(F.col("slope") * 1_000_000 + 0.5).cast("long").alias(
+            "sen_slope_micro"
+        ),
+    )
+
+
+@register(
+    "stat_hartley_fmax",
+    """
+    WITH cents AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(c) AS DOUBLE)     AS s1,
+               CAST(sum(c * c) AS DOUBLE) AS s2
+        FROM cents GROUP BY event_type
+    ),
+    v AS (
+        SELECT event_type,
+               (s2 - s1 * s1 / n) / (n - 1) AS s2hat
+        FROM g
+    ),
+    mx AS (SELECT event_type, s2hat FROM v
+           ORDER BY s2hat DESC, event_type LIMIT 1),
+    mn AS (SELECT event_type, s2hat FROM v
+           ORDER BY s2hat ASC, event_type LIMIT 1)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v)     AS n_groups,
+           mx.event_type                                AS type_max_var,
+           mn.event_type                                AS type_min_var,
+           CAST(floor(mx.s2hat / mn.s2hat * 1000000 + 0.5) AS BIGINT)
+               AS fmax_micro
+    FROM mx, mn
+    """,
+    doc="Hartley's F_max variance-homogeneity screen across event types: "
+    "the ratio of the largest to the smallest per-group sample variance "
+    "(Hartley 1950, public) — the cheap one-pass heteroscedasticity "
+    "gate run before trusting a pooled-variance test like "
+    "stat_welch_ttest/stat_cohens_d. Variances come from the same exact "
+    "integer sufficient statistics (cents quantization, one "
+    "partial-aggregated grouped pass), the k-row extremes are selected "
+    "by ORDER BY s2hat with the event_type tiebreak (TakeOrderedAnd"
+    "Project on both engines, never a bare LIMIT), and the single "
+    "output ratio is micro-floored once. Chosen over Bartlett's test "
+    "deliberately: Bartlett needs ln of an unbounded variance product, "
+    "which would force the ln_micro table through int64-overflowing "
+    "n*s2 products; F_max is division-only on doubles from exact "
+    "integers.",
+)
+def stat_hartley_fmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    g = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal-widened sums (the ANSI long-sum overflow rule): exact at
+        # any corpus size, cast to double once
+        F.sum(F.col("c").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    v = g.select(
+        "event_type",
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("s2hat"),
+    )
+    mx = v.orderBy(F.desc("s2hat"), "event_type").limit(1).select(
+        F.col("event_type").alias("type_max_var"), F.col("s2hat").alias("maxv")
+    )
+    mn = v.orderBy("s2hat", "event_type").limit(1).select(
+        F.col("event_type").alias("type_min_var"), F.col("s2hat").alias("minv")
+    )
+    ng = v.agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+    return (
+        ng.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(mn))
+        .select(
+            "n_groups",
+            "type_max_var",
+            "type_min_var",
+            F.floor(F.col("maxv") / F.col("minv") * 1_000_000 + 0.5)
+            .cast("long")
+            .alias("fmax_micro"),
+        )
+    )
+
+
+@register(
+    "stat_grubbs_extreme",
+    """
+    WITH cents AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               count(*)                   AS n,
+               CAST(sum(c) AS BIGINT)     AS s1,
+               CAST(sum(c * c) AS DOUBLE) AS s2d,
+               max(c)                     AS maxc,
+               min(c)                     AS minc
+        FROM cents GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CASE WHEN maxc * n - s1 >= s1 - minc * n
+                THEN maxc ELSE minc END AS extreme_cents,
+           CASE WHEN maxc * n - s1 >= s1 - minc * n
+                THEN 'high' ELSE 'low' END AS side,
+           CAST(floor(
+               (CASE WHEN maxc * n - s1 >= s1 - minc * n
+                     THEN maxc - CAST(s1 AS DOUBLE) / n
+                     ELSE CAST(s1 AS DOUBLE) / n - minc END)
+               / sqrt((s2d - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+               * 1000000 + 0.5) AS BIGINT) AS grubbs_micro
+    FROM g
+    """,
+    doc="Grubbs' extreme-studentized-deviate statistic per event type: "
+    "G = max|x - mean| / sd, with the deviant SIDE (high/low) and the "
+    "extreme value itself (Grubbs 1950, public) — the single-outlier "
+    "screen that complements stat_mad_outliers' bulk robust flagging "
+    "with a test statistic. Key exactness move: because the mean lies "
+    "between min and max, max|x - mean| = max(max - mean, mean - min), "
+    "so G needs only (n, sum, sum-sq, min, max) — ONE grouped pass, no "
+    "join-back of per-row deviations — and the side is chosen by the "
+    "INTEGER comparison maxc*n - s1 >= s1 - minc*n (exact, never a "
+    "float tie), ties going to 'high' by definition. The statistic "
+    "itself is identical-tree doubles micro-floored once. Scale: "
+    "partial-aggregated grouped fold, k output rows.",
+)
+def stat_grubbs_extreme(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    g = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2d"),
+        F.max("c").alias("maxc"),
+        F.min("c").alias("minc"),
+    )
+    hi = F.col("maxc") * F.col("n") - F.col("s1") >= F.col("s1") - F.col(
+        "minc"
+    ) * F.col("n")
+    mean = F.col("s1").cast("double") / F.col("n")
+    dev = F.when(hi, F.col("maxc") - mean).otherwise(mean - F.col("minc"))
+    sd = F.sqrt(
+        (F.col("s2d") - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.when(hi, F.col("maxc")).otherwise(F.col("minc")).alias("extreme_cents"),
+        F.when(hi, F.lit("high")).otherwise(F.lit("low")).alias("side"),
+        F.floor(dev / sd * 1_000_000 + 0.5).cast("long").alias("grubbs_micro"),
+    )
+
+
+@register(
+    "stat_jarque_bera",
+    """
+    WITH cents AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(c) AS DOUBLE)                 AS s1,
+               CAST(sum(c * c) AS DOUBLE)             AS s2,
+               CAST(sum((c * c) * c) AS DOUBLE)       AS s3,
+               CAST(sum((c * c) * (c * c)) AS DOUBLE) AS s4
+        FROM cents GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type, n, s1 / n AS mu,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3 * (s1 / n) * (s2 / n)
+                      + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 / n - 4 * (s1 / n) * (s3 / n)
+                      + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM g
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(floor(m3 / (sqrt(m2) * m2) * 1000000 + 0.5) AS BIGINT)
+               AS skew_micro,
+           CAST(floor(m4 / (m2 * m2) * 1000000 + 0.5) AS BIGINT)
+               AS kurt_micro,
+           CAST(floor(n * ((m3 / (sqrt(m2) * m2)) * (m3 / (sqrt(m2) * m2)) / 6
+                + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 24)
+                * 1000000 + 0.5) AS BIGINT) AS jb_micro
+    FROM m
+    """,
+    doc="Jarque-Bera normality test per event type from exact raw moments: "
+    "skewness, kurtosis and JB = n(S^2/6 + (K-3)^2/24) (Jarque & Bera "
+    "1980, public) — the distribution-shape gate that tells a pipeline "
+    "whether mean/sd-based scores (stat_grubbs_extreme, z-score "
+    "bucketing) are even meaningful. The four raw power sums are exact "
+    "integer folds in cents (c^4 < 2^63 requires cents < 55109 — holds "
+    "with margin for this corpus' value <= ~500; the sums themselves "
+    "ride the engines' wide accumulators and are cast to double ONCE), "
+    "central moments and the statistic are identical-tree doubles, "
+    "micro-floored once per output. ONE partial-aggregated grouped "
+    "pass, k rows out — the flat 100 TB shape.",
+)
+def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    c, c2 = F.col("c"), F.col("c") * F.col("c")
+    # Per-row power terms fit int64 (c^4 < 2^63 for cents < 55109), but
+    # the SUMS do not — Spark's long-typed sum raises under ANSI where
+    # DuckDB silently widens to HUGEINT, so widen to decimal BEFORE
+    # aggregating (the graph_degree_assortativity rule, advice r9).
+    g = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c.cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum(c2.cast("decimal(38,0)")).cast("double").alias("s2"),
+        F.sum((c2 * c).cast("decimal(38,0)")).cast("double").alias("s3"),
+        F.sum((c2 * c2).cast("decimal(38,0)")).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    skew = m3 / (F.sqrt(m2) * m2)
+    kurt = m4 / (m2 * m2)
+    jb = n * (skew * skew / 6 + (kurt - 3) * (kurt - 3) / 24)
+    return g.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.floor(skew * 1_000_000 + 0.5).cast("long").alias("skew_micro"),
+        F.floor(kurt * 1_000_000 + 0.5).cast("long").alias("kurt_micro"),
+        F.floor(jb * 1_000_000 + 0.5).cast("long").alias("jb_micro"),
+    )

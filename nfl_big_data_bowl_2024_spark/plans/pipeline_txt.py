@@ -2056,3 +2056,59 @@ def txt_shannon_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("entropy_micro"),
     )
+
+
+@register(
+    "txt_hapax_legomena",
+    """
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    tc AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)  AS vocab,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax,
+           CAST(sum(cnt) AS BIGINT)  AS total_tokens,
+           CAST((2000 * sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) + count(*))
+                // (2 * count(*)) AS BIGINT) AS hapax_ratio_milli
+    FROM tc GROUP BY source
+    """,
+    doc="Hapax legomena profile per source: vocabulary size, the count of "
+    "tokens occurring exactly ONCE in the source's whole corpus slice, "
+    "and their ratio — the classical vocabulary-richness / "
+    "crawl-contamination signal (a boilerplate-heavy or deduplicated "
+    "source shows an anomalously LOW hapax ratio; ~40-60% is natural "
+    "text's Zipf-consistent range, the regime txt_zipf_fit measures "
+    "from the other end). All-integer: token counts collapse in one "
+    "partial-aggregated exchange on (source, token), the per-source "
+    "fold reduces those bounded vocab rows, and the ratio is the "
+    "(2h+v) div (2v) round-half-up identity. Unlike "
+    "txt_vocab_coverage's per-doc distinct tokens, the count here is "
+    "corpus-global per source — frequency 1 must survive aggregation "
+    "across ALL of a source's documents, which is exactly why it "
+    "needs the two-level aggregate and cannot be a map-only profile.",
+)
+def txt_hapax_legomena(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tc = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return tc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax"),
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.expr(
+            "CAST((2000 * sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)"
+            " + count(*)) div (2 * count(*)) AS BIGINT)"
+        ).alias("hapax_ratio_milli"),
+    )
