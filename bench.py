@@ -410,6 +410,15 @@ def sf10_sweep_mode(names: list[str], key: str) -> None:
     from nfl_big_data_bowl_2024_spark.plans import all_queries
     from nfl_big_data_bowl_2024_spark.session import get_spark
 
+    # Box-speed probes first (own throwaway session): sf10 numbers on the
+    # shared box have swung ~2-3x with host steal (PERF.md), so every
+    # sweep record carries the multi-shape probe values measured at sweep
+    # time — a reader can normalize before calling anything a regression.
+    probe_spark = get_spark("bench-sf10-sweep-probe")
+    probe_spark.sparkContext.setLogLevel("ERROR")
+    probes = calibration_probes_multi(probe_spark)
+    probe_spark.stop()
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
@@ -429,6 +438,7 @@ def sf10_sweep_mode(names: list[str], key: str) -> None:
         spark.stop()
     rec: dict = {"sf_dir": sf_dir, "protocol": "one fresh session per query",
                  "total_sec": round(sum(timings.values()), 1),
+                 "box_probes": probes,
                  "timings": timings}
     if errors:
         rec["errors"] = errors

@@ -83,10 +83,13 @@ def ngram_jaccard_pairs(
     documented approximation that only activates on corpus-scale data; any
     oracle must apply the identical filter). None disables the guard.
 
-    NOTE: building this plan runs ONE eager ``df.count()`` (the broadcast
-    gate below) — not a pure plan-builder. On a non-Parquet upstream that
-    count is a full scan; pass an already-materialized relation if that
-    matters at the call site.
+    NOTE: building this plan runs eager Spark jobs — not a pure
+    plan-builder: one ``df.count()`` (broadcast gate), and with a guard
+    the filtered shingle relation is eagerly localCheckpointed so the
+    candidate-pair exchange can be sized from its ACTUAL pair count
+    (see below). On a non-Parquet upstream the count is a full scan;
+    pass an already-materialized relation if that matters at the call
+    site.
     """
     sh = char_shingles(_spread(df, id_col), id_col, text_col, n)
     if max_df is not None:
@@ -96,7 +99,36 @@ def ngram_jaccard_pairs(
             .filter(F.col("df_sh") <= max_df)
             .select("sh")
         )
-        sh = sh.join(rare, "sh", "left_semi")
+        # Materialize the guarded shingle relation ONCE (round 11). Three
+        # consumers read it — the per-doc counts, the per-shingle doc
+        # lists, and the pair-count sizing agg below — and the sizing agg
+        # must run at plan-build time, so without the checkpoint the
+        # explode + full shingle exchange would run once eagerly and again
+        # in the main job. The checkpointed relation is the post-guard
+        # minority of the corpus (sf10: 23.5M of 135M rows).
+        sh = sh.join(rare, "sh", "left_semi").localCheckpoint(eager=True)
+        # Size the candidate-pair exchange from the DATA (commit 102db5f's
+        # rule, verdict r10 item 4): the pair stream is sum d(d-1)/2 rows
+        # (sf10: 888M collapsing to 392M distinct pairs — multiplicity
+        # only 2.26, so map-side combine barely helps), and the conf-fixed
+        # 64-partition agg put ~6M distinct (a,b) keys in every reducer's
+        # hash map — the GC-bound stage of the old plan. ~4M pair rows
+        # per task keeps the maps small at any scale; partitioning by
+        # doc_a alone satisfies the (doc_a, doc_b) clustering, so the
+        # grouped count runs partial+final in the SAME stage with no
+        # second exchange. Measured at the generated sf10, same box and
+        # session configs: 273.7 -> 130.2 s end-to-end.
+        pair_rows = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("dd"))
+            .agg(F.sum(F.col("dd") * (F.col("dd") - 1) / 2).alias("p"))
+            .first()["p"]
+            or 0
+        )
+        pair_width = max(
+            df.sparkSession.sparkContext.defaultParallelism,
+            int(pair_rows // 4_000_000) + 1,
+        )
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # The in-memory array expansion below materializes up to d(d-1)/2
     # structs in ONE array per shingle before explode; at the function's
@@ -109,18 +141,12 @@ def ngram_jaccard_pairs(
         # Guarded path (round 10 — the adamic-adar wedge idiom): the
         # per-shingle doc list is BOUNDED by max_df after the hot-shingle
         # semi-join, so the d(d-1)/2 ordered pairs expand map-side from
-        # one sorted array — riding the semi-join's existing sh
-        # partitioning — instead of a d^2-row self-join filtered in half
-        # after a second full exchange of the shingle relation. Measured
-        # 168 -> 149.5 s at the generated sf10: the candidate-pair
-        # aggregation exchange (sum d(d-1)/2 rows, unchanged by this
-        # rewrite) dominates there, so the join-side saving is real but
-        # bounded; the structural win is one fewer full exchange of the
-        # shingle relation and no wasted half of the pair fan-out.
+        # one sorted array instead of a d^2-row self-join filtered in
+        # half after a second exchange of the shingle relation.
         ids = sh.groupBy("sh").agg(
             F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
         )
-        overlap = (
+        pairs = (
             ids.select(
                 F.explode(
                     F.expr(
@@ -131,6 +157,9 @@ def ngram_jaccard_pairs(
                 ).alias("p")
             )
             .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        )
+        overlap = (
+            pairs.repartition(pair_width, "doc_a")
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
@@ -141,11 +170,11 @@ def ngram_jaccard_pairs(
         # bounded by max_df^2 when the semi-join above ran.
         a = sh.select(F.col(id_col).alias("doc_a"), "sh")
         b = sh.select(F.col(id_col).alias("doc_b"), "sh")
-        overlap = (
-            a.join(b, ["sh"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
+        pairs = a.join(b, ["sh"]).filter(F.col("doc_a") < F.col("doc_b"))
+        if max_df is not None:
+            pairs = pairs.repartition(pair_width, "doc_a")
+        overlap = pairs.groupBy("doc_a", "doc_b").agg(
+            F.count(F.lit(1)).alias("n_common")
         )
     ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
@@ -340,10 +369,21 @@ def minhash_signatures(
             # and add WRAP mod 2^64 (that wrap is the hash's modulus), and
             # >> 1 keeps values inside signed-long range for the output.
             flat = np.concatenate(arrs[i:j]).view(np.uint64)
-            prod = (a_arr * flat[None, :] + b_arr) >> np.uint64(1)
             starts = np.zeros(j - i, dtype=np.int64)
             np.cumsum(lens[i : j - 1], out=starts[1:])
-            mins = np.minimum.reduceat(prod, starts, axis=1)  # (num_perm, j-i)
+            # Per-permutation 1D pass, NOT a (num_perm x cells) 2D
+            # broadcast: the 2D product materializes three ~512 MB
+            # uint64 temporaries per slice whose allocation/page traffic
+            # runs ~60x slower than the same arithmetic over one
+            # cache-resident 16 MB row at a time (measured 8.45 s vs
+            # 0.14 s per 64M cells on this box — the round-11 sf10 LSH
+            # regression). In-place += and >>= keep it one temporary.
+            mins = np.empty((a_arr.shape[0], j - i), dtype=np.uint64)
+            for k in range(a_arr.shape[0]):
+                pk = flat * a_arr[k, 0]
+                pk += b_arr[k, 0]
+                pk >>= np.uint64(1)
+                mins[k] = np.minimum.reduceat(pk, starts)
             out.extend(mins.astype(np.int64).T)
             i = j
         return pd.Series(out)

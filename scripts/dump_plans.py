@@ -338,6 +338,29 @@ SHOWCASE = [
         "TakeOrderedAndProject top-25 — the flat recency-feature "
         "shape.",
     ),
+    (
+        "dedup_ngram_jaccard",
+        "Round-11 rewrite: the guarded shingle relation is materialized "
+        "ONCE (Scan ExistingRDD below — the eager localCheckpoint that "
+        "also yields the exact candidate-pair count), the d(d-1)/2 pair "
+        "stream repartitions to a DATA-SIZED width (~4M pair rows/task, "
+        "not the conf default) keyed on doc_a alone — which satisfies "
+        "the (doc_a, doc_b) clustering, so the grouped count runs "
+        "partial+final with no second exchange — and the per-doc count "
+        "attach stays the count-gated broadcast. 273.7 -> 129.6 s at "
+        "the generated sf10.",
+    ),
+    (
+        "ml_lift_gain_deciles",
+        "Exact decile gains with NO row-level global sort: the corpus "
+        "collapses to distinct (score, cnt, cnt_pos) points in one "
+        "partial-aggregated exchange, cumulative-before ranks ride "
+        "banded_running_sum's triangular band decomposition (score = "
+        "band), each point explodes to only the <= 10 deciles it "
+        "overlaps by rank arithmetic, and the only SinglePartition "
+        "steps are bounded folds (grand totals, the 10-row decile "
+        "cumulative).",
+    ),
 ]
 
 
