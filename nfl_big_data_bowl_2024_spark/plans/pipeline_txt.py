@@ -1869,7 +1869,7 @@ def txt_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "floor-division milli at the end.",
 )
 def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import char_shingles
+    from ..operators.dedup import char_shingles, shingle_array
 
     d = _t(spark, sf_dir, "documents")
     sh = char_shingles(d, "doc_id", "text", 8)
@@ -1878,11 +1878,20 @@ def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # just groupBy(min_doc).count() over the per-shingle min table —
     # the naive formulation (join sh with first_seen on sh, then test
     # first_doc == doc_id) shuffles the full string-keyed shingle
-    # relation a second time and measured 135 s at the generated sf10;
-    # this shape re-runs only the map-only explode and exchanges
-    # node-sized aggregates (sf10: 135 s -> see PERF.md).
-    totals = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    # relation a second time and measured 135 s at the generated sf10.
+    # The totals side never explodes at all (round 11): the per-doc
+    # distinct-shingle count is size(shingle_array(...)) map-side on the
+    # documents scan — source rides along, so the join-back of source
+    # disappears and the only exchange of the full shingle relation left
+    # anywhere is the novel branch's first-seen aggregate. Wall-clock at
+    # sf10 is UNCHANGED (~77 s — that one string-keyed exchange is the
+    # whole cost and it is inherent to exact global first-seen); the win
+    # is one fewer explode+aggregate+join of scan work at the 100 TB
+    # point, not local seconds.
+    totals = d.select(
+        "doc_id",
+        "source",
+        F.size(shingle_array("text", 8)).cast("long").alias("n_shingles"),
     )
     novel = (
         sh.groupBy("sh")
@@ -1890,15 +1899,11 @@ def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("first_doc").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
     )
-    per_doc = (
-        totals.join(novel, "doc_id", "left")
-        .join(d.select("doc_id", "source"), "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            "n_shingles",
-            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
-        )
+    per_doc = totals.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_shingles",
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
