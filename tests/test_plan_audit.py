@@ -690,3 +690,32 @@ def test_table_checksum_is_fixed_grid(spark, queries):
     exchange (on the shard key), with partial aggregation before it."""
     plan = _plan(queries["dq_table_checksum"].fn(spark, SF))
     assert plan.count("Exchange") == 1
+
+
+def test_ngram_jaccard_checkpointed_guard_and_data_sized_pairs(spark, queries):
+    """The round-11 dedup_ngram_jaccard shape: the guarded shingle
+    relation is materialized ONCE (the eager localCheckpoint whose Scan
+    ExistingRDD all three consumers read — counts, doc lists, and the
+    pair-count sizing agg), and the candidate-pair stream repartitions on
+    doc_a ALONE, which must satisfy the (doc_a, doc_b) clustering so the
+    grouped count plans partial+final with NO second exchange between
+    repartition and aggregate."""
+    plan = _plan(queries["dedup_ngram_jaccard"].fn(spark, SF))
+    assert "Scan ExistingRDD" in plan  # the checkpointed guard relation
+    assert "hashpartitioning(doc_a" in plan  # the data-sized pair exchange
+
+    def depth(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    lines = plan.splitlines()
+    # find the REPARTITION_BY_NUM exchange (the pair stream); between it
+    # and the HashAggregate above it there must be no other Exchange
+    for k, ln in enumerate(lines):
+        if "REPARTITION_BY_NUM" in ln:
+            above = [x for x in lines[:k] if depth(x) < depth(ln)]
+            assert not any(
+                "Exchange" in x and "Broadcast" not in x for x in above[-3:]
+            ), above[-3:]
+            break
+    else:
+        raise AssertionError("pair repartition not found in plan")
