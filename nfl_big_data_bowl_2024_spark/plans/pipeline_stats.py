@@ -2210,7 +2210,8 @@ def stat_grubbs_extreme(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(c) AS DOUBLE)                 AS s1,
                CAST(sum(c * c) AS DOUBLE)             AS s2,
                CAST(sum((c * c) * c) AS DOUBLE)       AS s3,
-               CAST(sum((c * c) * (c * c)) AS DOUBLE) AS s4
+               CAST(sum(CAST(c * c AS HUGEINT) * (c * c)) AS DOUBLE)
+                                                      AS s4
         FROM cents GROUP BY event_type
     ),
     m AS (
@@ -2239,8 +2240,7 @@ def stat_grubbs_extreme(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1980, public) — the distribution-shape gate that tells a pipeline "
     "whether mean/sd-based scores (stat_grubbs_extreme, z-score "
     "bucketing) are even meaningful. The four raw power sums are exact "
-    "integer folds in cents (c^4 < 2^63 requires cents < 55109 — holds "
-    "with margin for this corpus' value <= ~500; the sums themselves "
+    "integer folds in cents (the quartic term multiplies in decimal/HUGEINT per row — cents can exceed the 55108 int64 bound at generated scales — the cubic holds int64 to cents ~2e6; the sums "
     "ride the engines' wide accumulators and are cast to double ONCE), "
     "central moments and the statistic are identical-tree doubles, "
     "micro-floored once per output. ONE partial-aggregated grouped "
@@ -2261,7 +2261,10 @@ def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(c.cast("decimal(38,0)")).cast("double").alias("s1"),
         F.sum(c2.cast("decimal(38,0)")).cast("double").alias("s2"),
         F.sum((c2 * c).cast("decimal(38,0)")).cast("double").alias("s3"),
-        F.sum((c2 * c2).cast("decimal(38,0)")).cast("double").alias("s4"),
+        # c^4 itself passes int64 once cents > 55108 (seen at the
+        # generated sf1: max value 560.21 -> c^4 = 9.85e18), so the
+        # QUARTIC multiplies in decimal per row, not just its sum
+        F.sum(c2.cast("decimal(19,0)") * c2).cast("double").alias("s4"),
     )
     n = F.col("n")
     mu = F.col("s1") / n
