@@ -2080,3 +2080,93 @@ def dedup_semantic_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         e, tau=0.45, k=k, iters=2, vectorized_assign=True
     )
+
+
+@register(
+    "sim_matryoshka_prefix_eval",
+    """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e, e[1:16] AS e16
+          FROM emb WHERE vec_id % 100 = 7),
+    c AS (SELECT vec_id AS neighbor_id, e, e[1:16] AS e16
+          FROM emb WHERE vec_id % 100 <> 7),
+    pf AS (
+      SELECT q.query_id, c.neighbor_id,
+             floor(list_cosine_similarity(q.e, c.e) * 1e6 + 0.5) / 1e6
+               AS cosine
+      FROM q CROSS JOIN c),
+    pp AS (
+      SELECT q.query_id, c.neighbor_id,
+             floor(list_cosine_similarity(q.e16, c.e16) * 1e6 + 0.5) / 1e6
+               AS cosine
+      FROM q CROSS JOIN c),
+    f1 AS (SELECT query_id, neighbor_id AS full_neighbor_id,
+                  cosine AS full_cosine
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rk FROM pf)
+           WHERE rk = 1),
+    p1 AS (SELECT query_id, neighbor_id AS prefix_neighbor_id,
+                  cosine AS prefix_cosine
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rk FROM pp)
+           WHERE rk = 1)
+    SELECT f1.query_id, full_neighbor_id, full_cosine,
+           prefix_neighbor_id, prefix_cosine,
+           CAST(CASE WHEN full_neighbor_id = prefix_neighbor_id
+                THEN 1 ELSE 0 END AS BIGINT) AS top1_agree
+    FROM f1 JOIN p1 USING (query_id)
+    """,
+    doc="Matryoshka / prefix-truncation retrieval evaluation (Kusupati et "
+    "al. 2022, public): for every query vector (vec_id % 100 = 7 — a "
+    "fixed corpus fraction, never a fixed count), the top-1 neighbor "
+    "under FULL 64-dim cosine next to the top-1 under the first-16-dims "
+    "prefix cosine, with the agreement bit — the diagnostic that tells "
+    "an embedding pipeline whether cheap truncated vectors can serve "
+    "first-stage retrieval (the production pattern: prefix ANN, "
+    "full-dim re-rank). Both scorings are the sim_knn_join shape: the "
+    "query side is a bounded driver-held matrix, ONE mapInPandas corpus "
+    "pass per representation scores each Arrow batch with a single BLAS "
+    "matmul and emits only per-batch top-1 candidates via the integer "
+    "composite key (round(cos*1e6), id) that reproduces the global "
+    "order exactly — never a |Q| x |C| pair table; the oracle states "
+    "the same semantics as the plain cross join. Query/candidate sets "
+    "are disjoint so self-matches cannot mask disagreement.",
+)
+def sim_matryoshka_prefix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 7).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    c = emb.filter(F.col("vec_id") % 100 != 7).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    full = knn_join(q, c, k=1).select(
+        "query_id",
+        F.col("neighbor_id").alias("full_neighbor_id"),
+        F.col("cosine").alias("full_cosine"),
+    )
+    q16 = q.select("query_id", F.slice("e", 1, 16).alias("e"))
+    c16 = c.select("neighbor_id", F.slice("e", 1, 16).alias("e"))
+    pre = knn_join(q16, c16, k=1).select(
+        "query_id",
+        F.col("neighbor_id").alias("prefix_neighbor_id"),
+        F.col("cosine").alias("prefix_cosine"),
+    )
+    return full.join(pre, "query_id").select(
+        "query_id",
+        "full_neighbor_id",
+        "full_cosine",
+        "prefix_neighbor_id",
+        "prefix_cosine",
+        F.when(
+            F.col("full_neighbor_id") == F.col("prefix_neighbor_id"), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("top1_agree"),
+    )

@@ -120,6 +120,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ml_lift_gain_deciles",
     "ml_brier_decomposition",
     "txt_hapax_legomena",
+    "sim_matryoshka_prefix_eval",
     "mm_byte_features",
     "scd2_pointintime_join",
     "src_jsonl_roundtrip",

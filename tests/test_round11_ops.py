@@ -249,3 +249,42 @@ def test_hapax_replay(spark):
         assert r["hapax"] == hapax
         assert r["total_tokens"] == sum(cnt.values())
         assert r["hapax_ratio_milli"] == (2000 * hapax + vocab) // (2 * vocab)
+
+
+def test_matryoshka_prefix_eval_replay(spark):
+    """Replay the full/prefix top-1 retrieval in numpy with the exact
+    rounded-cosine + id tiebreak, and assert the agreement semantics."""
+    import numpy as np
+
+    rows = {
+        r["query_id"]: r
+        for r in _registry()["sim_matryoshka_prefix_eval"].fn(spark, SF).collect()
+    }
+    data = _duck().execute(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    vecs = {vid: np.asarray(e, dtype=np.float64) for vid, e in data}
+    qids = [v for v in vecs if v % 100 == 7]
+    cids = [v for v in vecs if v % 100 != 7]
+    assert set(rows) == set(qids)
+
+    def top1(q, dims):
+        qv = vecs[q][:dims]
+        best = None
+        for c in sorted(cids):
+            cv = vecs[c][:dims]
+            cos = float(qv @ cv) / (
+                math.sqrt(float(qv @ qv)) * math.sqrt(float(cv @ cv))
+            )
+            cos = math.floor(cos * 1e6 + 0.5) / 1e6
+            if best is None or cos > best[1]:
+                best = (c, cos)
+        return best
+
+    for q in qids:
+        fid, fcos = top1(q, 64)
+        pid, pcos = top1(q, 16)
+        r = rows[q]
+        assert (r["full_neighbor_id"], r["full_cosine"]) == (fid, fcos)
+        assert (r["prefix_neighbor_id"], r["prefix_cosine"]) == (pid, pcos)
+        assert r["top1_agree"] == int(fid == pid)
