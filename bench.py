@@ -177,7 +177,8 @@ ROTATING = [
     # dedup_prefix_filter_jaccard, flat across r6/r7-r10, also rotated to
     # samples-only to fit the 2000-char line with the 26 new entries)
     "graph_label_propagation",
-    "graph_khop_reachability",
+    # (graph_khop_reachability, flat r6-r10, rotated to samples-only for
+    # the sim_matryoshka_prefix_eval slot)
     "graph_kcore_peel",
     "dedup_sorted_neighborhood",
     "txt_bm25_topk",
@@ -207,6 +208,8 @@ ROTATING = [
     "ml_calibration_bins",
     "ml_boosted_stumps",
     "dedup_semantic_autok",
+    # round-11 late registration
+    "sim_matryoshka_prefix_eval",
     # round-10 registrations, first BENCH appearance
     "stat_benjamini_hochberg",
     "ml_pr_auc",
