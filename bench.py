@@ -274,6 +274,24 @@ def calibration_probes_multi(spark) -> dict[str, float]:
         out[key] = min(runs)
     return out
 
+# Queries whose plans consume the session-scoped CC-label memo
+# (plans/pipeline_common.py _CC_LABELS_CACHE): with both in HEADLINE and
+# every rep sharing one session, rep 1 of the first builds the labels and
+# every later rep — including the recorded min for BOTH queries — would
+# measure only a checkpointed-label scan (r11 verdict item 2 / advice
+# medium: a spurious ~100x "speedup"). The bench clears the memo before
+# EVERY rep of these so the recorded min is a cold LSH+CC build, and
+# records one extra warm rep in the BENCH_SAMPLES sidecar
+# (warm_memo_sec) so the cache-hit operating point stays visible.
+MEMOIZED = {"dedup_cluster_assign", "dedup_cluster_representative"}
+
+
+def _clear_session_memos() -> None:
+    from nfl_big_data_bowl_2024_spark.plans import pipeline_common
+
+    pipeline_common._CC_LABELS_CACHE.clear()
+
+
 # Queries that showed multi-second shared-box spikes in past driver runs
 # (BENCH_r03: sim_topk_bruteforce x4.7, doc_pack_context_windows x2.9 — both
 # noise on re-measure) or that pay Arrow/kernel dispatch: extra reps so one
@@ -554,15 +572,27 @@ def main() -> None:
     # were pure noise). Noise-prone/kernel-heavy queries get 5 reps.
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    warm_memo: dict[str, float] = {}
     for name in HEADLINE:
         reps = 5 if name in NOISY else 3
         runs: list[float] = []
         for _ in range(reps):
+            if name in MEMOIZED:
+                _clear_session_memos()
             t0 = time.time()
             registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.time() - t0, 3))
         samples[name] = runs
         timings[name] = min(runs)
+        if name in MEMOIZED:
+            # one warm rep on the memo just built: the cache-hit operating
+            # point, sidecar-only (the headline min above is cold-build)
+            t0 = time.time()
+            registry[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            warm_memo[name] = round(time.time() - t0, 3)
+            _clear_session_memos()
 
     name = "scd2_upsert"
     samples[name] = [round(bench_scd2_upsert(spark, sf_dir), 3) for _ in range(3)]
@@ -623,6 +653,7 @@ def main() -> None:
                 n: {"now": timings[n], "prev": CORE_PREV[n]}
                 for n in CORE
             },
+            "warm_memo_sec": warm_memo,
             "calibration": {"now": calib, "prev": calib_prev},
             "calibration_multi": calib_multi,
             "calibration_multi_history": multi_hist,

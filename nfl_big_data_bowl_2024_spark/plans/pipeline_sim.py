@@ -33,6 +33,7 @@ from .pipeline_common import (  # noqa: F401
     _CLUSTER_ORACLE,
     _JACCARD_ORACLE,
     _KMEANS_ASSIGN_CTE,
+    _LABELS_FULL_ORACLE,
     _MINHASH_DUP_ORACLE,
     _REP_ORACLE,
     _TOPK_ORACLE,
@@ -1226,6 +1227,37 @@ def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster_labels",
+    _LABELS_FULL_ORACLE,
+    doc="FULL-CORPUS duplicate-cluster label relation (verdict r11 item 5): "
+    "every doc_id paired with its component label — the min-label of its "
+    "near-dup connected component, or its own id when it is a singleton "
+    "(no near-dup edge). This is THE production intermediate at 100 TB: "
+    "the relation a curation pipeline materializes exactly once and "
+    "every downstream dedup decision (keep/drop, representative pick, "
+    "contamination audit) joins against; dedup_cluster_assign exposes "
+    "only the edge-connected subset, so this entry is the hash gate and "
+    "sf1 Spark-to-Spark parity anchor on the COMPLETE label map. Spark "
+    "side: the session-scoped memoized labels (cluster_labels_lsh — LSH "
+    "candidates + exact verify + min-label fixpoint, paid once per "
+    "(session, sf, data-fingerprint)) left-joined to the doc_id spine "
+    "with coalesce(component, doc_id); one exchange on doc_id, labels "
+    "already hashed on that key. Oracle: the shared exact-pair recursive "
+    "CTE with the final SELECT swapped for the documents left join "
+    "(oracle cost is the CTE's sum(df^2) pair fan-out — excluded at sf1 "
+    "like the other recursive-CTE oracles; the sf1 gate runs "
+    "Spark-vs-Spark parity instead).",
+)
+def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    labels = cluster_labels_lsh(spark, sf_dir)
+    return d.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Clustering: k-means training (the IVF index build) and k-NN join
 # ---------------------------------------------------------------------------
@@ -2086,10 +2118,12 @@ def dedup_semantic_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_matryoshka_prefix_eval",
     """
     WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    m AS (SELECT greatest(100, CAST(ceil(count(*) / 8000.0) AS BIGINT))
+              AS modulus FROM emb),
     q AS (SELECT vec_id AS query_id, e, e[1:16] AS e16
-          FROM emb WHERE vec_id % 100 = 7),
+          FROM emb, m WHERE vec_id % m.modulus = 7),
     c AS (SELECT vec_id AS neighbor_id, e, e[1:16] AS e16
-          FROM emb WHERE vec_id % 100 <> 7),
+          FROM emb, m WHERE vec_id % m.modulus <> 7),
     pf AS (
       SELECT q.query_id, c.neighbor_id,
              floor(list_cosine_similarity(q.e, c.e) * 1e6 + 0.5) / 1e6
@@ -2117,8 +2151,11 @@ def dedup_semantic_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f1 JOIN p1 USING (query_id)
     """,
     doc="Matryoshka / prefix-truncation retrieval evaluation (Kusupati et "
-    "al. 2022, public): for every query vector (vec_id % 100 = 7 — a "
-    "fixed corpus fraction, never a fixed count), the top-1 neighbor "
+    "al. 2022, public): for every query vector (vec_id % m = 7 with "
+    "m = max(100, ceil(n/8000)) computed from the exact corpus count "
+    "identically on both engines — scale-gated so the driver-held query "
+    "set stays <= 8000 rows under knn_join's 10k bounded-query contract "
+    "at ANY corpus size, r11 advice), the top-1 neighbor "
     "under FULL 64-dim cosine next to the top-1 under the first-16-dims "
     "prefix cosine, with the agreement bit — the diagnostic that tells "
     "an embedding pipeline whether cheap truncated vectors can serve "
@@ -2139,10 +2176,16 @@ def sim_matryoshka_prefix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    q = emb.filter(F.col("vec_id") % 100 == 7).withColumnRenamed(
+    # scale-gated query modulus (r11 advice, low): a fixed 1% fraction
+    # outgrows knn_join's driver-holdable 10k query bound past 1M
+    # vectors; m grows with the corpus so |Q| <= 8000 at any sf. One
+    # bounded long to the driver, same integer on both engines.
+    n = emb.count()
+    m = max(100, -(-n // 8000))
+    q = emb.filter(F.col("vec_id") % m == 7).withColumnRenamed(
         "vec_id", "query_id"
     )
-    c = emb.filter(F.col("vec_id") % 100 != 7).withColumnRenamed(
+    c = emb.filter(F.col("vec_id") % m != 7).withColumnRenamed(
         "vec_id", "neighbor_id"
     )
     full = knn_join(q, c, k=1).select(

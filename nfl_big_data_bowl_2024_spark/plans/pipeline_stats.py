@@ -2026,7 +2026,10 @@ def stat_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(wc).alias("cnt"),
     )
-    return rk.filter(F.col("rn") == (F.col("cnt") + 1) / 2).select(
+    # integer lower-median rank: (cnt+1) div 2.  Plain `/` is double
+    # division in Spark, so an even cnt yields x.5 and matches NO rank,
+    # silently dropping the whole group (r11 advice, high).
+    return rk.filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2)).select(
         "event_type",
         F.col("cnt").cast("long").alias("n_slopes"),
         F.floor(F.col("slope") * 1_000_000 + 0.5).cast("long").alias(

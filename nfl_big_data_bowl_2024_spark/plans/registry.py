@@ -42,76 +42,28 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries.
-# Round-11 window (verdict r10 item 1): positions 1-7 are the 7 round-10
-# registrations that had never been driver-attested (each green under
-# scripts/verify_local.py, this round and in the r10 judge's independent
-# run); 8-11 re-attest the four queries whose code changed this round
-# before the window froze (the ngram-jaccard pair-exchange rewrite, the
-# shared CC label materialization behind both dedup cluster queries, and
-# the count-stamped binaryFile staging); 12-26 are the 15 entries whose
-# latest driver evidence is r5 (incl. the rows-only e2_yap); 27-50 are
-# the 24 stalest r6 rows, filling the window exactly. Below the cutoff
-# everything is ordered stalest-evidence-first (r6 remainder, r7, r8,
-# r9, r10) so round 12 continues naturally; the rows-only-by-design set
-# (dedup_minhash_lsh / dedup_simhash / sim_ivf_topk / sim_lsh_bucketed /
-# e2_yap_scale, each pinned by an oracle-backed deterministic
-# operating-point twin) sits at the very bottom. Everything outside the
-# current window stays locally verified via scripts/verify_local.py
-# (pandas canonicalization, driver-realistic).
+# Round-12 window (verdict r11 item 1, executed as specified): positions
+# 1-9 are the 9 round-11 registrations that had never been
+# driver-attested (each green under scripts/verify_local.py in both the
+# r11 closing gate and the r11 judge's independent run); 10 is the new
+# dedup_cluster_labels registration (verdict r11 item 5 — the full-corpus
+# label relation, required green in the r12 window); 11-12 re-attest the
+# two cluster queries whose memo keying changed this round (the
+# data-fingerprint + dead-app eviction fix, r11 advice); 13-35 are the
+# 23 entries whose latest driver evidence is r6 (the format round-trips,
+# the r6-era stream_* set, chi2/ks, and the txt tail); 36-50 are the 15
+# oldest r7 rows, filling the window exactly and retiring all r6-era
+# evidence. Below the cutoff everything is ordered
+# stalest-evidence-first (r7 remainder, r8, r9, r10, then the
+# r11-attested block) so round 13 continues naturally; the
+# rows-only-by-design set (dedup_minhash_lsh / dedup_simhash /
+# sim_ivf_topk / sim_lsh_bucketed / e2_yap_scale, each pinned by an
+# oracle-backed deterministic operating-point twin) sits at the very
+# bottom. Everything outside the current window stays locally verified
+# via scripts/verify_local.py (pandas canonicalization,
+# driver-realistic).
 _DRIVER_PRIORITY: list[str] = [
-    "stat_benjamini_hochberg",
-    "ml_pr_auc",
-    "ml_ndcg_at_k",
-    "evt_decayed_user_score",
-    "ml_kmeans_silhouette",
-    "txt_shannon_entropy",
-    "evt_ar1_fit",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_assign",
-    "dedup_cluster_representative",
-    "src_binaryfile_scan",
-    "approx_count_distinct",
-    "batch_sessionize",
-    "conditional_recode_clip",
-    "cube_order_profile",
-    "first_crossing_after_start",
-    "offset_from_first",
-    "pivot_priority_by_nation",
-    "rollup_hierarchy",
-    "set_ops_intersect_except",
-    "skew_salted_agg",
-    "trig_heading_wrap",
-    "union_dedup_sorted",
-    "unpivot_part_metrics",
-    "window_rank_family",
-    "e2_yap",
-    "agg_countmin_sketch",
-    "agg_grouping_sets",
-    "agg_hll_shard_union",
-    "agg_weighted_median",
-    "cdc_apply_changelog",
-    "cogroup_order_reconcile",
-    "doc_winsorized_stats",
-    "dq_observe_metrics",
-    "dq_referential_integrity",
-    "dq_try_arithmetic",
-    "emb_arrow_norm_audit",
-    "evt_autocovariance_lags",
-    "evt_ewma_fixed_point",
-    "evt_gap_fill_locf",
-    "evt_hypertable_rollup",
-    "evt_rollup_incremental_refresh",
-    "evt_sequence_match",
-    "evt_session_window_batch",
-    "evt_sliding_distinct_users",
-    "graph_khop_reachability",
-    "graph_triangle_count",
-    "json_variant_extract",
-    "ml_linreg_closed_form",
-    "ml_naive_bayes_train",
-    # ---------------- position 50 cutoff ----------------
-    # round-11 registrations (landed after the r11 window froze — first
-    # in the r12 window; locally verified via scripts/verify_local.py)
+    # round-11 registrations, never driver-attested
     "stat_theil_sen_slope",
     "stat_hartley_fmax",
     "stat_grubbs_extreme",
@@ -121,6 +73,12 @@ _DRIVER_PRIORITY: list[str] = [
     "ml_brier_decomposition",
     "txt_hapax_legomena",
     "sim_matryoshka_prefix_eval",
+    # round-12 registration (verdict r11 item 5)
+    "dedup_cluster_labels",
+    # re-attest: CC-label memo keying changed round 12 (advice fix)
+    "dedup_cluster_assign",
+    "dedup_cluster_representative",
+    # the 23 r6-stale entries
     "mm_byte_features",
     "scd2_pointintime_join",
     "src_jsonl_roundtrip",
@@ -144,6 +102,7 @@ _DRIVER_PRIORITY: list[str] = [
     "txt_fuzzy_blocked_levenshtein",
     "txt_simpson_diversity",
     "txt_token_lift_pairs",
+    # the 15 oldest r7 rows
     "agg_bitmap_audience_overlap",
     "agg_gini_per_nation",
     "agg_kmv_distinct",
@@ -159,6 +118,8 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_stratified_sample",
     "dq_expectations_check",
     "emb_dimension_stats",
+    # ---------------- position 50 cutoff ----------------
+    # r7 remainder (stalest below the cutoff — head of the r13 window)
     "emb_int8_quantize",
     "emb_kmeans_lloyd",
     "emb_label_centroids",
@@ -332,6 +293,57 @@ _DRIVER_PRIORITY: list[str] = [
     "corr_per_group",
     "histogram_bins",
     "sql_interface",
+    # the r11-attested block (the round-11 driver window, freshest
+    # evidence — tail of the rotation queue)
+    "stat_benjamini_hochberg",
+    "ml_pr_auc",
+    "ml_ndcg_at_k",
+    "evt_decayed_user_score",
+    "ml_kmeans_silhouette",
+    "txt_shannon_entropy",
+    "evt_ar1_fit",
+    "dedup_ngram_jaccard",
+    "src_binaryfile_scan",
+    "approx_count_distinct",
+    "batch_sessionize",
+    "conditional_recode_clip",
+    "cube_order_profile",
+    "first_crossing_after_start",
+    "offset_from_first",
+    "pivot_priority_by_nation",
+    "rollup_hierarchy",
+    "set_ops_intersect_except",
+    "skew_salted_agg",
+    "trig_heading_wrap",
+    "union_dedup_sorted",
+    "unpivot_part_metrics",
+    "window_rank_family",
+    "e2_yap",
+    "agg_countmin_sketch",
+    "agg_grouping_sets",
+    "agg_hll_shard_union",
+    "agg_weighted_median",
+    "cdc_apply_changelog",
+    "cogroup_order_reconcile",
+    "doc_winsorized_stats",
+    "dq_observe_metrics",
+    "dq_referential_integrity",
+    "dq_try_arithmetic",
+    "emb_arrow_norm_audit",
+    "evt_autocovariance_lags",
+    "evt_ewma_fixed_point",
+    "evt_gap_fill_locf",
+    "evt_hypertable_rollup",
+    "evt_rollup_incremental_refresh",
+    "evt_sequence_match",
+    "evt_session_window_batch",
+    "evt_sliding_distinct_users",
+    "graph_khop_reachability",
+    "graph_triangle_count",
+    "json_variant_extract",
+    "ml_linreg_closed_form",
+    "ml_naive_bayes_train",
+    # rows-only-by-design set (operating-point twins hold the oracles)
     "dedup_minhash_lsh",
     "dedup_simhash",
     "e2_yap_scale",
