@@ -233,6 +233,11 @@ def calibration_probes_multi(spark) -> dict[str, float]:
       cpu      fixed arithmetic fold over spark.range (pure codegen CPU)
       shuffle  fixed repartition + grouped agg (exchange write+read path)
       pyudf    fixed pandas-UDF round-trip (Arrow + Python worker path)
+      membw    fixed explode + wide hash-agg (memory-bandwidth / agg-map
+               path — round 12: novelty and adamic-adar, both this shape,
+               drifted 1.6-1.7x on untouched code while cpu read only
+               1.3x; the first three probes under-correct for steal that
+               hits large agg hash maps hardest)
 
     Recorded in BENCH_SAMPLES.json (calibration_multi + a bounded history
     list), never on the 2000-char line. The scalar ``calibration_probe``
@@ -265,7 +270,29 @@ def calibration_probes_multi(spark) -> dict[str, float]:
 
     pyudf_df = spark.range(0, 2_000_000, 1, 32).select(_probe_udf("id").alias("x"))
 
-    for key, df in (("cpu", cpu_df), ("shuffle", shuffle_df), ("pyudf", pyudf_df)):
+    # 2M rows x 24-element arrays -> 48M exploded rows into a ~6M-key
+    # hash agg: the explode + wide-agg shape whose steal sensitivity the
+    # cpu/shuffle probes under-report (frozen synthetic, engine-code-free)
+    membw_df = (
+        spark.range(0, 2_000_000, 1, 32)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(23)),
+                    lambda i: F.col("id") * 24 + i,
+                )
+            ).alias("k")
+        )
+        .groupBy((F.col("k") % 6_000_000).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("k").alias("m"))
+    )
+
+    for key, df in (
+        ("cpu", cpu_df),
+        ("shuffle", shuffle_df),
+        ("pyudf", pyudf_df),
+        ("membw", membw_df),
+    ):
         runs = []
         for _ in range(3):
             t0 = time.time()

@@ -57,6 +57,24 @@ def shingle_array(text_col: str, n: int = 8) -> "Column":
     )
 
 
+def hashed_shingle_array(text_col: str, n: int = 8) -> "Column":
+    """Distinct xxhash64 values of the character n-gram shingles, as an
+    ARRAY<BIGINT> column. Semantics match ``transform(shingle_array(...),
+    xxhash64)`` exactly whenever xxhash64 is collision-free over the text's
+    shingles (dedup-by-hash == dedup-by-string-then-hash), but the string
+    shingles die inside the transform: array_distinct dedups 8-byte longs
+    instead of allocating and hashing 8-char UTF8Strings — the cheaper form
+    for consumers that never need the string back (txt_ngram_novelty's
+    corpus-wide first-seen exchange)."""
+    upper = F.greatest(F.length(text_col) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), upper),
+            lambda g: F.xxhash64(F.col(text_col).substr(g, F.lit(n))),
+        )
+    )
+
+
 def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFrame:
     """Distinct character n-gram shingles, exploded to (id, sh) rows — the
     join-friendly form used by the exact-Jaccard verify stage."""

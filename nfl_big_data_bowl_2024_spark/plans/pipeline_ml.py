@@ -1529,3 +1529,193 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("uncertainty_micro"),
     )
+
+
+@register(
+    "ml_mcc_threshold",
+    """
+    WITH scored AS (
+        SELECT CASE WHEN CAST(n_chars AS BIGINT) * 1000
+                    // (length(text) - length(replace(text, ' ', '')) + 1)
+                    >= 5482 THEN 1 ELSE 0 END AS pred,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ),
+    cm AS (
+        SELECT CAST(sum(CASE WHEN pred = 1 AND pos = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN pred = 1 AND pos = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN pred = 0 AND pos = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN pred = 0 AND pos = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tn
+        FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) = 0
+                THEN NULL
+                ELSE CAST(floor(
+                    CAST(CAST(tp AS HUGEINT) * tn
+                         - CAST(fp AS HUGEINT) * fn AS DOUBLE) * 1000000
+                    / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn)
+                                * (tn + fp) * (tn + fn) AS DOUBLE))
+                    + 0.5) AS BIGINT)
+           END AS mcc_micro
+    FROM cm
+    """,
+    doc="Matthews correlation coefficient of the fixed-threshold "
+    "mean-token-length classifier (score = ml_calibration_bins' "
+    "mtl_milli, threshold 5482 = the corpus median, so all four "
+    "confusion cells are populated) against the lang='en' label — the "
+    "single-scalar confusion summary that, unlike accuracy or F1 "
+    "(ml_eval_confusion), is prevalence-invariant and symmetric in "
+    "classes (Matthews 1975, public). The confusion counts are exact "
+    "integers from ONE map-side-aggregated scan (a 1-row reduction — "
+    "the flat 100 TB shape); the numerator tp*tn - fp*fn and the "
+    "4-factor denominator product are carried in 128-bit integers "
+    "(DECIMAL(38)/HUGEINT — the product is ~n^4), converted to double "
+    "ONCE each, divided through IEEE-exact sqrt (correctly rounded by "
+    "the standard on both engines, unlike ln), and micro-floored "
+    "half-up once. Degenerate margins yield NULL, not a division "
+    "error.",
+)
+def ml_mcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        F.expr(
+            "CASE WHEN CAST(n_chars AS BIGINT) * 1000"
+            " div (length(text) - length(replace(text, ' ', '')) + 1)"
+            " >= 5482 THEN 1 ELSE 0 END"
+        ).alias("pred"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    cm = scored.agg(
+        F.sum(F.when((F.col("pred") == 1) & (F.col("pos") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("pos") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("pos") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("pos") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.expr(
+                "CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)"
+                " * (tn + fp) * (tn + fn)"
+            )
+            == 0,
+            F.lit(None),
+        )
+        .otherwise(
+            F.floor(
+                F.expr(
+                    "CAST(CAST(tp AS DECIMAL(38,0)) * tn"
+                    " - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)"
+                )
+                * 1_000_000
+                / F.sqrt(
+                    F.expr(
+                        "CAST(CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)"
+                        " * (tn + fp) * (tn + fn) AS DOUBLE)"
+                    )
+                )
+                + 0.5
+            )
+        )
+        .cast("long")
+        .alias("mcc_micro"),
+    )
+
+
+@register(
+    "ml_expected_calibration_error",
+    """
+    WITH scored AS (
+        SELECT CAST(n_chars AS BIGINT) * 1000
+               // (length(text) - length(replace(text, ' ', '')) + 1)
+                   AS mtl_milli,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ),
+    p AS (
+        SELECT least(greatest(mtl_milli - 4500, 0), 2000) // 2 AS p_milli,
+               pos
+        FROM scored
+    ),
+    b AS (
+        SELECT p_milli // 100 AS bin_id,
+               CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(pos) AS BIGINT) AS pos_b,
+               CAST(sum(p_milli) AS BIGINT) AS sum_p
+        FROM p GROUP BY 1
+    ),
+    e AS (
+        SELECT bin_id, n_b,
+               abs((2000 * pos_b + n_b) // (2 * n_b)
+                   - (2 * sum_p + n_b) // (2 * n_b)) AS err_milli
+        FROM b
+    )
+    SELECT CAST(sum(n_b) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(n_b * err_milli) // sum(n_b) AS BIGINT) AS ece_milli,
+           CAST(max(err_milli) AS BIGINT) AS mce_milli
+    FROM e
+    """,
+    doc="Expected / maximum calibration error of the deterministic "
+    "pseudo-probability p = clamp(mtl_milli - 4500, 0, 2000) div 2 (an "
+    "affine milli-unit recalibration of the quality score; the floor "
+    "div-by-2 is part of the defined integer semantics) against "
+    "the lang='en' label: 21 fixed-width probability bins, per-bin "
+    "|empirical positive rate - mean predicted probability|, "
+    "frequency-weighted mean (ECE, Naeini et al. 2015, public) and "
+    "max (MCE) — the scalar summaries of ml_calibration_bins' "
+    "reliability table, the number a training pipeline thresholds on "
+    "before trusting classifier-filtered data. All-integer: both "
+    "per-bin rates use the (2s+n) div (2n) half-up identity and the "
+    "final ECE is one integer floor-division, so compounded flooring "
+    "is part of the defined semantics, identical on both engines. "
+    "One map-side projection + one 21-key grouped fold + a 1-row "
+    "reduction — the flat 100 TB shape.",
+)
+def ml_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    p = d.select(
+        F.expr(
+            "least(greatest(CAST(n_chars AS BIGINT) * 1000"
+            " div (length(text) - length(replace(text, ' ', '')) + 1)"
+            " - 4500, 0), 2000) div 2"
+        ).alias("p_milli"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    b = p.groupBy(F.expr("p_milli div 100").alias("bin_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("pos").cast("long").alias("pos_b"),
+        F.sum("p_milli").cast("long").alias("sum_p"),
+    )
+    e = b.select(
+        "bin_id",
+        "n_b",
+        F.abs(
+            F.expr("(2000 * pos_b + n_b) div (2 * n_b)")
+            - F.expr("(2 * sum_p + n_b) div (2 * n_b)")
+        ).alias("err_milli"),
+    )
+    return e.agg(
+        F.sum("n_b").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.expr("CAST(sum(n_b * err_milli) div sum(n_b) AS BIGINT)").alias(
+            "ece_milli"
+        ),
+        F.max("err_milli").cast("long").alias("mce_milli"),
+    )

@@ -2289,3 +2289,145 @@ def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(kurt * 1_000_000 + 0.5).cast("long").alias("kurt_micro"),
         F.floor(jb * 1_000_000 + 0.5).cast("long").alias("jb_micro"),
     )
+
+
+@register(
+    "stat_levene_brown_forsythe",
+    """
+    WITH g AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type,
+               min(CASE WHEN 2 * cum_c >= n THEN cents END) AS med_c
+        FROM (
+            SELECT event_type, cents, c,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum_c,
+                   sum(c) OVER (PARTITION BY event_type) AS n
+            FROM g
+        ) GROUP BY event_type
+    ),
+    dev AS (
+        SELECT g.event_type, abs(g.cents - m.med_c) AS d, sum(g.c) AS c
+        FROM g JOIN med m USING (event_type)
+        GROUP BY 1, 2
+    ),
+    zi AS (
+        SELECT event_type,
+               CAST(sum(c) AS BIGINT)     AS n_i,
+               CAST(sum(d * c) AS BIGINT) AS t_i,
+               sum(CAST(d AS HUGEINT) * d * c) AS q_i
+        FROM dev GROUP BY event_type
+    ),
+    parts AS (
+        SELECT count(*) AS k, sum(n_i) AS n,
+               sum(CAST(t_i AS HUGEINT) * t_i // n_i) AS sum_a,
+               sum(t_i) AS t, sum(q_i) AS q
+        FROM zi
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           CAST(sum_a - (CAST(t AS HUGEINT) * t // n) AS BIGINT)
+               AS ssb_z_cents2,
+           CAST(q - sum_a AS BIGINT) AS ssw_z_cents2,
+           CAST((CAST(1000 AS HUGEINT)
+                 * (sum_a - CAST(t AS HUGEINT) * t // n) * (n - k))
+                // ((q - sum_a) * (k - 1)) AS BIGINT) AS w_milli
+    FROM parts
+    """,
+    doc="Levene's variance-homogeneity test in the Brown-Forsythe form "
+    "(Levene 1960 / Brown & Forsythe 1974, public): one-way ANOVA run "
+    "on z_ij = |x_ij - median_j| — the robust companion to "
+    "stat_hartley_fmax (F_max is a cheap 2-group-extremes screen and "
+    "collapses under non-normality; the BF statistic uses every group "
+    "and the median centre, the recommended default). EXACT fixed "
+    "point end-to-end: per-group medians come from the cents counting "
+    "GRID (stat_mad_outliers' O(distinct-cents) shape — the raw table "
+    "is scanned once, the rank window runs over grid cells, lower-"
+    "nearest-rank by integer cross-multiplication), deviations re-key "
+    "the same grid so z sufficient statistics (n_i, sum z, sum z^2) "
+    "are exact integers with 128-bit intermediates (DECIMAL(38) / "
+    "HUGEINT — z^2 sums overflow int64 past ~sf100), and the W "
+    "statistic replays stat_anova_oneway's defined floor-division "
+    "milli protocol, so the hash is engine-exact at any scale. Plan: "
+    "one exchange to the grid, two bounded grid windows, one grouped "
+    "fold — the corpus is never resorted and never rescanned.",
+)
+def stat_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    g = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    med = (
+        g.select(
+            "event_type",
+            "cents",
+            F.sum("c").over(w_cum).alias("cum_c"),
+            F.sum("c").over(w_all).alias("n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cum_c") >= F.col("n"), F.col("cents"))
+            ).alias("med_c")
+        )
+    )
+    dev = (
+        g.join(F.broadcast(med), "event_type")
+        .groupBy(
+            "event_type", F.abs(F.col("cents") - F.col("med_c")).alias("d")
+        )
+        .agg(F.sum("c").alias("c"))
+    )
+    zi = dev.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_i"),
+        F.sum(F.col("d") * F.col("c")).cast("long").alias("t_i"),
+        F.sum(F.expr("CAST(d AS DECIMAL(19,0)) * d * c"))
+        .cast("decimal(38,0)")
+        .alias("q_i"),
+    )
+    parts = zi.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_i").alias("n"),
+        # defined truncate-toward-zero `div` in 128-bit intermediates —
+        # the stat_anova_oneway money protocol, see that query's comment
+        F.sum(
+            F.expr(
+                "CAST(CAST(t_i AS DECIMAL(19,0)) * t_i div n_i"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("sum_a"),
+        F.sum("t_i").alias("t"),
+        F.sum("q_i").alias("q"),
+    )
+    return parts.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            "CAST(sum_a - CAST(t AS DECIMAL(19,0)) * t div n AS BIGINT)"
+        ).alias("ssb_z_cents2"),
+        F.expr("CAST(q - sum_a AS BIGINT)").alias("ssw_z_cents2"),
+        F.expr(
+            "CAST(1000 * (sum_a - CAST(t AS DECIMAL(19,0)) * t div n)"
+            " * (n - k) div ((q - sum_a) * (k - 1)) AS BIGINT)"
+        ).alias("w_milli"),
+    )

@@ -1837,13 +1837,21 @@ def txt_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_seen AS (
         SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh
     ),
+    novel AS (
+        SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+        FROM first_seen GROUP BY first_doc
+    ),
+    totals AS (
+        SELECT doc_id, source,
+               CAST(len(list_distinct([substr(text, g, 8)
+                    FOR g IN range(1, greatest(length(text) - 6, 2))]))
+                    AS BIGINT) AS n_shingles
+        FROM documents
+    ),
     per_doc AS (
-        SELECT s.doc_id, s.source,
-               CAST(count(*) AS BIGINT) AS n_shingles,
-               CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_novel
-        FROM sh s JOIN first_seen f ON f.sh = s.sh
-        GROUP BY s.doc_id, s.source
+        SELECT t.doc_id, t.source, t.n_shingles,
+               coalesce(n.n_novel, 0) AS n_novel
+        FROM totals t LEFT JOIN novel n USING (doc_id)
     )
     SELECT source,
            CAST(count(*) AS BIGINT)          AS n_docs,
@@ -1860,58 +1868,105 @@ def txt_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "does this source contribute?'), complementing pairwise dedup "
     "(dedup_ngram_jaccard) with a corpus-global attribution. Shingles "
     "reuse the exact operator/oracle definition of the Jaccard family "
-    "(operators/dedup.py:char_shingles == the list-comprehension "
-    "fragment here, short texts contributing themselves). Plan: one "
-    "exchange on shingle builds the min-doc table (map-side partial "
-    "min), the attribution join is co-partitioned on that same key, "
-    "then one grouped fold per doc and per source — linear in total "
-    "shingles, no self-join, no quadratic term anywhere; integer "
-    "floor-division milli at the end.",
+    "(operators/dedup.py:shingle_array == the list-comprehension "
+    "fragment here, short texts contributing themselves). Spark keys "
+    "the one corpus-wide exchange on xxhash64 of the shingle (r11 "
+    "verdict item 4: 8-byte keys instead of n-gram strings — cheaper "
+    "map-side partial min, 2.5x less shuffle payload, no string "
+    "comparisons in the reduce-side hash agg); the oracle keys on the "
+    "string itself. The two coincide exactly whenever xxhash64 is "
+    "collision-free over the corpus's distinct shingles — asserted "
+    "DETERMINISTICALLY (count distinct strings == count distinct "
+    "hashes) at sf0.01 and sf1 by tests/test_round12_ops.py, not just "
+    "birthday-bounded (~2e-7 at 50M shingles). A collision would only "
+    "merge two shingles' first-seen attribution in a 500M-count "
+    "corpus-level ratio. Plan: one exchange on the hashed shingle "
+    "builds the min-doc table (map-side partial min), novelty is a "
+    "grouped count over it, and the totals side is a map-side size() "
+    "on the documents scan — linear in total shingles, no self-join, "
+    "no quadratic term anywhere; integer floor-division milli at the "
+    "end.",
 )
 def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import char_shingles, shingle_array
+    from ..operators.dedup import hashed_shingle_array
 
     d = _t(spark, sf_dir, "documents")
-    sh = char_shingles(d, "doc_id", "text", 8)
-    # Attribution WITHOUT the 2x-|shingles| join-back: a shingle is novel
-    # for exactly the doc that is its min(doc_id), so novel-per-doc is
-    # just groupBy(min_doc).count() over the per-shingle min table —
-    # the naive formulation (join sh with first_seen on sh, then test
-    # first_doc == doc_id) shuffles the full string-keyed shingle
-    # relation a second time and measured 135 s at the generated sf10.
-    # The totals side never explodes at all (round 11): the per-doc
-    # distinct-shingle count is size(shingle_array(...)) map-side on the
-    # documents scan — source rides along, so the join-back of source
-    # disappears and the only exchange of the full shingle relation left
-    # anywhere is the novel branch's first-seen aggregate. Wall-clock at
-    # sf10 is UNCHANGED (~77 s — that one string-keyed exchange is the
-    # whole cost and it is inherent to exact global first-seen); the win
-    # is one fewer explode+aggregate+join of scan work at the 100 TB
-    # point, not local seconds.
-    totals = d.select(
+    # Round 12 (verdict item 4) restructure — the previous shape built
+    # the per-doc shingle arrays TWICE (a totals scan computing
+    # size(shingle_array) and a novel scan exploding it), and the array
+    # build (substr + array_distinct over ~500 strings/doc) is the
+    # dominant cost, not the exchange. Now ONE heavy scan explodes
+    # hashed shingles (xxhash64 computed inside the array transform —
+    # strings die in the scan stage; 8-byte keys through everything
+    # downstream; md5-prefix-to-int was A/B-rejected: hex render + conv
+    # parse cost more than the string exchange saved, PERF.md), ONE
+    # partial-aggregated exchange keyed (shl, source) produces the
+    # vocabulary relation g1 = (shl, source, n_inst, min_doc) — size
+    # O(distinct shingles x sources), the materialize-once intermediate
+    # at any corpus size — which is checkpointed and consumed by both
+    # derivations: per-source totals (sum of instance counts) and
+    # per-source novelty (min-doc-of-min-struct attribution, no doc
+    # join: the winning source rides the min struct). n_docs comes from
+    # a text-free column scan. The oracle stays string-keyed; the two
+    # coincide exactly whenever xxhash64 is collision-free over the
+    # corpus's distinct shingles — asserted DETERMINISTICALLY (distinct
+    # strings == distinct hashes) at sf0.01 (tests/test_round12_ops.py)
+    # and sf1 (PERF.md), not just birthday-bounded.
+    # NO explicit repartition before the groupBy: an eager repartition
+    # on the key would exchange the FULL exploded relation raw,
+    # defeating the map-side partial agg that collapses each task's
+    # output to its distinct (shl, source) pairs (A/B at sf10: +13 s).
+    sh = d.select(
         "doc_id",
         "source",
-        F.size(shingle_array("text", 8)).cast("long").alias("n_shingles"),
+        F.explode(hashed_shingle_array("text", 8)).alias("shl"),
     )
-    novel = (
-        sh.groupBy("sh")
-        .agg(F.min("doc_id").alias("first_doc"))
-        .groupBy(F.col("first_doc").alias("doc_id"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    # Eagerly checkpointed (the stat_mad_outliers grid discipline, and
+    # the documented eager-plan-builder contract): WITHOUT the
+    # checkpoint, column pruning specializes each consumer's partial
+    # aggregate (totals drops mind, novelty drops n_inst), the two
+    # exchanges stop being canonically identical, ReuseExchange cannot
+    # fire, and the corpus-wide scan+explode runs TWICE (verified in
+    # the physical plan; tests assert the single-Generate property).
+    g1 = (
+        sh.groupBy("shl", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_inst"),
+            F.min("doc_id").alias("mind"),
+        )
+        .localCheckpoint(eager=True)
     )
-    per_doc = totals.join(novel, "doc_id", "left").select(
-        "doc_id",
-        "source",
-        "n_shingles",
-        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+    totals_src = g1.groupBy("source").agg(
+        F.sum("n_inst").cast("long").alias("total_shingles")
     )
-    return per_doc.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_shingles").cast("long").alias("total_shingles"),
-        F.sum("n_novel").cast("long").alias("novel_shingles"),
-        F.expr(
-            "CAST(sum(n_novel) * 1000 div sum(n_shingles) AS BIGINT)"
-        ).alias("novelty_milli"),
+    novel_src = (
+        g1.groupBy("shl")
+        .agg(
+            F.min(
+                F.struct(F.col("mind").alias("d"), F.col("source").alias("s"))
+            ).alias("f")
+        )
+        .groupBy(F.col("f.s").alias("source"))
+        .agg(F.count(F.lit(1)).cast("long").alias("novel_shingles"))
+    )
+    ndocs = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        ndocs.join(totals_src, "source")
+        .join(novel_src, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_shingles",
+            F.coalesce("novel_shingles", F.lit(0))
+            .cast("long")
+            .alias("novel_shingles"),
+            F.expr(
+                "CAST(coalesce(novel_shingles, 0) * 1000"
+                " div total_shingles AS BIGINT)"
+            ).alias("novelty_milli"),
+        )
     )
 
 
@@ -2116,4 +2171,63 @@ def txt_hapax_legomena(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((2000 * sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)"
             " + count(*)) div (2 * count(*)) AS BIGINT)"
         ).alias("hapax_ratio_milli"),
+    )
+
+
+@register(
+    "txt_ttr_guiraud",
+    """
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    tc AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)  AS n_types,
+           CAST(sum(cnt) AS BIGINT)  AS n_tokens,
+           CAST((2000 * count(*) + sum(cnt)) // (2 * sum(cnt)) AS BIGINT)
+               AS ttr_milli,
+           CAST(floor(count(*) / sqrt(CAST(sum(cnt) AS DOUBLE)) * 1000000
+                + 0.5) AS BIGINT) AS guiraud_micro
+    FROM tc GROUP BY source
+    """,
+    doc="Type-token ratio and Guiraud's root-TTR index per source "
+    "(Guiraud 1954, public): vocabulary size over token count, plus "
+    "types/sqrt(tokens) — the length-corrected vocabulary-richness "
+    "member completing the txt diversity family (raw TTR shrinks "
+    "mechanically with corpus length; Guiraud's R is the classical "
+    "correction, complementing txt_hapax_legomena's frequency-1 lens "
+    "and txt_simpson_diversity's concentration lens). Same tokenizer "
+    "and (source, token) partial-aggregated exchange as hapax — the "
+    "raw token stream collapses map-side, the per-source fold reduces "
+    "bounded vocab rows. TTR uses the (2a+b) div (2b) half-up integer "
+    "identity; Guiraud divides two exactly-represented integers "
+    "through IEEE-exact sqrt (correctly rounded on both engines, "
+    "unlike ln) and micro-floors half-up once — engine-exact at any "
+    "scale.",
+)
+def txt_ttr_guiraud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return tc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST((2000 * count(*) + sum(cnt)) div (2 * sum(cnt)) AS BIGINT)"
+        ).alias("ttr_milli"),
+        F.floor(
+            F.count(F.lit(1))
+            / F.sqrt(F.sum("cnt").cast("double"))
+            * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("guiraud_micro"),
     )

@@ -119,7 +119,13 @@ _DRIVER_PRIORITY: list[str] = [
     "dq_expectations_check",
     "emb_dimension_stats",
     # ---------------- position 50 cutoff ----------------
-    # r7 remainder (stalest below the cutoff — head of the r13 window)
+    # round-12 registrations (landed after the r12 window froze — first
+    # in the r13 window; locally verified via scripts/verify_local.py)
+    "stat_levene_brown_forsythe",
+    "ml_mcc_threshold",
+    "ml_expected_calibration_error",
+    "txt_ttr_guiraud",
+    # r7 remainder (stalest below the cutoff)
     "emb_int8_quantize",
     "emb_kmeans_lloyd",
     "emb_label_centroids",

@@ -146,6 +146,26 @@ def test_novelty_hash_keying_collision_free(spark):
     assert row["n_str"] == row["n_hash"] > 0
 
 
+def test_novelty_single_heavy_scan(spark):
+    """The r12 novelty restructure must run the corpus explode ONCE: the
+    vocabulary relation is eagerly checkpointed, so the final plan reads
+    the checkpoint RDD for both derivations and contains NO Generate
+    (explode) node and exactly one parquet scan (the text-free n_docs
+    column scan). Without the checkpoint, column pruning specializes the
+    two partial aggs and the heavy scan runs twice."""
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+
+    df = all_queries()["txt_ngram_novelty"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # formatted explain lists each node in the tree AND the details
+    # section, so one physical node contributes two occurrences
+    assert plan.count("Generate") == 0, "explode must live inside the checkpoint"
+    assert plan.count("Scan parquet") == 2, "only the text-free n_docs scan"
+    assert plan.count("Scan ExistingRDD") == 4, "both branches read the checkpoint"
+
+
 def test_matryoshka_modulus_scale_gate():
     """The query-side modulus must keep |Q| <= 8000 at any corpus size
     (knn_join's driver-holdable bound is 10k) and stay 100 below 800k
