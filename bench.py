@@ -436,6 +436,9 @@ def sf10_graph_mode() -> None:
 SF10_SWEEP_DEFAULT = [
     "dedup_cluster_assign",
     "dedup_cluster_representative",
+    # round-12 registration: the full-corpus label relation (labels +
+    # doc-spine left join) — swept beside its two consumers
+    "dedup_cluster_labels",
     "dedup_ngram_jaccard",
     "txt_ngram_novelty",
     "graph_adamic_adar_links",
