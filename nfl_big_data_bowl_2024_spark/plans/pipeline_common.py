@@ -368,6 +368,41 @@ _LABELS_FULL_ORACLE = (
     + _LABELS_FULL_TAIL
 )
 
+# Per-source dedup survivorship: the same full label map, each cluster's
+# representative chosen by the dedup_cluster_representative rule
+# (n_chars DESC, doc_id ASC), docs counted kept/dropped per source.
+_SURVIVORSHIP_TAIL = """,
+lbl AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id),
+full_map AS (
+    SELECT d.doc_id, d.source, d.n_chars,
+           coalesce(l.component, d.doc_id) AS comp
+    FROM documents d LEFT JOIN lbl l USING (doc_id)
+),
+reps AS (
+    SELECT doc_id AS rep_id FROM (
+        SELECT comp, doc_id,
+               row_number() OVER (PARTITION BY comp
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM full_map) t WHERE rk = 1
+)
+SELECT f.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN r.rep_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(CASE WHEN r.rep_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(1000 * (count(*)
+            - sum(CASE WHEN r.rep_id IS NOT NULL THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS drop_milli
+FROM full_map f LEFT JOIN reps r ON r.rep_id = f.doc_id
+GROUP BY f.source
+"""
+_SURVIVORSHIP_ORACLE = (
+    _CLUSTER_ORACLE.replace(_CLUSTER_FINAL, "").rstrip().rstrip(")")
+    + ")"
+    + _SURVIVORSHIP_TAIL
+)
+
 
 # DuckDB replay of kmeans_lloyd(k=8, iters=2, lowest-id seeds) ending in an
 # ``a2(vec_id, e, cid)`` assignment relation — the same iteration the

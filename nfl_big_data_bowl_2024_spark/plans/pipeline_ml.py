@@ -1719,3 +1719,90 @@ def ml_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.max("err_milli").cast("long").alias("mce_milli"),
     )
+
+
+@register(
+    "ml_best_f1_threshold",
+    """
+    WITH pts AS (
+        SELECT n_chars,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cnt_pos
+        FROM documents GROUP BY n_chars
+    ),
+    tot AS (SELECT CAST(sum(cnt_pos) AS BIGINT) AS p,
+                   CAST(sum(cnt) AS BIGINT)     AS n FROM pts),
+    suf AS (
+        SELECT n_chars,
+               sum(cnt) OVER (ORDER BY n_chars DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS pp,
+               sum(cnt_pos) OVER (ORDER BY n_chars DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS tp
+        FROM pts
+    ),
+    f1 AS (
+        SELECT s.n_chars AS threshold, s.tp, s.pp, t.p AS n_pos,
+               CAST(2000000 * s.tp // (s.pp + t.p) AS BIGINT) AS f1_micro
+        FROM suf s, tot t
+    )
+    SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(pp AS BIGINT)
+               AS n_pred_pos, n_pos, f1_micro,
+           CAST(1000 * tp // pp AS BIGINT)    AS precision_milli,
+           CAST(1000 * tp // n_pos AS BIGINT) AS recall_milli
+    FROM f1
+    ORDER BY f1_micro DESC, threshold LIMIT 1
+    """,
+    doc="Operating-point selection: the decision threshold on the "
+    "n_chars score maximizing F1 against the lang='en' label — the "
+    "step AFTER ml_roc_auc's threshold-free ranking quality and "
+    "BEFORE ml_eval_confusion's fixed-point metrics: a production "
+    "quality filter must pick ONE cutoff, and best-F1 is the standard "
+    "pick. Exact and bounded: scores collapse to the distinct-value "
+    "grid first (one partial-aggregated exchange — candidate "
+    "thresholds are grid points, the 100 TB move), TP/PredictedPos at "
+    "every threshold are SUFFIX sums over the grid (Spark: the banded "
+    "prefix-sum operator descending — never a single-partition "
+    "window; oracle: the plain window), F1 = 2TP/(PP+P) is compared "
+    "as floor-micro integers with the SMALLEST threshold as the "
+    "deterministic tiebreak (floored ties resolve identically on "
+    "both engines), and the 1-row answer plans "
+    "TakeOrderedAndProject.",
+)
+def ml_best_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import banded_running_sum
+
+    d = _t(spark, sf_dir, "documents")
+    pts = (
+        d.groupBy("n_chars")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_pos"),
+        )
+        .withColumn("band", F.expr("n_chars div 128"))
+    )
+    # suffix sums = descending banded running sums (band + in-band order
+    # both descending, matching the operator's best-first contract)
+    s1 = banded_running_sum(
+        pts, "band", [F.col("n_chars").desc()], "cnt", out_col="pp"
+    )
+    suf = banded_running_sum(
+        s1, "band", [F.col("n_chars").desc()], "cnt_pos", out_col="tp"
+    )
+    tot = pts.agg(
+        F.sum("cnt_pos").cast("long").alias("p"),
+    )
+    f1 = suf.crossJoin(F.broadcast(tot)).select(
+        F.col("n_chars").alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("pp").cast("long").alias("n_pred_pos"),
+        F.col("p").alias("n_pos"),
+        F.expr("CAST(2000000 * tp div (pp + p) AS BIGINT)").alias("f1_micro"),
+        F.expr("CAST(1000 * tp div pp AS BIGINT)").alias("precision_milli"),
+        F.expr("CAST(1000 * tp div p AS BIGINT)").alias("recall_milli"),
+    )
+    return f1.orderBy(F.col("f1_micro").desc(), "threshold").limit(1)

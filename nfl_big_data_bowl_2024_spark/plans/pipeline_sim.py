@@ -35,6 +35,7 @@ from .pipeline_common import (  # noqa: F401
     _KMEANS_ASSIGN_CTE,
     _LABELS_FULL_ORACLE,
     _MINHASH_DUP_ORACLE,
+    _SURVIVORSHIP_ORACLE,
     _REP_ORACLE,
     _TOPK_ORACLE,
     _cluster_pairs_lsh,
@@ -2212,4 +2213,56 @@ def sim_matryoshka_prefix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("long")
         .alias("top1_agree"),
+    )
+
+
+@register(
+    "dedup_survivorship_by_source",
+    _SURVIVORSHIP_ORACLE,
+    doc="Per-source dedup SURVIVORSHIP: how many of each source's "
+    "documents survive near-dup deduplication when one representative "
+    "is kept per duplicate cluster (the dedup_cluster_representative "
+    "rule: n_chars DESC, doc_id as tiebreak; singletons keep "
+    "themselves) — the data-valuation readout a curation pipeline "
+    "reports per ingest source ('source X loses 31% of its docs to "
+    "dedup'), complementing txt_ngram_novelty's additive-content view "
+    "with the subtractive one. THIRD consumer of the session-scoped "
+    "memoized label relation (pipeline_common.cluster_labels_lsh — "
+    "LSH + CC fixpoint paid once per session and shared with "
+    "dedup_cluster_assign/_representative; this query adds one "
+    "doc-spine left join, one grouped max_by per component, one "
+    "left-semi-shaped flag join and a per-source fold). Oracle: the "
+    "shared exact-pair recursive CTE with the survivorship tail "
+    "(sf0.01 gate; recursive-CTE oracle cost excluded at sf1 like "
+    "its siblings).",
+)
+def dedup_survivorship_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    labels = cluster_labels_lsh(spark, sf_dir)
+    full = d.join(labels, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("comp"),
+    )
+    reps = full.groupBy("comp").agg(
+        F.expr(
+            "max_by(doc_id, named_struct('a', n_chars, 'b', -doc_id))"
+        ).alias("rep_id")
+    )
+    flagged = full.join(
+        reps.select(F.col("rep_id").alias("doc_id"), F.lit(1).alias("is_rep")),
+        "doc_id",
+        "left",
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.coalesce(F.col("is_rep"), F.lit(0))).cast("long").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum(F.coalesce(F.col("is_rep"), F.lit(0))))
+        .cast("long")
+        .alias("n_dropped"),
+        F.expr(
+            "CAST(1000 * (count(*) - sum(coalesce(is_rep, 0)))"
+            " div count(*) AS BIGINT)"
+        ).alias("drop_milli"),
     )

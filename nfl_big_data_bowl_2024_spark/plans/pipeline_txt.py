@@ -2231,3 +2231,63 @@ def txt_ttr_guiraud(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("guiraud_micro"),
     )
+
+
+@register(
+    "txt_yule_k",
+    """
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    tc AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY source, tok
+    ),
+    s AS (
+        SELECT source,
+               CAST(sum(cnt) AS BIGINT) AS s1,
+               CAST(sum(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS s2
+        FROM tc GROUP BY source
+    )
+    SELECT source, s1 AS n_tokens, CAST(s2 AS BIGINT) AS sum_cnt_sq,
+           CAST(CAST(1000000 AS HUGEINT) * (s2 - s1)
+                // (CAST(s1 AS HUGEINT) * s1) AS BIGINT) AS yule_k_centi
+    FROM s
+    """,
+    doc="Yule's characteristic K per source (Yule 1944, public): "
+    "K = 10^4 * (sum f^2 - N) / N^2 over the token frequency spectrum "
+    "— the repeat-rate / vocabulary-concentration constant that is "
+    "(unlike raw TTR) length-invariant by construction, completing "
+    "the lexical-diversity family from the opposite end of "
+    "txt_ttr_guiraud (richness) and txt_hapax_legomena (frequency-1 "
+    "mass): K RISES when a source leans on few repeated tokens — the "
+    "boilerplate/template signature. Emitted in centi-K units "
+    "(10^6 = 10^4 scale x 100), all-integer: the same (source, token) "
+    "partial-aggregated exchange as hapax/ttr, frequency squares "
+    "summed in 128-bit intermediates (HUGEINT/DECIMAL(38) — sum f^2 "
+    "passes int64 once one token repeats ~3e9 times), one floor "
+    "division at the end, engine-exact at any scale.",
+)
+def txt_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    s = tc.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("s1"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(28,0)) * cnt"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    return s.select(
+        "source",
+        F.col("s1").alias("n_tokens"),
+        F.col("s2").cast("long").alias("sum_cnt_sq"),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * (s2 - s1)"
+            " div (CAST(s1 AS DECIMAL(19,0)) * s1) AS BIGINT)"
+        ).alias("yule_k_centi"),
+    )

@@ -122,9 +122,13 @@ _DRIVER_PRIORITY: list[str] = [
     # round-12 registrations (landed after the r12 window froze — first
     # in the r13 window; locally verified via scripts/verify_local.py)
     "stat_levene_brown_forsythe",
+    "stat_kruskal_wallis",
     "ml_mcc_threshold",
     "ml_expected_calibration_error",
+    "ml_best_f1_threshold",
     "txt_ttr_guiraud",
+    "txt_yule_k",
+    "dedup_survivorship_by_source",
     # r7 remainder (stalest below the cutoff)
     "emb_int8_quantize",
     "emb_kmeans_lloyd",
@@ -367,6 +371,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import pipeline_doc  # noqa: F401
     from . import pipeline_evt  # noqa: F401
     from . import pipeline_stats  # noqa: F401
+    from . import pipeline_stats2  # noqa: F401
     from . import pipeline_dq  # noqa: F401
     from . import pipeline_graph  # noqa: F401
     from . import pipeline_sim  # noqa: F401

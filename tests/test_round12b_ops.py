@@ -1,0 +1,238 @@
+"""Round-12 second batch: pure-Python replays of the new statistics /
+ML-evaluation / lexical queries on the sf0.001 driver tree (Brown-
+Forsythe Levene, Kruskal-Wallis with tie correction, MCC, ECE/MCE, the
+best-F1 operating point, TTR/Guiraud, Yule's K), plus the cross-query
+consistency law that pins dedup_survivorship_by_source to the cluster
+relations it derives from."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+SF = "/root/testdata/sf0.001"
+
+
+def _registry():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+
+    return all_queries()
+
+
+def _duck():
+    import duckdb
+
+    return duckdb.connect()
+
+
+def _event_cents():
+    rows = _duck().execute(
+        "SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT)"
+        f" FROM '{SF}/events.parquet'"
+    ).fetchall()
+    by_type = defaultdict(list)
+    for t, c in rows:
+        by_type[t].append(c)
+    return by_type
+
+
+def _lower_median(vals):
+    s = sorted(vals)
+    return s[(len(s) + 1) // 2 - 1]
+
+
+def test_levene_brown_forsythe_replay(spark):
+    """Replay W = ((N-k)/(k-1)) * SSB_z/SSW_z on z = |x - median| with
+    the exact per-group integer-division protocol."""
+    by_type = _event_cents()
+    zs = {
+        t: [abs(c - _lower_median(v)) for c in v] for t, v in by_type.items()
+    }
+    k = len(zs)
+    n = sum(len(z) for z in zs.values())
+    sum_a = sum(sum(z) ** 2 // len(z) for z in zs.values())
+    t_all = sum(sum(z) for z in zs.values())
+    q = sum(x * x for z in zs.values() for x in z)
+    ssb = sum_a - t_all * t_all // n
+    ssw = q - sum_a
+    w_milli = 1000 * ssb * (n - k) // (ssw * (k - 1))
+    row = _registry()["stat_levene_brown_forsythe"].fn(spark, SF).collect()[0]
+    assert (row["k"], row["n"]) == (k, n)
+    assert row["ssb_z_cents2"] == ssb
+    assert row["ssw_z_cents2"] == ssw
+    assert row["w_milli"] == w_milli
+
+
+def test_kruskal_wallis_replay(spark):
+    """Replay H and tie-corrected H with doubled midranks over the
+    pooled cents grid, matching the defined floor-division order."""
+    by_type = _event_cents()
+    pooled = Counter()
+    for v in by_type.values():
+        pooled.update(v)
+    # doubled midrank per distinct value: 2*cum_before + dup + 1
+    r2 = {}
+    cum = 0
+    for c in sorted(pooled):
+        r2[c] = 2 * cum + pooled[c] + 1
+        cum += pooled[c]
+    n = cum
+    k = len(by_type)
+    a4 = sum(
+        sum(r2[c] for c in v) ** 2 // len(v) for v in by_type.values()
+    )
+    t_term = sum(d**3 - d for d in pooled.values())
+    # engine `div` / `//` truncate toward ZERO; Python `//` floors —
+    # they differ by 1 on the negative tie-corrected numerator
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    h_milli = tdiv(tdiv(3000 * a4, 4), n * (n + 1)) - 3000 * (n + 1)
+    hc_milli = tdiv(
+        1000
+        * (tdiv(3 * a4, 4) * (n - 1) - 3 * n * (n - 1) * (n + 1) * (n + 1)),
+        n**3 - n - t_term,
+    )
+    row = _registry()["stat_kruskal_wallis"].fn(spark, SF).collect()[0]
+    assert (row["k"], row["n"], row["tie_term"]) == (k, n, t_term)
+    assert row["h_milli"] == h_milli
+    assert row["hc_milli"] == hc_milli
+
+
+def _doc_rows():
+    return _duck().execute(
+        "SELECT CAST(n_chars AS BIGINT) * 1000"
+        " // (length(text) - length(replace(text, ' ', '')) + 1),"
+        " CASE WHEN lang = 'en' THEN 1 ELSE 0 END, n_chars"
+        f" FROM '{SF}/documents.parquet'"
+    ).fetchall()
+
+
+def test_mcc_replay_and_bounds(spark):
+    tp = fp = fn = tn = 0
+    for mtl, pos, _n in _doc_rows():
+        pred = 1 if mtl >= 5482 else 0
+        if pred and pos:
+            tp += 1
+        elif pred:
+            fp += 1
+        elif pos:
+            fn += 1
+        else:
+            tn += 1
+    row = _registry()["ml_mcc_threshold"].fn(spark, SF).collect()[0]
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (tp, fp, fn, tn)
+    denom = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    want = math.floor(
+        (tp * tn - fp * fn) * 1_000_000 / math.sqrt(denom) + 0.5
+    )
+    assert row["mcc_micro"] == want
+    assert -1_000_000 <= row["mcc_micro"] <= 1_000_000
+
+
+def test_ece_replay(spark):
+    bins = defaultdict(lambda: [0, 0, 0])  # n, pos, sum_p
+    for mtl, pos, _n in _doc_rows():
+        p = min(max(mtl - 4500, 0), 2000) // 2
+        b = bins[p // 100]
+        b[0] += 1
+        b[1] += pos
+        b[2] += p
+    errs = {
+        bid: abs(
+            (2000 * pos + nb) // (2 * nb) - (2 * sp + nb) // (2 * nb)
+        )
+        for bid, (nb, pos, sp) in bins.items()
+    }
+    n_docs = sum(b[0] for b in bins.values())
+    ece = sum(bins[b][0] * errs[b] for b in bins) // n_docs
+    row = (
+        _registry()["ml_expected_calibration_error"].fn(spark, SF).collect()[0]
+    )
+    assert row["n_docs"] == n_docs
+    assert row["n_bins"] == len(bins)
+    assert row["ece_milli"] == ece
+    assert row["mce_milli"] == max(errs.values())
+
+
+def test_best_f1_replay(spark):
+    pts = _duck().execute(
+        "SELECT n_chars, count(*),"
+        " sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)"
+        f" FROM '{SF}/documents.parquet' GROUP BY n_chars"
+    ).fetchall()
+    p = sum(r[2] for r in pts)
+    best = None
+    pp = tp = 0
+    for n_chars, cnt, cnt_pos in sorted(pts, reverse=True):
+        pp += cnt
+        tp += cnt_pos
+        f1 = 2_000_000 * tp // (pp + p)
+        cand = (-f1, n_chars, tp, pp)
+        if best is None or cand < best:
+            best = cand
+    row = _registry()["ml_best_f1_threshold"].fn(spark, SF).collect()[0]
+    assert row["threshold"] == best[1]
+    assert (row["tp"], row["n_pred_pos"], row["n_pos"]) == (
+        best[2],
+        best[3],
+        p,
+    )
+    assert row["f1_micro"] == -best[0]
+
+
+def _token_counts():
+    rows = _duck().execute(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    tc = defaultdict(Counter)
+    for src, text in rows:
+        tc[src].update(text.split(" "))
+    return tc
+
+
+def test_ttr_guiraud_and_yule_replay(spark):
+    tc = _token_counts()
+    ttr = {
+        r["source"]: r
+        for r in _registry()["txt_ttr_guiraud"].fn(spark, SF).collect()
+    }
+    yule = {
+        r["source"]: r for r in _registry()["txt_yule_k"].fn(spark, SF).collect()
+    }
+    assert set(ttr) == set(tc) == set(yule)
+    for src, c in tc.items():
+        types, tokens = len(c), sum(c.values())
+        assert ttr[src]["n_types"] == types
+        assert ttr[src]["n_tokens"] == tokens
+        assert ttr[src]["ttr_milli"] == (2000 * types + tokens) // (2 * tokens)
+        assert ttr[src]["guiraud_micro"] == math.floor(
+            types / math.sqrt(tokens) * 1_000_000 + 0.5
+        )
+        s2 = sum(v * v for v in c.values())
+        assert yule[src]["sum_cnt_sq"] == s2
+        assert yule[src]["yule_k_centi"] == 1_000_000 * (s2 - tokens) // (
+            tokens * tokens
+        )
+
+
+def test_survivorship_consistency_laws(spark):
+    """dedup_survivorship_by_source must agree with the cluster
+    relations it derives from: total kept == number of components in
+    the FULL label map (one representative each), per-source docs sum
+    to the corpus, and every multi-member cluster drops members."""
+    reg = _registry()
+    surv = reg["dedup_survivorship_by_source"].fn(spark, SF).collect()
+    labels = reg["dedup_cluster_labels"].fn(spark, SF).collect()
+    n_components = len({r["component"] for r in labels})
+    n_docs_total = len(labels)
+    assert sum(r["n_docs"] for r in surv) == n_docs_total
+    assert sum(r["n_kept"] for r in surv) == n_components
+    assert sum(r["n_dropped"] for r in surv) == n_docs_total - n_components
+    for r in surv:
+        assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
+        assert r["drop_milli"] == 1000 * r["n_dropped"] // r["n_docs"]
