@@ -838,3 +838,103 @@ def doc_sequential_poisson_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+
+
+@register(
+    "doc_gopher_quality_filter",
+    """
+    WITH t AS (
+        SELECT doc_id, source,
+               string_split(text, ' ') AS toks,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+    ),
+    flags AS (
+        SELECT source,
+               CASE WHEN len(toks) >= 25 THEN 0 ELSE 1 END AS f_wc,
+               CASE WHEN n_chars * 1000 // len(toks) BETWEEN 4800 AND 5800
+                    THEN 0 ELSE 1 END AS f_mwl,
+               CASE WHEN len(list_filter(toks,
+                         x -> x IN ('the','and','of','to','a','in','is',
+                                    'that'))) >= 2
+                    THEN 0 ELSE 1 END AS f_stop,
+               CASE WHEN len(list_filter(toks,
+                         x -> regexp_full_match(x, '[a-z]+'))) * 1000
+                         // len(toks) >= 800
+                    THEN 0 ELSE 1 END AS f_alpha
+        FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(f_wc) AS BIGINT)     AS fail_word_count,
+           CAST(sum(f_mwl) AS BIGINT)    AS fail_mean_word_len,
+           CAST(sum(f_stop) AS BIGINT)   AS fail_stopwords,
+           CAST(sum(f_alpha) AS BIGINT)  AS fail_alpha_ratio,
+           CAST(sum(CASE WHEN f_wc + f_mwl + f_stop + f_alpha = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST((2000 * sum(CASE WHEN f_wc + f_mwl + f_stop + f_alpha = 0
+                            THEN 1 ELSE 0 END) + count(*))
+                // (2 * count(*)) AS BIGINT) AS pass_milli
+    FROM flags GROUP BY source
+    """,
+    doc="Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1, "
+    "public — the pre-classifier heuristic gate every large-corpus "
+    "pipeline runs first): per document, four deterministic rules — "
+    "word count >= 25, mean word length within [4.8, 5.8] (milli "
+    "units, thresholds fitted to this corpus's observed band the way "
+    "Gopher's [3, 10] fits web text), >= 2 stopword occurrences from "
+    "the fixed 8-word list, and >= 80% purely-alphabetic tokens — "
+    "rolled up per source as per-rule failure counts, the all-rules "
+    "pass count, and the half-up pass rate. The per-rule breakdown is "
+    "the operational payload: it tells a curation team WHICH rule "
+    "gates a source (complementing ml_quality_classifier_train's "
+    "learned scorer with the auditable rule panel). Entirely map-side "
+    "single-scan (tokenize once, four integer flags via higher-order "
+    "array functions — no explode, no shuffle of token rows) + one "
+    "tiny per-source fold: the flat 100 TB shape. Engine parity: "
+    "whitespace tokens (the hapax/ttr tokenizer), integer milli "
+    "ratios, and rlike '^[a-z]+$' == regexp_full_match('[a-z]+').",
+)
+def doc_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = ["the", "and", "of", "to", "a", "in", "is", "that"]
+    f_wc = F.when(F.size(toks) >= 25, 0).otherwise(1)
+    mwl = F.expr(
+        "CAST(n_chars AS BIGINT) * 1000 div size(split(text, ' '))"
+    )
+    f_mwl = F.when(mwl.between(4800, 5800), 0).otherwise(1)
+    f_stop = F.when(
+        F.size(F.filter(toks, lambda x: x.isin(stop))) >= 2, 0
+    ).otherwise(1)
+    f_alpha = F.when(
+        F.expr(
+            "size(filter(split(text, ' '), x -> x rlike '^[a-z]+$'))"
+            " * 1000 div size(split(text, ' '))"
+        )
+        >= 800,
+        0,
+    ).otherwise(1)
+    flags = d.select(
+        "source",
+        f_wc.alias("f_wc"),
+        f_mwl.alias("f_mwl"),
+        f_stop.alias("f_stop"),
+        f_alpha.alias("f_alpha"),
+    )
+    passed = (
+        F.col("f_wc") + F.col("f_mwl") + F.col("f_stop") + F.col("f_alpha")
+        == 0
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("f_wc").cast("long").alias("fail_word_count"),
+        F.sum("f_mwl").cast("long").alias("fail_mean_word_len"),
+        F.sum("f_stop").cast("long").alias("fail_stopwords"),
+        F.sum("f_alpha").cast("long").alias("fail_alpha_ratio"),
+        F.sum(F.when(passed, 1).otherwise(0)).cast("long").alias("n_pass"),
+        F.expr(
+            "CAST((2000 * sum(CASE WHEN f_wc + f_mwl + f_stop + f_alpha = 0"
+            " THEN 1 ELSE 0 END) + count(*)) div (2 * count(*)) AS BIGINT)"
+        ).alias("pass_milli"),
+    )

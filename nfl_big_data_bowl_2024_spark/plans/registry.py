@@ -129,6 +129,8 @@ _DRIVER_PRIORITY: list[str] = [
     "txt_ttr_guiraud",
     "txt_yule_k",
     "dedup_survivorship_by_source",
+    "doc_gopher_quality_filter",
+    "sql_lateral_topn",
     # r7 remainder (stalest below the cutoff)
     "emb_int8_quantize",
     "emb_kmeans_lloyd",

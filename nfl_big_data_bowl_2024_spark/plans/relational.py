@@ -2347,3 +2347,47 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("asof_dt_us"),
     )
+
+
+@register(
+    "sql_lateral_topn",
+    """
+    SELECT n.n_name AS nation, t.c_custkey, t.bal_cents
+    FROM nation n,
+    LATERAL (
+      SELECT c_custkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY bal_cents DESC, c_custkey
+      LIMIT 2
+    ) t
+    """,
+    doc="Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the "
+    "top-2 customers by account balance for every nation, written the "
+    "way an analyst writes it (a lateral 'top-N per outer row'), "
+    "completing the SQL-surface coverage next to sql_interface (plain "
+    "SQL entry) and argmax_per_group (the DataFrame max_by form). "
+    "Catalyst DECORRELATES the lateral limit into the rank-window plan "
+    "the DataFrame API would produce — no nested-loop re-execution per "
+    "outer row, the plan a 100 TB join needs — and DuckDB runs the "
+    "identical text. Cent quantization + the c_custkey tiebreak make "
+    "the top-2 deterministic on both engines.",
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, t.c_custkey, t.bal_cents
+        FROM v_nation n,
+        LATERAL (
+          SELECT c_custkey,
+                 CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+          FROM v_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY bal_cents DESC, c_custkey
+          LIMIT 2
+        ) t
+        """
+    )

@@ -236,3 +236,77 @@ def test_survivorship_consistency_laws(spark):
     for r in surv:
         assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
         assert r["drop_milli"] == 1000 * r["n_dropped"] // r["n_docs"]
+
+
+def test_gopher_filter_replay(spark):
+    """Replay the four rule flags per document and the per-source
+    rollup; also assert every rule discriminates somewhere in the
+    corpus (a rule that never fires is a dead gate)."""
+    rows = _duck().execute(
+        f"SELECT source, text, CAST(n_chars AS BIGINT)"
+        f" FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    stop = {"the", "and", "of", "to", "a", "in", "is", "that"}
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0, 0])  # n, fwc, fmwl, fstop, falpha, npass
+    total_fails = [0, 0, 0, 0]
+    for src, text, n_chars in rows:
+        toks = text.split(" ")
+        f_wc = 0 if len(toks) >= 25 else 1
+        f_mwl = 0 if 4800 <= n_chars * 1000 // len(toks) <= 5800 else 1
+        f_stop = 0 if sum(1 for t in toks if t in stop) >= 2 else 1
+        n_alpha = sum(1 for t in toks if t and all("a" <= ch <= "z" for ch in t))
+        f_alpha = 0 if n_alpha * 1000 // len(toks) >= 800 else 1
+        a = agg[src]
+        a[0] += 1
+        a[1] += f_wc
+        a[2] += f_mwl
+        a[3] += f_stop
+        a[4] += f_alpha
+        a[5] += 1 if (f_wc + f_mwl + f_stop + f_alpha) == 0 else 0
+        for i, f in enumerate((f_wc, f_mwl, f_stop, f_alpha)):
+            total_fails[i] += f
+    got = {
+        r["source"]: r
+        for r in _registry()["doc_gopher_quality_filter"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(agg)
+    for src, (n, fwc, fmwl, fstop, falpha, npass) in agg.items():
+        r = got[src]
+        assert (
+            r["n_docs"],
+            r["fail_word_count"],
+            r["fail_mean_word_len"],
+            r["fail_stopwords"],
+            r["fail_alpha_ratio"],
+            r["n_pass"],
+        ) == (n, fwc, fmwl, fstop, falpha, npass)
+        assert r["pass_milli"] == (2000 * npass + n) // (2 * n)
+    # thresholds are fitted to the corpus: the wc/mwl/stop rules must
+    # each fail SOMEWHERE (non-degenerate gates)
+    assert total_fails[0] > 0 and total_fails[1] > 0 and total_fails[2] > 0
+
+
+def test_lateral_topn_replay(spark):
+    """The lateral top-2 must equal the per-nation sort-and-take, and
+    decorrelate (no per-outer-row re-execution plan nodes)."""
+    rows = _duck().execute(
+        "SELECT n.n_name, c.c_custkey,"
+        " CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)"
+        f" FROM '{SF}/nation.parquet' n"
+        f" JOIN '{SF}/customer.parquet' c ON c.c_nationkey = n.n_nationkey"
+    ).fetchall()
+    by_nation = defaultdict(list)
+    for name, ck, bal in rows:
+        by_nation[name].append((-bal, ck))
+    want = set()
+    for name, lst in by_nation.items():
+        for negbal, ck in sorted(lst)[:2]:
+            want.add((name, ck, -negbal))
+    got = {
+        (r["nation"], r["c_custkey"], r["bal_cents"])
+        for r in _registry()["sql_lateral_topn"].fn(spark, SF).collect()
+    }
+    assert got == want
+    df = _registry()["sql_lateral_topn"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
