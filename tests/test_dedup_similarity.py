@@ -261,8 +261,10 @@ def test_cluster_labels_shared_across_consumers(spark):
     )
 
     sf = "/root/testdata/sf0.001"
-    key = (spark.sparkContext.applicationId, sf)
-    _CC_LABELS_CACHE.pop(key, None)
+    # cache keys are (applicationId, sf_dir, data_fingerprint) since r12
+    # — evict by sf_dir so the first call below is a real fresh build
+    for k in [k for k in _CC_LABELS_CACHE if k[1] == sf]:
+        del _CC_LABELS_CACHE[k]
     first = cluster_labels_lsh(spark, sf)
     assert cluster_labels_lsh(spark, sf) is first
     assert dedup_cluster_assign(spark, sf) is first
@@ -274,7 +276,25 @@ def test_cluster_labels_shared_across_consumers(spark):
     assert all(
         (r.rep_doc_id, r.component) in labels for r in reps
     )
-    _CC_LABELS_CACHE.pop(key, None)
+    # the r12 consumers share the same single memo entry: the full label
+    # map restricted to edge-connected docs equals the assign output, and
+    # no second build was inserted
+    from nfl_big_data_bowl_2024_spark.plans.pipeline_sim import (
+        dedup_cluster_labels,
+        dedup_survivorship_by_source,
+    )
+
+    full = {
+        (r.doc_id, r.component)
+        for r in dedup_cluster_labels(spark, sf).collect()
+    }
+    assert {p for p in full if p[0] != p[1]} <= labels
+    assert labels <= full
+    surv = dedup_survivorship_by_source(spark, sf).collect()
+    assert sum(r.n_kept for r in surv) == len({c for _, c in full})
+    assert sum(1 for k in _CC_LABELS_CACHE if k[1] == sf) == 1
+    for k in [k for k in _CC_LABELS_CACHE if k[1] == sf]:
+        del _CC_LABELS_CACHE[k]
 
 
 def test_semantic_dedup_drops_planted_neighbors(spark):
