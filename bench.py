@@ -493,14 +493,23 @@ def sf10_sweep_mode(names: list[str], key: str) -> None:
                  "timings": timings}
     if errors:
         rec["errors"] = errors
-    # Shared-label operating point: assign + representative in ONE session
-    # (the intended 100 TB composition — labels materialized once).
+    # Shared-label operating point: every consumer of the memoized CC
+    # label relation in ONE session (the intended 100 TB composition —
+    # labels materialized once, each further consumer pays only its own
+    # derivation: representative's grouped max_by, labels' doc-spine
+    # join, survivorship's rep-flag join + fold).
+    consumers = [
+        "dedup_cluster_assign",
+        "dedup_cluster_representative",
+        "dedup_cluster_labels",
+        "dedup_survivorship_by_source",
+    ]
     if {"dedup_cluster_assign", "dedup_cluster_representative"} <= set(names):
         spark = get_spark("bench-sf10-sweep-shared")
         spark.sparkContext.setLogLevel("ERROR")
         shared: dict[str, float] = {}
         try:
-            for name in ("dedup_cluster_assign", "dedup_cluster_representative"):
+            for name in consumers:
                 t0 = time.time()
                 all_queries()[name].fn(spark, sf_dir).write.format("noop").mode(
                     "overwrite"

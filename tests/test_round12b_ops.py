@@ -310,3 +310,43 @@ def test_lateral_topn_replay(spark):
     df = _registry()["sql_lateral_topn"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def _events_transformed(tmp_path, name, fn):
+    """Write a copy of the sf0.001 events tree with value -> fn(cents)/100
+    (exact cent-level transform) and return the directory."""
+    import os
+
+    import pandas as pd
+
+    rows = _duck().execute(
+        f"SELECT * FROM '{SF}/events.parquet'"
+    ).df()
+    cents = (rows["value"] * 100 + 0.5).astype("int64")
+    rows["value"] = cents.map(fn) / 100.0
+    d = str(tmp_path / name)
+    os.makedirs(d)
+    pd.DataFrame(rows).to_parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_kruskal_wallis_monotone_invariance(spark, tmp_path):
+    """KW is a RANK statistic: any strictly increasing transform of the
+    values (cents -> 3*cents + 7, exact in cents space) must leave k, n,
+    the tie term and both H variants bit-identical."""
+    reg = _registry()
+    base = reg["stat_kruskal_wallis"].fn(spark, SF).collect()[0]
+    d = _events_transformed(tmp_path, "kw_mono", lambda c: 3 * c + 7)
+    got = reg["stat_kruskal_wallis"].fn(spark, d).collect()[0]
+    assert got.asDict() == base.asDict()
+
+
+def test_levene_location_shift_invariance(spark, tmp_path):
+    """Brown-Forsythe is computed on |x - group median|: shifting every
+    value by a constant (cents + 500, exact) leaves the deviations and
+    therefore every output column bit-identical."""
+    reg = _registry()
+    base = reg["stat_levene_brown_forsythe"].fn(spark, SF).collect()[0]
+    d = _events_transformed(tmp_path, "lev_shift", lambda c: c + 500)
+    got = reg["stat_levene_brown_forsythe"].fn(spark, d).collect()[0]
+    assert got.asDict() == base.asDict()
