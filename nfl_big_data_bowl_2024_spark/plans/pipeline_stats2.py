@@ -157,3 +157,118 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(n AS DECIMAL(38,0)) * n * n - n - t) AS BIGINT)"
         ).alias("hc_milli"),
     )
+
+
+@register(
+    "stat_friedman_test",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    kk AS (SELECT count(DISTINCT event_type) AS k FROM daily),
+    complete AS (
+        SELECT day FROM daily, kk GROUP BY day, k HAVING count(*) = k
+    ),
+    d2 AS (SELECT daily.* FROM daily JOIN complete USING (day)),
+    g AS (SELECT day, y, count(*) AS dup FROM d2 GROUP BY day, y),
+    c AS (
+        SELECT day, y, dup,
+               sum(dup) OVER (PARTITION BY day ORDER BY y
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+        FROM g
+    ),
+    r AS (SELECT day, y, 2 * cum - dup + 1 AS r2 FROM c),
+    rj AS (
+        SELECT d2.event_type, CAST(sum(r.r2) AS BIGINT) AS r2_j,
+               CAST(count(*) AS BIGINT) AS n_blocks
+        FROM d2 JOIN r USING (day, y) GROUP BY d2.event_type
+    ),
+    parts AS (
+        SELECT count(*) AS k, max(n_blocks) AS n,
+               CAST(sum(CAST(r2_j AS HUGEINT) * r2_j) AS HUGEINT) AS s2
+        FROM rj
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n_blocks,
+           CAST((3000 * s2 // 4) // (n * k * (k + 1)) - 3000 * n * (k + 1)
+                AS BIGINT) AS q_milli
+    FROM parts
+    """,
+    doc="Friedman rank test over the (day x event_type) daily-total "
+    "grid: blocks = calendar days (restricted to COMPLETE blocks — "
+    "days where every event type traded, the standard repeated-"
+    "measures requirement, a deterministic rule on both engines), "
+    "treatments = event types ranked WITHIN each day by exact daily "
+    "cents total — the within-block companion to stat_kruskal_wallis "
+    "(KW pools all values globally and is blind to day effects; "
+    "Friedman removes the day effect entirely, detecting consistent "
+    "ordering of types across days; Friedman 1937, public). Exact "
+    "integers: per-day doubled midranks 2*cum - dup + 1 over the "
+    "bounded (day, y) grid (blocks have k <= #types members, the grid "
+    "is calendar-bounded regardless of corpus size), Q = 3/(nk(k+1)) "
+    "* sum(R2_j^2) - 3n(k+1) via the same doubled-rank algebra and "
+    "defined truncating divisions as KW (the /4 folded into a "
+    "128-bit floor division). Plan: one partial-aggregated exchange "
+    "to the daily grid, day-partitioned bounded windows, one k-row "
+    "fold.",
+)
+def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    kk = daily.agg(F.countDistinct("event_type").alias("k"))
+    complete = (
+        daily.crossJoin(F.broadcast(kk))
+        .groupBy("day", "k")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+        .filter(F.col("n_types") == F.col("k"))
+        .select("day")
+    )
+    d2 = daily.join(F.broadcast(complete), "day")
+    g = d2.groupBy("day", "y").agg(F.count(F.lit(1)).alias("dup"))
+    w = (
+        Window.partitionBy("day")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = g.select(
+        "day",
+        "y",
+        (F.lit(2) * F.sum("dup").over(w) - F.col("dup") + 1).alias("r2"),
+    )
+    rj = (
+        d2.join(r, ["day", "y"])
+        .groupBy("event_type")
+        .agg(
+            F.sum("r2").cast("long").alias("r2_j"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        )
+    )
+    parts = rj.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("n_blocks").alias("n"),
+        F.sum(F.expr("CAST(r2_j AS DECIMAL(22,0)) * r2_j"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    return parts.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n_blocks"),
+        F.expr(
+            "CAST(CAST((3000 * s2 - (3000 * s2) % 4) / 4 AS DECIMAL(38,0))"
+            " div (n * k * (k + 1)) - 3000 * n * (k + 1) AS BIGINT)"
+        ).alias("q_milli"),
+    )

@@ -123,6 +123,7 @@ _DRIVER_PRIORITY: list[str] = [
     # in the r13 window; locally verified via scripts/verify_local.py)
     "stat_levene_brown_forsythe",
     "stat_kruskal_wallis",
+    "stat_friedman_test",
     "ml_mcc_threshold",
     "ml_expected_calibration_error",
     "ml_best_f1_threshold",

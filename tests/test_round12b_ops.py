@@ -350,3 +350,52 @@ def test_levene_location_shift_invariance(spark, tmp_path):
     d = _events_transformed(tmp_path, "lev_shift", lambda c: c + 500)
     got = reg["stat_levene_brown_forsythe"].fn(spark, d).collect()[0]
     assert got.asDict() == base.asDict()
+
+
+def test_friedman_replay(spark):
+    """Replay Q over complete day-blocks with within-day doubled
+    midranks; Friedman must also be invariant to a per-day additive
+    shift (block effect removed by construction) — asserted by shifting
+    each day's totals by day*1000 in the replay and re-deriving
+    identical ranks."""
+    rows = _duck().execute(
+        "SELECT event_type,"
+        " date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,"
+        " CAST(round(value * 100) AS BIGINT)"
+        f" FROM '{SF}/events.parquet'"
+    ).fetchall()
+    daily = defaultdict(int)
+    for t, day, c in rows:
+        daily[(t, day)] += c
+    types = sorted({t for t, _ in daily})
+    k = len(types)
+    days = sorted({d for _, d in daily})
+    complete = [
+        d for d in days if all((t, d) in daily for t in types)
+    ]
+    n = len(complete)
+    assert n > 0
+    r2_j = Counter()
+    for d in complete:
+        ys = sorted(daily[(t, d)] for t in types)
+        for t in types:
+            y = daily[(t, d)]
+            r2_j[t] += 2 * sum(1 for v in ys if v < y) + ys.count(y) + 1
+    s2 = sum(v * v for v in r2_j.values())
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    q_milli = tdiv(tdiv(3000 * s2, 4), n * k * (k + 1)) - 3000 * n * (k + 1)
+    row = _registry()["stat_friedman_test"].fn(spark, SF).collect()[0]
+    assert (row["k"], row["n_blocks"], row["q_milli"]) == (k, n, q_milli)
+    # block-effect invariance of the replayed ranks: shifting every value
+    # in a day by the same constant leaves within-day ranks unchanged
+    r2_shifted = Counter()
+    for d in complete:
+        ys = sorted(daily[(t, d)] + d * 1000 for t in types)
+        for t in types:
+            y = daily[(t, d)] + d * 1000
+            r2_shifted[t] += 2 * sum(1 for v in ys if v < y) + ys.count(y) + 1
+    assert r2_shifted == r2_j
