@@ -1806,3 +1806,117 @@ def ml_best_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(1000 * tp div p AS BIGINT)").alias("recall_milli"),
     )
     return f1.orderBy(F.col("f1_micro").desc(), "threshold").limit(1)
+
+
+@register(
+    "ml_psi_source_drift",
+    """
+    WITH scored AS (
+        SELECT source,
+               least(greatest((CAST(n_chars AS BIGINT) * 1000
+                   // (length(text) - length(replace(text, ' ', '')) + 1)
+                   - 2000) // 500, 0), 9) AS bin_id
+        FROM documents
+    ),
+    tot AS (SELECT source, CAST(count(*) AS BIGINT) AS na
+            FROM scored GROUP BY source),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+    cnt AS (SELECT source, bin_id, CAST(count(*) AS BIGINT) AS ca
+            FROM scored GROUP BY source, bin_id),
+    bt AS (SELECT bin_id, CAST(count(*) AS BIGINT) AS call
+           FROM scored GROUP BY bin_id),
+    grid AS (SELECT t.source, t.na, b.bin_id
+             FROM tot t CROSS JOIN
+                  (SELECT unnest(generate_series(0, 9)) AS bin_id) b),
+    f AS (
+        SELECT g.source, g.na, nn.n - g.na AS nb,
+               coalesce(c.ca, 0) AS ca,
+               coalesce(bt.call, 0) - coalesce(c.ca, 0) AS cb
+        FROM grid g
+        LEFT JOIN cnt c ON c.source = g.source AND c.bin_id = g.bin_id
+        LEFT JOIN bt ON bt.bin_id = g.bin_id
+        CROSS JOIN nn
+    ),
+    terms AS (
+        SELECT source, na,
+               (1000 * ca // na - 1000 * cb // nb)
+               * (((length(format('{:b}', (greatest(ca, 1) * nb))) - 1) * 693147 + [7782, 23167, 38319, 53245, 67951, 82444, 96730, 110814, 124703, 138402, 151916, 165250, 178408, 191395, 204216, 216874, 229374, 241720, 253915, 265964, 277868, 289633, 301261, 312756, 324119, 335356, 346467, 357456, 368326, 379078, 389717, 400243, 410660, 420969, 431173, 441275, 451275, 461176, 470980, 480689, 490304, 499828, 509262, 518608, 527867, 537041, 546132, 555142, 564070, 572920, 581692, 590387, 599008, 607555, 616030, 624433, 632767, 641031, 649228, 657358, 665423, 673423, 681359, 689233][CAST((CASE WHEN (length(format('{:b}', (greatest(ca, 1) * nb))) - 1) >= 6 THEN (greatest(ca, 1) * nb) // (1::BIGINT << ((length(format('{:b}', (greatest(ca, 1) * nb))) - 1) - 6)) ELSE ((greatest(ca, 1) * nb) * 64) // (1::BIGINT << (length(format('{:b}', (greatest(ca, 1) * nb))) - 1)) END) AS INTEGER) - 63])
+                  - ((length(format('{:b}', (greatest(cb, 1) * na))) - 1) * 693147 + [7782, 23167, 38319, 53245, 67951, 82444, 96730, 110814, 124703, 138402, 151916, 165250, 178408, 191395, 204216, 216874, 229374, 241720, 253915, 265964, 277868, 289633, 301261, 312756, 324119, 335356, 346467, 357456, 368326, 379078, 389717, 400243, 410660, 420969, 431173, 441275, 451275, 461176, 470980, 480689, 490304, 499828, 509262, 518608, 527867, 537041, 546132, 555142, 564070, 572920, 581692, 590387, 599008, 607555, 616030, 624433, 632767, 641031, 649228, 657358, 665423, 673423, 681359, 689233][CAST((CASE WHEN (length(format('{:b}', (greatest(cb, 1) * na))) - 1) >= 6 THEN (greatest(cb, 1) * na) // (1::BIGINT << ((length(format('{:b}', (greatest(cb, 1) * na))) - 1) - 6)) ELSE ((greatest(cb, 1) * na) * 64) // (1::BIGINT << (length(format('{:b}', (greatest(cb, 1) * na))) - 1)) END) AS INTEGER) - 63])) AS term
+        FROM f
+    )
+    SELECT source, CAST(max(na) AS BIGINT) AS n_docs,
+           CAST(sum(term) // 1000 AS BIGINT) AS psi_micro
+    FROM terms GROUP BY source
+""",
+    doc="Population stability index of each source's quality-score "
+    "distribution against the REST of the corpus (one-vs-rest, the "
+    "stat_mann_whitney_u pattern): PSI = sum over the 10 fixed "
+    "ml_calibration_bins score bins of (p_src - p_rest) * "
+    "ln(p_src/p_rest) — the standard drift gate a model-serving or "
+    "data-mixing pipeline thresholds on (PSI > 0.2 = major shift) "
+    "before trusting a new ingest batch, complementing "
+    "dq_drift_population's count-based drift with the "
+    "distribution-shape one. Engine-exact WITHOUT libm: the log ratio "
+    "is ln_micro(ca*nb) - ln_micro(cb*na) through the shared 64-cell "
+    "fixed-point table (pipeline_common; products < 2^63 to ~sf1000), "
+    "shares are integer per-mille floors, empty cells clamp to count 1 "
+    "(the standard PSI epsilon) on a constant 10-bin grid so every "
+    "(source, bin) exists on both engines. One map-side projection, "
+    "two bounded grouped folds, a broadcast grid join — flat at "
+    "100 TB.",
+)
+def ml_psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        F.expr(
+            "least(greatest((CAST(n_chars AS BIGINT) * 1000"
+            " div (length(text) - length(replace(text, ' ', '')) + 1)"
+            " - 2000) div 500, 0), 9)"
+        ).alias("bin_id"),
+    )
+    tot = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("na")
+    )
+    nn = scored.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cnt = scored.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    bt = scored.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("call")
+    )
+    grid = tot.crossJoin(
+        F.broadcast(
+            nn.select("n", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin_id"))
+        )
+    )
+    f = (
+        grid.join(cnt, ["source", "bin_id"], "left")
+        .join(F.broadcast(bt), "bin_id", "left")
+        .select(
+            "source",
+            "na",
+            (F.col("n") - F.col("na")).alias("nb"),
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            (F.coalesce("call", F.lit(0)) - F.coalesce("ca", F.lit(0))).alias(
+                "cb"
+            ),
+        )
+    )
+    terms = f.select(
+        "source",
+        "na",
+        (
+            (
+                F.expr("1000 * ca div na") - F.expr("1000 * cb div nb")
+            )
+            * (
+                F.expr("""CAST(((length(bin((greatest(ca, 1) * nb))) - 1) * 693147 + element_at(array(7782, 23167, 38319, 53245, 67951, 82444, 96730, 110814, 124703, 138402, 151916, 165250, 178408, 191395, 204216, 216874, 229374, 241720, 253915, 265964, 277868, 289633, 301261, 312756, 324119, 335356, 346467, 357456, 368326, 379078, 389717, 400243, 410660, 420969, 431173, 441275, 451275, 461176, 470980, 480689, 490304, 499828, 509262, 518608, 527867, 537041, 546132, 555142, 564070, 572920, 581692, 590387, 599008, 607555, 616030, 624433, 632767, 641031, 649228, 657358, 665423, 673423, 681359, 689233), CAST((CASE WHEN (length(bin((greatest(ca, 1) * nb))) - 1) >= 6 THEN (greatest(ca, 1) * nb) div shiftleft(CAST(1 AS BIGINT), CAST((length(bin((greatest(ca, 1) * nb))) - 1) - 6 AS INT)) ELSE ((greatest(ca, 1) * nb) * 64) div shiftleft(CAST(1 AS BIGINT), CAST((length(bin((greatest(ca, 1) * nb))) - 1) AS INT)) END) AS INT) - 63)) AS BIGINT)""")
+                - F.expr("""CAST(((length(bin((greatest(cb, 1) * na))) - 1) * 693147 + element_at(array(7782, 23167, 38319, 53245, 67951, 82444, 96730, 110814, 124703, 138402, 151916, 165250, 178408, 191395, 204216, 216874, 229374, 241720, 253915, 265964, 277868, 289633, 301261, 312756, 324119, 335356, 346467, 357456, 368326, 379078, 389717, 400243, 410660, 420969, 431173, 441275, 451275, 461176, 470980, 480689, 490304, 499828, 509262, 518608, 527867, 537041, 546132, 555142, 564070, 572920, 581692, 590387, 599008, 607555, 616030, 624433, 632767, 641031, 649228, 657358, 665423, 673423, 681359, 689233), CAST((CASE WHEN (length(bin((greatest(cb, 1) * na))) - 1) >= 6 THEN (greatest(cb, 1) * na) div shiftleft(CAST(1 AS BIGINT), CAST((length(bin((greatest(cb, 1) * na))) - 1) - 6 AS INT)) ELSE ((greatest(cb, 1) * na) * 64) div shiftleft(CAST(1 AS BIGINT), CAST((length(bin((greatest(cb, 1) * na))) - 1) AS INT)) END) AS INT) - 63)) AS BIGINT)""")
+            )
+        ).alias("term"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("na").cast("long").alias("n_docs"),
+        F.expr("CAST(sum(term) div 1000 AS BIGINT)").alias("psi_micro"),
+    ).select("source", "n_docs", "psi_micro")

@@ -127,6 +127,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ml_mcc_threshold",
     "ml_expected_calibration_error",
     "ml_best_f1_threshold",
+    "ml_psi_source_drift",
     "txt_ttr_guiraud",
     "txt_yule_k",
     "dedup_survivorship_by_source",

@@ -399,3 +399,55 @@ def test_friedman_replay(spark):
             y = daily[(t, d)] + d * 1000
             r2_shifted[t] += 2 * sum(1 for v in ys if v < y) + ys.count(y) + 1
     assert r2_shifted == r2_j
+
+
+def test_psi_replay(spark):
+    """Replay per-source PSI with the exact fixed-point ln table and the
+    per-mille floor shares; PSI of a source against itself-complement
+    must also come out ~0 when the source's distribution matches the
+    rest (sanity bound, not asserted exactly — flooring)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from nfl_big_data_bowl_2024_spark.plans.pipeline_common import (
+        LN2_MICRO,
+        LN_MANTISSA_MICRO,
+    )
+
+    def ln_micro(v):
+        e = v.bit_length() - 1
+        m = (v >> (e - 6)) if e >= 6 else (v * 64) >> e
+        return e * LN2_MICRO + LN_MANTISSA_MICRO[m - 64]
+
+    rows = _doc_rows()
+    srcs = _duck().execute(
+        f"SELECT source FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    binned = [
+        (src[0], min(max((mtl - 2000) // 500, 0), 9))
+        for src, (mtl, _pos, _nc) in zip(srcs, rows)
+    ]
+    n = len(binned)
+    na = Counter(s for s, _ in binned)
+    ca = Counter(binned)
+    call = Counter(b for _, b in binned)
+    want = {}
+    for s in na:
+        nb = n - na[s]
+        total = 0
+        for b in range(10):
+            c_a = ca.get((s, b), 0)
+            c_b = call.get(b, 0) - c_a
+            pa = 1000 * c_a // na[s]
+            pb = 1000 * c_b // nb
+            dln = ln_micro(max(c_a, 1) * nb) - ln_micro(max(c_b, 1) * na[s])
+            total += (pa - pb) * dln
+        q = abs(total) // 1000
+        want[s] = q if total >= 0 else -q
+    got = {
+        r["source"]: (r["n_docs"], r["psi_micro"])
+        for r in _registry()["ml_psi_source_drift"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s] == (na[s], want[s])
