@@ -302,15 +302,25 @@ def calibration_probes_multi(spark) -> dict[str, float]:
     return out
 
 # Queries whose plans consume the session-scoped CC-label memo
-# (plans/pipeline_common.py _CC_LABELS_CACHE): with both in HEADLINE and
-# every rep sharing one session, rep 1 of the first builds the labels and
-# every later rep — including the recorded min for BOTH queries — would
-# measure only a checkpointed-label scan (r11 verdict item 2 / advice
-# medium: a spurious ~100x "speedup"). The bench clears the memo before
-# EVERY rep of these so the recorded min is a cold LSH+CC build, and
-# records one extra warm rep in the BENCH_SAMPLES sidecar
-# (warm_memo_sec) so the cache-hit operating point stays visible.
-MEMOIZED = {"dedup_cluster_assign", "dedup_cluster_representative"}
+# (plans/pipeline_common.py _CC_LABELS_CACHE): with several in HEADLINE
+# or a ROTATING slice and every rep sharing one session, rep 1 of the
+# first builds the labels and every later rep — including the recorded
+# min for ALL of them — would measure only a checkpointed-label scan
+# (r11 verdict item 2 / advice medium: a spurious ~100x "speedup"). The
+# bench clears the memo before EVERY rep of these so the recorded min is
+# a cold LSH+CC build, and records one extra warm rep in the
+# BENCH_SAMPLES sidecar (warm_memo_sec) so the cache-hit operating point
+# stays visible. This set must cover EVERY registered query that calls
+# pipeline_common.cluster_labels_lsh (r12 verdict item 2; enforced by
+# tests/test_bench_contract.py), not just the ones currently in
+# HEADLINE — otherwise the first rotation that includes a consumer
+# records a warm memo scan as the query cost.
+MEMOIZED = {
+    "dedup_cluster_assign",
+    "dedup_cluster_representative",
+    "dedup_cluster_labels",
+    "dedup_survivorship_by_source",
+}
 
 
 def _clear_session_memos() -> None:

@@ -92,3 +92,31 @@ def test_bench_registry_names_resolve():
     registry = all_queries()
     missing = [n for n in _headline_names() if n not in registry]
     assert not missing, f"headline entries not in registry: {missing}"
+
+
+def test_memoized_covers_all_cc_label_consumers():
+    """bench.MEMOIZED must contain EVERY registered query whose plan calls
+    pipeline_common.cluster_labels_lsh (the session-scoped CC-label memo).
+    A consumer missing from this set records a warm memo scan as its query
+    cost the first time a ROTATING slice includes it — the exact distortion
+    the r12 memo protocol removed (r12 verdict item 2). Detection is
+    source-level: any plans-module function registered in the registry that
+    references cluster_labels_lsh in its body."""
+    import inspect
+
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+
+    bench = _bench_module()
+    consumers = set()
+    for name, spec in all_queries().items():
+        try:
+            src = inspect.getsource(spec.fn)
+        except (OSError, TypeError):
+            continue
+        if "cluster_labels_lsh" in src:
+            consumers.add(name)
+    assert consumers, "expected at least the four dedup_cluster_* consumers"
+    missing = consumers - bench.MEMOIZED
+    assert not missing, (
+        f"CC-label memo consumers missing from bench.MEMOIZED: {missing}"
+    )
