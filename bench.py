@@ -115,6 +115,52 @@ def _load_calib_prev() -> "float | None":
         return None
 
 
+# The r12 DRIVER bench run's per-shape probes (the last
+# calibration_multi_history entry the round-12 driver commit merged into
+# BENCH_SAMPLES.json, epoch 1786919294) — the box state at the moment the
+# r12 CORE_PREV numbers were recorded. Used ONLY for the r12->r13
+# transition, because BENCH_r12.json predates calibration_multi landing
+# on the printed line; from r13 on the newest BENCH_r{N}.json carries the
+# probes and this constant is dead code.
+_CALIB_MULTI_R12_DRIVER = {
+    "cpu": 0.155,
+    "shuffle": 0.846,
+    "pyudf": 0.442,
+    "membw": 2.934,
+}
+
+
+def _load_calib_multi_prev() -> "dict[str, float] | None":
+    """Previous DRIVER round's per-shape probes (cpu/shuffle/pyudf/membw),
+    for the drift-class normalization (r12 verdict item 3). Source: the
+    newest BENCH_r{N}.json's ``calibration_multi`` (on the printed line
+    from round 13 on). Transition fallback: the pinned r12 driver-run
+    probes above — NOT the BENCH_SAMPLES history tail, which any local
+    bench run overwrites and which must stay time-matched to CORE_PREV's
+    driver-recorded values. None only without any BENCH_r artifact
+    (fresh clone) — normalization then falls back to the scalar probe."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if best is None:
+        return None
+    try:
+        with open(best) as fh:
+            doc = json.load(fh)
+        v = (doc.get("parsed") or {}).get("calibration_multi")
+        if isinstance(v, dict) and v:
+            return {k: float(x) for k, x in v.items()}
+    except (OSError, ValueError, TypeError):
+        pass
+    return dict(_CALIB_MULTI_R12_DRIVER)
+
+
 def calibration_probe(spark, sf_dir: str) -> float:
     """FROZEN box-speed probe — DO NOT MODIFY ACROSS ROUNDS (round-8
     verdict item 2: drift vs regression needed a manual forensic pass).
@@ -195,13 +241,14 @@ ROTATING = [
     "txt_ngram_novelty",
     "txt_cross_source_contamination",
     "evt_peak_concurrency",
-    "evt_uplift_diff_in_diff",
+    # (evt_uplift_diff_in_diff 0.29/0.34, stat_wilson_ci 0.25/0.23,
+    # agg_bloom_prefilter_join 0.48/0.48, stat_sign_flip_permutation
+    # 0.44/0.44, dq_sequential_gap_audit 0.50/0.51, stat_cohens_d
+    # 0.37/0.36 — all flat and sub-second across their r11/r12 records —
+    # rotated to BENCH_SAMPLES-only in r13 to fit the 2000-char line
+    # with the calibration_multi + dual-normalization keys and the r13
+    # registrations)
     "stat_kendall_tau",
-    "stat_wilson_ci",
-    "agg_bloom_prefilter_join",
-    "stat_sign_flip_permutation",
-    "dq_sequential_gap_audit",
-    "stat_cohens_d",
     "graph_copurchase_projection",
     "graph_degree_assortativity",
     "ml_roc_auc",
@@ -221,6 +268,83 @@ ROTATING = [
 ]
 
 HEADLINE = CORE + ROTATING
+
+# Drift-class tag per benched query (r12 verdict item 3): which frozen
+# probe shape (calibration_probes_multi) best tracks the box resource the
+# query's hot path leans on, so box drift is divided out PER CLASS.
+# Round-12 forensics proved the single cpu-shape scalar under-corrects
+# membw-shaped drift (explode + wide hash-agg: novelty and adamic-adar
+# drifted 1.6-1.7x on untouched code while the cpu probe read 1.3x).
+# Tags are dominant-plan-feature judgments, refined when per-query
+# forensics (decompose_* scripts) say otherwise:
+#   cpu     scan + codegen arithmetic/agg, no large exchange or explode
+#   shuffle exchange/join/window dominated
+#   pyudf   Arrow + pandas-UDF/kernel dominated
+#   membw   array/token explode into wide hash-aggs (agg-map churn)
+# Coverage of every HEADLINE entry (+ scd2_upsert) is enforced by
+# tests/test_bench_contract.py.
+SHAPE_CLASS: dict[str, str] = {
+    "flagship_bounded_max": "shuffle",
+    "e1_max_params": "cpu",
+    "e2_yap": "pyudf",
+    "e2_yap_scale": "pyudf",
+    "tpch_q1_pricing_summary": "cpu",
+    "tpch_q3_shipping_priority": "shuffle",
+    "tpch_q6_forecast_revenue": "cpu",
+    "tpch_q8_market_share": "shuffle",
+    "tpch_q10_returned_items": "shuffle",
+    "tpch_q18_large_orders": "shuffle",
+    "tpch_q21_waiting_supplier": "shuffle",
+    "dedup_minhash_lsh": "membw",
+    "dedup_cluster_representative": "membw",
+    "dedup_semantic": "membw",
+    "sim_topk_bruteforce": "membw",
+    "sim_lsh_bucketed": "membw",
+    "sim_knn_join": "membw",
+    "emb_kmeans_lloyd": "membw",
+    "emb_pca_power_iteration": "membw",
+    "ml_quality_classifier_train": "cpu",
+    "txt_tfidf_topterms": "membw",
+    "txt_bpe_train": "membw",
+    "txt_heavy_hitters": "membw",
+    "mm_video_frame_decode": "pyudf",
+    "doc_pack_context_windows": "shuffle",
+    "doc_dsir_select": "membw",
+    "grouped_percentiles": "shuffle",
+    "stream_session_stats": "shuffle",
+    "stream_window_stats": "shuffle",
+    "graph_pagerank_trading": "shuffle",
+    "graph_label_propagation": "shuffle",
+    "graph_kcore_peel": "shuffle",
+    "dedup_sorted_neighborhood": "shuffle",
+    "txt_bm25_topk": "membw",
+    "ml_stump_split_finding": "cpu",
+    "src_binaryfile_scan": "cpu",
+    "dedup_ngram_jaccard": "membw",
+    "dedup_cluster_assign": "membw",
+    "asof_next_purchase": "shuffle",
+    "txt_zipf_fit": "membw",
+    "txt_kl_source_divergence": "membw",
+    "txt_ngram_novelty": "membw",
+    "txt_cross_source_contamination": "membw",
+    "evt_peak_concurrency": "shuffle",
+    "stat_kendall_tau": "cpu",
+    "graph_copurchase_projection": "membw",
+    "graph_degree_assortativity": "shuffle",
+    "ml_roc_auc": "shuffle",
+    "ml_calibration_bins": "cpu",
+    "ml_boosted_stumps": "cpu",
+    "dedup_semantic_autok": "membw",
+    "sim_matryoshka_prefix_eval": "membw",
+    "stat_benjamini_hochberg": "shuffle",
+    "ml_pr_auc": "shuffle",
+    "ml_ndcg_at_k": "shuffle",
+    "evt_decayed_user_score": "shuffle",
+    "ml_kmeans_silhouette": "membw",
+    "txt_shannon_entropy": "membw",
+    "evt_ar1_fit": "cpu",
+    "scd2_upsert": "shuffle",
+}
 
 
 def calibration_probes_multi(spark) -> dict[str, float]:
@@ -613,6 +737,7 @@ def main() -> None:
     calib = calibration_probe(spark, sf_dir)
     calib_prev = _load_calib_prev()
     calib_multi = calibration_probes_multi(spark)
+    calib_multi_prev = _load_calib_multi_prev()
 
     # min of N runs per query, ALL samples recorded: the min is the
     # steady-state number (first run can pay residual JIT), and the full
@@ -654,10 +779,32 @@ def main() -> None:
     comparable = [n for n in CORE if CORE_PREV[n] is not None]
     core_total = round(sum(timings[n] for n in comparable), 2)
     core_prev_total = round(sum(CORE_PREV[n] for n in comparable), 2)
-    # calibration-normalized core: divide out box drift measured by the
-    # frozen probe; equals core_total verbatim until the probe has a
-    # previous recorded value to normalize against
-    core_total_normalized = (
+
+    # Drift-class normalization (r12 verdict item 3): each query's timing
+    # is re-expressed at the previous round's box speed using the probe of
+    # ITS shape class (SHAPE_CLASS), not the single cpu-shape scalar —
+    # r12's forensics proved the scalar under-tracks membw-shaped drift.
+    # Falls back per-query to the scalar ratio when the class probe lacks
+    # a previous value (transition rounds), and to 1.0 with no history.
+    def _class_factor(cls: str) -> float:
+        if (
+            calib_multi_prev
+            and calib_multi_prev.get(cls)
+            and calib_multi.get(cls)
+        ):
+            return calib_multi_prev[cls] / calib_multi[cls]
+        if calib_prev is not None and calib > 0:
+            return calib_prev / calib
+        return 1.0
+
+    def _norm_factor(name: str) -> float:
+        return _class_factor(SHAPE_CLASS.get(name, "cpu"))
+
+    core_total_normalized = round(
+        sum(timings[n] * _norm_factor(n) for n in comparable), 2
+    )
+    # the pre-r13 scalar-probe normalization, kept for trend continuity
+    core_total_normalized_cpu = (
         round(core_total * calib_prev / calib, 2)
         if (calib_prev is not None and calib > 0)
         else core_total
@@ -706,18 +853,19 @@ def main() -> None:
             "calibration": {"now": calib, "prev": calib_prev},
             "calibration_multi": calib_multi,
             "calibration_multi_history": multi_hist,
-            # per-query calibration-normalized minimums (verdict r10
-            # item 3): this round's min x calib_prev/calib_now, i.e. the
-            # timing re-expressed at the PREVIOUS round's box speed so
-            # per-query round-over-round deltas read net of box drift
-            "queries_normalized": (
-                {
-                    n: round(v * calib_prev / calib, 3)
-                    for n, v in timings.items()
-                }
-                if (calib_prev is not None and calib > 0)
-                else {}
-            ),
+            # per-query drift-class-normalized minimums (r10 item 3,
+            # per-class since r13): this round's min x the shape-class
+            # probe ratio, i.e. the timing re-expressed at the PREVIOUS
+            # round's box speed so per-query round-over-round deltas read
+            # net of box drift in the resource the query actually uses
+            "queries_normalized": {
+                n: round(v * _norm_factor(n), 3) for n, v in timings.items()
+            },
+            # the factor applied per class this run (audit trail)
+            "norm_factor_by_class": {
+                cls: round(_class_factor(cls), 4)
+                for cls in ("cpu", "shuffle", "pyudf", "membw")
+            },
         }
     )
 
@@ -732,11 +880,19 @@ def main() -> None:
             # round-over-round regression ratio immune to rotation
             "core_total": core_total,
             "core_prev_total": core_prev_total,
-            # frozen-probe box speed + the drift-normalized core total:
+            # frozen-probe box speed + the drift-normalized core totals:
             # compare core_total_normalized / core_prev_total round over
-            # round (round-8 verdict item 2)
+            # round (round-8 verdict item 2). Since r13 the headline
+            # normalization is PER DRIFT CLASS (cpu/shuffle/pyudf/membw
+            # probe per query shape — r12 verdict item 3);
+            # core_total_normalized_cpu keeps the old scalar basis for
+            # trend continuity, and calibration_multi puts this run's
+            # class probes on the driver record so the next round can
+            # normalize driver-to-driver.
             "calibration_sec": calib,
+            "calibration_multi": calib_multi,
             "core_total_normalized": core_total_normalized,
+            "core_total_normalized_cpu": core_total_normalized_cpu,
             "queries": {
                 n: (round(v, 2) if v < 10 else int(round(v)))
                 for n, v in timings.items()

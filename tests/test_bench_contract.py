@@ -43,7 +43,14 @@ def test_worst_case_bench_line_fits_driver_window():
             "core_total": 99999.99,
             "core_prev_total": 99999.99,
             "calibration_sec": 9999.999,
+            "calibration_multi": {
+                "cpu": 9999.999,
+                "shuffle": 9999.999,
+                "pyudf": 9999.999,
+                "membw": 9999.999,
+            },
             "core_total_normalized": 99999.99,
+            "core_total_normalized_cpu": 99999.99,
             "queries": {n: 9999 for n in names},
             "sf": 0.1,
         },
@@ -120,3 +127,22 @@ def test_memoized_covers_all_cc_label_consumers():
     assert not missing, (
         f"CC-label memo consumers missing from bench.MEMOIZED: {missing}"
     )
+
+
+def test_shape_class_covers_all_benched_queries():
+    """Every benched query (HEADLINE + scd2_upsert) must carry a drift-class
+    tag in bench.SHAPE_CLASS with a value matching a real probe shape —
+    an untagged query silently falls back to the cpu probe, which r12's
+    forensics proved under-corrects membw-shaped drift."""
+    bench = _bench_module()
+    benched = set(bench.HEADLINE) | {"scd2_upsert"}
+    untagged = benched - set(bench.SHAPE_CLASS)
+    assert not untagged, f"benched queries without a SHAPE_CLASS tag: {untagged}"
+    bad = {
+        n: c
+        for n, c in bench.SHAPE_CLASS.items()
+        if c not in {"cpu", "shuffle", "pyudf", "membw"}
+    }
+    assert not bad, f"SHAPE_CLASS values must name a probe shape: {bad}"
+    stale = set(bench.SHAPE_CLASS) - benched
+    assert not stale, f"SHAPE_CLASS tags for queries no longer benched: {stale}"
