@@ -257,6 +257,9 @@ ROTATING = [
     "dedup_semantic_autok",
     # round-11 late registration
     "sim_matryoshka_prefix_eval",
+    # round-13 registrations, first BENCH appearance
+    "stat_dunn_posthoc",
+    "ml_auc_ci_hanley",
     # round-10 registrations, first BENCH appearance
     "stat_benjamini_hochberg",
     "ml_pr_auc",
@@ -329,6 +332,8 @@ SHAPE_CLASS: dict[str, str] = {
     "txt_cross_source_contamination": "membw",
     "evt_peak_concurrency": "shuffle",
     "stat_kendall_tau": "cpu",
+    "stat_dunn_posthoc": "shuffle",
+    "ml_auc_ci_hanley": "shuffle",
     "graph_copurchase_projection": "membw",
     "graph_degree_assortativity": "shuffle",
     "ml_roc_auc": "shuffle",

@@ -1920,3 +1920,176 @@ def ml_psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("na").cast("long").alias("n_docs"),
         F.expr("CAST(sum(term) div 1000 AS BIGINT)").alias("psi_micro"),
     ).select("source", "n_docs", "psi_micro")
+
+
+@register(
+    "ml_auc_ci_hanley",
+    """
+    WITH pts AS (
+        SELECT source, n_chars,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cnt_pos
+        FROM documents GROUP BY source, n_chars
+    ),
+    rk AS (
+        SELECT source, cnt, cnt_pos,
+               2 * coalesce(sum(cnt) OVER (
+                       PARTITION BY source ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) + cnt + 1 AS r2
+        FROM pts
+    ),
+    agg AS (
+        SELECT source,
+               CAST(sum(cnt) AS BIGINT)           AS n_docs,
+               CAST(sum(cnt_pos) AS BIGINT)       AS n_pos,
+               CAST(sum(cnt_pos * r2) AS BIGINT)  AS r2_pos
+        FROM rk GROUP BY source
+    ),
+    auc AS (
+        SELECT source, n_docs, n_pos, n_docs - n_pos AS n_neg,
+               CAST((r2_pos - n_pos * (n_pos + 1)) * 1000000
+                    // (2 * n_pos * (n_docs - n_pos)) AS BIGINT) AS a
+        FROM agg WHERE n_pos > 0 AND n_pos < n_docs
+    ),
+    vr AS (
+        SELECT source, n_docs, n_pos, a,
+               CAST((CAST(
+                   (a * (1000000 - a)) // 1000000
+                   + (n_pos - 1) * ((a * 1000000) // (2000000 - a)
+                                    - (a * a) // 1000000)
+                   + (n_neg - 1) * ((2 * a * a) // (1000000 + a)
+                                    - (a * a) // 1000000)
+                   AS HUGEINT) * 1000000)
+                   // (n_pos * n_neg) AS BIGINT) AS var_pico
+        FROM auc
+    ),
+    s0 AS (
+        SELECT vr.*, CAST(floor(sqrt(CAST(var_pico AS DOUBLE)))
+                          AS BIGINT) AS s
+        FROM vr
+    ),
+    s1 AS (
+        SELECT s0.* REPLACE (
+            CASE WHEN s * s > var_pico THEN s - 1 ELSE s END AS s)
+        FROM s0
+    ),
+    s2 AS (
+        SELECT s1.* REPLACE (
+            CASE WHEN (s + 1) * (s + 1) <= var_pico THEN s + 1 ELSE s END
+                AS s)
+        FROM s1
+    )
+    SELECT source, n_docs, n_pos, a AS auc_micro, var_pico,
+           s AS se_micro,
+           greatest(0, a - (196 * s) // 100)       AS ci_lo_micro,
+           least(1000000, a + (196 * s) // 100)    AS ci_hi_micro
+    FROM s2
+    """,
+    doc="95% confidence interval for the per-source ROC-AUC via Hanley & "
+    "McNeil (1982, public): SE^2 = (A(1-A) + (n+ - 1)(Q1 - A^2) + "
+    "(n- - 1)(Q2 - A^2)) / (n+ n-) with Q1 = A/(2-A), Q2 = 2A^2/(1+A). "
+    "Zero extra scans beyond ml_roc_auc: the variance is pure "
+    "arithmetic on that query's sufficient statistics (n_docs, n_pos, "
+    "doubled rank sum), so the plan is the SAME one exchange + "
+    "per-source window + grouped fold, then a per-row epilogue. EXACT "
+    "integers end to end including the square root: se_micro = "
+    "isqrt(var_pico) computed as floor(sqrt(double)) then corrected "
+    "deterministically by +-1 against the integer square (var_pico ~ "
+    "1e13 << 2^52, so the double is exact and the correction makes the "
+    "result independent of libm rounding on either engine); A, Q1, Q2 "
+    "in micro units with every quotient a positive-operand truncating "
+    "division (floor == truncate, identical on both engines); the "
+    "(n-1)-weighted products ride DECIMAL(38)/HUGEINT (documented "
+    "bound ~1e12 docs/source). Degenerate sources (all-positive / "
+    "all-negative) are excluded rather than NULL-filled: a CI needs "
+    "both classes present. CI clamped to [0, 1e6] micro.",
+)
+def ml_auc_ci_hanley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pts = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_pos"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = pts.select(
+        "source",
+        "cnt",
+        "cnt_pos",
+        (
+            2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col("cnt") + 1
+        ).alias("r2"),
+    )
+    agg = rk.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum("cnt_pos").cast("long").alias("n_pos"),
+        F.sum(F.col("cnt_pos") * F.col("r2")).cast("long").alias("r2_pos"),
+    )
+    auc = agg.filter(
+        (F.col("n_pos") > 0) & (F.col("n_pos") < F.col("n_docs"))
+    ).select(
+        "source",
+        "n_docs",
+        "n_pos",
+        (F.col("n_docs") - F.col("n_pos")).alias("n_neg"),
+        F.expr(
+            "(r2_pos - n_pos * (n_pos + 1)) * 1000000"
+            " div (2 * n_pos * (n_docs - n_pos))"
+        )
+        .cast("long")
+        .alias("a"),
+    )
+    vr = auc.select(
+        "source",
+        "n_docs",
+        "n_pos",
+        "a",
+        F.expr(
+            "CAST(CAST("
+            "(a * (1000000 - a)) div 1000000"
+            " + (n_pos - 1) * ((a * 1000000) div (2000000 - a)"
+            "                  - (a * a) div 1000000)"
+            " + (n_neg - 1) * ((2 * a * a) div (1000000 + a)"
+            "                  - (a * a) div 1000000)"
+            " AS DECIMAL(38,0)) * 1000000 div (n_pos * n_neg) AS BIGINT)"
+        ).alias("var_pico"),
+    )
+    s0 = vr.withColumn(
+        "s", F.floor(F.sqrt(F.col("var_pico").cast("double"))).cast("long")
+    )
+    s1 = s0.withColumn(
+        "s",
+        F.when(
+            F.col("s") * F.col("s") > F.col("var_pico"), F.col("s") - 1
+        ).otherwise(F.col("s")),
+    )
+    s2 = s1.withColumn(
+        "s",
+        F.when(
+            (F.col("s") + 1) * (F.col("s") + 1) <= F.col("var_pico"),
+            F.col("s") + 1,
+        ).otherwise(F.col("s")),
+    )
+    return s2.select(
+        "source",
+        "n_docs",
+        "n_pos",
+        F.col("a").alias("auc_micro"),
+        "var_pico",
+        F.col("s").alias("se_micro"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("a") - F.expr("(196 * s) div 100"),
+        ).alias("ci_lo_micro"),
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.col("a") + F.expr("(196 * s) div 100"),
+        ).alias("ci_hi_micro"),
+    )

