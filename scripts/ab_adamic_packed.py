@@ -276,14 +276,21 @@ def main() -> None:
     arms = {"a": arm_a, "c": arm_c}
     if direct_pack_ok:
         arms["b"] = arm_b
-    order = ("a", "c", "b", "b", "c", "a") if direct_pack_ok else (
-        "a", "c", "c", "a"
-    )
+    # Strict alternation with a probe vector beside EVERY rep (the
+    # box-noise discipline: the first sf10 run of this script showed a
+    # 2.8x within-session swing — arm A 234.3 -> 84.9 s — with membw
+    # 2.5 -> 5.2 across the session; per-rep probes let each timing be
+    # read against the box state that produced it).
+    order = ("a", "c", "b") * 2 if direct_pack_ok else ("a", "c") * 3
     rec["arm_sec"] = {k: [] for k in arms}
+    rec["rep_probes"] = []
     for arm in order:
         t0 = time.time()
         arms[arm]().write.format("noop").mode("overwrite").save()
         rec["arm_sec"][arm].append(round(time.time() - t0, 1))
+        rec["rep_probes"].append(
+            {"arm": arm, **calibration_probes_multi(spark)}
+        )
 
     ra = [tuple(r) for r in arm_a().collect()]
     rc = [tuple(r) for r in arm_c().collect()]
