@@ -240,8 +240,9 @@ ROTATING = [
     "txt_kl_source_divergence",
     "txt_ngram_novelty",
     "txt_cross_source_contamination",
-    "evt_peak_concurrency",
-    # (evt_uplift_diff_in_diff 0.29/0.34, stat_wilson_ci 0.25/0.23,
+    # (evt_peak_concurrency 0.49/0.54 also flat/sub-second, rotated
+    # with the six below for the graph_adamic_adar_links slot;
+    # evt_uplift_diff_in_diff 0.29/0.34, stat_wilson_ci 0.25/0.23,
     # agg_bloom_prefilter_join 0.48/0.48, stat_sign_flip_permutation
     # 0.44/0.44, dq_sequential_gap_audit 0.50/0.51, stat_cohens_d
     # 0.37/0.36 — all flat and sub-second across their r11/r12 records —
@@ -260,6 +261,9 @@ ROTATING = [
     # round-13 registrations, first BENCH appearance
     "stat_dunn_posthoc",
     "ml_auc_ci_hanley",
+    # code changed round 13 (packed-key wedge behind the 2^31 scale
+    # gate) — benched while the change beds in
+    "graph_adamic_adar_links",
     # round-10 registrations, first BENCH appearance
     "stat_benjamini_hochberg",
     "ml_pr_auc",
@@ -330,10 +334,10 @@ SHAPE_CLASS: dict[str, str] = {
     "txt_kl_source_divergence": "membw",
     "txt_ngram_novelty": "membw",
     "txt_cross_source_contamination": "membw",
-    "evt_peak_concurrency": "shuffle",
     "stat_kendall_tau": "cpu",
     "stat_dunn_posthoc": "shuffle",
     "ml_auc_ci_hanley": "shuffle",
+    "graph_adamic_adar_links": "membw",
     "graph_copurchase_projection": "membw",
     "graph_degree_assortativity": "shuffle",
     "ml_roc_auc": "shuffle",

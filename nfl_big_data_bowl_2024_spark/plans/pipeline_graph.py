@@ -582,15 +582,39 @@ def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     d^2-row self-join the previous plan filtered in half, and riding the
     adjacency join's existing src partitioning (no extra exchange);
     (c) the apex weight is looked up from the fixed-point table
-    MAP-SIDE, so the big wedge exchange carries (ya, yb, w:int) — the
-    only data-sized shuffle left in the plan; (d) the existing-edge
-    anti-join is gone: the trading graph is bipartite by construction
-    (customers even ids, suppliers odd), every edge joins opposite
-    parities, while both endpoints of a wedge share the apex's OPPOSITE
-    side and therefore the same parity — a candidate pair can never be
-    an existing edge, so the anti-join removed zero rows and only cost a
-    full shuffle of the scored relation. The DuckDB oracle retains the
-    anti-join form; both produce identical rows (hash-checked)."""
+    MAP-SIDE, so the big wedge exchange carries the pair key plus
+    (w:int) — the only data-sized shuffle left in the plan; (d) the
+    existing-edge anti-join is gone: the trading graph is bipartite by
+    construction (customers even ids, suppliers odd), every edge joins
+    opposite parities, while both endpoints of a wedge share the apex's
+    OPPOSITE side and therefore the same parity — a candidate pair can
+    never be an existing edge, so the anti-join removed zero rows and
+    only cost a full shuffle of the scored relation. The DuckDB oracle
+    retains the anti-join form; both produce identical rows
+    (hash-checked).
+
+    Round-13 (verdict r12 item 4, candidate b): when every node id fits
+    32 bits — a 1-row max over the checkpointed pairs decides, the
+    matryoshka scale-gate idiom — the wedge pair is emitted as ONE
+    packed long ``shiftleft(ya, 32) + yb`` straight from the array HOF:
+    the explode writes a bigint instead of a two-long struct, the
+    exchange row narrows from (long, long, int) to (long, int), and the
+    hash aggregate keys on a single 8-byte comparison. Packing is
+    order-preserving (both halves positive < 2^31), so
+    ``ORDER BY aa_micro DESC, k`` equals the oracle's
+    ``ORDER BY aa_micro DESC, node_a, node_b`` and the top-25 tie-break
+    stays exact; unpack is shiftright / mod after the limit. Measured
+    (scripts/ab_adamic_packed.py, committed record in PERF.md): 22-26%
+    faster at the generated sf1.0 (B 7.8/8.9 s vs A 10.0/12.5 s,
+    probes flat, outputs hash-identical); real TPC-H ids keep the gate
+    open to ~sf1000 (custkey*2 < 2^31). The generated sf10 tree's
+    synthetic 35-bit ids fail the gate and keep the struct path; the
+    third arm (order-preserving dense remap to 32-bit ids via
+    global_sort_rank, then pack) was REJECTED with data: its remap
+    build + extra 117M-row exchange offset the packed-exchange saving
+    (fresh-session solos A {116.6, 183.3, 241.5} vs C {178.5, 178.7,
+    261.3} s, mins 84.9 vs 97.2 across all sessions, probes recorded
+    beside every rep)."""
     from ..operators.graph import _edges_on_disk, _exchange_width
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -650,9 +674,45 @@ def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
-    # d(d-1)/2 strictly-ordered pairs per apex, straight from the sorted
-    # bounded array — generation is map-side whole-stage codegen; the
-    # slice length 64 is the post-filter degree cap.
+    # Scale gate for the packed-key wedge: one long to the driver off
+    # the already-checkpointed pairs relation (~0.5 s at sf10).
+    max_node = pairs.agg(
+        F.max(F.greatest(F.col("c") * 2, F.col("s") * 2 + 1)).alias("m")
+    ).collect()[0]["m"]
+    if max_node is not None and max_node < (1 << 31):
+        # d(d-1)/2 strictly-ordered pairs per apex as ONE packed long
+        # each — order-preserving, so the top-25 tie-break on the packed
+        # key is exact (docstring; A/B record in PERF.md).
+        wedge = nbrs.select(
+            "w",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (y, i) -> transform("
+                    "slice(ns, i + 2, 64), "
+                    "z -> shiftleft(y, 32) + z)))"
+                )
+            ).alias("k"),
+        )
+        scored = (
+            wedge.repartition(wedge_width, "k")
+            .groupBy("k")
+            .agg(
+                F.sum("w").cast("long").alias("aa_micro"),
+                F.count(F.lit(1)).alias("n_common"),
+            )
+        )
+        return (
+            scored.orderBy(F.col("aa_micro").desc(), "k")
+            .limit(25)
+            .select(
+                F.shiftright("k", 32).cast("long").alias("node_a"),
+                (F.col("k") % F.lit(1 << 32)).cast("long").alias("node_b"),
+                "aa_micro",
+                F.col("n_common").cast("long").alias("n_common"),
+            )
+            .orderBy(F.col("aa_micro").desc(), "node_a", "node_b")
+        )
+    # fallback past 2^31: two-long struct keys (the r10 shape)
     wedge = nbrs.select(
         "w",
         F.explode(

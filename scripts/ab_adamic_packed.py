@@ -280,8 +280,19 @@ def main() -> None:
     # box-noise discipline: the first sf10 run of this script showed a
     # 2.8x within-session swing — arm A 234.3 -> 84.9 s — with membw
     # 2.5 -> 5.2 across the session; per-rep probes let each timing be
-    # read against the box state that produced it).
-    order = ("a", "c", "b") * 2 if direct_pack_ok else ("a", "c") * 3
+    # read against the box state that produced it). With --arm=X only
+    # that arm runs (fresh-session-per-rep mode: the in-session
+    # alternation run died UNABLE_TO_ACQUIRE_MEMORY on rep 3 — drive
+    # one process per rep from a shell loop instead, like the sf10
+    # sweeps).
+    solo = None
+    for a in sys.argv[1:]:
+        if a.startswith("--arm="):
+            solo = a.split("=", 1)[1]
+    if solo is not None:
+        order = (solo,)
+    else:
+        order = ("a", "c", "b") * 2 if direct_pack_ok else ("a", "c") * 3
     rec["arm_sec"] = {k: [] for k in arms}
     rec["rep_probes"] = []
     for arm in order:
@@ -291,6 +302,9 @@ def main() -> None:
         rec["rep_probes"].append(
             {"arm": arm, **calibration_probes_multi(spark)}
         )
+    if solo is not None:
+        print(json.dumps(rec, indent=1))
+        return
 
     ra = [tuple(r) for r in arm_a().collect()]
     rc = [tuple(r) for r in arm_c().collect()]
