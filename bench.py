@@ -240,7 +240,9 @@ ROTATING = [
     "txt_kl_source_divergence",
     "txt_ngram_novelty",
     "txt_cross_source_contamination",
-    # (evt_peak_concurrency 0.49/0.54 also flat/sub-second, rotated
+    # (stat_kendall_tau 1.02/1.05, flat r11/r12, rotated for the
+    # evt_haar_energy slot;
+    # evt_peak_concurrency 0.49/0.54 also flat/sub-second, rotated
     # with the six below for the graph_adamic_adar_links slot;
     # evt_uplift_diff_in_diff 0.29/0.34, stat_wilson_ci 0.25/0.23,
     # agg_bloom_prefilter_join 0.48/0.48, stat_sign_flip_permutation
@@ -249,7 +251,6 @@ ROTATING = [
     # rotated to BENCH_SAMPLES-only in r13 to fit the 2000-char line
     # with the calibration_multi + dual-normalization keys and the r13
     # registrations)
-    "stat_kendall_tau",
     "graph_copurchase_projection",
     "graph_degree_assortativity",
     "ml_roc_auc",
@@ -264,6 +265,7 @@ ROTATING = [
     # code changed round 13 (packed-key wedge behind the 2^31 scale
     # gate) — benched while the change beds in
     "graph_adamic_adar_links",
+    "evt_haar_energy",
     # round-10 registrations, first BENCH appearance
     "stat_benjamini_hochberg",
     "ml_pr_auc",
@@ -334,9 +336,9 @@ SHAPE_CLASS: dict[str, str] = {
     "txt_kl_source_divergence": "membw",
     "txt_ngram_novelty": "membw",
     "txt_cross_source_contamination": "membw",
-    "stat_kendall_tau": "cpu",
     "stat_dunn_posthoc": "shuffle",
     "ml_auc_ci_hanley": "shuffle",
+    "evt_haar_energy": "shuffle",
     "graph_adamic_adar_links": "membw",
     "graph_copurchase_projection": "membw",
     "graph_degree_assortativity": "shuffle",
@@ -585,6 +587,7 @@ SF10_SWEEP_DEFAULT = [
     "dedup_ngram_jaccard",
     "txt_ngram_novelty",
     "graph_adamic_adar_links",
+    "evt_haar_energy",
     "src_binaryfile_scan",
 ]
 

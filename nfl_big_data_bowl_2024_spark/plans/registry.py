@@ -118,6 +118,7 @@ _DRIVER_PRIORITY: list[str] = [
     # round-13 registrations land here as they are added
     "stat_dunn_posthoc",
     "ml_auc_ci_hanley",
+    "evt_haar_energy",
     # r8 remainder (stalest below the cutoff)
     "case_lookup_dim_join",
     "dedup_containment_pairs",

@@ -250,3 +250,52 @@ def test_adamic_packed_plan_carries_single_long_key(spark, tmp_path):
     assert "hashpartitioning(k#" in plan.replace(" ", "").lower() or (
         "partitioning(k#" in plan.replace(" ", "").lower()
     )
+
+
+def test_haar_energy_exact_replay(spark, tmp_path):
+    """Hand-replay the multiresolution explode on a small series with a
+    gap (missing day = implicit zero) and assert every (level, n_blocks,
+    energy) triple; also the Parseval-flavor sanity that level energies
+    are scale-decompositions of the same series (all non-negative, and
+    levels past the span collapse to one block holding total^2)."""
+    import pandas as pd
+
+    # one type, days 0,1,2,4 (day 3 missing), daily cents 100,300,500,700
+    rows = [
+        (1, "2024-01-01", 1, "t", 1.00, ""),
+        (2, "2024-01-02", 1, "t", 3.00, ""),
+        (3, "2024-01-03", 1, "t", 5.00, ""),
+        (4, "2024-01-05", 1, "t", 7.00, ""),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    d = str(tmp_path / "sf_haar")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {
+        r["level"]: (r["n_blocks"], r["energy_cents2"])
+        for r in _registry()["evt_haar_energy"].fn(spark, d).collect()
+    }
+    # i: 0,1,2,4 with y 100,300,500,700; implicit zeros elsewhere
+    y = {0: 100, 1: 300, 2: 500, 4: 700}
+
+    def ref(level):
+        half = 1 << (level - 1)
+        blocks = {}
+        for i, v in y.items():
+            sign = 1 - 2 * ((i // half) % 2)
+            blocks.setdefault(i // (2 * half), 0)
+            blocks[i // (2 * half)] += sign * v
+        return len(blocks), sum(d * d for d in blocks.values())
+
+    assert set(got) == set(range(1, 13))
+    for level in range(1, 13):
+        assert got[level] == ref(level), level
+    # levels whose half-block exceeds the span: one block, d = total sum
+    total = sum(y.values())
+    for level in range(4, 13):
+        assert got[level] == (1, total * total)
