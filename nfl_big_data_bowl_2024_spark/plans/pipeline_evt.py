@@ -2351,11 +2351,18 @@ def evt_ar1_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(sy) AS BIGINT) AS d
         FROM contrib GROUP BY event_type, l, block
     )
+    , en AS (
+        SELECT event_type, l,
+               CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS e
+        FROM det GROUP BY event_type, l
+    )
     SELECT event_type,
            CAST(l AS BIGINT) AS level,
-           CAST(count(*) AS BIGINT) AS n_blocks,
-           CAST(sum(CAST(d AS HUGEINT) * d) AS BIGINT) AS energy_cents2
-    FROM det GROUP BY event_type, l
+           n_blocks,
+           CAST(e // 1000000000000000000 AS BIGINT) AS energy_exa,
+           CAST(e % 1000000000000000000 AS BIGINT) AS energy_rem
+    FROM en
     """,
     doc="Haar wavelet energy spectrum of the per-type daily total series "
     "(Haar 1910, public; the multiresolution variance decomposition a "
@@ -2375,12 +2382,15 @@ def evt_ar1_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(absent rows), the standard dyadic zero-pad. Fixed 12 levels = "
     "first 12 dyadic scales (spans past 4096 days report scales 1-12; "
     "a deterministic definition, not a data gate). Exact integers end "
-    "to end; d^2 products ride HUGEINT/DECIMAL(38,0) intermediates and "
-    "the energy is emitted as BIGINT (exact to ~3e9 cents per dyadic "
-    "block total, i.e. ~sf10 on this corpus — documented bound; both "
-    "engines must agree on the OUTPUT type because DuckDB returns "
-    "HUGEINT as float64 through pandas, which would break the value "
-    "hash on dtype alone).",
+    "to end; d^2 sums ride HUGEINT/DECIMAL(38,0) intermediates and the "
+    "energy is emitted as an EXACT hi/lo pair of BIGINTs at modulus "
+    "10^18 (energy = energy_exa * 1e18 + energy_rem) — a single BIGINT "
+    "overflows at the generated sf10 (~1e20 cents^2, caught by the "
+    "scaling run), and emitting the 128-bit value directly is not "
+    "type-stable cross-engine (DuckDB HUGEINT surfaces as float64 "
+    "through pandas, breaking the value hash on dtype alone); the "
+    "split holds to ~9e36, i.e. far past any corpus this schema can "
+    "represent.",
 )
 def evt_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -2417,14 +2427,17 @@ def evt_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     det = contrib.groupBy("event_type", "l", "block").agg(
         F.sum("sy").cast("long").alias("d")
     )
-    return det.groupBy("event_type", "l").agg(
+    en = det.groupBy("event_type", "l").agg(
         F.count(F.lit(1)).cast("long").alias("n_blocks"),
         F.sum(F.expr("CAST(d AS DECIMAL(22,0)) * d"))
-        .cast("long")
-        .alias("energy_cents2"),
-    ).select(
+        .cast("decimal(38,0)")
+        .alias("e"),
+    )
+    m = "1000000000000000000"
+    return en.select(
         "event_type",
         F.col("l").cast("long").alias("level"),
         "n_blocks",
-        "energy_cents2",
+        F.expr(f"CAST((e - e % {m}) / {m} AS BIGINT)").alias("energy_exa"),
+        F.expr(f"CAST(e % {m} AS BIGINT)").alias("energy_rem"),
     )

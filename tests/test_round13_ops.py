@@ -277,7 +277,10 @@ def test_haar_energy_exact_replay(spark, tmp_path):
     pdf.to_parquet(os.path.join(d, "events.parquet"))
 
     got = {
-        r["level"]: (r["n_blocks"], r["energy_cents2"])
+        r["level"]: (
+            r["n_blocks"],
+            r["energy_exa"] * 10**18 + r["energy_rem"],
+        )
         for r in _registry()["evt_haar_energy"].fn(spark, d).collect()
     }
     # i: 0,1,2,4 with y 100,300,500,700; implicit zeros elsewhere
