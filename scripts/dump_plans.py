@@ -14,6 +14,27 @@ SF = "/root/testdata/sf0.01"
 
 SHOWCASE = [
     (
+        "evt_haar_energy",
+        "Multiresolution explode: the log-depth Haar halving loop as ONE "
+        "Generate (12 levels x the calendar-bounded daily grid, sign/"
+        "block from integer bit arithmetic) feeding exactly two hash "
+        "exchanges — (type, level, block) detail then (type, level) "
+        "energy; corpus growth fattens grid cells map-side only.",
+    ),
+    (
+        "stat_dunn_posthoc",
+        "The KW doubled-midrank grid (banded prefix sums, value-level "
+        "broadcast re-entry) finished by a bounded k x k broadcast "
+        "nested-loop panel — the pairwise posthoc costs nothing beyond "
+        "the KW scan.",
+    ),
+    (
+        "ml_auc_ci_hanley",
+        "ml_roc_auc's exchange + per-source window + grouped fold, then "
+        "a pure per-row epilogue (Hanley variance, deterministic integer "
+        "sqrt) — a CI panel with zero additional scans or exchanges.",
+    ),
+    (
         "flagship_bounded_max",
         "One scan, every exchange on user_id (window-expression forms of "
         "W1/W2 stack over a single partitioning), dim join broadcast.",
@@ -314,12 +335,17 @@ SHOWCASE = [
     ),
     (
         "graph_adamic_adar_links",
-        "Round-10 rewrite: wedges expand map-side from BOUNDED sorted "
-        "neighbor arrays (Generate over the collect_list riding the "
-        "adjacency join's src partitioning — no d^2 self-join), the "
-        "apex weight is a literal-array lookup BEFORE the one "
-        "data-sized exchange, the anti-join is gone (bipartite parity "
-        "proof, pinned in tests), and top-25 is TakeOrderedAndProject.",
+        "Round-10 rewrite + round-13 packed key: wedges expand map-side "
+        "from BOUNDED sorted neighbor arrays (Generate over the "
+        "collect_list riding the adjacency join's src partitioning — "
+        "no d^2 self-join); when node ids fit 32 bits (scale-gated) "
+        "each pair is ONE packed long shiftleft(ya,32)+yb, so the only "
+        "data-sized exchange carries (bigint, int) and the aggregate "
+        "keys on a single long; the apex weight is a literal-array "
+        "lookup BEFORE that exchange, the anti-join is gone (bipartite "
+        "parity proof, pinned in tests), and top-25 is "
+        "TakeOrderedAndProject on (aa, packed key) — order-preserving, "
+        "tie-break exact.",
     ),
     (
         "stat_benjamini_hochberg",
