@@ -1,8 +1,11 @@
-"""Round-13 batch: replay tests for the new registrations —
-stat_dunn_posthoc (Dunn 1964 pairwise rank z^2 against an exact
-fixed-point replay) and ml_auc_ci_hanley (Hanley-McNeil AUC variance
-with deterministic integer sqrt, checked against a float reference and
-against isqrt exactness at the perfect-square boundary)."""
+"""Round-13 batch: replay and invariance tests for the new
+registrations — stat_dunn_posthoc (exact fixed-point replay; monotone-
+transform invariance), ml_auc_ci_hanley (float-reference variance
+tracking; deterministic isqrt incl. perfect-square boundary),
+evt_haar_energy (hand replay with a gapped series; calendar-shift
+invariance) — and for the graph_adamic_adar_links packed-key scale
+gate (both paths agree incl. tie order; packed plan keys on one
+bigint)."""
 
 from __future__ import annotations
 
@@ -302,3 +305,79 @@ def test_haar_energy_exact_replay(spark, tmp_path):
     total = sum(y.values())
     for level in range(4, 13):
         assert got[level] == (1, total * total)
+
+
+def test_dunn_invariant_under_monotone_transform(spark, tmp_path):
+    """Dunn is a rank statistic: doubling every value (a strictly
+    monotone, tie-preserving map on the cents grid) must leave every
+    (n_a, n_b, d_milli, z2_milli) unchanged."""
+    import pandas as pd
+
+    groups = {"a": [100, 200, 300], "b": [150, 250, 250, 400]}
+    for mult, sub in ((1, "m1"), (2, "m2")):
+        rows = []
+        i = 0
+        for g, vs in groups.items():
+            for v in vs:
+                rows.append((i, "1970-01-01", 1, g, v * mult / 100.0, ""))
+                i += 1
+        pdf = pd.DataFrame(
+            rows,
+            columns=[
+                "event_id", "ts", "user_id", "event_type", "value", "props",
+            ],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        d = str(tmp_path / sub)
+        os.makedirs(d)
+        pdf.to_parquet(os.path.join(d, "events.parquet"))
+    reg = _registry()
+    one = sorted(
+        tuple(r) for r in reg["stat_dunn_posthoc"].fn(
+            spark, str(tmp_path / "m1")
+        ).collect()
+    )
+    two = sorted(
+        tuple(r) for r in reg["stat_dunn_posthoc"].fn(
+            spark, str(tmp_path / "m2")
+        ).collect()
+    )
+    assert one == two
+
+
+def test_haar_invariant_under_calendar_shift(spark, tmp_path):
+    """Energies are computed on i = day - min(day), so shifting every
+    timestamp by a constant number of days must reproduce the spectrum
+    exactly (the day0 anchor, not the calendar, defines the dyadic
+    grid)."""
+    import pandas as pd
+
+    base = [
+        (1, "2024-01-01", 1, "t", 1.00, ""),
+        (2, "2024-01-02", 1, "t", 3.00, ""),
+        (3, "2024-01-04", 1, "t", 5.00, ""),
+        (4, "2024-01-09", 1, "t", 7.00, ""),
+    ]
+    for shift_days, sub in ((0, "s0"), (37, "s37")):
+        pdf = pd.DataFrame(
+            base,
+            columns=[
+                "event_id", "ts", "user_id", "event_type", "value", "props",
+            ],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]) + pd.Timedelta(days=shift_days)
+        d = str(tmp_path / sub)
+        os.makedirs(d)
+        pdf.to_parquet(os.path.join(d, "events.parquet"))
+    reg = _registry()
+    a = sorted(
+        tuple(r)
+        for r in reg["evt_haar_energy"].fn(spark, str(tmp_path / "s0")).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in reg["evt_haar_energy"].fn(
+            spark, str(tmp_path / "s37")
+        ).collect()
+    )
+    assert a == b
