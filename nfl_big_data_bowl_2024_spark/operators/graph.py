@@ -228,33 +228,44 @@ def pagerank_integer(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     )
     width = _exchange_width(sc, n_edges)
-    # The out-degree relation is STATIC and node-sized (one row per node,
-    # bounded by the edge count): persist it once so the annotated-edge
-    # build, the node count, and the initial rank vector all read the
-    # same materialization instead of re-aggregating the edge set.
-    deg = (
-        e.repartition(width, "src")
-        .groupBy("src")
-        .agg(F.count(F.lit(1)).alias("outdeg"))
-        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    # ONE materialization of the edge relation, pre-partitioned by src so
+    # every iteration's message join reuses the partitioning (r13
+    # optimization: the old shape materialized the edges TWICE — raw, then
+    # joined with outdeg — because outdeg rode on the edge rows; outdeg now
+    # rides in a node-sized join against the persisted degree relation
+    # instead, so the second full-edge pass and its storage are gone).
+    ep, _ = _edges_on_disk(
+        e.repartition(width, "src"), expected_rows=n_edges
     )
-    n = deg.count()  # bounded scalar: one long to the driver
-    ed, _ = _edges_on_disk(
-        e.repartition(width, "src").join(deg, "src"), expected_rows=n_edges
-    )
+    # Out-degrees aggregate straight off ep's partitioning (no exchange);
+    # deg.count() materializes ep and deg in the same job and is the
+    # bounded node-count scalar (one long to the driver).
+    deg = ep.groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    n = deg.count()
     e.unpersist()
     base = (100 - damping_pct) * 1_000_000 // (100 * n)
     r = deg.select(
         F.col("src").alias("node"), F.lit(1_000_000 // n).cast("long").alias("r")
-    ).localCheckpoint(eager=True)
-    deg.unpersist()
+    )
     for _ in range(iters):
-        # ed is persisted ALREADY hash-partitioned by src (the build join's
-        # exchange), so the per-iteration join needs no edge-side shuffle —
-        # only the node-sized rank vector moves each round.
+        # Rank lineage is LINEAR (each r feeds exactly one consumer), so —
+        # unlike connected_components' doubling label/jump lineage — no
+        # per-iteration checkpoint is needed: all `iters` rounds chain into
+        # ONE job (3 shuffle rounds over the persisted ep/deg blocks)
+        # instead of one eager checkpoint job per round. The per-edge
+        # share r div outdeg is computed in a node-sized join with deg
+        # BEFORE the edge join, keeping the edge-side join input two
+        # columns wide.
+        rd = (
+            r.withColumnRenamed("node", "src")
+            .join(deg, "src")
+            .select("src", F.expr("r div outdeg").alias("c"))
+        )
         contrib = (
-            ed.join(r.withColumnRenamed("node", "src"), "src")
-            .select("dst", F.expr("r div outdeg").alias("c"))
+            ep.join(rd, "src")
+            .select("dst", "c")
             .repartition(width, "dst")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("s"))
@@ -264,8 +275,12 @@ def pagerank_integer(
             (F.lit(base) + F.expr(f"({damping_pct} * s) div 100"))
             .cast("long")
             .alias("r"),
-        ).localCheckpoint(eager=True)
-    ed.unpersist()
+        )
+    # One terminal checkpoint (the only eager job after the build) lets the
+    # persisted edge/degree blocks be released before the caller's action.
+    r = r.localCheckpoint(eager=True)
+    ep.unpersist()
+    deg.unpersist()
     return r.select("node", F.col("r").alias("rank_micro"))
 
 
@@ -439,14 +454,26 @@ def kcore_peel(
     materialized, so at most two live at a time.
     """
     sc = edges.sparkSession.sparkContext
-    e, n_e = _edges_on_disk(
+    e0, n_e = _edges_on_disk(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     )
+    width = _exchange_width(sc, n_e)
+    # r13 optimization: pre-partition the edge relation by src ONCE (the
+    # pagerank/LP discipline) so every round's degree aggregate — and the
+    # terminal one — runs with NO exchange at all; the old loop
+    # re-shuffled the full surviving edge set every round. While the peel
+    # sets broadcast (the common case: peel sets are node-sized), the
+    # surviving generations stay LAZY chains of map-side broadcast
+    # anti-joins over these blocks — broadcast joins preserve the
+    # partitioning, and not materializing each generation saves one full
+    # edge write+read per round (at the generated sf10: three ~100M-row
+    # generation spills gone). A peel set too big to broadcast falls back
+    # to the old materialize-per-generation keyed anti-joins.
+    e, _ = _edges_on_disk(e0.repartition(width, "src"), expected_rows=n_e)
+    e0.unpersist()
+    materialized = [e]
     for _ in range(rounds):
-        width = _exchange_width(sc, n_e)
-        deg = e.repartition(width, "src").groupBy("src").agg(
-            F.count(F.lit(1)).alias("deg")
-        )
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         drop = (
             deg.filter(F.col("deg") < k).select("src").localCheckpoint(eager=True)
         )
@@ -458,8 +485,10 @@ def kcore_peel(
         if n_drop == 0:
             break
         if n_drop <= 5_000_000:
-            # small peel set: broadcast anti-joins, edges filtered map-side
-            nxt_plan = e.join(F.broadcast(drop), "src", "left_anti").join(
+            # small peel set: broadcast anti-joins, edges filtered map-side,
+            # partitioning preserved — next round's degree pass needs no
+            # exchange and no new materialization
+            e = e.join(F.broadcast(drop), "src", "left_anti").join(
                 F.broadcast(drop.withColumnRenamed("src", "dst")),
                 "dst",
                 "left_anti",
@@ -471,11 +500,12 @@ def kcore_peel(
                 .repartition(width, "dst")
                 .join(drop.withColumnRenamed("src", "dst"), "dst", "left_anti")
             )
-        nxt, n_e = _edges_on_disk(
-            nxt_plan.select("src", "dst"), expected_rows=n_e
-        )
-        e.unpersist()
-        e = nxt
+            nxt, n_e = _edges_on_disk(
+                nxt_plan.select("src", "dst"), expected_rows=n_e
+            )
+            materialized[-1].unpersist()
+            materialized[:] = [nxt]
+            e = nxt
     return (
         e.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
@@ -557,11 +587,16 @@ def label_propagation_mode(
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("lab")).alias("neg"))).alias("w"))
             .select("node", (-F.col("w.neg")).alias("lab"))
         )
-        lab = (
-            nodes.join(winner, "node", "left")
-            .select("node", F.coalesce(F.col("lab"), F.col("node")).alias("lab"))
-            .localCheckpoint(eager=True)
+        # Label lineage is LINEAR (each lab feeds exactly one consumer:
+        # the next round's message join; the checkpointed `nodes` spine is
+        # the only twice-referenced relation) — so, as in pagerank_integer
+        # since r13, no per-round checkpoint: all `iters` rounds chain
+        # into one job, terminally checkpointed below so the persisted
+        # edge blocks can be released before the caller's action.
+        lab = nodes.join(winner, "node", "left").select(
+            "node", F.coalesce(F.col("lab"), F.col("node")).alias("lab")
         )
+    lab = lab.localCheckpoint(eager=True)
     ep.unpersist()
     return lab.select("node", F.col("lab").alias("community"))
 

@@ -51,55 +51,42 @@ def max_params_plan(
     (the reference's NaN branch, :232-236); status='error_no_window' when the
     start/stop event is missing (the reference raises there ->
     run_errors row, calculate_max_params.py:39-46).
+
+    Shape (optimization round 13): the aggregate+join composition scanned
+    the tracking fact SEVEN times (carrier branch twice, the pairs subtree
+    duplicated under crossing and bounded, win three times) through nine
+    exchanges, because Catalyst does not CSE DataFrame subtrees. Recast in
+    the flagship's stacked-window form: ONE scan of tracking, every window
+    partitioned by a superset of (gameId, playId) so a single clustering
+    (bucketed storage, or one inserted exchange) serves them all —
+      - carrier coordinates attached per frame via a (game, play, frame)
+        window (replaces the carrier_xy self-join),
+      - start/stop_ord via (game, play) window MINs over carrier rows
+        (event_window semantics, W1),
+      - crossing_ord via the (game, play, nflId) window (W2),
+      - the bounded maxima as conditional aggregates in the terminal
+        groupBy (A1) — which reuses the same clustering, so no further
+        exchange.
+    The per-player aggregate (play x player grain, dim-sized) is eagerly
+    localCheckpointed: the per-play window spine and the per-tackler
+    maxima are BOTH derived from it, and without the checkpoint the
+    whole scan would run once per consumer. The fact is scanned once and
+    never re-shuffled (plan-audited by
+    test_bucketed_tracking_keeps_e1_fact_shuffle_free).
     """
-    carrier = tracking.join(
-        F.broadcast(plays.select(*_PLAY_KEY, "ballCarrierId")), _PLAY_KEY
-    ).filter(F.col("nflId") == F.col("ballCarrierId"))
-
-    win = event_window(
-        carrier,
-        _PLAY_KEY,
-        "frameId",
-        "event",
-        start_events=schemas.START_EVENTS,
-        stop_events=schemas.STOP_EVENTS,
-        fallback_start_event=schemas.FALLBACK_START_EVENT,
-    )
-
-    carrier_xy = carrier.select(
-        *_PLAY_KEY, "frameId", F.col("x").alias("cx"), F.col("y").alias("cy")
-    )
-    # Tackler frames: inner join against the (small) tackles fact prunes the
-    # scan to defender rows; the frame alignment with the carrier is the J4
-    # equi-join on (game, play, frame).
-    dx = F.col("cx") - F.col("x")
-    dy = F.col("cy") - F.col("y")
-    pairs = (
-        tracking.join(F.broadcast(tackles), _PLAY_KEY + ["nflId"])
-        .join(carrier_xy, _PLAY_KEY + ["frameId"])
-        .withColumn("dist", F.sqrt(dx * dx + dy * dy))
-    )
-
-    pairs_w = pairs.join(win, _PLAY_KEY)
     tackler_key = _PLAY_KEY + ["nflId"]
-    crossing = first_crossing(
-        pairs_w, tackler_key, "frameId", F.col("dist") < r_t, F.col("start_ord")
+    per_player = _max_params_per_player(tracking, plays, r_t).localCheckpoint(
+        eager=True
     )
-    bounded = (
-        pairs_w.join(crossing, tackler_key)
-        .filter(
-            (F.col("frameId") >= F.col("start_ord"))
-            & (F.col("frameId") < F.col("crossing_ord"))
-        )
-        .groupBy(*tackler_key)
-        .agg(F.max("s").alias("max_vel"), F.max("a").alias("max_accel"))
+    win = per_player.groupBy(*_PLAY_KEY).agg(
+        F.max("start_ord").alias("start_ord"), F.max("stop_ord").alias("stop_ord")
     )
+    bounded = per_player.select(*tackler_key, "max_vel", "max_accel")
 
     err = F.col("start_ord").isNull() | F.col("stop_ord").isNull()
     return (
         tackles.join(F.broadcast(players), "nflId")
         .join(win, _PLAY_KEY, "left")
-        .join(crossing, tackler_key, "left")
         .join(bounded, tackler_key, "left")
         .select(
             F.col("gameId").alias("game_ID"),
@@ -111,6 +98,81 @@ def max_params_plan(
             F.when(err, F.lit(None).cast("double")).otherwise(F.col("max_accel")).alias("max_accel"),
             F.when(err, "error_no_window").otherwise("ok").alias("status"),
         )
+    )
+
+
+def _max_params_per_player(
+    tracking: DataFrame, plays: DataFrame, r_t: float = 1.0
+) -> DataFrame:
+    """The single-scan heavy stage of E1: per (game, play, player) bounded
+    maxima + the play's event window, as stacked window expressions over
+    one (gameId, playId) clustering. LAZY — callers checkpoint it (it has
+    two consumers in max_params_plan) and tests explain it directly to
+    assert the fact is scanned once and never re-shuffled."""
+    from pyspark.sql.window import Window
+
+    w_frame = Window.partitionBy(*_PLAY_KEY, "frameId")
+    w_play = Window.partitionBy(*_PLAY_KEY)
+    tackler_key = _PLAY_KEY + ["nflId"]
+    w_tackler = Window.partitionBy(*tackler_key)
+
+    t = tracking.join(
+        F.broadcast(plays.select(*_PLAY_KEY, "ballCarrierId")), _PLAY_KEY
+    )
+    is_carrier = F.col("nflId") == F.col("ballCarrierId")
+    start_primary = F.min(
+        F.when(
+            is_carrier & F.col("event").isin(list(schemas.START_EVENTS)),
+            F.col("frameId"),
+        )
+    ).over(w_play)
+    start_fallback = F.min(
+        F.when(
+            is_carrier & (F.col("event") == schemas.FALLBACK_START_EVENT),
+            F.col("frameId"),
+        )
+    ).over(w_play)
+    t = (
+        t.withColumn("cx", F.max(F.when(is_carrier, F.col("x"))).over(w_frame))
+        .withColumn("cy", F.max(F.when(is_carrier, F.col("y"))).over(w_frame))
+        # presence flag, NOT cx IS NOT NULL: a carrier row with NULL x must
+        # still admit the frame into the bounded slice (the old inner join
+        # kept it, with a NULL dist)
+        .withColumn(
+            "has_c", F.count(F.when(is_carrier, F.lit(1))).over(w_frame) > 0
+        )
+        .withColumn("start_ord", F.coalesce(start_primary, start_fallback))
+        .withColumn(
+            "stop_ord",
+            F.min(
+                F.when(
+                    is_carrier & F.col("event").isin(list(schemas.STOP_EVENTS)),
+                    F.col("frameId"),
+                )
+            ).over(w_play),
+        )
+    )
+    dx = F.col("cx") - F.col("x")
+    dy = F.col("cy") - F.col("y")
+    t = t.withColumn("dist", F.sqrt(dx * dx + dy * dy)).withColumn(
+        "crossing_ord",
+        F.min(
+            F.when(
+                (F.col("dist") < r_t) & (F.col("frameId") > F.col("start_ord")),
+                F.col("frameId"),
+            )
+        ).over(w_tackler),
+    )
+    in_slice = (
+        F.col("has_c")
+        & (F.col("frameId") >= F.col("start_ord"))
+        & (F.col("frameId") < F.col("crossing_ord"))
+    )
+    return t.groupBy(*tackler_key).agg(
+        F.max(F.when(in_slice, F.col("s"))).alias("max_vel"),
+        F.max(F.when(in_slice, F.col("a"))).alias("max_accel"),
+        F.first("start_ord").alias("start_ord"),
+        F.first("stop_ord").alias("stop_ord"),
     )
 
 

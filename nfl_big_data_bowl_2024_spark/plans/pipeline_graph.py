@@ -39,6 +39,28 @@ from .pipeline_common import (  # noqa: F401
 )
 
 
+def _sym_edges(pairs: DataFrame, extras: "dict[str, object] | None" = None) -> DataFrame:
+    """Symmetrized trading-graph edges in ONE pass over ``pairs`` (r13
+    optimization): the old ``select(fwd).unionAll(select(rev))`` shape
+    references the pairs subtree twice, and Catalyst does not CSE
+    DataFrame subtrees — the orders x lineitem join + distinct ran TWICE
+    inside every edge materialization. Each pair row now emits both
+    directions map-side via one explode. ``extras`` maps output column
+    name -> Column carried through on both directions."""
+    extras = extras or {}
+    fwd = F.struct(
+        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+    )
+    rev = F.struct(
+        (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
+    )
+    out = pairs.select(
+        F.explode(F.array(fwd, rev)).alias("e"),
+        *[c.alias(n) for n, c in extras.items()],
+    )
+    return out.select("e.src", "e.dst", *extras.keys())
+
+
 
 @register(
     "graph_pagerank_trading",
@@ -87,13 +109,7 @@ def graph_pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    edges = pairs.select(
-        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
-    ).unionAll(
-        pairs.select(
-            (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
-        )
-    )
+    edges = _sym_edges(pairs)
     r = pagerank_integer(edges, iters=3)
     return r.select(
         (F.col("node") % 2).cast("int").alias("is_supplier"),
@@ -225,13 +241,7 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    edges = pairs.select(
-        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
-    ).unionAll(
-        pairs.select(
-            (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
-        )
-    )
+    edges = _sym_edges(pairs)
     seeds = (
         _t(spark, sf_dir, "supplier")
         .filter(F.col("s_suppkey") % 10 == 0)
@@ -302,17 +312,7 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(
-        (F.col("c") * 2).alias("src"),
-        (F.col("s") * 2 + 1).alias("dst"),
-        F.col("d").alias("t"),
-    ).unionAll(
-        pairs.select(
-            (F.col("s") * 2 + 1).alias("src"),
-            (F.col("c") * 2).alias("dst"),
-            F.col("d").alias("t"),
-        )
-    )
+    edges = _sym_edges(pairs, {"t": F.col("d")})
     seeds = (
         _t(spark, sf_dir, "supplier")
         .filter(F.col("s_suppkey") % 10 == 0)
@@ -378,14 +378,7 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    wcol = (F.lit(1) + (F.col("c") + F.col("s")) % 5).alias("w")
-    edges = pairs.select(
-        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst"), wcol
-    ).unionAll(
-        pairs.select(
-            (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"), wcol
-        )
-    )
+    edges = _sym_edges(pairs, {"w": F.lit(1) + (F.col("c") + F.col("s")) % 5})
     seeds = (
         _t(spark, sf_dir, "supplier")
         .filter(F.col("s_suppkey") % 10 == 0)
@@ -442,13 +435,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    edges = pairs.select(
-        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
-    ).unionAll(
-        pairs.select(
-            (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
-        )
-    )
+    edges = _sym_edges(pairs)
     core = kcore_peel(edges, k=20, rounds=3)
     return core.select(
         (F.col("node") % 2).cast("int").alias("is_supplier"),
@@ -500,13 +487,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    edges = pairs.select(
-        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
-    ).unionAll(
-        pairs.select(
-            (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
-        )
-    )
+    edges = _sym_edges(pairs)
     lab = label_propagation_mode(edges, iters=2)
     return lab.select(
         (F.col("node") % 2).cast("int").alias("is_supplier"),
@@ -1022,13 +1003,7 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    edges = pairs.select(
-        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
-    ).unionAll(
-        pairs.select(
-            (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
-        )
-    )
+    edges = _sym_edges(pairs)
     seeds = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_nationkey") == 0)

@@ -462,15 +462,22 @@ def test_no_scale_killer_nodes_anywhere(spark, queries):
 def test_bucketed_tracking_keeps_e1_fact_shuffle_free(spark, tmp_path):
     """The 100 TB layout claim, plan-verified: tracking stored bucketed on
     (gameId, playId) feeds the whole E1 max-params pipeline without the
-    FACT ever re-shuffling — every join/window/groupBy key downstream is a
+    FACT ever re-shuffling — every window/groupBy key in the single-scan
+    heavy stage (_max_params_per_player, optimization round 13) is a
     superset of the bucket keys, which the session factory's
-    requireAllClusterKeysForCoPartition=false lets Spark exploit. The only
-    exchanges allowed are over the tiny non-bucketed dim relations
-    (tackles x players) aligning TO the fact's partitioning. Also asserts
-    row parity with the non-bucketed path, so shuffle-freedom isn't
-    bought with wrong results."""
+    requireAllClusterKeysForCoPartition=false lets Spark exploit. Since
+    the r13 stacked-window restructure the assertion is STRONGER than the
+    old one (which allowed dim-side exchanges): the heavy stage's plan
+    must contain NO shuffle exchange at all on bucketed input — one
+    bucketed scan, stacked windows, terminal aggregate, nothing else.
+    Also asserts row parity with the non-bucketed path over the full
+    assembled pipeline, so shuffle-freedom isn't bought with wrong
+    results."""
     from nfl_big_data_bowl_2024_spark import fixtures
-    from nfl_big_data_bowl_2024_spark.plans.domain import max_params_plan
+    from nfl_big_data_bowl_2024_spark.plans.domain import (
+        _max_params_per_player,
+        max_params_plan,
+    )
     from nfl_big_data_bowl_2024_spark.sources.writers import write_bucketed
 
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
@@ -488,30 +495,26 @@ def test_bucketed_tracking_keeps_e1_fact_shuffle_free(spark, tmp_path):
             fixtures.plays_df(spark),
             fixtures.tackles_df(spark),
         )
-        df = max_params_plan(spark.table("tracking_bucketed_audit"), *dims)
+        heavy = _max_params_per_player(
+            spark.table("tracking_bucketed_audit"), dims[1]
+        )
+        heavy.collect()  # finalize the AQE plan before reading it
+        hplan = _plan(heavy)
+        assert "Bucketed: true" in hplan
+        shuffles = [
+            ln
+            for ln in hplan.splitlines()
+            if "Exchange" in ln and "Broadcast" not in ln and "Reused" not in ln
+        ]
+        # the bucketed fact satisfies every window/groupBy clustering in
+        # the stage: zero shuffle exchanges anywhere in the heavy plan
+        assert not shuffles, shuffles
         got = {
             (r.game_ID, r.play_ID, r.NFL_ID): (r.max_vel, r.max_accel, r.status)
-            for r in df.collect()  # collect first: finalize the AQE plan
+            for r in max_params_plan(
+                spark.table("tracking_bucketed_audit"), *dims
+            ).collect()
         }
-        plan = _plan(df)
-        assert "Bucketed: true" in plan
-
-        def depth(ln: str) -> int:
-            return len(ln) - len(ln.lstrip(" :+-"))
-
-        lines = plan.splitlines()
-        for k, ln in enumerate(lines):
-            if "Exchange" not in ln or "Broadcast" in ln or "Reused" in ln:
-                continue
-            d = depth(ln)
-            subtree = []
-            for nxt in lines[k + 1 :]:
-                if depth(nxt) <= d:
-                    break
-                subtree.append(nxt)
-            # a shuffle may only move the small in-memory dims, never a
-            # subtree that reads the bucketed fact
-            assert not any("Bucketed: true" in s for s in subtree), ln.strip()[:120]
         want = {
             (r.game_ID, r.play_ID, r.NFL_ID): (r.max_vel, r.max_accel, r.status)
             for r in max_params_plan(fixtures.tracking_df(spark), *dims).collect()
