@@ -109,7 +109,20 @@ def ngram_jaccard_pairs(
     pass an already-materialized relation if that matters at the call
     site.
     """
-    sh = char_shingles(_spread(df, id_col), id_col, text_col, n)
+    # Shingles travel as xxhash64 LONGS from the explode on (r13, guide
+    # §2.3 "narrower types": the same move the LSH verify stage and
+    # txt_ngram_novelty already made): every downstream exchange — the
+    # df-guard aggregate, the semi-join, the per-shingle doc lists and
+    # the per-doc counts — carries 8-byte longs instead of 8-char
+    # UTF8Strings (~20-28 B each), and the hot-shingle groupBys compare
+    # longs. Per-doc/per-pair counts are preserved exactly whenever
+    # xxhash64 is collision-free over the corpus shingles (P[any
+    # collision] ~ (distinct shingles)^2 / 2^65 — the argument already
+    # shipped for the minhash verify twin); the oracle's string-space
+    # Jaccard is unchanged.
+    sh = _spread(df, id_col).select(
+        F.col(id_col), F.explode(hashed_shingle_array(text_col, n)).alias("sh")
+    )
     if max_df is not None:
         rare = (
             sh.groupBy("sh")

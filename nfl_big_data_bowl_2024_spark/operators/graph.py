@@ -112,9 +112,16 @@ def connected_components(
     # used this one-time-exchange shape).
     width = _exchange_width(sc, 2 * n_e0)
     sym, n_sym = _edges_on_disk(
-        e.union(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).repartition(width, "src"),
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .repartition(width, "src"),
         expected_rows=2 * n_e0,
     )
     e.unpersist()
@@ -171,21 +178,27 @@ def connected_components(
             )
             .localCheckpoint()  # truncate lineage; eager, so one job per round
         )
-        # The frontier MUST be its own materialized relation, not a lazy
-        # filter view over new_full: with a checkpointed (tiny) frontier
-        # the next round's message join broadcasts it against the
-        # pre-partitioned edge relation, while a filter view inherits the
-        # node-relation size estimate and the join falls back to a
-        # shuffle — measured 314 s vs 207 s for the sf10 doc-graph CC
-        # when this checkpoint was dropped (round-9 A/B, PERF.md).
-        frontier = (
-            new_full.filter(F.col("lbl") < F.col("old_lbl"))
-            .select("node", "lbl")
-            .localCheckpoint()
-        )
+        # Exact changed-node count off the checkpointed blocks (cheap scan,
+        # no new materialization) doubles as the convergence probe — it
+        # replaces BOTH the old isEmpty job and the old per-round frontier
+        # checkpoint (r13: 3 jobs/round -> 2). The next round's message
+        # join must still see a SMALL frontier, not the node-relation size
+        # estimate a filter view inherits (the round-9 A/B: 314 s vs 207 s
+        # at sf10 when the frontier was a bare view) — but with the count
+        # in hand the broadcast is now gated EXACTLY: a bounded frontier
+        # gets an explicit broadcast hint on the lazy view over the
+        # checkpoint; an oversized one is materialized for the keyed join
+        # as before.
+        n_changed = new_full.filter(F.col("lbl") < F.col("old_lbl")).count()
         labels = new_full.select("node", "lbl")
-        if frontier.isEmpty():
+        if n_changed == 0:
             break
+        fr = new_full.filter(F.col("lbl") < F.col("old_lbl")).select(
+            "node", "lbl"
+        )
+        frontier = (
+            F.broadcast(fr) if n_changed <= 5_000_000 else fr.localCheckpoint()
+        )
     sym.unpersist()
     return labels.select("node", F.col("lbl").alias("component"))
 
