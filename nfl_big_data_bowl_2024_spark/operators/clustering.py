@@ -176,6 +176,7 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "e",
     vectorized: bool = False,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Run ``iters`` assignment rounds of Lloyd's algorithm (so
     ``iters - 1`` centroid refinements) and return the final assignment
@@ -186,18 +187,24 @@ def kmeans_lloyd(
     simply drops out of the model — the next round assigns against the
     survivors, matching the oracle's inner-join semantics.
 
-    The input is re-scanned once per round; at 100 TB prefer persisting
-    the (id, vector) projection before calling when the cluster has the
-    memory — the algorithm itself holds no state bigger than k x dim.
+    r13: the (id, vector) projection is eagerly localCheckpointed up
+    front — the seed fetch, every refine aggregate and every assignment
+    pass previously re-ran the scan + per-element double cast (iters + 2
+    passes over the source); they now all read the one materialized
+    projection, whose blocks are released when the returned assignment's
+    lineage is collected (the kernel holds no other state bigger than
+    k x dim).
     """
     assign = assign_to_centroids_vectorized if vectorized else assign_to_centroids
-    seeds = emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    proj = emb.select(id_col, vec_col).localCheckpoint(eager=True)
+    seeds = proj.orderBy(id_col).limit(k).collect()
     centroids = {i: [float(v) for v in r[vec_col]] for i, r in enumerate(seeds)}
-    assigned = assign(emb, centroids, vec_col)
+    assigned = assign(proj, centroids, vec_col)
     for _ in range(iters - 1):
         centroids = refine_centroids(assigned, vec_col)
-        assigned = assign(emb, centroids, vec_col)
-    return assigned.select(id_col, "cluster_id", "d")
+        assigned = assign(proj, centroids, vec_col)
+    cols = [id_col, "cluster_id", "d"] + ([vec_col] if keep_vec else [])
+    return assigned.select(*cols)
 
 
 def knn_join(
@@ -459,14 +466,15 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
+    # keep_vec: the assignment already carries each row's vector, so the
+    # old join back against a SECOND scan of the source (plus its id-keyed
+    # exchange) is gone (r13)
     assigned = kmeans_lloyd(
         emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
-        vectorized=vectorized_assign,
+        vectorized=vectorized_assign, keep_vec=True,
     )
-    m = (
-        assigned.join(emb.select(id_col, vec_col), id_col)
-        .select(id_col, "cluster_id", vec_col)
-        .localCheckpoint(eager=True)
+    m = assigned.select(id_col, "cluster_id", vec_col).localCheckpoint(
+        eager=True
     )
 
     def _dup_pairs(pdf: pd.DataFrame) -> pd.DataFrame:

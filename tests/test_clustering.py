@@ -125,9 +125,15 @@ def test_kmeans_query_plan_is_scan_plus_single_exchange(spark):
     df = all_queries()["emb_kmeans_lloyd"].fn(spark, "/root/testdata/sf0.01")
     plan = df._jdf.queryExecution().executedPlan().toString()
     # final round: map-only assignment against literal centroids + one
-    # grouped agg — no join in the returned plan at all
+    # grouped agg — no join in the returned plan at all. Since r13 the
+    # source below the assignment is the operator's checkpointed (id,
+    # vector) projection (Scan ExistingRDD) — built from exactly one
+    # FileScan at fn() time — so the returned plan must show one
+    # ExistingRDD scan and no FileScan (a FileScan here would mean a
+    # consumer re-scanned the source instead of the projection).
     assert "Join" not in plan
-    assert plan.count("FileScan") == 1
+    assert plan.count("FileScan") == 0
+    assert plan.count("Scan ExistingRDD") == 1
 
 
 def test_logreg_gd_matches_numpy_replay(spark):
