@@ -1202,16 +1202,25 @@ def graph_hits_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sort.",
 )
 def graph_copurchase_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    # r13: the old shape scanned lineitem twice (self-join of a distinct
+    # subtree Catalyst cannot CSE) and exchanged both sides. An order's
+    # part list is BOUNDED (TPC-H: <= 7 lines), so the ordered pairs
+    # expand map-side from one sorted collect_set array (the
+    # jaccard/adamic wedge idiom): ONE scan, one (orderkey) exchange that
+    # also subsumes the old distinct, one pair aggregate — no join.
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ids = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ids")
     )
-    b = li.select(
-        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
-    )
-    pairs = a.join(
-        b, (F.col("ok") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b"))
-    )
+    pairs = ids.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> transform("
+                "slice(ids, i + 2, size(ids)),"
+                " b -> struct(a AS part_a, b AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
     cooc = pairs.groupBy("part_a", "part_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_cooc")
     )
@@ -1279,10 +1288,19 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # once — the same lineage discipline as the graph fixpoints.
         .localCheckpoint()
     )
-    dc = pairs.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("dx"))
-    ds = pairs.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("dy"))
-    e = pairs.join(dc, "c").join(ds, "s").select(
-        F.col("dx").alias("x"), F.col("dy").alias("y")
+    # r13: endpoint degrees as WINDOW counts over the checkpointed pair
+    # relation — the old aggregate+join-back shape exchanged pairs three
+    # times (by c and by s for the attach joins, plus the degree
+    # aggregates); two stacked window partitionings exchange it twice and
+    # need no join at all (the e1/flagship stacking idiom).
+    e = (
+        pairs.withColumn(
+            "x", F.count(F.lit(1)).over(Window.partitionBy("c")).cast("long")
+        )
+        .withColumn(
+            "y", F.count(F.lit(1)).over(Window.partitionBy("s")).cast("long")
+        )
+        .select("x", "y")
     )
     # Widen BEFORE aggregating (advice r9): the five sums must accumulate
     # in DECIMAL, matching the DuckDB oracle's HUGEINT accumulator — a

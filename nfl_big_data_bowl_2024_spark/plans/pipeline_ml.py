@@ -841,7 +841,12 @@ def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("disc"),
         F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("y"),
     )
-    b1 = _best_stump_df(pts, "qty", "y")
+    # r13: b1 is a ONE-ROW aggregate consumed twice (the residual
+    # broadcast AND the emitted union row); without the checkpoint the
+    # whole stage-1 stump search — a full scan + threshold windows — ran
+    # once per consumer in the final plan (Catalyst does not CSE
+    # DataFrame subtrees): 3 scans of lineitem down to 2.
+    b1 = _best_stump_df(pts, "qty", "y").localCheckpoint(eager=True)
     p1 = b1.select(
         F.col("threshold").alias("t1"),
         F.expr("CAST((s_l - s_l % n_l) / n_l AS BIGINT)").alias("pl"),
