@@ -124,20 +124,17 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.explode(hashed_shingle_array(text_col, n)).alias("sh")
     )
     if max_df is not None:
+        # r13: the kept-shingle frequency relation is checkpointed WITH its
+        # df column, so the pair-count sizing below reads the (distinct
+        # shingles)-sized relation instead of re-aggregating the full
+        # checkpointed shingle stream a second time (sf10: a 23.5M-row
+        # scan replaces a 135M-row aggregate pass).
         rare = (
             sh.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df_sh"))
             .filter(F.col("df_sh") <= max_df)
-            .select("sh")
+            .localCheckpoint(eager=True)
         )
-        # Materialize the guarded shingle relation ONCE (round 11). Three
-        # consumers read it — the per-doc counts, the per-shingle doc
-        # lists, and the pair-count sizing agg below — and the sizing agg
-        # must run at plan-build time, so without the checkpoint the
-        # explode + full shingle exchange would run once eagerly and again
-        # in the main job. The checkpointed relation is the post-guard
-        # minority of the corpus (sf10: 23.5M of 135M rows).
-        sh = sh.join(rare, "sh", "left_semi").localCheckpoint(eager=True)
         # Size the candidate-pair exchange from the DATA (commit 102db5f's
         # rule, verdict r10 item 4): the pair stream is sum d(d-1)/2 rows
         # (sf10: 888M collapsing to 392M distinct pairs — multiplicity
@@ -150,15 +147,22 @@ def ngram_jaccard_pairs(
         # second exchange. Measured at the generated sf10, same box and
         # session configs: 273.7 -> 130.2 s end-to-end.
         pair_rows = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("dd"))
-            .agg(F.sum(F.col("dd") * (F.col("dd") - 1) / 2).alias("p"))
-            .first()["p"]
+            rare.agg(
+                F.sum(F.col("df_sh") * (F.col("df_sh") - 1) / 2).alias("p")
+            ).first()["p"]
             or 0
         )
         pair_width = max(
             df.sparkSession.sparkContext.defaultParallelism,
             int(pair_rows // 4_000_000) + 1,
+        )
+        # Materialize the guarded shingle relation ONCE (round 11): the
+        # per-doc counts and the per-shingle doc lists both read it, and
+        # Catalyst would otherwise re-run the explode + shingle exchange
+        # per consumer. The checkpointed relation is the post-guard
+        # minority of the corpus (sf10: 23.5M of 135M rows).
+        sh = sh.join(rare.select("sh"), "sh", "left_semi").localCheckpoint(
+            eager=True
         )
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # The in-memory array expansion below materializes up to d(d-1)/2
