@@ -39,6 +39,23 @@ from .pipeline_common import (  # noqa: F401
 )
 
 
+def _table_tree_bytes(sf_dir: str, name: str) -> int:
+    """Local-fs byte size of a table's parquet tree (stat calls only, no
+    Spark job) — the cheap scale signal the size-gated plan shapes key on,
+    same measurement the CC memo's fingerprint uses."""
+    import os
+
+    root = os.path.join(sf_dir, f"{name}.parquet")
+    total = 0
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in os.walk(root):
+            for fname in files:
+                total += os.stat(os.path.join(dirpath, fname)).st_size
+    elif os.path.exists(root):
+        total = os.stat(root).st_size
+    return total
+
+
 def _sym_edges(pairs: DataFrame, extras: "dict[str, object] | None" = None) -> DataFrame:
     """Symmetrized trading-graph edges in ONE pass over ``pairs`` (r13
     optimization): the old ``select(fwd).unionAll(select(rev))`` shape
@@ -1208,19 +1225,44 @@ def graph_copurchase_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expand map-side from one sorted collect_set array (the
     # jaccard/adamic wedge idiom): ONE scan, one (orderkey) exchange that
     # also subsumes the old distinct, one pair aggregate — no join.
+    #
+    # r14 size gate (VERDICT r13 item 1): below the broadcast envelope the
+    # old self-join wins — the distinct'd (orderkey, partkey) projection
+    # auto-broadcasts, so the "two scans + two-sided exchange" cost the
+    # collect_set shape removes never existed there, while the collect_set
+    # aggregate's array-building is pure overhead. Interleaved same-box
+    # A/B (min-of-5 sf0.1 / min-of-4 sf1, probes beside, r14 record):
+    # sf0.1 old 1.306 vs new 1.422 s; sf1 old 4.391 vs new 2.807 s — the
+    # crossover is exactly where lineitem stops broadcasting, so the gate
+    # keys on the same signal the planner does (input tree bytes vs the
+    # session's 64 MB autoBroadcastJoinThreshold, conservatively halved
+    # for parquet-to-in-memory expansion).
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    ids = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ids")
-    )
-    pairs = ids.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (a, i) -> transform("
-                "slice(ids, i + 2, size(ids)),"
-                " b -> struct(a AS part_a, b AS part_b))))"
-            )
-        ).alias("p")
-    ).select("p.part_a", "p.part_b")
+    if _table_tree_bytes(sf_dir, "lineitem") <= 32 * 1024 * 1024:
+        lid = li.distinct()
+        a = lid.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+        )
+        b = lid.select(
+            F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
+        )
+        pairs = a.join(
+            b,
+            (F.col("ok") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b")),
+        ).select("part_a", "part_b")
+    else:
+        ids = li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("ids")
+        )
+        pairs = ids.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> transform("
+                    "slice(ids, i + 2, size(ids)),"
+                    " b -> struct(a AS part_a, b AS part_b))))"
+                )
+            ).alias("p")
+        ).select("p.part_a", "p.part_b")
     cooc = pairs.groupBy("part_a", "part_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_cooc")
     )

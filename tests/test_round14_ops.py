@@ -1,0 +1,92 @@
+"""Round-14 optimization tests: size-gated plan shapes and internals
+changed during optimization round 2 (VERDICT r13 items)."""
+
+from __future__ import annotations
+
+import os
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _registry():
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from nfl_big_data_bowl_2024_spark.plans import all_queries
+
+    return all_queries()
+
+
+def _fmt_plan(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_table_tree_bytes_matches_fs():
+    from nfl_big_data_bowl_2024_spark.plans.pipeline_graph import (
+        _table_tree_bytes,
+    )
+
+    root = os.path.join(SF01, "lineitem.parquet")
+    want = 0
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in os.walk(root):
+            for fname in files:
+                want += os.stat(os.path.join(dirpath, fname)).st_size
+    else:
+        want = os.stat(root).st_size
+    assert _table_tree_bytes(SF01, "lineitem") == want > 0
+    assert _table_tree_bytes(SF01, "no_such_table") == 0
+
+
+def test_copurchase_small_scale_picks_broadcast_self_join(spark):
+    # Below the 32 MB gate the r14 shape is the broadcast self-join (the
+    # pre-r13 plan): lineitem auto-broadcasts, so no collect_set pass.
+    plan = _fmt_plan(
+        _registry()["graph_copurchase_projection"].fn(spark, SF01)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "collect_set" not in plan
+
+
+def test_copurchase_large_scale_picks_one_scan_expansion(spark, monkeypatch):
+    # Above the gate the r13 collect_set expansion must come back: one
+    # lineitem scan, no join. Forced by faking the size signal — the plan
+    # shape is what is under test, not the fs measurement.
+    import nfl_big_data_bowl_2024_spark.plans.pipeline_graph as pg
+
+    monkeypatch.setattr(
+        pg, "_table_tree_bytes", lambda sf_dir, name: 1 << 40
+    )
+    plan = _fmt_plan(
+        _registry()["graph_copurchase_projection"].fn(spark, SF01)
+    )
+    assert "collect_set" in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") <= 2  # tree + details sections
+
+
+def test_copurchase_gate_arms_agree(spark, monkeypatch):
+    # Both arms of the gate must return identical rows (the oracle pins
+    # the small arm; this pins arm-equality directly).
+    import nfl_big_data_bowl_2024_spark.plans.pipeline_graph as pg
+
+    reg = _registry()
+    small = [
+        tuple(r)
+        for r in reg["graph_copurchase_projection"].fn(spark, SF01).collect()
+    ]
+    monkeypatch.setattr(
+        pg, "_table_tree_bytes", lambda sf_dir, name: 1 << 40
+    )
+    large = [
+        tuple(r)
+        for r in reg["graph_copurchase_projection"].fn(spark, SF01).collect()
+    ]
+    assert small == large
