@@ -232,20 +232,33 @@ PLAYS_FIXTURE_SCHEMA = "gameId long, playId long, ballCarrierId long, playDirect
 TACKLES_FIXTURE_SCHEMA = "gameId long, playId long, nflId long"
 
 
+def _local_df(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:
+    """JVM-local fixture relation via an Arrow table (r14 optimization).
+
+    The tuple path (``createDataFrame(list_of_tuples)``) parks rows in a
+    pickled RDD whose every evaluation pays a Python round trip (1.7-3 s
+    for the 910-row tracking fixture) — the dominant fixed cost of every
+    fixture-fed query. The Arrow path is a pure-JVM ``LocalTableScan``
+    with bit-identical values; see ``localrel.local_df``."""
+    from .localrel import local_df
+
+    return local_df(spark, rows, schema)
+
+
 def tracking_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(tracking_rows(), TRACKING_FIXTURE_SCHEMA)
+    return _local_df(spark, tracking_rows(), TRACKING_FIXTURE_SCHEMA)
 
 
 def players_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(PLAYERS, PLAYERS_FIXTURE_SCHEMA)
+    return _local_df(spark, PLAYERS, PLAYERS_FIXTURE_SCHEMA)
 
 
 def plays_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(PLAYS, PLAYS_FIXTURE_SCHEMA)
+    return _local_df(spark, PLAYS, PLAYS_FIXTURE_SCHEMA)
 
 
 def tackles_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(TACKLES, TACKLES_FIXTURE_SCHEMA)
+    return _local_df(spark, TACKLES, TACKLES_FIXTURE_SCHEMA)
 
 
 def _sql_lit(v) -> str:
@@ -453,7 +466,7 @@ STAGE2_SCHEMA = T.StructType(
 
 
 def stage2_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(stage2_rows(), STAGE2_SCHEMA)
+    return _local_df(spark, stage2_rows(), STAGE2_SCHEMA)
 
 
 def stage2_values_cte() -> str:

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..localrel import local_df as _local_rel
+
 # Hard cap on what this module will explicitly broadcast, in REAL bytes
 # (estimated from row counts x true widths, not Catalyst stats): a
 # broadcast is collected to the driver and counts against
@@ -692,8 +694,10 @@ def global_sort_rank(
     for pid, c in sorted((r["_pid"], r["count"]) for r in counts):
         offs[pid] = acc
         acc += c
-    off_df = df.sparkSession.createDataFrame(
-        [(int(p), int(o)) for p, o in offs.items()], "_pid int, _off long"
+    off_df = _local_rel(
+        df.sparkSession,
+        [(int(p), int(o)) for p, o in offs.items()],
+        "_pid int, _off long",
     )
     w_loc = Window.partitionBy("_pid").orderBy(*sort_cols)
     return (

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..localrel import local_df as _local_rel
+
 
 def dot_col(a, b) -> Column:
     """Sequential left-to-right double dot product of two array columns."""
@@ -676,8 +678,8 @@ def pq_adc_topk(
         rows = [
             (s, cid, cv) for s, v in codebook.items() for cid, cv in v
         ]
-        return spark.createDataFrame(
-            rows, "sub int, cid int, cv array<bigint>"
+        return _local_rel(
+            spark, rows, "sub int, cid int, cv array<bigint>"
         )
 
     def assign(centroids: DataFrame) -> DataFrame:
@@ -833,6 +835,6 @@ def mmr_diversified_topk(
         ).first()
         picks.append((step, int(w[id_col]), int(w["score"])))
         sel_ids.append(int(w[id_col]))
-    return spark.createDataFrame(
-        picks, f"pick int, {id_col} long, mmr_score long"
+    return _local_rel(
+        spark, picks, f"pick int, {id_col} long, mmr_score long"
     )

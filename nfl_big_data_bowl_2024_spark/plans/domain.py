@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import fixtures, schemas
+from ..localrel import local_df as _local
 from ..kernels.yap import (
     MAX_PARAMS_SCHEMA,
     YAP_RESULT_SCHEMA,
@@ -266,8 +267,8 @@ def _kernel_input(
     """Shared grouped-map input: carrier + tackler frames with role flags,
     player dims and (broadcast-joined) position limits as columns."""
     spark = tracking.sparkSession
-    limits = spark.createDataFrame(
-        schemas.POSITION_LIMITS, schemas.POSITION_LIMITS_SCHEMA
+    limits = _local(
+        spark, schemas.POSITION_LIMITS, schemas.POSITION_LIMITS_SCHEMA
     )
     marked = (
         tracking.join(F.broadcast(plays.select(*_PLAY_KEY, "ballCarrierId")), _PLAY_KEY)
@@ -1075,9 +1076,11 @@ def e2_yap_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast-sized dims are built driver-side.
     return yap_plan(
         fixtures.synthetic_tracking_df(spark, n),
-        spark.createDataFrame(players, fixtures.PLAYERS_FIXTURE_SCHEMA),
-        spark.createDataFrame(plays, fixtures.PLAYS_FIXTURE_SCHEMA),
-        spark.createDataFrame(tackles, fixtures.TACKLES_FIXTURE_SCHEMA),
+        # Arrow-built LocalTableScans (r14): the tuple path parks each dim
+        # in a pickled RDD whose every evaluation pays a Python round-trip.
+        fixtures._local_df(spark, players, fixtures.PLAYERS_FIXTURE_SCHEMA),
+        fixtures._local_df(spark, plays, fixtures.PLAYS_FIXTURE_SCHEMA),
+        fixtures._local_df(spark, tackles, fixtures.TACKLES_FIXTURE_SCHEMA),
     )
 
 

@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from ..sources.readers import read_testdata_table as _t
 from .pipeline_common import _BENFORD_MICRO, _content_fingerprint
+from ..localrel import local_df as _local
 from .registry import register
 
 
@@ -551,8 +552,10 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit("lineitem->supplier", li.select("l_suppkey"), "l_suppkey",
               su.select("s_suppkey"), "s_suppkey"),
     ]
-    return _t(spark, sf_dir, "region").sparkSession.createDataFrame(
-        rows, "fk_edge: string, n_child: long, n_orphans: long, n_childless: long"
+    return _local(
+        _t(spark, sf_dir, "region").sparkSession,
+        rows,
+        "fk_edge: string, n_child: long, n_orphans: long, n_childless: long",
     )
 
 
@@ -602,8 +605,8 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    exp_tbl = spark.createDataFrame(
-        sorted(_BENFORD_MICRO.items()), "digit long, p_micro long"
+    exp_tbl = _local(
+        spark, sorted(_BENFORD_MICRO.items()), "digit long, p_micro long"
     )
     tot = obs.agg(F.sum("n").alias("t"))
     return (

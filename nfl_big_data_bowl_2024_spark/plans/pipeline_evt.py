@@ -23,6 +23,7 @@ from ..operators.dedup import (
 from ..operators.similarity import brute_force_topk, cosine_col
 from ..operators.prefix import banded_running_sum
 from ..sources.readers import read_testdata_table as _t
+from ..localrel import local_df as _local
 from .registry import register
 
 
@@ -1390,7 +1391,8 @@ def scd2_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("tx_to"),
     )
     versions = va.unionByName(vb).unionByName(vc)
-    probes = d.sparkSession.createDataFrame(
+    probes = _local(
+        d.sparkSession,
         [(500, 1501 + m), (2501 + m, 1501 + m), (2501 + m, 500)],
         "tx_at long, valid_at long",
     )

@@ -24,6 +24,7 @@ from ..operators.dedup import (
 from ..operators.similarity import brute_force_topk, cosine_col
 from ..operators.prefix import banded_running_sum
 from ..sources.readers import read_testdata_table as _t
+from ..localrel import local_df as _local
 from .registry import register
 
 
@@ -392,8 +393,8 @@ def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             return sym
 
         out_rows.append((r, expand(pair[0]), expand(pair[1]), n))
-    return spark.createDataFrame(
-        out_rows, "round int, sym_a string, sym_b string, n long"
+    return _local(
+        spark, out_rows, "round int, sym_a string, sym_b string, n long"
     )
 
 

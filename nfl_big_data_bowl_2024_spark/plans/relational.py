@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from ..operators.windows import event_window, first_crossing
 from ..sources.readers import read_testdata_table as _t
+from ..localrel import local_df as _local
 from .registry import register
 
 
@@ -1254,8 +1255,10 @@ def conditional_recode_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def case_lookup_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    prio = o.sparkSession.createDataFrame(
-        [("1-URGENT", 5.0), ("2-HIGH", 4.0), ("3-MEDIUM", 3.0)], "priority string, weight double"
+    prio = _local(
+        o.sparkSession,
+        [("1-URGENT", 5.0), ("2-HIGH", 4.0), ("3-MEDIUM", 3.0)],
+        "priority string, weight double",
     )
     return (
         o.join(F.broadcast(prio), F.col("o_orderpriority") == F.col("priority"), "left")

@@ -72,6 +72,43 @@ def test_copurchase_large_scale_picks_one_scan_expansion(spark, monkeypatch):
     assert plan.count("Scan parquet") <= 2  # tree + details sections
 
 
+def test_fixture_local_df_exact_and_jvm_local(spark):
+    # r14: fixture relations are Arrow-built LocalTableScans (pure JVM at
+    # evaluation time) instead of pickled-RDD ExistingRDD scans. The values
+    # must round-trip BIT-EXACTLY vs the tuple path (the DuckDB oracles
+    # interpolate the same tuples as VALUES CTEs), and the plan must stay
+    # Python-free.
+    import io
+    from contextlib import redirect_stdout
+
+    from nfl_big_data_bowl_2024_spark import fixtures
+
+    cases = [
+        (fixtures.tracking_rows(), fixtures.TRACKING_FIXTURE_SCHEMA),
+        (fixtures.PLAYERS, fixtures.PLAYERS_FIXTURE_SCHEMA),
+        (fixtures.PLAYS, fixtures.PLAYS_FIXTURE_SCHEMA),
+        (fixtures.TACKLES, fixtures.TACKLES_FIXTURE_SCHEMA),
+        (fixtures.stage2_rows(), fixtures.STAGE2_SCHEMA),
+    ]
+    builders = [
+        fixtures.tracking_df, fixtures.players_df, fixtures.plays_df,
+        fixtures.tackles_df, fixtures.stage2_df,
+    ]
+    for (rows, schema), build in zip(cases, builders):
+        old = spark.createDataFrame(rows, schema)
+        new = build(spark)
+        assert new.schema == old.schema
+        a = [tuple(r) for r in old.collect()]
+        b = [tuple(r) for r in new.collect()]
+        assert len(a) == len(b)
+        assert all(repr(x) == repr(y) for x, y in zip(a, b))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            new.explain()
+        assert "LocalTableScan" in buf.getvalue()
+        assert "ExistingRDD" not in buf.getvalue()
+
+
 def test_copurchase_gate_arms_agree(spark, monkeypatch):
     # Both arms of the gate must return identical rows (the oracle pins
     # the small arm; this pins arm-equality directly).
