@@ -38,6 +38,21 @@ from pyspark.storagelevel import StorageLevel
 # fixpoint rounds OOM — the measured 85ee508 failure).
 _IN_MEM_EDGE_ROWS = 20_000_000
 
+# Node-set relations at or below this row count take the explicit-broadcast
+# fast path in the fixpoint loops (connected_components frontiers,
+# kcore_peel peel sets). Sizing rationale (ADVICE r13): a broadcast
+# relation is collected to the driver and replicated per executor; a 5M-row
+# single-long-column build relation is ~40 MB of data (~100-200 MB as a
+# built BroadcastHashJoin relation), which stays far inside
+# spark.driver.maxResultSize (1 GiB default) and the repo's 16 GB driver
+# heap while covering every measured frontier/peel set through the
+# generated sf10 graphs. Deliberately above autoBroadcastJoinThreshold
+# (64 MB estimate-based): these gates fire on EXACT counts the loops
+# already have, not Catalyst estimates, so the cliff is chosen, not
+# inherited. Production would derive this from executor/driver memory conf;
+# the constant keeps both operators' gates in one place.
+_BROADCAST_NODE_SET_ROWS = 5_000_000
+
 
 def _edges_on_disk(
     df: DataFrame, expected_rows: "int | None" = None
@@ -197,7 +212,7 @@ def connected_components(
             "node", "lbl"
         )
         frontier = (
-            F.broadcast(fr) if n_changed <= 5_000_000 else fr.localCheckpoint()
+            F.broadcast(fr) if n_changed <= _BROADCAST_NODE_SET_ROWS else fr.localCheckpoint()
         )
     sym.unpersist()
     return labels.select("node", F.col("lbl").alias("component"))
@@ -262,7 +277,7 @@ def pagerank_integer(
     r = deg.select(
         F.col("src").alias("node"), F.lit(1_000_000 // n).cast("long").alias("r")
     )
-    for _ in range(iters):
+    for i in range(iters):
         # Rank lineage is LINEAR (each r feeds exactly one consumer), so —
         # unlike connected_components' doubling label/jump lineage — no
         # per-iteration checkpoint is needed: all `iters` rounds chain into
@@ -289,6 +304,12 @@ def pagerank_integer(
             .cast("long")
             .alias("r"),
         )
+        # Linear lineage still grows the PLAN per round; at the registered
+        # iters=3 that is free, but this is a public operator with
+        # caller-chosen iters, so truncate every 8 rounds to bound Catalyst
+        # analysis cost (ADVICE r13) — no extra job at small iters.
+        if (i + 1) % 8 == 0 and (i + 1) < iters:
+            r = r.localCheckpoint(eager=True)
     # One terminal checkpoint (the only eager job after the build) lets the
     # persisted edge/degree blocks be released before the caller's action.
     r = r.localCheckpoint(eager=True)
@@ -497,7 +518,7 @@ def kcore_peel(
         n_drop = drop.count()
         if n_drop == 0:
             break
-        if n_drop <= 5_000_000:
+        if n_drop <= _BROADCAST_NODE_SET_ROWS:
             # small peel set: broadcast anti-joins, edges filtered map-side,
             # partitioning preserved — next round's degree pass needs no
             # exchange and no new materialization
@@ -507,15 +528,24 @@ def kcore_peel(
                 "left_anti",
             )
         else:
+            # r14 (ADVICE r13): the fallback must END partitioned by src —
+            # its last repartition used to be on dst, so after any >5M-row
+            # peel round every later deg = e.groupBy("src") silently
+            # exchanged at the conf-fixed shuffle width (the fixed-width
+            # hash-map OOM shape _exchange_width exists to prevent), and
+            # the "degree aggregate runs with NO exchange" invariant broke
+            # exactly on the at-scale path. Width is recomputed from the
+            # SURVIVING edge count each keyed round.
             nxt_plan = (
-                e.repartition(width, "src")
-                .join(drop, "src", "left_anti")
-                .repartition(width, "dst")
+                e.repartition(width, "dst")
                 .join(drop.withColumnRenamed("src", "dst"), "dst", "left_anti")
+                .repartition(width, "src")
+                .join(drop, "src", "left_anti")
             )
             nxt, n_e = _edges_on_disk(
                 nxt_plan.select("src", "dst"), expected_rows=n_e
             )
+            width = _exchange_width(sc, n_e)
             materialized[-1].unpersist()
             materialized[:] = [nxt]
             e = nxt
@@ -586,7 +616,7 @@ def label_propagation_mode(
         eager=True
     )
     lab = nodes.select("node", F.col("node").alias("lab"))
-    for _ in range(iters):
+    for i in range(iters):
         arriving = (
             ep.join(lab.withColumnRenamed("node", "src"), "src")
             .repartition(parts, "dst", "lab")
@@ -609,6 +639,11 @@ def label_propagation_mode(
         lab = nodes.join(winner, "node", "left").select(
             "node", F.coalesce(F.col("lab"), F.col("node")).alias("lab")
         )
+        # Truncate every 8 rounds for caller-chosen large iters (ADVICE
+        # r13: lineage-chaining is free at the registered iters=2 but the
+        # plan grows per round); no extra job at small iters.
+        if (i + 1) % 8 == 0 and (i + 1) < iters:
+            lab = lab.localCheckpoint(eager=True)
     lab = lab.localCheckpoint(eager=True)
     ep.unpersist()
     return lab.select("node", F.col("lab").alias("community"))

@@ -109,6 +109,40 @@ def test_fixture_local_df_exact_and_jvm_local(spark):
         assert "ExistingRDD" not in buf.getvalue()
 
 
+def test_kcore_keyed_fallback_matches_and_ends_src_partitioned(spark, monkeypatch):
+    # ADVICE r13 (medium): the keyed fallback used to END partitioned by
+    # dst, so post-fallback degree aggregates silently exchanged at the
+    # conf-fixed width. Force the fallback (gate -> 0), check (a) results
+    # identical to the broadcast path, (b) the terminal degree aggregate
+    # reads the persisted blocks with NO shuffle exchange above them.
+    import io
+    from contextlib import redirect_stdout
+
+    import nfl_big_data_bowl_2024_spark.operators.graph as g
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(1, 9) for b in range(1, 9) if a != b and (a + b) % 3]
+        + [(100, 1), (101, 2)],
+        "src long, dst long",
+    )
+    want = sorted(
+        tuple(r) for r in g.kcore_peel(edges, k=3, rounds=3).collect()
+    )
+    monkeypatch.setattr(g, "_BROADCAST_NODE_SET_ROWS", 0)
+    out = g.kcore_peel(edges, k=3, rounds=3)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == want and len(got) > 0
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # terminal plan: HashAggregate over InMemoryTableScan, no Exchange
+    # between them (the persisted generation ends hash-partitioned by src)
+    assert "InMemoryTableScan" in plan
+    head = plan.split("InMemoryTableScan")[0]
+    assert "Exchange hashpartitioning" not in head
+
+
 def test_copurchase_gate_arms_agree(spark, monkeypatch):
     # Both arms of the gate must return identical rows (the oracle pins
     # the small arm; this pins arm-equality directly).
