@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..localrel import local_df as _local_rel
+from .scalars import checkpoint_counted, checkpoint_observed
 
 # Hard cap on what this module will explicitly broadcast, in REAL bytes
 # (estimated from row counts x true widths, not Catalyst stats): a
@@ -127,16 +128,12 @@ def ngram_jaccard_pairs(
     )
     if max_df is not None:
         # r13: the kept-shingle frequency relation is checkpointed WITH its
-        # df column, so the pair-count sizing below reads the (distinct
-        # shingles)-sized relation instead of re-aggregating the full
-        # checkpointed shingle stream a second time (sf10: a 23.5M-row
-        # scan replaces a 135M-row aggregate pass).
-        rare = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df_sh"))
-            .filter(F.col("df_sh") <= max_df)
-            .localCheckpoint(eager=True)
-        )
+        # df column; r14: the pair-count sizing aggregate now rides the
+        # checkpoint job itself as an OBSERVED metric (checkpoint_observed)
+        # — r13 replaced a 135M-row re-aggregation with a 23.5M-row scan
+        # of the checkpointed relation at sf10; the observation removes
+        # even that scan (and one scheduler round-trip at sf0.1).
+        #
         # Size the candidate-pair exchange from the DATA (commit 102db5f's
         # rule, verdict r10 item 4): the pair stream is sum d(d-1)/2 rows
         # (sf10: 888M collapsing to 392M distinct pairs — multiplicity
@@ -148,12 +145,13 @@ def ngram_jaccard_pairs(
         # grouped count runs partial+final in the SAME stage with no
         # second exchange. Measured at the generated sf10, same box and
         # session configs: 273.7 -> 130.2 s end-to-end.
-        pair_rows = (
-            rare.agg(
-                F.sum(F.col("df_sh") * (F.col("df_sh") - 1) / 2).alias("p")
-            ).first()["p"]
-            or 0
+        rare, rare_metrics = checkpoint_observed(
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_sh"))
+            .filter(F.col("df_sh") <= max_df),
+            F.sum(F.col("df_sh") * (F.col("df_sh") - 1) / 2).alias("p"),
         )
+        pair_rows = rare_metrics["p"] or 0
         pair_width = max(
             df.sparkSession.sparkContext.defaultParallelism,
             int(pair_rows // 4_000_000) + 1,
@@ -544,7 +542,14 @@ def minhash_lsh_candidates(
     agree = F.size(
         F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
     )
-    est = (
+    # Eager: one job materializes signatures -> bands -> pairs ->
+    # estimate; everything downstream (including the two cand_docs
+    # scans of the verify pruning) reads these checkpoint blocks,
+    # never sig — which is released immediately below. The surviving
+    # pair count (which sizes the verify exchange at the end) rides
+    # this job as an observed metric (r14, checkpoint_counted) instead
+    # of a separate count pass over the checkpoint.
+    est, n_pairs = checkpoint_counted(
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -560,11 +565,6 @@ def minhash_lsh_candidates(
             F.col("est_jaccard")
             >= max(0.0, verify_threshold - 1.5 / float(num_perm) ** 0.5)
         )
-        # Eager: one job materializes signatures -> bands -> pairs ->
-        # estimate; everything downstream (including the two cand_docs
-        # scans of the verify pruning) reads these checkpoint blocks,
-        # never sig — which is released immediately below.
-        .localCheckpoint(eager=True)
     )
 
     # Exact verification on the candidate PAIRS via array_intersect — LSH has
@@ -636,14 +636,13 @@ def minhash_lsh_candidates(
     # costs an array_intersect over two full shingle sets — the
     # operator's dominant CPU — and a conf-fixed width both under-splits
     # that map at scale and over-splits it on small corpora. The pair
-    # count is one cheap count of the already-checkpointed est relation;
+    # count arrived as an observed metric of est's checkpoint job (r14);
     # ~100k intersections per task keeps tasks in the seconds range at
     # any scale. (sf10 A/Bs of this stage on the shared box swung
     # 176-448 s under host steal — the data-sized width is kept on
     # design grounds, matching every other data-sized exchange in the
     # repo, not on a single-box timing claim.)
     sc = df.sparkSession.sparkContext
-    n_pairs = est.count()
     verify_width = max(sc.defaultParallelism, int(n_pairs // 100_000) + 1)
     return (
         est.repartition(verify_width, "doc_a")

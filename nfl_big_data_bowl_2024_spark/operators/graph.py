@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from .scalars import checkpoint_counted
+
 
 # Edge relations at or above this row count persist DISK_ONLY; below it
 # they keep the in-memory path (columnar cache ~16-25 B/row: 20M rows is a
@@ -55,7 +57,9 @@ _BROADCAST_NODE_SET_ROWS = 5_000_000
 
 
 def _edges_on_disk(
-    df: DataFrame, expected_rows: "int | None" = None
+    df: DataFrame,
+    expected_rows: "int | None" = None,
+    known_rows: "int | None" = None,
 ) -> tuple[DataFrame, int]:
     """Materialize an edge relation and return (df, row_count).
 
@@ -75,6 +79,18 @@ def _edges_on_disk(
     (MEMORY_AND_DISK_DESER) so sf0.1-sized graphs skip the per-round disk
     round-trips. Unknown sizes default to DISK_ONLY — the safe level at
     the 100 TB design point.
+
+    ``known_rows`` (r14): when the caller knows this relation's EXACT row
+    count already — every repartition/explode of an already-counted
+    relation does — the counting job is skipped entirely and the persist
+    stays LAZY: the first consumer job materializes the blocks while
+    doing its own work (all such call sites consume the relation in one
+    linear chain before any concurrent reader exists, so there is no
+    cold-cache race). One fewer job per fixpoint build, and at scale one
+    fewer full pass over the edge set. Callers that pass ``known_rows``
+    must keep the UPSTREAM persisted relation alive until the first
+    consumer job has run (unpersisting it earlier would force a full
+    recompute of the original subtree).
     """
     level = (
         StorageLevel.MEMORY_AND_DISK_DESER
@@ -82,6 +98,8 @@ def _edges_on_disk(
         else StorageLevel.DISK_ONLY
     )
     e = df.persist(level)
+    if known_rows is not None:
+        return e, known_rows
     return e, e.count()
 
 
@@ -126,6 +144,11 @@ def connected_components(
     # generated sf10 vs PageRank's 50 s on the same graph, which already
     # used this one-time-exchange shape).
     width = _exchange_width(sc, 2 * n_e0)
+    # The symmetrized relation's row count is EXACTLY 2 x the counted
+    # input (one explode row per direction, repartition preserves rows),
+    # so its materializing count job is skipped (known_rows, r14): the
+    # labels checkpoint below is the first consumer and materializes the
+    # sym blocks inside its own job. e stays persisted until then.
     sym, n_sym = _edges_on_disk(
         e.select(
             F.explode(
@@ -138,13 +161,14 @@ def connected_components(
         .select("p.src", "p.dst")
         .repartition(width, "src"),
         expected_rows=2 * n_e0,
+        known_rows=2 * n_e0,
     )
-    e.unpersist()
     labels = (
         sym.select(F.col("src").alias("node")).distinct().withColumn(
             "lbl", F.col("node")
         )
     ).localCheckpoint()
+    e.unpersist()
 
     # Delta-frontier propagation: min-label flooding is a MONOTONE
     # fixpoint, so a node only needs to (re)send its label in the round
@@ -184,27 +208,24 @@ def connected_components(
         jump = stepped.select(
             F.col("node").alias("lbl"), F.col("lbl").alias("jump_lbl")
         )
-        new_full = (
-            stepped.join(jump, "lbl", "left")
-            .select(
+        # Exact changed-node count as an OBSERVED METRIC of the checkpoint
+        # job itself (r14, via checkpoint_counted): r13 cut 3 jobs/round to
+        # 2 by counting the checkpointed blocks; the observation folds that
+        # count into the materializing job — 1 job/round, no re-scan at
+        # all. The count still gates the frontier broadcast EXACTLY (the
+        # round-9 A/B: a bare filter view as frontier cost 314 s vs 207 s
+        # at sf10 because the message join saw the node-relation size
+        # estimate): a bounded frontier gets an explicit broadcast hint on
+        # the lazy view over the checkpoint; an oversized one is
+        # materialized for the keyed join as before.
+        new_full, n_changed = checkpoint_counted(
+            stepped.join(jump, "lbl", "left").select(
                 "node",
                 "old_lbl",
                 F.least("lbl", F.coalesce("jump_lbl", "lbl")).alias("lbl"),
-            )
-            .localCheckpoint()  # truncate lineage; eager, so one job per round
+            ),
+            cond=F.col("lbl") < F.col("old_lbl"),
         )
-        # Exact changed-node count off the checkpointed blocks (cheap scan,
-        # no new materialization) doubles as the convergence probe — it
-        # replaces BOTH the old isEmpty job and the old per-round frontier
-        # checkpoint (r13: 3 jobs/round -> 2). The next round's message
-        # join must still see a SMALL frontier, not the node-relation size
-        # estimate a filter view inherits (the round-9 A/B: 314 s vs 207 s
-        # at sf10 when the frontier was a bare view) — but with the count
-        # in hand the broadcast is now gated EXACTLY: a bounded frontier
-        # gets an explicit broadcast hint on the lazy view over the
-        # checkpoint; an oversized one is materialized for the keyed join
-        # as before.
-        n_changed = new_full.filter(F.col("lbl") < F.col("old_lbl")).count()
         labels = new_full.select("node", "lbl")
         if n_changed == 0:
             break
@@ -263,11 +284,13 @@ def pagerank_integer(
     # rides in a node-sized join against the persisted degree relation
     # instead, so the second full-edge pass and its storage are gone).
     ep, _ = _edges_on_disk(
-        e.repartition(width, "src"), expected_rows=n_edges
+        e.repartition(width, "src"), expected_rows=n_edges, known_rows=n_edges
     )
     # Out-degrees aggregate straight off ep's partitioning (no exchange);
-    # deg.count() materializes ep and deg in the same job and is the
-    # bounded node-count scalar (one long to the driver).
+    # ep's row count is exactly n_edges (known_rows — no counting job,
+    # r14), so deg.count() below is the job that materializes BOTH ep and
+    # deg while returning the bounded node-count scalar (one long to the
+    # driver). e must stay persisted until that job has run.
     deg = ep.groupBy("src").agg(
         F.count(F.lit(1)).alias("outdeg")
     ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
@@ -442,16 +465,17 @@ def bfs_min_hops(
         # Only the new layer is checkpointed (one job per round): the
         # visited relation stays a <= max_hops-deep union of already-
         # checkpointed layers — shallow enough to leave as lineage, so
-        # each round costs one materialization instead of two.
-        nxt = (
+        # each round costs one materialization instead of two. The
+        # empty-frontier convergence probe rides that job as an observed
+        # count (r14, checkpoint_counted) instead of a separate isEmpty.
+        nxt, n_new = checkpoint_counted(
             frontier.withColumnRenamed("node", "src")
             .join(e, "src")
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if n_new == 0:
             break
         visited = visited.unionByName(nxt.withColumn("hops", F.lit(k).cast("int")))
         frontier = nxt
@@ -503,19 +527,33 @@ def kcore_peel(
     # edge write+read per round (at the generated sf10: three ~100M-row
     # generation spills gone). A peel set too big to broadcast falls back
     # to the old materialize-per-generation keyed anti-joins.
-    e, _ = _edges_on_disk(e0.repartition(width, "src"), expected_rows=n_e)
-    e0.unpersist()
+    # known_rows (r14): the repartition preserves the counted row count,
+    # so e's materializing count job is skipped — round 1's peel-set
+    # checkpoint below is the first consumer and materializes the blocks;
+    # e0 stays persisted until that job has run.
+    e, _ = _edges_on_disk(
+        e0.repartition(width, "src"), expected_rows=n_e, known_rows=n_e
+    )
     materialized = [e]
+    first_round = True
+    if rounds < 1:  # degenerate caller: materialize e, release e0 now
+        e.count()
+        first_round = False
+        e0.unpersist()
     for _ in range(rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        drop = (
-            deg.filter(F.col("deg") < k).select("src").localCheckpoint(eager=True)
+        # Peel-set count rides the checkpoint job as an observed metric
+        # (r14, checkpoint_counted): one job per round instead of the
+        # checkpoint + count pair. Monotone fixpoint early-stop: if no
+        # node fell below k this round, none ever will (degrees only drop
+        # when a neighbor peels), so the remaining rounds are no-ops and
+        # the unrolled-SQL oracle still matches exactly.
+        drop, n_drop = checkpoint_counted(
+            deg.filter(F.col("deg") < k).select("src")
         )
-        # Monotone fixpoint early-stop: if no node fell below k this round,
-        # none ever will (degrees only drop when a neighbor peels), so the
-        # remaining rounds are no-ops and the unrolled-SQL oracle still
-        # matches exactly.
-        n_drop = drop.count()
+        if first_round:
+            e0.unpersist()
+            first_round = False
         if n_drop == 0:
             break
         if n_drop <= _BROADCAST_NODE_SET_ROWS:
@@ -610,11 +648,17 @@ def label_propagation_mode(
     # label join then needs no edge-side exchange — only the node-sized
     # label vector moves. One extra materialization upfront buys `iters`
     # saved shuffles of the edge set.
-    ep, _ = _edges_on_disk(e.repartition(parts, "src"), expected_rows=n_edges)
-    e.unpersist()
+    # known_rows (r14): the repartition preserves the counted row count,
+    # so ep's materializing count job is skipped — the nodes checkpoint
+    # below is the first consumer and materializes the blocks; e stays
+    # persisted until that job has run.
+    ep, _ = _edges_on_disk(
+        e.repartition(parts, "src"), expected_rows=n_edges, known_rows=n_edges
+    )
     nodes = ep.select(F.col("src").alias("node")).distinct().localCheckpoint(
         eager=True
     )
+    e.unpersist()
     lab = nodes.select("node", F.col("node").alias("lab"))
     for i in range(iters):
         arriving = (
@@ -699,13 +743,14 @@ def bellman_ford_bounded(
             .groupBy("node")
             .agg(F.min("cand_cost").alias("cand_cost"))
         )
-        improved = (
+        # convergence probe observed on the checkpoint job (r14) — no
+        # separate isEmpty pass
+        improved, n_improved = checkpoint_counted(
             cand.join(dist, "node", "left")
             .filter(F.col("cost").isNull() | (F.col("cand_cost") < F.col("cost")))
             .select("node", F.col("cand_cost").alias("cost"))
-            .localCheckpoint(eager=True)
         )
-        if improved.isEmpty():
+        if n_improved == 0:
             break
         dist = (
             dist.unionByName(improved)
@@ -759,16 +804,17 @@ def temporal_reachability(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("t").alias("cand_arr"))
         )
-        improved = (
+        # convergence probe observed on the checkpoint job (r14) — no
+        # separate isEmpty pass
+        improved, n_improved = checkpoint_counted(
             cand.join(arr, "node", "left")
             .filter(
                 F.col("arrival").isNull()
                 | (F.col("cand_arr") < F.col("arrival"))
             )
             .select("node", F.col("cand_arr").alias("arrival"))
-            .localCheckpoint(eager=True)
         )
-        if improved.isEmpty():
+        if n_improved == 0:
             break
         arr = (
             arr.unionByName(improved)

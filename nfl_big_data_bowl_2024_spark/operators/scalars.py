@@ -57,3 +57,53 @@ def checkpoint_with_scalar(
             f"{CHECKPOINT_MODE_CONF}={mode!r}: expected 'local' or 'reliable'"
         )
     return cp, F.broadcast(cp.agg(*aggs))
+
+
+def checkpoint_observed(df: DataFrame, *aggs):
+    """Eagerly checkpoint ``df`` and return ``(cp, metrics)`` where
+    ``metrics`` is the dict of the given aggregate expressions computed
+    DURING the checkpoint job as observed metrics (``Dataset.observe``).
+
+    This folds the ubiquitous "materialize, then run a scalar probe over
+    the materialized blocks" two-job shape into ONE job: the fixpoint
+    loops' convergence counts (connected_components, kcore_peel, BFS/
+    Bellman-Ford frontiers) and the exchange-sizing aggregates (LSH
+    verify width, Jaccard pair count) all need a driver-side scalar of
+    the relation they just materialized, and the separate count/agg job
+    costs a scheduler round-trip at sf0.1 and a full re-scan of the
+    checkpointed blocks at scale. Observed metrics are computed by the
+    SAME tasks that materialize the checkpoint, so the probe is free.
+
+    Constraints inherited from ``observe``: aggregates must not contain
+    DISTINCT and must be deterministic. An aggregate over zero rows
+    follows SQL semantics (``sum`` -> None; callers coalesce).
+
+    Deliberately LOCAL-only (no ``CHECKPOINT_MODE_CONF`` switch, unlike
+    checkpoint_with_scalar): a reliable ``Dataset.checkpoint`` forces the
+    plan with one job and then RE-COMPUTES the RDD in the checkpoint-file
+    write pass (Spark recomputes unpersisted RDDs there), so the observed
+    accumulator metrics would double-count. The fixpoint loops this
+    serves always used localCheckpoint, so nothing changes for them; a
+    production deployment that needs reliable checkpoints in these loops
+    keeps the separate-count shape instead.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    cp = df.observe(obs, *aggs).localCheckpoint(eager=True)
+    return cp, obs.get
+
+
+def checkpoint_counted(df: DataFrame, cond=None):
+    """``checkpoint_observed`` specialized to one row count: returns
+    ``(cp, n)`` where ``n`` counts the checkpointed rows satisfying
+    ``cond`` (all rows when None). The convergence-probe shape of every
+    fixpoint loop in operators/graph.py."""
+    metric = (
+        F.count(F.lit(1))
+        if cond is None
+        else F.sum(F.when(cond, 1).otherwise(0))
+    )
+    cp, m = checkpoint_observed(df, metric.alias("n"))
+    n = m["n"]
+    return cp, int(n) if n is not None else 0

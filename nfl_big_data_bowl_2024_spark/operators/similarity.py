@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..localrel import local_df as _local_rel
+from .scalars import checkpoint_counted
 
 
 def dot_col(a, b) -> Column:
@@ -348,12 +349,16 @@ def lsh_bucketed_pairs(
     # contend for the same Python worker pool (measured as multi-second
     # jitter at small SF). The checkpoint is tiny: n x bands rows of
     # (id, band_id, band_sig) — three fixed-width values per row.
-    banded = v.select(
-        id_col, F.posexplode(band_sigs("emb")).alias("band_id", "band_sig")
-    ).localCheckpoint(eager=True)
-    # Corpus size from the checkpoint's materialized blocks (posexplode
-    # emits exactly `bands` rows per vector) — no second source scan.
-    n_vectors = banded.count() // bands
+    banded, n_banded = checkpoint_counted(
+        v.select(
+            id_col,
+            F.posexplode(band_sigs("emb")).alias("band_id", "band_sig"),
+        )
+    )
+    # Corpus size observed on the checkpoint job itself (posexplode emits
+    # exactly `bands` rows per vector) — no second source scan, and since
+    # r14 no separate count job over the cached blocks either.
+    n_vectors = n_banded // bands
     if auto:
         bits_per_band = min(
             16, max(8, math.ceil(math.log2(max(n_vectors, 16) / 16)))

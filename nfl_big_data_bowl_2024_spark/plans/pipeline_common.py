@@ -453,7 +453,7 @@ _KMEANS_ASSIGN_CTE = """
 def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc DSIR relation ``(doc_id, n_toks, dsir_weight_micro)`` —
     shared by the weights query and the budgeted selection built on it."""
-    from ..operators.scalars import checkpoint_with_scalar
+    from ..operators.scalars import checkpoint_observed
 
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
@@ -463,18 +463,26 @@ def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c_r"),
         F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c_t"),
     )
-    cp, consts = checkpoint_with_scalar(
+    # r14: the three LM totals arrive as OBSERVED metrics of the
+    # checkpoint job (they are three bounded longs — same driver-held
+    # class as the k-means seeds), replacing both the broadcast-scalar
+    # crossJoin AND the separate vocab count that used to gate the
+    # broadcast below. The injected literals are the exact longs the old
+    # 1-row relation carried, promoted to double by the same ``long *
+    # double`` rule, so the per-term arithmetic is bit-identical.
+    cp, lm_m = checkpoint_observed(
         lm,
         F.sum("c_r").alias("n_r"),
         F.sum("c_t").alias("n_t"),
         F.count(F.lit(1)).alias("v"),
     )
-    ratio = cp.crossJoin(consts).select(
+    n_r, n_t, v = int(lm_m["n_r"]), int(lm_m["n_t"]), int(lm_m["v"])
+    ratio = cp.select(
         "term",
         F.floor(
             F.log(
-                ((F.col("c_t") + 1.0) * (F.col("n_r") + F.col("v")))
-                / ((F.col("c_r") + 1.0) * (F.col("n_t") + F.col("v")))
+                ((F.col("c_t") + 1.0) * F.lit(n_r + v).cast("long"))
+                / ((F.col("c_r") + 1.0) * F.lit(n_t + v).cast("long"))
             )
             * 1000000.0
             + 0.5
@@ -486,11 +494,11 @@ def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the k-core <=5M-row rule): an unconditional hint is a 100 TB
     # driver OOM on a raw-token vocabulary, but AQE alone under-
     # broadcast at sf10 (31 s vs 5.0 s measured, same box, same
-    # session config). The vocab row count is one
-    # cheap count of the already-checkpointed LM relation; production
-    # DSIR additionally hash-buckets the vocab to a fixed width, which
-    # makes the broadcast branch unconditional again.
-    attach = F.broadcast(ratio) if cp.count() <= 5_000_000 else ratio
+    # session config). The vocab row count is the observed ``v`` — no
+    # counting job at all since r14; production DSIR additionally
+    # hash-buckets the vocab to a fixed width, which makes the broadcast
+    # branch unconditional again.
+    attach = F.broadcast(ratio) if v <= 5_000_000 else ratio
     return (
         toks.join(attach, "term")
         .groupBy("doc_id")

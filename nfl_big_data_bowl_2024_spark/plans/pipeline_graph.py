@@ -592,8 +592,9 @@ def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash-checked).
 
     Round-13 (verdict r12 item 4, candidate b): when every node id fits
-    32 bits — a 1-row max over the checkpointed pairs decides, the
-    matryoshka scale-gate idiom — the wedge pair is emitted as ONE
+    32 bits — a 1-row max over the pairs decides (r14: observed on the
+    pairs checkpoint job itself, no separate scan), the matryoshka
+    scale-gate idiom — the wedge pair is emitted as ONE
     packed long ``shiftleft(ya, 32) + yb`` straight from the array HOF:
     the explode writes a bigint instead of a two-long struct, the
     exchange row narrows from (long, long, int) to (long, int), and the
@@ -614,15 +615,20 @@ def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     261.3} s, mins 84.9 vs 97.2 across all sessions, probes recorded
     beside every rep)."""
     from ..operators.graph import _edges_on_disk, _exchange_width
+    from ..operators.scalars import checkpoint_observed
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
+    # r14: the packed-key scale gate's max-node scan — previously its own
+    # driver job over the checkpointed pairs (~0.5 s at sf10) — rides the
+    # pairs checkpoint as an observed metric instead.
+    pairs, pair_metrics = checkpoint_observed(
         o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        F.max(F.greatest(F.col("c") * 2, F.col("s") * 2 + 1)).alias("m"),
     )
+    max_node = pair_metrics["m"]
     # DISK_ONLY + size-aware widths (operators/graph.py memory
     # discipline): the wedge relation is ~sum(deg_capped^2)/2 rows — the
     # plan's dominant exchange at the sf10 trading graph — so its
@@ -672,11 +678,8 @@ def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
-    # Scale gate for the packed-key wedge: one long to the driver off
-    # the already-checkpointed pairs relation (~0.5 s at sf10).
-    max_node = pairs.agg(
-        F.max(F.greatest(F.col("c") * 2, F.col("s") * 2 + 1)).alias("m")
-    ).collect()[0]["m"]
+    # Scale gate for the packed-key wedge: max_node arrived as an
+    # observed metric of the pairs checkpoint job above (r14).
     if max_node is not None and max_node < (1 << 31):
         # d(d-1)/2 strictly-ordered pairs per apex as ONE packed long
         # each — order-preserving, so the top-25 tie-break on the packed

@@ -161,3 +161,66 @@ def test_copurchase_gate_arms_agree(spark, monkeypatch):
         for r in reg["graph_copurchase_projection"].fn(spark, SF01).collect()
     ]
     assert small == large
+
+
+def test_checkpoint_counted_and_observed(spark):
+    """r14 job folding: the observed-metric checkpoint helpers must return
+    the exact counts/aggregates a separate job would, including the
+    zero-row edge case, and the checkpointed relation must be the same
+    rows."""
+    from pyspark.sql import functions as F
+
+    from nfl_big_data_bowl_2024_spark.operators.scalars import (
+        checkpoint_counted,
+        checkpoint_observed,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("x")
+    )
+    cp, n = checkpoint_counted(df)
+    assert n == 1000 and cp.count() == 1000
+    cp2, n2 = checkpoint_counted(df, cond=F.col("x") < 3)
+    assert n2 == df.filter(F.col("x") < 3).count()
+    assert cp2.count() == 1000  # cond counts, never filters
+    _, n0 = checkpoint_counted(df.filter(F.col("id") < 0))
+    assert n0 == 0
+    _, n0c = checkpoint_counted(
+        df.filter(F.col("id") < 0), cond=F.col("x") < 3
+    )
+    assert n0c == 0
+    cp3, m = checkpoint_observed(
+        df,
+        F.sum("x").alias("sx"),
+        F.max("id").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    want = df.agg(
+        F.sum("x").alias("sx"), F.max("id").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert (m["sx"], m["mx"], m["n"]) == (want["sx"], want["mx"], want["n"])
+    assert cp3.count() == 1000
+
+
+def test_edges_on_disk_known_rows(spark):
+    """known_rows skips the counting job but must report the exact count
+    and keep the storage-level gating; the lazily-persisted relation
+    still materializes to the same rows."""
+    from pyspark.storagelevel import StorageLevel
+
+    from nfl_big_data_bowl_2024_spark.operators.graph import _edges_on_disk
+
+    base = spark.range(500).selectExpr("id AS src", "id + 1 AS dst")
+    e, n = _edges_on_disk(base, expected_rows=500, known_rows=500)
+    try:
+        assert n == 500
+        assert e.storageLevel == StorageLevel.MEMORY_AND_DISK_DESER
+        assert e.count() == 500  # first consumer materializes lazily
+    finally:
+        e.unpersist()
+    e2, n2 = _edges_on_disk(base, known_rows=500)  # unknown size: DISK_ONLY
+    try:
+        assert n2 == 500 and e2.storageLevel == StorageLevel.DISK_ONLY
+    finally:
+        e2.unpersist()
