@@ -28,8 +28,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
+from ..localrel import local_df as _local_rel
 from .scalars import checkpoint_counted
 
 
@@ -54,6 +56,21 @@ _IN_MEM_EDGE_ROWS = 20_000_000
 # inherited. Production would derive this from executor/driver memory conf;
 # the constant keeps both operators' gates in one place.
 _BROADCAST_NODE_SET_ROWS = 5_000_000
+
+# Edge sets at or below this row count run connected components as a
+# DRIVER-LOCAL union-find instead of the distributed fixpoint (r14).
+# Rationale: the iterative loop costs one job per round plus the edge
+# materialization machinery — measured 2.5-2.7 s at sf0.1 for a
+# 477-node near-dup graph, pure scheduling floor — while 500k edges are
+# ~8 MB as an Arrow transfer (two long columns) and union-find with
+# path compression over them runs well under a second on the driver.
+# This is a bounded driver-held model in the k-means-seed class, NOT an
+# unbounded driver loop: the gate fires on the exact count the operator
+# already has, and anything larger keeps the distributed path. The two
+# computations are provably identical (union by MIN root == min-label
+# fixpoint; pinned against each other on random graphs in
+# tests/test_graph.py).
+_DRIVER_CC_EDGE_ROWS = 500_000
 
 
 def _edges_on_disk(
@@ -113,6 +130,48 @@ def _exchange_width(sc, n_rows: int, target_rows: int = 1_000_000) -> int:
     return max(sc.defaultParallelism, int(n_rows // target_rows) + 1)
 
 
+def _cc_union_find_local(spark, e: DataFrame) -> DataFrame:
+    """Driver-local connected components for a bounded edge relation:
+    union-find with path compression, union by MIN root — the root of
+    every tree is therefore the minimum node id of its component at all
+    times, so ``find(n)`` at the end equals exactly the distributed
+    min-label fixpoint's answer. Input ``e`` is the materialized
+    two-column (src, dst) relation; output is an Arrow-backed local
+    relation (LocalTableScan — no Python boundary on the consumer side)
+    with the input's node type preserved."""
+    tbl = e.toArrow()
+    srcs = tbl.column("src").to_pylist()
+    dsts = tbl.column("dst").to_pylist()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while x != r:  # path compression
+            parent[x], x = r, parent.get(x, x)
+        return r
+
+    for a, b in zip(srcs, dsts):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra  # larger root under smaller: root stays the MIN
+    nodes = set(srcs)
+    nodes.update(dsts)
+    rows = sorted((n, find(n)) for n in nodes)
+    ftype = e.schema["src"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", ftype, True),
+            T.StructField("component", ftype, True),
+        ]
+    )
+    return _local_rel(spark, rows, schema)
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
 ) -> DataFrame:
@@ -130,6 +189,13 @@ def connected_components(
     e, n_e0 = _edges_on_disk(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     )
+    # Size-gated driver-local fast path (r14): a bounded edge set skips
+    # the whole iterative machinery — see _DRIVER_CC_EDGE_ROWS for the
+    # sizing rationale and equivalence argument.
+    if n_e0 <= _DRIVER_CC_EDGE_ROWS:
+        out = _cc_union_find_local(edges.sparkSession, e)
+        e.unpersist()
+        return out
     # Symmetrize once; both directions are needed so a min label entering a
     # cluster anywhere can flow along every edge. Duplicate edges are left
     # in place — min() is idempotent over them, and a distinct() here would

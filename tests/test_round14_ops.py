@@ -224,3 +224,37 @@ def test_edges_on_disk_known_rows(spark):
         assert n2 == 500 and e2.storageLevel == StorageLevel.DISK_ONLY
     finally:
         e2.unpersist()
+
+
+def test_cc_driver_local_matches_distributed(spark, monkeypatch):
+    """r14 size-gated driver-local union-find CC: both paths must return
+    identical (node, component) rows — exercised on random graphs so the
+    distributed path keeps coverage now that small inputs take the local
+    path by default."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    import nfl_big_data_bowl_2024_spark.operators.graph as G
+
+    rng = random.Random(1414)
+    for trial in range(3):
+        n = rng.randint(5, 60)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(rng.randint(1, 3 * n))
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        local = sorted(
+            tuple(r) for r in G.connected_components(df).collect()
+        )
+        monkeypatch.setattr(G, "_DRIVER_CC_EDGE_ROWS", -1)
+        dist = sorted(
+            tuple(r) for r in G.connected_components(df).collect()
+        )
+        monkeypatch.undo()
+        assert local == dist and len(local) > 0, f"trial {trial}"
+    # node dtype preserved by the local path (int edges stay int)
+    small = spark.createDataFrame([(1, 2)], "src int, dst int")
+    out = G.connected_components(small)
+    assert dict(out.dtypes) == {"node": "int", "component": "int"}
